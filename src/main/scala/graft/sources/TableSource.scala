@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.StructType
+
+/** Scan pushdown options ≈ `BigQueryReaderOptions` (bigquery.go:78-81):
+  *
+  *   - selectedFields ≈ TableReadOptions.SelectedFields (column pruning, A6)
+  *   - rowRestriction ≈ TableReadOptions.RowRestriction (predicate pushdown, A7)
+  *   - maxStreamCount ≈ MaxStreamCount (scan parallelism request, A8)
+  *
+  * In Spark the first two become `.select`/`.filter` on the scan, which
+  * Catalyst pushes into the file source (verify via `PushedFilters` /
+  * `ReadSchema` in the formatted plan). `maxStreamCount` is a *minimum
+  * parallelism request*: Spark already schedules one task per file split —
+  * fixing the reference's consume-only-streams[0] bug (bigquery.go:191) by
+  * construction — so the option only matters when a table has fewer splits
+  * than the requested fan-out.
+  */
+final case class ScanOptions(
+    selectedFields: Seq[String] = Nil,
+    rowRestriction: Option[String] = None,
+    maxStreamCount: Option[Int] = None)
+
+object ScanOptions {
+  val default: ScanOptions = ScanOptions()
+}
+
+/** A pluggable table source (≈ `BigQueryReadClient`, bigquery.go:64-82).
+  * The production analogue would be a DSv2 connector; the test-rig
+  * implementation reads the driver's Parquet fixtures with the same options
+  * surface.
+  */
+trait TableSource {
+
+  /** Scan a table with pushdown options (≈ NewBigQueryReader + the Read loop,
+    * bigquery.go:85-212, collapsed into one declarative plan).
+    */
+  def read(spark: SparkSession, table: String, opts: ScanOptions = ScanOptions.default): DataFrame
+
+  /** Source-side schema (≈ BigQueryReader.Schema(), bigquery.go:243-248). */
+  def schema(spark: SparkSession, table: String): StructType =
+    read(spark, table).schema
+}
+
+/** Parquet-directory-backed source: table `t` lives at `$dir/t.parquet`.
+  * This is the zero-egress stand-in for the BigQuery Storage read session;
+  * pushdown happens through Catalyst into the vectorized Parquet reader
+  * (row-group and page-index filtering).
+  */
+final class ParquetTableSource(dir: String) extends TableSource {
+
+  override def read(spark: SparkSession, table: String, opts: ScanOptions): DataFrame = {
+    var df = spark.read.parquet(s"$dir/$table.parquet")
+    if (opts.selectedFields.nonEmpty) {
+      df = df.select(opts.selectedFields.map(col): _*)
+    }
+    opts.rowRestriction.foreach(pred => df = df.filter(expr(pred)))
+    // A parallelism *floor*, not a repartition: never introduce a shuffle
+    // just to honor a stream-count hint. If the scan already has >= n
+    // splits (the common case at scale), leave the plan untouched.
+    opts.maxStreamCount.foreach { n =>
+      if (df.rdd.getNumPartitions < n) df = df.repartition(n)
+    }
+    df
+  }
+}
