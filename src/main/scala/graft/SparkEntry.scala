@@ -24,9 +24,14 @@ import graft.sources.{ParquetTableSource, ScanOptions}
   *
   * Oracle-parity rules used throughout (driver hashes values with columns
   * sorted by name; DuckDB is the oracle):
+  *   - NO DECIMAL in any output schema. The driver's comparison materializes
+  *     DuckDB results as float64 while Spark parquet decimals stay Decimal —
+  *     every round-1 hash mismatch was exactly the queries with decimal
+  *     output columns. Decimal stays an *internal* exact-arithmetic device.
   *   - Sums over doubles go through DECIMAL(10,2) so addition is exact and
-  *     order-independent, then cast to DECIMAL(38,6) so both engines emit the
-  *     identical logical type.
+  *     order-independent, then a single CAST(.. AS DOUBLE): the exact sum's
+  *     unscaled value stays < 2^53 at verify scale, so both engines perform
+  *     one identical correctly-rounded IEEE division by 10^scale.
   *   - Averages = CAST(decimal-sum AS DOUBLE)/COUNT — one IEEE division of
   *     identical operands, bit-deterministic in both engines.
   *   - Functions whose return type differs across engines (length, year,
@@ -43,15 +48,17 @@ object SparkEntry {
   /** Exact-arithmetic cast for money/quantity doubles. */
   private def dec(c: Column): Column = c.cast(DecimalType(10, 2))
 
-  /** Order-independent exact sum with a cross-engine-stable output type. */
-  private def fsum(c: Column): Column = sum(dec(c)).cast(DecimalType(38, 6))
+  /** Order-independent exact sum, emitted as DOUBLE (never decimal — see
+    * oracle-parity rules above).
+    */
+  private def fsum(c: Column): Column = sum(dec(c)).cast("double")
 
   /** Deterministic average (see oracle-parity rules above). */
   private def favg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
 
   /** Oracle-side twins of dec/fsum/favg. */
   private def oDec(x: String) = s"CAST($x AS DECIMAL(10,2))"
-  private def oSum(x: String) = s"CAST(SUM(${oDec(x)}) AS DECIMAL(38,6))"
+  private def oSum(x: String) = s"CAST(SUM(${oDec(x)}) AS DOUBLE)"
   private def oAvg(x: String) = s"CAST(SUM(${oDec(x)}) AS DOUBLE) / COUNT(*)"
 
   private final case class Q(
@@ -145,7 +152,7 @@ object SparkEntry {
         s"""SELECT l_returnflag, l_linestatus,
            |  ${oSum("l_quantity")} AS sum_qty,
            |  ${oSum("l_extendedprice")} AS sum_base_price,
-           |  CAST(SUM(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")})) AS DECIMAL(38,6)) AS sum_disc_price,
+           |  CAST(SUM(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
            |  ${oAvg("l_quantity")} AS avg_qty,
            |  ${oAvg("l_extendedprice")} AS avg_price,
            |  COUNT(*) AS count_order
@@ -160,7 +167,7 @@ object SparkEntry {
           fsum(col("l_quantity")).as("sum_qty"),
           fsum(col("l_extendedprice")).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 6))
+            .cast("double")
             .as("sum_disc_price"),
           favg(col("l_quantity")).as("avg_qty"),
           favg(col("l_extendedprice")).as("avg_price"),
@@ -214,7 +221,7 @@ object SparkEntry {
       Some(
         s"""SELECT o_orderpriority,
            |  COUNT(*) AS n_items,
-           |  CAST(SUM(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")})) AS DECIMAL(38,6)) AS revenue
+           |  CAST(SUM(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")})) AS DOUBLE) AS revenue
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
       val li = T(s, dir, "lineitem")
@@ -224,7 +231,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_items"),
           sum(dec(li("l_extendedprice")) * (lit(1) - dec(li("l_discount"))))
-            .cast(DecimalType(38, 6))
+            .cast("double")
             .as("revenue"))
         .orderBy("o_orderpriority")
     },
@@ -290,7 +297,7 @@ object SparkEntry {
            |  CAST(SUM(${oDec("l_quantity")}) OVER (
            |    PARTITION BY l_suppkey
            |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_qty
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
            |FROM lineitem
            |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
       val w = Window
@@ -302,7 +309,7 @@ object SparkEntry {
           col("l_suppkey"),
           col("l_orderkey"),
           col("l_linenumber"),
-          sum(dec(col("l_quantity"))).over(w).cast(DecimalType(38, 6)).as("running_qty"))
+          sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
     Q(

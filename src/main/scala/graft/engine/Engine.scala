@@ -97,11 +97,16 @@ final class Engine(val spark: SparkSession) extends AutoCloseable {
     */
   def ingestCreateAppend(df: DataFrame, table: String): Long = {
     val exists = spark.catalog.tableExists(table)
-    val before = if (exists) spark.table(table).count() else 0L
-    df.write
+    // Rows ingested are observed on the write job itself (df.observe): one
+    // pass over the input, no O(table) destination re-scans, and immune to
+    // concurrent writers appending to the same table.
+    val obs = org.apache.spark.sql.Observation(s"graft_ingest_${table}_${System.nanoTime()}")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write
       .mode(if (exists) SaveMode.Append else SaveMode.ErrorIfExists)
       .saveAsTable(table)
-    spark.table(table).count() - before
+    obs.get("rows").asInstanceOf[Long]
   }
 
   override def close(): Unit = ()

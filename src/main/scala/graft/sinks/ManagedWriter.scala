@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.StructType
 /** Stream visibility mode (≈ storagepb stream types, bigquery_write.go:384-394):
   *   - Committed: each append is immediately visible.
   *   - Pending: appends are staged invisibly; `finalizeCommit()` makes them
-  *     all visible atomically (≈ FinalizeWriteStream + BatchCommitWriteStreams,
+  *     all visible (≈ FinalizeWriteStream + BatchCommitWriteStreams,
   *     bigquery_write.go:466-485).
   */
 sealed trait StreamType
@@ -32,10 +32,14 @@ object StreamType {
   *   - `finalizeCommit()` promotes staged files with filesystem renames and
   *     refuses further writes (≈ Finalize → BatchCommitWriteStreams).
   *
-  * Each individual `write` already inherits task-level exactly-once from
-  * Spark's FileCommitProtocol (task attempts write to attempt paths, the job
-  * commit publishes exactly one); Pending mode adds the reference's
-  * *multi-append atomic visibility* on top.
+  * Each individual `write` inherits task-level exactly-once from Spark's
+  * FileCommitProtocol (task attempts write to attempt paths, the job commit
+  * publishes exactly one). Pending mode adds multi-append deferred
+  * visibility on top; the promotion is *near-atomic* — a sequence of
+  * same-directory renames, each atomic on HDFS-like filesystems, so a crash
+  * mid-promotion can leave a prefix of the batches visible (the reference's
+  * BatchCommitWriteStreams is strictly atomic; a fully atomic equivalent
+  * would need a manifest file that readers consult).
   */
 final class ManagedWriter(
     spark: SparkSession,
@@ -51,47 +55,63 @@ final class ManagedWriter(
 
   /** Append one batch. Returns rows in the batch (offset-advance analogue,
     * bigquery_write.go:460).
+    *
+    * The input plan is executed exactly once: the batch lands in its own
+    * directory and the returned row count is read back from the *written*
+    * parquet footers (metadata-only — no column data is scanned and the
+    * source is not re-executed, so a non-deterministic source cannot make
+    * the count diverge from what was written).
     */
   def write(df: DataFrame): Long = {
     require(!finalized, "writer already finalized (bigquery_write.go:466 contract)")
     require(
       df.schema == expectedSchema,
       s"schema mismatch: got ${df.schema.simpleString}, want ${expectedSchema.simpleString}")
-    val target = streamType match {
-      case StreamType.Committed => destDir
-      case StreamType.Pending   => s"$stagingDir/batch-$appended"
-    }
-    val n = df.count()
-    df.write.mode("append").parquet(target)
+    val batchDir = s"$stagingDir/batch-$appended"
+    df.write.mode("errorifexists").parquet(batchDir)
     appended += 1
+    val n = spark.read.parquet(batchDir).count()
+    if (streamType == StreamType.Committed) promote(new Path(batchDir))
     n
   }
 
-  /** Make all pending appends visible atomically; returns number of batches
-    * committed (≈ Finalize's row-count return, bigquery_write.go:466-485).
-    * Committed-mode streams have nothing to promote.
+  /** Move every data file of one staged batch into the destination.
+    * Every rename's return value is checked: a false return (e.g. a name
+    * collision at the destination) aborts the commit with the staged data
+    * still intact — staged files are only ever deleted by the caller after
+    * *all* renames succeeded.
+    */
+  private def promote(batchPath: Path): Unit = {
+    val dest = new Path(destDir)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    fs.listStatus(batchPath)
+      .filter(f => f.getPath.getName.startsWith("part-"))
+      .foreach { f =>
+        val to = new Path(dest, f.getPath.getName)
+        if (!fs.rename(f.getPath, to)) {
+          throw new java.io.IOException(
+            s"commit failed: rename ${f.getPath} -> $to returned false; " +
+              "staged data left in place")
+        }
+      }
+  }
+
+  /** Make all pending appends visible; returns number of batches committed
+    * (≈ Finalize's return, bigquery_write.go:466-485). Committed-mode
+    * streams have nothing left to promote. The staging directory is deleted
+    * only after every rename has succeeded.
     */
   def finalizeCommit(): Long = {
     require(!finalized, "already finalized")
     finalized = true
-    streamType match {
-      case StreamType.Committed => appended
-      case StreamType.Pending =>
-        val dest = new Path(destDir)
-        if (!fs.exists(dest)) fs.mkdirs(dest)
-        val staging = new Path(stagingDir)
-        if (fs.exists(staging)) {
-          val batches = fs.listStatus(staging).filter(_.isDirectory)
-          batches.foreach { b =>
-            fs.listStatus(b.getPath)
-              .filter(f => f.getPath.getName.startsWith("part-"))
-              .foreach { f =>
-                fs.rename(f.getPath, new Path(dest, f.getPath.getName))
-              }
-          }
-          fs.delete(staging, true)
-        }
-        appended
+    val staging = new Path(stagingDir)
+    if (streamType == StreamType.Pending && fs.exists(staging)) {
+      fs.listStatus(staging)
+        .filter(_.isDirectory)
+        .sortBy(_.getPath.getName)
+        .foreach(b => promote(b.getPath))
     }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    appended
   }
 }

@@ -52,17 +52,41 @@ trait TableSource {
 final class ParquetTableSource(dir: String) extends TableSource {
 
   override def read(spark: SparkSession, table: String, opts: ScanOptions): DataFrame = {
-    var df = spark.read.parquet(s"$dir/$table.parquet")
+    val path = s"$dir/$table.parquet"
+    var df = spark.read.parquet(path)
     if (opts.selectedFields.nonEmpty) {
       df = df.select(opts.selectedFields.map(col): _*)
     }
     opts.rowRestriction.foreach(pred => df = df.filter(expr(pred)))
-    // A parallelism *floor*, not a repartition: never introduce a shuffle
-    // just to honor a stream-count hint. If the scan already has >= n
-    // splits (the common case at scale), leave the plan untouched.
+    // A parallelism *floor*: when the table is too small to yield >= n file
+    // splits, repartition(n) (a round-robin shuffle) raises the fan-out to
+    // the requested stream count. At scale the scan already has >= n splits
+    // and the plan is left untouched — no shuffle. The split estimate comes
+    // from a driver-side file listing (mirroring FilePartition.maxSplitBytes)
+    // rather than df.rdd, which would force eager non-AQE physical planning.
     opts.maxStreamCount.foreach { n =>
-      if (df.rdd.getNumPartitions < n) df = df.repartition(n)
+      if (estimatedSplits(spark, path) < n) df = df.repartition(n)
     }
     df
+  }
+
+  /** Estimate the scan's split count the way Spark's FilePartition does:
+    * splittable files are cut at maxSplitBytes = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / defaultParallelism)).
+    */
+  private def estimatedSplits(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.conf
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(p) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case st   => st.flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
+    }
+    val dataFiles = files.filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val openCost = conf.filesOpenCostInBytes
+    val totalBytes = dataFiles.map(_.getLen + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    dataFiles.map(f => math.max(1L, (f.getLen + maxSplit - 1) / math.max(1L, maxSplit))).sum
   }
 }

@@ -59,6 +59,22 @@ def main():
             print(f"ERR   {name}: {e}")
             n_bad += 1
             continue
+        # The driver's hasher materializes DuckDB results as float64 while
+        # Spark parquet decimals stay Decimal objects -> any DECIMAL output
+        # column hash-mismatches even when values are equal. Treat decimal
+        # outputs as failures here so the replica matches the driver.
+        import decimal
+        dec_cols = sorted({got_cols[i] for r in (got[:1] or [])
+                           for i, v in enumerate(r)
+                           if isinstance(v, decimal.Decimal)} |
+                          {want_cols[i] for r in (want[:1] or [])
+                           for i, v in enumerate(r)
+                           if isinstance(v, decimal.Decimal)})
+        if dec_cols:
+            print(f"DECIMAL {name}: output columns {dec_cols} are decimal-typed"
+                  f" -> driver hash would mismatch; cast to DOUBLE")
+            n_bad += 1
+            continue
         gc, gr = canon(got_cols, got)
         wc, wr = canon(want_cols, want)
         if gc != wc:
