@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StringType}
 
 import graft.engine.Engine
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.pipeline.Ingest
+import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
 import graft.sources.{ParquetTableSource, ScanOptions}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +111,50 @@ object SparkEntry {
       w.write(supplier) // create
       w.write(supplier) // append
       w.finalizeCommit()
+      s.read.parquet(dest).orderBy("s_suppkey")
+    },
+    // A9+A10: DDL/DML exec + SQL query through the Engine surface
+    // (≈ duck_test.go:54-130: CREATE/INSERT/SELECT with inline goldens).
+    Q(
+      "a09_exec_query",
+      Some(
+        "SELECT id, name, CAST(score AS DOUBLE) AS score FROM (VALUES " +
+          "(1,'Alice',95.5),(2,'Bob',87.2),(3,'Carol',99.0)) people(id,name,score) " +
+          "ORDER BY id")) { (s, _) =>
+      val eng = new Engine(s)
+      eng.exec(
+        "CREATE OR REPLACE TEMP VIEW graft_people AS SELECT * FROM VALUES " +
+          "(1,'Alice',95.5),(2,'Bob',87.2),(3,'Carol',99.0) AS t(id,name,score)")
+      eng.query(
+        "SELECT id, name, CAST(score AS DOUBLE) AS score FROM graft_people ORDER BY id")
+    },
+    // A13+A17: query → per-row protobuf wire encoding (≈ QueryProto,
+    // duck.go:274-317). The oracle recomputes each message's exact wire
+    // size (tag bytes + varints + length-delimited payload) in SQL.
+    Q(
+      "a13_query_proto",
+      Some(
+        """SELECT s_suppkey, CAST(1 + (CASE WHEN s_suppkey < 128 THEN 1
+          |    WHEN s_suppkey < 16384 THEN 2 WHEN s_suppkey < 2097152 THEN 3
+          |    WHEN s_suppkey < 268435456 THEN 4 ELSE 5 END)
+          |  + 1 + 1 + octet_length(CAST(s_name AS BLOB)) AS BIGINT) AS proto_len
+          |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val in = T(s, dir, "supplier").select("s_suppkey", "s_name")
+      val schema = in.schema
+      in.map(r => (r.getLong(0), RowCodec.encodeRow(r, schema).length.toLong))
+        .toDF("s_suppkey", "proto_len")
+        .orderBy("s_suppkey")
+    },
+    // A14 committed-mode stream: every append is immediately visible.
+    Q(
+      "a14_committed_write",
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")) { (s, dir) =>
+      val supplier = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-committed-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, supplier.schema, StreamType.Committed)
+      w.write(supplier)
       s.read.parquet(dest).orderBy("s_suppkey")
     }
   )
@@ -544,12 +591,460 @@ object SparkEntry {
         .orderBy("o_orderkey")
         .offset(10)
         .limit(20)
+    },
+    Q(
+      "b30_pivot",
+      Some(
+        """SELECT o_orderstatus,
+          |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+          |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+          |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+          |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+          |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) { (s, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val named = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+      T(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderstatus") +:
+            prios.zip(named).map { case (p, n) => coalesce(col(s"`$p`"), lit(0L)).as(n) }: _*)
+        .orderBy("o_orderstatus")
+    },
+    Q(
+      "b31_unpivot",
+      Some(
+        """SELECT n_nationkey, 'n_cust' AS metric, n_cust AS value FROM (
+          |  SELECT n_nationkey, COUNT(c_custkey) AS n_cust FROM nation
+          |  LEFT JOIN customer ON c_nationkey = n_nationkey GROUP BY n_nationkey)
+          |UNION ALL
+          |SELECT n_nationkey, 'n_supp' AS metric, n_supp AS value FROM (
+          |  SELECT n_nationkey, COUNT(s_suppkey) AS n_supp FROM nation
+          |  LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_nationkey)
+          |ORDER BY n_nationkey, metric""".stripMargin)) { (s, dir) =>
+      val n = T(s, dir, "nation")
+      val c = T(s, dir, "customer")
+      val sup = T(s, dir, "supplier")
+      val nc = n.join(c, c("c_nationkey") === n("n_nationkey"), "left_outer")
+        .groupBy(n("n_nationkey")).agg(count(c("c_custkey")).as("n_cust"))
+      val ns = n.join(sup, sup("s_nationkey") === n("n_nationkey"), "left_outer")
+        .groupBy(n("n_nationkey")).agg(count(sup("s_suppkey")).as("n_supp"))
+      nc.join(ns, "n_nationkey")
+        .unpivot(
+          Array(col("n_nationkey")),
+          Array(col("n_cust"), col("n_supp")),
+          "metric",
+          "value")
+        .orderBy("n_nationkey", "metric")
+    },
+    // Array build (order-pinned collect_list) + explode round-trip.
+    Q(
+      "b32_explode",
+      Some(
+        "SELECT o_custkey, o_orderkey FROM orders ORDER BY o_custkey, o_orderkey")) { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("oks"))
+        .select(col("o_custkey"), explode(col("oks")).as("o_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Q(
+      "b33_json_funcs",
+      Some(
+        """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+          |FROM events GROUP BY 1 ORDER BY k""".stripMargin)) { (s, dir) =>
+      T(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+    // Exact interpolated median over integer-valued doubles: the midpoint
+    // arithmetic is exact in both engines.
+    Q(
+      "b34_median",
+      Some(
+        """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med, COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    // Exact-sum moment statistics: variance/stddev from decimal S1/S2 with
+    // one fixed-order double expression — no float-association drift.
+    Q(
+      "b35_stats",
+      Some(
+        s"""SELECT l_returnflag, COUNT(*) AS n,
+           |  ${oAvg("l_quantity")} AS mean_qty,
+           |  (CAST(SUM(${oDec("l_quantity")} * ${oDec("l_quantity")}) AS DOUBLE)
+           |    - CAST(SUM(${oDec("l_quantity")}) AS DOUBLE) * CAST(SUM(${oDec("l_quantity")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           |    / CAST(COUNT(*) - 1 AS DOUBLE) AS var_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      val q = col("l_quantity")
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          favg(q).as("mean_qty"),
+          ((sum(dec(q) * dec(q)).cast("double")
+            - sum(dec(q)).cast("double") * sum(dec(q)).cast("double") / count(lit(1)).cast("double"))
+            / (count(lit(1)) - 1).cast("double")).as("var_qty"))
+        .orderBy("l_returnflag")
+    },
+    // Non-equi (range) join against a broadcast band dimension.
+    Q(
+      "b36_range_join",
+      Some(
+        s"""SELECT band, COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
+           |FROM orders JOIN (SELECT * FROM (VALUES
+           |  (CAST(0 AS DOUBLE), CAST(50000 AS DOUBLE), 'low'),
+           |  (CAST(50000 AS DOUBLE), CAST(150000 AS DOUBLE), 'mid'),
+           |  (CAST(150000 AS DOUBLE), CAST(1e12 AS DOUBLE), 'high')) t(lo, hi, band)) b
+           |ON o_totalprice >= lo AND o_totalprice < hi
+           |GROUP BY band ORDER BY band""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        (0.0, 50000.0, "low"),
+        (50000.0, 150000.0, "mid"),
+        (150000.0, 1e12, "high")).toDF("lo", "hi", "band")
+      val o = T(s, dir, "orders")
+      o.join(broadcast(bands), o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), fsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("band")
+    },
+    Q(
+      "b37_full_outer",
+      Some(
+        """SELECT COALESCE(ck, sk) AS nationkey, COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+          |FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+          |FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+          |ON ck = sk ORDER BY nationkey""".stripMargin)) { (s, dir) =>
+      val c = T(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = T(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    Q(
+      "b38_cross_join",
+      Some(
+        "SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region " +
+          "ORDER BY n_nationkey, r_regionkey")) { (s, dir) =>
+      T(s, dir, "nation")
+        .crossJoin(T(s, dir, "region"))
+        .select("n_nationkey", "r_regionkey")
+        .orderBy("n_nationkey", "r_regionkey")
+    },
+    Q(
+      "b39_window_lead_lag",
+      Some(
+        s"""SELECT o_custkey, o_orderkey,
+           |  lag(o_totalprice, 1) OVER w AS prev_price,
+           |  lead(o_totalprice, 1) OVER w AS next_price,
+           |  CAST(SUM(${oDec("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv3
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(-2, Window.currentRow)
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          sum(dec(col("o_totalprice"))).over(wf).cast("double").as("mv3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // HLL++ sketch distinct — algorithmically approximate, so no SQL
+    // oracle (driver records a rows-only check).
+    Q("b40_approx_distinct", None) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+    }
+  )
+
+  // ------------------------- north-star LLM-pipeline extensions (SURVEY §2.C)
+
+  /** DuckDB twins of the TextOps primitives (kept in one place so the
+    * oracle SQL is generated from the same constants as the Spark side).
+    */
+  private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def oList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def oHits(toksExpr: String, words: Seq[String]) =
+    s"length(list_filter($toksExpr, t -> list_contains(${oList(words)}, t)))"
+  private val oHash32 = (e: String) => s"('0x' || substring(md5($e), 1, 8))::BIGINT"
+  // 3-word shingles of the token list `ts` (empty when < 3 tokens).
+  private val oShingles =
+    "CASE WHEN len(ts) >= 3 THEN [array_to_string(ts[i+1:i+3], ' ') for i in range(len(ts)-2)] ELSE [] END"
+  private def oMinhashSig(k: Int) =
+    s"[list_min([${oHash32("k::VARCHAR || '|' || s")} for s in shingles]) for k in range($k)]"
+  private val oDotSelf = (v: String) => s"list_dot_product($v, $v)"
+  private def oCosine(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(${oDotSelf(a)}) * sqrt(${oDotSelf(b)}))"
+
+  private val layerNS: Seq[Q] = Seq(
+    // NS-T1: token counting — whitespace + BPE-ish regex tokens.
+    Q(
+      "ns01_token_stats",
+      Some(
+        s"""SELECT doc_id, length($oToks)::BIGINT AS n_tok_ws,
+           |  length(regexp_extract_all(text, '${TextOps.BpeTokenRegex}'))::BIGINT AS n_tok_re,
+           |  length(text)::BIGINT AS n_chars_calc
+           |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("n_tok_ws"),
+          TextOps.tokenCountRegex(col("text")).as("n_tok_re"),
+          length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+    // NS-T2: heuristic language ID (marker-word argmax).
+    Q(
+      "ns02_lang_id", {
+        val hits = TextOps.LangMarkers
+          .map { case (l, ws) => s"${oHits("toks", ws)} AS h_$l" }
+          .mkString(",\n  ")
+        val langs = TextOps.LangMarkers.map(_._1)
+        val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+        Some(
+          s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+             |s AS (SELECT doc_id, $hits FROM t),
+             |m AS (SELECT doc_id, *, $mx AS mx FROM s)
+             |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_pred
+             |FROM m ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    // NS-T3: quality scoring (exact-integer ratios, fixed-order blend).
+    Q(
+      "ns03_quality", {
+        val stops = TextOps.LangMarkers.flatMap(_._2).distinct.sorted
+        Some(
+          s"""WITH t AS (SELECT doc_id, text, $oToks AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)::DOUBLE AS awl,
+             |  ${oHits("toks", stops)}::DOUBLE / len(toks)::DOUBLE AS stop_ratio,
+             |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |    / length(text)::DOUBLE AS punct_ratio
+             |FROM t)
+             |SELECT doc_id, awl, stop_ratio, punct_ratio,
+             |  stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.2 AS quality
+             |FROM f ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.avgWordLen(col("text")).as("awl"),
+          TextOps.stopwordRatio(col("text")).as("stop_ratio"),
+          TextOps.punctRatio(col("text")).as("punct_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    // NS-T4: canonical document fingerprint (md5 of sorted distinct tokens).
+    Q(
+      "ns04_fingerprint",
+      Some(
+        s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    // NS-D1: exact dedup via content-hash groupBy.
+    Q(
+      "ns05_dedup_exact",
+      Some(
+        """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS fp
+          |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)) { (s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")
+    },
+    // NS-D2: SimHash near-dup grouping.
+    Q(
+      "ns06_simhash",
+      Some(
+        s"""WITH h AS (SELECT doc_id, [${oHash32("t")} for t in $oToks] AS hs FROM documents),
+           |sim AS (SELECT doc_id, list_sum([CASE WHEN length(list_filter(hs, x -> (x >> j) % 2 = 1)) * 2 >= length(hs)
+           |    THEN (1::BIGINT << j) ELSE 0 END for j in range(32)])::BIGINT AS simhash FROM h)
+           |SELECT simhash, min(doc_id) AS keep_id, COUNT(*) AS group_size
+           |FROM sim GROUP BY simhash ORDER BY keep_id""".stripMargin)) { (s, dir) =>
+      Dedup.simhashGroups(T(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")
+    },
+    // NS-D3: MinHash signatures (k=16 over 3-word shingles).
+    Q(
+      "ns07_minhash_sig",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, $oShingles AS shingles FROM toks),
+           |sig AS (SELECT doc_id, ${oMinhashSig(16)} AS sig FROM sh)
+           |SELECT doc_id, md5(array_to_string(list_transform(sig, x -> x::VARCHAR), ',')) AS sig_key,
+           |  sig[1]::BIGINT AS minhash0
+           |FROM sig ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", 3, 16)
+        .select(
+          col("doc_id"),
+          md5(concat_ws(",", transform(col("sig"), x => x.cast("string")))).as("sig_key"),
+          element_at(col("sig"), 1).as("minhash0"))
+        .orderBy("doc_id")
+    },
+    // NS-D4: MinHash+LSH banded candidate pairs (4 bands × 4 rows).
+    Q(
+      "ns08_minhash_pairs",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, $oShingles AS shingles FROM toks),
+           |sig AS (SELECT doc_id, ${oMinhashSig(16)} AS sig FROM sh),
+           |pb AS (SELECT doc_id, sig, b,
+           |    md5(array_to_string(list_transform([b::BIGINT] || sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bkey
+           |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+           |  FROM pb a JOIN pb b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |  length(list_filter([sa[i+1] = sb[i+1] for i in range(16)], x -> x))::DOUBLE / 16.0 AS est_jaccard
+           |FROM pairs WHERE length(list_filter([sa[i+1] = sb[i+1] for i in range(16)], x -> x))::DOUBLE / 16.0 >= 0.25
+           |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      Dedup.minhashPairs(
+          Dedup.minhashSignatures(T(s, dir, "documents"), "doc_id", "text", 3, 16),
+          bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)
+        .orderBy("doc_a", "doc_b")
+    },
+    // NS-D5: exact n-gram Jaccard near-dup pairs (inverted-index self-join).
+    Q(
+      "ns09_ngram_jaccard",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+           |SELECT doc_a, doc_b, inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard
+           |FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    // NS-S1: brute-force cosine top-k ANN (baseline; broadcast query set).
+    Q(
+      "ns10_knn_brute",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCosine("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc)
+           |SELECT qid, rank::BIGINT AS rank, nid, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    },
+    // NS-S2: random-hyperplane LSH buckets (the scale path's map side).
+    Q(
+      "ns11_lsh_bucket",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT vec_id, list_sum([CASE WHEN
+           |    list_sum([(${oHash32("p::VARCHAR || ',' || d::VARCHAR")}::DOUBLE / 2147483648.0 - 1.0) * v[d+1]
+           |      for d in range(64)]) >= 0 THEN (1::BIGINT << p) ELSE 0 END
+           |  for p in range(8)])::BIGINT AS bucket
+           |FROM e ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          Similarity.lshBucket(
+            transform(col("embedding"), x => x.cast("double")), 8, 64).as("bucket"))
+        .orderBy("vec_id")
+    },
+    // NS-D6: embedding-cosine near-dup pairs.
+    Q(
+      "ns12_embedding_neardup",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${oCosine("a.v", "b.v")} AS cos
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE ${oCosine("a.v", "b.v")} >= 0.38
+           |ORDER BY vec_a, vec_b""".stripMargin)) { (s, dir) =>
+      Dedup.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.38)
+        .orderBy("vec_a", "vec_b")
+    },
+    // NS-M1: multimodal payload plumbing — binary column + codec-free
+    // metadata + frame-count plan (decode itself is the stubbed step).
+    Q(
+      "ns13_multimodal_meta",
+      Some(
+        """SELECT doc_id, octet_length(CAST(text AS BLOB))::BIGINT AS meta_n_bytes,
+          |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS meta_magic,
+          |  ('0x' || hex(CAST(substring(text, 1, 1) AS BLOB)))::BIGINT AS meta_first_byte,
+          |  ceil(octet_length(CAST(text AS BLOB))::DOUBLE / 256.0)::BIGINT AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Multimodal.frameCount(
+          Multimodal.extractMeta(
+            Multimodal.withPayload(T(s, dir, "documents"), "text")),
+          256)
+        .select("doc_id", "meta_n_bytes", "meta_magic", "meta_first_byte", "n_frames")
+        .orderBy("doc_id")
+    },
+    // NS-ST1: tumbling-window aggregation (batch twin of the streaming plan).
+    Q(
+      "ns14_stream_tumbling",
+      Some(
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)) { (s, dir) =>
+      Streams.tumblingCounts(T(s, dir, "events"), "1 hour").orderBy("ws", "event_type")
+    },
+    // NS-ST2: as-of (backward) join — purchases to latest prior signup.
+    Q(
+      "ns15_asof_join",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id, ts AS rts FROM events WHERE event_type = 'signup')
+          |SELECT l.event_id, l.user_id, l.ts, r.rts AS signup_ts
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+          |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      AsofJoin.backward(
+          ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "signup").select("user_id", "ts"),
+          key = "user_id", leftTs = "ts", rightTs = "ts", asofTsName = "signup_ts")
+        .orderBy("event_id")
+    },
+    // NS-ST3: batch sessionization (gap-based; streaming-state twin).
+    Q(
+      "ns16_sessionize",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+          |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+          |    THEN 1 ELSE 0 END AS nsflag FROM l),
+          |g AS (SELECT *, SUM(nsflag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+          |SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n_events, min(ts) AS session_start
+          |FROM g GROUP BY user_id, g.session_id ORDER BY user_id, session_id""".stripMargin)) { (s, dir) =>
+      Streams.sessionize(T(s, dir, "events"), 30).orderBy("user_id", "session_id")
     }
   )
 
   // ------------------------------------------------------------- assembly
 
-  private def registry: Seq[Q] = layerA ++ layerB
+  private def registry: Seq[Q] = layerA ++ layerB ++ layerNS
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

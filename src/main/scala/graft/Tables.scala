@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Fixture-table loader over the driver-generated parquet dirs
   * (TESTDATA.md). One parquet directory per table: `$dir/$name.parquet`.
@@ -11,7 +12,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+      // type for. Read it as raw nanos (legacy conf) and truncate to
+      // microseconds — exactly what DuckDB does when it reads the same
+      // file, so both engines see identical values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every fixture table as a temp view (for the SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

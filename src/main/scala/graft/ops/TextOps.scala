@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM training-data pipelines (north-star
+  * extension beyond the reference surface — BASELINE.json `north_star`; the
+  * reference itself moves opaque columns and never inspects text,
+  * duck.go:190-206).
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * built-ins (no UDFs), so the whole pipeline stays inside whole-stage
+  * codegen and scales linearly with the scan — the right shape for a 100 TB
+  * corpus: no shuffle is introduced by any of these; they are per-row maps.
+  *
+  * Cross-engine determinism (the DuckDB-oracle gate): every hash is
+  * md5-based (identical in Spark and DuckDB), every ratio is a single IEEE
+  * division of exact integers, tokenization is the same `\s+` regex split.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer: `\s+` split of the trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Deterministic 32-bit hash as a non-negative BIGINT: the first 8 hex
+    * digits of md5. (Spark's murmur `hash()` has no DuckDB twin; md5 does.)
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single other
+    * non-space chars — a cheap proxy for subword tokenizer counts.
+    */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenRegex), lit(0))).cast("long")
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at corpus scale is a
+    * scan-local scoring pass; richer lists drop in without changing shape.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Occurrences (with repetition) of any word of `words` in the token list. */
+  def markerHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t))).cast("long")
+  }
+
+  /** Heuristic language ID: argmax of marker-word hits, ties and no-hits
+    * resolved deterministically ('und' when no marker matches; else first
+    * language in alphabetical order among the tied).
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    // struct(hits, negLangRank) max == (max hits, then alphabetically first)
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, words), i) =>
+      struct(markerHits(toks, words).as("hits"), lit(-i).as("rk"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-scoring features: all exact-integer ratios, one division each. */
+  def avgWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = LangMarkers.flatMap(_._2).distinct.sorted
+    markerHits(toks, stops).cast("double") / size(toks).cast("double")
+  }
+
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") /
+      length(c).cast("double")
+
+  /** Composite quality score in [0,1]-ish: fixed-order IEEE arithmetic, so
+    * bit-identical across engines given identical inputs.
+    */
+  def qualityScore(c: Column): Column =
+    stopwordRatio(c) * lit(0.4) +
+      least(avgWordLen(c) / lit(10.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - punctRatio(c)) * lit(0.2)
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token set —
+    * a normalized-content key that is stable under token reordering and
+    * duplication (the rolling-hash analogue with an order-free canon).
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  /** Bit `j` (Column-valued index) of non-negative long `x`, via exact
+    * power-of-two double arithmetic (the Scala `shiftright` builtin only
+    * takes a literal shift amount): floor(x / 2^j) % 2.
+    */
+  private def bitAt(x: Column, j: Column): Column =
+    (floor(x.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2) === 1
+
+  /** 2^j as a long (exact for j < 63). */
+  private[ops] def pow2(j: Column): Column =
+    pow(lit(2.0), j.cast("double")).cast("long")
+
+  /** 32-bit SimHash over whitespace tokens: per-bit majority vote of the
+    * token hash bits. Per-row map — no shuffle; near-dup candidates then
+    * group on the (cheap, 1-long) simhash key.
+    */
+  def simhash32(c: Column): Column = {
+    val hs = transform(tokens(c), t => hash32(t))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, j) =>
+        acc + when(
+          size(filter(hs, x => bitAt(x, j))) * 2 >= size(hs),
+          pow2(j)).otherwise(lit(0L)))
+  }
+
+  /** Word n-gram shingles joined with single spaces; empty when the doc has
+    * fewer than `n` tokens.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature of length `k` over the shingle set: component `i` is
+    * the min over shingles of hash32(i || '|' || shingle). Per-row map.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol, s => hash32(concat(i.cast("string"), lit("|"), s)))))
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface (extension territory: the reference has no
+  * streaming — its "streams" are static scan partitions, bigquery.go:138;
+  * SURVEY §2.B marks streaming as Spark-native extension).
+  *
+  * The aggregation logic is written once as DataFrame transforms that bind
+  * to BOTH a batch frame and a `readStream` frame — the Structured
+  * Streaming contract. Batch runs feed the DuckDB-oracle gate; the
+  * streaming path (file source → watermark → windowed state → sink) is
+  * exercised in ScalaTest.
+  */
+object Streams {
+
+  /** Tumbling-window counts + exact value sums per event type.
+    * On a stream, pair with [[withEventTimeWatermark]] so state for closed
+    * windows is dropped — bounded state at any scale.
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("ws"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  /** Sliding-window event rate per type. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Watermarked variant for unbounded sources. */
+  def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Classic lag→flag→running-sum; ONE shuffle on user_id (the
+    * window partition), linear within partitions — the batch twin of
+    * `session_window`/`flatMapGroupsWithState` state logic.
+    * Output: (user_id, session_id, n_events, session_start).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapMinutes * 60L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+  }
+
+  /** Streaming tumbling counts over a parquet-file source directory —
+    * the end-to-end readStream → watermark → window → agg plan used by the
+    * ScalaTest harness (memory sink, complete/update mode).
+    */
+  def streamingTumblingCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      width: String = "1 hour"): DataFrame =
+    tumblingCounts(
+      withWatermark(spark.readStream.schema(schema).parquet(dir), "10 minutes"),
+      width)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.util.UUID
+
+import graft.engine.Engine
+import graft.sources.{ParquetTableSource, ScanOptions}
+
+/** Engine SQL surface + ingest semantics (≈ duck_test.go:54-130 inline
+  * goldens and duck.go:217-252 create-vs-append).
+  */
+class EngineSpec extends SparkSpec {
+
+  test("exec + query: CREATE/SELECT with inline golden values") {
+    val eng = new Engine(spark)
+    eng.exec(
+      "CREATE OR REPLACE TEMP VIEW t_people AS SELECT * FROM VALUES " +
+        "(1,'Alice',95.5),(2,'Bob',87.2) AS t(id,name,score)")
+    val rows = eng.query("SELECT id, name, score FROM t_people ORDER BY id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "Alice")
+    assert(math.abs(rows(0).getAs[java.math.BigDecimal](2).doubleValue() - 95.5) < 1e-9)
+  }
+
+  test("tableSchema is None for absent tables (nil-schema convention, duck.go:224)") {
+    val eng = new Engine(spark)
+    assert(eng.tableSchema(s"no_such_${UUID.randomUUID().toString.take(8)}").isEmpty)
+  }
+
+  test("ingestCreateAppend: create then append doubles rows (duck_test.go:189)") {
+    val eng = new Engine(spark)
+    val df = Tables(spark, sfDir, "nation")
+    val t = s"ing_${UUID.randomUUID().toString.replace("-", "")}"
+    val n1 = eng.ingestCreateAppend(df, t)
+    val n2 = eng.ingestCreateAppend(df, t)
+    assert(n1 == df.count() && n2 == df.count())
+    assert(spark.table(t).count() == 2 * df.count())
+    assert(eng.tableSchema(t).contains(df.schema))
+    eng.exec(s"DROP TABLE $t")
+  }
+
+  test("scan pushdown reaches the parquet reader (PushedFilters + pruned ReadSchema)") {
+    val src = new ParquetTableSource(sfDir)
+    val df = src.read(
+      spark,
+      "supplier",
+      ScanOptions(
+        selectedFields = Seq("s_suppkey", "s_name"),
+        rowRestriction = Some("s_suppkey > 10")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(s_suppkey,10)"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("s_acctbal"), s"column prune failed:\n$plan")
+  }
+
+  test("maxStreamCount raises parallelism floor for small scans") {
+    val src = new ParquetTableSource(sfDir)
+    val df = src.read(spark, "nation", ScanOptions(maxStreamCount = Some(4)))
+    assert(df.rdd.getNumPartitions >= 4)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.util.UUID
+
+import graft.sinks.{ManagedWriter, StreamType}
+
+/** Pending/committed stream semantics (≈ bigquery_write.go:384-394 modes and
+  * the Finalize contract at :466-485, plus duck_test.go:158-189's
+  * create+append ⇒ doubled rows).
+  */
+class ManagedWriterSpec extends SparkSpec {
+
+  private def tmp(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-test-${UUID.randomUUID().toString.take(8)}"
+
+  test("pending appends are invisible until finalizeCommit, then all visible") {
+    val df = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    val n1 = w.write(df)
+    val n2 = w.write(df)
+    assert(n1 == n2 && n1 == df.count())
+    assert(!new java.io.File(dest).exists() ||
+      spark.read.parquet(dest).count() == 0) // staged, not visible
+    w.finalizeCommit()
+    assert(spark.read.parquet(dest).count() == n1 + n2)
+  }
+
+  test("committed mode makes each append immediately visible") {
+    val df = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Committed)
+    w.write(df)
+    assert(spark.read.parquet(dest).count() == df.count())
+    w.write(df)
+    assert(spark.read.parquet(dest).count() == 2 * df.count())
+  }
+
+  test("schema guard rejects mismatched batches (bigquery_write.go:422-424)") {
+    val df = Tables(spark, sfDir, "supplier")
+    val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)
+    assertThrows[IllegalArgumentException] {
+      w.write(df.drop("s_acctbal"))
+    }
+  }
+
+  test("writer refuses appends after finalize (bigquery_write.go:466 contract)") {
+    val df = Tables(spark, sfDir, "supplier")
+    val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)
+    w.write(df)
+    w.finalizeCommit()
+    assertThrows[IllegalArgumentException] { w.write(df) }
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
+
+/** North-star operator unit tests with hand-computable goldens. */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("keep_id") == 3L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("identical texts share minhash signature; disjoint texts do not") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash LSH pairs surface the duplicate with est_jaccard 1.0") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(
+      Dedup.minhashSignatures(df, "doc_id", "text", 3, 8), 2, 4).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
+    assert(pairs(0).getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("ngram jaccard is exact: half-overlapping docs") {
+    // doc1 grams {a b c, b c d}; doc2 grams {a b c, b c x}: jaccard = 1/3
+    val df = Seq((1L, "a b c d"), (2L, "a b c x")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0).collect()
+    assert(out.length == 1)
+    assert(math.abs(out(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", -1.0)
+      .orderBy("vec_a", "vec_b").collect()
+    assert(out.length == 3)
+    assert(math.abs(out(0).getAs[Double]("cos") - 1.0) < 1e-12) // 1-2
+    assert(math.abs(out(1).getAs[Double]("cos")) < 1e-12) // 1-3
+  }
+
+  test("brute-force top-k ranks the nearest vector first") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 3L))
+  }
+
+  test("lsh bucket is deterministic and groups identical vectors") {
+    val df = Seq(
+      (1L, Seq.fill(4)(0.5f)),
+      (2L, Seq.fill(4)(0.5f)),
+      (3L, Seq.tabulate(4)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val b = df.select($"vec_id",
+        Similarity.lshBucket(transform($"embedding", x => x.cast("double")), 6, 4).as("bucket"))
+      .orderBy("vec_id").collect().map(_.getAs[Long]("bucket"))
+    assert(b(0) == b(1))
+  }
+
+  test("language id picks the marker-dominant language, 'und' when none") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and left"),
+      (2L, "der hund und die katze ist da"),
+      (3L, "zzz yyy xxx")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.langId($"text").as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val df = Seq((1L, "b a c a"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fp = df.select(TextOps.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+
+  test("asof backward join matches latest prior right row per key") {
+    val left = Seq(
+      (101L, 1L, "2024-01-01 10:00:00"),
+      (102L, 1L, "2024-01-01 12:00:00"),
+      (103L, 2L, "2024-01-01 09:00:00")).toDF("event_id", "user_id", "ts_s")
+      .select($"event_id", $"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val right = Seq(
+      (1L, "2024-01-01 09:30:00"),
+      (1L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 09:30:00")).toDF("user_id", "ts_s")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val out = AsofJoin.backward(left, right, "user_id", "ts", "ts", "m")
+      .orderBy("event_id").collect()
+    assert(out(0).getTimestamp(3).toString.startsWith("2024-01-01 09:30"))
+    assert(out(1).getTimestamp(3).toString.startsWith("2024-01-01 11:00"))
+    assert(out(2).getTimestamp(3) == null) // no signup before 09:00
+  }
+
+  test("multimodal stub decoder preserves partitioning and computes features") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val withMedia = Multimodal.withPayload(docs, "text")
+    val feats = Multimodal.decodeFeatures(spark, withMedia, "doc_id").collect()
+    assert(feats.length == 50)
+    val d0 = feats.minBy(_.doc_id)
+    assert(d0.n_bytes > 0 && d0.checksum > 0 && d0.width < 640 && d0.height < 480)
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeFeatures(spark, withMedia, "doc_id").collect().minBy(_.doc_id)
+    assert(again == d0)
+  }
+}

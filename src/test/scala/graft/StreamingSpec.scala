@@ -1,0 +1,56 @@
+package graft
+
+import java.util.UUID
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Structured Streaming end-to-end: parquet file source → watermark →
+  * tumbling window state → memory sink, checked against the batch twin of
+  * the same transform (the Structured Streaming unification contract).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling counts equal the batch computation") {
+    val events = Tables(spark, sfDir, "events")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-stream-${UUID.randomUUID().toString.take(8)}"
+    events.write.parquet(dir)
+
+    val stream = Streams.streamingTumblingCounts(
+      spark, dir, spark.read.parquet(dir).schema, "1 hour")
+    val qname = s"agg_${UUID.randomUUID().toString.take(8)}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(qname)
+        .select("ws", "event_type", "n", "sum_value")
+        .orderBy("ws", "event_type")
+        .collect()
+      val want = Streams.tumblingCounts(spark.read.parquet(dir), "1 hour")
+        .orderBy("ws", "event_type")
+        .collect()
+      assert(got.length == want.length && got.length > 0)
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on inactivity gaps") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 10:10:00"),
+      (3L, 10L, "2024-01-01 11:30:00"), // > 30 min gap -> new session
+      (4L, 20L, "2024-01-01 10:00:00")).toDF("event_id", "user_id", "ts_s")
+      .select($"event_id", $"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val out = Streams.sessionize(df, 30).orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L) // user 10, session 1
+    assert(out(1).getAs[Long]("n_events") == 1L) // user 10, session 2
+    assert(out(2).getAs[Long]("n_events") == 1L) // user 20
+  }
+}
