@@ -792,8 +792,10 @@ object SparkEntry {
   // 3-word shingles of the token list `ts` (empty when < 3 tokens).
   private val oShingles =
     "CASE WHEN len(ts) >= 3 THEN [array_to_string(ts[i+1:i+3], ' ') for i in range(len(ts)-2)] ELSE [] END"
+  // Mirrors TextOps.minhashSignature: one md5 per shingle (the `hs` CTE),
+  // k affine transforms, 2^32 sentinel for empty shingle sets.
   private def oMinhashSig(k: Int) =
-    s"[list_min([${oHash32("k::VARCHAR || '|' || s")} for s in shingles]) for k in range($k)]"
+    s"[coalesce(list_min(list_transform(hs, h -> (h * (2*k + 1) + k * 12345 + 67891) % 4294967296)), 4294967296) for k in range($k)]"
   private val oDotSelf = (v: String) => s"list_dot_product($v, $v)"
   private def oCosine(a: String, b: String) =
     s"list_dot_product($a, $b) / (sqrt(${oDotSelf(a)}) * sqrt(${oDotSelf(b)}))"
@@ -895,7 +897,8 @@ object SparkEntry {
       Some(
         s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
            |sh AS (SELECT doc_id, $oShingles AS shingles FROM toks),
-           |sig AS (SELECT doc_id, ${oMinhashSig(16)} AS sig FROM sh)
+           |h AS (SELECT doc_id, [${oHash32("s")} for s in shingles] AS hs FROM sh),
+           |sig AS (SELECT doc_id, ${oMinhashSig(16)} AS sig FROM h)
            |SELECT doc_id, md5(array_to_string(list_transform(sig, x -> x::VARCHAR), ',')) AS sig_key,
            |  sig[1]::BIGINT AS minhash0
            |FROM sig ORDER BY doc_id""".stripMargin)) { (s, dir) =>
@@ -912,7 +915,8 @@ object SparkEntry {
       Some(
         s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
            |sh AS (SELECT doc_id, $oShingles AS shingles FROM toks),
-           |sig AS (SELECT doc_id, ${oMinhashSig(16)} AS sig FROM sh),
+           |h AS (SELECT doc_id, [${oHash32("s")} for s in shingles] AS hs FROM sh),
+           |sig AS (SELECT doc_id, ${oMinhashSig(16)} AS sig FROM h),
            |pb AS (SELECT doc_id, sig, b,
            |    md5(array_to_string(list_transform([b::BIGINT] || sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bkey
            |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
@@ -965,21 +969,18 @@ object SparkEntry {
            |      for d in range(64)]) >= 0 THEN (1::BIGINT << p) ELSE 0 END
            |  for p in range(8)])::BIGINT AS bucket
            |FROM e ORDER BY vec_id""".stripMargin)) { (s, dir) =>
-      T(s, dir, "embeddings")
-        .select(
-          col("vec_id"),
-          Similarity.lshBucket(
-            transform(col("embedding"), x => x.cast("double")), 8, 64).as("bucket"))
+      Similarity.lshBucketsKernel(T(s, dir, "embeddings"), "vec_id", "embedding", 8, 64)
         .orderBy("vec_id")
     },
     // NS-D6: embedding-cosine near-dup pairs.
     Q(
       "ns12_embedding_neardup",
       Some(
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${oCosine("a.v", "b.v")} AS cos
-           |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |WHERE ${oCosine("a.v", "b.v")} >= 0.38
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.nv, b.nv) AS cos
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.nv, b.nv) >= 0.38
            |ORDER BY vec_a, vec_b""".stripMargin)) { (s, dir) =>
       Dedup.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.38)
         .orderBy("vec_a", "vec_b")

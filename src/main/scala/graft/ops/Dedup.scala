@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines (north-star
@@ -30,16 +31,59 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("n_copies"))
       .select("keep_id", "n_copies", "fp")
 
-  /** Per-document MinHash signatures: (id, sig array<long>). */
+  /** One row per word n-gram occurrence: (doc_id, gram). Codegen-friendly
+    * shingle generation — posexplode the tokens, window-lead the next n−1
+    * tokens, concat — instead of per-row interpreted array slicing. The
+    * window shuffles on doc_id once; every downstream shingle consumer
+    * (MinHash, n-gram Jaccard) starts from this exploded shape.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
+    toks
+      .select(col("doc_id") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("gram"))
+  }
+
+  /** Per-document MinHash signatures: (doc_id, sig array<long>).
+    *
+    * Plan shape: shingle rows → ONE codegen'd md5 per shingle → a single
+    * hash aggregation on doc_id with k running-min aggregates over the
+    * affine hash transforms (map-side combined). Same component values as
+    * [[TextOps.minhashSignature]], but no interpreted lambda on the hot
+    * path — the shuffle carries one k-counter row per doc per partition.
+    * Documents with fewer than `shingleLen` tokens get the sentinel
+    * signature (2^32 components), matching the declarative form.
+    */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      k: Int = 16): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      TextOps.minhashSignature(TextOps.shingles(col(textCol), shingleLen), k).as("sig"))
+      k: Int = 16): DataFrame = {
+    val hashed = shingleRows(df, idCol, textCol, shingleLen)
+      .select(col("doc_id"), TextOps.hash32(col("gram")).as("h"))
+    val minAggs = (0 until k).map { i =>
+      min((col("h") * (2 * i + 1) + i * 12345L + 67891L) % TextOps.MinhashEmpty).as(s"m$i")
+    }
+    val sigs = hashed
+      .groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    // Shingle-less documents drop out of the explode; restore them with the
+    // sentinel signature so every input id has a signature row.
+    df.select(col(idCol).as("doc_id"))
+      .join(sigs, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("sig"), array(Seq.fill(k)(lit(TextOps.MinhashEmpty)): _*)).as("sig"))
+  }
 
   /** LSH banding over MinHash signatures → candidate near-dup pairs with
     * their estimated Jaccard (fraction of equal signature components).
@@ -55,6 +99,8 @@ object Dedup {
     val k = bands * rowsPerBand
     // (band, band-key, id): the only shuffled payload. The band key hashes
     // the band's signature slice so the shuffle key is 1 string, not r longs.
+    // Cached: the self-join would otherwise recompute every signature (and
+    // its md5 pass over the shingles) once per side.
     val banded = signatures.select(
       col("doc_id"),
       col("sig"),
@@ -72,6 +118,7 @@ object Dedup {
                     slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))),
                   x => x.cast("string")))).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .cache()
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -86,13 +133,31 @@ object Dedup {
   }
 
   /** SimHash near-dup groups: documents sharing a 32-bit simhash. Output one
-    * row per doc with its simhash and the group's size/representative —
+    * row per doc group with the simhash and the group's size/representative —
     * hamming-radius-0 grouping; wider radii probe rotated bit-bands the same
     * way MinHash probes signature bands.
+    *
+    * Plan shape: explode tokens → codegen'd md5 hash per token → ONE hash
+    * aggregation on doc_id with 32 conditional bit-count sums (map-side
+    * combined, so the shuffle carries one 33-counter row per doc per
+    * partition) → majority vote per bit. Everything stays in whole-stage
+    * codegen — no interpreted higher-order lambdas on the hot path, and the
+    * shape is exactly what survives a 100 TB corpus.
     */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSim = df.select(col(idCol).as("doc_id"), TextOps.simhash32(col(textCol)).as("simhash"))
-    withSim
+    val hashed = df
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), TextOps.hash32(col("tok")).as("h"))
+    val bitCounts = (0 until 32).map(j =>
+      sum((shiftright(col("h"), j) % 2).cast("long")).as(s"c$j"))
+    val counted = hashed
+      .groupBy("doc_id")
+      .agg(bitCounts.head, bitCounts.tail :+ count(lit(1)).as("n_tok"): _*)
+    val simhash = (0 until 32)
+      .map(j => when(col(s"c$j") * 2 >= col("n_tok"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counted
+      .select(col("doc_id"), simhash.as("simhash"))
       .groupBy("simhash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("group_size"))
       .select("simhash", "keep_id", "group_size")
@@ -101,6 +166,12 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs above `minJaccard`,
     * via inverted-index self-join on distinct word n-grams.
     * Output: (doc_a, doc_b, jaccard).
+    *
+    * The self-join keys on xxhash64(gram) — an 8-byte shuffle key instead
+    * of the gram string — and the big pair shuffle carries only
+    * (doc_a, doc_b); per-doc gram counts rejoin afterwards as a broadcast
+    * dimension. Intersection counts are identical to string equality
+    * unless xxhash64 collides within a correlated pair (~2^-64 per pair).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -108,20 +179,20 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("doc_id"),
-        array_distinct(TextOps.shingles(col(textCol), n)).as("grams"))
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-        explode(col("grams")).as("gram"))
+    val grams = shingleRows(df, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+      .cache()
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.alias("a")
     val b = grams.alias("b")
-    a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        col("a.n_grams").as("na"),
-        col("b.n_grams").as("nb"))
+    a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -131,22 +202,61 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine similarity above `minCosine` over all
-    * id-ordered pairs. Brute-force quadratic — correct at verify scale; the
-    * 100 TB path is [[Similarity.lshBuckets]] candidates + this as rerank.
+    * id-ordered pairs.
+    *
+    * Executed as a broadcast nested-loop with a tight JVM kernel: vectors
+    * are unit-normalized once per row (not once per pair), the corpus is
+    * broadcast, and each partition scans its rows against the broadcast
+    * side — the same plan shape Spark's BroadcastNestedLoopJoin would pick
+    * for the `vid < vid` condition, minus per-pair expression overhead.
+    * Arithmetic is index-order double multiply-add, bit-identical to the
+    * declarative [[Similarity.dot]] fold.
+    *
+    * Brute-force quadratic — correct at verify scale; at 100 TB the corpus
+    * no longer broadcasts and the path is [[Similarity.lshBucket]]
+    * candidates + this kernel as within-bucket rerank.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double): DataFrame = {
-    val v = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    val a = v.alias("a")
-    val b = v.alias("b")
-    a.join(b, col("a.vid") < col("b.vid"))
-      .select(
-        col("a.vid").as("vec_a"),
-        col("b.vid").as("vec_b"),
-        Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
-      .filter(col("cos") >= minCosine)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normalized = df
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (vid, vec) => (vid, Dedup.unitNormalize(vec)) }
+    val corpus = spark.sparkContext.broadcast(normalized.collect().sortBy(_._1))
+    normalized
+      .mapPartitions { rows =>
+        val others = corpus.value
+        rows.flatMap { case (vid, nv) =>
+          others.iterator
+            .filter(_._1 > vid)
+            .map { case (ovid, onv) =>
+              var acc = 0.0
+              var i = 0
+              while (i < nv.length) { acc += nv(i) * onv(i); i += 1 }
+              (vid, ovid, acc)
+            }
+            .filter(_._3 >= minCosine)
+        }
+      }
+      .toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** float→double widen (exact), then divide by the index-order L2 norm —
+    * the JVM twin of `x / sqrt(list_dot_product(v, v))`.
+    */
+  private[ops] def unitNormalize(vec: Array[Float]): Array[Double] = {
+    val v = new Array[Double](vec.length)
+    var i = 0
+    var sq = 0.0
+    while (i < vec.length) { v(i) = vec(i).toDouble; sq += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(sq)
+    i = 0
+    while (i < vec.length) { v(i) = v(i) / nrm; i += 1 }
+    v
   }
 }

@@ -82,6 +82,51 @@ object Similarity {
         acc + when(proj >= 0, TextOps.pow2(p)).otherwise(lit(0L))
       })
 
+  /** JVM twin of [[lshBucket]]'s plane-weight derivation: md5 of "p,d" →
+    * first 8 hex digits → uint32 → scaled into [-1, 1). Identical values,
+    * computed once per JVM instead of once per (row, plane, dim).
+    */
+  private[ops] def planeWeightJvm(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane,$dim".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Bucket assignment as a tight JVM kernel over a precomputed plane
+    * matrix — the scale path's map side: per-row work is planes×dims
+    * multiply-adds, no per-row hashing, no shuffle. Bit-identical to
+    * [[lshBucket]] (same weights, same index-order fold).
+    * Output: (idCol, bucket).
+    */
+  def lshBucketsKernel(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      dims: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val w = Array.tabulate(planes, dims)((p, d) => planeWeightJvm(p, d))
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (vid, vec) =>
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          var proj = 0.0
+          var d = 0
+          val wp = w(p)
+          while (d < dims) { proj += wp(d) * vec(d).toDouble; d += 1 }
+          if (proj >= 0) bucket |= 1L << p
+          p += 1
+        }
+        (vid, bucket)
+      }
+      .toDF(idCol, "bucket")
+  }
+
   /** LSH-bucketed ANN: exact cosine rerank *within* buckets only.
     * Output: (qid, rank, nid, cos) for the top-k within each query's bucket.
     */
@@ -92,10 +137,11 @@ object Similarity {
       planes: Int,
       dims: Int,
       k: Int): DataFrame = {
-    val bucketed = corpus.select(
-      col(idCol).as("vid"),
-      col(vecCol).as("vec"),
-      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val buckets = lshBucketsKernel(corpus, idCol, vecCol, planes, dims)
+      .withColumnRenamed(idCol, "vid")
+    val bucketed = corpus
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+      .join(buckets, "vid")
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

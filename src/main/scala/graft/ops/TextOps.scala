@@ -115,16 +115,26 @@ object TextOps {
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of the
     * token hash bits. Per-row map — no shuffle; near-dup candidates then
     * group on the (cheap, 1-long) simhash key.
+    *
+    * Single pass over the token hashes: the hash array is the `aggregate`
+    * *input* (evaluated once), and each step updates all 32 bit counters —
+    * NOT a per-bit loop re-hashing every token 32 times.
     */
   def simhash32(c: Column): Column = {
     val hs = transform(tokens(c), t => hash32(t))
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0L), 32),
+      (acc, h) =>
+        transform(
+          sequence(lit(0), lit(31)),
+          j => element_at(acc, j + lit(1)) + bitAt(h, j).cast("long")))
     aggregate(
       sequence(lit(0), lit(31)),
       lit(0L),
       (acc, j) =>
-        acc + when(
-          size(filter(hs, x => bitAt(x, j))) * 2 >= size(hs),
-          pow2(j)).otherwise(lit(0L)))
+        acc + when(element_at(counts, j + lit(1)) * 2 >= size(hs), pow2(j))
+          .otherwise(lit(0L)))
   }
 
   /** Word n-gram shingles joined with single spaces; empty when the doc has
@@ -140,11 +150,28 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature of length `k` over the shingle set: component `i` is
-    * the min over shingles of hash32(i || '|' || shingle). Per-row map.
+  /** Sentinel for MinHash components of an empty shingle set (2^32: above
+    * every 32-bit hash).
+    */
+  val MinhashEmpty = 4294967296L
+
+  /** MinHash signature of length `k` over the shingle set.
+    *
+    * ONE md5 per shingle; the `k` hash functions are affine transforms of
+    * that base hash — h_i = (h·(2i+1) + 12345·i + 67891) mod 2^32 — exact
+    * 64-bit integer arithmetic that any engine reproduces. The base-hash
+    * array is the `aggregate` input (evaluated once) and each step updates
+    * all k running minima in a single pass.
     */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shinglesCol, s => hash32(concat(i.cast("string"), lit("|"), s)))))
+    aggregate(
+      transform(shinglesCol, s => hash32(s)),
+      array_repeat(lit(MinhashEmpty), k),
+      (acc, h) =>
+        transform(
+          sequence(lit(0), lit(k - 1)),
+          i =>
+            least(
+              element_at(acc, i + lit(1)),
+              (h * (i * 2 + lit(1)) + i * lit(12345L) + lit(67891L)) % lit(MinhashEmpty))))
 }

@@ -70,6 +70,16 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 3L))
   }
 
+  test("lsh kernel buckets match the declarative expression exactly") {
+    val e = Tables(spark, sfDir, "embeddings").limit(100)
+    val kern = Similarity.lshBucketsKernel(e, "vec_id", "embedding", 8, 64)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val decl = e.select($"vec_id",
+        Similarity.lshBucket(transform($"embedding", x => x.cast("double")), 8, 64).as("bucket"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kern.sameElements(decl))
+  }
+
   test("lsh bucket is deterministic and groups identical vectors") {
     val df = Seq(
       (1L, Seq.fill(4)(0.5f)),
