@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Physical-plan shape assertions: the plans we designed for are the plans
+  * Catalyst actually picks. These regress silently otherwise — a lost
+  * broadcast or a dropped pushdown is invisible to correctness tests.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (no fact-table shuffle) — b07 shape") {
+    val q = SparkEntry.queries("b07_join_broadcast")(spark, sfDir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("scan pushdown: filter and projection reach the parquet reader — a07 shape") {
+    val q = SparkEntry.queries("a07_scan_pushdown")(spark, sfDir)
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(s_suppkey), GreaterThan(s_suppkey,0)]"), p)
+    assert(p.contains("ReadSchema: struct<s_suppkey:bigint,s_name:string,s_acctbal:double>"), p)
+  }
+
+  test("aggregation is partial before the shuffle — b04 shape") {
+    val q = SparkEntry.queries("b04_agg_pricing_summary")(spark, sfDir)
+    val p = plan(q)
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side, not the corpus — ns10 shape") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+    val p = plan(q)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-side of the pricing summary") {
+    val q = SparkEntry.queries("b04_agg_pricing_summary")(spark, sfDir)
+    q.collect() // AQE finalizes the plan on execution; '*(n)' marks codegen stages
+    val p = plan(q)
+    assert(p.contains("*("), s"no whole-stage codegen stage:\n$p")
+  }
+
+  test("range join against bands is a broadcast nested loop, not a cartesian sort") {
+    val q = SparkEntry.queries("b36_range_join")(spark, sfDir)
+    assert(plan(q).contains("BroadcastNestedLoopJoin"), plan(q))
+  }
+}
