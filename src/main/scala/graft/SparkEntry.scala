@@ -113,6 +113,26 @@ object SparkEntry {
       w.finalizeCommit()
       s.read.parquet(dest).orderBy("s_suppkey")
     },
+    // A1+A6+A7+A8 composed: the full pipeline WITH pushdown options
+    // (≈ bigquack_test.go:12-30: BQ2Duck + SelectedFields + RowRestriction).
+    Q(
+      "a02_pipeline_pushdown",
+      Some(
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey > 0 " +
+          "ORDER BY s_suppkey")) { (s, dir) =>
+      val eng = new Engine(s)
+      val dest = s"pipepd_${UUID.randomUUID().toString.replace("-", "")}"
+      Ingest.run(
+        eng,
+        new ParquetTableSource(dir),
+        "supplier",
+        dest,
+        ScanOptions(
+          selectedFields = Seq("s_suppkey", "s_name", "s_acctbal"),
+          rowRestriction = Some("s_suppkey > 0"),
+          maxStreamCount = Some(2)))
+      s.table(dest).orderBy("s_suppkey")
+    },
     // A9+A10: DDL/DML exec + SQL query through the Engine surface
     // (≈ duck_test.go:54-130: CREATE/INSERT/SELECT with inline goldens).
     Q(
@@ -1026,6 +1046,49 @@ object SparkEntry {
           ev.filter(col("event_type") === "signup").select("user_id", "ts"),
           key = "user_id", leftTs = "ts", rightTs = "ts", asofTsName = "signup_ts")
         .orderBy("event_id")
+    },
+    // NS-ST2b: sliding windows (1h width, 30m slide — each event in 2).
+    Q(
+      "ns17_sliding_window",
+      Some(
+        """SELECT ws, event_type, COUNT(*) AS n FROM (
+          |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+          |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS ws,
+          |         event_type
+          |  FROM events)
+          |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)) { (s, dir) =>
+      Streams.slidingCounts(T(s, dir, "events"), "1 hour", "30 minutes")
+        .orderBy("ws", "event_type")
+    },
+    // NS-ST2c: native session windows (exact-interval gap merge).
+    Q(
+      "ns18_session_window",
+      Some(
+        """WITH l AS (SELECT user_id, event_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+          |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+          |    THEN 1 ELSE 0 END AS nsflag FROM l),
+          |g AS (SELECT *, SUM(nsflag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+          |SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+          |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)) { (s, dir) =>
+      Streams.sessionWindows(T(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start")
+    },
+    // NS-D7: SimHash Hamming-radius near-dup pairs (xor + popcount).
+    Q(
+      "ns19_simhash_hamming",
+      Some(
+        s"""WITH h AS (SELECT doc_id, [${oHash32("t")} for t in $oToks] AS hs FROM documents),
+           |sim AS (SELECT doc_id, list_sum([CASE WHEN length(list_filter(hs, x -> (x >> j) % 2 = 1)) * 2 >= length(hs)
+           |    THEN (1::BIGINT << j) ELSE 0 END for j in range(32)])::BIGINT AS simhash FROM h)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_a", "doc_b")
     },
     // NS-ST3: batch sessionization (gap-based; streaming-state twin).
     Q(

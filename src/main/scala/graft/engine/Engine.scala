@@ -87,6 +87,18 @@ final class Engine(val spark: SparkSession) extends AutoCloseable {
   def tableSchema(name: String): Option[StructType] =
     if (spark.catalog.tableExists(name)) Some(spark.table(name).schema) else None
 
+  /** SQL → (file descriptor bytes, one serialized protobuf message per
+    * row, row count) — the reference's `QueryProto` surface
+    * (duck.go:274-317). Driver-side return for API parity; use
+    * [[graft.proto.RowCodec.encode]] for the distributed path.
+    */
+  def queryProto(sql: String): (Array[Byte], Array[Array[Byte]], Long) = {
+    val df = spark.sql(sql)
+    val descriptor = graft.proto.RowCodec.fileDescriptor(df.schema)
+    val messages = graft.proto.RowCodec.encodeCollect(df)
+    (descriptor, messages, messages.length.toLong)
+  }
+
   /** Create-or-append ingest (≈ duck.go:217-252): CREATE the table from the
     * DataFrame's schema when absent, APPEND otherwise. Returns rows ingested.
     *

@@ -144,7 +144,16 @@ object Dedup {
     * codegen — no interpreted higher-order lambdas on the hot path, and the
     * shape is exactly what survives a 100 TB corpus.
     */
-  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashPerDoc(df, idCol, textCol)
+      .groupBy("simhash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("group_size"))
+      .select("simhash", "keep_id", "group_size")
+
+  /** Per-document 32-bit SimHash: (doc_id, simhash). See [[simhashGroups]]
+    * for the plan-shape rationale.
+    */
+  def simhashPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), TextOps.hash32(col("tok")).as("h"))
@@ -156,11 +165,29 @@ object Dedup {
     val simhash = (0 until 32)
       .map(j => when(col(s"c$j") * 2 >= col("n_tok"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    counted
-      .select(col("doc_id"), simhash.as("simhash"))
-      .groupBy("simhash")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("group_size"))
-      .select("simhash", "keep_id", "group_size")
+    counted.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius: xor + popcount over
+    * the 32-bit sketches. Quadratic candidate generation here (a cheap
+    * 2-long-column broadcast nested loop at verify scale); at corpus scale
+    * the candidates come from rotated bit-band buckets exactly like
+    * MinHash banding, with this xor/popcount as the verifier.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sims = simhashPerDoc(df, idCol, textCol).cache()
+    val a = sims.alias("a")
+    val b = sims.alias("b")
+    a.join(broadcast(b), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `minJaccard`,

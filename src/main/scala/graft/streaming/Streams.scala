@@ -32,12 +32,28 @@ object Streams {
         col("n"),
         col("sum_value"))
 
-  /** Sliding-window event rate per type. */
+  /** Sliding-window event rate per type (each event lands in
+    * width/slide overlapping windows).
+    */
   def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
     events
       .groupBy(window(col("ts"), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Native session windows (Spark's `session_window` state operator —
+    * events merge while consecutive gaps stay under `gap`). The batch form
+    * of the same streaming stateful aggregation.
+    * Output: (user_id, session_start, n_events).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
 
   /** Watermarked variant for unbounded sources. */
   def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =

@@ -52,6 +52,18 @@ class EngineSpec extends SparkSpec {
     assert(!plan.contains("s_acctbal"), s"column prune failed:\n$plan")
   }
 
+  test("queryProto: descriptor + one message per row (duck.go:274-317 surface)") {
+    val eng = new Engine(spark)
+    eng.exec(
+      "CREATE OR REPLACE TEMP VIEW qp_t AS SELECT * FROM VALUES " +
+        "(CAST(1 AS BIGINT),'x'),(CAST(2 AS BIGINT),'y'),(CAST(3 AS BIGINT),'z') AS t(id,name)")
+    val (descriptor, messages, n) = eng.queryProto("SELECT id, name FROM qp_t ORDER BY id")
+    assert(n == 3 && messages.length == 3) // 3 rows -> 3 messages (duck_test.go:232)
+    assert(descriptor.nonEmpty)
+    val first = graft.proto.RowCodec.decodeMessage(messages(0))
+    assert(first(1) == Seq(1L))
+  }
+
   test("maxStreamCount raises parallelism floor for small scans") {
     val src = new ParquetTableSource(sfDir)
     val df = src.read(spark, "nation", ScanOptions(maxStreamCount = Some(4)))

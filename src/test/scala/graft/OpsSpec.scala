@@ -91,6 +91,17 @@ class OpsSpec extends SparkSpec {
     assert(b(0) == b(1))
   }
 
+  test("simhash hamming pairs: identical docs at distance 0, disjoint far") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(df, "doc_id", "text", 0).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("doc_a") == 1L && out(0).getAs[Long]("doc_b") == 2L)
+    assert(out(0).getAs[Long]("hamming") == 0L)
+  }
+
   test("language id picks the marker-dominant language, 'und' when none") {
     val df = Seq(
       (1L, "the cat sat of the mat and left"),

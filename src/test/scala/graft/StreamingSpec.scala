@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges events under the gap, splits at/over it") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 10:29:59"), // < 30 min after prev -> same session
+      (3L, 10L, "2024-01-01 11:00:00"), // >= 30 min after prev -> new session
+      (4L, 20L, "2024-01-01 09:00:00")).toDF("event_id", "user_id", "ts_s")
+      .select($"event_id", $"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val out = Streams.sessionWindows(df, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("sliding windows place each event in width/slide windows") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "2024-01-01 10:15:00")).toDF("event_id", "event_type", "ts_s")
+      .select($"event_id", $"event_type", $"ts_s".cast("timestamp").as("ts"))
+    val out = Streams.slidingCounts(df, "1 hour", "30 minutes").collect()
+    assert(out.length == 2) // 09:30 and 10:00 windows both contain 10:15
+  }
+
   test("sessionize splits on inactivity gaps") {
     import spark.implicits._
     val df = Seq(
