@@ -35,6 +35,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Cosine via the native codegen'd [[graft.functions.CosineSimilarityF32]]
+    * when the session has graft extensions loaded, else the declarative
+    * fold. Bit-identical results either way (same widening, same
+    * index-order accumulation) — only the per-pair interpretation cost
+    * differs.
+    */
+  def cosineFast(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_cosine"))
+      call_function("graft_cosine", a, b)
+    else cosine(a, b)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide).
     * Output: (query_id, rank, neighbor_id, cos).
@@ -50,7 +61,7 @@ object Similarity {
     val scored = c
       .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qvec"), col("nvec")).as("cos"))
+      .select(col("qid"), col("nid"), cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -149,7 +160,7 @@ object Similarity {
       .select(
         col("a.vid").as("qid"),
         col("b.vid").as("nid"),
-        cosine(col("a.vec"), col("b.vec")).as("cos"))
+        cosineFast(corpus, col("a.vec"), col("b.vec")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Native codegen'd expression vs declarative fold: must be bit-identical,
+  * reachable from SQL via the session extension, and actually codegen'd.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("graft_cosine is registered by GraftExtensions and callable from SQL") {
+    Tables(spark, sfDir, "embeddings").createOrReplaceTempView("emb_fn")
+    val r = spark.sql(
+      "SELECT graft_cosine(a.embedding, b.embedding) c FROM emb_fn a JOIN emb_fn b " +
+        "ON a.vec_id = 0 AND b.vec_id = 1").collect()
+    assert(r.length == 1 && !r(0).isNullAt(0))
+  }
+
+  test("native expression matches the declarative fold bit-for-bit") {
+    val e = Tables(spark, sfDir, "embeddings").limit(200)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(500)
+    val both = pairs.select(
+      call_function("graft_cosine", col("va"), col("vb")).as("fast"),
+      Similarity.cosine(col("va"), col("vb")).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("self-cosine is exactly 1 for a nonzero vector only up to rounding") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0f, 4.0f))).toDF("id", "v")
+    val c = df.select(call_function("graft_cosine", $"v", $"v")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-15)
+  }
+}
