@@ -4,6 +4,22 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Per-user running aggregate emitted by [[Streams.userActivity]] — the
+  * custom-state escape hatch for semantics windowed aggs can't express
+  * (running event counter + last-seen timestamp + distinct event-type
+  * tally per user, updated incrementally per micro-batch).
+  */
+final case class UserActivity(
+    user_id: Long,
+    n_events: Long,
+    n_types: Int,
+    last_seen: java.sql.Timestamp)
+
+/** Internal `mapGroupsWithState` state record (top-level for encoder
+  * codegen; `types` kept as a distinct Seq).
+  */
+final case class ActivityState(n: Long, types: Seq[String], lastMicros: Long)
+
 /** Structured-Streaming surface (extension territory: the reference has no
   * streaming — its "streams" are static scan partitions, bigquery.go:138;
   * SURVEY §2.B marks streaming as Spark-native extension).
@@ -79,6 +95,41 @@ object Streams {
       .withColumn("session_id", sum(col("new_session")).over(run))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+  }
+
+  /** Custom stateful aggregation over a stream (or batch) of events:
+    * `KeyValueGroupedDataset.mapGroupsWithState` with one state record per
+    * user. State is O(users × event-types) — bounded, executor-distributed,
+    * checkpointable; this is the Structured Streaming twin of the
+    * reference-free "custom operator" tier (SURVEY §2.B UDF/state row).
+    */
+  def userActivity(spark: org.apache.spark.sql.SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserActivity] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[ActivityState, UserActivity](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[ActivityState]) =>
+          val prev = state.getOption.getOrElse(ActivityState(0L, Seq.empty, Long.MinValue))
+          val next = rows.foldLeft(prev) { case (acc, (_, tpe, ts)) =>
+            val micros = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+            ActivityState(
+              acc.n + 1,
+              if (acc.types.contains(tpe)) acc.types else acc.types :+ tpe,
+              math.max(acc.lastMicros, micros))
+          }
+          state.update(next)
+          UserActivity(
+            user,
+            next.n,
+            next.types.size,
+            new java.sql.Timestamp(next.lastMicros / 1000L))
+      }
   }
 
   /** Streaming tumbling counts over a parquet-file source directory —

@@ -62,6 +62,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 2) // 09:30 and 10:00 windows both contain 10:15
   }
 
+  test("mapGroupsWithState user activity matches the equivalent batch aggregation") {
+    val events = Tables(spark, sfDir, "events")
+    val got = Streams.userActivity(spark, events)
+      .collect().map(u => (u.user_id, u.n_events, u.n_types.toLong)).sortBy(_._1)
+    val want = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
+  test("mapGroupsWithState runs as a streaming query with update mode") {
+    val events = Tables(spark, sfDir, "events")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-state-${UUID.randomUUID().toString.take(8)}"
+    events.write.parquet(dir)
+    val stream = Streams.userActivity(
+      spark, spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+    val qname = s"ua_${UUID.randomUUID().toString.take(8)}"
+    val q = stream.writeStream.format("memory").queryName(qname).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(qname).count() == events.select("user_id").distinct().count())
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps") {
     import spark.implicits._
     val df = Seq(
