@@ -22,8 +22,10 @@ object AsofJoin {
 
   /** Backward as-of join: for each left row, attach the latest `rightTs`
     * from the right side with the same key and `rightTs <= leftTs`.
-    * Right rows are deduplicated per (key, ts) — among simultaneous right
-    * rows the match is well-defined (the max timestamp wins either way).
+    * Duplicate right rows need no pre-dedup: the running `max` is
+    * duplicate-insensitive, so the union goes straight into the single
+    * key-partitioned window (a pre-dedup would cost one extra shuffle of
+    * the right side for nothing).
     *
     * Output: left columns + `asofTsName` (nullable timestamp of the match).
     */
@@ -41,7 +43,6 @@ object AsofJoin {
       .withColumn("__side", lit(1))
     val r = right
       .select(col(key), col(rightTs).as("__t"))
-      .distinct()
       .withColumn("__rts", col("__t"))
       .withColumn("__side", lit(0))
     // Align schemas: right side carries nulls for non-key left columns.

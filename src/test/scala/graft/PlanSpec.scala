@@ -53,4 +53,12 @@ class PlanSpec extends SparkSpec {
     val q = SparkEntry.queries("b36_range_join")(spark, sfDir)
     assert(plan(q).contains("BroadcastNestedLoopJoin"), plan(q))
   }
+
+  test("as-of join pays exactly one data shuffle (plus the output sort)") {
+    val q = SparkEntry.queries("ns15_asof_join")(spark, sfDir)
+    val p = plan(q)
+    // one hashpartitioning exchange for the union window; rangepartitioning
+    // is the final ORDER BY — a right-side pre-dedup would add a third.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"extra shuffle:\n$p")
+  }
 }
