@@ -796,8 +796,61 @@ object SparkEntry {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+    },
+    // Bucketed co-located join: both sides pre-bucketed on the join key →
+    // sort-merge join with NO shuffle of either side (plan-asserted in
+    // PlanSpec). The 100 TB pattern for repeated fact-fact joins.
+    Q(
+      "b41_bucketed_join",
+      Some(
+        s"""SELECT o_orderstatus, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) { (s, dir) =>
+      bucketedJoin(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), fsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    // Salted skew join: deterministic salt on the big side, replicated
+    // small side — row-equivalent to the plain join (same oracle).
+    Q(
+      "b42_salted_join",
+      Some(
+        s"""SELECT o_orderpriority, COUNT(*) AS n
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+      graft.ops.Skew.saltedInnerJoin(
+          T(s, dir, "lineitem"),
+          T(s, dir, "orders"),
+          "l_orderkey", "o_orderkey",
+          salts = 4,
+          saltSource = col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     }
   )
+
+  /** Bucketed-table join used by b41 (+ PlanSpec): both fact tables are
+    * written bucketed+sorted on the join key once per (session, sf-dir),
+    * then joined with a merge hint — zero Exchange on either side.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"${math.abs(dir.hashCode).toString}"
+    val li = s"li_bkt_$tag"
+    val oo = s"ord_bkt_$tag"
+    if (!s.catalog.tableExists(li)) {
+      T(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+    }
+    if (!s.catalog.tableExists(oo)) {
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oo)
+    }
+    s.table(li).hint("merge").join(s.table(oo), col("l_orderkey") === col("o_orderkey"))
+  }
 
   // ------------------------- north-star LLM-pipeline extensions (SURVEY §2.C)
 

@@ -54,6 +54,23 @@ class PlanSpec extends SparkSpec {
     assert(plan(q).contains("BroadcastNestedLoopJoin"), plan(q))
   }
 
+  test("bucketed co-located join shuffles neither side") {
+    val q = SparkEntry.bucketedJoin(spark, sfDir)
+    val p = plan(q)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$p")
+  }
+
+  test("salted join result equals the plain join") {
+    import graft.ops.Skew
+    val li = Tables(spark, sfDir, "lineitem")
+    val o = Tables(spark, sfDir, "orders")
+    val salted = Skew.saltedInnerJoin(li, o, "l_orderkey", "o_orderkey", 4, col("l_linenumber"))
+      .count()
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    assert(salted == plain)
+  }
+
   test("as-of join pays exactly one data shuffle (plus the output sort)") {
     val q = SparkEntry.queries("ns15_asof_join")(spark, sfDir)
     val p = plan(q)
