@@ -133,6 +133,22 @@ object SparkEntry {
           maxStreamCount = Some(2)))
       s.table(dest).orderBy("s_suppkey")
     },
+    // A2-A6 as a real DSv2 connector: partitioned Arrow-IPC scan with
+    // stream-borne schema and column pruning (one InputPartition per
+    // file ≈ one read stream; ≈ bigquery.go:85-239 re-architected).
+    Q(
+      "a03_arrow_source",
+      Some(
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey")) { (s, dir) =>
+      val ipcDir = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-${math.abs(dir.hashCode)}"
+      if (!new java.io.File(ipcDir).exists()) {
+        graft.proto.ArrowInterchange.writeIpcDir(
+          T(s, dir, "supplier").repartition(3), ipcDir)
+      }
+      s.read.format("graft.sources.ArrowIpcSource").load(ipcDir)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
     // A9+A10: DDL/DML exec + SQL query through the Engine surface
     // (≈ duck_test.go:54-130: CREATE/INSERT/SELECT with inline goldens).
     Q(
@@ -835,8 +851,13 @@ object SparkEntry {
     * written bucketed+sorted on the join key once per (session, sf-dir),
     * then joined with a merge hint — zero Exchange on either side.
     */
+  // Per-JVM tag: the in-memory catalog is fresh each run, but the
+  // warehouse directory persists — reusing a prior run's table name would
+  // hit LOCATION_ALREADY_EXISTS.
+  private lazy val jvmTag: String = UUID.randomUUID().toString.take(8)
+
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tag = s"${math.abs(dir.hashCode).toString}"
+    val tag = s"${math.abs(dir.hashCode).toString}_$jvmTag"
     val li = s"li_bkt_$tag"
     val oo = s"ord_bkt_$tag"
     if (!s.catalog.tableExists(li)) {

@@ -115,6 +115,22 @@ object ArrowInterchange {
       .toDF("arrow_ipc")
   }
 
+  /** Materialize a DataFrame as a directory of Arrow IPC stream files
+    * (one per partition) — the fixture side of the
+    * [[graft.sources.ArrowIpcSource]] DSv2 read path. Driver-side writer
+    * (test/fixture harness); the scale-relevant half is the distributed
+    * DSv2 scan that reads these files back.
+    */
+  def writeIpcDir(df: DataFrame, dir: String, batchSize: Int = 4096): Unit = {
+    val parts = encodePartitions(df, batchSize).collect()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    parts.zipWithIndex.foreach { case (r, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part-$i%05d.arrow"),
+        r.getAs[Array[Byte]](0))
+    }
+  }
+
   /** Decode an IPC stream back to (columnNames, rows) for round-trip
     * tests. Values come back as Arrow java objects (Long/Int/Double/Text…).
     */
