@@ -927,9 +927,7 @@ object SparkEntry {
              |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_pred
              |FROM m ORDER BY doc_id""".stripMargin)
       }) { (s, dir) =>
-      T(s, dir, "documents")
-        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
+      TextOps.langIdTable(T(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
     },
     // NS-T3: quality scoring (exact-integer ratios, fixed-order blend).
     Q(

@@ -69,6 +69,33 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** DataFrame-level language ID: same argmax semantics as [[langId]] but
+    * codegen-friendly — explode tokens, join a broadcast marker dimension,
+    * count hits per (doc, lang), take the struct-max (hits, then marker
+    * order). Zero-hit docs come back 'und' via the left join.
+    * Output: (doc_id, lang_pred).
+    */
+  def langIdTable(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = LangMarkers.zipWithIndex
+      .flatMap { case ((lang, words), i) => words.map(w => (w, lang, -i)) }
+      .toDF("tok", "lang", "rk")
+    val hits = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(markers), "tok")
+      .groupBy("doc_id", "lang", "rk")
+      .agg(count(lit(1)).as("hits"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("hits"), col("rk"), col("lang"))).as("best"))
+    df.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("best.lang"), lit("und")).as("lang_pred"))
+  }
+
   /** Quality-scoring features: all exact-integer ratios, one division each. */
   def avgWordLen(c: Column): Column = {
     val toks = tokens(c)

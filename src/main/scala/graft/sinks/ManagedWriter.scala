@@ -76,10 +76,14 @@ final class ManagedWriter(
   }
 
   /** Move every data file of one staged batch into the destination.
-    * Every rename's return value is checked: a false return (e.g. a name
-    * collision at the destination) aborts the commit with the staged data
-    * still intact — staged files are only ever deleted by the caller after
-    * *all* renames succeeded.
+    * A name collision at the destination aborts the commit with the
+    * staged data still intact — checked explicitly BEFORE the rename
+    * (Hadoop's LocalFileSystem rename onto an existing directory silently
+    * moves the source *into* it and returns true, so the return value
+    * alone is not a sufficient guard), and the return value is still
+    * verified for filesystems that signal failure that way (HDFS). Staged
+    * files are only ever deleted by the caller after *all* renames
+    * succeeded.
     */
   private def promote(batchPath: Path): Unit = {
     val dest = new Path(destDir)
@@ -88,6 +92,10 @@ final class ManagedWriter(
       .filter(f => f.getPath.getName.startsWith("part-"))
       .foreach { f =>
         val to = new Path(dest, f.getPath.getName)
+        if (fs.exists(to)) {
+          throw new java.io.IOException(
+            s"commit failed: destination $to already exists; staged data left in place")
+        }
         if (!fs.rename(f.getPath, to)) {
           throw new java.io.IOException(
             s"commit failed: rename ${f.getPath} -> $to returned false; " +

@@ -44,6 +44,24 @@ class ManagedWriterSpec extends SparkSpec {
     }
   }
 
+  test("commit aborts on rename collision and preserves the staged data") {
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df)
+    // Sabotage: pre-place a directory at the destination with the same
+    // name as a staged part file -> rename returns false mid-commit.
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dest-staging-*/batch-0/part-*"))
+    assert(staged.nonEmpty)
+    val victim = staged.head.getPath.getName
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dest/$victim/blocker"))
+    assertThrows[java.io.IOException] { w.finalizeCommit() }
+    // staged data must still exist (not deleted on failure)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dest-staging-*/batch-0/part-*")).nonEmpty)
+  }
+
   test("writer refuses appends after finalize (bigquery_write.go:466 contract)") {
     val df = Tables(spark, sfDir, "supplier")
     val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)

@@ -110,6 +110,10 @@ class OpsSpec extends SparkSpec {
     val out = df.select($"doc_id", TextOps.langId($"text").as("lang"))
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(out.toSeq == Seq("en", "de", "und"))
+    // the join-based table form must agree with the expression form
+    val tbl = TextOps.langIdTable(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(tbl.toSeq == out.toSeq)
   }
 
   test("fingerprint is order- and duplication-invariant") {

@@ -86,6 +86,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val events = Tables(spark, sfDir, "events")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ssj-${UUID.randomUUID().toString.take(8)}"
+    events.write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === tpe)
+      .withWatermark("ts", "1 hour")
+    val purchases = side("purchase").select(
+      col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val signups = side("signup").select(
+      col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val joined = purchases.join(
+      signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"))
+    val qname = s"ssj_${UUID.randomUUID().toString.take(8)}"
+    val q = joined.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batchEvents = spark.read.parquet(dir)
+      val bp = batchEvents.filter(col("event_type") === "purchase")
+      val bs = batchEvents.filter(col("event_type") === "signup")
+      val want = bp.alias("p").join(
+        bs.alias("s"),
+        col("p.user_id") === col("s.user_id") &&
+          col("s.ts") <= col("p.ts") &&
+          col("s.ts") >= col("p.ts") - expr("INTERVAL 2 HOURS")).count()
+      assert(spark.table(qname).count() == want && want > 0)
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps") {
     import spark.implicits._
     val df = Seq(
