@@ -954,14 +954,20 @@ object SparkEntry {
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     },
-    // NS-T4: canonical document fingerprint (md5 of sorted distinct tokens).
+    // NS-T4: document fingerprints — order-free canonical md5 AND an
+    // order-sensitive polynomial rolling hash over the token stream.
     Q(
       "ns04_fingerprint",
       Some(
-        s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS fp
+        s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS fp,
+           |  list_reduce([0] || [${oHash32("t")} for t in $oToks],
+           |    (a, h) -> (a * 31 + h) % ${TextOps.RollingMod})::BIGINT AS rfp
            |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       T(s, dir, "documents")
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id")
     },
     // NS-D1: exact dedup via content-hash groupBy.
@@ -1161,6 +1167,16 @@ object SparkEntry {
            |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("doc_a", "doc_b")
+    },
+    // NS-S3: IVF ANN (seeded-KMeans coarse quantizer + probe-nearest
+    // cells). Cells are data-dependent, so no SQL oracle — the driver
+    // records a rows-only check; recall vs brute force is pinned in
+    // ScalaTest.
+    Q("ns20_ivf_knn", None) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          nCells = 16, nProbe = 4, k = 3)
+        .orderBy("qid", "rank")
     },
     // NS-ST3: batch sessionization (gap-based; streaming-state twin).
     Q(

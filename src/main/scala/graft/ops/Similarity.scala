@@ -138,6 +138,84 @@ object Similarity {
       .toDF(idCol, "bucket")
   }
 
+  /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
+    * every corpus vector to a cell; a query searches only the `nProbe`
+    * cells whose centroids are nearest, with exact cosine rerank inside.
+    *
+    * Scale shape: centroids (nCells × dims doubles) broadcast; cell
+    * assignment is a per-row map; the candidate join co-partitions on the
+    * cell id, so the shuffle is O(rows·nProbe/nCells) — the classic
+    * IVF-flat layout. Deterministic for a fixed seed, but the cells are
+    * data-dependent (KMeans), so results are approximate — verified by a
+    * recall test, not a SQL oracle.
+    * Output: (qid, rank, nid, cos).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      nProbe: Int,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+
+    val feat = corpus.select(
+      col(idCol).cast("long").as("vid"),
+      col(vecCol).as("vec"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(feat)
+    // Plain-array function vals: the map closures must capture ONLY these
+    // (a nested def would drag the whole method frame — session, model —
+    // into the task closure and fail serialization).
+    val ownCell = udfFreeCells(model.clusterCenters.map(_.toArray), 1)
+    val probeCells = udfFreeCells(model.clusterCenters.map(_.toArray), nProbe)
+
+    // corpus side: each vector lands in exactly its own cell
+    val corpusCells = feat
+      .as[(Long, Array[Float], MlVector)]
+      .map { case (vid, vec, _) => (ownCell(vec).head, vid, vec) }
+      .toDF("cell", "nid", "nvec")
+    // query side: fan out to the nProbe nearest cells
+    val queryCells = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, vec) => probeCells(vec).map(c => (c, qid, vec)) }
+      .toDF("cell", "qid", "qvec")
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    corpusCells
+      .join(queryCells, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
+  /** Nearest-`n` centroid indices by L2 distance (plain JVM math in the
+    * mapped closures — no UDF registration, no MLlib model on executors).
+    */
+  private def udfFreeCells(centroids: Array[Array[Double]], n: Int): Array[Float] => Seq[Int] =
+    vec => {
+      val d2 = centroids.zipWithIndex.map { case (c, ci) =>
+        var s = 0.0
+        var i = 0
+        while (i < c.length && i < vec.length) {
+          val d = c(i) - vec(i).toDouble
+          s += d * d
+          i += 1
+        }
+        (s, ci)
+      }
+      d2.sortBy(x => (x._1, x._2)).take(n).map(_._2).toSeq
+    }
+
   /** LSH-bucketed ANN: exact cosine rerank *within* buckets only.
     * Output: (qid, rank, nid, cos) for the top-k within each query's bucket.
     */

@@ -123,10 +123,23 @@ object TextOps {
 
   /** Canonical document fingerprint: md5 of the sorted distinct token set —
     * a normalized-content key that is stable under token reordering and
-    * duplication (the rolling-hash analogue with an order-free canon).
+    * duplication.
     */
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
+
+  /** Order-SENSITIVE polynomial rolling-hash fingerprint over the token
+    * hash stream: h ← (h·31 + hash32(tok)) mod (2^31 − 1). Exact 64-bit
+    * integer arithmetic — identical in any engine — and O(tokens) per row
+    * with no shuffle.
+    */
+  val RollingMod = 2147483647L // 2^31 - 1
+
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t => hash32(t)),
+      lit(0L),
+      (acc, h) => (acc * 31L + h) % lit(RollingMod))
 
   /** Bit `j` (Column-valued index) of non-negative long `x`, via exact
     * power-of-two double arithmetic (the Scala `shiftright` builtin only

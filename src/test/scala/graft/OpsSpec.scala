@@ -70,6 +70,29 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 3L))
   }
 
+  test("rolling fingerprint is order-sensitive where canonical fp is not") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val rows = df.select(
+        TextOps.fingerprint($"text").as("fp"),
+        TextOps.rollingFingerprint($"text").as("rfp"))
+      .collect()
+    assert(rows(0).getString(0) == rows(1).getString(0)) // canonical: order-free
+    assert(rows(0).getLong(1) != rows(1).getLong(1)) // rolling: order-sensitive
+    assert(rows(0).getLong(1) == rows(2).getLong(1)) // deterministic
+  }
+
+  test("ivf top-k achieves high recall against brute force on the fixture") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        nCells = 8, nProbe = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("lsh kernel buckets match the declarative expression exactly") {
     val e = Tables(spark, sfDir, "embeddings").limit(100)
     val kern = Similarity.lshBucketsKernel(e, "vec_id", "embedding", 8, 64)
