@@ -827,6 +827,85 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), fsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
     },
+    Q(
+      "b43_conditional_funcs",
+      Some(
+        """SELECT n_nationkey,
+          |  nullif(n_regionkey, 2) AS nr,
+          |  coalesce(nullif(n_regionkey, 2), -1) AS nr_filled,
+          |  greatest(n_nationkey, n_regionkey * 5) AS g,
+          |  least(n_nationkey, n_regionkey * 5) AS l,
+          |  CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+          |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      T(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          nullif(col("n_regionkey"), lit(2)).as("nr"),
+          coalesce(nullif(col("n_regionkey"), lit(2)), lit(-1)).as("nr_filled"),
+          greatest(col("n_nationkey"), col("n_regionkey") * 5).as("g"),
+          least(col("n_nationkey"), col("n_regionkey") * 5).as("l"),
+          when(col("n_nationkey") % 2 === 0, "even").otherwise("odd").as("parity"))
+        .orderBy("n_nationkey")
+    },
+    Q(
+      "b44_bitwise",
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |  xor(l_orderkey, l_partkey) AS x,
+          |  l_orderkey & 255 AS lo,
+          |  l_orderkey | 4096 AS hi,
+          |  (l_orderkey << 2) AS shl,
+          |  (l_orderkey >> 3) AS shr,
+          |  bit_count(l_orderkey)::INT AS pc
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("x"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("lo"),
+          col("l_orderkey").bitwiseOR(lit(4096L)).as("hi"),
+          shiftleft(col("l_orderkey"), 2).as("shl"),
+          shiftright(col("l_orderkey"), 3).as("shr"),
+          bit_count(col("l_orderkey")).as("pc"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Q(
+      "b46_regexp_funcs",
+      Some(
+        """SELECT doc_id,
+          |  regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS w1,
+          |  CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
+          |  length(regexp_replace(text, '[aeiou]', '', 'g'))::BIGINT AS devoweled_len,
+          |  split_part(text, ' ', 2) AS second_tok
+          |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 1).as("w1"),
+          when(col("text").rlike("spark"), 1).otherwise(0).as("has_spark"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("devoweled_len"),
+          split(col("text"), " ").getItem(1).as("second_tok"))
+        .orderBy("doc_id")
+    },
+    Q(
+      "b48_null_semantics",
+      Some(
+        """SELECT COUNT(*) AS n_rows,
+          |  COUNT(nr) AS n_nonnull,
+          |  COUNT(*) - COUNT(nr) AS n_null,
+          |  COUNT(*) FILTER (WHERE nr IS NOT DISTINCT FROM NULL) AS n_ndf_null,
+          |  COUNT(*) FILTER (WHERE nr IS DISTINCT FROM 1) AS n_df_one
+          |FROM (SELECT nullif(n_regionkey, 2) AS nr FROM nation)""".stripMargin)) { (s, dir) =>
+      T(s, dir, "nation")
+        .select(nullif(col("n_regionkey"), lit(2)).as("nr"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("nr")).as("n_nonnull"),
+          (count(lit(1)) - count(col("nr"))).as("n_null"),
+          count(when(col("nr") <=> lit(null), 1)).as("n_ndf_null"),
+          count(when(!(col("nr") <=> lit(1)), 1)).as("n_df_one"))
+    },
     // Salted skew join: deterministic salt on the big side, replicated
     // small side — row-equivalent to the plain join (same oracle).
     Q(
