@@ -168,25 +168,45 @@ object Dedup {
     counted.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius: xor + popcount over
-    * the 32-bit sketches. Quadratic candidate generation here (a cheap
-    * 2-long-column broadcast nested loop at verify scale); at corpus scale
-    * the candidates come from rotated bit-band buckets exactly like
-    * MinHash banding, with this xor/popcount as the verifier.
+  /** SimHash near-dup pairs within a Hamming radius: bit-band candidate
+    * generation + xor/popcount verification.
+    *
+    * LOSSLESS by the pigeonhole principle: the 32-bit sketch splits into
+    * `bands` equal bit slices, and a pair within Hamming distance
+    * `maxHamming < bands` must agree exactly on at least one slice — so
+    * the band-key equi-join (an O(rows·bands) shuffle, same shape as
+    * MinHash banding) generates every qualifying pair, and the popcount
+    * filter discards false candidates. No quadratic scan at any scale.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, s"need maxHamming ($maxHamming) < bands ($bands) for lossless banding")
+    require(32 % bands == 0, s"bands ($bands) must divide 32")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
     val sims = simhashPerDoc(df, idCol, textCol).cache()
-    val a = sims.alias("a")
-    val b = sims.alias("b")
-    a.join(broadcast(b), col("a.doc_id") < col("b.doc_id"))
+    val banded = sims.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

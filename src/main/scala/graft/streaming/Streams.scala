@@ -132,6 +132,14 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on the event id —
+    * duplicate events arriving across micro-batches (retries, replays) are
+    * emitted once; state for ids older than the watermark is dropped, so
+    * state stays bounded by the lateness window, not the stream length.
+    */
+  def streamingDedup(events: DataFrame, idCol: String = "event_id", delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates(idCol, "ts")
+
   /** Streaming tumbling counts over a parquet-file source directory —
     * the end-to-end readStream → watermark → window → agg plan used by the
     * ScalaTest harness (memory sink, complete/update mode).

@@ -125,6 +125,20 @@ class OpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("hamming") == 0L)
   }
 
+  test("banded simhash candidates are lossless vs exhaustive popcount") {
+    val docs = Tables(spark, sfDir, "documents").limit(200)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive reference: all pairs, popcount filter
+    val sims = Dedup.simhashPerDoc(docs, "doc_id", "text")
+    val a = sims.alias("a"); val b = sims.alias("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
   test("language id picks the marker-dominant language, 'und' when none") {
     val df = Seq(
       (1L, "the cat sat of the mat and left"),

@@ -86,6 +86,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicate event ids") {
+    val events = Tables(spark, sfDir, "events").limit(200).cache()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-${UUID.randomUUID().toString.take(8)}"
+    // same rows written twice -> two files -> duplicates across batches
+    events.write.parquet(dir)
+    events.write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val deduped = Streams.streamingDedup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir))
+    val qname = s"dd_${UUID.randomUUID().toString.take(8)}"
+    val q = deduped.writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(qname).count() == events.count())
+    } finally q.stop()
+  }
+
+  test("foreachBatch streams micro-batches through the ManagedWriter") {
+    import graft.sinks.{ManagedWriter, StreamType}
+    val events = Tables(spark, sfDir, "events").limit(100)
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-fb-src-${UUID.randomUUID().toString.take(8)}"
+    events.write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft-fb-dest-${UUID.randomUUID().toString.take(8)}"
+    val writer = new ManagedWriter(spark, dest, schema, StreamType.Pending)
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        writer.write(batch): Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    writer.finalizeCommit()
+    assert(spark.read.parquet(dest).count() == events.count())
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables(spark, sfDir, "events")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ssj-${UUID.randomUUID().toString.take(8)}"
