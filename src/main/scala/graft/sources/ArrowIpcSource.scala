@@ -6,15 +6,16 @@ import scala.collection.JavaConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field => ArrowField}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,8 +42,10 @@ class ArrowIpcSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = ArrowIpcSource.listFiles(options.get("path"))
-    require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
-    ArrowIpcSource.readSchema(files.head)
+    // Empty (write-target) directories have no stream to infer from; the
+    // write path supplies the query schema via getTable.
+    if (files.isEmpty) new StructType()
+    else ArrowIpcSource.readSchema(files.head)
   }
 
   override def getTable(
@@ -103,6 +106,23 @@ object ArrowIpcSource {
     StructField(f.getName, dt)
   }
 
+  /** Catalyst internal value → Arrow vector slot (write path). */
+  private[sources] def setFromCatalyst(
+      vec: FieldVector, i: Int, dt: DataType, row: InternalRow, ord: Int): Unit =
+    (vec, dt) match {
+      case (v: BigIntVector, LongType) => v.setSafe(i, row.getLong(ord))
+      case (v: IntVector, IntegerType) => v.setSafe(i, row.getInt(ord))
+      case (v: SmallIntVector, ShortType) => v.setSafe(i, row.getShort(ord))
+      case (v: Float8Vector, DoubleType) => v.setSafe(i, row.getDouble(ord))
+      case (v: Float4Vector, FloatType) => v.setSafe(i, row.getFloat(ord))
+      case (v: VarCharVector, StringType) => v.setSafe(i, row.getUTF8String(ord).getBytes)
+      case (v: BitVector, BooleanType) => v.setSafe(i, if (row.getBoolean(ord)) 1 else 0)
+      case (v: VarBinaryVector, BinaryType) => v.setSafe(i, row.getBinary(ord))
+      case (v: TimeStampMicroTZVector, TimestampType) => v.setSafe(i, row.getLong(ord))
+      case (v: DateDayVector, DateType) => v.setSafe(i, row.getInt(ord))
+      case (other, t) => throw new IllegalArgumentException(s"unsupported write ($other, $t)")
+    }
+
   /** Arrow vector value → Catalyst internal value. */
   private[sources] def catalystValue(vec: FieldVector, i: Int): Any =
     if (vec.isNull(i)) null
@@ -123,13 +143,16 @@ object ArrowIpcSource {
       }
 }
 
-private class ArrowIpcTable(schema: StructType, path: String) extends Table with SupportsRead {
+private class ArrowIpcTable(schema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"arrow-ipc:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ArrowIpcWriteBuilder(info.schema(), path, info.queryId())
 }
 
 private class ArrowIpcScanBuilder(fullSchema: StructType, path: String)
@@ -213,5 +236,127 @@ private class ArrowIpcPartitionReader(
     reader.close()
     in.close()
     allocator.close()
+  }
+}
+
+// ---------------------------------------------------------------- write path
+//
+// The DSv2 batch-write protocol IS the reference's managed-write shape
+// (SURVEY §3.3): createBatchWriterFactory ≈ CreateWriteStream, each task's
+// DataWriter appends batches to an invisible staged stream file
+// (≈ AppendRows into a PENDING stream), DataWriter.commit returns the staged
+// path as its WriterCommitMessage (≈ FinalizeWriteStream), and
+// BatchWrite.commit promotes every staged file at once
+// (≈ BatchCommitWriteStreams) — readers never observe a partial job.
+
+private class ArrowIpcWriteBuilder(schema: StructType, path: String, queryId: String)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ArrowIpcBatchWrite(schema, path, queryId)
+  }
+}
+
+private case class ArrowIpcCommitMessage(stagedPath: String) extends WriterCommitMessage
+
+private class ArrowIpcBatchWrite(schema: StructType, path: String, queryId: String)
+    extends BatchWrite {
+  private val stagingDir = s"$path/_staging-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ArrowIpcWriterFactory(schema, stagingDir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    messages.foreach { case ArrowIpcCommitMessage(staged) =>
+      val from = new Path(staged)
+      val to = new Path(dest, from.getName)
+      if (fs.exists(to) || !fs.rename(from, to)) {
+        throw new java.io.IOException(s"arrow-ipc commit failed: $from -> $to")
+      }
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(stagingDir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new Path(stagingDir), true)
+  }
+}
+
+private class ArrowIpcWriterFactory(schema: StructType, stagingDir: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ArrowIpcDataWriter(schema, stagingDir, partitionId, taskId)
+}
+
+/** Executor-side writer: buffers rows into Arrow batches of `batchSize`,
+  * streams them into one staged `.arrow` file per task attempt (task-id in
+  * the name keeps attempts from colliding — task-level exactly-once).
+  */
+private class ArrowIpcDataWriter(
+    schema: StructType,
+    stagingDir: String,
+    partitionId: Int,
+    taskId: Long,
+    batchSize: Int = 4096)
+    extends DataWriter[InternalRow] {
+
+  private val stagedPath = new Path(f"$stagingDir/part-$partitionId%05d-$taskId.arrow")
+  private val allocator = new RootAllocator()
+  private val root = VectorSchemaRoot.create(
+    graft.proto.ArrowInterchange.toArrowSchema(schema), allocator)
+  private val out = {
+    val fs = stagedPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.create(stagedPath, true)
+  }
+  private val writer = new ArrowStreamWriter(root, null, out)
+  private var started = false
+  private var rowInBatch = 0
+
+  override def write(row: InternalRow): Unit = {
+    if (!started) { writer.start(); root.allocateNew(); started = true }
+    var j = 0
+    while (j < schema.fields.length) {
+      val vec = root.getVector(j)
+      if (row.isNullAt(j)) vec.setNull(rowInBatch)
+      else ArrowIpcSource.setFromCatalyst(vec, rowInBatch, schema.fields(j).dataType, row, j)
+      j += 1
+    }
+    rowInBatch += 1
+    if (rowInBatch == batchSize) flush()
+  }
+
+  private def flush(): Unit = {
+    if (rowInBatch > 0) {
+      root.setRowCount(rowInBatch)
+      writer.writeBatch()
+      root.allocateNew()
+      rowInBatch = 0
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (!started) writer.start()
+    flush()
+    writer.end()
+    close()
+    ArrowIpcCommitMessage(stagedPath.toString)
+  }
+
+  override def abort(): Unit = {
+    close()
+    val fs = stagedPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(stagedPath, false)
+  }
+
+  override def close(): Unit = {
+    try writer.close() finally {
+      try out.close() finally {
+        root.close()
+        allocator.close()
+      }
+    }
   }
 }

@@ -42,6 +42,23 @@ class ArrowIpcSourceSpec extends SparkSpec {
     assert(pruned.collect().length > 0)
   }
 
+  test("DSv2 batch write: append commits atomically-promoted staged files") {
+    val df = Tables(spark, sfDir, "supplier")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-w-${UUID.randomUUID().toString.take(8)}"
+    df.repartition(3).write.format("graft.sources.ArrowIpcSource").mode("append").save(dir)
+    // no staging residue; one part file per partition
+    val files = new java.io.File(dir).list().toSeq
+    assert(!files.exists(_.startsWith("_staging")), files.toString)
+    assert(files.count(_.endsWith(".arrow")) == 3)
+    val back = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    assert(back.orderBy("s_suppkey").collect()
+      .sameElements(df.orderBy("s_suppkey").collect()))
+    // second append adds rows without clobbering the first commit
+    df.limit(10).write.format("graft.sources.ArrowIpcSource").mode("append").save(dir)
+    assert(spark.read.format("graft.sources.ArrowIpcSource").load(dir).count() ==
+      df.count() + 10)
+  }
+
   test("timestamps and nulls survive the DSv2 read") {
     import spark.implicits._
     val df = Seq(
