@@ -55,6 +55,25 @@ object Multimodal {
       "n_frames",
       ceil(octet_length(col(s"$payload.bytes")).cast("double") / lit(stride.toDouble)).cast("long"))
 
+  /** Fixed-stride frame sampling: an array of byte-slice "frames" (what a
+    * video decoder would replace with real frame extraction at the same
+    * offsets). Pure codegen'd expression — `transform` over the stride
+    * sequence with binary `substring` — so sampling is scan-local.
+    */
+  def sampleFrames(df: DataFrame, stride: Int, maxFrames: Int, payload: String = "media"): DataFrame = {
+    val bytes = col(s"$payload.bytes")
+    val nFrames = least(
+      ceil(octet_length(bytes).cast("double") / lit(stride.toDouble)).cast("int"),
+      lit(maxFrames))
+    df.withColumn(
+      "frames",
+      when(octet_length(bytes) > 0,
+        transform(
+          sequence(lit(0), nFrames - 1),
+          i => substring(bytes, i * stride + lit(1), lit(stride))))
+        .otherwise(array().cast("array<binary>")))
+  }
+
   /** Decoded feature record produced by the (stubbed) decoder. */
   final case class MediaFeatures(
       doc_id: Long,

@@ -79,13 +79,16 @@ object ArrowIpcSource {
     val in = fs.open(p)
     try {
       val reader = new ArrowStreamReader(in, allocator)
-      val arrowSchema = reader.getVectorSchemaRoot.getSchema
-      StructType(arrowSchema.getFields.asScala.map(toSparkField).toSeq)
+      roundTripSchema(reader.getVectorSchemaRoot.getSchema)
     } finally {
       in.close()
       allocator.close()
     }
   }
+
+  /** Arrow schema → StructType (public for the converter property tests). */
+  def roundTripSchema(s: org.apache.arrow.vector.types.pojo.Schema): StructType =
+    StructType(s.getFields.asScala.map(toSparkField).toSeq)
 
   private def toSparkField(f: ArrowField): StructField = {
     val dt = f.getType match {

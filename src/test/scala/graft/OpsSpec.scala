@@ -178,6 +178,33 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getTimestamp(3) == null) // no signup before 09:00
   }
 
+  test("explode-based minhash signatures match the declarative column form") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val fast = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val slow = docs.select(col("doc_id"),
+        TextOps.minhashSignature(TextOps.shingles(col("text"), 3), 8).as("sig"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(fast.sameElements(slow))
+  }
+
+  test("explode-based simhash matches the declarative column form") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val fast = Dedup.simhashPerDoc(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val slow = docs.select(col("doc_id"), TextOps.simhash32(col("text")).as("simhash"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sameElements(slow))
+  }
+
+  test("frame sampling slices the payload at stride offsets and reassembles") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val framed = Multimodal.sampleFrames(Multimodal.withPayload(df, "text"), 4, 10)
+    val frames = framed.select($"frames").head().getSeq[Array[Byte]](0)
+    assert(frames.length == 3) // ceil(10/4)
+    assert(new String(frames.flatten.toArray, "UTF-8") == "abcdefghij")
+  }
+
   test("multimodal stub decoder preserves partitioning and computes features") {
     val docs = Tables(spark, sfDir, "documents").limit(50)
     val withMedia = Multimodal.withPayload(docs, "text")
