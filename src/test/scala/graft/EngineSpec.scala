@@ -64,6 +64,23 @@ class EngineSpec extends SparkSpec {
     assert(first(1) == Seq(1L))
   }
 
+  test("metrics listener captures output rows and durations per action (A21)") {
+    val listener = new graft.engine.MetricsListener
+    spark.listenerManager.register(listener)
+    try {
+      val eng = new Engine(spark)
+      val t = s"mx_${UUID.randomUUID().toString.replace("-", "")}"
+      eng.ingestCreateAppend(Tables(spark, sfDir, "nation"), t)
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (listener.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = listener.snapshot
+      assert(m.nonEmpty)
+      assert(m.forall(_.durationNs >= 0))
+      eng.exec(s"DROP TABLE $t")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("maxStreamCount raises parallelism floor for small scans") {
     val src = new ParquetTableSource(sfDir)
     val df = src.read(spark, "nation", ScanOptions(maxStreamCount = Some(4)))
