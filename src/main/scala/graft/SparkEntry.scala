@@ -142,8 +142,14 @@ object SparkEntry {
         "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey")) { (s, dir) =>
       val ipcDir = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-${math.abs(dir.hashCode)}"
       if (!new java.io.File(ipcDir).exists()) {
+        // stage-then-rename: a crash mid-write must never leave a partial
+        // directory at the reused fixture path
+        val tmpDir = s"$ipcDir-tmp-${UUID.randomUUID().toString.take(8)}"
         graft.proto.ArrowInterchange.writeIpcDir(
-          T(s, dir, "supplier").repartition(3), ipcDir)
+          T(s, dir, "supplier").repartition(3), tmpDir)
+        if (!new java.io.File(tmpDir).renameTo(new java.io.File(ipcDir))) {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir)): Unit
+        }
       }
       s.read.format("graft.sources.ArrowIpcSource").load(ipcDir)
         .select("s_suppkey", "s_name", "s_acctbal")
@@ -827,6 +833,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), fsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
     },
+    // Ordered string aggregation (listagg) — order-pinned on both sides.
+    Q(
+      "b49_string_agg",
+      Some(
+        """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)) { (s, dir) =>
+      T(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"))
+        .orderBy("n_regionkey")
+    },
     Q(
       "b43_conditional_funcs",
       Some(
@@ -1246,6 +1263,21 @@ object SparkEntry {
            |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("doc_a", "doc_b")
+    },
+    // NS-T5: text normalization — lowercase, strip punctuation, collapse
+    // whitespace; the canonicalization pass ahead of dedup/fingerprints.
+    Q(
+      "ns21_normalize",
+      Some(
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+          |  length(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')))::BIGINT AS norm_len
+          |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[\\p{Punct}]", ""), "\\s+", " "))
+      T(s, dir, "documents")
+        .select(col("doc_id"), norm.as("norm_text"), length(norm).cast("long").as("norm_len"))
+        .orderBy("doc_id")
     },
     // NS-S3: IVF ANN (seeded-KMeans coarse quantizer + probe-nearest
     // cells). Cells are data-dependent, so no SQL oracle — the driver
