@@ -379,26 +379,37 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
     },
+    // Running window over a PRE-AGGREGATED unique key: lineitem contains
+    // duplicate (l_orderkey, l_linenumber) rows with differing payloads at
+    // every SF, so a raw running sum would be tie-order-dependent (verified
+    // nondeterministic in BOTH engines at sf0.1). Grouping to the window
+    // key first makes the order total and the prefix sums well-defined.
     Q(
       "b13_window_running",
       Some(
-        s"""SELECT l_suppkey, l_orderkey, l_linenumber,
-           |  CAST(SUM(${oDec("l_quantity")}) OVER (
+        s"""WITH g AS (
+           |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           |    SUM(${oDec("l_quantity")}) AS q
+           |  FROM lineitem GROUP BY 1, 2, 3, 4)
+           |SELECT l_suppkey, l_orderkey, l_linenumber,
+           |  CAST(SUM(q) OVER (
            |    PARTITION BY l_suppkey
            |    ORDER BY l_shipdate, l_orderkey, l_linenumber
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-           |FROM lineitem
+           |FROM g
            |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
       val w = Window
         .partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .agg(sum(dec(col("l_quantity"))).as("q"))
         .select(
           col("l_suppkey"),
           col("l_orderkey"),
           col("l_linenumber"),
-          sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+          sum(col("q")).over(w).cast("double").as("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
     Q(
