@@ -1300,6 +1300,53 @@ object SparkEntry {
           nCells = 16, nProbe = 4, k = 3)
         .orderBy("qid", "rank")
     },
+    // NS-FLAGSHIP: the composed training-data pipeline — language gate →
+    // quality gate → exact dedup → near-dup removal — one declarative
+    // plan, fully oracle-checked.
+    Q(
+      "ns22_clean_corpus", {
+        val hits = TextOps.LangMarkers
+          .map { case (l, ws) => s"${oHits("toks", ws)} AS h_$l" }
+          .mkString(",\n  ")
+        val langs = TextOps.LangMarkers.map(_._1)
+        val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+        val stops = TextOps.LangMarkers.flatMap(_._2).distinct.sorted
+        Some(
+          s"""WITH t AS (SELECT doc_id, text, $oToks AS toks FROM documents),
+             |s AS (SELECT doc_id, $hits FROM t),
+             |m AS (SELECT doc_id, *, $mx AS mx FROM s),
+             |lang AS (SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_pred FROM m),
+             |f AS (SELECT doc_id, text, toks,
+             |  list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)::DOUBLE AS awl,
+             |  ${oHits("toks", stops)}::DOUBLE / len(toks)::DOUBLE AS stop_ratio,
+             |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |    / length(text)::DOUBLE AS punct_ratio
+             |FROM t),
+             |q AS (SELECT doc_id, text, toks,
+             |  stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.2 AS quality
+             |FROM f),
+             |gated AS (SELECT q.doc_id, q.toks, q.quality,
+             |  md5(array_to_string(list_sort(list_distinct(q.toks)), ' ')) AS fp
+             |  FROM q JOIN lang ON q.doc_id = lang.doc_id
+             |  WHERE lang.lang_pred = 'en' AND q.quality >= 0.40),
+             |keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+             |ded AS (SELECT g.* FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id),
+             |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams
+             |  FROM (SELECT doc_id, toks AS ts FROM ded)),
+             |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+             |j AS (SELECT a.doc_id AS da, b.doc_id AS db, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+             |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+             |drops AS (SELECT DISTINCT db FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5)
+             |SELECT doc_id, quality, fp FROM ded
+             |WHERE doc_id NOT IN (SELECT db FROM drops)
+             |ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      graft.ops.CleanCorpus.run(
+          T(s, dir, "documents"), "doc_id", "text",
+          lang = "en", minQuality = 0.40, minJaccard = 0.5, shingleLen = 3)
+        .orderBy("doc_id")
+    },
     // NS-ST3: batch sessionization (gap-based; streaming-state twin).
     Q(
       "ns16_sessionize",

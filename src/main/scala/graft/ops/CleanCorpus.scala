@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship training-data pipeline, composed from the north-star
+  * operators: language filter → quality filter → exact dedup → near-dup
+  * removal. One declarative plan end-to-end — Catalyst sees the whole
+  * thing, so filters push ahead of the expensive dedup joins.
+  *
+  * Scale shape: the two filters are scan-local; exact dedup shuffles one
+  * md5 key per surviving row; near-dup pair generation runs on the
+  * already-deduped survivors (the smallest set), via the inverted-index
+  * join of [[Dedup.ngramJaccardPairs]]; the final removal is a broadcast
+  * anti-join against the (tiny) drop-list.
+  */
+object CleanCorpus {
+
+  /** Returns the surviving documents: (doc_id, quality, fp).
+    *
+    * Removal policy (deterministic): exact dedup keeps the smallest
+    * doc_id per fingerprint; near-dup removal drops every document that
+    * appears as the *larger* id of a qualifying pair, so each near-dup
+    * cluster keeps its canonical smallest member.
+    */
+  def run(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.40,
+      minJaccard: Double = 0.5,
+      shingleLen: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+    // 1+2: language + quality gates (scan-local column expressions)
+    val langed = TextOps.langIdTable(base, "doc_id", "text")
+    val gated = base
+      .join(langed, "doc_id")
+      .filter(col("lang_pred") === lang)
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+
+    // 3: exact dedup — keep the smallest id per content fingerprint
+    val keepers = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val deduped = gated.join(keepers, Seq("fp", "doc_id"))
+
+    // 4: near-dup removal among the survivors
+    val dropList = Dedup
+      .ngramJaccardPairs(deduped, "doc_id", "text", shingleLen, minJaccard)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    deduped
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select("doc_id", "quality", "fp")
+  }
+}

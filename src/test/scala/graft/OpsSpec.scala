@@ -205,6 +205,20 @@ class OpsSpec extends SparkSpec {
     assert(new String(frames.flatten.toArray, "UTF-8") == "abcdefghij")
   }
 
+  test("clean-corpus pipeline gates language/quality and removes exact + near dups") {
+    import graft.ops.CleanCorpus
+    val df = Seq(
+      (1L, "the cat sat of the mat and the dog ran to the yard"), // en, keeper
+      (2L, "the cat sat of the mat and the dog ran to the yard"), // exact dup of 1
+      (3L, "the cat sat of the mat and the dog ran to the house"), // near-dup of 1
+      (4L, "der hund und die katze ist nicht da und der rest auch"), // german -> gated
+      (5L, "the a of and to in is that the a of and to in is that") // en, keeper
+    ).toDF("doc_id", "text")
+    val out = CleanCorpus.run(df, "doc_id", "text", minQuality = 0.0, minJaccard = 0.5)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 5L))
+  }
+
   test("multimodal stub decoder preserves partitioning and computes features") {
     val docs = Tables(spark, sfDir, "documents").limit(50)
     val withMedia = Multimodal.withPayload(docs, "text")
