@@ -1367,9 +1367,12 @@ object SparkEntry {
 
   private def registry: Seq[Q] = layerA ++ layerB ++ layerNS
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The composed
+    * clean-corpus pipeline exercises the scan, broadcast joins, hash
+    * aggregation, window-free dedup, and anti-join in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry.find(_.name == "b04_agg_pricing_summary").get.run(spark, "/root/testdata/sf0.001")
+    registry.find(_.name == "ns22_clean_corpus").get.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
