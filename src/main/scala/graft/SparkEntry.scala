@@ -155,6 +155,20 @@ object SparkEntry {
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     },
+    // A14-A16 as the DSv2 write protocol: stage-per-task → commit-promotes
+    // (≈ pending stream → BatchCommitWriteStreams), then read back through
+    // the same connector.
+    Q(
+      "a04_arrow_sink",
+      Some(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")) { (s, dir) =>
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-sink-" +
+        UUID.randomUUID().toString.take(8)
+      T(s, dir, "nation")
+        .write.format("graft.sources.ArrowIpcSource").mode("append").save(dest)
+      s.read.format("graft.sources.ArrowIpcSource").load(dest)
+        .orderBy("n_nationkey")
+    },
     // A9+A10: DDL/DML exec + SQL query through the Engine surface
     // (≈ duck_test.go:54-130: CREATE/INSERT/SELECT with inline goldens).
     Q(
