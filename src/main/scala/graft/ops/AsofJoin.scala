@@ -48,7 +48,7 @@ object AsofJoin {
     // Align schemas: right side carries nulls for non-key left columns.
     val rAligned = l.schema.fieldNames.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }.select(l.schema.fieldNames.map(col): _*)
+    }.select(l.schema.fieldNames.toIndexedSeq.map(col): _*)
     val w = Window
       .partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
@@ -56,6 +56,6 @@ object AsofJoin {
     l.unionByName(rAligned)
       .withColumn(asofTsName, max(col("__rts")).over(w))
       .filter(col("__side") === 1)
-      .select(lCols.map(col) :+ col(asofTsName): _*)
+      .select(lCols.toIndexedSeq.map(col) :+ col(asofTsName): _*)
   }
 }

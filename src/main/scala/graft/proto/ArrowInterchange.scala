@@ -4,7 +4,7 @@ import java.io.ByteArrayOutputStream
 import java.nio.channels.Channels
 import java.nio.charset.StandardCharsets
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._

@@ -39,6 +39,19 @@ class ArrowInterchangeSpec extends SparkSpec {
     assert(total == df.count())
   }
 
+  test("non-ASCII strings and binary survive both codec round trips") {
+    import spark.implicits._
+    import graft.proto.RowCodec
+    val s = "héllo 世界 🙂 ımñ"
+    val df = Seq((1L, s)).toDF("id", "s")
+    // Arrow IPC
+    val (_, rows) = ArrowInterchange.fromIpcStream(ArrowInterchange.queryArrow(df))
+    assert(rows.head(1) == s)
+    // protobuf wire
+    val m = RowCodec.decodeMessage(RowCodec.encodeRow(df.head(), df.schema))
+    assert(new String(m(2).head.asInstanceOf[Array[Byte]], "UTF-8") == s)
+  }
+
   test("nulls and timestamps survive the round trip") {
     import spark.implicits._
     val df = Seq(
