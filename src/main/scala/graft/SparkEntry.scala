@@ -858,6 +858,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), fsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
     },
+    Q(
+      "b50_date_arith",
+      Some(
+        """SELECT o_orderkey,
+          |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+          |  CAST(o_orderdate AS DATE) - 7 AS minus7,
+          |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))::BIGINT AS days_since,
+          |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+          |  (dayofweek(CAST(o_orderdate AS DATE)) + 1)::INT AS dow
+          |FROM orders ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          date_sub(col("o_orderdate").cast("date"), 7).as("minus7"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")
+    },
     // Ordered string aggregation (listagg) — order-pinned on both sides.
     Q(
       "b49_string_agg",
@@ -1313,6 +1334,42 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
           nCells = 16, nProbe = 4, k = 3)
         .orderBy("qid", "rank")
+    },
+    // NS-T2b: char-trigram language ID — the n-gram profile heuristic
+    // (profiles derived deterministically from the marker-word lists).
+    Q(
+      "ns23_langid_ngram", {
+        def grams3(w: String): Seq[String] =
+          if (w.length < 3) Seq(w) else (0 to w.length - 3).map(i => w.substring(i, i + 3))
+        val profiles = TextOps.LangMarkers.map { case (l, ws) =>
+          l -> ws.flatMap(grams3).distinct.sorted
+        }
+        val hits = profiles
+          .map { case (l, gs) =>
+            s"length(list_filter(tg, g -> list_contains(${oList(gs)}, g))) AS h_$l"
+          }
+          .mkString(",\n  ")
+        val langs = profiles.map(_._1)
+        val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+        Some(
+          s"""WITH t AS (SELECT doc_id,
+             |    CASE WHEN length(text) >= 3
+             |      THEN [substring(text, i+1, 3) for i in range(length(text) - 2)]
+             |      ELSE [] END AS tg
+             |  FROM documents),
+             |s AS (SELECT doc_id, $hits FROM t),
+             |m AS (SELECT doc_id, *, $mx AS mx FROM s)
+             |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_pred
+             |FROM m ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      def grams3(w: String): Seq[String] =
+        if (w.length < 3) Seq(w) else (0 to w.length - 3).map(i => w.substring(i, i + 3))
+      val profiles = TextOps.LangMarkers.map { case (l, ws) =>
+        l -> ws.flatMap(grams3).distinct.sorted
+      }
+      TextOps.langIdNgramTable(T(s, dir, "documents"), "doc_id", "text", profiles)
+        .orderBy("doc_id")
     },
     // NS-FLAGSHIP: the composed training-data pipeline — language gate →
     // quality gate → exact dedup → near-dup removal — one declarative

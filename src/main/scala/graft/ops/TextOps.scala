@@ -96,6 +96,40 @@ object TextOps {
         coalesce(col("best.lang"), lit("und")).as("lang_pred"))
   }
 
+  /** DataFrame-level char-n-gram language ID: explode character trigram
+    * positions (codegen'd substr), join a broadcast (gram → lang, rank)
+    * profile dimension, argmax hits per doc. Same semantics as the
+    * HOF-per-row formulation at a fraction of the interpretation cost.
+    * Output: (doc_id, lang_pred).
+    */
+  def langIdNgramTable(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      profiles: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = profiles.zipWithIndex
+      .flatMap { case ((lang, gs), i) => gs.map(g => (g, lang, -i)) }
+      .toDF("g", "lang", "rk")
+    val hits = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .filter(length(col("__text")) >= 3)
+      .select(
+        col("doc_id"),
+        col("__text"),
+        explode(sequence(lit(0), length(col("__text")) - 3)).as("i"))
+      .select(col("doc_id"), col("__text").substr(col("i") + lit(1), lit(3)).as("g"))
+      .join(broadcast(dim), "g")
+      .groupBy("doc_id", "lang", "rk")
+      .agg(count(lit(1)).as("hits"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("hits"), col("rk"), col("lang"))).as("best"))
+    df.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("best.lang"), lit("und")).as("lang_pred"))
+  }
+
   /** Quality-scoring features: all exact-integer ratios, one division each. */
   def avgWordLen(c: Column): Column = {
     val toks = tokens(c)
