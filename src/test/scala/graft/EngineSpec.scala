@@ -64,6 +64,28 @@ class EngineSpec extends SparkSpec {
     assert(first(1) == Seq(1L))
   }
 
+  test("exec reports rows-affected from plan metrics (0 for resultless DDL)") {
+    // Spark 4 command results always carry a numOutputRows metric, so the
+    // reference's -1 no-count fallback (duck.go:182-184) is rarely hit:
+    // resultless DDL reports 0 affected rows.
+    val eng = new Engine(spark)
+    assert(eng.exec("CREATE OR REPLACE TEMP VIEW exec_rc AS SELECT 1 AS x") == 0L)
+  }
+
+  test("asof backward join picks the max among duplicate right timestamps") {
+    import spark.implicits._
+    import graft.ops.AsofJoin
+    val left = Seq((1L, 5L, "2024-01-01 12:00:00")).toDF("event_id", "user_id", "ts_s")
+      .select($"event_id", $"user_id", $"ts_s".cast("timestamp").as("ts"))
+    // duplicate right rows at the same instant plus an earlier one
+    val right = Seq((5L, "2024-01-01 10:00:00"), (5L, "2024-01-01 11:00:00"),
+      (5L, "2024-01-01 11:00:00")).toDF("user_id", "ts_s")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val out = AsofJoin.backward(left, right, "user_id", "ts", "ts", "m").collect()
+    assert(out.length == 1)
+    assert(out(0).getTimestamp(3).toString.startsWith("2024-01-01 11:00"))
+  }
+
   test("metrics listener captures output rows and durations per action (A21)") {
     val listener = new graft.engine.MetricsListener
     spark.listenerManager.register(listener)
