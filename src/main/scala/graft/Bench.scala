@@ -38,10 +38,27 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of stdout (2000 chars in
+    // BENCH_r0{1,2}.json) and the full-name/full-precision line (~4 KB)
+    // overflowed it -> "parsed": null both rounds. Keep the line short:
+    // query keys shortened to their unique id prefix ("b04_agg_..." ->
+    // "b04"), values rounded to ms. 70 queries ≈ 1 KB, which fits the
+    // tail window even with sbt's trailing "[success]" line after it.
+    def ms(v: Double): String = {
+      val r = math.rint(v * 1000) / 1000
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
+    }
+    val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: also leave the payload at a well-known path.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, StringType}
+import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
 import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
@@ -30,13 +30,14 @@ import graft.streaming.Streams
   *   - NO DECIMAL in any output schema. The driver's comparison materializes
   *     DuckDB results as float64 while Spark parquet decimals stay Decimal —
   *     every round-1 hash mismatch was exactly the queries with decimal
-  *     output columns. Decimal stays an *internal* exact-arithmetic device.
-  *   - Sums over doubles go through DECIMAL(10,2) so addition is exact and
-  *     order-independent, then a single CAST(.. AS DOUBLE): the exact sum's
-  *     unscaled value stays < 2^53 at verify scale, so both engines perform
-  *     one identical correctly-rounded IEEE division by 10^scale.
-  *   - Averages = CAST(decimal-sum AS DOUBLE)/COUNT — one IEEE division of
-  *     identical operands, bit-deterministic in both engines.
+  *     output columns.
+  *   - Sums over doubles go through scaled-long "cents" (round(x*100) cast
+  *     to long) so addition is exact, order-independent, and a codegen'd
+  *     long add; the exact sum stays < 2^53 at verify scale, so the final
+  *     CAST(.. AS DOUBLE) / 100.0 is one identical correctly-rounded IEEE
+  *     division in both engines.
+  *   - Averages = cents-sum / 100.0 / COUNT — IEEE divisions of identical
+  *     operands in identical order, bit-deterministic in both engines.
   *   - Functions whose return type differs across engines (length, year,
   *     floor, row_number, ...) are cast to a common type on BOTH sides.
   *   - Every query carries a total ORDER BY over a unique key set.
@@ -48,21 +49,35 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Exact-arithmetic cast for money/quantity doubles. */
-  private def dec(c: Column): Column = c.cast(DecimalType(10, 2))
+  /** Scaled-long fixed point for money/quantity doubles. The fixture values
+    * are exact multiples of 0.01, so round(x*100) is an integer-valued
+    * double that casts to long exactly: sums become codegen'd long adds —
+    * no per-row Decimal allocation or overflow-check branch (the former
+    * DECIMAL(10,2) sum path cost b04 a 20.9× regression in round 2) — and
+    * stay order-independent. The final /100.0 is one correctly-rounded
+    * IEEE division performed identically by Spark and the DuckDB oracle.
+    * Exactness invariant (unchanged from the decimal path): the summed
+    * cents magnitude stays < 2^53, so the cast to double is exact.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** Order-independent exact sum, emitted as DOUBLE (never decimal — see
     * oracle-parity rules above).
     */
-  private def fsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def fsum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
 
   /** Deterministic average (see oracle-parity rules above). */
-  private def favg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+  private def favg(c: Column): Column =
+    sum(cents(c)).cast("double") / 100.0 / count(lit(1))
 
-  /** Oracle-side twins of dec/fsum/favg. */
-  private def oDec(x: String) = s"CAST($x AS DECIMAL(10,2))"
-  private def oSum(x: String) = s"CAST(SUM(${oDec(x)}) AS DOUBLE)"
-  private def oAvg(x: String) = s"CAST(SUM(${oDec(x)}) AS DOUBLE) / COUNT(*)"
+  /** Oracle-side twins of cents/fsum/favg (DuckDB CAST(double AS BIGINT)
+    * rounds-to-nearest while Spark's truncates, so both sides go through
+    * an explicit ROUND first — exact on these integer-valued doubles).
+    */
+  private def oCents(x: String) = s"CAST(ROUND($x * 100) AS BIGINT)"
+  private def oSum(x: String) = s"CAST(SUM(${oCents(x)}) AS DOUBLE) / 100.0"
+  private def oAvg(x: String) =
+    s"CAST(SUM(${oCents(x)}) AS DOUBLE) / 100.0 / COUNT(*)"
 
   private final case class Q(
       name: String,
@@ -255,7 +270,7 @@ object SparkEntry {
         s"""SELECT l_returnflag, l_linestatus,
            |  ${oSum("l_quantity")} AS sum_qty,
            |  ${oSum("l_extendedprice")} AS sum_base_price,
-           |  CAST(SUM(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+           |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS DOUBLE) / 10000.0 AS sum_disc_price,
            |  ${oAvg("l_quantity")} AS avg_qty,
            |  ${oAvg("l_extendedprice")} AS avg_price,
            |  COUNT(*) AS count_order
@@ -269,8 +284,8 @@ object SparkEntry {
         .agg(
           fsum(col("l_quantity")).as("sum_qty"),
           fsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double")
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / 10000.0)
             .as("sum_disc_price"),
           favg(col("l_quantity")).as("avg_qty"),
           favg(col("l_extendedprice")).as("avg_price"),
@@ -324,7 +339,7 @@ object SparkEntry {
       Some(
         s"""SELECT o_orderpriority,
            |  COUNT(*) AS n_items,
-           |  CAST(SUM(${oDec("l_extendedprice")} * (1 - ${oDec("l_discount")})) AS DOUBLE) AS revenue
+           |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS DOUBLE) / 10000.0 AS revenue
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
       val li = T(s, dir, "lineitem")
@@ -333,8 +348,8 @@ object SparkEntry {
         .groupBy(o("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),
-          sum(dec(li("l_extendedprice")) * (lit(1) - dec(li("l_discount"))))
-            .cast("double")
+          (sum(cents(li("l_extendedprice")) * (lit(100L) - cents(li("l_discount"))))
+            .cast("double") / 10000.0)
             .as("revenue"))
         .orderBy("o_orderpriority")
     },
@@ -403,13 +418,13 @@ object SparkEntry {
       Some(
         s"""WITH g AS (
            |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-           |    SUM(${oDec("l_quantity")}) AS q
+           |    SUM(${oCents("l_quantity")}) AS q
            |  FROM lineitem GROUP BY 1, 2, 3, 4)
            |SELECT l_suppkey, l_orderkey, l_linenumber,
            |  CAST(SUM(q) OVER (
            |    PARTITION BY l_suppkey
            |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
            |FROM g
            |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
       val w = Window
@@ -418,12 +433,12 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T(s, dir, "lineitem")
         .groupBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
-        .agg(sum(dec(col("l_quantity"))).as("q"))
+        .agg(sum(cents(col("l_quantity"))).as("q"))
         .select(
           col("l_suppkey"),
           col("l_orderkey"),
           col("l_linenumber"),
-          sum(col("q")).over(w).cast("double").as("running_qty"))
+          (sum(col("q")).over(w).cast("double") / 100.0).as("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
     Q(
@@ -749,8 +764,8 @@ object SparkEntry {
       Some(
         s"""SELECT l_returnflag, COUNT(*) AS n,
            |  ${oAvg("l_quantity")} AS mean_qty,
-           |  (CAST(SUM(${oDec("l_quantity")} * ${oDec("l_quantity")}) AS DOUBLE)
-           |    - CAST(SUM(${oDec("l_quantity")}) AS DOUBLE) * CAST(SUM(${oDec("l_quantity")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           |  (CAST(SUM(${oCents("l_quantity")} * ${oCents("l_quantity")}) AS DOUBLE) / 10000.0
+           |    - CAST(SUM(${oCents("l_quantity")}) AS DOUBLE) / 100.0 * (CAST(SUM(${oCents("l_quantity")}) AS DOUBLE) / 100.0) / CAST(COUNT(*) AS DOUBLE))
            |    / CAST(COUNT(*) - 1 AS DOUBLE) AS var_qty
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
       val q = col("l_quantity")
@@ -759,8 +774,8 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           favg(q).as("mean_qty"),
-          ((sum(dec(q) * dec(q)).cast("double")
-            - sum(dec(q)).cast("double") * sum(dec(q)).cast("double") / count(lit(1)).cast("double"))
+          ((sum(cents(q) * cents(q)).cast("double") / 10000.0
+            - sum(cents(q)).cast("double") / 100.0 * (sum(cents(q)).cast("double") / 100.0) / count(lit(1)).cast("double"))
             / (count(lit(1)) - 1).cast("double")).as("var_qty"))
         .orderBy("l_returnflag")
     },
@@ -820,8 +835,8 @@ object SparkEntry {
         s"""SELECT o_custkey, o_orderkey,
            |  lag(o_totalprice, 1) OVER w AS prev_price,
            |  lead(o_totalprice, 1) OVER w AS next_price,
-           |  CAST(SUM(${oDec("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv3
+           |  CAST(SUM(${oCents("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS mv3
            |FROM orders
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
            |ORDER BY o_custkey, o_orderkey""".stripMargin)) { (s, dir) =>
@@ -833,7 +848,7 @@ object SparkEntry {
           col("o_orderkey"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
-          sum(dec(col("o_totalprice"))).over(wf).cast("double").as("mv3"))
+          (sum(cents(col("o_totalprice"))).over(wf).cast("double") / 100.0).as("mv3"))
         .orderBy("o_custkey", "o_orderkey")
     },
     // HLL++ sketch distinct — algorithmically approximate, so no SQL
@@ -1247,7 +1262,7 @@ object SparkEntry {
       "ns14_stream_tumbling",
       Some(
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, COUNT(*) AS n,
-          |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)) { (s, dir) =>
       Streams.tumblingCounts(T(s, dir, "events"), "1 hour").orderBy("ws", "event_type")
     },

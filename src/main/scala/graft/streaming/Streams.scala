@@ -41,7 +41,10 @@ object Streams {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
+        // Scaled-long exact sum (codegen'd long add; see SparkEntry's
+        // oracle-parity rules — the decimal sum path was a 10-20× CPU hit).
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
       .select(
         col("window.start").as("ws"),
         col("event_type"),
