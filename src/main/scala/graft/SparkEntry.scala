@@ -1102,13 +1102,14 @@ object SparkEntry {
              |  stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.2 AS quality
              |FROM f ORDER BY doc_id""".stripMargin)
       }) { (s, dir) =>
+      val qf = TextOps.qualityFeatures(col("text"))
       T(s, dir, "documents")
         .select(
           col("doc_id"),
-          TextOps.avgWordLen(col("text")).as("awl"),
-          TextOps.stopwordRatio(col("text")).as("stop_ratio"),
-          TextOps.punctRatio(col("text")).as("punct_ratio"),
-          TextOps.qualityScore(col("text")).as("quality"))
+          qf.getItem(0).as("awl"),
+          qf.getItem(1).as("stop_ratio"),
+          qf.getItem(2).as("punct_ratio"),
+          qf.getItem(3).as("quality"))
         .orderBy("doc_id")
     },
     // NS-T4: document fingerprints — order-free canonical md5 AND an
@@ -1124,7 +1125,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           TextOps.fingerprint(col("text")).as("fp"),
-          TextOps.rollingFingerprint(col("text")).as("rfp"))
+          TextOps.rollingFingerprintFast(col("text")).as("rfp"))
         .orderBy("doc_id")
     },
     // NS-D1: exact dedup via content-hash groupBy.
@@ -1346,8 +1347,12 @@ object SparkEntry {
     // ScalaTest.
     Q("ns20_ivf_knn", None) { (s, dir) =>
       val e = T(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-          nCells = 16, nProbe = 4, k = 3)
+      // Fit-once index, memoized per (session, corpus): the query path is
+      // assignment + cell join only — the serving shape (round-2 verdict:
+      // refitting KMeans per call cost 10.3 s/lookup).
+      val idx = Similarity.ivfIndexFor(e, s"$dir/embeddings", "vec_id", "embedding", nCells = 16)
+      Similarity.ivfQuery(idx, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          nProbe = 4, k = 3)
         .orderBy("qid", "rank")
     },
     // NS-T2b: char-trigram language ID — the n-gram profile heuristic

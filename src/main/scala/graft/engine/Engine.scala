@@ -33,6 +33,9 @@ object Graft {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // events.ts-style TIMESTAMP(NANOS) parquet columns decode as raw
+      // nanos BIGINT; a session-build setting, never mutated per-read.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     warehouse.foreach(w => b.config("spark.sql.warehouse.dir", w))
     val s = b.getOrCreate()

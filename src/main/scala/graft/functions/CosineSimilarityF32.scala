@@ -94,5 +94,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityF32].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarityF32(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[RollingFingerprintF].getName, "graft_rolling_fp"),
+      (children: Seq[Expression]) => RollingFingerprintF(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[TextQualityF].getName, "graft_quality"),
+      (children: Seq[Expression]) => TextQualityF(children(0))))
   }
 }

@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.TextOps
+
+/** JVM kernels for the two text-analysis hot loops that the declarative
+  * Column forms in [[graft.ops.TextOps]] can only express through
+  * *interpreted* higher-order-function lambdas (`aggregate`/`transform`
+  * re-enter the interpreter per element — the known HOF pitfall; round-2
+  * bench: ns04 6.1 s, ns03's quality features in the 15 s flagship).
+  *
+  * Each kernel is bit-identical to its declarative twin (asserted in
+  * OpsSpec against the same fixture rows):
+  *   - tokenization replicates Spark `split(trim(c), "\\s+")` exactly:
+  *     trim strips ASCII space (0x20) ONLY (not tabs/newlines — Spark
+  *     `StringTrim` semantics, unlike Java's `String.trim`), and the regex
+  *     split keeps trailing empty tokens (Spark passes limit -1, unlike
+  *     Java's default `String.split`);
+  *   - `hash32` is the unsigned big-endian value of the first 4 md5 bytes
+  *     == `conv(substring(md5(x),1,8),16,10)`;
+  *   - character counts are code-point counts (Spark `length` ==
+  *     `UTF8String.numChars`), not UTF-16 unit counts;
+  *   - all double arithmetic happens in the same operation order as the
+  *     Column form, so results are IEEE-identical.
+  */
+object TextKernels {
+
+  private val Whitespace = Pattern.compile("\\s+")
+
+  private val StopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextOps.LangMarkers.flatMap(_._2).distinct.foreach(s.add)
+    s
+  }
+
+  /** Spark `trim`: strip leading/trailing ASCII spaces only. */
+  private def trimSpaces(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  /** Spark `split(trim(c), "\\s+")` (limit -1: trailing empties kept). */
+  private def tokenize(s: String): Array[String] =
+    Whitespace.split(trimSpaces(s), -1)
+
+  /** First 4 md5 bytes as an unsigned 32-bit value (md5 is the only hash
+    * both Spark and the DuckDB oracle compute identically).
+    */
+  private def hash32(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Order-sensitive polynomial rolling hash over the token hash stream:
+    * h ← (h·31 + hash32(tok)) mod (2^31 − 1). == TextOps.rollingFingerprint.
+    */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val toks = tokenize(s.toString)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc = (acc * 31L + hash32(toks(i))) % TextOps.RollingMod
+      i += 1
+    }
+    acc
+  }
+
+  /** Java regex `\p{Punct}`: the 32 ASCII punctuation characters. */
+  private def isPunct(cp: Int): Boolean =
+    (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+      (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')
+
+  /** One-pass quality features: [awl, stop_ratio, punct_ratio, quality],
+    * each IEEE-identical to the TextOps Column forms (which tokenize the
+    * text once per feature — 3× — and fold through interpreted lambdas).
+    */
+  def qualityArray(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val toks = tokenize(str)
+    var sumLen = 0L
+    var stopHits = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.codePointCount(0, t.length)
+      if (StopSet.contains(t)) stopHits += 1
+      i += 1
+    }
+    val nToks = toks.length.toDouble
+    val awl = sumLen.toDouble / nToks
+    val stopRatio = stopHits.toDouble / nToks
+    var nChars = 0L
+    var nPunct = 0L
+    var k = 0
+    while (k < str.length) {
+      val cp = str.codePointAt(k)
+      nChars += 1
+      if (isPunct(cp)) nPunct += 1
+      k += Character.charCount(cp)
+    }
+    val punctRatio = nPunct.toDouble / nChars.toDouble
+    val quality = stopRatio * 0.4 +
+      math.min(awl / 10.0, 1.0) * 0.4 + (1.0 - punctRatio) * 0.2
+    new GenericArrayData(Array[Double](awl, stopRatio, punctRatio, quality))
+  }
+}
+
+/** Codegen'd rolling-fingerprint expression — whole-stage codegen emits a
+  * single static call, replacing the interpreted
+  * `aggregate(transform(...))` chain (ns04: 6.1 s → sub-second).
+  */
+case class RollingFingerprintF(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_fp expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.rollingFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintF =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass quality features: array<double>
+  * [avg_word_len, stopword_ratio, punct_ratio, quality]. Equal expression
+  * trees are deduplicated by whole-stage codegen subexpression
+  * elimination, so selecting all four features tokenizes each row once
+  * (the Column forms re-tokenize per feature).
+  */
+case class TextQualityF(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_quality expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_quality"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.qualityArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qualityArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextQualityF =
+    copy(child = newChild)
+}

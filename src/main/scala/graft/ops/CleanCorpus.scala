@@ -38,7 +38,7 @@ object CleanCorpus {
     val gated = base
       .join(langed, "doc_id")
       .filter(col("lang_pred") === lang)
-      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("quality", TextOps.qualityScoreFast(col("text")))
       .filter(col("quality") >= minQuality)
       .withColumn("fp", TextOps.fingerprint(col("text")))
 

@@ -99,8 +99,12 @@ object Dedup {
     val k = bands * rowsPerBand
     // (band, band-key, id): the only shuffled payload. The band key hashes
     // the band's signature slice so the shuffle key is 1 string, not r longs.
-    // Cached: the self-join would otherwise recompute every signature (and
-    // its md5 pass over the shingles) once per side.
+    // NOT cached: both self-join sides are the identical subplan ending in
+    // the same (band, bkey) shuffle, so ReuseExchange computes the
+    // signature pipeline once and replays the shuffle files for the other
+    // side (plan-asserted in PlanSpec) — shuffle files are stage-scoped,
+    // unlike .cache() blocks, which pin storage memory until an explicit
+    // unpersist (a leak across a long session; round-2 ADVICE).
     val banded = signatures.select(
       col("doc_id"),
       col("sig"),
@@ -118,7 +122,6 @@ object Dedup {
                     slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))),
                   x => x.cast("string")))).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .cache()
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -188,7 +191,9 @@ object Dedup {
     require(32 % bands == 0, s"bands ($bands) must divide 32")
     val width = 32 / bands
     val mask = (1L << width) - 1
-    val sims = simhashPerDoc(df, idCol, textCol).cache()
+    // No cache: the self-join sides share one canonical (band, bkey)
+    // exchange (ReuseExchange) — see minhashPairs.
+    val sims = simhashPerDoc(df, idCol, textCol)
     val banded = sims.select(
       col("doc_id"),
       col("simhash"),
@@ -226,10 +231,13 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
+    // No cache: `grams` ends in the distinct's (doc_id, gh) exchange, which
+    // every consumer (both self-join sides, the counts dimension) reuses —
+    // the explode/window/xxhash pipeline runs once (ReuseExchange), and
+    // nothing pins storage memory across the session.
     val grams = shingleRows(df, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
-      .cache()
     val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.alias("a")
     val b = grams.alias("b")

@@ -158,7 +158,36 @@ object Similarity {
       nCells: Int,
       nProbe: Int,
       k: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    ivfQuery(
+      ivfFit(corpus, idCol, vecCol, nCells, seed, persist = false),
+      queries, idCol, vecCol, nProbe, k)
+
+  /** A fitted IVF index: the coarse-quantizer centroids (driver-side,
+    * nCells × dims doubles — broadcast-sized by construction) plus the
+    * cell-assigned corpus. Long-lived, caller-owned state: release with
+    * [[IvfIndex.unpersist]] when done.
+    */
+  final case class IvfIndex(
+      centroids: Array[Array[Double]],
+      corpusCells: DataFrame,
+      persisted: Boolean) {
+    def unpersist(): Unit = if (persisted) { corpusCells.unpersist(); () }
+  }
+
+  /** Index build — the expensive, once-per-corpus step (the round-2 shape
+    * refit KMeans on every query call: 10.3 s of quantizer training paid
+    * per lookup). `feat` is persisted only for the KMeans iterations and
+    * released before returning; with `persist=true` the assigned corpus is
+    * materialized and kept for repeated [[ivfQuery]] calls.
+    */
+  def ivfFit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      seed: Long = 42L,
+      persist: Boolean = true): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -169,34 +198,75 @@ object Similarity {
       col(idCol).cast("long").as("vid"),
       col(vecCol).as("vec"),
       array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(feat)
-    // Plain-array function vals: the map closures must capture ONLY these
-    // (a nested def would drag the whole method frame — session, model —
-    // into the task closure and fail serialization).
-    val ownCell = udfFreeCells(model.clusterCenters.map(_.toArray), 1)
-    val probeCells = udfFreeCells(model.clusterCenters.map(_.toArray), nProbe)
+    // Scoped persist: KMeans makes maxIter passes over `feat`; released
+    // before returning so nothing outlives the fit except the index itself.
+    feat.persist()
+    try {
+      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(feat)
+      val centroids = model.clusterCenters.map(_.toArray)
+      // Plain-array function val: the map closure must capture ONLY this
+      // (a nested def would drag the whole method frame — session, model —
+      // into the task closure and fail serialization).
+      val ownCell = udfFreeCells(centroids, 1)
+      val corpusCells = feat
+        .as[(Long, Array[Float], MlVector)]
+        .map { case (vid, vec, _) => (ownCell(vec).head, vid, vec) }
+        .toDF("cell", "nid", "nvec")
+      if (persist) {
+        corpusCells.persist()
+        corpusCells.count() // materialize: queries must not re-run assignment
+      }
+      IvfIndex(centroids, corpusCells, persisted = persist)
+    } finally { feat.unpersist(); () }
+  }
 
-    // corpus side: each vector lands in exactly its own cell
-    val corpusCells = feat
-      .as[(Long, Array[Float], MlVector)]
-      .map { case (vid, vec, _) => (ownCell(vec).head, vid, vec) }
-      .toDF("cell", "nid", "nvec")
-    // query side: fan out to the nProbe nearest cells
+  /** Query path: nProbe-cell fanout of the query set, co-partitioned join
+    * on the cell id, exact cosine rerank — no quantizer training, no full
+    * corpus scan. Output: (qid, rank, nid, cos).
+    */
+  def ivfQuery(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probeCells = udfFreeCells(index.centroids, nProbe)
     val queryCells = queries
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, vec) => probeCells(vec).map(c => (c, qid, vec)) }
       .toDF("cell", "qid", "qvec")
-
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    corpusCells
+    index.corpusCells
       .join(queryCells, "cell")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
+      .select(col("qid"), col("nid"), cosineFast(queries, col("qvec"), col("nvec")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
+
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]
+
+  /** Memoized fit-once index per (session, caller key, params): repeated
+    * lookups against the same corpus — the normal serving pattern — pay
+    * the KMeans build exactly once per session. Keyed on the session UUID
+    * so indexes never leak across restarted sessions.
+    */
+  def ivfIndexFor(
+      corpus: DataFrame,
+      cacheKey: String,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      seed: Long = 42L): IvfIndex =
+    ivfIndexCache.computeIfAbsent(
+      s"${System.identityHashCode(corpus.sparkSession)}|$cacheKey|$idCol|$vecCol|$nCells|$seed",
+      _ => ivfFit(corpus, idCol, vecCol, nCells, seed))
 
   /** Nearest-`n` centroid indices by L2 distance (plain JVM math in the
     * mapped closures — no UDF registration, no MLlib model on executors).

@@ -175,6 +175,31 @@ object TextOps {
       lit(0L),
       (acc, h) => (acc * 31L + h) % lit(RollingMod))
 
+  /** Kernel form of [[rollingFingerprint]]: one codegen'd JVM loop
+    * ([[graft.functions.TextKernels]]) instead of the interpreted
+    * `aggregate(transform(...))` chain; bit-identical (OpsSpec). Falls
+    * back to the declarative form when GraftExtensions isn't installed.
+    */
+  def rollingFingerprintFast(c: Column): Column =
+    if (org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_rolling_fp"))
+      call_function("graft_rolling_fp", c)
+    else rollingFingerprint(c)
+
+  /** Quality features as one array [awl, stop_ratio, punct_ratio, quality]
+    * — the kernel tokenizes each row ONCE (the individual Column forms
+    * re-tokenize per feature). Bit-identical to the declarative forms
+    * (OpsSpec); same fallback contract as [[rollingFingerprintFast]].
+    */
+  def qualityFeatures(c: Column): Column =
+    if (org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_quality"))
+      call_function("graft_quality", c)
+    else array(avgWordLen(c), stopwordRatio(c), punctRatio(c), qualityScore(c))
+
+  /** Kernel form of [[qualityScore]]. */
+  def qualityScoreFast(c: Column): Column = qualityFeatures(c).getItem(3)
+
   /** Bit `j` (Column-valued index) of non-negative long `x`, via exact
     * power-of-two double arithmetic (the Scala `shiftright` builtin only
     * takes a literal shift amount): floor(x / 2^j) % 2.

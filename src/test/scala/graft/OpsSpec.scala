@@ -93,6 +93,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("ivf fit-once index reproduces the one-shot path and is reused") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val oneShot = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        nCells = 8, nProbe = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("nid"))).toSet
+    val idx1 = Similarity.ivfIndexFor(e, "opsspec-emb", "vec_id", "embedding", nCells = 8)
+    val idx2 = Similarity.ivfIndexFor(e, "opsspec-emb", "vec_id", "embedding", nCells = 8)
+    assert(idx1 eq idx2, "index was refit instead of memoized")
+    val served = Similarity.ivfQuery(idx1, q, "vec_id", "embedding", nProbe = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("nid"))).toSet
+    assert(served == oneShot, "fit/query split changed results")
+    idx1.unpersist()
+  }
+
   test("lsh kernel buckets match the declarative expression exactly") {
     val e = Tables(spark, sfDir, "embeddings").limit(100)
     val kern = Similarity.lshBucketsKernel(e, "vec_id", "embedding", 8, 64)
@@ -195,6 +210,62 @@ class OpsSpec extends SparkSpec {
     val slow = docs.select(col("doc_id"), TextOps.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(fast.sameElements(slow))
+  }
+
+  test("kernel rolling fingerprint matches the declarative HOF form") {
+    // Edge cases the JVM tokenizer must replicate exactly: Spark trim
+    // strips ASCII spaces only; split keeps trailing empties; md5 over
+    // UTF-8 bytes; length counts code points.
+    val tricky = Seq(
+      (1L, "the quick brown fox"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, "\ttab\nnewline  edges\t"),
+      (5L, "ünïcødé 你好 🙂 mix"),
+      (6L, "punct!!! (lots) [of] {it}; ~1.5%"),
+      (7L, "der die das und the a of el la le"),
+      (8L, "single")).toDF("doc_id", "text")
+    tricky.select(
+      col("doc_id"),
+      TextOps.rollingFingerprint(col("text")).as("slow"),
+      TextOps.rollingFingerprintFast(col("text")).as("fast")).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("slow") == r.getAs[Long]("fast"), s"rfp: $r")
+      }
+    // Quality features: the declarative punctRatio raises an ANSI
+    // divide-by-zero on zero-length text (the kernel yields NaN instead —
+    // strictly more robust at scale), so parity is asserted on the
+    // non-degenerate rows.
+    tricky.filter(length(trim(col("text"))) > 0).select(
+      TextOps.avgWordLen(col("text")).as("awl_slow"),
+      TextOps.stopwordRatio(col("text")).as("stop_slow"),
+      TextOps.punctRatio(col("text")).as("punct_slow"),
+      TextOps.qualityScore(col("text")).as("q_slow"),
+      TextOps.qualityFeatures(col("text")).as("qf")).collect()
+      .foreach { r =>
+        val qf = r.getSeq[Double](4)
+        def same(a: Double, b: Double) =
+          (a.isNaN && b.isNaN) || java.lang.Double.compare(a, b) == 0
+        assert(same(r.getAs[Double]("awl_slow"), qf(0)), s"awl: $r")
+        assert(same(r.getAs[Double]("stop_slow"), qf(1)), s"stop: $r")
+        assert(same(r.getAs[Double]("punct_slow"), qf(2)), s"punct: $r")
+        assert(same(r.getAs[Double]("q_slow"), qf(3)), s"quality: $r")
+      }
+  }
+
+  test("kernel forms match declarative forms on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val diff = docs.select(
+      TextOps.rollingFingerprint(col("text")).as("slow"),
+      TextOps.rollingFingerprintFast(col("text")).as("fast"),
+      TextOps.qualityScore(col("text")).as("q_slow"),
+      TextOps.qualityFeatures(col("text")).getItem(3).as("q_fast"))
+      .filter(
+        col("slow") =!= col("fast") ||
+          (col("q_slow") =!= col("q_fast") &&
+            !(isnan(col("q_slow")) && isnan(col("q_fast")))))
+      .count()
+    assert(diff == 0L)
   }
 
   test("frame sampling slices the payload at stride offsets and reassembles") {

@@ -71,6 +71,28 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("banded self-joins reuse one exchange instead of caching") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.minhashPairs(
+      Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16), 4, 4)
+    pairs.collect() // materialize so AQE finalizes its stages
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(
+      p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"self-join sides recompute the signature pipeline:\n$p")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    jac.collect()
+    val pj = jac.queryExecution.executedPlan.toString
+    assert(
+      pj.contains("ReusedExchange") || pj.contains("ReusedQueryStage"),
+      s"gram inverted index recomputes per consumer:\n$pj")
+    assert(
+      spark.sparkContext.getPersistentRDDs.size == before,
+      "pair generators leaked cached RDDs into the session")
+  }
+
   test("as-of join pays exactly one data shuffle (plus the output sort)") {
     val q = SparkEntry.queries("ns15_asof_join")(spark, sfDir)
     val p = plan(q)
