@@ -1451,6 +1451,45 @@ object SparkEntry {
           |SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n_events, min(ts) AS session_start
           |FROM g GROUP BY user_id, g.session_id ORDER BY user_id, session_id""".stripMargin)) { (s, dir) =>
       Streams.sessionize(T(s, dir, "events"), 30).orderBy("user_id", "session_id")
+    },
+    // Forward as-of: earliest signup at-or-after each purchase (DuckDB
+    // ASOF with the <= direction — VERDICT r2 "what's missing" #3).
+    Q(
+      "ns24_asof_forward",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id, ts AS rts FROM events WHERE event_type = 'signup')
+          |SELECT l.event_id, l.user_id, l.ts, r.rts AS next_signup_ts
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.rts
+          |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      AsofJoin.forward(
+          ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "signup").select("user_id", "ts"),
+          key = "user_id", leftTs = "ts", rightTs = "ts", asofTsName = "next_signup_ts")
+        .orderBy("event_id")
+    },
+    // Nearest as-of: closer of the backward/forward matches, ties backward.
+    Q(
+      "ns25_asof_nearest",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id, ts AS rts FROM events WHERE event_type = 'signup'),
+          |d AS (SELECT l.*,
+          |  (SELECT max(r.rts) FROM r WHERE r.user_id = l.user_id AND r.rts <= l.ts) AS bwd,
+          |  (SELECT min(r.rts) FROM r WHERE r.user_id = l.user_id AND r.rts >= l.ts) AS fwd
+          |  FROM l)
+          |SELECT event_id, user_id, ts,
+          |  CASE WHEN fwd IS NULL THEN bwd WHEN bwd IS NULL THEN fwd
+          |       WHEN date_diff('microsecond', bwd, ts) <= date_diff('microsecond', ts, fwd) THEN bwd
+          |       ELSE fwd END AS near_signup_ts
+          |FROM d ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      AsofJoin.nearest(
+          ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "signup").select("user_id", "ts"),
+          key = "user_id", leftTs = "ts", rightTs = "ts", asofTsName = "near_signup_ts")
+        .orderBy("event_id")
     }
   )
 

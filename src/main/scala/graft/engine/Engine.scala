@@ -96,10 +96,13 @@ final class Engine(val spark: SparkSession) extends AutoCloseable {
     * (duck.go:274-317). Driver-side return for API parity; use
     * [[graft.proto.RowCodec.encode]] for the distributed path.
     */
-  def queryProto(sql: String): (Array[Byte], Array[Array[Byte]], Long) = {
+  def queryProto(
+      sql: String,
+      config: graft.proto.CodecConfig = graft.proto.CodecConfig())
+      : (Array[Byte], Array[Array[Byte]], Long) = {
     val df = spark.sql(sql)
-    val descriptor = graft.proto.RowCodec.fileDescriptor(df.schema)
-    val messages = graft.proto.RowCodec.encodeCollect(df)
+    val descriptor = graft.proto.RowCodec.fileDescriptor(df.schema, config = config)
+    val messages = graft.proto.RowCodec.encodeCollect(df, config)
     (descriptor, messages, messages.length.toLong)
   }
 

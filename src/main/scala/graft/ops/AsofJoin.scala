@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join — an operator the reference's SQL surface reaches
-  * only through DuckDB's native ASOF JOIN; Spark has no built-in, so this
-  * composes existing operators (SURVEY §2 custom-op preference (a)):
+/** As-of joins — an operator the reference's SQL surface reaches only
+  * through DuckDB's native ASOF JOIN (duck.go:195 pass-through; DuckDB
+  * supports both `>=` backward and `<=` forward directions). Spark has no
+  * built-in, so this composes existing operators (SURVEY §2 custom-op
+  * preference (a)):
   *
   * union the two inputs tagged by side, sort within each key partition by
-  * (time, side), and carry the latest right-side value forward with a
-  * running `max` window — each left row then holds the greatest right
-  * timestamp ≤ its own.
+  * (time, side), and carry the nearest right-side value across with a
+  * running `max` (backward) or `min` (forward) window — each left row then
+  * holds the greatest right timestamp ≤ its own (backward) or the smallest
+  * right timestamp ≥ its own (forward).
   *
   * Scale: ONE shuffle of |L|+|R| rows on the join key (the same lower bound
   * a sort-merge join pays), then a linear in-partition pass. No range
@@ -19,6 +22,47 @@ import org.apache.spark.sql.functions._
   * skewed keys split via AQE exactly as any sort-merge join would.
   */
 object AsofJoin {
+
+  /** Helper-column names injected into the union; guarded against caller
+    * collisions (round-2 ADVICE: a left input already containing one of
+    * these silently corrupted match ordering).
+    */
+  private val HelperCols = Seq("__t", "__rts", "__side")
+
+  private def guard(left: DataFrame, right: DataFrame, asofTsName: String): Unit = {
+    val clash = (left.columns ++ right.columns).toSet.intersect(HelperCols.toSet)
+    require(
+      clash.isEmpty,
+      s"as-of inputs must not contain reserved helper columns ${clash.mkString(", ")}")
+    require(
+      !left.columns.contains(asofTsName),
+      s"asofTsName '$asofTsName' collides with a left column")
+  }
+
+  /** Tagged |L|+|R| union aligned to the left schema + helpers. `sideOrder`
+    * breaks timestamp ties so the window frame is inclusive of equal-ts
+    * right rows in the chosen direction.
+    */
+  private def tagged(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select(col(key), col(rightTs).as("__t"))
+      .withColumn("__rts", col("__t"))
+      .withColumn("__side", lit(0))
+    // Align schemas: right side carries nulls for non-key left columns.
+    val rAligned = l.schema.fieldNames.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.schema.fieldNames.toIndexedSeq.map(col): _*)
+    l.unionByName(rAligned)
+  }
 
   /** Backward as-of join: for each left row, attach the latest `rightTs`
     * from the right side with the same key and `rightTs <= leftTs`.
@@ -36,25 +80,80 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       asofTsName: String = "asof_ts"): DataFrame = {
+    guard(left, right, asofTsName)
     val lCols = left.columns
-    val l = left
-      .withColumn("__t", col(leftTs))
-      .withColumn("__rts", lit(null).cast("timestamp"))
-      .withColumn("__side", lit(1))
-    val r = right
-      .select(col(key), col(rightTs).as("__t"))
-      .withColumn("__rts", col("__t"))
-      .withColumn("__side", lit(0))
-    // Align schemas: right side carries nulls for non-key left columns.
-    val rAligned = l.schema.fieldNames.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }.select(l.schema.fieldNames.toIndexedSeq.map(col): _*)
+    // Right rows sort before left rows at equal __t, so the running frame
+    // [unboundedPreceding, currentRow] includes equal-timestamp matches.
     val w = Window
       .partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(rAligned)
+    tagged(left, right, key, leftTs, rightTs)
       .withColumn(asofTsName, max(col("__rts")).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.toIndexedSeq.map(col) :+ col(asofTsName): _*)
+  }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST `rightTs`
+    * with the same key and `rightTs >= leftTs` (DuckDB `ASOF ... ON l.ts
+    * <= r.ts`). Mirror of [[backward]]: a running `min` over the rows at
+    * or after the current one — same single-shuffle plan.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      asofTsName: String = "asof_ts"): DataFrame = {
+    guard(left, right, asofTsName)
+    val lCols = left.columns
+    // Left rows sort before right rows at equal __t (side desc), so the
+    // frame [currentRow, unboundedFollowing] includes equal-ts matches.
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged(left, right, key, leftTs, rightTs)
+      .withColumn(asofTsName, min(col("__rts")).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.toIndexedSeq.map(col) :+ col(asofTsName): _*)
+  }
+
+  /** Nearest as-of join: whichever of the backward/forward matches is
+    * closer in absolute time; exact ties (including an equal-timestamp
+    * right row, distance 0 on both sides) resolve to the backward match.
+    * Both directional windows share the same key partitioning, so the plan
+    * still pays ONE data shuffle (plus a second in-partition sort).
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      asofTsName: String = "asof_ts"): DataFrame = {
+    guard(left, right, asofTsName)
+    val lCols = left.columns
+    val wb = Window
+      .partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window
+      .partitionBy(col(key))
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bwd = max(col("__rts")).over(wb)
+    val fwd = min(col("__rts")).over(wf)
+    val pick = when(fwd.isNull, bwd)
+      .when(bwd.isNull, fwd)
+      .when(
+        unix_micros(col("__t")) - unix_micros(bwd) <=
+          unix_micros(fwd) - unix_micros(col("__t")),
+        bwd)
+      .otherwise(fwd)
+    tagged(left, right, key, leftTs, rightTs)
+      .withColumn(asofTsName, pick)
       .filter(col("__side") === 1)
       .select(lCols.toIndexedSeq.map(col) :+ col(asofTsName): _*)
   }

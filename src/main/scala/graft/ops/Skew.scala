@@ -25,6 +25,9 @@ object Skew {
       rightKey: String,
       salts: Int,
       saltSource: Column): DataFrame = {
+    require(
+      !left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs must not contain the reserved helper column __salt")
     val l = left.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts.toLong)))
     val r = right.withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

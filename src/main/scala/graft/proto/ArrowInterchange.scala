@@ -29,9 +29,33 @@ import org.apache.spark.sql.types._
   */
 object ArrowInterchange {
 
-  def toArrowSchema(schema: StructType): ArrowSchema = {
-    val fields = schema.fields.map { f =>
-      val t: ArrowType = f.dataType match {
+  /** Recursive StructType → Arrow schema: nested STRUCT/LIST and DECIMAL
+    * covered to match the reference's fully-recursive read path
+    * (bigquery_write.go:205-211; type enumeration :160-193) — round 2
+    * shipped flat scalars only while the sibling RowCodec already nested.
+    */
+  def toArrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(
+      schema.fields.map(f => toArrowField(f.name, f.dataType)).toSeq.asJava)
+
+  private def toArrowField(name: String, dt: DataType): Field = dt match {
+    case ArrayType(elem, _) =>
+      new Field(
+        name,
+        FieldType.nullable(ArrowType.List.INSTANCE),
+        Seq(toArrowField("element", elem)).asJava)
+    case StructType(fields) =>
+      new Field(
+        name,
+        FieldType.nullable(ArrowType.Struct.INSTANCE),
+        fields.map(f => toArrowField(f.name, f.dataType)).toSeq.asJava)
+    case d: DecimalType =>
+      new Field(
+        name,
+        FieldType.nullable(new ArrowType.Decimal(d.precision, d.scale, 128)),
+        null)
+    case scalar =>
+      val t: ArrowType = scalar match {
         case LongType => new ArrowType.Int(64, true)
         case IntegerType => new ArrowType.Int(32, true)
         case ShortType => new ArrowType.Int(16, true)
@@ -44,11 +68,10 @@ object ArrowInterchange {
         case DateType => new ArrowType.Date(DateUnit.DAY)
         case other => throw new IllegalArgumentException(s"unsupported type $other")
       }
-      new Field(f.name, FieldType.nullable(t), null)
-    }
-    new ArrowSchema(fields.toSeq.asJava)
+      new Field(name, FieldType.nullable(t), null)
   }
 
+  /** External (Row-API) value → Arrow slot, recursing through LIST/STRUCT. */
   private def setValue(vec: FieldVector, i: Int, dt: DataType, v: Any): Unit = (vec, dt) match {
     case (x: BigIntVector, LongType) => x.setSafe(i, v.asInstanceOf[Long])
     case (x: IntVector, IntegerType) => x.setSafe(i, v.asInstanceOf[Int])
@@ -64,6 +87,34 @@ object ArrowInterchange {
       x.setSafe(i, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
     case (x: DateDayVector, DateType) =>
       x.setSafe(i, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+    case (x: DecimalVector, d: DecimalType) =>
+      val bd = v match {
+        case b: java.math.BigDecimal => b
+        case b: scala.math.BigDecimal => b.bigDecimal
+        case other => throw new IllegalArgumentException(s"not a decimal: $other")
+      }
+      x.setSafe(i, bd.setScale(d.scale))
+    case (x: org.apache.arrow.vector.complex.ListVector, ArrayType(et, _)) =>
+      val elems: scala.collection.Seq[Any] = v match {
+        case s: scala.collection.Seq[_] => s // incl. mutable.ArraySeq from Row
+        case a: Array[_] => a.toSeq
+        case l: java.util.List[_] => l.asScala
+        case other => throw new IllegalArgumentException(s"not an array value: $other")
+      }
+      val start = x.startNewValue(i)
+      val dv = x.getDataVector.asInstanceOf[FieldVector]
+      elems.zipWithIndex.foreach { case (e, k) =>
+        if (e == null) dv.setNull(start + k) else setValue(dv, start + k, et, e)
+      }
+      x.endValue(i, elems.size)
+    case (x: org.apache.arrow.vector.complex.StructVector, st: StructType) =>
+      val row = v.asInstanceOf[Row]
+      x.setIndexDefined(i)
+      st.fields.zipWithIndex.foreach { case (f, k) =>
+        val child = x.getChildByOrdinal(k).asInstanceOf[FieldVector]
+        val cv = row.get(k)
+        if (cv == null) child.setNull(i) else setValue(child, i, f.dataType, cv)
+      }
     case (other, t) => throw new IllegalArgumentException(s"unsupported ($other, $t)")
   }
 

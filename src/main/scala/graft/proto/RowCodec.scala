@@ -29,6 +29,16 @@ import org.apache.spark.sql.types._
   * materialization; `encodeCollect` exists for tests/API parity with the
   * reference's driver-side [][]byte return.
   */
+/** ≈ `arrowpb.ConvertConfig` (duck.go:277, exercised with
+  * `UseWrapperTypes: true` at duck_test.go:217-267; writer-side option
+  * bigquery_write.go:246-252): with `useWrapperTypes` every scalar field is
+  * emitted as its `google.protobuf` wrapper message
+  * (StringValue/Int64Value/DoubleValue/BoolValue/BytesValue) and timestamps
+  * as well-known `google.protobuf.Timestamp` sub-messages (seconds=1,
+  * nanos=2), instead of plain proto3 scalars.
+  */
+final case class CodecConfig(useWrapperTypes: Boolean = false)
+
 object RowCodec {
 
   // ----------------------------------------------------- wire-format core
@@ -83,8 +93,21 @@ object RowCodec {
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
+  /** Well-known wrapper message for a scalar type (wrapper-types mode). */
+  private def wrapperTypeName(dt: DataType): Option[String] = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType | _: DateType =>
+      Some(".google.protobuf.Int64Value")
+    case _: FloatType | _: DoubleType => Some(".google.protobuf.DoubleValue")
+    case _: BooleanType => Some(".google.protobuf.BoolValue")
+    case _: StringType | _: DecimalType => Some(".google.protobuf.StringValue")
+    case _: BinaryType => Some(".google.protobuf.BytesValue")
+    case _: TimestampType | _: TimestampNTZType => Some(".google.protobuf.Timestamp")
+    case _ => None // structs stay ordinary nested messages
+  }
+
   /** `DescriptorProto` bytes for one message (fields name=1, field=2). */
-  private def messageDescriptor(name: String, schema: StructType): Array[Byte] = {
+  private def messageDescriptor(
+      name: String, schema: StructType, config: CodecConfig): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     writeString(out, 1, name) // DescriptorProto.name
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -96,12 +119,21 @@ object RowCodec {
       writeString(fd, 1, f.name) // FieldDescriptorProto.name
       writeInt64(fd, 3, (i + 1).toLong) // number
       writeInt64(fd, 4, if (repeated) 3L else 1L) // label: REPEATED | OPTIONAL
-      writeInt64(fd, 5, protoType(elemType).toLong) // type
-      elemType match {
-        case st: StructType =>
-          writeString(fd, 6, s".graft.${name}_${f.name}") // type_name
-          out.write(lenDelimBytes(3, messageDescriptor(s"${name}_${f.name}", st))) // nested_type
-        case _ =>
+      val wrapper =
+        if (config.useWrapperTypes) wrapperTypeName(elemType) else None
+      wrapper match {
+        case Some(typeName) =>
+          writeInt64(fd, 5, 11L) // TYPE_MESSAGE
+          writeString(fd, 6, typeName)
+        case None =>
+          writeInt64(fd, 5, protoType(elemType).toLong) // type
+          elemType match {
+            case st: StructType =>
+              writeString(fd, 6, s".graft.${name}_${f.name}") // type_name
+              out.write(
+                lenDelimBytes(3, messageDescriptor(s"${name}_${f.name}", st, config)))
+            case _ =>
+          }
       }
       out.write(lenDelimBytes(2, fd.toByteArray)) // DescriptorProto.field
     }
@@ -118,18 +150,35 @@ object RowCodec {
     * message_type=4) for the result schema — parseable by any protobuf
     * runtime, mirroring arrowpb's descriptor generation (duck.go:286-291).
     */
-  def fileDescriptor(schema: StructType, messageName: String = "Row", pkg: String = "graft"): Array[Byte] = {
+  def fileDescriptor(
+      schema: StructType,
+      messageName: String = "Row",
+      pkg: String = "graft",
+      config: CodecConfig = CodecConfig()): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     writeString(out, 1, s"$pkg/$messageName.proto")
     writeString(out, 2, pkg)
-    out.write(lenDelimBytes(4, messageDescriptor(messageName, schema)))
+    if (config.useWrapperTypes) {
+      // FileDescriptorProto.dependency (field 3): the well-known types the
+      // wrapped fields reference.
+      writeString(out, 3, "google/protobuf/wrappers.proto")
+      writeString(out, 3, "google/protobuf/timestamp.proto")
+    }
+    out.write(lenDelimBytes(4, messageDescriptor(messageName, schema, config)))
     out.toByteArray
   }
 
   // ------------------------------------------------------- row encoding
 
-  private def encodeValue(out: ByteArrayOutputStream, field: Int, dt: DataType, v: Any): Unit =
+  private def encodeValue(
+      out: ByteArrayOutputStream, field: Int, dt: DataType, v: Any, config: CodecConfig): Unit =
     dt match {
+      case ArrayType(et, _) =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(e => encodeValue(out, field, et, e, config))
+      case st: StructType =>
+        writeLenDelim(out, field, encodeRow(v.asInstanceOf[Row], st, config))
+      case _ if config.useWrapperTypes => encodeWrapped(out, field, dt, v, config)
       case _: ByteType => writeInt64(out, field, v.asInstanceOf[Byte].toLong)
       case _: ShortType => writeInt64(out, field, v.asInstanceOf[Short].toLong)
       case _: IntegerType => writeInt64(out, field, v.asInstanceOf[Int].toLong)
@@ -140,25 +189,46 @@ object RowCodec {
       case _: StringType => writeString(out, field, v.asInstanceOf[String])
       case _: BinaryType => writeLenDelim(out, field, v.asInstanceOf[Array[Byte]])
       case _: TimestampType =>
-        writeInt64(out, field, v.asInstanceOf[java.sql.Timestamp].getTime * 1000L +
-          (v.asInstanceOf[java.sql.Timestamp].getNanos / 1000L) % 1000L)
+        writeInt64(out, field, tsMicros(v.asInstanceOf[java.sql.Timestamp]))
       case _: DateType =>
         writeInt64(out, field, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
       case _: DecimalType => writeString(out, field, v.asInstanceOf[java.math.BigDecimal].toPlainString)
-      case st: StructType => writeLenDelim(out, field, encodeRow(v.asInstanceOf[Row], st))
-      case ArrayType(et, _) =>
-        v.asInstanceOf[scala.collection.Seq[Any]].foreach(e => encodeValue(out, field, et, e))
       case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Wrapper-types mode: scalar → google.protobuf wrapper sub-message
+    * (its `value` field is number 1); timestamp → well-known Timestamp
+    * (seconds=1, nanos=2; nanos kept non-negative via floor division, the
+    * proto3 Timestamp contract).
+    */
+  private def encodeWrapped(
+      out: ByteArrayOutputStream, field: Int, dt: DataType, v: Any, config: CodecConfig): Unit =
+    dt match {
+      case _: TimestampType =>
+        val micros = tsMicros(v.asInstanceOf[java.sql.Timestamp])
+        val sub = new ByteArrayOutputStream()
+        val secs = Math.floorDiv(micros, 1000000L)
+        val nanos = Math.floorMod(micros, 1000000L) * 1000L
+        if (secs != 0) writeInt64(sub, 1, secs)
+        if (nanos != 0) writeInt64(sub, 2, nanos)
+        writeLenDelim(out, field, sub.toByteArray)
+      case scalar =>
+        val sub = new ByteArrayOutputStream()
+        encodeValue(sub, 1, scalar, v, CodecConfig(useWrapperTypes = false))
+        writeLenDelim(out, field, sub.toByteArray)
     }
 
   /** One Row → one serialized protobuf message (fields numbered 1..n in
     * schema order; nulls are simply absent, proto3 semantics).
     */
-  def encodeRow(row: Row, schema: StructType): Array[Byte] = {
+  def encodeRow(row: Row, schema: StructType, config: CodecConfig = CodecConfig()): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val v = row.get(i)
-      if (v != null) encodeValue(out, i + 1, f.dataType, v)
+      if (v != null) encodeValue(out, i + 1, f.dataType, v, config)
     }
     out.toByteArray
   }
@@ -166,11 +236,11 @@ object RowCodec {
   /** Distributed encode: DataFrame → per-row protobuf bytes. Executor-side
     * map only; the plan stays a single narrow stage over the scan.
     */
-  def encode(df: DataFrame): DataFrame = {
+  def encode(df: DataFrame, config: CodecConfig = CodecConfig()): DataFrame = {
     val schema = df.schema
     val spark = df.sparkSession
     import spark.implicits._
-    df.mapPartitions(_.map(r => encodeRow(r, schema)))(Encoders.BINARY).toDF("proto")
+    df.mapPartitions(_.map(r => encodeRow(r, schema, config)))(Encoders.BINARY).toDF("proto")
   }
 
   private object Encoders {
@@ -181,9 +251,9 @@ object RowCodec {
   /** Driver-side [][]byte for API parity with the reference's QueryProto
     * return (duck.go:274-317). Tests only — not a scale path.
     */
-  def encodeCollect(df: DataFrame): Array[Array[Byte]] = {
+  def encodeCollect(df: DataFrame, config: CodecConfig = CodecConfig()): Array[Array[Byte]] = {
     val schema = df.schema
-    df.collect().map(r => encodeRow(r, schema))
+    df.collect().map(r => encodeRow(r, schema, config))
   }
 
   // ------------------------------------------------------- decode (tests)

@@ -19,6 +19,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 connector over directories of Arrow IPC stream files —
   * the faithful Spark-native re-architecture of the reference's
@@ -90,8 +91,20 @@ object ArrowIpcSource {
   def roundTripSchema(s: org.apache.arrow.vector.types.pojo.Schema): StructType =
     StructType(s.getFields.asScala.map(toSparkField).toSeq)
 
-  private def toSparkField(f: ArrowField): StructField = {
-    val dt = f.getType match {
+  /** The session's Hadoop conf, serializable for task closures — executor
+    * readers/writers previously built bare `new Configuration()`s, losing
+    * every spark.hadoop.* setting (S3/GCS credentials, custom fs impls) in
+    * tasks while the driver planned fine (round-2 ADVICE).
+    */
+  private[sources] def sessionConf(): SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+
+  /** Arrow field → Spark field, recursing through LIST/STRUCT (the
+    * reference's read path is fully nested, bigquery_write.go:205-211).
+    */
+  private[sources] def toSparkField(f: ArrowField): StructField = {
+    val dt: DataType = f.getType match {
       case t: ArrowType.Int if t.getBitWidth == 64 => LongType
       case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
       case t: ArrowType.Int if t.getBitWidth == 16 => ShortType
@@ -104,6 +117,11 @@ object ArrowIpcSource {
       case _: ArrowType.Binary => BinaryType
       case _: ArrowType.Timestamp => TimestampType
       case _: ArrowType.Date => DateType
+      case t: ArrowType.Decimal => DecimalType(t.getPrecision, t.getScale)
+      case _: ArrowType.List =>
+        ArrayType(toSparkField(f.getChildren.get(0)).dataType)
+      case _: ArrowType.Struct =>
+        StructType(f.getChildren.asScala.map(toSparkField).toSeq)
       case other => throw new IllegalArgumentException(s"unsupported arrow type $other")
     }
     StructField(f.getName, dt)
@@ -112,21 +130,51 @@ object ArrowIpcSource {
   /** Catalyst internal value → Arrow vector slot (write path). */
   private[sources] def setFromCatalyst(
       vec: FieldVector, i: Int, dt: DataType, row: InternalRow, ord: Int): Unit =
+    setCatalyst(vec, i, dt, row.get(ord, dt))
+
+  /** Recursive Catalyst-internal-value writer (LIST/STRUCT/DECIMAL aware). */
+  private[sources] def setCatalyst(vec: FieldVector, i: Int, dt: DataType, v: Any): Unit =
     (vec, dt) match {
-      case (v: BigIntVector, LongType) => v.setSafe(i, row.getLong(ord))
-      case (v: IntVector, IntegerType) => v.setSafe(i, row.getInt(ord))
-      case (v: SmallIntVector, ShortType) => v.setSafe(i, row.getShort(ord))
-      case (v: Float8Vector, DoubleType) => v.setSafe(i, row.getDouble(ord))
-      case (v: Float4Vector, FloatType) => v.setSafe(i, row.getFloat(ord))
-      case (v: VarCharVector, StringType) => v.setSafe(i, row.getUTF8String(ord).getBytes)
-      case (v: BitVector, BooleanType) => v.setSafe(i, if (row.getBoolean(ord)) 1 else 0)
-      case (v: VarBinaryVector, BinaryType) => v.setSafe(i, row.getBinary(ord))
-      case (v: TimeStampMicroTZVector, TimestampType) => v.setSafe(i, row.getLong(ord))
-      case (v: DateDayVector, DateType) => v.setSafe(i, row.getInt(ord))
+      case (x: BigIntVector, LongType) => x.setSafe(i, v.asInstanceOf[Long])
+      case (x: IntVector, IntegerType) => x.setSafe(i, v.asInstanceOf[Int])
+      case (x: SmallIntVector, ShortType) => x.setSafe(i, v.asInstanceOf[Short])
+      case (x: Float8Vector, DoubleType) => x.setSafe(i, v.asInstanceOf[Double])
+      case (x: Float4Vector, FloatType) => x.setSafe(i, v.asInstanceOf[Float])
+      case (x: VarCharVector, StringType) => x.setSafe(i, v.asInstanceOf[UTF8String].getBytes)
+      case (x: BitVector, BooleanType) => x.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+      case (x: VarBinaryVector, BinaryType) => x.setSafe(i, v.asInstanceOf[Array[Byte]])
+      case (x: TimeStampMicroTZVector, TimestampType) => x.setSafe(i, v.asInstanceOf[Long])
+      case (x: DateDayVector, DateType) => x.setSafe(i, v.asInstanceOf[Int])
+      case (x: DecimalVector, d: DecimalType) =>
+        x.setSafe(
+          i,
+          v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal.setScale(d.scale))
+      case (x: org.apache.arrow.vector.complex.ListVector, ArrayType(et, _)) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val start = x.startNewValue(i)
+        val dv = x.getDataVector.asInstanceOf[FieldVector]
+        var k = 0
+        while (k < arr.numElements()) {
+          if (arr.isNullAt(k)) dv.setNull(start + k)
+          else setCatalyst(dv, start + k, et, arr.get(k, et))
+          k += 1
+        }
+        x.endValue(i, arr.numElements())
+      case (x: org.apache.arrow.vector.complex.StructVector, st: StructType) =>
+        val r = v.asInstanceOf[InternalRow]
+        x.setIndexDefined(i)
+        var k = 0
+        while (k < st.fields.length) {
+          val child = x.getChildByOrdinal(k).asInstanceOf[FieldVector]
+          if (r.isNullAt(k)) child.setNull(i)
+          else setCatalyst(child, i, st.fields(k).dataType, r.get(k, st.fields(k).dataType))
+          k += 1
+        }
       case (other, t) => throw new IllegalArgumentException(s"unsupported write ($other, $t)")
     }
 
-  /** Arrow vector value → Catalyst internal value. */
+  /** Arrow vector value → Catalyst internal value (recursive). */
   private[sources] def catalystValue(vec: FieldVector, i: Int): Any =
     if (vec.isNull(i)) null
     else
@@ -142,6 +190,17 @@ object ArrowIpcSource {
         case v: TimeStampMicroTZVector => v.get(i) // micros == catalyst timestamp
         case v: TimeStampMicroVector => v.get(i)
         case v: DateDayVector => v.get(i) // days == catalyst date
+        case v: DecimalVector =>
+          org.apache.spark.sql.types.Decimal(v.getObject(i))
+        case v: org.apache.arrow.vector.complex.ListVector =>
+          val start = v.getElementStartIndex(i)
+          val end = v.getElementEndIndex(i)
+          val dv = v.getDataVector.asInstanceOf[FieldVector]
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array.tabulate[Any](end - start)(k => catalystValue(dv, start + k)))
+        case v: org.apache.arrow.vector.complex.StructVector =>
+          new GenericInternalRow(
+            v.getChildrenFromFields.asScala.map(c => catalystValue(c, i)).toArray)
         case other => throw new IllegalArgumentException(s"unsupported vector $other")
       }
 }
@@ -180,16 +239,18 @@ private class ArrowIpcScan(fullSchema: StructType, required: StructType, path: S
     ArrowIpcSource.listFiles(path).map(f => ArrowIpcInputPartition(f)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowIpcReaderFactory(fullSchema.fieldNames, required)
+    new ArrowIpcReaderFactory(required, ArrowIpcSource.sessionConf())
 }
 
 private case class ArrowIpcInputPartition(file: String) extends InputPartition
 
-private class ArrowIpcReaderFactory(allNames: Array[String], required: StructType)
+private class ArrowIpcReaderFactory(
+    required: StructType,
+    conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ArrowIpcPartitionReader(
-      partition.asInstanceOf[ArrowIpcInputPartition].file, allNames, required)
+      partition.asInstanceOf[ArrowIpcInputPartition].file, required, conf)
 }
 
 /** Drains one IPC file: batch-at-a-time, row-at-a-time within a batch —
@@ -197,20 +258,41 @@ private class ArrowIpcReaderFactory(allNames: Array[String], required: StructTyp
   */
 private class ArrowIpcPartitionReader(
     file: String,
-    allNames: Array[String],
-    required: StructType)
+    required: StructType,
+    conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val allocator = new RootAllocator()
   private val in = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val fs = FileSystem.get(p.toUri, conf.value)
     fs.open(p)
   }
   private val reader = new ArrowStreamReader(in, allocator)
   private val root = reader.getVectorSchemaRoot
-  // file-ordinal of each required column (schema comes from the stream)
-  private val ordinals = required.fieldNames.map(n => allNames.indexOf(n))
+  // Required-column ordinals resolved BY NAME against this file's own
+  // stream schema (files in a directory may order — or miss — columns
+  // differently; positional lookup against the first file's schema
+  // silently transposed values, round-2 ADVICE). Missing fields and
+  // Arrow-type drift fail fast with the file named.
+  private val ordinals = {
+    val fileFields = root.getSchema.getFields.asScala.toSeq
+    required.fields.map { f =>
+      val idx = fileFields.indexWhere(_.getName == f.name)
+      if (idx < 0) {
+        throw new IllegalArgumentException(
+          s"arrow-ipc: column '${f.name}' missing in $file " +
+            s"(file has: ${fileFields.map(_.getName).mkString(", ")})")
+      }
+      val fileDt = ArrowIpcSource.toSparkField(fileFields(idx)).dataType
+      if (fileDt.catalogString != f.dataType.catalogString) {
+        throw new IllegalArgumentException(
+          s"arrow-ipc: column '${f.name}' in $file has type " +
+            s"${fileDt.simpleString}, table schema expects ${f.dataType.simpleString}")
+      }
+      idx
+    }
+  }
 
   private var rowInBatch = 0
   private var batchRows = 0
@@ -255,22 +337,27 @@ private class ArrowIpcPartitionReader(
 private class ArrowIpcWriteBuilder(schema: StructType, path: String, queryId: String)
     extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ArrowIpcBatchWrite(schema, path, queryId)
+    override def toBatch: BatchWrite =
+      new ArrowIpcBatchWrite(schema, path, queryId, ArrowIpcSource.sessionConf())
   }
 }
 
 private case class ArrowIpcCommitMessage(stagedPath: String) extends WriterCommitMessage
 
-private class ArrowIpcBatchWrite(schema: StructType, path: String, queryId: String)
+private class ArrowIpcBatchWrite(
+    schema: StructType,
+    path: String,
+    queryId: String,
+    conf: SerializableConfiguration)
     extends BatchWrite {
   private val stagingDir = s"$path/_staging-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ArrowIpcWriterFactory(schema, stagingDir)
+    new ArrowIpcWriterFactory(schema, stagingDir, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new Path(path)
-    val fs = dest.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = dest.getFileSystem(conf.value)
     if (!fs.exists(dest)) fs.mkdirs(dest)
     messages.foreach { case ArrowIpcCommitMessage(staged) =>
       val from = new Path(staged)
@@ -283,15 +370,18 @@ private class ArrowIpcBatchWrite(schema: StructType, path: String, queryId: Stri
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(stagingDir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new Path(stagingDir).getFileSystem(conf.value)
     fs.delete(new Path(stagingDir), true)
   }
 }
 
-private class ArrowIpcWriterFactory(schema: StructType, stagingDir: String)
+private class ArrowIpcWriterFactory(
+    schema: StructType,
+    stagingDir: String,
+    conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ArrowIpcDataWriter(schema, stagingDir, partitionId, taskId)
+    new ArrowIpcDataWriter(schema, stagingDir, partitionId, taskId, conf)
 }
 
 /** Executor-side writer: buffers rows into Arrow batches of `batchSize`,
@@ -303,6 +393,7 @@ private class ArrowIpcDataWriter(
     stagingDir: String,
     partitionId: Int,
     taskId: Long,
+    conf: SerializableConfiguration,
     batchSize: Int = 4096)
     extends DataWriter[InternalRow] {
 
@@ -311,7 +402,7 @@ private class ArrowIpcDataWriter(
   private val root = VectorSchemaRoot.create(
     graft.proto.ArrowInterchange.toArrowSchema(schema), allocator)
   private val out = {
-    val fs = stagedPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = stagedPath.getFileSystem(conf.value)
     fs.create(stagedPath, true)
   }
   private val writer = new ArrowStreamWriter(root, null, out)
@@ -350,7 +441,7 @@ private class ArrowIpcDataWriter(
 
   override def abort(): Unit = {
     close()
-    val fs = stagedPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = stagedPath.getFileSystem(conf.value)
     fs.delete(stagedPath, false)
   }
 

@@ -59,6 +59,61 @@ class ArrowIpcSourceSpec extends SparkSpec {
       df.count() + 10)
   }
 
+  test("files with permuted column order read correctly (by-name resolution)") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-perm-${UUID.randomUUID().toString.take(8)}"
+    // two single-partition writes with opposite column orders
+    ArrowInterchange.writeIpcDir(
+      Seq((1L, "a")).toDF("id", "name").coalesce(1), dir)
+    val second = s"$dir/zz-permuted.arrow" // sorts after the first file
+    val tmp2 = s"$dir-tmp"
+    ArrowInterchange.writeIpcDir(
+      Seq(("b", 2L)).toDF("name", "id").coalesce(1), tmp2)
+    val f2 = new java.io.File(tmp2).listFiles().filter(_.getName.endsWith(".arrow")).head
+    java.nio.file.Files.move(f2.toPath, java.nio.file.Paths.get(second))
+    val back = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a file missing a required column fails fast, not silently") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-miss-${UUID.randomUUID().toString.take(8)}"
+    ArrowInterchange.writeIpcDir(
+      Seq((1L, "a")).toDF("id", "name").coalesce(1), dir)
+    val tmp2 = s"$dir-tmp"
+    ArrowInterchange.writeIpcDir(Seq(Tuple1(2L)).toDF("id").coalesce(1), tmp2)
+    val f2 = new java.io.File(tmp2).listFiles().filter(_.getName.endsWith(".arrow")).head
+    java.nio.file.Files.move(f2.toPath, java.nio.file.Paths.get(s"$dir/zz-short.arrow"))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.ArrowIpcSource").load(dir).select("name").collect()
+    }
+    assert(
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.getMessage.contains("missing")),
+      e.toString)
+  }
+
+  test("array<struct> and decimal columns round-trip through IPC + DSv2") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-nested-${UUID.randomUUID().toString.take(8)}"
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST(12.34 AS DECIMAL(10,2)),
+        |   array(named_struct('a', 1L, 'b', 'x'), named_struct('a', 2L, 'b', CAST(NULL AS STRING)))),
+        |  (2L, CAST(-0.05 AS DECIMAL(10,2)), array(named_struct('a', 3L, 'b', 'z'))),
+        |  (3L, CAST(NULL AS DECIMAL(10,2)), CAST(NULL AS ARRAY<STRUCT<a: BIGINT, b: STRING>>))
+        |AS t(id, amount, items)""".stripMargin)
+    ArrowInterchange.writeIpcDir(df.coalesce(1), dir)
+    val back = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val rows = back.orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
   test("timestamps and nulls survive the DSv2 read") {
     import spark.implicits._
     val df = Seq(

@@ -193,6 +193,50 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getTimestamp(3) == null) // no signup before 09:00
   }
 
+  test("asof forward/nearest variants: direction, equal-ts ties, null edges") {
+    val left = Seq(
+      (101L, 1L, "2024-01-01 10:00:00"), // between 09:30 and 11:00 -> fwd 11:00, nearest 09:30 (30m < 60m)
+      (102L, 1L, "2024-01-01 12:00:00"), // after the last right row -> fwd null, nearest bwd 11:00
+      (103L, 2L, "2024-01-01 09:30:00"), // equal-ts right row -> fwd inclusive, nearest tie -> bwd=fwd
+      (104L, 3L, "2024-01-01 09:00:00")).toDF("event_id", "user_id", "ts_s")
+      .select($"event_id", $"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val right = Seq(
+      (1L, "2024-01-01 09:30:00"),
+      (1L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-01 11:00:00"), // duplicate right timestamp
+      (2L, "2024-01-01 09:30:00"),
+      (3L, "2024-01-01 10:00:00")).toDF("user_id", "ts_s")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val fwd = AsofJoin.forward(left, right, "user_id", "ts", "ts", "m")
+      .orderBy("event_id").collect()
+    assert(fwd(0).getTimestamp(3).toString.startsWith("2024-01-01 11:00"))
+    assert(fwd(1).getTimestamp(3) == null) // nothing at-or-after 12:00
+    assert(fwd(2).getTimestamp(3).toString.startsWith("2024-01-01 09:30")) // inclusive
+    assert(fwd(3).getTimestamp(3).toString.startsWith("2024-01-01 10:00"))
+    val near = AsofJoin.nearest(left, right, "user_id", "ts", "ts", "m")
+      .orderBy("event_id").collect()
+    assert(near(0).getTimestamp(3).toString.startsWith("2024-01-01 09:30")) // 30m < 60m
+    assert(near(1).getTimestamp(3).toString.startsWith("2024-01-01 11:00")) // bwd only
+    assert(near(2).getTimestamp(3).toString.startsWith("2024-01-01 09:30")) // distance-0 tie
+    assert(near(3).getTimestamp(3).toString.startsWith("2024-01-01 10:00"))
+  }
+
+  test("asof joins reject reserved helper-column collisions") {
+    val left = Seq((1L, "2024-01-01 10:00:00", 7L)).toDF("id", "ts_s", "__side")
+      .select($"id", $"ts_s".cast("timestamp").as("ts"), $"__side")
+    val right = Seq((1L, "2024-01-01 09:00:00")).toDF("id", "ts_s")
+      .select($"id", $"ts_s".cast("timestamp").as("ts"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, right, "id", "ts", "ts")
+    }
+    assert(e.getMessage.contains("__side"))
+    val clean = left.drop("__side")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.forward(clean, right, "id", "ts", "ts", asofTsName = "ts")
+    }
+    assert(e2.getMessage.contains("asofTsName"))
+  }
+
   test("explode-based minhash signatures match the declarative column form") {
     val docs = Tables(spark, sfDir, "documents").limit(50)
     val fast = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)

@@ -39,6 +39,45 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(m(3) == Seq(95.5))
   }
 
+  test("people: wrapper-types proto round-trip unwraps to golden values " +
+      "(duck_test.go:217-267, arrowpb ConvertConfig UseWrapperTypes)") {
+    val eng = new Engine(spark)
+    eng.exec("CREATE OR REPLACE TEMP VIEW people3 AS SELECT * FROM VALUES " +
+      "(1,'Alice',95.5),(2,'Bob',87.2),(3,'Eve',78.9) AS t(id,name,score)")
+    val (descriptor, messages, n) = eng.queryProto(
+      "SELECT id, name, CAST(score AS DOUBLE) AS score, " +
+        "TIMESTAMP '2024-03-01 12:34:56.789' AS created " +
+        "FROM people3 ORDER BY id LIMIT 1",
+      graft.proto.CodecConfig(useWrapperTypes = true))
+    assert(n == 1 && messages.length == 1)
+    // descriptor declares the well-known dependencies and message-typed fields
+    val fd = RowCodec.decodeMessage(descriptor)
+    val deps = fd(3).map(b => new String(b.asInstanceOf[Array[Byte]], "UTF-8"))
+    assert(deps.contains("google/protobuf/wrappers.proto"), deps)
+    assert(deps.contains("google/protobuf/timestamp.proto"), deps)
+    val msg = RowCodec.decodeMessage(fd(4).head.asInstanceOf[Array[Byte]])
+    val fields = msg(2).map(b => RowCodec.decodeMessage(b.asInstanceOf[Array[Byte]]))
+    val typeNames = fields.map(f => new String(f(6).head.asInstanceOf[Array[Byte]], "UTF-8"))
+    assert(typeNames == Seq(
+      ".google.protobuf.Int64Value", ".google.protobuf.StringValue",
+      ".google.protobuf.DoubleValue", ".google.protobuf.Timestamp"))
+    assert(fields.forall(_(5) == Seq(11L))) // every field TYPE_MESSAGE
+    // every field arrives as a wrapper sub-message; unwrap field 1 (value)
+    val m = RowCodec.decodeMessage(messages(0))
+    val idWrap = RowCodec.decodeMessage(m(1).head.asInstanceOf[Array[Byte]])
+    assert(idWrap(1) == Seq(1L))
+    val nameWrap = RowCodec.decodeMessage(m(2).head.asInstanceOf[Array[Byte]])
+    assert(new String(nameWrap(1).head.asInstanceOf[Array[Byte]], "UTF-8") == "Alice")
+    val scoreWrap = RowCodec.decodeMessage(m(3).head.asInstanceOf[Array[Byte]])
+    assert(scoreWrap(1) == Seq(95.5))
+    // Timestamp: seconds + nanos reassemble to the literal's micros
+    val tsWrap = RowCodec.decodeMessage(m(4).head.asInstanceOf[Array[Byte]])
+    val micros = tsWrap(1).head.asInstanceOf[Long] * 1000000L +
+      tsWrap(2).head.asInstanceOf[Long] / 1000L
+    assert(micros == java.time.Instant.parse("2024-03-01T12:34:56.789Z")
+      .toEpochMilli * 1000L)
+  }
+
   test("users: create-then-append ingest doubles to 4 rows (duck_test.go:132-190)") {
     import spark.implicits._
     val eng = new Engine(spark)

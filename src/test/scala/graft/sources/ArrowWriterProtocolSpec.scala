@@ -23,7 +23,7 @@ class ArrowWriterProtocolSpec extends SparkSpec {
 
   test("task abort deletes the staged file") {
     val dir = stagingDir
-    val w = new ArrowIpcDataWriter(schema, dir, partitionId = 0, taskId = 7L)
+    val w = new ArrowIpcDataWriter(schema, dir, partitionId = 0, taskId = 7L, ArrowIpcSource.sessionConf())
     w.write(InternalRow(1L, UTF8String.fromString("a")))
     w.abort()
     val staged = new java.io.File(dir)
@@ -32,7 +32,7 @@ class ArrowWriterProtocolSpec extends SparkSpec {
 
   test("task commit stages exactly one file; job commit promotes and cleans") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-wp-${UUID.randomUUID().toString.take(8)}"
-    val write = new ArrowIpcBatchWrite(schema, base, "q42")
+    val write = new ArrowIpcBatchWrite(schema, base, "q42", ArrowIpcSource.sessionConf())
     val factory = write.createBatchWriterFactory(null)
     val w1 = factory.createWriter(0, 100L)
     val w2 = factory.createWriter(1, 101L)
@@ -48,7 +48,7 @@ class ArrowWriterProtocolSpec extends SparkSpec {
 
   test("job abort removes all staged files") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-wp-${UUID.randomUUID().toString.take(8)}"
-    val write = new ArrowIpcBatchWrite(schema, base, "q43")
+    val write = new ArrowIpcBatchWrite(schema, base, "q43", ArrowIpcSource.sessionConf())
     val factory = write.createBatchWriterFactory(null)
     val w = factory.createWriter(0, 200L)
     w.write(InternalRow(9L, UTF8String.fromString("z")))
