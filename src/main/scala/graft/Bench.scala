@@ -33,7 +33,14 @@ object Bench {
     Tables(spark, sfDir, "lineitem").limit(1).collect()
     try SparkEntry.bucketedJoin(spark, sfDir).queryExecution.executedPlan
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional profiling filter: SPARK_GRAFT_FILTER=b22,b28 runs only the
+    // named query-id prefixes (isolates one query from cross-query state).
+    val filter = sys.env.get("SPARK_GRAFT_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      filter.forall(_.contains(name.split("_")(0)))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
