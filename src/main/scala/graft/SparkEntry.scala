@@ -1084,7 +1084,11 @@ object SparkEntry {
              |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_pred
              |FROM m ORDER BY doc_id""".stripMargin)
       }) { (s, dir) =>
-      TextOps.langIdTable(T(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+      // Scan-local kernel (one pass per row) — bit-identical to the
+      // explode + broadcast-join langIdTable form (OpsSpec).
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langIdMarkerFast(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
     },
     // NS-T3: quality scoring (exact-integer ratios, fixed-order blend).
     Q(
@@ -1383,12 +1387,11 @@ object SparkEntry {
              |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_pred
              |FROM m ORDER BY doc_id""".stripMargin)
       }) { (s, dir) =>
-      def grams3(w: String): Seq[String] =
-        if (w.length < 3) Seq(w) else (0 to w.length - 3).map(i => w.substring(i, i + 3))
-      val profiles = TextOps.LangMarkers.map { case (l, ws) =>
-        l -> ws.flatMap(grams3).distinct.sorted
-      }
-      TextOps.langIdNgramTable(T(s, dir, "documents"), "doc_id", "text", profiles)
+      // One codegen'd pass per row over DefaultTrigramProfiles (same
+      // derivation as the oracle above) — replaces the explode of one row
+      // per character position (the bench's slowest text query).
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langIdNgramFast(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
     // NS-FLAGSHIP: the composed training-data pipeline — language gate →

@@ -102,5 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_quality"),
       new ExpressionInfo(classOf[TextQualityF].getName, "graft_quality"),
       (children: Seq[Expression]) => TextQualityF(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_langid_marker"),
+      new ExpressionInfo(classOf[LangIdMarkerF].getName, "graft_langid_marker"),
+      (children: Seq[Expression]) => LangIdMarkerF(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_langid_ngram"),
+      new ExpressionInfo(classOf[LangIdNgramF].getName, "graft_langid_ngram"),
+      (children: Seq[Expression]) => LangIdNgramF(children(0))))
   }
 }

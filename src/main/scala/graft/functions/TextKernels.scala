@@ -78,6 +78,80 @@ object TextKernels {
     acc
   }
 
+  // Marker-word language ID: language order and word sets fixed by
+  // TextOps.LangMarkers; argmax = (most hits, then earliest language),
+  // 'und' when nothing matches — identical to the explode+join form.
+  private val Langs: Array[String] = TextOps.LangMarkers.map(_._1).toArray
+
+  private val MarkerSets: Array[java.util.HashSet[String]] =
+    TextOps.LangMarkers.map { case (_, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  // gram → indexes of the languages whose trigram profile contains it
+  // (profiles derived identically to TextOps.DefaultTrigramProfiles).
+  private val TrigramLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    TextOps.DefaultTrigramProfiles.zipWithIndex.foreach { case ((_, gs), i) =>
+      gs.foreach { g =>
+        val prev = m.get(g)
+        m.put(g, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  private def argmaxLang(hits: Array[Long]): UTF8String = {
+    var best = -1
+    var bestHits = 0L
+    var i = 0
+    while (i < hits.length) {
+      // strict > keeps the earliest language on ties == max(struct(hits, -i))
+      if (hits(i) > 0 && hits(i) > bestHits) { best = i; bestHits = hits(i) }
+      i += 1
+    }
+    UTF8String.fromString(if (best < 0) "und" else Langs(best))
+  }
+
+  /** One-pass marker-word language ID == TextOps.langId / langIdTable. */
+  def langIdMarker(s: UTF8String): UTF8String = {
+    val toks = tokenize(s.toString)
+    val hits = new Array[Long](Langs.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < MarkerSets.length) {
+        if (MarkerSets(l).contains(toks(i))) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    argmaxLang(hits)
+  }
+
+  /** One-pass char-trigram language ID == TextOps.langIdNgramTable over
+    * DefaultTrigramProfiles. Trigrams are CODE-POINT windows (Spark
+    * `substr` and DuckDB `substring` both index by code point, unlike
+    * Java's UTF-16 `String.substring`).
+    */
+  def langIdNgram(s: UTF8String): UTF8String = {
+    val cps = s.toString.codePoints().toArray
+    val hits = new Array[Long](Langs.length)
+    var i = 0
+    while (i + 3 <= cps.length) {
+      val gram = new String(cps, i, 3)
+      val ls = TrigramLangs.get(gram)
+      if (ls != null) {
+        var k = 0
+        while (k < ls.length) { hits(ls(k)) += 1; k += 1 }
+      }
+      i += 1
+    }
+    argmaxLang(hits)
+  }
+
   /** Java regex `\p{Punct}`: the 32 ASCII punctuation characters. */
   private def isPunct(cp: Int): Boolean =
     (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
@@ -139,6 +213,43 @@ case class RollingFingerprintF(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingFingerprint($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprintF =
+    copy(child = newChild)
+}
+
+/** Codegen'd marker-word language ID (scan-local; replaces the explode +
+  * broadcast-join plan for the gate inside pipelines like CleanCorpus).
+  */
+case class LangIdMarkerF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_langid_marker expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid_marker"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langIdMarker(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langIdMarker($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdMarkerF =
+    copy(child = newChild)
+}
+
+/** Codegen'd char-trigram language ID — one pass per row instead of one
+  * exploded row per character position (ns23 was the bench's slowest
+  * text query for exactly that reason).
+  */
+case class LangIdNgramF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_langid_ngram expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid_ngram"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langIdNgram(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langIdNgram($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdNgramF =
     copy(child = newChild)
 }
 

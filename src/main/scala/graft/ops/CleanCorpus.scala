@@ -33,10 +33,12 @@ object CleanCorpus {
       shingleLen: Int = 3): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-    // 1+2: language + quality gates (scan-local column expressions)
-    val langed = TextOps.langIdTable(base, "doc_id", "text")
+    // 1+2: language + quality gates — both scan-local codegen'd kernels
+    // (the language gate was an explode + broadcast join + two
+    // aggregations; as a per-row kernel the whole gate stage is one
+    // narrow pass over the scan).
     val gated = base
-      .join(langed, "doc_id")
+      .withColumn("lang_pred", TextOps.langIdMarkerFast(col("text")))
       .filter(col("lang_pred") === lang)
       .withColumn("quality", TextOps.qualityScoreFast(col("text")))
       .filter(col("quality") >= minQuality)

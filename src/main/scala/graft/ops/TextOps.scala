@@ -96,6 +96,36 @@ object TextOps {
         coalesce(col("best.lang"), lit("und")).as("lang_pred"))
   }
 
+  /** Char-trigram profiles derived from the marker words (each word's
+    * 3-char windows; shorter words contribute themselves, which can never
+    * match a 3-char text gram — harmless dead entries, kept so every
+    * consumer derives the identical profile).
+    */
+  val DefaultTrigramProfiles: Seq[(String, Seq[String])] = LangMarkers.map {
+    case (l, ws) =>
+      l -> ws.flatMap { w =>
+        if (w.length < 3) Seq(w) else (0 to w.length - 3).map(i => w.substring(i, i + 3))
+      }.distinct.sorted
+  }
+
+  /** Kernel form of [[langIdTable]]: one codegen'd pass per row (tokenize →
+    * per-language marker hits → argmax), bit-identical to the explode +
+    * broadcast-join form (OpsSpec). The 100 TB shape: scan-local map, no
+    * explode shuffle, no aggregation state.
+    */
+  def langIdMarkerFast(c: Column): Column =
+    if (org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_langid_marker"))
+      call_function("graft_langid_marker", c)
+    else langId(c)
+
+  /** Kernel form of the char-trigram language ID over
+    * [[DefaultTrigramProfiles]] — same argmax semantics as
+    * [[langIdNgramTable]] without exploding one row per character position.
+    */
+  def langIdNgramFast(c: Column): Column =
+    call_function("graft_langid_ngram", c)
+
   /** DataFrame-level char-n-gram language ID: explode character trigram
     * positions (codegen'd substr), join a broadcast (gram → lang, rank)
     * profile dimension, argmax hits per doc. Same semantics as the

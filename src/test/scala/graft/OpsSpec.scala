@@ -312,6 +312,39 @@ class OpsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("language-id kernels match the explode+join table forms exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // marker-word form
+    val tbl = TextOps.langIdTable(docs, "doc_id", "text")
+      .withColumnRenamed("lang_pred", "lp_table")
+    val markerDiff = docs
+      .select(col("doc_id"), TextOps.langIdMarkerFast(col("text")).as("lp_kernel"))
+      .join(tbl, "doc_id")
+      .filter(col("lp_kernel") =!= col("lp_table"))
+      .count()
+    assert(markerDiff == 0L)
+    // trigram form over the same derived profiles
+    val ngramTbl = TextOps
+      .langIdNgramTable(docs, "doc_id", "text", TextOps.DefaultTrigramProfiles)
+      .withColumnRenamed("lang_pred", "lp_table")
+    val ngramDiff = docs
+      .select(col("doc_id"), TextOps.langIdNgramFast(col("text")).as("lp_kernel"))
+      .join(ngramTbl, "doc_id")
+      .filter(col("lp_kernel") =!= col("lp_table"))
+      .count()
+    assert(ngramDiff == 0L)
+    // tie-break + no-hit goldens
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "the der"), // en/de tie -> earliest language in marker order (de)
+      (2L, "zzz qqq"), // no marker -> und
+      (3L, "")).toDF("doc_id", "text")
+    val got = tricky
+      .select(col("doc_id"), TextOps.langIdMarkerFast(col("text")).as("lp"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.sameElements(Array("de", "und", "und")))
+  }
+
   test("frame sampling slices the payload at stride offsets and reassembles") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val framed = Multimodal.sampleFrames(Multimodal.withPayload(df, "text"), 4, 10)
