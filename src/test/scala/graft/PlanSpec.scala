@@ -71,6 +71,18 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("clean-corpus gates are scan-local kernels, not a language join") {
+    val q = SparkEntry.queries("ns22_clean_corpus")(spark, sfDir)
+    q.collect() // finalize AQE stages
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("graft_langid_marker"), s"language gate not kernelized:\n$p")
+    assert(p.contains("graft_quality"), s"quality gate not kernelized:\n$p")
+    // The old language gate was explode → broadcast marker join → two
+    // aggregations ending in max(struct(...)) AS best; its attributes must
+    // be gone from the plan entirely.
+    assert(!p.contains("best#"), s"language gate still joins a marker dim:\n$p")
+  }
+
   test("banded self-joins reuse one exchange instead of caching") {
     import graft.ops.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
