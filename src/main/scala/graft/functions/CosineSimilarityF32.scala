@@ -110,5 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_langid_ngram"),
       new ExpressionInfo(classOf[LangIdNgramF].getName, "graft_langid_ngram"),
       (children: Seq[Expression]) => LangIdNgramF(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesF].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShinglesF(children(0), children(1))))
   }
 }

@@ -152,6 +152,33 @@ object TextKernels {
     argmaxLang(hits)
   }
 
+  /** Word n-gram shingles joined by single spaces, one pass per row —
+    * same values as TextOps.shingles / Dedup.shingleRows (empty when the
+    * doc has fewer than `n` tokens), without the posexplode + per-doc
+    * window shuffle the exploded form paid before any consumer ran.
+    */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s.toString)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Java regex `\p{Punct}`: the 32 ASCII punctuation characters. */
   private def isPunct(cp: Int): Boolean =
     (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
@@ -214,6 +241,31 @@ case class RollingFingerprintF(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprintF =
     copy(child = newChild)
+}
+
+/** Codegen'd shingle generation: `graft_shingles(text, n)` (n a foldable
+  * int literal) → array of word n-grams. One narrow pass per row — the
+  * shuffle-free front end of every shingle consumer (MinHash, n-gram
+  * Jaccard).
+  */
+case class ShinglesF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+      right.dataType == org.apache.spark.sql.types.IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_shingles expects (string, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.shingles(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.shingles($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShinglesF =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd marker-word language ID (scan-local; replaces the explode +

@@ -31,13 +31,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("n_copies"))
       .select("keep_id", "n_copies", "fp")
 
-  /** One row per word n-gram occurrence: (doc_id, gram). Codegen-friendly
-    * shingle generation — posexplode the tokens, window-lead the next n−1
-    * tokens, concat — instead of per-row interpreted array slicing. The
-    * window shuffles on doc_id once; every downstream shingle consumer
-    * (MinHash, n-gram Jaccard) starts from this exploded shape.
+  /** One row per word n-gram occurrence: (doc_id, gram). Shingles come
+    * from the codegen'd one-pass kernel (`graft_shingles`,
+    * [[graft.functions.TextKernels.shingles]]) and explode in the same
+    * narrow stage as the scan — NO shuffle before any consumer (the
+    * earlier posexplode + per-doc window-lead form paid a doc_id
+    * shuffle+sort up front; equivalence pinned in OpsSpec). Falls back to
+    * the windowed form when GraftExtensions isn't installed.
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    if (df.sparkSession.catalog.functionExists("graft_shingles"))
+      df.select(
+        col(idCol).as("doc_id"),
+        explode(call_function("graft_shingles", col(textCol), lit(n))).as("gram"))
+    else shingleRowsWindowed(df, idCol, textCol, n)
+
+  /** Declarative twin of [[shingleRows]]: posexplode the tokens,
+    * window-lead the next n−1 tokens, concat (one doc_id shuffle).
+    */
+  private[graft] def shingleRowsWindowed(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(
       col(idCol).as("doc_id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))

@@ -312,6 +312,22 @@ class OpsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("kernel shingles match the windowed form and the declarative column form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("doc_id", "gram").count()
+        .orderBy("doc_id", "gram").collect().toSeq
+    val kernel = norm(Dedup.shingleRows(docs, "doc_id", "text", 3))
+    val windowed = norm(Dedup.shingleRowsWindowed(docs, "doc_id", "text", 3))
+    assert(kernel == windowed)
+    // short docs (< n tokens) produce no shingles in either form
+    import spark.implicits._
+    val tiny = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("doc_id", "text")
+    val k = Dedup.shingleRows(tiny, "doc_id", "text", 3).collect()
+    assert(k.map(_.getLong(0)).toSet == Set(3L))
+    assert(k.map(_.getString(1)).sorted.toSeq == Seq("a b c", "b c d"))
+  }
+
   test("language-id kernels match the explode+join table forms exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // marker-word form
