@@ -176,10 +176,16 @@ object Similarity {
   }
 
   /** Index build — the expensive, once-per-corpus step (the round-2 shape
-    * refit KMeans on every query call: 10.3 s of quantizer training paid
-    * per lookup). `feat` is persisted only for the KMeans iterations and
-    * released before returning; with `persist=true` the assigned corpus is
-    * materialized and kept for repeated [[ivfQuery]] calls.
+    * refit MLlib KMeans on every query call: 10.3 s of quantizer training
+    * paid per lookup, and 10 distributed jobs even on a tiny corpus).
+    *
+    * The coarse quantizer is trained DRIVER-SIDE on a bounded,
+    * deterministic sample (lowest `maxTrainRows` ids via top-K — at any
+    * corpus scale the quantizer never needs more; this is standard IVF
+    * practice) with a seeded local Lloyd loop, then only the cell
+    * ASSIGNMENT runs distributed — one narrow pass. With `persist=true`
+    * the assigned corpus is materialized and kept for repeated
+    * [[ivfQuery]] calls.
     */
   def ivfFit(
       corpus: DataFrame,
@@ -187,37 +193,84 @@ object Similarity {
       vecCol: String,
       nCells: Int,
       seed: Long = 42L,
-      persist: Boolean = true): IvfIndex = {
+      persist: Boolean = true,
+      maxTrainRows: Int = 100000): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    val feat = corpus
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+    val train = feat
+      .orderBy("vid") // TakeOrderedAndProject: deterministic bounded sample
+      .limit(maxTrainRows)
+      .collect()
+      .map(_._2.map(_.toDouble))
+    val centroids = kmeansLocal(train, nCells, iters = 10, seed = seed)
+    // Plain-array function val: the map closure must capture ONLY this
+    // (a nested def would drag the whole method frame — session, sample —
+    // into the task closure and fail serialization).
+    val ownCell = udfFreeCells(centroids, 1)
+    val corpusCells = feat
+      .map { case (vid, vec) => (ownCell(vec).head, vid, vec) }
+      .toDF("cell", "nid", "nvec")
+    if (persist) {
+      corpusCells.persist()
+      corpusCells.count() // materialize: queries must not re-run assignment
+    }
+    IvfIndex(centroids, corpusCells, persisted = persist)
+  }
 
-    val feat = corpus.select(
-      col(idCol).cast("long").as("vid"),
-      col(vecCol).as("vec"),
-      array_to_vector(col(vecCol)).as("features"))
-    // Scoped persist: KMeans makes maxIter passes over `feat`; released
-    // before returning so nothing outlives the fit except the index itself.
-    feat.persist()
-    try {
-      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(feat)
-      val centroids = model.clusterCenters.map(_.toArray)
-      // Plain-array function val: the map closure must capture ONLY this
-      // (a nested def would drag the whole method frame — session, model —
-      // into the task closure and fail serialization).
-      val ownCell = udfFreeCells(centroids, 1)
-      val corpusCells = feat
-        .as[(Long, Array[Float], MlVector)]
-        .map { case (vid, vec, _) => (ownCell(vec).head, vid, vec) }
-        .toDF("cell", "nid", "nvec")
-      if (persist) {
-        corpusCells.persist()
-        corpusCells.count() // materialize: queries must not re-run assignment
+  /** Seeded Lloyd iterations over a driver-side sample: deterministic for
+    * a fixed (data order, k, seed) — distinct random starting points, L2
+    * assignment with ties to the lower cell index, empty cells keep their
+    * previous centroid.
+    */
+  private[ops] def kmeansLocal(
+      data: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(data.nonEmpty, "empty IVF training sample")
+    val dims = data(0).length
+    val rnd = new java.util.Random(seed)
+    val kk = math.min(k, data.length)
+    val startIdx = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (startIdx.size < kk) startIdx += rnd.nextInt(data.length)
+    var centroids = startIdx.toArray.map(i => data(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val counts = new Array[Long](kk)
+      var p = 0
+      while (p < data.length) {
+        val v = data(p)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d2 = 0.0
+          var j = 0
+          val cv = centroids(c)
+          while (j < dims) { val d = cv(j) - v(j); d2 += d * d; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dims) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        p += 1
       }
-      IvfIndex(centroids, corpusCells, persisted = persist)
-    } finally { feat.unpersist(); () }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val s = sums(c)
+          val m = new Array[Double](dims)
+          var j = 0
+          while (j < dims) { m(j) = s(j) / counts(c); j += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    centroids
   }
 
   /** Query path: nProbe-cell fanout of the query set, co-partitioned join
