@@ -114,5 +114,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesF].getName, "graft_shingles"),
       (children: Seq[Expression]) => ShinglesF(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashF].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimhashF(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashF].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinhashF(children(0), children(1), children(2))))
   }
 }

@@ -179,6 +179,64 @@ object TextKernels {
     }
   }
 
+  /** One-pass 32-bit SimHash == Dedup.simhashPerDoc (explode → 33-counter
+    * agg) == TextOps.simhash32 (interpreted HOF): per-bit majority vote of
+    * the md5-based token hashes. Scan-local — the sketch pays NO shuffle.
+    */
+  def simhash32(s: UTF8String): Long = {
+    val toks = tokenize(s.toString)
+    val counts = new Array[Long](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash32(toks(i))
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) * 2 >= toks.length) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+
+  /** One-pass MinHash signature == Dedup.minhashSignatures (explode →
+    * k running-min aggs): ONE md5 per shingle, k affine transforms, all
+    * minima updated per shingle. Sentinel components (2^32) for docs with
+    * fewer than `n` tokens. Scan-local.
+    */
+  def minhashSignature(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = tokenize(s.toString)
+    val sig = Array.fill(k)(TextOps.MinhashEmpty)
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var t = 0
+        while (t < n) {
+          if (t > 0) sb.append(' ')
+          sb.append(toks(i + t))
+          t += 1
+        }
+        val h = hash32(sb.toString)
+        var c = 0
+        while (c < k) {
+          val v = (h * (2L * c + 1L) + c * 12345L + 67891L) % TextOps.MinhashEmpty
+          if (v < sig(c)) sig(c) = v
+          c += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Java regex `\p{Punct}`: the 32 ASCII punctuation characters. */
   private def isPunct(cp: Int): Boolean =
     (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
@@ -266,6 +324,50 @@ case class ShinglesF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShinglesF =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd one-pass SimHash sketch (scan-local; replaces the token
+  * explode + 33-counter aggregation shuffle).
+  */
+case class SimhashF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashF =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass MinHash signature: `graft_minhash(text, n, k)`
+  * (scan-local; replaces the shingle explode + k running-min aggregation
+  * shuffle).
+  */
+case class MinhashF(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType &&
+      second.dataType == org.apache.spark.sql.types.IntegerType && second.foldable &&
+      third.dataType == org.apache.spark.sql.types.IntegerType && third.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_minhash expects (string, int literal, int literal)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    TextKernels.minhashSignature(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.TextKernels.minhashSignature($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MinhashF =
+    copy(first = f, second = s, third = t)
 }
 
 /** Codegen'd marker-word language ID (scan-local; replaces the explode +

@@ -79,6 +79,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
+      k: Int = 16): DataFrame =
+    if (df.sparkSession.catalog.functionExists("graft_minhash"))
+      // One codegen'd pass per row — the sketch pays NO shuffle at all
+      // (the exploded form below shuffles one k-counter row per doc per
+      // partition; equivalence pinned in OpsSpec).
+      df.select(
+        col(idCol).as("doc_id"),
+        call_function("graft_minhash", col(textCol), lit(shingleLen), lit(k)).as("sig"))
+    else minhashSignaturesExploded(df, idCol, textCol, shingleLen, k)
+
+  /** Explode + k running-min aggregation twin of [[minhashSignatures]]. */
+  private[graft] def minhashSignaturesExploded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
       k: Int = 16): DataFrame = {
     val hashed = shingleRows(df, idCol, textCol, shingleLen)
       .select(col("doc_id"), TextOps.hash32(col("gram")).as("h"))
@@ -169,7 +185,18 @@ object Dedup {
   /** Per-document 32-bit SimHash: (doc_id, simhash). See [[simhashGroups]]
     * for the plan-shape rationale.
     */
-  def simhashPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    if (df.sparkSession.catalog.functionExists("graft_simhash"))
+      // Scan-local codegen'd sketch — no explode, no aggregation shuffle
+      // (equivalence vs the exploded form pinned in OpsSpec).
+      df.select(
+        col(idCol).as("doc_id"),
+        call_function("graft_simhash", col(textCol)).as("simhash"))
+    else simhashPerDocExploded(df, idCol, textCol)
+
+  /** Explode + 33-counter aggregation twin of [[simhashPerDoc]]. */
+  private[graft] def simhashPerDocExploded(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), TextOps.hash32(col("tok")).as("h"))

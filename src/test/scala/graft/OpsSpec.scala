@@ -237,23 +237,29 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("asofTsName"))
   }
 
-  test("explode-based minhash signatures match the declarative column form") {
+  test("kernel, exploded, and declarative minhash signatures all agree") {
     val docs = Tables(spark, sfDir, "documents").limit(50)
     val fast = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val exploded = Dedup.minhashSignaturesExploded(docs, "doc_id", "text", 3, 8)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     val slow = docs.select(col("doc_id"),
         TextOps.minhashSignature(TextOps.shingles(col("text"), 3), 8).as("sig"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     assert(fast.sameElements(slow))
+    assert(fast.sameElements(exploded))
   }
 
-  test("explode-based simhash matches the declarative column form") {
+  test("kernel, exploded, and declarative simhash all agree") {
     val docs = Tables(spark, sfDir, "documents").limit(50)
     val fast = Dedup.simhashPerDoc(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exploded = Dedup.simhashPerDocExploded(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val slow = docs.select(col("doc_id"), TextOps.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(fast.sameElements(slow))
+    assert(fast.sameElements(exploded))
   }
 
   test("kernel rolling fingerprint matches the declarative HOF form") {
