@@ -1128,7 +1128,7 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(
           col("doc_id"),
-          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.fingerprintFast(col("text")).as("fp"),
           TextOps.rollingFingerprintFast(col("text")).as("rfp"))
         .orderBy("doc_id")
     },

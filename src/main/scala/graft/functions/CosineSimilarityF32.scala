@@ -122,5 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashF].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashF(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintF].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => FingerprintF(children(0))))
   }
 }

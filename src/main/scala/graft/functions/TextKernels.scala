@@ -237,6 +237,52 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
+  /** Canonical fingerprint == md5(array_join(array_sort(array_distinct(
+    * tokens)), " ")): tokens are deduped and sorted in UTF-8 BINARY order
+    * (Spark's string ordering — Java String.compareTo is UTF-16 order,
+    * which disagrees for supplementary characters), joined with single
+    * spaces, md5'd to lowercase hex. One pass, no interpreted array ops.
+    */
+  def fingerprint(s: UTF8String): UTF8String = {
+    val toks = tokenize(s.toString)
+    val bytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    java.util.Arrays.sort(bytes, (a: Array[Byte], b: Array[Byte]) => {
+      val n = math.min(a.length, b.length)
+      var k = 0
+      var r = 0
+      while (r == 0 && k < n) {
+        r = (a(k) & 0xff) - (b(k) & 0xff)
+        k += 1
+      }
+      if (r != 0) r else a.length - b.length
+    })
+    val joined = new java.io.ByteArrayOutputStream()
+    i = 0
+    var prev: Array[Byte] = null
+    while (i < bytes.length) {
+      if (prev == null || !java.util.Arrays.equals(prev, bytes(i))) {
+        if (prev != null) joined.write(' ')
+        joined.write(bytes(i))
+        prev = bytes(i)
+      }
+      i += 1
+    }
+    val d = java.security.MessageDigest.getInstance("MD5").digest(joined.toByteArray)
+    val hex = new StringBuilder(32)
+    var j = 0
+    while (j < d.length) {
+      hex.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(d(j) & 0xf, 16))
+      j += 1
+    }
+    UTF8String.fromString(hex.toString)
+  }
+
   /** Java regex `\p{Punct}`: the 32 ASCII punctuation characters. */
   private def isPunct(cp: Int): Boolean =
     (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
@@ -324,6 +370,24 @@ case class ShinglesF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShinglesF =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd canonical document fingerprint (sorted distinct token set →
+  * md5) — one pass instead of interpreted array_distinct/sort/join.
+  */
+case class FingerprintF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.fingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.fingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintF =
+    copy(child = newChild)
 }
 
 /** Codegen'd one-pass SimHash sketch (scan-local; replaces the token

@@ -42,7 +42,7 @@ object CleanCorpus {
       .filter(col("lang_pred") === lang)
       .withColumn("quality", TextOps.qualityScoreFast(col("text")))
       .filter(col("quality") >= minQuality)
-      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("fp", TextOps.fingerprintFast(col("text")))
 
     // 3: exact dedup — keep the smallest id per content fingerprint
     val keepers = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))

@@ -192,6 +192,15 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
 
+  /** Kernel form of [[fingerprint]] (one JVM pass; UTF-8-binary token
+    * ordering matches Spark's array_sort — OpsSpec-pinned).
+    */
+  def fingerprintFast(c: Column): Column =
+    if (org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_fingerprint"))
+      call_function("graft_fingerprint", c)
+    else fingerprint(c)
+
   /** Order-SENSITIVE polynomial rolling-hash fingerprint over the token
     * hash stream: h ← (h·31 + hash32(tok)) mod (2^31 − 1). Exact 64-bit
     * integer arithmetic — identical in any engine — and O(tokens) per row

@@ -334,6 +334,25 @@ class OpsSpec extends SparkSpec {
     assert(k.map(_.getString(1)).sorted.toSeq == Seq("a b c", "b c d"))
   }
 
+  test("kernel fingerprint matches the declarative array_sort/md5 form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val diff = docs.select(
+      TextOps.fingerprint(col("text")).as("slow"),
+      TextOps.fingerprintFast(col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(diff == 0L)
+    // unicode + duplicates + empty: UTF-8 binary sort order must match
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "b a b ü zz ß 你 好 a"),
+      (2L, ""),
+      (3L, "Z z A a 0 9 ~ !")).toDF("doc_id", "text")
+    val rows = tricky.select(
+      TextOps.fingerprint(col("text")).as("slow"),
+      TextOps.fingerprintFast(col("text")).as("fast")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("language-id kernels match the explode+join table forms exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // marker-word form
