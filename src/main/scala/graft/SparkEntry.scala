@@ -1339,8 +1339,9 @@ object SparkEntry {
           |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
           |  length(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')))::BIGINT AS norm_len
           |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[\\p{Punct}]", ""), "\\s+", " "))
+      // One-pass kernel == the declarative lower→punct-strip→collapse→trim
+      // chain (equivalence pinned in OpsSpec).
+      val norm = call_function("graft_normalize", col("text"))
       T(s, dir, "documents")
         .select(col("doc_id"), norm.as("norm_text"), length(norm).cast("long").as("norm_len"))
         .orderBy("doc_id")

@@ -126,5 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[FingerprintF].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => FingerprintF(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeF].getName, "graft_normalize"),
+      (children: Seq[Expression]) => NormalizeF(children(0))))
   }
 }

@@ -237,6 +237,33 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
+  /** One-pass text normalization == trim(regexp_replace(regexp_replace(
+    * lower(text), "[\p{Punct}]", ""), "\s+", " ")): lowercase via
+    * UTF8String.toLowerCase (exactly Spark's `lower`), drop ASCII
+    * punctuation, collapse Java-\s whitespace runs to single spaces, trim.
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var pendingSpace = false
+    var k = 0
+    while (k < lowered.length) {
+      val cp = lowered.codePointAt(k)
+      if (isPunct(cp)) {
+        // dropped; does not start or break a whitespace run
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        cp == '\f' || cp == '\r') {
+        pendingSpace = true
+      } else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.appendCodePoint(cp)
+      }
+      k += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Canonical fingerprint == md5(array_join(array_sort(array_distinct(
     * tokens)), " ")): tokens are deduped and sorted in UTF-8 BINARY order
     * (Spark's string ordering — Java String.compareTo is UTF-16 order,
@@ -370,6 +397,24 @@ case class ShinglesF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShinglesF =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd one-pass text normalization (lowercase, strip punct,
+  * collapse whitespace, trim) — replaces two interpreted regex passes.
+  */
+case class NormalizeF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_normalize expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeF =
+    copy(child = newChild)
 }
 
 /** Codegen'd canonical document fingerprint (sorted distinct token set →

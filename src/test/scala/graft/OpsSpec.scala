@@ -353,6 +353,27 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("kernel normalize matches the declarative regex chain") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def decl(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c), "[\\p{Punct}]", ""), "\\s+", " "))
+    val diff = docs.select(
+      decl(col("text")).as("slow"),
+      call_function("graft_normalize", col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(diff == 0L)
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "  A.B,,c   d!? "),
+      (2L, "\tÜber\nALLES\r(x)"),
+      (3L, ""),
+      (4L, "...")).toDF("doc_id", "text")
+    val rows = tricky.select(
+      decl(col("text")).as("slow"),
+      call_function("graft_normalize", col("text")).as("fast")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("language-id kernels match the explode+join table forms exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // marker-word form
