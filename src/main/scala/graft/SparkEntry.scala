@@ -217,6 +217,28 @@ object SparkEntry {
         .toDF("s_suppkey", "proto_len")
         .orderBy("s_suppkey")
     },
+    // A13+A17 wrapper-types mode (≈ arrowpb.ConvertConfig UseWrapperTypes,
+    // duck_test.go:217-267): each scalar becomes a google.protobuf wrapper
+    // sub-message, so the wire size per row is exactly
+    //   int64 field:  tag(1) + len(1) + [tag(1) + varint(v)]
+    //   string field: tag(1) + len(1) + [tag(1) + len(1) + bytes]
+    // — the oracle recomputes that size from first principles.
+    Q(
+      "a15_query_proto_wrapped",
+      Some(
+        """SELECT s_suppkey, CAST(3 + (CASE WHEN s_suppkey < 128 THEN 1
+          |    WHEN s_suppkey < 16384 THEN 2 WHEN s_suppkey < 2097152 THEN 3
+          |    WHEN s_suppkey < 268435456 THEN 4 ELSE 5 END)
+          |  + 4 + octet_length(CAST(s_name AS BLOB)) AS BIGINT) AS proto_len
+          |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val in = T(s, dir, "supplier").select("s_suppkey", "s_name")
+      val schema = in.schema
+      val cfg = graft.proto.CodecConfig(useWrapperTypes = true)
+      in.map(r => (r.getLong(0), RowCodec.encodeRow(r, schema, cfg).length.toLong))
+        .toDF("s_suppkey", "proto_len")
+        .orderBy("s_suppkey")
+    },
     // A14 committed-mode stream: every append is immediately visible.
     Q(
       "a14_committed_write",
