@@ -453,7 +453,15 @@ object SparkEntry {
         .partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // One hash exchange serves BOTH operators: partitioning by the
+      // window key satisfies the 4-column groupBy's ClusteredDistribution
+      // (subset key), so the aggregate reuses it and the window only
+      // sorts. Trade-off: the exchange carries raw rows (no map-side
+      // combine) — correct here because the group key is nearly unique
+      // (it exists only to break duplicate-row ties), so partial
+      // aggregation would not shrink the shuffle anyway.
       T(s, dir, "lineitem")
+        .repartition(col("l_suppkey"))
         .groupBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
         .agg(sum(cents(col("l_quantity"))).as("q"))
         .select(
