@@ -34,4 +34,28 @@ class FunctionsSpec extends SparkSpec {
     val c = df.select(call_function("graft_cosine", $"v", $"v")).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-15)
   }
+
+  test("every text kernel is registered and callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_rolling_fp('the quick brown fox') AS rfp,
+        |  graft_fingerprint('b a b') AS fp,
+        |  graft_quality('the cat sat') AS qf,
+        |  graft_langid_marker('der hund und die katze') AS lm,
+        |  graft_langid_ngram('the cat and the hat') AS ln,
+        |  graft_shingles('a b c d', 3) AS sh,
+        |  graft_simhash('a b c') AS simh,
+        |  graft_minhash('a b c d e', 3, 4) AS mh,
+        |  graft_normalize('  A.B,,c   d ') AS norm
+        |""".stripMargin).head()
+    assert(r.getLong(0) >= 0L)
+    assert(r.getString(1).length == 32) // md5 hex
+    assert(r.getSeq[Double](2).length == 4)
+    assert(r.getString(3) == "de")
+    assert(r.getString(4) == "en")
+    assert(r.getSeq[String](5) == Seq("a b c", "b c d"))
+    assert(r.getLong(6) >= 0L && r.getLong(6) < (1L << 32))
+    assert(r.getSeq[Long](7).length == 4)
+    assert(r.getString(8) == "abc d") // punct removed, runs collapsed, trimmed
+  }
 }
