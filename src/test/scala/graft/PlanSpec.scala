@@ -71,6 +71,22 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("text kernels stay inside whole-stage codegen spans") {
+    // codegen'd operators print with a "*(N)" stage marker; an interpreted
+    // fallback (eval-only expression) would break the span. Execute first
+    // so AQE finalizes its stages.
+    val q = SparkEntry.queries("ns03_quality")(spark, sfDir)
+    q.collect()
+    val p = plan(q)
+    val line = p.linesIterator.find(_.contains("graft_quality"))
+    assert(line.exists(_.contains("*(")), s"kernel fell out of codegen:\n$p")
+    val q4 = SparkEntry.queries("ns04_fingerprint")(spark, sfDir)
+    q4.collect()
+    val p4 = plan(q4)
+    val line4 = p4.linesIterator.find(_.contains("graft_rolling_fp"))
+    assert(line4.exists(_.contains("*(")), s"kernel fell out of codegen:\n$p4")
+  }
+
   test("clean-corpus gates are scan-local kernels, not a language join") {
     val q = SparkEntry.queries("ns22_clean_corpus")(spark, sfDir)
     q.collect() // finalize AQE stages
