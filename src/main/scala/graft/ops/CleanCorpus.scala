@@ -44,9 +44,15 @@ object CleanCorpus {
       .filter(col("quality") >= minQuality)
       .withColumn("fp", TextOps.fingerprintFast(col("text")))
 
-    // 3: exact dedup — keep the smallest id per content fingerprint
-    val keepers = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val deduped = gated.join(keepers, Seq("fp", "doc_id"))
+    // 3: exact dedup — keep the smallest id per content fingerprint.
+    // min-over-window instead of groupBy+self-join: the groupBy form
+    // consumed the gated subtree twice (once per join side); the window
+    // pays one fp exchange over a single pass and drops the join.
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val deduped = gated
+      .withColumn("__keep", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("__keep")
 
     // 4: near-dup removal among the survivors
     val dropList = Dedup
