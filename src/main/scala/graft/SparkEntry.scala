@@ -979,6 +979,46 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     },
     Q(
+      "b45_array_funcs",
+      Some(
+        """SELECT n_nationkey,
+          |  [n_nationkey, n_regionkey, n_nationkey + 10] AS arr,
+          |  list_contains([n_nationkey, n_regionkey, n_nationkey + 10], 5) AS has5,
+          |  list_sort([n_regionkey, n_nationkey]) AS sorted2,
+          |  len([n_nationkey, n_regionkey, n_nationkey + 10])::INT AS sz,
+          |  list_position([n_nationkey, n_regionkey, n_nationkey + 10], n_regionkey)::BIGINT AS pos
+          |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      val arr = array(col("n_nationkey"), col("n_regionkey"), col("n_nationkey") + 10)
+      T(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          arr.as("arr"),
+          array_contains(arr, 5L).as("has5"),
+          array_sort(array(col("n_regionkey"), col("n_nationkey"))).as("sorted2"),
+          size(arr).as("sz"),
+          array_position(arr, col("n_regionkey")).as("pos"))
+        .orderBy("n_nationkey")
+    },
+    Q(
+      "b47_struct_funcs",
+      Some(
+        """SELECT o_orderkey,
+          |  struct_pack(ck := o_custkey, tp := o_totalprice).ck AS s_ck,
+          |  struct_pack(ck := o_custkey, tp := o_totalprice).tp AS s_tp,
+          |  struct_pack(inner_s := struct_pack(k := o_orderkey)).inner_s.k AS nested_k
+          |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)) { (s, dir) =>
+      val st = struct(col("o_custkey").as("ck"), col("o_totalprice").as("tp"))
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          st.getField("ck").as("s_ck"),
+          st.getField("tp").as("s_tp"),
+          struct(struct(col("o_orderkey").as("k")).as("inner_s"))
+            .getField("inner_s").getField("k").as("nested_k"))
+        .orderBy("o_orderkey")
+        .limit(1000)
+    },
+    Q(
       "b46_regexp_funcs",
       Some(
         """SELECT doc_id,
