@@ -881,6 +881,28 @@ object SparkEntry {
           (sum(cents(col("o_totalprice"))).over(wf).cast("double") / 100.0).as("mv3"))
         .orderBy("o_custkey", "o_orderkey")
     },
+    // RANGE window frame: value-based bounds (all orders within $1000 of
+    // the current one) — deterministic under order-value ties by
+    // definition, unlike ROWS frames. Bounds computed on exact cents.
+    Q(
+      "b51_window_range",
+      Some(
+        """SELECT o_orderkey, o_custkey,
+          |  COUNT(*) OVER (PARTITION BY o_custkey
+          |    ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+          |    RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING) AS n_near
+          |FROM orders ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(cents(col("o_totalprice")))
+        .rangeBetween(-100000L, 100000L)
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          count(lit(1)).over(w).as("n_near"))
+        .orderBy("o_orderkey")
+    },
     // HLL++ sketch distinct — algorithmically approximate, so no SQL
     // oracle (driver records a rows-only check).
     Q("b40_approx_distinct", None) { (s, dir) =>
