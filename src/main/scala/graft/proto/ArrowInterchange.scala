@@ -65,6 +65,8 @@ object ArrowInterchange {
         case BooleanType => ArrowType.Bool.INSTANCE
         case BinaryType => ArrowType.Binary.INSTANCE
         case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+        // zone-less DATETIME (the reference's DATETIME; TypeMapping §1.3)
+        case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
         case DateType => new ArrowType.Date(DateUnit.DAY)
         case other => throw new IllegalArgumentException(s"unsupported type $other")
       }
@@ -85,6 +87,11 @@ object ArrowInterchange {
     case (x: TimeStampMicroTZVector, TimestampType) =>
       val ts = v.asInstanceOf[java.sql.Timestamp]
       x.setSafe(i, ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L)
+    case (x: TimeStampMicroVector, TimestampNTZType) =>
+      val ldt = v.asInstanceOf[java.time.LocalDateTime]
+      x.setSafe(
+        i,
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
     case (x: DateDayVector, DateType) =>
       x.setSafe(i, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
     case (x: DecimalVector, d: DecimalType) =>

@@ -115,6 +115,7 @@ object ArrowIpcSource {
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
       case _: ArrowType.Binary => BinaryType
+      case t: ArrowType.Timestamp if t.getTimezone == null => TimestampNTZType
       case _: ArrowType.Timestamp => TimestampType
       case _: ArrowType.Date => DateType
       case t: ArrowType.Decimal => DecimalType(t.getPrecision, t.getScale)
@@ -144,6 +145,7 @@ object ArrowIpcSource {
       case (x: BitVector, BooleanType) => x.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
       case (x: VarBinaryVector, BinaryType) => x.setSafe(i, v.asInstanceOf[Array[Byte]])
       case (x: TimeStampMicroTZVector, TimestampType) => x.setSafe(i, v.asInstanceOf[Long])
+      case (x: TimeStampMicroVector, TimestampNTZType) => x.setSafe(i, v.asInstanceOf[Long])
       case (x: DateDayVector, DateType) => x.setSafe(i, v.asInstanceOf[Int])
       case (x: DecimalVector, d: DecimalType) =>
         x.setSafe(

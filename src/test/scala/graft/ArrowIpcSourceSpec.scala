@@ -114,6 +114,23 @@ class ArrowIpcSourceSpec extends SparkSpec {
     rows.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
   }
 
+  test("zone-less DATETIME (TimestampNTZ) round-trips through IPC + DSv2") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ipc-ntz-${UUID.randomUUID().toString.take(8)}"
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP_NTZ '2024-03-01 12:34:56.789012'),
+        |  (2L, CAST(NULL AS TIMESTAMP_NTZ))
+        |AS t(id, dt)""".stripMargin)
+    ArrowInterchange.writeIpcDir(df.coalesce(1), dir)
+    val back = spark.read.format("graft.sources.ArrowIpcSource").load(dir)
+    assert(back.schema("dt").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getAs[java.time.LocalDateTime]("dt") ==
+      java.time.LocalDateTime.parse("2024-03-01T12:34:56.789012"))
+    assert(rows(1).isNullAt(1))
+  }
+
   test("timestamps and nulls survive the DSv2 read") {
     import spark.implicits._
     val df = Seq(

@@ -13,7 +13,8 @@ class SchemaPropertySpec extends SparkSpec {
 
   private val scalarTypes: Gen[DataType] = Gen.oneOf(
     LongType, IntegerType, ShortType, DoubleType, FloatType,
-    StringType, BooleanType, BinaryType, TimestampType, DateType)
+    StringType, BooleanType, BinaryType, TimestampType, TimestampNTZType,
+    DateType)
 
   private val fieldName: Gen[String] =
     for {
