@@ -881,6 +881,32 @@ object SparkEntry {
           (sum(cents(col("o_totalprice"))).over(wf).cast("double") / 100.0).as("mv3"))
         .orderBy("o_custkey", "o_orderkey")
     },
+    // GROUPING()/GROUPING_ID() metadata over CUBE — distinguishes "NULL
+    // because aggregated away" from data NULLs (both engines: first cube
+    // column = most significant bit).
+    Q(
+      "b52_grouping_id",
+      Some(
+        """SELECT COALESCE(o_orderstatus, '?') AS status, COALESCE(o_orderpriority, '?') AS prio,
+          |  GROUPING(o_orderstatus)::INT AS g_status,
+          |  GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+          |  COUNT(*) AS n
+          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY gid, status, prio""".stripMargin)) { (s, dir) =>
+      T(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("?")).as("status"),
+          coalesce(col("o_orderpriority"), lit("?")).as("prio"),
+          col("g_status"),
+          col("gid"),
+          col("n"))
+        .orderBy("gid", "status", "prio")
+    },
     // RANGE window frame: value-based bounds (all orders within $1000 of
     // the current one) — deterministic under order-value ties by
     // definition, unlike ROWS frames. Bounds computed on exact cents.
