@@ -1591,6 +1591,25 @@ object SparkEntry {
           key = "user_id", leftTs = "ts", rightTs = "ts", asofTsName = "next_signup_ts")
         .orderBy("event_id")
     },
+    // Bounded-staleness as-of (pandas merge_asof tolerance): backward
+    // match only counts within 1 hour of the purchase.
+    Q(
+      "ns26_asof_tolerance",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id, ts AS rts FROM events WHERE event_type = 'signup')
+          |SELECT l.event_id, l.user_id, l.ts,
+          |  CASE WHEN date_diff('microsecond', r.rts, l.ts) <= 3600000000 THEN r.rts END AS recent_signup_ts
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+          |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      AsofJoin.backward(
+          ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "signup").select("user_id", "ts"),
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          asofTsName = "recent_signup_ts", toleranceSec = Some(3600L))
+        .orderBy("event_id")
+    },
     // Nearest as-of: closer of the backward/forward matches, ties backward.
     Q(
       "ns25_asof_nearest",

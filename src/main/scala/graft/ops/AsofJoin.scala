@@ -73,13 +73,28 @@ object AsofJoin {
     *
     * Output: left columns + `asofTsName` (nullable timestamp of the match).
     */
+  /** Null out matches farther than `toleranceSec` from the left timestamp
+    * (the pandas `merge_asof(tolerance=...)` contract); None = unbounded.
+    */
+  private def withinTolerance(
+      asof: Column, leftT: Column, toleranceSec: Option[Long], backward: Boolean): Column =
+    toleranceSec match {
+      case None => asof
+      case Some(tol) =>
+        val dist =
+          if (backward) unix_micros(leftT) - unix_micros(asof)
+          else unix_micros(asof) - unix_micros(leftT)
+        when(dist <= tol * 1000000L, asof)
+    }
+
   def backward(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTs: String,
       rightTs: String,
-      asofTsName: String = "asof_ts"): DataFrame = {
+      asofTsName: String = "asof_ts",
+      toleranceSec: Option[Long] = None): DataFrame = {
     guard(left, right, asofTsName)
     val lCols = left.columns
     // Right rows sort before left rows at equal __t, so the running frame
@@ -89,7 +104,9 @@ object AsofJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged(left, right, key, leftTs, rightTs)
-      .withColumn(asofTsName, max(col("__rts")).over(w))
+      .withColumn(
+        asofTsName,
+        withinTolerance(max(col("__rts")).over(w), col("__t"), toleranceSec, backward = true))
       .filter(col("__side") === 1)
       .select(lCols.toIndexedSeq.map(col) :+ col(asofTsName): _*)
   }
@@ -105,7 +122,8 @@ object AsofJoin {
       key: String,
       leftTs: String,
       rightTs: String,
-      asofTsName: String = "asof_ts"): DataFrame = {
+      asofTsName: String = "asof_ts",
+      toleranceSec: Option[Long] = None): DataFrame = {
     guard(left, right, asofTsName)
     val lCols = left.columns
     // Left rows sort before right rows at equal __t (side desc), so the
@@ -115,7 +133,9 @@ object AsofJoin {
       .orderBy(col("__t"), col("__side").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     tagged(left, right, key, leftTs, rightTs)
-      .withColumn(asofTsName, min(col("__rts")).over(w))
+      .withColumn(
+        asofTsName,
+        withinTolerance(min(col("__rts")).over(w), col("__t"), toleranceSec, backward = false))
       .filter(col("__side") === 1)
       .select(lCols.toIndexedSeq.map(col) :+ col(asofTsName): _*)
   }

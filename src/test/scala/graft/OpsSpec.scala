@@ -221,6 +221,31 @@ class OpsSpec extends SparkSpec {
     assert(near(3).getTimestamp(3).toString.startsWith("2024-01-01 10:00"))
   }
 
+  test("asof tolerance nulls matches beyond the bound, keeps those within") {
+    val left = Seq(
+      (101L, 1L, "2024-01-01 10:00:00"), // 30m after signup -> within 1h
+      (102L, 1L, "2024-01-01 12:00:00")) // 61m after latest signup -> out
+      .toDF("event_id", "user_id", "ts_s")
+      .select($"event_id", $"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val right = Seq(
+      (1L, "2024-01-01 09:30:00"),
+      (1L, "2024-01-01 10:59:00")).toDF("user_id", "ts_s")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val out = AsofJoin.backward(left, right, "user_id", "ts", "ts", "m",
+        toleranceSec = Some(3600L))
+      .orderBy("event_id").collect()
+    assert(out(0).getTimestamp(3).toString.startsWith("2024-01-01 09:30"))
+    assert(out(1).getTimestamp(3) == null) // 10:59 is 61m before 12:00
+    val fwd = AsofJoin.forward(left, right, "user_id", "ts", "ts", "m",
+        toleranceSec = Some(3600L))
+      .orderBy("event_id").collect()
+    assert(fwd(0).getTimestamp(3).toString.startsWith("2024-01-01 10:59")) // 59m <= 1h
+    val fwdTight = AsofJoin.forward(left, right, "user_id", "ts", "ts", "m",
+        toleranceSec = Some(1800L))
+      .orderBy("event_id").collect()
+    assert(fwdTight(0).getTimestamp(3) == null) // 59m beyond the 30m bound
+  }
+
   test("asof joins reject reserved helper-column collisions") {
     val left = Seq((1L, "2024-01-01 10:00:00", 7L)).toDF("id", "ts_s", "__side")
       .select($"id", $"ts_s".cast("timestamp").as("ts"), $"__side")
