@@ -881,6 +881,24 @@ object SparkEntry {
           (sum(cents(col("o_totalprice"))).over(wf).cast("double") / 100.0).as("mv3"))
         .orderBy("o_custkey", "o_orderkey")
     },
+    // Explicit NULLS LAST under LIMIT: the engines' DEFAULTS differ (Spark
+    // ascending sorts nulls first, DuckDB last), so any nullable sort key
+    // feeding a LIMIT must pin the placement on BOTH sides.
+    Q(
+      "b53_null_ordering",
+      Some(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS big_price
+          |FROM orders
+          |ORDER BY big_price ASC NULLS LAST, o_orderkey LIMIT 50""".stripMargin)) { (s, dir) =>
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") < 50000, lit(null)).otherwise(col("o_totalprice"))
+            .as("big_price"))
+        .orderBy(col("big_price").asc_nulls_last, col("o_orderkey"))
+        .limit(50)
+    },
     // GROUPING()/GROUPING_ID() metadata over CUBE — distinguishes "NULL
     // because aggregated away" from data NULLs (both engines: first cube
     // column = most significant bit).
