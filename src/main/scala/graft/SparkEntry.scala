@@ -1048,19 +1048,24 @@ object SparkEntry {
       "b45_array_funcs",
       Some(
         """SELECT n_nationkey,
-          |  [n_nationkey, n_regionkey, n_nationkey + 10] AS arr,
+          |  array_to_string([n_nationkey, n_regionkey, n_nationkey + 10], ',') AS arr,
           |  list_contains([n_nationkey, n_regionkey, n_nationkey + 10], 5) AS has5,
-          |  list_sort([n_regionkey, n_nationkey]) AS sorted2,
+          |  array_to_string(list_sort([n_regionkey, n_nationkey]), ',') AS sorted2,
           |  len([n_nationkey, n_regionkey, n_nationkey + 10])::INT AS sz,
           |  list_position([n_nationkey, n_regionkey, n_nationkey + 10], n_regionkey)::BIGINT AS pos
           |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      // Array-typed output columns crash the gate's pandas hasher (round-3
+      // b45 err: "unhashable type: 'numpy.ndarray'") — emit them joined as
+      // strings; the array functions themselves are still exercised.
       val arr = array(col("n_nationkey"), col("n_regionkey"), col("n_nationkey") + 10)
       T(s, dir, "nation")
         .select(
           col("n_nationkey"),
-          arr.as("arr"),
+          array_join(arr.cast("array<string>"), ",").as("arr"),
           array_contains(arr, 5L).as("has5"),
-          array_sort(array(col("n_regionkey"), col("n_nationkey"))).as("sorted2"),
+          array_join(
+            array_sort(array(col("n_regionkey"), col("n_nationkey"))).cast("array<string>"),
+            ",").as("sorted2"),
           size(arr).as("sz"),
           array_position(arr, col("n_regionkey")).as("pos"))
         .orderBy("n_nationkey")
