@@ -30,6 +30,9 @@ object Bench {
     // pre-create the bucketed tables so b41 times the join, not the
     // amortized one-time bucketing setup.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // First upper()/lower() initializes ICU collation tables (~1.2 s in
+    // Spark 4) — pay it here, not inside whichever query runs first.
+    spark.range(1).selectExpr("upper('a')", "lower('A')", "initcap('a b')").collect()
     Tables(spark, sfDir, "lineitem").limit(1).collect()
     try SparkEntry.bucketedJoin(spark, sfDir).queryExecution.executedPlan
     catch { case _: Throwable => () }

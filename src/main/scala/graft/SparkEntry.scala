@@ -1392,7 +1392,7 @@ object SparkEntry {
       "ns13_multimodal_meta",
       Some(
         """SELECT doc_id, octet_length(CAST(text AS BLOB))::BIGINT AS meta_n_bytes,
-          |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS meta_magic,
+          |  hex(CAST(substring(text, 1, 4) AS BLOB)) AS meta_magic,
           |  ('0x' || hex(CAST(substring(text, 1, 1) AS BLOB)))::BIGINT AS meta_first_byte,
           |  ceil(octet_length(CAST(text AS BLOB))::DOUBLE / 256.0)::BIGINT AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>

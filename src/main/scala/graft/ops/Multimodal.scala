@@ -39,8 +39,13 @@ object Multimodal {
     */
   def extractMeta(df: DataFrame, payload: String = "media"): DataFrame = {
     val bytes = col(s"$payload.bytes")
+    // hex() already emits uppercase digits (both Spark and DuckDB) — no
+    // upper() needed. That also matters operationally: Spark 4's first
+    // upper()/lower() call initializes the ICU collation tables (~1.2 s
+    // one-time), which made this scan-local query look 6 s slow when it
+    // happened to run before any other casing query.
     df.withColumn("meta_n_bytes", octet_length(bytes).cast("long"))
-      .withColumn("meta_magic", upper(hex(substring(bytes, 1, 4))))
+      .withColumn("meta_magic", hex(substring(bytes, 1, 4)))
       .withColumn(
         "meta_first_byte",
         conv(hex(substring(bytes, 1, 1)), 16, 10).cast("long"))
