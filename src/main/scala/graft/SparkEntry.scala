@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Sampling, Similarity, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
@@ -1142,6 +1142,54 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    },
+    // Edit-distance string similarity (fuzzy matching / near-dup keys).
+    Q(
+      "b54_levenshtein",
+      Some(
+        """SELECT s_suppkey, s_name,
+          |  levenshtein(s_name, 'Supplier#000000001')::INT AS dist,
+          |  levenshtein(lower(s_name), lower('SUPPLIER#000000001'))::INT AS dist_ci
+          |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      T(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          col("s_name"),
+          levenshtein(col("s_name"), lit("Supplier#000000001")).cast("int").as("dist"),
+          levenshtein(lower(col("s_name")), lower(lit("SUPPLIER#000000001")))
+            .cast("int").as("dist_ci"))
+        .orderBy("s_suppkey")
+    },
+    // Distribution window functions: ntile / percent_rank / cume_dist /
+    // first_value / nth_value. percent_rank and cume_dist are single IEEE
+    // divisions of exact integer counts — deterministic in both engines.
+    // The ORDER BY key (o_totalprice, o_orderkey) is unique, so frames
+    // and bucket boundaries are well-defined.
+    Q(
+      "b55_window_dist",
+      Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |  ntile(4) OVER w::INT AS quartile,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd,
+          |  first_value(o_orderkey) OVER w AS cheapest,
+          |  nth_value(o_orderkey, 2) OVER w AS second_cheapest
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("o_orderkey")).over(w).as("cheapest"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -1654,6 +1702,134 @@ object SparkEntry {
           ev.filter(col("event_type") === "signup").select("user_id", "ts"),
           key = "user_id", leftTs = "ts", rightTs = "ts", asofTsName = "near_signup_ts")
         .orderBy("event_id")
+    },
+    // NS-D8: pair evidence → whole dedup clusters (connected components,
+    // min-label propagation). Oracle: the same pair CTEs as ns09, closed
+    // transitively with a recursive CTE.
+    Q(
+      "ns27_dup_clusters",
+      Some(
+        s"""WITH RECURSIVE toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+           |p AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |reach(v, r) AS (
+           |  SELECT a, a FROM edges UNION SELECT a, b FROM edges
+           |  UNION SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a)
+           |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+           |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+            .select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .orderBy("doc_id")
+    },
+    // NS-T6: top distinguishing terms per document — the TF-IDF ordering
+    // with integer-only comparisons (tf desc, corpus df asc, term).
+    Q(
+      "ns28_top_terms",
+      Some(
+        s"""WITH t AS (SELECT doc_id, unnest($oToks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+           |wd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+           |r AS (SELECT *, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY tf DESC, df ASC, term) AS rank FROM wd)
+           |SELECT doc_id, term, tf, df, rank::INT AS rank FROM r WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin)) { (s, dir) =>
+      TextOps.topTerms(T(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    },
+    // NS-SA1: deterministic hash sample (10%) — a pure scan-local
+    // predicate on an md5 bucket of the key, reproducible across engines,
+    // runs, and cluster layouts (unlike rand()/TABLESAMPLE).
+    Q(
+      "ns29_hash_sample",
+      Some(
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Sampling.hashSample(T(s, dir, "documents"), "doc_id", buckets = 100, keep = 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    // NS-SA2: exact-quota stratified sample — ceil(10%) of every language
+    // stratum, chosen in md5-of-id order; quota arithmetic all-integer.
+    Q(
+      "ns30_stratified_sample",
+      Some(
+        """WITH r AS (SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents)
+          |SELECT doc_id, lang FROM r WHERE rn <= (n * 10 + 99) // 100
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"), "lang", "doc_id", num = 10, den = 100)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    // NS-TS1: gap-fill resample — hourly grid per user with forward fill
+    // (every (key, bucket) cell present; the pre-training shape for
+    // windowed features).
+    Q(
+      "ns31_gapfill",
+      Some(
+        """WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+          |    ts, event_id, value FROM events WHERE user_id < 8),
+          |agg AS (SELECT user_id, bucket_ts, COUNT(*) AS n,
+          |    first(value ORDER BY ts DESC, event_id DESC) AS last_value
+          |  FROM b GROUP BY 1, 2),
+          |g AS (SELECT user_id,
+          |    unnest(generate_series(min(bucket_ts), max(bucket_ts), INTERVAL '1 hour')) AS bucket_ts
+          |  FROM b GROUP BY user_id)
+          |SELECT g.user_id, g.bucket_ts, coalesce(agg.n, 0) AS n, agg.last_value,
+          |  last_value(agg.last_value IGNORE NULLS) OVER (PARTITION BY g.user_id
+          |    ORDER BY g.bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+          |FROM g LEFT JOIN agg ON g.user_id = agg.user_id AND g.bucket_ts = agg.bucket_ts
+          |ORDER BY g.user_id, g.bucket_ts""".stripMargin)) { (s, dir) =>
+      TimeSeries.gapFillForward(
+          T(s, dir, "events").filter(col("user_id") < 8),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+          valueCol = "value", stepSec = 3600L)
+        .orderBy("user_id", "bucket_ts")
+    },
+    // NS-L1: partitioned layout — write partitioned by lang, read back
+    // with a partition filter (directory pruning; plan-asserted in
+    // LayoutSpec). Oracle is the same filter on the original table.
+    Q(
+      "ns32_layout_prune",
+      Some(
+        """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_" +
+        UUID.randomUUID().toString.replace("-", "")
+      Layout.writePartitioned(
+        T(s, dir, "documents").select("doc_id", "n_chars", "lang"), path, Seq("lang"))
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // NS-L2: range-clustered layout — cluster files on n_chars so
+    // row-group min/max stats skip non-matching ranges; read back with a
+    // range predicate. Oracle is the same filter on the original table.
+    Q(
+      "ns33_layout_cluster",
+      Some(
+        """SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_" +
+        UUID.randomUUID().toString.replace("-", "")
+      Layout.writeClustered(
+        T(s, dir, "documents").select("doc_id", "n_chars"), path,
+        clusterCols = Seq("n_chars"), numFiles = 8)
+      s.read.parquet(path)
+        .filter(col("n_chars").between(100, 200))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     }
   )
 

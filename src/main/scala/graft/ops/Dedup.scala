@@ -346,6 +346,63 @@ object Dedup {
       .toDF("vec_a", "vec_b", "cos")
   }
 
+  /** Connected components over a near-duplicate pair list: every document
+    * that appears in at least one pair is assigned the smallest doc id
+    * reachable through the pair graph (its cluster representative) — the
+    * step that turns pairwise near-dup evidence (minhashPairs /
+    * simhashPairs / ngramJaccardPairs output) into whole dedup groups,
+    * so "keep one per cluster" is a single groupBy away.
+    *
+    * Algorithm: iterative min-label propagation (the "hash-min" Pregel
+    * formulation). Each round every vertex takes the min of its own label
+    * and its neighbors' labels; rounds needed = graph diameter, and
+    * near-dup graphs are overwhelmingly tiny cliques/short chains, so it
+    * converges in 2–4 rounds in practice. Scale profile per round: one
+    * shuffle of |E| (dst, label) rows + one min-aggregation — no
+    * all-pairs step, no growing state. `localCheckpoint` after each round
+    * truncates the lineage so the plan stays constant-size across rounds
+    * (swap for `checkpoint` against a reliable store on a real cluster).
+    * The driver sees one boolean per round (the convergence probe) — the
+    * same control-flow shape as GraphX's Pregel loop.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // Undirected graph -> both directions; materialized once, reused
+    // every round.
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges
+      .groupBy("src")
+      .agg(min("dst").as("nmin"))
+      .select(col("src").as("v"), least(col("src"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels, edges("src") === labels("v"))
+        .select(edges("dst").as("v"), col("lbl"))
+      val next = labels
+        .union(prop)
+        .groupBy("v")
+        .agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // Labels only ever decrease; a fixpoint means no label dropped.
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .filter(col("lbl") < col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** float→double widen (exact), then divide by the index-order L2 norm —
     * the JVM twin of `x / sqrt(list_dot_product(v, v))`.
     */

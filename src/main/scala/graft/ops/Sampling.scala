@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines
+  * (north-star extension; the reference exposes no sampling surface).
+  *
+  * Both samplers are pure functions of row content — NOT `rand()` or
+  * `TABLESAMPLE`, whose output depends on partition layout, task retries,
+  * and per-partition RNG state. That determinism is what makes a 100 TB
+  * sample reproducible across reruns, engine versions, and cluster sizes,
+  * and lets an oracle check the exact row set.
+  *
+  * Scale design:
+  *   - [[hashSample]] is a scan-local predicate on an md5-derived bucket:
+  *     no shuffle, no state, combines with column pruning, and subsumes
+  *     percentage sampling (keep/buckets). The same bucket function also
+  *     yields disjoint train/validation/test splits (different keep
+  *     ranges of one bucketing).
+  *   - [[stratifiedSample]] needs the per-stratum quota, so it shuffles
+  *     once on the stratum key; the count window and the rank window
+  *     share that single exchange (same partitioning). Skewed strata are
+  *     the axis to watch — a giant stratum serializes into one partition
+  *     for ranking; cap it by pre-filtering with [[hashSample]] when a
+  *     stratum exceeds executor memory.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the md5 of the key column —
+    * identical in DuckDB as `('0x' || substring(md5(key), 1, 8))::BIGINT
+    * % buckets`.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Keep rows whose hash bucket falls below `keep`: a deterministic
+    * keep/buckets sample (e.g. 5/100 = 5%).
+    */
+  def hashSample(df: DataFrame, keyCol: String, buckets: Int, keep: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), buckets) < keep)
+
+  /** Exact-quota stratified sample: ceil(n_stratum * num / den) rows per
+    * stratum, chosen in md5-of-id order (deterministic, unbiased w.r.t.
+    * any natural ordering of the data). Quota arithmetic stays in longs —
+    * ceil(n*num/den) = (n*num + den - 1) div den — so there is no float
+    * rounding to disagree on.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    val ord = md5(col(idCol).cast("string"))
+    val rankW = Window.partitionBy(col(stratumCol)).orderBy(ord, col(idCol))
+    val countW = Window.partitionBy(col(stratumCol))
+    df.withColumn("_rn", row_number().over(rankW).cast("long"))
+      .withColumn("_n", count(lit(1)).over(countW))
+      // DIV, not "/": Spark's / on longs is double division.
+      .filter(col("_rn") <= expr(s"(_n * $num + ${den - 1}) DIV $den"))
+      .drop("_rn", "_n")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for LLM training-data pipelines (north-star
@@ -312,4 +313,36 @@ object TextOps {
             least(
               element_at(acc, i + lit(1)),
               (h * (i * 2 + lit(1)) + i * lit(12345L) + lit(67891L)) % lit(MinhashEmpty))))
+
+  /** Top-k distinguishing terms per document, ranked by term frequency
+    * (desc) then corpus-wide document frequency (asc) then the term
+    * itself — the TF-IDF ordering without the float idf (integer-only
+    * comparisons, so the ranking is bit-deterministic across engines).
+    * Output: (id, term, tf, df, rank), rank <= k.
+    *
+    * Scale profile: explode → (doc, term) partial-aggregated counts (the
+    * shuffle carries one row per distinct doc-term, map-side combined,
+    * never the raw token stream); the document-frequency window shuffles
+    * that already-collapsed table on term; the ranking window shuffles it
+    * back on doc. Hot terms (stopwords) skew the term window — they are
+    * exactly the high-df/low-rank rows, so pre-dropping terms with
+    * df > half the corpus is the standard mitigation at scale.
+    */
+  def topTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfW = Window.partitionBy(col("term"))
+    val rankW = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(dfW))
+      .withColumn("rank", row_number().over(rankW).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

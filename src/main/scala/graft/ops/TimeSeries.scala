@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization for event streams (north-star extension):
+  * resample onto a fixed grid and carry observations forward across empty
+  * buckets — the shape feature pipelines need before windowed training
+  * (every (key, bucket) cell present, no NULL holes).
+  *
+  * Scale design:
+  *   - The grid is generated per key with `sequence()` + `explode` —
+  *     scan-local codegen'd expressions, no driver loop, no cross join
+  *     against a calendar table. Grid size is bounded by each key's own
+  *     [min, max] span, not the global one.
+  *   - One hash exchange on the key serves the min/max aggregation; the
+  *     per-bucket aggregation shuffles (key, bucket) partial aggregates
+  *     (map-side combined). The final left join and the forward-fill
+  *     window both hash on the key again — AQE typically reuses the
+  *     exchange; at 100 TB the dominant cost is the (key, bucket) shuffle,
+  *     which carries one aggregated row per occupied bucket, never raw
+  *     events.
+  *   - Keys with pathological spans (one event in 2010, one in 2024)
+  *     inflate their own grid only; cap with a max-buckets guard upstream
+  *     if the domain allows such outliers.
+  */
+object TimeSeries {
+
+  /** Resample `df` onto a `stepSec`-second grid per `keyCol`: one row per
+    * (key, bucket) between the key's first and last event. Output columns:
+    * key, bucket_ts, n (events in bucket), last_value (most recent
+    * observation in the bucket by (ts, idCol), NULL for empty buckets)
+    * and filled_value (last_value carried forward).
+    *
+    * Bucket arithmetic is integer epoch math (`unix DIV step * step`) —
+    * exact, and identical to DuckDB's `time_bucket`.
+    */
+  def gapFillForward(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      stepSec: Long): DataFrame = {
+    val epoch = unix_timestamp(col(tsCol))
+    val bucket = timestamp_seconds(epoch - pmod(epoch, lit(stepSec)))
+
+    // Per-bucket aggregate: count + the value of the latest (ts, id) row.
+    // max_by is order-insensitive given the (ts, id) tie-break key is
+    // unique, so the result is deterministic under any partitioning.
+    val perBucket = df
+      .withColumn("_b", bucket)
+      .groupBy(col(keyCol), col("_b").as("bucket_ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("last_value"))
+
+    // Each key's own grid: sequence of bucket timestamps over [min, max].
+    val grid = df
+      .withColumn("_b", bucket)
+      .groupBy(col(keyCol))
+      .agg(min("_b").as("b0"), max("_b").as("b1"))
+      .select(
+        col(keyCol),
+        explode(sequence(col("b0"), col("b1"), expr(s"INTERVAL $stepSec SECONDS")))
+          .as("bucket_ts"))
+
+    val fillW = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    grid
+      .join(perBucket, Seq(keyCol, "bucket_ts"), "left")
+      .select(
+        col(keyCol),
+        col("bucket_ts"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("last_value"),
+        last(col("last_value"), ignoreNulls = true).over(fillW).as("filled_value"))
+  }
+}
