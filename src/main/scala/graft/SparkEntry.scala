@@ -1830,6 +1830,75 @@ object SparkEntry {
         .filter(col("n_chars").between(100, 200))
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    },
+    // NS-T7: fixed-width overlapping token chunks (the long-document
+    // splitter ahead of a token budget) — 32-token chunks, stride 24.
+    Q(
+      "ns34_chunk_tokens",
+      Some(
+        s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |c AS (SELECT doc_id,
+           |    [{'idx': i, 'txt': array_to_string(ts[i*24+1 : i*24+32], ' '),
+           |      'n': len(ts[i*24+1 : i*24+32])}
+           |     for i in range((len(ts)+23)//24)] AS chunks FROM t),
+           |u AS (SELECT doc_id, unnest(chunks, recursive := true) FROM c)
+           |SELECT doc_id, idx::INT AS chunk_idx, txt AS chunk_text, n::BIGINT AS n_tokens
+           |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)) { (s, dir) =>
+      TextOps.chunkTokens(T(s, dir, "documents"), "doc_id", "text", width = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // NS-T8: PII-style redaction (digit runs + email shapes → <X>) over
+    // the JSON props column — scan-local single regexp pass.
+    Q(
+      "ns35_redact",
+      Some(
+        s"""SELECT event_id,
+           |  regexp_replace(props, '${TextOps.RedactPattern}', '<X>', 'g') AS red_props,
+           |  length(regexp_extract_all(props, '${TextOps.RedactPattern}'))::BIGINT AS n_redacted
+           |FROM events ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      T(s, dir, "events")
+        .select(
+          col("event_id"),
+          TextOps.redact(col("props")).as("red_props"),
+          size(regexp_extract_all(col("props"), lit(TextOps.RedactPattern), lit(0)))
+            .cast("long").as("n_redacted"))
+        .orderBy("event_id")
+    },
+    // NS-SA3: per-source document cap (crawl-style domain limits) — keep
+    // the 5 largest docs per source, deterministic tie-break on doc_id.
+    Q(
+      "ns36_source_cap",
+      Some(
+        """WITH r AS (SELECT doc_id, source, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents)
+          |SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Sampling.capPerGroup(
+          T(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", Seq(col("n_chars").desc, col("doc_id")), n = 5)
+        .orderBy("doc_id")
+    },
+    // NS-T9: within-document repeated-shingle ratio (Gopher-style
+    // boilerplate/repetition signal) — exact integer counts, one IEEE
+    // division; shingles from the codegen'd kernel.
+    Q(
+      "ns37_boilerplate",
+      Some(
+        s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |s AS (SELECT doc_id, $oShingles AS sh FROM t)
+           |SELECT doc_id, len(sh)::BIGINT AS n_grams,
+           |  CASE WHEN len(sh) = 0 THEN 0.0
+           |       ELSE (len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh)::DOUBLE END AS rep_ratio
+           |FROM s ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val sh = call_function("graft_shingles", col("text"), lit(3))
+      T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(sh).cast("long").as("n_grams"),
+          TextOps.repetitionRatio(sh).as("rep_ratio"))
+        .orderBy("doc_id")
     }
   )
 

@@ -62,4 +62,20 @@ object Sampling {
       .filter(col("_rn") <= expr(s"(_n * $num + ${den - 1}) DIV $den"))
       .drop("_rn", "_n")
   }
+
+  /** Per-group cap ("at most n documents per source/domain"): keep the
+    * first n rows of each group under a caller-chosen deterministic
+    * ordering — the crawl-pipeline domain cap. One shuffle on the group
+    * key; a pathologically hot group ranks inside one partition, so
+    * pre-thin such groups with [[hashSample]] when the domain allows
+    * them.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[Column],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
+  }
 }

@@ -314,6 +314,57 @@ object TextOps {
               element_at(acc, i + lit(1)),
               (h * (i * 2 + lit(1)) + i * lit(12345L) + lit(67891L)) % lit(MinhashEmpty))))
 
+  /** Fixed-size overlapping token chunks — the long-document splitter
+    * ahead of tokenization-budgeted training (width tokens per chunk,
+    * advancing stride tokens, so consecutive chunks overlap by
+    * width - stride). Pure codegen'd expressions (sequence → transform →
+    * slice → posexplode): scan-local, no shuffle; output order inside a
+    * doc is pinned by chunk_idx. Output: (id, chunk_idx, chunk_text,
+    * n_tokens).
+    */
+  def chunkTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    val ts = tokens(col(textCol))
+    // ceil(n / stride) chunk starts; n >= 1 always (split of "" is [""]),
+    // so the sequence is never empty. Double division + int cast == floor
+    // on these small positives.
+    val nChunks = ((size(ts) + lit(stride - 1)) / lit(stride)).cast("int")
+    df.select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), nChunks - 1),
+            i => slice(ts, i * stride + lit(1), lit(width)))))
+      .select(
+        col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
+  /** PII-style redaction: digit runs and email-shaped substrings replaced
+    * with a placeholder. One regexp pass, scan-local; the pattern is
+    * plain enough to behave identically under Java regex and RE2.
+    */
+  val RedactPattern = "([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+)|([0-9]{2,})"
+  def redact(c: Column, replacement: String = "<X>"): Column =
+    regexp_replace(c, RedactPattern, replacement)
+
+  /** Within-document repeated-shingle ratio — the boilerplate signal
+    * (Gopher-style repetition filter): 1 - distinct/total 3-grams, 0 for
+    * docs too short to have any. Exact integer counts, one IEEE division.
+    */
+  def repetitionRatio(shingles: Column): Column =
+    when(size(shingles) === 0, lit(0.0))
+      .otherwise(
+        (size(shingles) - size(array_distinct(shingles))).cast("double") /
+          size(shingles).cast("double"))
+
   /** Top-k distinguishing terms per document, ranked by term frequency
     * (desc) then corpus-wide document frequency (asc) then the term
     * itself — the TF-IDF ordering without the float idf (integer-only

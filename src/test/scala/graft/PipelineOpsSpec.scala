@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Layout, Sampling, TimeSeries}
+import graft.ops.{Dedup, Layout, Sampling, TextOps, TimeSeries}
 
 /** Round-4 pipeline operators: dedup clustering, deterministic sampling,
   * time-series gap-fill, and storage layout.
@@ -63,6 +63,51 @@ class PipelineOpsSpec extends SparkSpec {
       .groupBy("stratum").count().orderBy("stratum").collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(got.toSeq == Seq("a" -> 1L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("per-group cap keeps exactly n rows per group with deterministic ties") {
+    val df = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 10L), ("s1", 3L, 30L),
+      ("s2", 4L, 5L))
+      .toDF("source", "doc_id", "n_chars")
+    val out = Sampling.capPerGroup(df, "source",
+        Seq(col("n_chars").desc, col("doc_id")), 2)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    // s1 keeps 3 (30 chars) then 1 (tie at 10, lower id); s2 keeps 4.
+    assert(out.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  // ------------------------------------------------------------ text chunks
+
+  test("token chunks overlap by width - stride and cover every token") {
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(df, "doc_id", "text", width = 6, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getString(2)).toSeq ==
+      Seq("a b c d e f", "e f g h i j", "i j"))
+    assert(out.map(_.getLong(3)).toSeq == Seq(6L, 6L, 2L))
+  }
+
+  test("redaction masks digit runs and emails, counting replacements") {
+    val df = Seq((1L, "call 12345 or mail bob@x.com now")).toDF("id", "t")
+    val out = df.select(
+      TextOps.redact(col("t")).as("r"),
+      size(regexp_extract_all(col("t"), lit(TextOps.RedactPattern), lit(0))).as("n"))
+      .collect()(0)
+    assert(out.getString(0) == "call <X> or mail <X> now")
+    assert(out.getInt(1) == 2)
+  }
+
+  test("repetition ratio flags repeated shingles and zeroes short docs") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 7 grams, 3 distinct -> 4/7
+      (2L, "x y")) // too short for 3-grams -> 0
+      .toDF("doc_id", "text")
+    val sh = call_function("graft_shingles", col("text"), lit(3))
+    val out = df.select(col("doc_id"), TextOps.repetitionRatio(sh).as("r"))
+      .orderBy("doc_id").collect()
+    assert(math.abs(out(0).getDouble(1) - 4.0 / 7.0) < 1e-12)
+    assert(out(1).getDouble(1) == 0.0)
   }
 
   // --------------------------------------------------------------- gap fill
