@@ -40,7 +40,11 @@ object Bench {
     // named query-id prefixes (isolates one query from cross-query state).
     val filter = sys.env.get("SPARK_GRAFT_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    // Sorted name order: Map iteration order reshuffles whenever a query is
+    // added, which makes round-over-round per-query deltas meaningless
+    // (cross-query JVM/cache state moves around). Deterministic order keeps
+    // the comparisons honest.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       filter.forall(_.contains(name.split("_")(0)))
     }
     val results = selected.map { case (name, fn) =>
@@ -61,7 +65,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: also leave the payload at a well-known path.
