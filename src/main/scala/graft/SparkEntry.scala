@@ -1224,6 +1224,20 @@ object SparkEntry {
   /** DuckDB twins of the TextOps primitives (kept in one place so the
     * oracle SQL is generated from the same constants as the Spark side).
     */
+  /** Fresh tmp dir for the layout queries (ns32/ns33), registered with the
+    * Hadoop FS for recursive deletion at JVM exit so repeated Bench/Verify
+    * runs don't accumulate disk garbage (round-4 advice). NOTE: the ns32/
+    * ns33 timings include this full layout WRITE, by design — they are not
+    * comparable to pure-read queries.
+    */
+  private def tmpLayoutDir(s: SparkSession, prefix: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      UUID.randomUUID().toString.replace("-", "")
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    path
+  }
+
   private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
   private def oList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
   private def oHits(toksExpr: String, words: Seq[String]) =
@@ -1804,8 +1818,7 @@ object SparkEntry {
       Some(
         """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
           |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_" +
-        UUID.randomUUID().toString.replace("-", "")
+      val path = tmpLayoutDir(s, "graft_layout")
       Layout.writePartitioned(
         T(s, dir, "documents").select("doc_id", "n_chars", "lang"), path, Seq("lang"))
       s.read.parquet(path)
@@ -1821,8 +1834,7 @@ object SparkEntry {
       Some(
         """SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200
           |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_" +
-        UUID.randomUUID().toString.replace("-", "")
+      val path = tmpLayoutDir(s, "graft_cluster")
       Layout.writeClustered(
         T(s, dir, "documents").select("doc_id", "n_chars"), path,
         clusterCols = Seq("n_chars"), numFiles = 8)
@@ -1899,6 +1911,41 @@ object SparkEntry {
           size(sh).cast("long").as("n_grams"),
           TextOps.repetitionRatio(sh).as("rep_ratio"))
         .orderBy("doc_id")
+    },
+    // NS-D8: scale-safe embedding near-dup — multi-table LSH candidate
+    // generation + exact cosine rerank. The 100 TB twin of ns12: no driver
+    // collect, no quadratic scan; the oracle derives the identical
+    // md5-based hyperplanes and replays the same candidates-then-rerank
+    // pipeline, so the result (a recall-bounded subset of ns12's pairs) is
+    // fully hash-checked.
+    Q(
+      "ns38_lsh_neardup", {
+        val tables = 8
+        val ppt = 4
+        val dims = 64
+        def bucketExpr(t: Int): String =
+          (0 until ppt).map { j =>
+            val p = t * ppt + j
+            val w = s"(${oHash32(s"'$p,' || d::VARCHAR")}::DOUBLE / 2147483648.0 - 1.0)"
+            s"CASE WHEN list_sum([$w * v[d+1] for d in range($dims)]) >= 0 THEN (${1L << j}::BIGINT) ELSE 0 END"
+          }.mkString("(", " + ", ")")
+        val bs = (0 until tables).map(bucketExpr).mkString(",\n    ")
+        Some(
+          s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+             |bks AS (SELECT vec_id, [$bs] AS bs FROM e),
+             |bk AS (SELECT vec_id, t, bs[t+1] AS bucket
+             |  FROM bks CROSS JOIN (SELECT unnest(range($tables)) AS t)),
+             |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             |SELECT c.vec_a, c.vec_b, list_dot_product(x.nv, y.nv) AS cos
+             |FROM cand c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b
+             |WHERE list_dot_product(x.nv, y.nv) >= 0.38
+             |ORDER BY vec_a, vec_b""".stripMargin)
+      }) { (s, dir) =>
+      Dedup.lshNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.38,
+          dims = 64, tables = 8, planesPerTable = 4)
+        .orderBy("vec_a", "vec_b")
     }
   )
 

@@ -76,6 +76,10 @@ object Layout {
     * files at `outPath`. One distributed read, one round-robin
     * repartition (even file sizes), one write — no driver-side data
     * movement. Returns the output file count.
+    *
+    * Flattens any Hive partition directories into plain files — for a
+    * partitioned dataset use the `partitionCols` overload, which sizes
+    * files per partition and keeps the directory structure.
     */
   def compact(
       spark: SparkSession,
@@ -85,6 +89,50 @@ object Layout {
     val (bytes, _) = dataFileStats(spark, inPath)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath).repartition(nOut).write.mode("overwrite").parquet(outPath)
+    dataFileStats(spark, outPath)._2
+  }
+
+  /** Partition-preserving compaction: the Hive directory layout under
+    * `inPath` survives intact at `outPath`, and each partition is
+    * compacted independently toward `targetFileBytes`.
+    *
+    * Per-partition file counts come from per-partition row counts scaled
+    * by the dataset's average bytes/row. Rows are salted into that many
+    * buckets and shuffled on (partition cols, salt) so a hot partition's
+    * write spreads across several tasks, and `maxRecordsPerFile`
+    * (target bytes / avg bytes-per-row) makes the writer roll files at
+    * the target size even when two buckets hash into the same task — a
+    * hot partition gets many ≈target files, a cold one gets one, which
+    * is exactly how real compaction jobs run. Returns the output
+    * data-file count.
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long,
+      partitionCols: Seq[String]): Int = {
+    require(partitionCols.nonEmpty, "partitionCols empty — use the non-partitioned overload")
+    val df = spark.read.parquet(inPath)
+    val (bytes, _) = dataFileStats(spark, inPath)
+    val pCols = partitionCols.map(col)
+    val counts = df.groupBy(pCols: _*).agg(count(lit(1)).as("_rows"))
+    val totalRows = math.max(1L, counts.agg(sum("_rows")).head().getLong(0))
+    val bytesPerRow = bytes.toDouble / totalRows
+    val nFiles = counts.withColumn(
+      "_nf",
+      greatest(lit(1L), ceil(col("_rows") * bytesPerRow / targetFileBytes)))
+    val totalFiles = math.max(1L, nFiles.agg(sum("_nf")).head().getLong(0))
+    val rowsPerFile = math.max(1L, (targetFileBytes / bytesPerRow).toLong)
+    df.join(broadcast(nFiles.drop("_rows")), partitionCols)
+      .withColumn("_salt", monotonically_increasing_id() % col("_nf"))
+      .repartition(totalFiles.toInt, pCols :+ col("_salt"): _*)
+      .drop("_salt", "_nf")
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(outPath)
     dataFileStats(spark, outPath)._2
   }
 }

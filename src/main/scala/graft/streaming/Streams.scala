@@ -65,6 +65,15 @@ object Streams {
     * of the same streaming stateful aggregation.
     * Output: (user_id, session_start, n_events).
     */
+  /** Native exact-gap session windows. Perf note (round-4 "2.7×
+    * regression"): session_window's first execution in a JVM pays ~0.8 s
+    * of one-time codegen/exec warmup on top of ~1.2 s steady-state at
+    * sf0.1 (measured 2.21 s cold vs 1.17–1.26 s with any events query
+    * first). Round 4's unordered bench map ran ns18 cold; sorted bench
+    * order restores the warm measurement. The plan itself is the right
+    * shape: ONE user_id shuffle, sort within partitions, linear session
+    * merge — warm, it beats the lag→flag→sum composition (ns16, ~1.5 s).
+    */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap))

@@ -81,6 +81,32 @@ class OpsSpec extends SparkSpec {
     assert(rows(0).getLong(1) == rows(2).getLong(1)) // deterministic
   }
 
+  test("lsh near-dup pairs are an exact subset of brute force with bounded recall") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val brute = Dedup.bruteForceNearDupPairs(e, "vec_id", "embedding", 0.38)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.lshNearDupPairs(e, "vec_id", "embedding", 0.38, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Exact rerank: every emitted pair must match brute force bit-for-bit.
+    assert(lsh.subsetOf(brute), s"LSH emitted pairs brute force did not: ${lsh -- brute}")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH near-dup recall too low: $recall (${lsh.size}/${brute.size})")
+  }
+
+  test("embedding near-dup routes to the bucketed plan above the size guard") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val viaGuard = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.38,
+        maxBruteForceRows = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDupPairs(e, "vec_id", "embedding", 0.38, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGuard == lsh, "oversized corpus did not route to the LSH plan")
+    val brute = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.38)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGuard != brute && viaGuard.subsetOf(brute),
+      "size guard routing did not change the plan (or rerank drifted)")
+  }
+
   test("ivf top-k achieves high recall against brute force on the fixture") {
     val e = Tables(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 10)

@@ -192,4 +192,30 @@ class PipelineOpsSpec extends SparkSpec {
     // Content preserved.
     assert(spark.read.parquet(out).count() == 10000)
   }
+
+  test("partitioned compaction keeps directories and sizes files per partition") {
+    import org.apache.spark.sql.functions._
+    val path = tmp("graft-pfrag")
+    // Skewed partitions: 'hot' has 9x the rows of 'cold'; both fragmented.
+    spark.range(10000)
+      .withColumn("part", when(col("id") % 10 === 0, "cold").otherwise("hot"))
+      .repartition(32)
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    assert(Layout.dataFileStats(spark, path)._2 > 32, "fixture not fragmented")
+    val out = tmp("graft-pcompact")
+    val (bytes, _) = Layout.dataFileStats(spark, path)
+    // Target ~ half the dataset: hot should get >=2 files, cold 1.
+    Layout.compact(spark, path, out, targetFileBytes = bytes / 2, partitionCols = Seq("part"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/part=hot")), "partition dirs lost")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/part=cold")), "partition dirs lost")
+    def nFiles(p: String): Int = Layout.dataFileStats(spark, p)._2
+    assert(nFiles(s"$out/part=cold") == 1, "cold partition should compact to one file")
+    assert(nFiles(s"$out/part=hot") >= 2, "hot partition should split across files")
+    // Content preserved, partition column readable.
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10000)
+    assert(back.filter(col("part") === "cold").count() == 1000)
+  }
 }

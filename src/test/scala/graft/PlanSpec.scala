@@ -119,6 +119,10 @@ class PlanSpec extends SparkSpec {
     val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     jac.collect()
     sane(jac.queryExecution.executedPlan.toString, "ngram-jaccard")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val lsh = Dedup.lshNearDupPairs(emb, "vec_id", "embedding", 0.38, dims = 64)
+    lsh.collect()
+    sane(lsh.queryExecution.executedPlan.toString, "lsh-neardup")
     assert(
       spark.sparkContext.getPersistentRDDs.size == before,
       "pair generators leaked cached RDDs into the session")
