@@ -1946,6 +1946,26 @@ object SparkEntry {
       Dedup.lshNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.38,
           dims = 64, tables = 8, planesPerTable = 4)
         .orderBy("vec_a", "vec_b")
+    },
+    // NS-L3: interleaved (Z-order-style) clustering — both cluster columns
+    // get narrow per-file ranges, so the read-back filter on the SECOND
+    // column (doc_id) skips files/row-groups that lexicographic
+    // (n_chars, doc_id) clustering could not. Oracle is the same filter
+    // on the original table; per-file span narrowing is pinned in
+    // PipelineOpsSpec.
+    Q(
+      "ns39_layout_zorder",
+      Some(
+        """SELECT doc_id, n_chars FROM documents WHERE doc_id BETWEEN 100 AND 150
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val path = tmpLayoutDir(s, "graft_zorder")
+      Layout.writeInterleaved(
+        T(s, dir, "documents").select("doc_id", "n_chars"), path,
+        colA = "n_chars", colB = "doc_id", numFiles = 8)
+      s.read.parquet(path)
+        .filter(col("doc_id").between(100, 150))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     }
   )
 

@@ -56,6 +56,56 @@ object Layout {
     path
   }
 
+  /** Interleaved (Z-order-style) clustered write for TWO-column predicate
+    * sets. Lexicographic clustering ([[writeClustered]]) makes row-group
+    * stats selective on the leading column only — the second column spans
+    * its full range in every file. Interleaving fixes that: each column is
+    * quantile-bucketed into 2^`bucketBits` ranks (boundaries from one
+    * `approxQuantile` sampling pass — driver holds a small array, never
+    * data), the rank bits are interleaved into a Morton code, and files
+    * are range-partitioned + sorted on that code, so BOTH columns get
+    * narrow per-file min/max ranges (~2^(bucketBits/2) of the domain) and
+    * row-group skipping works for predicates on either column.
+    *
+    * Everything stays declarative: bucket lookup is a filter-count over a
+    * literal boundary array, bit interleave is integer arithmetic, and
+    * the write is one range shuffle — the same cost shape as
+    * [[writeClustered]].
+    */
+  def writeInterleaved(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int,
+      bucketBits: Int = 6): String = {
+    val nb = 1 << bucketBits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    def boundaries(c: String): Array[Double] =
+      df.select(col(c).cast("double").as("_q"))
+        .stat.approxQuantile("_q", probs, 0.001)
+    def rank(c: String, bs: Array[Double]) =
+      size(filter(
+        typedLit(bs.toSeq),
+        b => col(c).cast("double") >= b)).cast("long")
+    val ra = rank(colA, boundaries(colA))
+    val rb = rank(colB, boundaries(colB))
+    val z = (0 until bucketBits)
+      .map { i =>
+        shiftright(ra, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+          shiftright(rb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+      }
+      .reduce(_ + _)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    path
+  }
+
   /** Total bytes and file count of the parquet data files under `path`
     * (recursive; ignores _SUCCESS/metadata).
     */

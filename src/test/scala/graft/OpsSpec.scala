@@ -134,6 +134,32 @@ class OpsSpec extends SparkSpec {
     idx1.unpersist()
   }
 
+  test("ns20 IVF pipeline reproduces its golden result set exactly") {
+    // The seeded pipeline (ordered training sample, seeded Lloyd loop,
+    // deterministic tie-breaks) is fully deterministic, so the exact
+    // (qid, rank, nid) set is pinned — not just the recall bound. If an
+    // intentional quantizer change moves this, regenerate via
+    // SPARK_GRAFT_FILTER=ns20 tools/run_verify.sh /root/testdata/sf0.001.
+    val golden = Set(
+      (0, 1, 225), (0, 2, 12), (0, 3, 260), (1, 1, 209), (1, 2, 440), (1, 3, 75),
+      (2, 1, 443), (2, 2, 62), (2, 3, 246), (3, 1, 205), (3, 2, 84), (3, 3, 426),
+      (4, 1, 345), (4, 2, 143), (4, 3, 413), (5, 1, 113), (5, 2, 440), (5, 3, 234),
+      (6, 1, 434), (6, 2, 495), (6, 3, 25), (7, 1, 329), (7, 2, 220), (7, 3, 18),
+      (8, 1, 190), (8, 2, 142), (8, 3, 398), (9, 1, 396), (9, 2, 327), (9, 3, 314),
+      (10, 1, 260), (10, 2, 348), (10, 3, 130), (11, 1, 147), (11, 2, 211), (11, 3, 471),
+      (12, 1, 288), (12, 2, 120), (12, 3, 363), (13, 1, 140), (13, 2, 105), (13, 3, 481),
+      (14, 1, 203), (14, 2, 204), (14, 3, 87), (15, 1, 226), (15, 2, 19), (15, 3, 332),
+      (16, 1, 337), (16, 2, 253), (16, 3, 250), (17, 1, 238), (17, 2, 105), (17, 3, 112),
+      (18, 1, 7), (18, 2, 229), (18, 3, 47), (19, 1, 189), (19, 2, 15), (19, 3, 306))
+      .map { case (q, r, n) => (q.toLong, r.toLong, n.toLong) }
+    val got = SparkEntry.queries("ns20_ivf_knn")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("nid")))
+      .toSet
+    assert(got == golden,
+      s"IVF drifted from golden: extra=${got -- golden}, missing=${golden -- got}")
+  }
+
   test("lsh kernel buckets match the declarative expression exactly") {
     val e = Tables(spark, sfDir, "embeddings").limit(100)
     val kern = Similarity.lshBucketsKernel(e, "vec_id", "embedding", 8, 64)

@@ -218,4 +218,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(back.count() == 10000)
     assert(back.filter(col("part") === "cold").count() == 1000)
   }
+
+  test("interleaved clustering narrows per-file ranges on the second column") {
+    import org.apache.spark.sql.functions._
+    // Two independent uniform columns: lexicographic clustering on (x, y)
+    // leaves y spanning ~the full domain in every file; Z-order must not.
+    val df = spark.range(20000).select(
+      (col("id") * 7919 % 20011).as("x"),
+      (col("id") * 104729 % 19997).as("y"))
+    def avgYSpan(path: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max("y") - min("y")).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+    val lex = tmp("graft-lex")
+    Layout.writeClustered(df, lex, clusterCols = Seq("x", "y"), numFiles = 16)
+    val zo = tmp("graft-zorder")
+    Layout.writeInterleaved(df, zo, colA = "x", colB = "y", numFiles = 16)
+    val (lexSpan, zoSpan) = (avgYSpan(lex), avgYSpan(zo))
+    assert(zoSpan < lexSpan * 0.7,
+      s"z-order did not narrow second-column file ranges: $zoSpan vs $lexSpan")
+    // Still a lossless rewrite.
+    assert(spark.read.parquet(zo).count() == 20000)
+  }
 }
