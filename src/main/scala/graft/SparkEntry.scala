@@ -1966,6 +1966,66 @@ object SparkEntry {
         .filter(col("doc_id").between(100, 150))
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    },
+    // NS-T10: benchmark decontamination — per-doc count of distinct
+    // 3-grams shared with a held-out "benchmark" slice (doc_id % 50 = 0),
+    // flag at >= 3 shared grams. Benchmark grams broadcast; corpus grams
+    // deduped scan-locally (array_distinct over the shingle kernel).
+    Q(
+      "ns40_decontaminate",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 50 = 0),
+           |cg AS (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 50 <> 0),
+           |hits AS (SELECT cg.doc_id, COUNT(*) AS n_overlap FROM cg JOIN bg USING (gram) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+           |  coalesce(h.n_overlap, 0) >= 3 AS contaminated
+           |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+           |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      TextOps.contaminationTag(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minOverlap = 3)
+        .orderBy("doc_id")
+    },
+    // NS-T11: budget-sliced sequence packing — per-source assembly of
+    // ~256-token training examples; pack_id = exclusive-prefix-sum DIV
+    // budget, a pure function of the data (one shuffle on source).
+    Q(
+      "ns41_pack_budget",
+      Some(
+        s"""WITH t AS (SELECT doc_id, source, length($oToks)::BIGINT AS n_tok FROM documents),
+           |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+           |SELECT doc_id, source, n_tok, ((cum - n_tok) // 256)::BIGINT AS pack_id
+           |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      TextOps.budgetPack(
+          T(s, dir, "documents")
+            .select(col("doc_id"), col("source"), TextOps.tokenCountWs(col("text")).as("n_tok")),
+          keyCol = "source", orderCol = "doc_id", weightCol = "n_tok", budget = 256L)
+        .orderBy("doc_id")
+    },
+    // NS-SA4: exact-mixture domain sampling — largest 2:1:1:1:1 lang mix
+    // the corpus can supply, deterministic md5-of-id row choice.
+    Q(
+      "ns42_mixture_sample",
+      Some(
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+          |w(lang, w) AS (VALUES ('en', 2), ('de', 1), ('es', 1), ('fr', 1), ('zh', 1)),
+          |k AS (SELECT min(n // w) AS k FROM c JOIN w USING (lang)),
+          |q AS (SELECT lang, w * k AS quota FROM w, k),
+          |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents)
+          |SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Sampling.mixtureSample(
+          T(s, dir, "documents").select("doc_id", "lang"),
+          groupCol = "lang", idCol = "doc_id",
+          weights = Seq("en" -> 2L, "de" -> 1L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 

@@ -63,6 +63,47 @@ object Sampling {
       .drop("_rn", "_n")
   }
 
+  /** Largest exact-mixture sample: draw groups in the integer proportions
+    * `weights` (e.g. en:2, de:1, es:1 → a 2:1:1 corpus mix), scaled to
+    * the biggest whole multiple every group can actually supply —
+    * K = min over groups of (n_group DIV w_group), quota_group = w_group
+    * × K. Domain/language mixing for a training corpus, with the mixture
+    * exact by construction (integer arithmetic only) and row choice
+    * deterministic (md5-of-id order, like [[stratifiedSample]]).
+    * Groups absent from `weights` are dropped.
+    *
+    * Scale shape: one count aggregation and one rank window, both
+    * partitioned on the group key (shared exchange); the quota table is
+    * one row per group — broadcast by construction. Same hot-stratum
+    * caveat as [[stratifiedSample]].
+    */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF(groupCol, "_w")
+    val counts = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .join(wdf, groupCol)
+    // Scalar K via aggregate + broadcast cross join (a global window here
+    // would funnel the counts into one partition and warn).
+    val k = counts.agg(min(expr("_n DIV _w")).as("_k"))
+    val quotas = counts
+      .crossJoin(broadcast(k))
+      .select(col(groupCol), (col("_w") * col("_k")).as("_quota"))
+    val ord = md5(col(idCol).cast("string"))
+    val rankW = Window.partitionBy(col(groupCol)).orderBy(ord, col(idCol))
+    df.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("_rn", row_number().over(rankW).cast("long"))
+      .filter(col("_rn") <= col("_quota"))
+      .drop("_rn", "_quota")
+  }
+
   /** Per-group cap ("at most n documents per source/domain"): keep the
     * first n rows of each group under a caller-chosen deterministic
     * ordering — the crawl-pipeline domain cap. One shuffle on the group

@@ -347,6 +347,77 @@ object TextOps {
         size(col("col")).cast("long").as("n_tokens"))
   }
 
+  /** Benchmark decontamination tag: for every corpus document, the number
+    * of distinct word n-grams it shares with a benchmark/eval set, and a
+    * contamination flag at `minOverlap` — the standard "remove test-set
+    * leakage from training data" pass.
+    *
+    * Scale shape: per-document grams are deduplicated SCAN-LOCALLY
+    * (`array_distinct` over the one-pass shingle kernel — no corpus-side
+    * distinct shuffle); the benchmark gram set (eval suites are tiny next
+    * to a training corpus) is broadcast, so the corpus never shuffles for
+    * the probe; the per-doc overlap count aggregates with map-side
+    * combine. Output: (doc_id, n_overlap, contaminated) for EVERY corpus
+    * doc (zero-fill via the id-side left join).
+    */
+  def contaminationTag(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minOverlap: Int = 3): org.apache.spark.sql.DataFrame = {
+    def distinctGrams(df: org.apache.spark.sql.DataFrame) =
+      if (df.sparkSession.catalog.functionExists("graft_shingles"))
+        df.select(
+          col(idCol).as("doc_id"),
+          explode(array_distinct(call_function("graft_shingles", col(textCol), lit(n))))
+            .as("gram"))
+      else Dedup.shingleRows(df, idCol, textCol, n).distinct()
+    val benchGrams = distinctGrams(bench).select(col("gram")).distinct()
+    val hits = distinctGrams(corpus)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Budget-sliced sequential packing — assemble rows (documents/chunks)
+    * into fixed-token-budget training examples: within each `keyCol`
+    * group, rows in `orderCol` order are assigned `pack_id = exclusive
+    * prefix sum of weightCol DIV budget`, so each pack holds ~budget
+    * tokens and assignment is a pure function of the data (reproducible
+    * across engines and reruns; a row larger than the budget just spans
+    * pack boundaries on its own).
+    *
+    * Scale shape: ONE shuffle on the pack key (the window partition);
+    * the prefix sum is linear within partitions. Packing per key (source/
+    * shard) rather than globally is what keeps a 100 TB corpus out of a
+    * single-partition global window — shard first if a global order is
+    * required.
+    */
+  def budgetPack(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      orderCol: String,
+      weightCol: String,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(weightCol).cast("long")).over(w))
+      .withColumn("pack_id", expr(s"(_cum - CAST($weightCol AS BIGINT)) DIV $budget"))
+      .drop("_cum")
+  }
+
   /** PII-style redaction: digit runs and email-shaped substrings replaced
     * with a placeholder. One regexp pass, scan-local; the pattern is
     * plain enough to behave identically under Java regex and RE2.

@@ -77,6 +77,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("mixture sample hits the exact weight ratios at the largest K") {
+    // en: 5 rows, de: 3, fr: 3; weights 2:1:1 -> K = min(5 div 2, 3, 3) = 2
+    // -> quotas en 4, de 2, fr 2.
+    val df = (1L to 5L).map(i => ("en", i)) ++
+      (6L to 8L).map(i => ("de", i)) ++ (9L to 11L).map(i => ("fr", i))
+    val out = Sampling.mixtureSample(
+        df.toDF("lang", "doc_id"), "lang", "doc_id",
+        Seq("en" -> 2L, "de" -> 1L, "fr" -> 1L))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("en" -> 4L, "de" -> 2L, "fr" -> 2L))
+    // Deterministic: the same call returns the same ids.
+    val ids = Sampling.mixtureSample(
+        df.toDF("lang", "doc_id"), "lang", "doc_id",
+        Seq("en" -> 2L, "de" -> 1L, "fr" -> 1L))
+      .collect().map(_.getLong(1)).toSet
+    val again = Sampling.mixtureSample(
+        df.toDF("lang", "doc_id"), "lang", "doc_id",
+        Seq("en" -> 2L, "de" -> 1L, "fr" -> 1L))
+      .collect().map(_.getLong(1)).toSet
+    assert(ids == again)
+  }
+
+  test("contamination tag counts shared distinct grams and zero-fills") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // shares grams "a b c","b c d","c d e" with bench
+      (2L, "q r s t u"), // disjoint
+      (3L, "a b c x y")) // shares only "a b c"
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val out = TextOps.contaminationTag(corpus, bench, "doc_id", "text", n = 3, minOverlap = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 3L, true), (2L, 0L, false), (3L, 1L, false)))
+  }
+
+  test("budget pack slices sequential prefix sums into budget-sized packs") {
+    val df = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 100L), ("s1", 4L, 300L),
+      ("s2", 5L, 50L))
+      .toDF("source", "doc_id", "n_tok")
+    val out = TextOps.budgetPack(df, "source", "doc_id", "n_tok", budget = 256L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    // s1 exclusive prefix sums: 0, 100, 200, 300 -> packs 0, 0, 0, 1; s2: 0.
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 0L)))
+  }
+
   // ------------------------------------------------------------ text chunks
 
   test("token chunks overlap by width - stride and cover every token") {
