@@ -447,6 +447,55 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** IVF-candidate twin of [[lshNearDupPairs]]: near-dup pairs whose two
+    * vectors share an IVF cell (seeded-KMeans coarse quantizer), exact
+    * cosine rerank inside. Complements the LSH form when an IVF index
+    * already exists for serving ([[Similarity.ivfIndexFor]]) — candidate
+    * generation is then free. Approximate recall (pairs straddling a cell
+    * boundary are missed — raise `nCells` resolution or prefer the LSH
+    * form's multi-table probing when recall matters more than reuse).
+    *
+    * Scale shape: cell assignment is a per-row map against broadcast
+    * centroids; the self-join shuffles (cell, id) only; vectors rejoin by
+    * id O(candidates) — no driver collect of the corpus (the quantizer
+    * trains on a bounded ordered sample, as always).
+    */
+  def ivfNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nCells: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val index = Similarity.ivfFit(df, idCol, vecCol, nCells, seed, persist = false)
+    val cells = index.corpusCells.select(col("cell"), col("nid").as("vid"))
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    val cands = a
+      .join(b, col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
+      .distinct()
+    val nvecs = df
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (vid, vec) => (vid, Dedup.unitNormalize(vec)) }
+    cands
+      .join(nvecs.toDF("vec_a", "na"), "vec_a")
+      .join(nvecs.toDF("vec_b", "nb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("na"), col("nb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (va, vb, na, nb) =>
+        var acc = 0.0
+        var i = 0
+        while (i < na.length) { acc += na(i) * nb(i); i += 1 }
+        (va, vb, acc)
+      }
+      .toDF("vec_a", "vec_b", "cos")
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Connected components over a near-duplicate pair list: every document
     * that appears in at least one pair is assigned the smallest doc id
     * reachable through the pair graph (its cluster representative) — the

@@ -93,6 +93,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH near-dup recall too low: $recall (${lsh.size}/${brute.size})")
   }
 
+  test("ivf near-dup pairs are an exact subset of brute force") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val brute = Dedup.bruteForceNearDupPairs(e, "vec_id", "embedding", 0.38)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = Dedup.ivfNearDupPairs(e, "vec_id", "embedding", 0.38, nCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf.subsetOf(brute), s"IVF emitted pairs brute force did not: ${ivf -- brute}")
+    assert(ivf.nonEmpty, "IVF candidates found no pairs at all")
+  }
+
   test("embedding near-dup routes to the bucketed plan above the size guard") {
     val e = Tables(spark, sfDir, "embeddings")
     val viaGuard = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.38,
