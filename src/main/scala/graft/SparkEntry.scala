@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Profile, Sampling, Similarity, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
@@ -2026,6 +2026,21 @@ object SparkEntry {
           weights = Seq("en" -> 2L, "de" -> 1L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+    // NS-P1: single-pass table profile — per-column rows/nulls/distinct/
+    // min/max, the post-ingest inspection the reference's mover lacks.
+    Q(
+      "ns43_profile",
+      Some(
+        Seq("doc_id", "lang", "source", "n_chars").map { c =>
+          s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+             |  (count(*) - count($c))::BIGINT AS n_nulls,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct,
+             |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+             |FROM documents""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))) { (s, dir) =>
+      Profile.summarize(T(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name")
     }
   )
 

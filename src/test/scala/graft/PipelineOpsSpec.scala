@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Layout, Sampling, TextOps, TimeSeries}
+import graft.ops.{Dedup, Layout, Profile, Sampling, TextOps, TimeSeries}
 
 /** Round-4 pipeline operators: dedup clustering, deterministic sampling,
   * time-series gap-fill, and storage layout.
@@ -122,6 +122,21 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(3)))
     // s1 exclusive prefix sums: 0, 100, 200, 300 -> packs 0, 0, 0, 1; s2: 0.
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 0L)))
+  }
+
+  test("profile counts rows, nulls, distincts, and stringifies min/max") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")), (Some(2L), None), (None, Some("a")))
+      .toDF("id", "tag")
+    val out = Profile.summarize(df, Seq("id", "tag")).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(out(0) == (("id", 4L, 1L, 2L, "1", "2")))
+    assert(out(1) == (("tag", 4L, 1L, 2L, "a", "b")))
+    // Approx path agrees on these tiny cardinalities and keeps the schema.
+    val approx = Profile.summarize(df, Seq("id", "tag"), approxDistinct = true)
+      .orderBy("col_name").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(approx.toSeq == Seq(("id", 2L), ("tag", 2L)))
   }
 
   // ------------------------------------------------------------ text chunks
