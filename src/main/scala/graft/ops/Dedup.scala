@@ -319,7 +319,11 @@ object Dedup {
       vecCol: String,
       minCosine: Double,
       maxBruteForceRows: Long = 100000): DataFrame =
-    if (df.limit((maxBruteForceRows + 1).toInt).count() > maxBruteForceRows) {
+    // limit() takes an Int: saturate the probe so a huge guard value cannot
+    // overflow (a guard that large always routes to the brute-force path
+    // anyway, since count() <= Int.MaxValue rows would satisfy it).
+    if (df.limit(math.min(maxBruteForceRows, Int.MaxValue - 1L).toInt + 1)
+        .count() > maxBruteForceRows) {
       val dims = df.select(size(col(vecCol))).head().getInt(0)
       lshNearDupPairs(df, idCol, vecCol, minCosine, dims)
     } else bruteForceNearDupPairs(df, idCol, vecCol, minCosine)
