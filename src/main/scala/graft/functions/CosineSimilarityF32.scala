@@ -130,5 +130,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeF].getName, "graft_normalize"),
       (children: Seq[Expression]) => NormalizeF(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unit_normalize"),
+      new ExpressionInfo(classOf[UnitNormalizeF32].getName, "graft_unit_normalize"),
+      (children: Seq[Expression]) => UnitNormalizeF32(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF64].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductF64(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBandsF32].getName, "graft_lsh_bands"),
+      (children: Seq[Expression]) => LshBandsF32(
+        children(0), foldInt(children(1)), foldInt(children(2)), foldInt(children(3)))))
+  }
+
+  /** The LSH geometry arguments must be integer literals: folded once at
+    * expression build so the plane matrix is a plan constant.
+    */
+  private def foldInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"graft_lsh_bands expects foldable int literals, got $other")
   }
 }

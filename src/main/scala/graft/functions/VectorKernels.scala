@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Static JVM kernels for the embedding hot path (unit-normalize, banded
+  * LSH bucket assignment, rerank dot product) — shared by interpreted
+  * `eval` and generated code, exactly like [[TextKernels]].
+  *
+  * Every loop is the verbatim arithmetic of the typed-Dataset closures it
+  * replaces (`Dedup.unitNormalize`, the band flatMap in
+  * `Dedup.lshNearDupPairs`, the rerank fold): float→double widening,
+  * index-order accumulation, same comparison directions — so swapping the
+  * closures for these expressions cannot change a single output bit, it
+  * only removes the object serialize/deserialize boundary that broke
+  * whole-stage codegen around each typed map.
+  */
+object VectorKernels {
+
+  /** float→double widen (exact), divide by the index-order L2 norm —
+    * identical to `Dedup.unitNormalize` / the oracle's
+    * `x / sqrt(list_dot_product(v, v))`.
+    */
+  def unitNormalize(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var sq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      v(i) = x
+      sq += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(sq)
+    i = 0
+    while (i < n) { v(i) = v(i) / nrm; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(v)
+  }
+
+  /** Index-order dot product over two double arrays (the rerank step —
+    * inputs are already unit-normalized, so this IS the cosine).
+    */
+  def dotF64(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** One bucket per hash table: table `t` packs the sign bits of plane
+    * projections for global plane indices `t*ppt until (t+1)*ppt` (bit `j`
+    * set when the projection against plane `t*ppt+j` is >= 0). `w` is the
+    * flattened plane matrix, row-major: plane `p`'s weight for dimension
+    * `d` at `w(p*dims + d)` — the same md5-derived values as
+    * `Similarity.planeWeightJvm`.
+    */
+  def lshBands(vec: ArrayData, w: Array[Double], tables: Int, ppt: Int, dims: Int): ArrayData = {
+    val bands = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < ppt) {
+        val off = (t * ppt + j) * dims
+        var proj = 0.0
+        var d = 0
+        while (d < dims) { proj += w(off + d) * vec.getFloat(d).toDouble; d += 1 }
+        if (proj >= 0) bucket |= 1L << j
+        j += 1
+      }
+      bands(t) = bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bands)
+  }
+}
+
+/** `graft_unit_normalize(array<float>) -> array<double>`: codegen'd
+  * unit-normalization of an embedding column.
+  */
+case class UnitNormalizeF32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_unit_normalize expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_unit_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.unitNormalize(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.unitNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnitNormalizeF32 =
+    copy(child = newChild)
+}
+
+/** `graft_dot(array<double>, array<double>) -> double`: codegen'd
+  * index-order dot product (cosine of pre-normalized vectors).
+  */
+case class DotProductF64(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotF64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotF64($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_lsh_bands(vec, tables, planesPerTable, dims) -> array<bigint>`:
+  * codegen'd multi-table LSH bucket assignment. The int parameters must be
+  * foldable literals (the SQL builder folds them at registration); the
+  * plane matrix is derived once on the driver and shipped to generated
+  * code as a plan reference — per-row work is `tables*ppt*dims`
+  * multiply-adds, zero hashing. With `tables=1, planesPerTable=planes`
+  * element 1 is exactly `Similarity.lshBucket(vec, planes, dims)`.
+  */
+case class LshBandsF32(vec: Expression, tables: Int, planesPerTable: Int, dims: Int)
+    extends UnaryExpression {
+  require(tables > 0 && planesPerTable > 0 && planesPerTable <= 63 && dims > 0,
+    s"bad LSH geometry: tables=$tables planesPerTable=$planesPerTable dims=$dims")
+
+  override def child: Expression = vec
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bands expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands"
+
+  // Flattened row-major plane matrix: built lazily on first use (driver
+  // side for codegen — shipped via addReferenceObj — or per-executor for
+  // interpreted eval; the md5 derivation is deterministic either way).
+  @transient private lazy val wFlat: Array[Double] = {
+    val planes = tables * planesPerTable
+    val w = new Array[Double](planes * dims)
+    var p = 0
+    while (p < planes) {
+      var d = 0
+      while (d < dims) {
+        w(p * dims + d) = graft.ops.Similarity.planeWeightJvm(p, d)
+        d += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBands(input.asInstanceOf[ArrayData], wFlat, tables, planesPerTable, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lshPlanes", wFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.lshBands(" +
+        s"$c, $wRef, $tables, $planesPerTable, $dims);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandsF32 =
+    copy(vec = newChild)
+}

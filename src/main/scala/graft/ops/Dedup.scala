@@ -407,28 +407,47 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     require(tables * planesPerTable <= 63, "too many total planes")
-    val w = Array.tabulate(tables * planesPerTable, dims)((p, d) => Similarity.planeWeightJvm(p, d))
     val base = df
       .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-    val nvecs = base.map { case (vid, vec) => (vid, Dedup.unitNormalize(vec)) }
-    val banded = base
-      .flatMap { case (vid, vec) =>
-        (0 until tables).iterator.map { t =>
-          var bucket = 0L
-          var j = 0
-          while (j < planesPerTable) {
-            val wp = w(t * planesPerTable + j)
-            var proj = 0.0
-            var d = 0
-            while (d < dims) { proj += wp(d) * vec(d).toDouble; d += 1 }
-            if (proj >= 0) bucket |= 1L << j
-            j += 1
+    val kernels = spark.catalog.functionExists("graft_lsh_bands") &&
+      spark.catalog.functionExists("graft_unit_normalize")
+    // Fast path: native expressions keep both scan passes (normalize,
+    // band assignment) inside whole-stage codegen — no object
+    // serialize/deserialize boundary. Fallback: the typed-map twins with
+    // verbatim-identical arithmetic.
+    val nvecs =
+      if (kernels)
+        base.select(col("vid"), call_function("graft_unit_normalize", col("vec")).as("nv"))
+      else
+        base.as[(Long, Array[Float])]
+          .map { case (vid, vec) => (vid, Dedup.unitNormalize(vec)) }
+          .toDF("vid", "nv")
+    val banded =
+      if (kernels)
+        base.select(col("vid"), posexplode(call_function(
+            "graft_lsh_bands", col("vec"), lit(tables), lit(planesPerTable), lit(dims))))
+          .select(col("pos").as("t"), col("col").as("bucket"), col("vid"))
+      else {
+        val w = Array.tabulate(tables * planesPerTable, dims)(
+          (p, d) => Similarity.planeWeightJvm(p, d))
+        base.as[(Long, Array[Float])]
+          .flatMap { case (vid, vec) =>
+            (0 until tables).iterator.map { t =>
+              var bucket = 0L
+              var j = 0
+              while (j < planesPerTable) {
+                val wp = w(t * planesPerTable + j)
+                var proj = 0.0
+                var d = 0
+                while (d < dims) { proj += wp(d) * vec(d).toDouble; d += 1 }
+                if (proj >= 0) bucket |= 1L << j
+                j += 1
+              }
+              (t, bucket, vid)
+            }
           }
-          (t, bucket, vid)
-        }
+          .toDF("t", "bucket", "vid")
       }
-      .toDF("t", "bucket", "vid")
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cands = a
@@ -436,19 +455,38 @@ object Dedup {
         col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
       .distinct()
-    cands
+    rerankPairs(cands, nvecs, minCosine)
+  }
+
+  /** Exact cosine rerank of candidate pairs against the unit-normalized
+    * vectors `nvecs` (vid, nv): joins each side back by id, applies the
+    * index-order dot product (codegen'd when graft extensions are loaded),
+    * keeps pairs at `cos >= minCosine`. Shared by the LSH and IVF
+    * candidate generators — vectors move only O(candidates) times.
+    */
+  private def rerankPairs(
+      cands: DataFrame, nvecs: DataFrame, minCosine: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val joined = cands
       .join(nvecs.toDF("vec_a", "na"), "vec_a")
       .join(nvecs.toDF("vec_b", "nb"), "vec_b")
-      .select(col("vec_a"), col("vec_b"), col("na"), col("nb"))
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (va, vb, na, nb) =>
-        var acc = 0.0
-        var i = 0
-        while (i < na.length) { acc += na(i) * nb(i); i += 1 }
-        (va, vb, acc)
-      }
-      .toDF("vec_a", "vec_b", "cos")
-      .filter(col("cos") >= minCosine)
+    val scored =
+      if (spark.catalog.functionExists("graft_dot"))
+        joined.select(col("vec_a"), col("vec_b"),
+          call_function("graft_dot", col("na"), col("nb")).as("cos"))
+      else
+        joined
+          .select(col("vec_a"), col("vec_b"), col("na"), col("nb"))
+          .as[(Long, Long, Array[Double], Array[Double])]
+          .map { case (va, vb, na, nb) =>
+            var acc = 0.0
+            var i = 0
+            while (i < na.length) { acc += na(i) * nb(i); i += 1 }
+            (va, vb, acc)
+          }
+          .toDF("vec_a", "vec_b", "cos")
+    scored.filter(col("cos") >= minCosine)
   }
 
   /** IVF-candidate twin of [[lshNearDupPairs]]: near-dup pairs whose two
@@ -481,23 +519,16 @@ object Dedup {
       .join(b, col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
       .distinct()
-    val nvecs = df
-      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .map { case (vid, vec) => (vid, Dedup.unitNormalize(vec)) }
-    cands
-      .join(nvecs.toDF("vec_a", "na"), "vec_a")
-      .join(nvecs.toDF("vec_b", "nb"), "vec_b")
-      .select(col("vec_a"), col("vec_b"), col("na"), col("nb"))
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (va, vb, na, nb) =>
-        var acc = 0.0
-        var i = 0
-        while (i < na.length) { acc += na(i) * nb(i); i += 1 }
-        (va, vb, acc)
-      }
-      .toDF("vec_a", "vec_b", "cos")
-      .filter(col("cos") >= minCosine)
+    val nvecs =
+      if (spark.catalog.functionExists("graft_unit_normalize"))
+        df.select(col(idCol).cast("long").as("vid"),
+          call_function("graft_unit_normalize", col(vecCol)).as("nv"))
+      else
+        df.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+          .as[(Long, Array[Float])]
+          .map { case (vid, vec) => (vid, Dedup.unitNormalize(vec)) }
+          .toDF("vid", "nv")
+    rerankPairs(cands, nvecs, minCosine)
   }
 
   /** Connected components over a near-duplicate pair list: every document
@@ -590,7 +621,7 @@ object Dedup {
   /** float→double widen (exact), then divide by the index-order L2 norm —
     * the JVM twin of `x / sqrt(list_dot_product(v, v))`.
     */
-  private[ops] def unitNormalize(vec: Array[Float]): Array[Double] = {
+  private[graft] def unitNormalize(vec: Array[Float]): Array[Double] = {
     val v = new Array[Double](vec.length)
     var i = 0
     var sq = 0.0

@@ -97,7 +97,7 @@ object Similarity {
     * first 8 hex digits → uint32 → scaled into [-1, 1). Identical values,
     * computed once per JVM instead of once per (row, plane, dim).
     */
-  private[ops] def planeWeightJvm(plane: Int, dim: Int): Double = {
+  private[graft] def planeWeightJvm(plane: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$plane,$dim".getBytes("UTF-8"))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
@@ -118,24 +118,34 @@ object Similarity {
       dims: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val w = Array.tabulate(planes, dims)((p, d) => planeWeightJvm(p, d))
-    corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .map { case (vid, vec) =>
-        var bucket = 0L
-        var p = 0
-        while (p < planes) {
-          var proj = 0.0
-          var d = 0
-          val wp = w(p)
-          while (d < dims) { proj += wp(d) * vec(d).toDouble; d += 1 }
-          if (proj >= 0) bucket |= 1L << p
-          p += 1
+    // Fast path: the codegen'd graft_lsh_bands expression with a single
+    // table of `planes` planes — bit `p` of element 1 is exactly the
+    // global-plane-index sign bit, so this is [[lshBucket]] verbatim.
+    if (spark.catalog.functionExists("graft_lsh_bands"))
+      corpus.select(
+        col(idCol).cast("long").as(idCol),
+        element_at(call_function(
+          "graft_lsh_bands", col(vecCol), lit(1), lit(planes), lit(dims)), 1).as("bucket"))
+    else {
+      val w = Array.tabulate(planes, dims)((p, d) => planeWeightJvm(p, d))
+      corpus
+        .select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .map { case (vid, vec) =>
+          var bucket = 0L
+          var p = 0
+          while (p < planes) {
+            var proj = 0.0
+            var d = 0
+            val wp = w(p)
+            while (d < dims) { proj += wp(d) * vec(d).toDouble; d += 1 }
+            if (proj >= 0) bucket |= 1L << p
+            p += 1
+          }
+          (vid, bucket)
         }
-        (vid, bucket)
-      }
-      .toDF(idCol, "bucket")
+        .toDF(idCol, "bucket")
+    }
   }
 
   /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns

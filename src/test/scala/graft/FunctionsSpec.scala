@@ -35,6 +35,42 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-15)
   }
 
+  test("vector kernels are registered, callable from SQL, and exact") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_unit_normalize(array(3.0f, 4.0f)) AS nv,
+        |  graft_dot(array(0.6d, 0.8d), array(0.6d, 0.8d)) AS d,
+        |  graft_lsh_bands(array(3.0f, 4.0f), 2, 4, 2) AS bands
+        |""".stripMargin).head()
+    assert(r.getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(r.getDouble(1) == 1.0)
+    val bands = r.getSeq[Long](2)
+    assert(bands.length == 2 && bands.forall(b => b >= 0L && b < 16L))
+  }
+
+  test("graft_unit_normalize matches the JVM twin bit-for-bit") {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "embeddings").limit(200)
+    val fast = e
+      .select(col("vec_id").cast("long"), call_function("graft_unit_normalize", col("embedding")))
+      .as[(Long, Array[Double])].collect().toMap
+    val slow = e
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> graft.ops.Dedup.unitNormalize(v) }.toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (id, v) => assert(v.sameElements(slow(id)), s"vec $id differs") }
+  }
+
+  test("graft_lsh_bands element 1 with one table equals the declarative lshBucket") {
+    val e = Tables(spark, sfDir, "embeddings").limit(100)
+    val both = e.select(
+      element_at(
+        call_function("graft_lsh_bands", col("embedding"), lit(1), lit(8), lit(64)), 1).as("fast"),
+      Similarity.lshBucket(col("embedding"), 8, 64).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("every text kernel is registered and callable from SQL") {
     val r = spark.sql(
       """SELECT
