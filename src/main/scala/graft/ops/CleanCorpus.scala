@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: the two filters are scan-local; exact dedup shuffles one
   * md5 key per surviving row; near-dup pair generation runs on the
   * already-deduped survivors (the smallest set), via the inverted-index
-  * join of [[Dedup.ngramJaccardPairs]]; the final removal is a broadcast
-  * anti-join against the (tiny) drop-list.
+  * join of [[Dedup.ngramJaccardPairs]]; the final removal is an anti-join
+  * against the drop-list. The drop-list is O(near-dup documents) — crawl
+  * corpora run 30–50% duplicates, so at scale it is billions of ids and
+  * deliberately NOT hinted `broadcast()`: AQE broadcasts it when it
+  * measures small and falls back to a shuffle join when it doesn't.
   */
 object CleanCorpus {
 
@@ -60,7 +63,7 @@ object CleanCorpus {
       .select(col("doc_b").as("doc_id"))
       .distinct()
     deduped
-      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .join(dropList, Seq("doc_id"), "left_anti")
       .select("doc_id", "quality", "fp")
   }
 }

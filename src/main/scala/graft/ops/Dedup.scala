@@ -266,9 +266,13 @@ object Dedup {
     *
     * The self-join keys on xxhash64(gram) — an 8-byte shuffle key instead
     * of the gram string — and the big pair shuffle carries only
-    * (doc_a, doc_b); per-doc gram counts rejoin afterwards as a broadcast
-    * dimension. Intersection counts are identical to string equality
-    * unless xxhash64 collides within a correlated pair (~2^-64 per pair).
+    * (doc_a, doc_b); per-doc gram counts rejoin afterwards. The counts
+    * dimension is one row per DOCUMENT, so it is deliberately NOT hinted
+    * `broadcast()`: at 10^9 docs a forced broadcast would OOM executors,
+    * while unhinted AQE broadcasts it when it measures small and degrades
+    * gracefully to a shuffle join above the threshold. Intersection counts
+    * are identical to string equality unless xxhash64 collides within a
+    * correlated pair (~2^-64 per pair).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -289,9 +293,9 @@ object Dedup {
     a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_grams", "na"), "doc_a")
-      .join(broadcast(counts).withColumnRenamed("doc_id", "doc_b")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_grams", "nb"), "doc_b")
       .select(
         col("doc_a"),
