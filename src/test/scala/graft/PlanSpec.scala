@@ -128,6 +128,68 @@ class PlanSpec extends SparkSpec {
       "pair generators leaked cached RDDs into the session")
   }
 
+  test("corpus-cardinality dimensions are not force-broadcast (ns09/ns22 scale guard)") {
+    // The counts dim in ngramJaccardPairs is one row per DOCUMENT, and the
+    // CleanCorpus dropList is every near-dup doc — at 10^9 docs a forced
+    // broadcast() hint OOMs executors. With the hint removed, disabling the
+    // broadcast thresholds must make the planner degrade those joins to a
+    // shuffle join; a surviving hint would keep BroadcastHashJoin regardless.
+    import graft.ops.{CleanCorpus, Dedup}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val athr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      jac.collect()
+      val pj = jac.queryExecution.executedPlan.toString
+      assert(!pj.contains("BroadcastHashJoin"),
+        s"counts dim still force-broadcast with thresholds disabled:\n$pj")
+      val cc = CleanCorpus.run(docs, "doc_id", "text")
+      cc.collect()
+      val pc = cc.queryExecution.executedPlan.toString
+      assert(!pc.contains("BroadcastHashJoin"),
+        s"dropList still force-broadcast with thresholds disabled:\n$pc")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", athr)
+    }
+  }
+
+  test("lshTopK bucket self-join carries no vector payload (ns45 shape)") {
+    // The candidate join keys on bucket and must see only (vid, bucket)
+    // on both inputs — a vector column there means candidate pairs shuffle
+    // 2x dims x 4 bytes each, the round-5 finding this restructure fixed.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = Similarity.lshTopK(e, "vec_id", "embedding", 8, 64, 3)
+    q.collect() // finalize AQE stages
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val bucketJoins = flatten(q.queryExecution.executedPlan)
+      .collect { case j: BaseJoinExec => j }
+      .filter(j =>
+        (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "bucket")) ||
+          j.condition.exists(_.references.exists(_.name == "bucket")))
+    assert(bucketJoins.nonEmpty, "no bucket candidate join found in the plan")
+    bucketJoins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"vector payload shuffled through the bucket self-join: ${arrays.map(_.name)}")
+    }
+  }
+
   test("as-of join pays exactly one data shuffle (plus the output sort)") {
     val q = SparkEntry.queries("ns15_asof_join")(spark, sfDir)
     val p = plan(q)
