@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Profile, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
@@ -126,7 +126,7 @@ object SparkEntry {
       w.write(supplier) // create
       w.write(supplier) // append
       w.finalizeCommit()
-      s.read.parquet(dest).orderBy("s_suppkey")
+      ManagedWriter.read(s, dest).orderBy("s_suppkey")
     },
     // A1+A6+A7+A8 composed: the full pipeline WITH pushdown options
     // (≈ bigquack_test.go:12-30: BQ2Duck + SelectedFields + RowRestriction).
@@ -248,7 +248,7 @@ object SparkEntry {
         UUID.randomUUID().toString.take(8)
       val w = new ManagedWriter(s, dest, supplier.schema, StreamType.Committed)
       w.write(supplier)
-      s.read.parquet(dest).orderBy("s_suppkey")
+      ManagedWriter.read(s, dest).orderBy("s_suppkey")
     }
   )
 
@@ -2041,6 +2041,54 @@ object SparkEntry {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))) { (s, dir) =>
       Profile.summarize(T(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy("col_name")
+    },
+    // NS-Q1: symmetric per-vector int8 embedding quantization — the 4x
+    // payload compressor for ANN candidate joins and at-rest embedding
+    // tables. Exact arithmetic twin on both engines: double widening,
+    // max|v|/127 scale, half-away-from-zero rounding. qvec elements are
+    // surfaced as BIGINT in the gated output (the operator itself emits
+    // array<tinyint>; DuckDB list comparison is element-type-sensitive).
+    Q(
+      "ns44_quantize_int8",
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e)
+          |SELECT vec_id, scale,
+          |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+          |       ELSE list_transform(v, x -> round(x / scale)::BIGINT) END AS qvec
+          |FROM s ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+      Quantize.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          col("scale"),
+          transform(col("qvec"), q => q.cast("long")).as("qvec"))
+        .orderBy("vec_id")
+    },
+    // NS-S5: LSH-bucketed cosine top-k — the candidates-then-rerank ANN
+    // serving path. The oracle replays the md5 hyperplane derivation
+    // (ns11's bucket SQL), the id-only bucket self-join, and the exact
+    // cosine rerank, so the full top-k result is hash-checked.
+    Q(
+      "ns45_lsh_topk", {
+        val planes = 8
+        val dims = 64
+        Some(
+          s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |b AS (SELECT vec_id, list_sum([CASE WHEN
+             |    list_sum([(${oHash32("p::VARCHAR || ',' || d::VARCHAR")}::DOUBLE / 2147483648.0 - 1.0) * v[d+1]
+             |      for d in range($dims)]) >= 0 THEN (1::BIGINT << p) ELSE 0 END
+             |  for p in range($planes)])::BIGINT AS bucket
+             |FROM e),
+             |cand AS (SELECT a.vec_id AS qid, c.vec_id AS nid
+             |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+             |sc AS (SELECT qid, nid, ${oCosine("x.v", "y.v")} AS cos
+             |  FROM cand JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = nid),
+             |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc)
+             |SELECT qid, rank::BIGINT AS rank, nid, cos FROM r WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)
+      }) { (s, dir) =>
+      Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", 8, 64, 3)
+        .orderBy("qid", "rank")
     }
   )
 

@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -29,17 +29,23 @@ object StreamType {
   *     bigquery_write.go:422-424) and appends — to the visible destination in
   *     Committed mode, to an invisible staging area in Pending mode
   *     (≈ AppendRows into a pending stream);
-  *   - `finalizeCommit()` promotes staged files with filesystem renames and
-  *     refuses further writes (≈ Finalize → BatchCommitWriteStreams).
+  *   - `finalizeCommit()` promotes staged files and refuses further writes
+  *     (≈ Finalize → BatchCommitWriteStreams).
   *
   * Each individual `write` inherits task-level exactly-once from Spark's
   * FileCommitProtocol (task attempts write to attempt paths, the job commit
   * publishes exactly one). Pending mode adds multi-append deferred
-  * visibility on top; the promotion is *near-atomic* — a sequence of
-  * same-directory renames, each atomic on HDFS-like filesystems, so a crash
-  * mid-promotion can leave a prefix of the batches visible (the reference's
-  * BatchCommitWriteStreams is strictly atomic; a fully atomic equivalent
-  * would need a manifest file that readers consult).
+  * visibility on top, and the multi-batch commit is ATOMIC the same way the
+  * reference's `BatchCommitWriteStreams` is (bigquery_write.go:473-484):
+  * promoted data files are not the commit point — the commit point is ONE
+  * same-directory rename publishing the next version of the
+  * `_graft_manifest` snapshot (the file list readers consult via
+  * [[ManagedWriter.read]]). A crash anywhere mid-promotion leaves the
+  * previous manifest as the newest one, so a manifest-consulting reader
+  * sees ZERO new rows — never a prefix of the batches. (Plain
+  * `spark.read.parquet(dest)` readers ignore the underscore-prefixed
+  * manifest directory and keep working, but only get the weaker
+  * prefix-visible guarantee under mid-commit crashes.)
   */
 final class ManagedWriter(
     spark: SparkSession,
@@ -50,6 +56,12 @@ final class ManagedWriter(
   private val stagingDir = s"$destDir-staging-${UUID.randomUUID().toString.take(8)}"
   private var finalized = false
   private var appended = 0L
+
+  /** Test hook: simulate a crash after this many batch promotions inside
+    * `finalizeCommit` (before the manifest publish). Proves atomicity: the
+    * promoted files exist physically but no manifest version names them.
+    */
+  private[graft] var crashAfterBatches: Int = Int.MaxValue
 
   private def fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -71,11 +83,17 @@ final class ManagedWriter(
     df.write.mode("errorifexists").parquet(batchDir)
     appended += 1
     val n = spark.read.parquet(batchDir).count()
-    if (streamType == StreamType.Committed) promote(new Path(batchDir))
+    if (streamType == StreamType.Committed) {
+      val visible = ManagedWriter.visibleFiles(fs, destDir)
+      val promoted = promote(new Path(batchDir))
+      ManagedWriter.publishManifest(fs, destDir, visible ++ promoted)
+    }
     n
   }
 
-  /** Move every data file of one staged batch into the destination.
+  /** Move every data file of one staged batch into the destination;
+    * returns the promoted file names (destination-relative).
+    *
     * A name collision at the destination aborts the commit with the
     * staged data still intact — checked explicitly BEFORE the rename
     * (Hadoop's LocalFileSystem rename onto an existing directory silently
@@ -85,12 +103,12 @@ final class ManagedWriter(
     * files are only ever deleted by the caller after *all* renames
     * succeeded.
     */
-  private def promote(batchPath: Path): Unit = {
+  private def promote(batchPath: Path): Seq[String] = {
     val dest = new Path(destDir)
     if (!fs.exists(dest)) fs.mkdirs(dest)
     fs.listStatus(batchPath)
       .filter(f => f.getPath.getName.startsWith("part-"))
-      .foreach { f =>
+      .map { f =>
         val to = new Path(dest, f.getPath.getName)
         if (fs.exists(to)) {
           throw new java.io.IOException(
@@ -101,25 +119,125 @@ final class ManagedWriter(
             s"commit failed: rename ${f.getPath} -> $to returned false; " +
               "staged data left in place")
         }
+        to.getName
       }
+      .toSeq
   }
 
-  /** Make all pending appends visible; returns number of batches committed
-    * (≈ Finalize's return, bigquery_write.go:466-485). Committed-mode
-    * streams have nothing left to promote. The staging directory is deleted
-    * only after every rename has succeeded.
+  /** Make all pending appends visible ATOMICALLY; returns number of batches
+    * committed (≈ Finalize's return, bigquery_write.go:466-485). Data-file
+    * renames happen first (invisible to manifest readers); the single
+    * manifest rename at the end is the commit point — before it, a crash
+    * leaves the destination's previous manifest authoritative and zero new
+    * rows visible, matching BatchCommitWriteStreams' all-or-nothing
+    * semantics (bigquery_write.go:473-484). Committed-mode streams have
+    * nothing left to promote. The staging directory is deleted only after
+    * the manifest has been published.
     */
   def finalizeCommit(): Long = {
     require(!finalized, "already finalized")
     finalized = true
     val staging = new Path(stagingDir)
     if (streamType == StreamType.Pending && fs.exists(staging)) {
-      fs.listStatus(staging)
+      val visible = ManagedWriter.visibleFiles(fs, destDir)
+      val batches = fs.listStatus(staging)
         .filter(_.isDirectory)
         .sortBy(_.getPath.getName)
-        .foreach(b => promote(b.getPath))
+      val promoted = Seq.newBuilder[String]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (i >= crashAfterBatches)
+          throw new java.io.IOException(
+            s"simulated crash after $i promoted batches (test hook)")
+        promoted ++= promote(b.getPath)
+      }
+      ManagedWriter.publishManifest(fs, destDir, visible ++ promoted.result())
     }
     if (fs.exists(staging)) fs.delete(staging, true)
     appended
+  }
+}
+
+object ManagedWriter {
+
+  private val ManifestDirName = "_graft_manifest"
+
+  private def manifestDir(destDir: String) = new Path(destDir, ManifestDirName)
+
+  /** Latest committed manifest: (version, destination-relative file names).
+    * None when the destination has never been written through a manifest
+    * (pre-manifest directories, or plain `df.write.parquet` output).
+    */
+  private def latestManifest(fs: FileSystem, destDir: String): Option[(Long, Seq[String])] = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) return None
+    val versions = fs.listStatus(md)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v-") && p.getName.endsWith(".txt"))
+    if (versions.isEmpty) return None
+    val latest = versions.maxBy(p =>
+      p.getName.stripPrefix("v-").stripSuffix(".txt").toLong)
+    val in = fs.open(latest)
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    Some((latest.getName.stripPrefix("v-").stripSuffix(".txt").toLong, files))
+  }
+
+  /** The currently visible data files (destination-relative): the latest
+    * manifest when one exists, else whatever part files physically sit in
+    * the destination (adopting a pre-manifest directory as version-0
+    * state, so the first manifest commit keeps old rows visible).
+    */
+  private[sinks] def visibleFiles(fs: FileSystem, destDir: String): Seq[String] =
+    latestManifest(fs, destDir).map(_._2).getOrElse {
+      val dest = new Path(destDir)
+      if (!fs.exists(dest)) Seq.empty
+      else fs.listStatus(dest)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName)
+        .toSeq
+        .sorted
+    }
+
+  /** Publish the next manifest version: write to a dot-prefixed temp file,
+    * then ONE same-directory rename — atomic on HDFS-like filesystems —
+    * makes it the newest version. This rename IS the batch-commit point
+    * (≈ bigquery_write.go:473-484's atomic BatchCommitWriteStreams).
+    */
+  private[sinks] def publishManifest(
+      fs: FileSystem,
+      destDir: String,
+      files: Seq[String]): Unit = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) fs.mkdirs(md)
+    val nextVersion = latestManifest(fs, destDir).map(_._1).getOrElse(0L) + 1
+    val tmp = new Path(md, s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write((files.distinct.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(md, f"v-$nextVersion%08d.txt")
+    if (fs.exists(target) || !fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"manifest publish failed: $tmp -> $target; previous version remains authoritative")
+  }
+
+  /** Manifest-consulting reader — the strict-visibility read path. Loads
+    * exactly the files named by the latest committed manifest, so a crash
+    * mid-`finalizeCommit` (data files promoted, manifest not published)
+    * exposes zero uncommitted rows. Destinations without a manifest fall
+    * back to a plain directory read.
+    */
+  def read(spark: SparkSession, destDir: String): DataFrame = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, destDir) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.parquet(files.map(f => s"$destDir/$f"): _*)
+      case Some(_) =>
+        // Committed-but-empty destination: zero visible files. Derive the
+        // (empty) result from the physical files' schema if any exist.
+        spark.read.parquet(destDir).limit(0)
+      case None =>
+        spark.read.parquet(destDir)
+    }
   }
 }

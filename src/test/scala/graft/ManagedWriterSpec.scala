@@ -62,6 +62,54 @@ class ManagedWriterSpec extends SparkSpec {
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dest-staging-*/batch-0/part-*")).nonEmpty)
   }
 
+  test("mid-promotion crash leaves ZERO new rows visible to manifest readers " +
+      "(bigquery_write.go:473-484 atomic BatchCommitWriteStreams)") {
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    // Commit one batch normally -> manifest v1.
+    val w1 = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w1.write(df)
+    w1.finalizeCommit()
+    val committed = ManagedWriter.read(spark, dest).count()
+    assert(committed == df.count())
+    // Stage two more batches, crash after the FIRST one's files were
+    // physically renamed into the destination but before the manifest
+    // publish — the prefix-visibility window the old implementation had.
+    val w2 = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w2.write(df)
+    w2.write(df)
+    w2.crashAfterBatches = 1
+    assertThrows[java.io.IOException] { w2.finalizeCommit() }
+    // Physically a prefix IS in the directory (one promoted batch)...
+    assert(spark.read.parquet(dest).count() > committed)
+    // ...but the manifest-consulting reader sees none of it: the previous
+    // manifest is still the newest version, so the commit was all-or-nothing.
+    assert(ManagedWriter.read(spark, dest).count() == committed)
+  }
+
+  test("committed-mode appends publish a manifest version per batch") {
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Committed)
+    w.write(df)
+    assert(ManagedWriter.read(spark, dest).count() == df.count())
+    w.write(df)
+    assert(ManagedWriter.read(spark, dest).count() == 2 * df.count())
+  }
+
+  test("manifest reader falls back to a plain directory read when no manifest exists") {
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    df.write.parquet(dest)
+    assert(ManagedWriter.read(spark, dest).count() == df.count())
+    // ...and a first manifest commit onto that directory adopts the
+    // pre-existing files, keeping old rows visible alongside the new batch.
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df)
+    w.finalizeCommit()
+    assert(ManagedWriter.read(spark, dest).count() == 2 * df.count())
+  }
+
   test("writer refuses appends after finalize (bigquery_write.go:466 contract)") {
     val df = Tables(spark, sfDir, "supplier")
     val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)
