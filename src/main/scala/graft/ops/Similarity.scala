@@ -351,6 +351,14 @@ object Similarity {
 
   /** LSH-bucketed ANN: exact cosine rerank *within* buckets only.
     * Output: (qid, rank, nid, cos) for the top-k within each query's bucket.
+    *
+    * Shuffle shape (100 TB): the bucket self-join carries ONLY
+    * (bucket, vid) — 16 bytes a row — never the vector payload; the full
+    * vectors rejoin by id O(candidate pairs) afterwards, the same
+    * candidates-then-rerank split as [[Dedup.lshNearDupPairs]]. The naive
+    * form (vectors embedded in both self-join sides) shuffles 2×dims×4
+    * bytes per candidate pair, which at 10^9 rows × 1k-dim embeddings is
+    * the job's whole budget.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -359,19 +367,23 @@ object Similarity {
       planes: Int,
       dims: Int,
       k: Int): DataFrame = {
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
     val buckets = lshBucketsKernel(corpus, idCol, vecCol, planes, dims)
       .withColumnRenamed(idCol, "vid")
-    val bucketed = corpus
-      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
-      .join(buckets, "vid")
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
+      .select(col("vid").cast("long").as("vid"), col("bucket"))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    // id-only candidate pairs: one bucket per vid (single-table LSH), so
+    // no distinct is needed — each (qid, nid) appears at most once.
+    val cands = a
+      .join(b, col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("qid"), col("b.vid").as("nid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
-      .select(
-        col("a.vid").as("qid"),
-        col("b.vid").as("nid"),
-        cosineFast(corpus, col("a.vec"), col("b.vec")).as("cos"))
+    cands
+      .join(vecs.select(col("vid").as("qid"), col("vec").as("qvec")), "qid")
+      .join(vecs.select(col("vid").as("nid"), col("vec").as("nvec")), "nid")
+      .select(col("qid"), col("nid"), cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))

@@ -2,12 +2,81 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Quantize, Similarity, TextOps}
 
 /** North-star operator unit tests with hand-computable goldens. */
 class OpsSpec extends SparkSpec {
 
   import spark.implicits._
+
+  test("lshTopK candidates-then-rerank equals the vectors-embedded naive form") {
+    // The restructured plan (id-only bucket self-join, vectors rejoin by
+    // id) must be result-identical to the naive form it replaced (vectors
+    // embedded in both self-join sides) — same buckets, same cosine
+    // kernel, so bit-identical scores and identical top-k.
+    val e = Tables(spark, sfDir, "embeddings")
+    val got = Similarity.lshTopK(e, "vec_id", "embedding", 8, 64, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val buckets = Similarity.lshBucketsKernel(e, "vec_id", "embedding", 8, 64)
+      .withColumnRenamed("vec_id", "vid")
+    val bucketed = e
+      .select(col("vec_id").cast("long").as("vid"), col("embedding").as("vec"))
+      .join(buckets, "vid")
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val naive = a
+      .join(b, col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
+      .select(
+        col("a.vid").as("qid"),
+        col("b.vid").as("nid"),
+        Similarity.cosineFast(e, col("a.vec"), col("b.vec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == naive,
+      s"restructured lshTopK drifted: extra=${got -- naive}, missing=${naive -- got}")
+  }
+
+  test("int8 quantization: bounded per-element error, exact dequantize twin") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = Quantize.quantizeInt8(e, "vec_id", "embedding")
+    // every quantized element within int8 symmetric range
+    assert(q.select(explode(col("qvec")).as("q"))
+      .filter(col("q") > 127 || col("q") < -127).count() == 0)
+    // dequantize error bound: |v_i - q_i*scale| <= scale/2 (round-to-nearest)
+    val maxRel = q.join(e, "vec_id")
+      .select(
+        (array_max(zip_with(
+          col("embedding"),
+          Quantize.dequantizeInt8(col("qvec"), col("scale")),
+          (v, d) => abs(v.cast("double") - d))) / col("scale")).as("rel"))
+      .agg(max(col("rel"))).head().getDouble(0)
+    assert(maxRel <= 0.5 + 1e-9, s"dequantize error exceeds half a step: $maxRel")
+  }
+
+  test("int8-quantized embeddings preserve brute-force top-k recall") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 20), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val deq = Quantize.quantizeInt8(e, "vec_id", "embedding")
+      .select(
+        col("vec_id"),
+        transform(
+          Quantize.dequantizeInt8(col("qvec"), col("scale")),
+          x => x.cast("float")).as("embedding"))
+    val approx = Similarity
+      .bruteForceTopK(deq, deq.filter($"vec_id" < 20), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantization recall too low: $recall")
+  }
 
   test("exact dedup keeps min id and counts copies") {
     val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("doc_id", "text")
