@@ -56,16 +56,17 @@ object Layout {
     path
   }
 
-  /** Interleaved (Z-order-style) clustered write for TWO-column predicate
+  /** Interleaved (Z-order-style) clustered write for N-column predicate
     * sets. Lexicographic clustering ([[writeClustered]]) makes row-group
-    * stats selective on the leading column only — the second column spans
+    * stats selective on the leading column only — every later column spans
     * its full range in every file. Interleaving fixes that: each column is
-    * quantile-bucketed into 2^`bucketBits` ranks (boundaries from one
-    * `approxQuantile` sampling pass — driver holds a small array, never
-    * data), the rank bits are interleaved into a Morton code, and files
-    * are range-partitioned + sorted on that code, so BOTH columns get
-    * narrow per-file min/max ranges (~2^(bucketBits/2) of the domain) and
-    * row-group skipping works for predicates on either column.
+    * quantile-bucketed into 2^`bucketBits` ranks (boundaries from ONE
+    * multi-column `approxQuantile` sampling pass — driver holds a small
+    * boundary array per column, never data), the rank bits are interleaved
+    * into a Morton code (bit i of column j lands at position i*N + j), and
+    * files are range-partitioned + sorted on that code, so EVERY cluster
+    * column gets a narrow per-file min/max range and row-group skipping
+    * works for predicates on any of them.
     *
     * Everything stays declarative: bucket lookup is a filter-count over a
     * literal boundary array, bit interleave is integer arithmetic, and
@@ -75,26 +76,28 @@ object Layout {
   def writeInterleaved(
       df: DataFrame,
       path: String,
-      colA: String,
-      colB: String,
+      clusterCols: Seq[String],
       numFiles: Int,
-      bucketBits: Int = 6): String = {
+      bucketBits: Int): String = {
+    val n = clusterCols.size
+    require(n >= 1, "clusterCols empty")
+    require(clusterCols.distinct.size == n, s"duplicate cluster columns: $clusterCols")
+    require(n * bucketBits <= 63,
+      s"$n cols x $bucketBits bits = ${n * bucketBits} Morton bits; max 63")
     val nb = 1 << bucketBits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
-    def boundaries(c: String): Array[Double] =
-      df.select(col(c).cast("double").as("_q"))
-        .stat.approxQuantile("_q", probs, 0.001)
+    // One sampling pass computes every column's boundaries.
+    val doubled = df.select(clusterCols.map(c => col(c).cast("double").as(c)): _*)
+    val allBounds = doubled.stat.approxQuantile(clusterCols.toArray, probs, 0.001)
     def rank(c: String, bs: Array[Double]) =
       size(filter(
         typedLit(bs.toSeq),
         b => col(c).cast("double") >= b)).cast("long")
-    val ra = rank(colA, boundaries(colA))
-    val rb = rank(colB, boundaries(colB))
-    val z = (0 until bucketBits)
-      .map { i =>
-        shiftright(ra, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-          shiftright(rb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-      }
+    val ranks = clusterCols.zip(allBounds).map { case (c, bs) => rank(c, bs) }
+    val z = (for {
+        i <- 0 until bucketBits
+        (r, j) <- ranks.zipWithIndex
+      } yield shiftright(r, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j)))
       .reduce(_ + _)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
@@ -105,6 +108,18 @@ object Layout {
       .parquet(path)
     path
   }
+
+  /** Two-column convenience overload (bit layout identical to the N-column
+    * form with `Seq(colA, colB)`).
+    */
+  def writeInterleaved(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int,
+      bucketBits: Int = 6): String =
+    writeInterleaved(df, path, Seq(colA, colB), numFiles, bucketBits)
 
   /** Total bytes and file count of the parquet data files under `path`
     * (recursive; ignores _SUCCESS/metadata).

@@ -62,6 +62,51 @@ class FunctionsSpec extends SparkSpec {
     fast.foreach { case (id, v) => assert(v.sameElements(slow(id)), s"vec $id differs") }
   }
 
+  test("cosine twins matrix: every kernel form agrees with its fold twin " +
+      "bit-for-bit, and the two families agree to 1e-12") {
+    // The repo computes cosine two ways, each with a DuckDB-oracle twin:
+    //   family 1 (ns10/ns11):  dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
+    //     — graft_cosine kernel ≡ Similarity.cosine fold.
+    //   family 2 (ns12/ns38):  dot(a/|a|, b/|b|) over pre-normalized
+    //     vectors — graft_unit_normalize + graft_dot ≡ Dedup.unitNormalize
+    //     + index-order fold.
+    // WITHIN a family, kernel and fold are bit-identical (same widening,
+    // same index-order accumulation) — pinned here so a kernel edit can't
+    // silently fork from its oracle. ACROSS families bit-identity is NOT
+    // expected (normalize-then-multiply rounds per element; divide-at-the-
+    // end rounds once), so the cross check is a tight tolerance instead.
+    val e = Tables(spark, sfDir, "embeddings").limit(120)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(400)
+    val m = pairs.select(
+      call_function("graft_cosine", col("va"), col("vb")).as("f1_kernel"),
+      Similarity.cosine(col("va"), col("vb")).as("f1_fold"),
+      call_function("graft_dot",
+        call_function("graft_unit_normalize", col("va")),
+        call_function("graft_unit_normalize", col("vb"))).as("f2_kernel"))
+    assert(m.filter(col("f1_kernel") =!= col("f1_fold")).count() == 0,
+      "graft_cosine forked from the declarative fold")
+    assert(m.filter(abs(col("f1_kernel") - col("f2_kernel")) > 1e-12).count() == 0,
+      "the two cosine families drifted beyond rounding")
+    // family 2 kernel vs its JVM fold twin, bit-for-bit
+    import spark.implicits._
+    val rows = pairs.select(col("va"), col("vb"),
+        call_function("graft_dot",
+          call_function("graft_unit_normalize", col("va")),
+          call_function("graft_unit_normalize", col("vb"))).as("k"))
+      .as[(Array[Float], Array[Float], Double)].collect()
+    rows.foreach { case (va, vb, k) =>
+      val na = graft.ops.Dedup.unitNormalize(va)
+      val nb = graft.ops.Dedup.unitNormalize(vb)
+      var d = 0.0
+      var i = 0
+      while (i < math.min(na.length, nb.length)) { d += na(i) * nb(i); i += 1 }
+      assert(java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(k),
+        s"normalize+dot kernel forked from the JVM fold: $d vs $k")
+    }
+  }
+
   test("graft_lsh_bands element 1 with one table equals the declarative lshBucket") {
     val e = Tables(spark, sfDir, "embeddings").limit(100)
     val both = e.select(

@@ -302,4 +302,28 @@ class PipelineOpsSpec extends SparkSpec {
     // Still a lossless rewrite.
     assert(spark.read.parquet(zo).count() == 20000)
   }
+
+  test("3-column interleave narrows per-file ranges on ALL non-leading columns") {
+    import org.apache.spark.sql.functions._
+    // Three independent uniform columns: lexicographic clustering on
+    // (x, y, z) leaves y and z spanning ~the full domain per file; the
+    // N-column Morton interleave must narrow both trailing columns.
+    val df = spark.range(20000).select(
+      (col("id") * 7919 % 20011).as("x"),
+      (col("id") * 104729 % 19997).as("y"),
+      (col("id") * 15485863 % 19993).as("z"))
+    def avgSpan(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(c) - min(c)).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+    val lex = tmp("graft-lex3")
+    Layout.writeClustered(df, lex, clusterCols = Seq("x", "y", "z"), numFiles = 16)
+    val zo = tmp("graft-zorder3")
+    Layout.writeInterleaved(df, zo, Seq("x", "y", "z"), numFiles = 16, bucketBits = 6)
+    Seq("y", "z").foreach { c =>
+      val (l, m) = (avgSpan(lex, c), avgSpan(zo, c))
+      assert(m < l * 0.7, s"3-col interleave did not narrow '$c' file ranges: $m vs $l")
+    }
+    assert(spark.read.parquet(zo).count() == 20000)
+  }
 }
