@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
@@ -2089,6 +2089,68 @@ object SparkEntry {
       }) { (s, dir) =>
       Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding", 8, 64, 3)
         .orderBy("qid", "rank")
+    },
+    // NS-R1: BM25 top-k retrieval (rational-idf variant — every arithmetic
+    // step is a correctly-rounded IEEE op, so the scores hash-match; the
+    // per-doc term-score sum folds in sorted term order on both engines).
+    Q(
+      "ns46_bm25_topk", {
+        val terms = Seq("query", "spark", "stream")
+        val qList = terms.map(t => s"('$t')").mkString(", ")
+        Some(
+          s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+             |d AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM t),
+             |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM d),
+             |q(term) AS (VALUES $qList),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |  FROM (SELECT doc_id, unnest(ts) AS term FROM t) JOIN q USING (term)
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |s AS (SELECT doc_id,
+             |    (n_docs - df + 0.5) / (df + 0.5)
+             |      * (tf::DOUBLE * 2.2)
+             |      / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE
+             |          / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS ts_score,
+             |    term
+             |  FROM tf JOIN dfq USING (term) JOIN d USING (doc_id), st),
+             |sc AS (SELECT doc_id,
+             |    list_reduce([0.0] || list(ts_score ORDER BY term), (a, x) -> a + x) AS score
+             |  FROM s GROUP BY doc_id),
+             |r AS (SELECT doc_id, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+             |SELECT doc_id, rank::BIGINT AS rank, score FROM r WHERE rank <= 10
+             |ORDER BY rank""".stripMargin)
+      }) { (s, dir) =>
+      Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+          Seq("query", "spark", "stream"), k = 10)
+        .orderBy("rank")
+    },
+    // NS-R2: corpus collocation mining — top bigrams by pointwise lift
+    // (exact integer counts, fixed-order divisions; log-PMI would rank
+    // identically but ln is not bit-stable across engines).
+    Q(
+      "ns47_collocations",
+      Some(
+        s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |uni AS (SELECT w, count(*)::BIGINT AS c1
+           |  FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+           |tt AS (SELECT sum(c1)::BIGINT AS t FROM uni),
+           |sh AS (SELECT CASE WHEN len(ts) >= 2
+           |    THEN [array_to_string(ts[i+1:i+2], ' ') for i in range(len(ts)-1)]
+           |    ELSE [] END AS grams FROM t),
+           |bgc AS (SELECT bg, count(*)::BIGINT AS cab
+           |  FROM (SELECT unnest(grams) AS bg FROM sh) GROUP BY 1),
+           |tb AS (SELECT sum(cab)::BIGINT AS b FROM bgc),
+           |j AS (SELECT bg AS bigram, cab AS n_pair,
+           |    (cab::DOUBLE / b::DOUBLE)
+           |      / ((u1.c1::DOUBLE / t::DOUBLE) * (u2.c1::DOUBLE / t::DOUBLE)) AS lift
+           |  FROM bgc JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+           |    JOIN uni u2 ON u2.w = split_part(bg, ' ', 2), tt, tb
+           |  WHERE cab >= 5)
+           |SELECT bigram, n_pair, lift FROM j
+           |ORDER BY lift DESC, bigram LIMIT 15""".stripMargin)) { (s, dir) =>
+      TextOps.collocationTopK(T(s, dir, "documents"), "doc_id", "text",
+        minCount = 5L, k = 15)
     }
   )
 

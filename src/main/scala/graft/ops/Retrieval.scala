@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring (north-star extension): BM25 top-k over the
+  * whitespace token stream — the curation/decontamination primitive that
+  * ranks corpus documents against a query term set (e.g. "find training
+  * docs most similar to this eval prompt").
+  *
+  * Scale shape: one explode pass computes per-(doc, term) frequencies for
+  * QUERY terms only (the filter is pushed below the explode's aggregation,
+  * so non-query tokens never shuffle); document-frequency and corpus
+  * stats are |query|-row / 1-row aggregates (bounded, broadcast-safe);
+  * the per-doc score folds at most |query| partial scores in sorted term
+  * order. Nothing driver-side, no UDF.
+  *
+  * Determinism contract (the gated query hash-matches DuckDB): the
+  * default idf is the RATIONAL variant `(N - df + 0.5) / (df + 0.5)` —
+  * one correctly-rounded IEEE division of exact operands — rather than
+  * the classic `ln(...)` form, because `ln` is not guaranteed
+  * correctly-rounded and may differ between libm implementations in the
+  * last ulp. `ln` is monotonic, so single-term rankings are identical;
+  * multi-term sums weight rare terms more strongly than classic BM25
+  * (documented, and the classic form is available via `logIdf = true`
+  * for callers that don't need cross-engine bit-stability).
+  */
+object Retrieval {
+
+  /** BM25 top-k: (idCol, score, rank) for the `k` highest-scoring
+    * documents containing at least one query term.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      logIdf: Boolean = false): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("ts"))
+    val docs = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    // Corpus stats: one row (N, avgdl = exact-integer sum / exact count —
+    // a single correctly-rounded division).
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // (doc, term) frequencies for query terms only — the explode output is
+    // filtered before the aggregation, so only query-term hits shuffle.
+    val qTerms = typedLit(query.distinct.sorted)
+    val tf = toks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .filter(array_contains(qTerms, col("term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // Document frequency per query term: at most |query| rows.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf =
+      if (logIdf)
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      else
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val perTerm = tf
+      .join(dfreq, "term") // |query|-row dim — AQE broadcasts it
+      .join(docs, "doc_id")
+      .crossJoin(broadcast(stats)) // exactly one row — justified hint
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn(
+        "s",
+        idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // Fixed-order fold over the (sorted-by-term) per-term scores: float
+    // addition is order-sensitive, so the sum must not depend on shuffle
+    // arrival order.
+    val scored = perTerm
+      .groupBy("doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("s")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score"))
+    // TakeOrdered top-k first; the unpartitioned rank window then runs
+    // over k rows only (the WindowExec single-partition warning is about
+    // those k rows, not the corpus).
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("score"))
+  }
+}

@@ -467,4 +467,58 @@ object TextOps {
       .withColumn("rank", row_number().over(rankW).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  /** Top-k corpus collocations: bigrams ranked by pointwise lift
+    * `P(w1 w2) / (P(w1) P(w2))` — the tokenizer/phrase-mining signal
+    * (which token pairs co-occur far above chance). Exact integer counts
+    * throughout; the lift is three correctly-rounded IEEE divisions in a
+    * fixed order, so the ranking is bit-deterministic across engines
+    * (log-PMI would rank identically — log is monotonic — but `ln` isn't
+    * bit-stable across libm implementations).
+    * Output: (bigram, n_pair, lift), the k highest-lift bigrams with
+    * `n_pair >= minCount`, ties broken by the bigram string.
+    *
+    * Scale profile: two partial-aggregated shuffles (unigram counts on
+    * token, bigram counts on bigram — map-side combined, the raw token
+    * stream never shuffles); corpus totals are 1-row aggregates; the
+    * unigram join is a vocabulary-cardinality dimension — NOT
+    * hint-broadcast, AQE sizes it; the final top-k is a TakeOrdered, no
+    * single-partition window.
+    */
+  def collocationTopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val uni = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c1"))
+    val bigrams =
+      if (spark.catalog.functionExists("graft_shingles"))
+        df.select(explode(call_function("graft_shingles", col(textCol), lit(2))).as("bg"))
+      else
+        df.select(explode(shingles(col(textCol), 2)).as("bg"))
+    val bgc = bigrams.groupBy("bg").agg(count(lit(1)).as("cab"))
+    val totT = uni.agg(sum("c1").as("t"))
+    val totB = bgc.agg(sum("cab").as("b"))
+    bgc
+      .filter(col("cab") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "ca"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cb"), "w2")
+      .crossJoin(broadcast(totT)) // one row each — justified hints
+      .crossJoin(broadcast(totB))
+      .select(
+        col("bg").as("bigram"),
+        col("cab").as("n_pair"),
+        ((col("cab").cast("double") / col("b").cast("double")) /
+          ((col("ca").cast("double") / col("t").cast("double")) *
+            (col("cb").cast("double") / col("t").cast("double")))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
 }

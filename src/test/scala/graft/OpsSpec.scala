@@ -44,6 +44,66 @@ class OpsSpec extends SparkSpec {
       s"restructured lshTopK drifted: extra=${got -- naive}, missing=${naive -- got}")
   }
 
+  test("bm25 ranks term-dense short docs first and skips docs without query terms") {
+    import graft.ops.Retrieval
+    val df = Seq(
+      (1L, "spark spark spark pad pad pad"), // tf=3, dl=6
+      (2L, "spark pad pad pad pad pad pad pad pad pad pad pad"), // tf=1, dl=12
+      (3L, "pad pad pad"), // no query term -> excluded
+      (4L, "spark spark pad pad pad pad")) // tf=2, dl=6
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L), s"unexpected ranking: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("bm25 multi-term score is the sorted-term-order sum of single-term scores") {
+    import graft.ops.Retrieval
+    val df = Seq(
+      (1L, "a b a c"),
+      (2L, "b b c d"),
+      (3L, "c c c c")).toDF("doc_id", "text")
+    def scores(q: Seq[String]): Map[Long, Double] =
+      Retrieval.bm25TopK(df, "doc_id", "text", q, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val both = scores(Seq("a", "b"))
+    val a = scores(Seq("a"))
+    val b = scores(Seq("b"))
+    // doc 1 contains both terms: its combined score is exactly s_a + s_b
+    // (the fold adds in sorted term order: 0.0 + s_a + s_b).
+    assert(both(1L) == a(1L) + b(1L))
+    // doc 2 contains only b: combined == its b-only score
+    assert(both(2L) == b(2L))
+  }
+
+  test("collocations rank bound pairs above independent ones, exact lift") {
+    val df = Seq(
+      (1L, "new york new york new york is big"),
+      (2L, "new york has new york style pizza"),
+      (3L, "is big is big is big has style")).toDF("doc_id", "text")
+    val got = TextOps.collocationTopK(df, "doc_id", "text", minCount = 2L, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // every returned bigram respects the min count
+    assert(got.forall(_._2 >= 2L))
+    // Perfectly-bound pairs (every occurrence of both words is adjacent)
+    // must outrank loosely-bound ones: "york new" (2 of 5 possible) and
+    // "big is" (2 cross-pairs of words seen 4x each) trail "is big" (4/4)
+    // and "new york" (5/5).
+    val byName = got.map(g => g._1 -> g._3).toMap
+    assert(byName("new york") > byName("york new"))
+    assert(byName("is big") > byName("big is"))
+    // lift of a perfectly-bound pair is T^2 / (B * c_ab) — rarer perfect
+    // pairs score HIGHER (pointwise lift, like PMI, rewards surprise), so
+    // "is big" (4x) outranks "new york" (5x). Check both exact values.
+    val t = df.collect().flatMap(_.getString(1).split("\\s+")).length.toDouble
+    val bTot = df.collect().map(_.getString(1).split("\\s+").length - 1).sum.toDouble
+    def perfectLift(cab: Double) = (cab / bTot) / ((cab / t) * (cab / t))
+    assert(got.head._1 == "is big" && got.head._2 == 4L)
+    assert(math.abs(byName("is big") - perfectLift(4.0)) < 1e-12)
+    assert(math.abs(byName("new york") - perfectLift(5.0)) < 1e-12)
+  }
+
   test("int8 quantization: bounded per-element error, exact dequantize twin") {
     val e = Tables(spark, sfDir, "embeddings")
     val q = Quantize.quantizeInt8(e, "vec_id", "embedding")
