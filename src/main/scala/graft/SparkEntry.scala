@@ -2151,6 +2151,33 @@ object SparkEntry {
            |ORDER BY lift DESC, bigram LIMIT 15""".stripMargin)) { (s, dir) =>
       TextOps.collocationTopK(T(s, dir, "documents"), "doc_id", "text",
         minCount = 5L, k = 15)
+    },
+    // NS-M2: REAL audio decode — each doc's UTF-8 bytes become the PCM16
+    // sample stream of an actual RIFF/WAVE file (44-byte header built by
+    // the encoder), which the compliant chunk-walk parser then decodes.
+    // The oracle recomputes every feature from first principles (the text
+    // is ASCII, so ascii(char) == byte; samples are little-endian int16
+    // pairs) — a parser bug anywhere (header layout, chunk sizes, sign
+    // handling) breaks the hash.
+    Q(
+      "ns48_wav_decode",
+      Some(
+        """WITH s AS (SELECT doc_id,
+          |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+          |     FOR v IN [ascii(substring(text, 2*i+1, 1)) + 256 * ascii(substring(text, 2*i+2, 1))
+          |               FOR i IN range(length(text) // 2)]] AS smp
+          |  FROM documents)
+          |SELECT doc_id, 16000::BIGINT AS sample_rate, 1::BIGINT AS n_channels,
+          |  16::BIGINT AS bits, len(smp)::BIGINT AS n_samples,
+          |  coalesce(list_max(list_transform(smp, x -> abs(x))), 0)::BIGINT AS peak,
+          |  coalesce(list_sum(list_transform(smp, x -> x * x)), 0)::BIGINT AS energy
+          |FROM s ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Multimodal.wavFeatures(
+          s,
+          T(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm")),
+          "doc_id", "pcm", sampleRate = 16000)
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 

@@ -9,11 +9,18 @@ import org.apache.spark.sql.types._
   * the reference treats every column (opaque Arrow buffers, duck.go:217) but
   * with the pipeline plumbing made first-class.
   *
-  * The decode step itself (image/audio libraries) is STUBBED — the container
-  * has no codecs — but everything Spark-side is real: schema, partition
-  * preservation, batch shape, and the executor-side `mapPartitions` path a
-  * real decoder would plug into. All metadata extraction is codegen'd
-  * column expressions (no decode needed).
+  * Decode support is split by what a pure JVM can genuinely do:
+  *   - COMPRESSED formats (JPEG/MP3/H.264) need codec libraries this
+  *     container doesn't have — `decodeFeatures` stays a documented,
+  *     deterministic STUB wrapped in real plumbing.
+  *   - RAW container formats are decoded for REAL: `decodeWavPcm16` is a
+  *     compliant RIFF chunk-walk PCM16 parser and `decodePpmP6` a binary
+  *     PPM reader — header validation, unknown-chunk skipping, exact
+  *     integer features (gated query `ns48_wav_decode` hash-checks the
+  *     parser against an oracle that recomputes features from first
+  *     principles).
+  * All metadata extraction is codegen'd column expressions (no decode
+  * needed).
   */
 object Multimodal {
 
@@ -118,5 +125,182 @@ object Multimodal {
       checksum = sum,
       width = (sum % 640).toInt,
       height = (sum % 480).toInt)
+  }
+
+  // ------------------------------------------------------------------------
+  // REAL codec-free decoders. Compressed formats (JPEG/MP3/H.264) need
+  // libraries this container doesn't have — those stay stubbed above — but
+  // RIFF/WAVE PCM and binary PPM are raw formats a pure-JVM parser decodes
+  // completely, so for them the decode step is genuine, not a stand-in.
+  // ------------------------------------------------------------------------
+
+  /** Integer-only audio features decoded from a PCM16 WAV payload —
+    * exact values (no float accumulation), so results are engine- and
+    * partitioning-independent.
+    */
+  final case class WavFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_channels: Long,
+      bits: Long,
+      n_samples: Long,
+      peak: Long,
+      energy: Long)
+
+  /** Encode a standard 44-byte-header RIFF/WAVE PCM16 file: `data` is the
+    * little-endian int16 sample stream (odd trailing byte dropped).
+    */
+  private[graft] def encodeWavPcm16(
+      data: Array[Byte],
+      sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    val n = data.length - (data.length % 2)
+    val out = java.nio.ByteBuffer
+      .allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * channels * 2) // byte rate
+    out.putShort((channels * 2).toShort) // block align
+    out.putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(n)
+    out.put(data, 0, n)
+    out.array()
+  }
+
+  /** Real RIFF chunk-walk parser: validates the RIFF/WAVE container, reads
+    * the `fmt ` chunk (format tag must be 1 = PCM, 16-bit), and decodes the
+    * `data` chunk as little-endian int16 samples. Unknown chunks are
+    * skipped (with the RIFF odd-size pad byte), like any compliant reader.
+    */
+  private[graft] def decodeWavPcm16(id: Long, bytes: Array[Byte]): WavFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    require(bytes.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+      s"doc $id: not a RIFF/WAVE payload")
+    var off = 12
+    var sampleRate = 0L
+    var channels = 0L
+    var bits = 0L
+    var nSamples = 0L
+    var peak = 0L
+    var energy = 0L
+    var sawFmt = false
+    var sawData = false
+    while (off + 8 <= bytes.length) {
+      val chunkId = ascii(off, 4)
+      val size = buf.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"doc $id: truncated '$chunkId' chunk")
+      chunkId match {
+        case "fmt " =>
+          require(size >= 16, s"doc $id: short fmt chunk")
+          val fmtTag = buf.getShort(off + 8) & 0xffff
+          require(fmtTag == 1, s"doc $id: not PCM (fmt tag $fmtTag)")
+          channels = (buf.getShort(off + 10) & 0xffff).toLong
+          sampleRate = (buf.getInt(off + 12) & 0xffffffffL)
+          bits = (buf.getShort(off + 22) & 0xffff).toLong
+          require(bits == 16, s"doc $id: only PCM16 supported, got $bits-bit")
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, s"doc $id: data chunk before fmt")
+          nSamples = (size / 2).toLong
+          var p = off + 8
+          val end = off + 8 + (size - size % 2)
+          while (p < end) {
+            val s = buf.getShort(p).toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            energy += s * s
+            p += 2
+          }
+          sawData = true
+        case _ => () // skip unknown chunk
+      }
+      off += 8 + size + (size % 2) // RIFF pads odd chunks
+    }
+    require(sawFmt && sawData, s"doc $id: missing fmt/data chunk")
+    WavFeatures(id, sampleRate, channels, bits, nSamples, peak, energy)
+  }
+
+  /** Encode-then-decode through REAL WAV bytes: builds a PCM16 RIFF file
+    * from each row's payload bytes, then runs the chunk-walk parser on the
+    * produced file. Partition-preserving mapPartitions — encode and decode
+    * happen executor-side on the same pass, no shuffle.
+    */
+  def wavFeatures(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      sampleRate: Int = 16000): Dataset[WavFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        decodeWavPcm16(id, encodeWavPcm16(data, sampleRate, channels = 1))
+      })
+  }
+
+  /** Integer-only image features decoded from a binary (P6) PPM payload. */
+  final case class PpmFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      maxval: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Encode a binary PPM (P6) image from raw RGB bytes (length w*h*3). */
+  private[graft] def encodePpmP6(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length != w*h*3")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Real P6 parser: whitespace-delimited header (with `#` comment
+    * support, per the spec), then raw RGB triples; per-channel exact
+    * integer sums.
+    */
+  private[graft] def decodePpmP6(id: Long, bytes: Array[Byte]): PpmFeatures = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"doc $id: not a P6 PPM payload")
+    var off = 2
+    def nextInt(): Int = {
+      while (off < bytes.length &&
+        (bytes(off) == ' ' || bytes(off) == '\n' || bytes(off) == '\t' ||
+          bytes(off) == '\r' || bytes(off) == '#')) {
+        if (bytes(off) == '#') { while (off < bytes.length && bytes(off) != '\n') off += 1 }
+        else off += 1
+      }
+      var v = 0
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
+        v = v * 10 + (bytes(off) - '0'); off += 1
+      }
+      v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val mx = nextInt()
+    off += 1 // single whitespace after maxval, per spec
+    require(off + w * h * 3 <= bytes.length, s"doc $id: truncated PPM raster")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = off
+    val end = off + w * h * 3
+    while (i < end) {
+      sr += bytes(i) & 0xff
+      sg += bytes(i + 1) & 0xff
+      sb += bytes(i + 2) & 0xff
+      i += 3
+    }
+    PpmFeatures(id, w.toLong, h.toLong, mx.toLong, sr, sg, sb)
   }
 }

@@ -656,4 +656,45 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(spark, withMedia, "doc_id").collect().minBy(_.doc_id)
     assert(again == d0)
   }
+
+  test("wav codec: hand-computed golden, roundtrip, odd byte drop, junk rejection") {
+    // Two LE int16 samples: 0x0201 = 513, 0xFF80 = -128 as (0x80, 0xFF).
+    val data = Array[Byte](0x01, 0x02, 0x80.toByte, 0xff.toByte)
+    val wav = Multimodal.encodeWavPcm16(data, sampleRate = 8000, channels = 1)
+    assert(wav.length == 48 && new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    val f = Multimodal.decodeWavPcm16(7L, wav)
+    assert(f == Multimodal.WavFeatures(7L, 8000L, 1L, 16L, 2L, 513L,
+      513L * 513L + 128L * 128L))
+    // odd trailing byte is dropped by the encoder
+    val odd = Multimodal.decodeWavPcm16(1L, Multimodal.encodeWavPcm16(
+      Array[Byte](0x01, 0x02, 0x03), 16000, 1))
+    assert(odd.n_samples == 1L && odd.peak == 513L)
+    // empty payload still yields a valid file with zero samples
+    val empty = Multimodal.decodeWavPcm16(2L, Multimodal.encodeWavPcm16(Array.empty, 16000, 1))
+    assert(empty.n_samples == 0L && empty.peak == 0L && empty.energy == 0L)
+    // parser walks unknown chunks: splice a "LIST" chunk before "data"
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.slice(0, 36) ++ listChunk ++ wav.slice(36, wav.length)
+    val patched = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8).array()
+    assert(Multimodal.decodeWavPcm16(3L, patched) == f.copy(doc_id = 3L))
+    // junk is rejected, not silently decoded
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(4L, "not a wav at all".getBytes("US-ASCII"))
+    }
+  }
+
+  test("ppm codec: golden decode with comments, exact channel sums, junk rejection") {
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60) // 2x1 image
+    val ppm = Multimodal.encodePpmP6(rgb, width = 2, height = 1)
+    val f = Multimodal.decodePpmP6(5L, ppm)
+    assert(f == Multimodal.PpmFeatures(5L, 2L, 1L, 255L, 10L + 40L, 20L + 50L, 30L + 60L))
+    // header comments are legal PPM — the parser must skip them
+    val withComment = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")) ++ rgb
+    assert(Multimodal.decodePpmP6(6L, withComment) == f.copy(doc_id = 6L))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpmP6(8L, "P3\n1 1\n255\n0 0 0".getBytes("US-ASCII")) // ASCII PPM != P6
+    }
+  }
 }
