@@ -163,24 +163,66 @@ object ManagedWriter {
 
   private def manifestDir(destDir: String) = new Path(destDir, ManifestDirName)
 
-  /** Latest committed manifest: (version, destination-relative file names).
-    * None when the destination has never been written through a manifest
-    * (pre-manifest directories, or plain `df.write.parquet` output).
+  /** Latest committed manifest (or a specific `version` when asked):
+    * (version, destination-relative file names). None when the destination
+    * has never been written through a manifest (pre-manifest directories,
+    * or plain `df.write.parquet` output) or the requested version does not
+    * exist.
     */
-  private def latestManifest(fs: FileSystem, destDir: String): Option[(Long, Seq[String])] = {
+  private def latestManifest(
+      fs: FileSystem,
+      destDir: String,
+      version: Option[Long] = None): Option[(Long, Seq[String])] = {
     val md = manifestDir(destDir)
     if (!fs.exists(md)) return None
     val versions = fs.listStatus(md)
       .map(_.getPath)
       .filter(p => p.getName.startsWith("v-") && p.getName.endsWith(".txt"))
-    if (versions.isEmpty) return None
-    val latest = versions.maxBy(p =>
-      p.getName.stripPrefix("v-").stripSuffix(".txt").toLong)
-    val in = fs.open(latest)
-    val files =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-      finally in.close()
-    Some((latest.getName.stripPrefix("v-").stripSuffix(".txt").toLong, files))
+    val chosen = version match {
+      case Some(v) => versions.find(
+        _.getName.stripPrefix("v-").stripSuffix(".txt").toLong == v)
+      case None if versions.isEmpty => None
+      case None => Some(versions.maxBy(p =>
+        p.getName.stripPrefix("v-").stripSuffix(".txt").toLong))
+    }
+    chosen.map { path =>
+      val in = fs.open(path)
+      val files =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      (path.getName.stripPrefix("v-").stripSuffix(".txt").toLong, files)
+    }
+  }
+
+  /** Committed manifest versions at `destDir`, ascending (empty when the
+    * destination has no manifest).
+    */
+  def versions(spark: SparkSession, destDir: String): Seq[Long] = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v-") && n.endsWith(".txt"))
+      .map(_.stripPrefix("v-").stripSuffix(".txt").toLong)
+      .sorted
+      .toSeq
+  }
+
+  /** Time-travel read: the snapshot exactly as manifest `version` committed
+    * it. Batch commits never delete or rewrite previously-committed files
+    * (appends promote NEW files and publish a superset manifest), so every
+    * historical version stays readable until files are physically vacuumed.
+    */
+  def readVersion(spark: SparkSession, destDir: String, version: Long): DataFrame = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, destDir, Some(version)) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.parquet(files.map(f => s"$destDir/$f"): _*)
+      case Some(_) => spark.read.parquet(destDir).limit(0)
+      case None => throw new java.io.FileNotFoundException(
+        s"no manifest version $version at $destDir (have: ${versions(spark, destDir).mkString(",")})")
+    }
   }
 
   /** The currently visible data files (destination-relative): the latest

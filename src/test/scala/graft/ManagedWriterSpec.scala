@@ -110,6 +110,25 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.read(spark, dest).count() == 2 * df.count())
   }
 
+  test("time travel: every committed manifest version stays readable") {
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    val w1 = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w1.write(df)
+    w1.finalizeCommit() // v1: one batch
+    val w2 = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w2.write(df)
+    w2.write(df)
+    w2.finalizeCommit() // v2: three batches
+    assert(ManagedWriter.versions(spark, dest) == Seq(1L, 2L))
+    assert(ManagedWriter.readVersion(spark, dest, 1L).count() == df.count())
+    assert(ManagedWriter.readVersion(spark, dest, 2L).count() == 3 * df.count())
+    assert(ManagedWriter.read(spark, dest).count() == 3 * df.count())
+    assertThrows[java.io.FileNotFoundException] {
+      ManagedWriter.readVersion(spark, dest, 9L)
+    }
+  }
+
   test("writer refuses appends after finalize (bigquery_write.go:466 contract)") {
     val df = Tables(spark, sfDir, "supplier")
     val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)
