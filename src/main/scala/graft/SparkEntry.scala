@@ -2178,6 +2178,54 @@ object SparkEntry {
           "doc_id", "pcm", sampleRate = 16000)
         .toDF()
         .orderBy("doc_id")
+    },
+    // NS-T12: cross-document boilerplate spans — 5-grams shared by >= 3
+    // distinct docs (the corpus-internal repeated-substring signal that
+    // substring dedup pipelines scrub).
+    Q(
+      "ns49_boilerplate_spans", {
+        val oSh5 =
+          "CASE WHEN len(ts) >= 5 THEN [array_to_string(ts[i+1:i+5], ' ') for i in range(len(ts)-4)] ELSE [] END"
+        Some(
+          s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+             |sh AS (SELECT doc_id, list_distinct($oSh5) AS grams FROM t),
+             |c AS (SELECT gram, count(*)::BIGINT AS n_docs
+             |  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh) GROUP BY 1)
+             |SELECT gram, n_docs FROM c WHERE n_docs >= 3 ORDER BY gram""".stripMargin)
+      }) { (s, dir) =>
+      TextOps.boilerplateSpans(T(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 3L)
+        .orderBy("gram")
+    },
+    // NS-D9: dedup cluster-size histogram — connected components composed
+    // into the corpus-health report a dedup run ends with (how many
+    // clusters of each size; singletons excluded since CC only sees docs
+    // that appear in some pair).
+    Q(
+      "ns50_cluster_histogram",
+      Some(
+        s"""WITH RECURSIVE toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+           |p AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |reach(v, r) AS (
+           |  SELECT a, a FROM edges UNION SELECT a, b FROM edges
+           |  UNION SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+           |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+           |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cc GROUP BY 1)
+           |SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sz
+           |GROUP BY 1 ORDER BY cluster_size""".stripMargin)) { (s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+            .select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
     }
   )
 

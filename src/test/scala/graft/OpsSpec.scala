@@ -104,6 +104,21 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(byName("new york") - perfectLift(5.0)) < 1e-12)
   }
 
+  test("boilerplate spans count distinct docs, not occurrences") {
+    val df = Seq(
+      (1L, "the same footer text here and more words"),
+      (2L, "body body the same footer text here tail"),
+      // doc 3 repeats the span twice but must count once
+      (3L, "the same footer text here the same footer text here"),
+      (4L, "completely unrelated content with nothing shared at all")).toDF("doc_id", "text")
+    val got = TextOps.boilerplateSpans(df, "doc_id", "text", n = 5, minDocs = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("the same footer text here") == 3L)
+    // no gram from doc 4 can reach 3 docs
+    assert(got.keys.forall(_.split(" ").length == 5))
+    assert(!got.keys.exists(_.contains("unrelated")))
+  }
+
   test("int8 quantization: bounded per-element error, exact dequantize twin") {
     val e = Tables(spark, sfDir, "embeddings")
     val q = Quantize.quantizeInt8(e, "vec_id", "embedding")
