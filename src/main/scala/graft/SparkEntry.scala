@@ -2149,7 +2149,7 @@ object SparkEntry {
            |  WHERE cab >= 5)
            |SELECT bigram, n_pair, lift FROM j
            |ORDER BY lift DESC, bigram LIMIT 15""".stripMargin)) { (s, dir) =>
-      TextOps.collocationTopK(T(s, dir, "documents"), "doc_id", "text",
+      TextOps.collocationTopK(T(s, dir, "documents"), "text",
         minCount = 5L, k = 15)
     },
     // NS-M2: REAL audio decode — each doc's UTF-8 bytes become the PCM16
@@ -2193,7 +2193,7 @@ object SparkEntry {
              |  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh) GROUP BY 1)
              |SELECT gram, n_docs FROM c WHERE n_docs >= 3 ORDER BY gram""".stripMargin)
       }) { (s, dir) =>
-      TextOps.boilerplateSpans(T(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 3L)
+      TextOps.boilerplateSpans(T(s, dir, "documents"), "text", n = 5, minDocs = 3L)
         .orderBy("gram")
     },
     // NS-D9: dedup cluster-size histogram — connected components composed

@@ -194,7 +194,9 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val chunkId = ascii(off, 4)
       val size = buf.getInt(off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // Long arithmetic: a hostile size field near Int.MaxValue must fail
+      // this bound, not wrap negative and bypass it.
+      require(size >= 0 && off.toLong + 8L + size.toLong <= bytes.length.toLong,
         s"doc $id: truncated '$chunkId' chunk")
       chunkId match {
         case "fmt " =>
@@ -208,6 +210,7 @@ object Multimodal {
           sawFmt = true
         case "data" =>
           require(sawFmt, s"doc $id: data chunk before fmt")
+          require(!sawData, s"doc $id: multiple data chunks")
           nSamples = (size / 2).toLong
           var p = off + 8
           val end = off + 8 + (size - size % 2)
@@ -282,16 +285,23 @@ object Multimodal {
         else off += 1
       }
       var v = 0
-      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
-        v = v * 10 + (bytes(off) - '0'); off += 1
+      var digits = 0
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9' && digits < 9) {
+        v = v * 10 + (bytes(off) - '0'); off += 1; digits += 1
       }
+      require(digits > 0, s"doc $id: malformed PPM header (expected a number)")
       v
     }
     val w = nextInt()
     val h = nextInt()
     val mx = nextInt()
     off += 1 // single whitespace after maxval, per spec
-    require(off + w * h * 3 <= bytes.length, s"doc $id: truncated PPM raster")
+    require(w > 0 && h > 0, s"doc $id: invalid PPM dimensions ${w}x$h")
+    require(mx >= 1 && mx <= 255, s"doc $id: unsupported PPM maxval $mx (8-bit only)")
+    // Long arithmetic: declared dimensions near 2^16 x 2^16 must fail the
+    // bound, not wrap w*h*3 around Int and pass it.
+    require(off.toLong + w.toLong * h.toLong * 3L <= bytes.length.toLong,
+      s"doc $id: truncated PPM raster")
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = off
     val end = off + w * h * 3

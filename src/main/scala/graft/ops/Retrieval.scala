@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** BM25 top-k: (idCol, score, rank) for the `k` highest-scoring
-    * documents containing at least one query term.
+  /** BM25 top-k: (doc_id, rank, score) — id column renamed to `doc_id` in
+    * the output — for the `k` highest-scoring documents containing at
+    * least one query term.
     */
   def bm25TopK(
       df: DataFrame,

@@ -468,6 +468,34 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Cross-document boilerplate spans: the word n-grams appearing in at
+    * least `minDocs` DISTINCT documents — the corpus-internal repeated-
+    * substring signal (navigation chrome, license headers, template text)
+    * that substring-level dedup pipelines scrub. Output: (gram, n_docs).
+    *
+    * Scale profile: per-doc grams are deduped scan-locally
+    * (`array_distinct` over the shingle kernel) so the shuffle carries one
+    * (gram) row per distinct doc-gram with map-side combine; the output is
+    * only the grams over the threshold — tiny by construction.
+    */
+  def boilerplateSpans(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int,
+      minDocs: Long): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val grams =
+      if (spark.catalog.functionExists("graft_shingles"))
+        df.select(explode(array_distinct(
+          call_function("graft_shingles", col(textCol), lit(n)))).as("gram"))
+      else
+        df.select(explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Top-k corpus collocations: bigrams ranked by pointwise lift
     * `P(w1 w2) / (P(w1) P(w2))` — the tokenizer/phrase-mining signal
     * (which token pairs co-occur far above chance). Exact integer counts
@@ -485,38 +513,8 @@ object TextOps {
     * hint-broadcast, AQE sizes it; the final top-k is a TakeOrdered, no
     * single-partition window.
     */
-  /** Cross-document boilerplate spans: the word n-grams appearing in at
-    * least `minDocs` DISTINCT documents — the corpus-internal repeated-
-    * substring signal (navigation chrome, license headers, template text)
-    * that substring-level dedup pipelines scrub. Output: (gram, n_docs).
-    *
-    * Scale profile: per-doc grams are deduped scan-locally
-    * (`array_distinct` over the shingle kernel) so the shuffle carries one
-    * (gram) row per distinct doc-gram with map-side combine; the output is
-    * only the grams over the threshold — tiny by construction.
-    */
-  def boilerplateSpans(
-      df: org.apache.spark.sql.DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int,
-      minDocs: Long): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    val grams =
-      if (spark.catalog.functionExists("graft_shingles"))
-        df.select(explode(array_distinct(
-          call_function("graft_shingles", col(textCol), lit(n)))).as("gram"))
-      else
-        df.select(explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    grams
-      .groupBy("gram")
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-  }
-
   def collocationTopK(
       df: org.apache.spark.sql.DataFrame,
-      idCol: String,
       textCol: String,
       minCount: Long,
       k: Int): org.apache.spark.sql.DataFrame = {

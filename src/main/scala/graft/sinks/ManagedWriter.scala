@@ -84,9 +84,9 @@ final class ManagedWriter(
     appended += 1
     val n = spark.read.parquet(batchDir).count()
     if (streamType == StreamType.Committed) {
-      val visible = ManagedWriter.visibleFiles(fs, destDir)
+      ManagedWriter.ensureBaseManifest(fs, destDir)
       val promoted = promote(new Path(batchDir))
-      ManagedWriter.publishManifest(fs, destDir, visible ++ promoted)
+      ManagedWriter.publishManifest(fs, destDir, promoted)
     }
     n
   }
@@ -139,7 +139,12 @@ final class ManagedWriter(
     finalized = true
     val staging = new Path(stagingDir)
     if (streamType == StreamType.Pending && fs.exists(staging)) {
-      val visible = ManagedWriter.visibleFiles(fs, destDir)
+      // The base manifest must exist BEFORE any promotion: otherwise a
+      // crash mid-promotion on a never-committed destination would leave
+      // no manifest at all, and the plain-directory fallbacks (read's and
+      // visibleFiles') would expose — and a later commit would adopt —
+      // the orphaned prefix.
+      ManagedWriter.ensureBaseManifest(fs, destDir)
       val batches = fs.listStatus(staging)
         .filter(_.isDirectory)
         .sortBy(_.getPath.getName)
@@ -150,7 +155,7 @@ final class ManagedWriter(
             s"simulated crash after $i promoted batches (test hook)")
         promoted ++= promote(b.getPath)
       }
-      ManagedWriter.publishManifest(fs, destDir, visible ++ promoted.result())
+      ManagedWriter.publishManifest(fs, destDir, promoted.result())
     }
     if (fs.exists(staging)) fs.delete(staging, true)
     appended
@@ -225,42 +230,70 @@ object ManagedWriter {
     }
   }
 
-  /** The currently visible data files (destination-relative): the latest
-    * manifest when one exists, else whatever part files physically sit in
-    * the destination (adopting a pre-manifest directory as version-0
-    * state, so the first manifest commit keeps old rows visible).
+  /** Part files physically present in the destination (pre-manifest
+    * state; used only to seed the base manifest).
     */
-  private[sinks] def visibleFiles(fs: FileSystem, destDir: String): Seq[String] =
-    latestManifest(fs, destDir).map(_._2).getOrElse {
-      val dest = new Path(destDir)
-      if (!fs.exists(dest)) Seq.empty
-      else fs.listStatus(dest)
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .map(_.getPath.getName)
-        .toSeq
-        .sorted
-    }
+  private def physicalFiles(fs: FileSystem, destDir: String): Seq[String] = {
+    val dest = new Path(destDir)
+    if (!fs.exists(dest)) Seq.empty
+    else fs.listStatus(dest)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName)
+      .toSeq
+      .sorted
+  }
 
-  /** Publish the next manifest version: write to a dot-prefixed temp file,
-    * then ONE same-directory rename — atomic on HDFS-like filesystems —
-    * makes it the newest version. This rename IS the batch-commit point
+  /** Guarantee a manifest exists BEFORE the first promotion touches the
+    * destination: on a never-committed directory this publishes a base
+    * version adopting whatever part files are already there (possibly
+    * none). After this point the manifest — never a directory listing —
+    * is the source of truth, so files orphaned by a crashed commit can
+    * neither be read nor adopted by a later commit.
+    */
+  private[sinks] def ensureBaseManifest(fs: FileSystem, destDir: String): Unit =
+    if (latestManifest(fs, destDir).isEmpty)
+      publishManifest(fs, destDir, physicalFiles(fs, destDir))
+
+  /** Publish the next manifest version containing the latest version's
+    * files plus `newFiles`: write to a dot-prefixed temp file, then ONE
+    * same-directory rename — atomic on HDFS-like filesystems — makes it
+    * the newest version. This rename IS the batch-commit point
     * (≈ bigquery_write.go:473-484's atomic BatchCommitWriteStreams).
+    *
+    * The latest-files union is computed immediately before the rename and
+    * the rename refuses an existing target, so a concurrent writer's
+    * commit landing in between surfaces as a retry (its files are picked
+    * up by the re-read), not a silent omission from the newest manifest.
+    * Manifests are full snapshots — simple and atomic, at the cost of
+    * O(appends x files) manifest bytes over a table's lifetime; a
+    * production variant would add log-segment deltas + periodic
+    * checkpoint compaction (the Delta/Iceberg shape) behind the same
+    * commit point.
     */
   private[sinks] def publishManifest(
       fs: FileSystem,
       destDir: String,
-      files: Seq[String]): Unit = {
+      newFiles: Seq[String]): Unit = {
     val md = manifestDir(destDir)
     if (!fs.exists(md)) fs.mkdirs(md)
-    val nextVersion = latestManifest(fs, destDir).map(_._1).getOrElse(0L) + 1
-    val tmp = new Path(md, s".tmp-${UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write((files.distinct.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val target = new Path(md, f"v-$nextVersion%08d.txt")
-    if (fs.exists(target) || !fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"manifest publish failed: $tmp -> $target; previous version remains authoritative")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (version, existing) = latestManifest(fs, destDir).getOrElse((0L, Seq.empty[String]))
+      val files = (existing ++ newFiles).distinct.sorted
+      val tmp = new Path(md, s".tmp-${UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val target = new Path(md, f"v-${version + 1}%08d.txt")
+      if (!fs.exists(target) && fs.rename(tmp, target)) return
+      fs.delete(tmp, false)
+      if (attempts >= 10)
+        throw new java.io.IOException(
+          s"manifest publish failed after $attempts attempts: $target kept appearing " +
+            "(concurrent committers); staged data left in place")
+      // another writer took this version — re-read and publish on top
+    }
   }
 
   /** Manifest-consulting reader — the strict-visibility read path. Loads

@@ -110,19 +110,44 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.read(spark, dest).count() == 2 * df.count())
   }
 
+  test("FIRST commit to a fresh destination is also all-or-nothing") {
+    // Regression: before ensureBaseManifest, a crash mid-promotion on a
+    // never-committed destination left no manifest at all, so the
+    // plain-directory fallback exposed the promoted prefix AND the next
+    // successful commit adopted the orphans. Both must not happen.
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df)
+    w.write(df)
+    w.crashAfterBatches = 1
+    assertThrows[java.io.IOException] { w.finalizeCommit() }
+    // base manifest (empty) was published before promotion, so the
+    // manifest reader sees zero rows despite the orphaned prefix on disk
+    assert(ManagedWriter.read(spark, dest).count() == 0)
+    assert(spark.read.parquet(dest).count() > 0) // the orphaned prefix
+    // a later successful commit must NOT resurrect the orphans
+    val w2 = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w2.write(df)
+    w2.finalizeCommit()
+    assert(ManagedWriter.read(spark, dest).count() == df.count())
+  }
+
   test("time travel: every committed manifest version stays readable") {
     val df = Tables(spark, sfDir, "nation")
     val dest = tmp()
     val w1 = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
     w1.write(df)
-    w1.finalizeCommit() // v1: one batch
+    w1.finalizeCommit() // v2: one batch (v1 = empty base manifest)
     val w2 = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
     w2.write(df)
     w2.write(df)
-    w2.finalizeCommit() // v2: three batches
-    assert(ManagedWriter.versions(spark, dest) == Seq(1L, 2L))
-    assert(ManagedWriter.readVersion(spark, dest, 1L).count() == df.count())
-    assert(ManagedWriter.readVersion(spark, dest, 2L).count() == 3 * df.count())
+    w2.finalizeCommit() // v3: three batches
+    // v1 is the (empty) base manifest published before the first promotion
+    assert(ManagedWriter.versions(spark, dest) == Seq(1L, 2L, 3L))
+    assert(ManagedWriter.readVersion(spark, dest, 1L).count() == 0)
+    assert(ManagedWriter.readVersion(spark, dest, 2L).count() == df.count())
+    assert(ManagedWriter.readVersion(spark, dest, 3L).count() == 3 * df.count())
     assert(ManagedWriter.read(spark, dest).count() == 3 * df.count())
     assertThrows[java.io.FileNotFoundException] {
       ManagedWriter.readVersion(spark, dest, 9L)

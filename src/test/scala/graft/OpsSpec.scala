@@ -82,7 +82,7 @@ class OpsSpec extends SparkSpec {
       (1L, "new york new york new york is big"),
       (2L, "new york has new york style pizza"),
       (3L, "is big is big is big has style")).toDF("doc_id", "text")
-    val got = TextOps.collocationTopK(df, "doc_id", "text", minCount = 2L, k = 5)
+    val got = TextOps.collocationTopK(df, "text", minCount = 2L, k = 5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     // every returned bigram respects the min count
     assert(got.forall(_._2 >= 2L))
@@ -111,7 +111,7 @@ class OpsSpec extends SparkSpec {
       // doc 3 repeats the span twice but must count once
       (3L, "the same footer text here the same footer text here"),
       (4L, "completely unrelated content with nothing shared at all")).toDF("doc_id", "text")
-    val got = TextOps.boilerplateSpans(df, "doc_id", "text", n = 5, minDocs = 3L)
+    val got = TextOps.boilerplateSpans(df, "text", n = 5, minDocs = 3L)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got("the same footer text here") == 3L)
     // no gram from doc 4 can reach 3 docs
@@ -698,6 +698,12 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWavPcm16(4L, "not a wav at all".getBytes("US-ASCII"))
     }
+    // hostile chunk size near Int.MaxValue must fail the bound check, not
+    // wrap negative and bypass it
+    val hostile = wav.clone()
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue) // data chunk size field
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(5L, hostile) }
   }
 
   test("ppm codec: golden decode with comments, exact channel sums, junk rejection") {
@@ -710,6 +716,15 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodePpmP6(6L, withComment) == f.copy(doc_id = 6L))
     intercept[IllegalArgumentException] {
       Multimodal.decodePpmP6(8L, "P3\n1 1\n255\n0 0 0".getBytes("US-ASCII")) // ASCII PPM != P6
+    }
+    // dimensions whose product wraps Int must fail the raster bound
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpmP6(9L, ("P6\n65536 65536\n255\n".getBytes("US-ASCII")) ++ rgb)
+    }
+    // a P6 magic followed by non-numeric garbage is rejected, not decoded
+    // as a 0x0 image
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpmP6(10L, "P6 garbage here".getBytes("US-ASCII"))
     }
   }
 }
