@@ -2226,6 +2226,33 @@ object SparkEntry {
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
+    },
+    // NS-SA5: quality-weighted Bernoulli sampling — keep probability =
+    // 0.9 x quality score, md5 coin (no RNG state; the kept set is a pure
+    // function of row content, so the oracle checks the exact rows).
+    Q(
+      "ns51_weighted_sample", {
+        val stops = TextOps.LangMarkers.flatMap(_._2).distinct.sorted
+        Some(
+          s"""WITH t AS (SELECT doc_id, text, $oToks AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)::DOUBLE AS awl,
+             |  ${oHits("toks", stops)}::DOUBLE / len(toks)::DOUBLE AS stop_ratio,
+             |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |    / length(text)::DOUBLE AS punct_ratio
+             |FROM t),
+             |q AS (SELECT doc_id,
+             |  stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.2 AS quality
+             |FROM f)
+             |SELECT doc_id, quality FROM q
+             |WHERE ${oHash32("doc_id::VARCHAR")}::DOUBLE / 4294967296.0 < quality * 0.9
+             |ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      val qf = TextOps.qualityFeatures(col("text"))
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), qf.getItem(3).as("quality"))
+      Sampling.weightedSample(scored, "doc_id", col("quality") * lit(0.9))
+        .orderBy("doc_id")
     }
   )
 

@@ -63,6 +63,23 @@ object Sampling {
       .drop("_rn", "_n")
   }
 
+  /** Per-row weighted Bernoulli sample: keep a row with probability
+    * `rate(row)` (clamped to [0,1]) using a deterministic md5 coin —
+    * `hash32(id) / 2^32 < rate`. The training-data use is
+    * quality-weighted downsampling (keep probability proportional to a
+    * per-document quality/importance score) with none of `rand()`'s
+    * layout/retry nondeterminism: the kept set is a pure function of row
+    * content, reproducible across reruns, cluster sizes, and engines
+    * (the coin and the rate are both engine-bit-identical).
+    *
+    * Scale shape: scan-local predicate — no shuffle, no RNG state,
+    * composes with column pruning and partition pruning.
+    */
+  def weightedSample(df: DataFrame, idCol: String, rate: Column): DataFrame =
+    df.filter(
+      TextOps.hash32(col(idCol).cast("string")).cast("double") / lit(4294967296.0) <
+        least(greatest(rate, lit(0.0)), lit(1.0)))
+
   /** Largest exact-mixture sample: draw groups in the integer proportions
     * `weights` (e.g. en:2, de:1, es:1 → a 2:1:1 corpus mix), scaled to
     * the biggest whole multiple every group can actually supply —

@@ -104,6 +104,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(byName("new york") - perfectLift(5.0)) < 1e-12)
   }
 
+  test("weighted sample is deterministic, rate-monotone, and clamps rates") {
+    import graft.ops.Sampling
+    val df = spark.range(2000).toDF("id").withColumn("id", col("id"))
+    def kept(rate: org.apache.spark.sql.Column): Set[Long] =
+      Sampling.weightedSample(df, "id", rate).collect().map(_.getLong(0)).toSet
+    val half = kept(lit(0.5))
+    // deterministic: identical set on rerun
+    assert(kept(lit(0.5)) == half)
+    // ~half kept (md5 coin is uniform; generous tolerance)
+    assert(half.size > 800 && half.size < 1200, s"${half.size} kept at rate 0.5")
+    // monotone: raising the rate only ever adds rows
+    assert(half.subsetOf(kept(lit(0.8))))
+    // clamped: rate > 1 keeps everything, rate < 0 keeps nothing
+    assert(kept(lit(1.5)).size == 2000)
+    assert(kept(lit(-0.1)).isEmpty)
+  }
+
   test("boilerplate spans count distinct docs, not occurrences") {
     val df = Seq(
       (1L, "the same footer text here and more words"),
