@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Layout, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Layout, Linkage, Merge, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
@@ -2253,6 +2253,172 @@ object SparkEntry {
         .select(col("doc_id"), qf.getItem(3).as("quality"))
       Sampling.weightedSample(scored, "doc_id", col("quality") * lit(0.9))
         .orderBy("doc_id")
+    },
+    // NS-L1: record linkage — multi-pass token blocking + Levenshtein
+    // verify, never the quadratic cross product. The gated query links a
+    // key-sampled part subset (the operator is corpus-size-agnostic; the
+    // sample keeps the verify volume proportionate at every bench SF).
+    Q(
+      "ns52_record_linkage",
+      Some(
+        """WITH n AS (SELECT p_partkey AS id, p_name AS name FROM part WHERE p_partkey % 10 = 0),
+          |k AS (SELECT id, name, unnest(list_distinct(
+          |    [string_split(name, ' ')[1], string_split(name, ' ')[-1]])) AS bkey FROM n),
+          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+          |  FROM k a JOIN k b ON a.bkey = b.bkey AND a.id < b.id
+          |  WHERE levenshtein(a.name, b.name) <= 2)
+          |SELECT id_a, id_b, name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+          |FROM cand ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+      Linkage.fuzzySelfJoin(
+          T(s, dir, "part").where(col("p_partkey") % 10 === 0),
+          "p_partkey", "p_name", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    },
+    // NS-T9: per-document TF-IDF top terms (rational smoothed idf — same
+    // bit-stability reasoning as ns46's BM25).
+    Q(
+      "ns53_tfidf",
+      Some(
+        s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |d AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM t),
+           |n AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           |  FROM (SELECT doc_id, unnest(ts) AS term FROM t) GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id, term,
+           |    (tf::DOUBLE / dl::DOUBLE)
+           |      * ((n_docs::DOUBLE + 1.0) / (df::DOUBLE + 1.0)) AS tfidf
+           |  FROM tf JOIN dfq USING (term) JOIN d USING (doc_id), n),
+           |r AS (SELECT doc_id, term, tfidf,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+           |  FROM sc)
+           |SELECT doc_id, rank::BIGINT AS rank, term, tfidf FROM r WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin)) { (s, dir) =>
+      Retrieval.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    // NS-E1: ordered funnel — stage k strictly after the user's first
+    // stage-k-1 event; exact integer micros end to end.
+    Q(
+      "ns54_funnel",
+      Some(
+        """WITH e AS (SELECT user_id::BIGINT AS user_id, event_type, epoch_us(ts)::BIGINT AS t
+          |  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+          |s1 AS (SELECT user_id, MIN(t) AS tk FROM e WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, MIN(e.t) AS tk FROM e JOIN s1 USING (user_id)
+          |  WHERE e.event_type = 'view' AND e.t > s1.tk GROUP BY 1),
+          |s3 AS (SELECT e.user_id, MIN(e.t) AS tk FROM e JOIN s2 USING (user_id)
+          |  WHERE e.event_type = 'click' AND e.t > s2.tk GROUP BY 1),
+          |s4 AS (SELECT e.user_id, MIN(e.t) AS tk FROM e JOIN s3 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.t > s3.tk GROUP BY 1)
+          |SELECT * FROM (
+          |  SELECT 1::BIGINT AS stage, 'signup' AS event_type, count(*)::BIGINT AS users FROM s1
+          |  UNION ALL SELECT 2::BIGINT, 'view', count(*)::BIGINT FROM s2
+          |  UNION ALL SELECT 3::BIGINT, 'click', count(*)::BIGINT FROM s3
+          |  UNION ALL SELECT 4::BIGINT, 'purchase', count(*)::BIGINT FROM s4)
+          |ORDER BY stage""".stripMargin)) { (s, dir) =>
+      Funnel.reach(T(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage")
+    },
+    // NS-G1: fixed-point integer PageRank over first-touch attribution
+    // chains — bit-reproducible across engines AND shuffle orders (integer
+    // sums are exact; float PageRank is neither).
+    Q(
+      "ns55_pagerank",
+      Some(
+        """WITH e AS (SELECT user_id::BIGINT AS u, regexp_extract(props, '[0-9]+')::BIGINT AS k,
+          |    epoch_us(ts)::BIGINT AS t FROM events),
+          |ft AS (SELECT k, u, MIN(t) AS ft FROM e GROUP BY 1, 2),
+          |ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY k ORDER BY ft, u) AS dst FROM ft),
+          |edges AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL AND dst <> src),
+          |nodes AS (SELECT DISTINCT u AS node FROM e),
+          |od AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+          |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes),
+          |r1 AS (SELECT n.node, (150000 + (85 * coalesce(SUM(r.rank // od.deg), 0)) // 100)::BIGINT AS rank
+          |  FROM nodes n LEFT JOIN edges ed ON ed.dst = n.node
+          |  LEFT JOIN r0 r ON r.node = ed.src LEFT JOIN od ON od.src = ed.src GROUP BY 1),
+          |r2 AS (SELECT n.node, (150000 + (85 * coalesce(SUM(r.rank // od.deg), 0)) // 100)::BIGINT AS rank
+          |  FROM nodes n LEFT JOIN edges ed ON ed.dst = n.node
+          |  LEFT JOIN r1 r ON r.node = ed.src LEFT JOIN od ON od.src = ed.src GROUP BY 1),
+          |r3 AS (SELECT n.node, (150000 + (85 * coalesce(SUM(r.rank // od.deg), 0)) // 100)::BIGINT AS rank
+          |  FROM nodes n LEFT JOIN edges ed ON ed.dst = n.node
+          |  LEFT JOIN r2 r ON r.node = ed.src LEFT JOIN od ON od.src = ed.src GROUP BY 1)
+          |SELECT node AS user_id, rank FROM r3 ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val edges = Graph.attributionEdges(
+        ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+      val nodes = ev.select(col("user_id").cast("long").as("node")).distinct()
+      Graph.pageRankInt(nodes, edges, iterations = 3)
+        .select(col("node").as("user_id"), col("rank"))
+        .orderBy("user_id")
+    },
+    // NS-W1: CDC MERGE — upserts + deletes applied in one co-partitioned
+    // pass; the changeset here is derived deterministically from the base.
+    Q(
+      "ns56_merge_upsert",
+      Some(
+        """WITH up AS (SELECT * REPLACE (s_acctbal + 100.0 AS s_acctbal) FROM supplier
+          |  WHERE s_suppkey % 10 = 0),
+          |ins AS (SELECT * REPLACE (s_suppkey + 1000000 AS s_suppkey) FROM supplier
+          |  WHERE s_suppkey % 10 = 2),
+          |touched AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 IN (0, 1))
+          |SELECT * FROM (
+          |  SELECT * FROM supplier WHERE s_suppkey NOT IN (SELECT s_suppkey FROM touched)
+          |  UNION ALL SELECT * FROM up
+          |  UNION ALL SELECT * FROM ins)
+          |ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "supplier")
+      val ups = base.where(col("s_suppkey") % 10 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val dels = base.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D"))
+      val ins = base.where(col("s_suppkey") % 10 === 2)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+        .withColumn("op", lit("U"))
+      Merge.applyChanges(base, ups.unionByName(dels).unionByName(ins), Seq("s_suppkey"))
+        .orderBy("s_suppkey")
+    },
+    // NS-D10: incremental cross-corpus near-dup probe — this batch's docs
+    // (source src0) against the already-accepted corpus, sketch-only join.
+    Q(
+      "ns57_incremental_dedup",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, source, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, source, $oShingles AS shingles FROM toks),
+           |h AS (SELECT doc_id, source, [${oHash32("s")} for s in shingles] AS hs FROM sh),
+           |sig AS (SELECT doc_id, source, ${oMinhashSig(16)} AS sig FROM h),
+           |pb AS (SELECT doc_id, source, sig, b,
+           |    md5(array_to_string(list_transform([b::BIGINT] || sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bkey
+           |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id, a.sig AS sa, b.sig AS sb
+           |  FROM pb a JOIN pb b ON a.b = b.b AND a.bkey = b.bkey
+           |  WHERE a.source = 'src0' AND b.source <> 'src0'),
+           |j AS (SELECT doc_id, corpus_id,
+           |    length(list_filter([sa[i+1] = sb[i+1] for i in range(16)], x -> x))::DOUBLE / 16.0 AS est_jaccard
+           |  FROM cand),
+           |f AS (SELECT doc_id, corpus_id, est_jaccard,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY est_jaccard DESC, corpus_id) AS rn
+           |  FROM j WHERE est_jaccard >= 0.25)
+           |SELECT doc_id, corpus_id, est_jaccard FROM f WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      Dedup.incrementalNearDups(
+          Dedup.minhashSignatures(docs.where(col("source") === "src0"), "doc_id", "text", 3, 16),
+          Dedup.minhashSignatures(docs.where(col("source") =!= "src0"), "doc_id", "text", 3, 16),
+          bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)
+        .orderBy("doc_id")
+    },
+    // NS-P2: exact integer-cents equi-width histogram ($1000 buckets).
+    Q(
+      "ns58_cents_histogram",
+      Some(
+        """WITH b AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100000 AS bucket FROM lineitem)
+          |SELECT bucket, (bucket * 100000)::DOUBLE / 100.0 AS lo,
+          |  ((bucket + 1) * 100000)::DOUBLE / 100.0 AS hi, count(*)::BIGINT AS n
+          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)) { (s, dir) =>
+      Profile.centsHistogram(T(s, dir, "lineitem"), "l_extendedprice", widthCents = 100000L)
+        .orderBy("bucket")
     }
   )
 

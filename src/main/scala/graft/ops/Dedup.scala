@@ -139,7 +139,25 @@ object Dedup {
     // side (plan-asserted in PlanSpec) — shuffle files are stage-scoped,
     // unlike .cache() blocks, which pin storage memory until an explicit
     // unpersist (a leak across a long session; round-2 ADVICE).
-    val banded = signatures.select(
+    val banded = bandKeys(signatures, bands, rowsPerBand)
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
+          .cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** (doc_id, sig, band, bkey) banding shared by [[minhashPairs]] and the
+    * incremental cross-corpus variants.
+    */
+  private def bandKeys(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    signatures.select(
       col("doc_id"),
       col("sig"),
       explode(
@@ -156,17 +174,71 @@ object Dedup {
                     slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))),
                   x => x.cast("string")))).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
+
+  /** Incremental (cross-corpus) near-dup probe: which NEW documents are
+    * near-duplicates of an EXISTING corpus — the steady-state dedup shape
+    * once a pipeline runs continuously (each crawl increment is checked
+    * against everything already accepted, rather than re-deduping the
+    * whole corpus from scratch).
+    *
+    * Output: one row per flagged new document `(doc_id, corpus_id,
+    * est_jaccard)` keeping the single best corpus match (highest estimated
+    * Jaccard, ties to the lowest corpus id — deterministic).
+    *
+    * Scale shape: identical to [[minhashPairs]] — the join shuffles
+    * (band, bkey, id) sketch rows only, never text — except the join is
+    * new×corpus instead of corpus×corpus, so the candidate volume scales
+    * with the INCREMENT size. The corpus side's banded signatures are
+    * exactly what a production pipeline persists between increments (store
+    * `minhashSignatures` output once, band on read).
+    */
+  def incrementalNearDups(
+      newSignatures: DataFrame,
+      corpusSignatures: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      minEstJaccard: Double = 0.0): DataFrame = {
+    val k = bands * rowsPerBand
+    val a = bandKeys(newSignatures, bands, rowsPerBand).alias("a")
+    val b = bandKeys(corpusSignatures, bands, rowsPerBand).alias("b")
+    val cand = a
+      .join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
+        col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("corpus_id"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), p => p))
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("est_jaccard").desc, col("corpus_id"))
+    cand
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Incremental dedup: the NEW rows that are NOT near-duplicates of the
+    * corpus (the rows an incremental pipeline appends this batch).
+    */
+  def incrementalDedup(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val flagged = incrementalNearDups(
+      minhashSignatures(newDf, idCol, textCol, shingleLen, k),
+      minhashSignatures(corpusDf, idCol, textCol, shingleLen, k),
+      bands,
+      rowsPerBand,
+      minEstJaccard).select(col("doc_id").as(idCol))
+    newDf.join(flagged, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup groups: documents sharing a 32-bit simhash. Output one

@@ -52,4 +52,33 @@ object Profile {
           col(s"_max_$c").as("max_val"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Exact equi-width histogram over a money-style double column (values
+    * that are exact multiples of 0.01), in INTEGER arithmetic end to end:
+    * the value is scaled to cents (`round(x*100)` — exact on these inputs),
+    * the bucket is a long integer division, and counts are exact — so the
+    * histogram is bit-reproducible across engines and cluster sizes, unlike
+    * float `width_bucket` whose boundary arithmetic can differ in the last
+    * ulp exactly at bucket edges.
+    *
+    * Output: (bucket, lo, hi, n) — bucket = floor(cents / widthCents),
+    * lo/hi rendered back to doubles (exact: cent multiples < 2^53).
+    *
+    * Scale shape: scan-local bucket assignment + one map-side-combined
+    * count aggregation — the same cost as any groupBy count; no sort, no
+    * window, no driver-side min/max pre-pass (the bucket domain derives
+    * from the data).
+    */
+  def centsHistogram(df: DataFrame, valueCol: String, widthCents: Long): DataFrame = {
+    require(widthCents > 0, "non-positive bucket width")
+    df.select(expr(s"CAST(ROUND($valueCol * 100) AS BIGINT) div $widthCents").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        (col("bucket") * widthCents).cast("double") / 100.0,
+        ((col("bucket") + 1) * widthCents).cast("double") / 100.0,
+        col("n"))
+      .toDF("bucket", "lo", "hi", "n")
+  }
 }

@@ -95,4 +95,54 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank").cast("long").as("rank"), col("score"))
   }
+
+  /** Per-document TF-IDF top terms: the `k` highest-weighted terms of every
+    * document — the keyword-extraction / topic-labeling primitive.
+    *
+    * Determinism contract (same reasoning as bm25TopK's rational idf): the
+    * weight is `(tf / dl) * ((N + 1) / (df + 1))` — three correctly-rounded
+    * IEEE ops on exact integer operands in a fixed order, bit-identical in
+    * Spark and DuckDB, instead of the classic `ln(N/df)` whose last ulp is
+    * libm-dependent. `ln` is monotonic in the idf argument so per-term
+    * RANKINGS against a fixed tf/dl are unchanged; the smoothed +1 form is
+    * the standard sklearn-style variant.
+    *
+    * Scale shape: one explode pass → (doc, term) counts with map-side
+    * combine; document frequency is a vocabulary-cardinality aggregate
+    * joined back AQE-sized (never hint-broadcast — vocabulary grows with
+    * corpus size); the per-doc top-k window partitions by doc_id, bounded
+    * by each doc's distinct-term count.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("ts"))
+    val docs = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val weighted = tf
+      .join(dfreq, "term")
+      .join(docs, "doc_id")
+      .crossJoin(broadcast(n)) // exactly one row — justified hint
+      .withColumn(
+        "tfidf",
+        (col("tf").cast("double") / col("dl").cast("double")) *
+          ((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))))
+    val w = Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    weighted
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
 }

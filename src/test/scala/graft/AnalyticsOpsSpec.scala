@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Funnel, Graph, Linkage, Merge, Profile}
+
+/** Specs for the round-6 analytics operator batch: record linkage, funnel,
+  * integer PageRank, CDC merge, incremental dedup, cents histogram.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- linkage
+
+  test("fuzzySelfJoin finds exact-duplicate and near names, never self-pairs") {
+    val df = Seq(
+      (1L, "blue bolt"),
+      (2L, "blue bolt"),   // exact dup of 1 → dist 0
+      (3L, "blue bolts"),  // dist 1 of both
+      (4L, "red widget"),  // no match within dist 2
+      (5L, "grey anchor")
+    ).toDF("id", "name")
+    val got = Linkage.fuzzySelfJoin(df, "id", "name", maxDist = 2)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("fuzzySelfJoin multi-pass blocking recalls last-token disagreements") {
+    // "blue bolt" / "blue bolts" disagree on the LAST token: last-token
+    // blocking alone would miss the pair; the first-token pass recalls it.
+    val df = Seq((1L, "blue bolt"), (2L, "blue bolts")).toDF("id", "name")
+    val got = Linkage.fuzzySelfJoin(df, "id", "name", maxDist = 2).count()
+    assert(got == 1L)
+  }
+
+  test("fuzzySelfJoin emits multi-block pairs exactly once") {
+    // Identical two-token names collide in BOTH passes; the pair must
+    // still appear once.
+    val df = Seq((1L, "green gear"), (2L, "green gear")).toDF("id", "name")
+    assert(Linkage.fuzzySelfJoin(df, "id", "name", maxDist = 0).count() == 1L)
+  }
+
+  // -------------------------------------------------------------- funnel
+
+  test("funnel stages require strictly-later events in order") {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      // user 1 completes signup→view→click
+      (1L, ts(10), "signup"), (1L, ts(20), "view"), (1L, ts(30), "click"),
+      // user 2: view BEFORE signup — must not count for stage 2
+      (2L, ts(10), "view"), (2L, ts(20), "signup"),
+      // user 3: view at exactly the signup instant — strict > excludes it
+      (3L, ts(10), "signup"), (3L, ts(10), "view"),
+      // user 4 never signs up
+      (4L, ts(5), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.reach(ev, "user_id", "ts", "event_type", Seq("signup", "view", "click"))
+      .select("stage", "users")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("userStages reports per-user reach timestamps in micros") {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq((1L, ts(10), "signup"), (1L, ts(20), "view")).toDF("user_id", "ts", "event_type")
+    val got = Funnel.userStages(ev, "user_id", "ts", "event_type", Seq("signup", "view"))
+      .select("stage", "t_micros")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got == Set((1L, 10000000L), (2L, 20000000L)))
+  }
+
+  // ------------------------------------------------------------ pagerank
+
+  test("pageRankInt is exact on a hand-computed 3-cycle plus dangler") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val got = Graph.pageRankInt(nodes, edges, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // scale=1e6, base=150000; outdeg(1)=2, outdeg(2)=outdeg(3)=1.
+    // r1(1) = 150000 + 85*1000000/100 = 1000000
+    // r1(2) = 150000 + 85*(1000000 div 2)/100 = 150000 + 425000 = 575000
+    // r1(3) = 150000 + 850000 = 1000000
+    // r1(4) = 575000 ; r1(5) = 150000 (isolated)
+    assert(got == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1000000L, 4L -> 575000L, 5L -> 150000L))
+  }
+
+  test("pageRankInt is invariant to input partitioning (integer determinism)") {
+    val ev = Tables(spark, sfDir, "events")
+    val edges = Graph.attributionEdges(ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+    val nodes = ev.select(col("user_id").cast("long").as("node")).distinct()
+    val a = Graph.pageRankInt(nodes, edges, 3).as[(Long, Long)].collect().toSet
+    val b = Graph.pageRankInt(nodes.repartition(7), edges.repartition(5), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("attributionEdges links first-touch order per key, ties by user id") {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      (7L, ts(10), "1"), (5L, ts(20), "1"), (5L, ts(1), "2"), (9L, ts(2), "2"),
+      (5L, ts(30), "1") // later repeat — first-touch wins
+    ).toDF("user_id", "ts", "k")
+    val got = Graph.attributionEdges(ev, "user_id", "ts", col("k"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((7L, 5L), (5L, 9L)))
+  }
+
+  // --------------------------------------------------------------- merge
+
+  test("applyChanges upserts, inserts, deletes, and passes through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", "U"), // update
+      (3L, "", "D"),  // delete
+      (9L, "z", "U")  // insert (upsert on absent key)
+    ).toDF("k", "v", "op")
+    val got = Merge.applyChanges(base, changes, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (9L, "z")))
+  }
+
+  // --------------------------------------------- incremental near-dup probe
+
+  test("incrementalNearDups flags only cross-corpus matches, best match kept") {
+    val mk = (id: Long, text: String) => (id, text)
+    val newDocs = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog today"),
+      mk(2L, "completely unrelated fresh content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      mk(100L, "the quick brown fox jumps over the lazy dog today"),
+      mk(101L, "some other corpus document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.incrementalNearDups(
+      Dedup.minhashSignatures(newDocs, "doc_id", "text", 3, 16),
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 16),
+      bands = 4, rowsPerBand = 4, minEstJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(flagged.map(_._1).toSet == Set(1L))
+    assert(flagged.head._2 == 100L && flagged.head._3 == 1.0)
+    val survivors = Dedup.incrementalDedup(newDocs, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L))
+  }
+
+  // ----------------------------------------------------------- histogram
+
+  test("centsHistogram buckets exactly at integer-cent boundaries") {
+    val df = Seq(0.00, 9.99, 10.00, 10.01, 19.99, 20.00).toDF("v")
+    val got = Profile.centsHistogram(df, "v", widthCents = 1000L)
+      .select("bucket", "lo", "hi", "n")
+      .as[(Long, Double, Double, Long)]
+      .collect()
+      .toSet
+    // $10 buckets: [0,10) has 0.00+9.99; [10,20) has 10.00,10.01,19.99; [20,30) has 20.00
+    assert(got == Set((0L, 0.0, 10.0, 2L), (1L, 10.0, 20.0, 3L), (2L, 20.0, 30.0, 1L)))
+  }
+}
