@@ -2419,6 +2419,41 @@ object SparkEntry {
           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)) { (s, dir) =>
       Profile.centsHistogram(T(s, dir, "lineitem"), "l_extendedprice", widthCents = 100000L)
         .orderBy("bucket")
+    },
+    // NS-C1: quantized-integer k-means — every step exact integer math
+    // (distances, means, tie-breaks), so the full Lloyd iteration is
+    // bit-reproducible across engines and shuffle orders. The oracle
+    // replays quantization + 2 rounds + final assignment in SQL.
+    Q(
+      "ns59_kmeans_int", {
+        val dist =
+          "list_sum(list_transform(range(len(q.v)), i -> (q.v[i+1]-c.c[i+1])*(q.v[i+1]-c.c[i+1])))"
+        def round(prev: String, n: Int) =
+          s"""a$n AS (SELECT vec_id, v, cid, d FROM (
+             |    SELECT q.vec_id, q.v AS v, c.cid, $dist AS d FROM q CROSS JOIN $prev c) t
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+             |u$n AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS val FROM a$n),
+             |m$n AS (SELECT cid, pos, (SUM(val) // COUNT(*))::BIGINT AS m FROM u$n GROUP BY 1, 2),
+             |r$n AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$n GROUP BY 1),
+             |c$n AS (SELECT p.cid, coalesce(r.c, p.c) AS c FROM $prev p LEFT JOIN r$n r USING (cid)),""".stripMargin
+        Some(
+          s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+             |s AS (SELECT vec_id, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale, vd FROM e),
+             |q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(vd, x -> 0::BIGINT)
+             |    ELSE list_transform(vd, x -> round(x / scale)::BIGINT) END AS v FROM s),
+             |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             |  FROM q ORDER BY vec_id LIMIT 8),
+             |${round("c0", 1)}
+             |${round("c1", 2)}
+             |fin AS (SELECT vec_id, cid, d FROM (
+             |    SELECT q.vec_id, c.cid, $dist AS d FROM q CROSS JOIN c2 c) t
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
+             |SELECT vec_id, cid::BIGINT AS cluster, d::BIGINT AS sqdist FROM fin
+             |ORDER BY vec_id""".stripMargin)
+      }) { (s, dir) =>
+      val quantized = Quantize.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+      graft.ops.Clustering.kmeansInt(quantized, "vec_id", "qvec", k = 8, iterations = 2)
+        .orderBy("vec_id")
     }
   )
 

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over QUANTIZED INTEGER vectors (north-star
+  * extension): the semantic-clustering primitive behind corpus
+  * organization, cluster-then-dedup pruning, and IVF-style partitioning —
+  * run on int8-quantized embeddings ([[Quantize.quantizeInt8]]) so that
+  * EVERY arithmetic step is exact integer math.
+  *
+  * Why integer k-means: float Lloyd iterations are not reproducible — the
+  * centroid update is a shuffle-order-dependent double sum, so two runs of
+  * the same job on the same data can assign boundary points differently.
+  * In the integer domain, distances are exact long sums, the centroid
+  * update is an exact integer mean (`sum div count`, truncation toward
+  * zero — identical in Spark and DuckDB), and ties break to the lowest
+  * centroid id: the result is a pure function of the input, bit-identical
+  * across cluster sizes, retries, and engines. (Clustering int8-quantized
+  * vectors clusters the per-vector max-normalized space — the same
+  * scale-invariance cosine similarity has; quantization noise vs float
+  * k-means is bounded by the int8 step.)
+  *
+  * Scale shape per iteration:
+  *   - ASSIGNMENT is scan-local: the k centroids collapse to ONE broadcast
+  *     row (k·d longs), and the argmin folds over that array inside the
+  *     row projection — no shuffle, no n×k row blow-up.
+  *   - UPDATE posexplodes (cluster, pos, val) with map-side combine, so
+  *     the shuffle carries at most k·d rows PER PARTITION (never n·d);
+  *     the new centroid array reassembles from k·d aggregated rows.
+  *   - Quantized vectors are `localCheckpoint`ed once (they are re-scanned
+  *     every iteration; int8 inputs make this 4x cheaper than float — on a
+  *     real cluster swap for `persist(DISK_ONLY)`/`checkpoint`).
+  * Initial centroids are the vectors of the k lowest ids (deterministic
+  * seed — k-means++ trades reproducibility for quality; callers wanting it
+  * can pass better-seeded data ids). Empty clusters keep their previous
+  * centroid (documented; the oracle replays the same rule).
+  */
+object Clustering {
+
+  /** Cluster integer vectors: returns `(idCol, cluster, sqdist)` — the
+    * assignment against the centroids after `iterations` Lloyd rounds,
+    * with the exact squared L2 distance.
+    */
+  def kmeansInt(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame = {
+    val (vecs, centroids) = fit(df, idCol, vecCol, k, iterations)
+    // vecs/centroids stay checkpointed: the returned plan reads them and a
+    // truncated lineage cannot recompute (same rule as connectedComponents'
+    // final round).
+    assign(vecs, centroids)
+      .select(col("id").as(idCol), col("cluster"), col("sqdist"))
+  }
+
+  /** The centroids after `iterations` rounds: `(cid, c)` with `c` an
+    * array<long> of the same dimensionality as the input.
+    */
+  def kmeansIntCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame = {
+    val (_, centroids) = fit(df, idCol, vecCol, k, iterations)
+    centroids
+  }
+
+  private def fit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
+    require(k > 0, "k must be positive")
+    require(iterations >= 0, "negative iterations")
+    val vecs = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("long")).as("v"))
+      .localCheckpoint()
+    // Deterministic seed: the k lowest ids, centroid ids 0..k-1 in id order.
+    val w = Window.orderBy(col("id"))
+    var centroids = vecs
+      .orderBy("id")
+      .limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cid"), col("v").as("c"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iterations) {
+      val assigned = assign(vecs, centroids)
+      // Exact integer mean per (cluster, dimension): sum div count is
+      // truncation toward zero in BOTH Spark and DuckDB — deterministic.
+      val dims = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy("cluster", "pos")
+        .agg(sum("val").as("sv"), count(lit(1)).as("cnt"))
+        .select(col("cluster"), col("pos"), expr("sv div cnt").as("m"))
+      val rebuilt = dims
+        .groupBy("cluster")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("c"))
+        .withColumnRenamed("cluster", "cid")
+      // Empty clusters keep their previous centroid.
+      val next = centroids
+        .select(col("cid"), col("c").as("oc"))
+        .join(rebuilt, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c"), col("oc")).as("c"))
+        .localCheckpoint()
+      unpersistCheckpoint(centroids)
+      centroids = next
+      iter += 1
+    }
+    (vecs, centroids)
+  }
+
+  /** Scan-local assignment: fold the broadcast (cid, c) array per row;
+    * ties break to the lowest cid (the fold keeps the FIRST minimum and
+    * the array is sorted by cid).
+    */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val packed = centroids.agg(
+      array_sort(collect_list(struct(col("cid"), col("c")))).as("cs"))
+    vecs
+      .crossJoin(broadcast(packed)) // exactly one row — justified hint
+      .withColumn(
+        "best",
+        aggregate(
+          col("cs"),
+          struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
+          (acc, s) => {
+            val d = sqDist(col("v"), s.getField("c"))
+            when(d < acc.getField("d"), struct(d.as("d"), s.getField("cid").as("cid")))
+              .otherwise(acc)
+          }))
+      .select(
+        col("id"),
+        col("v"),
+        col("best").getField("cid").as("cluster"),
+        col("best").getField("d").as("sqdist"))
+  }
+
+  /** Exact squared L2 distance between two long arrays (index-order fold —
+    * integer adds are associative, the order is for clarity only).
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+}

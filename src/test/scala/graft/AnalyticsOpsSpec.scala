@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Funnel, Graph, Linkage, Merge, Profile}
+import graft.ops.{Clustering, Dedup, Funnel, Graph, Linkage, Merge, Profile, Quantize}
 
 /** Specs for the round-6 analytics operator batch: record linkage, funnel,
   * integer PageRank, CDC merge, incremental dedup, cents histogram.
@@ -162,5 +162,47 @@ class AnalyticsOpsSpec extends SparkSpec {
       .toSet
     // $10 buckets: [0,10) has 0.00+9.99; [10,20) has 10.00,10.01,19.99; [20,30) has 20.00
     assert(got == Set((0L, 0.0, 10.0, 2L), (1L, 10.0, 20.0, 3L), (2L, 20.0, 30.0, 1L)))
+  }
+
+  // ------------------------------------------------------------- k-means
+
+  test("kmeansInt separates two obvious integer clusters exactly") {
+    // Two tight groups around (0,0) and (100,100); seeds = ids 1 and 2,
+    // one from each group, so one Lloyd round lands the split.
+    val df = Seq(
+      (1L, Array(0L, 1L)), (2L, Array(100L, 99L)),
+      (3L, Array(2L, 0L)), (4L, Array(98L, 101L)),
+      (5L, Array(1L, 2L)), (6L, Array(101L, 100L))
+    ).toDF("id", "v")
+    val got = Clustering.kmeansInt(df, "id", "v", k = 2, iterations = 2)
+      .select("id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(3L) && got(3L) == got(5L))
+    assert(got(2L) == got(4L) && got(4L) == got(6L))
+    assert(got(1L) != got(2L))
+  }
+
+  test("kmeansInt is invariant to input partitioning (integer determinism)") {
+    val q = Quantize.quantizeInt8(Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    val a = Clustering.kmeansInt(q, "vec_id", "qvec", 4, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Clustering.kmeansInt(q.repartition(7), "vec_id", "qvec", 4, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("kmeansInt empty clusters keep their previous centroid") {
+    // Seeds are ids 1,2 — but every point is nearer seed 1's value, so
+    // cluster 1 empties after round 1 and must keep centroid (50,50):
+    // k stays 2 and the centroid table still has 2 rows.
+    val df = Seq(
+      (1L, Array(0L, 0L)), (2L, Array(50L, 50L)),
+      (3L, Array(1L, 1L)), (4L, Array(2L, 2L))
+    ).toDF("id", "v")
+    // All points cluster to 0 once the round-1 update pulls centroid 0 to
+    // the group mean; centroid 1 (seeded at (50,50)) empties in round 2.
+    val cents = Clustering.kmeansIntCentroids(df, "id", "v", k = 2, iterations = 3)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(cents.size == 2 && cents.contains(1L))
   }
 }
