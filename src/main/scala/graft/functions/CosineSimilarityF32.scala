@@ -139,6 +139,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductF64].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF64(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_kmeans_assign"),
+      new ExpressionInfo(classOf[KmeansAssignI64].getName, "graft_kmeans_assign"),
+      (children: Seq[Expression]) => KmeansAssignI64(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bands"),
       new ExpressionInfo(classOf[LshBandsF32].getName, "graft_lsh_bands"),
       (children: Seq[Expression]) => LshBandsF32(

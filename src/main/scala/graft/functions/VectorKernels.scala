@@ -52,6 +52,34 @@ object VectorKernels {
     acc
   }
 
+  /** Integer k-means assignment: exact squared-L2 argmin of `v` against
+    * `k = cents.length / d` centroids packed row-major into one flat long
+    * array (centroid `c`'s dimension `i` at `cents(c*d + i)`). Returns
+    * `[bestCid, bestSqDist]`. Strict `<` keeps the FIRST minimum, so ties
+    * break to the lowest centroid id — the same rule as the interpreted
+    * fold in `Clustering.assign` and the oracle's `ORDER BY d, cid`.
+    */
+  def sqDistArgmin(v: ArrayData, cents: ArrayData): ArrayData = {
+    val d = v.numElements()
+    val k = if (d == 0) 0 else cents.numElements() / d
+    var bestC = -1L
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * d
+      var acc = 0L
+      var i = 0
+      while (i < d) {
+        val diff = v.getLong(i) - cents.getLong(off + i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; bestC = c }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(bestC, bestD))
+  }
+
   /** One bucket per hash table: table `t` packs the sign bits of plane
     * projections for global plane indices `t*ppt until (t+1)*ppt` (bit `j`
     * set when the projection against plane `t*ppt+j` is >= 0). `w` is the
@@ -121,6 +149,34 @@ case class DotProductF64(left: Expression, right: Expression) extends BinaryExpr
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotF64($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_kmeans_assign(array<bigint>, array<bigint>) -> array<bigint>`:
+  * codegen'd integer k-means assignment — `[bestCid, bestSqDist]` of the
+  * vector against the row-major flattened centroid array (both runtime
+  * columns, so the per-iteration centroids stay a broadcast plan, never a
+  * driver-side collect).
+  */
+case class KmeansAssignI64(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmeans_assign expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmeans_assign"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDistArgmin(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sqDistArgmin($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmeansAssignI64 =
     copy(left = newLeft, right = newRight)
 }
 

@@ -108,10 +108,13 @@ object Retrieval {
     * the standard sklearn-style variant.
     *
     * Scale shape: one explode pass → (doc, term) counts with map-side
-    * combine; document frequency is a vocabulary-cardinality aggregate
-    * joined back AQE-sized (never hint-broadcast — vocabulary grows with
-    * corpus size); the per-doc top-k window partitions by doc_id, bounded
-    * by each doc's distinct-term count.
+    * combine — the doc length rides through the explode as part of the
+    * group key (constant per doc), saving the join-back shuffle a
+    * separate doc-length table would cost; document frequency is a
+    * vocabulary-cardinality aggregate joined back AQE-sized (never
+    * hint-broadcast — vocabulary grows with corpus size); the per-doc
+    * top-k window partitions by doc_id, bounded by each doc's
+    * distinct-term count.
     */
   def tfidfTopTerms(
       df: DataFrame,
@@ -121,16 +124,19 @@ object Retrieval {
     val toks = df.select(
       col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("ts"))
-    val docs = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = toks.agg(count(lit(1)).as("n_docs"))
+    // dl is functionally determined by doc_id, so widening the group key
+    // with it adds no groups — it's a free carry, not a join.
     val tf = toks
-      .select(col("doc_id"), explode(col("ts")).as("term"))
-      .groupBy("doc_id", "term")
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val weighted = tf
       .join(dfreq, "term")
-      .join(docs, "doc_id")
       .crossJoin(broadcast(n)) // exactly one row — justified hint
       .withColumn(
         "tfidf",

@@ -164,6 +164,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Set((0L, 0.0, 10.0, 2L), (1L, 10.0, 20.0, 3L), (2L, 20.0, 30.0, 1L)))
   }
 
+  // ------------------------------------------------------- plan shapes
+
+  test("fuzzySelfJoin blocks: equi-join on the block key, never cartesian") {
+    val df = Seq((1L, "blue bolt"), (2L, "blue bolts")).toDF("id", "name")
+    val p = Linkage.fuzzySelfJoin(df, "id", "name", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"blocking degraded to cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"blocking degraded to BNLJ:\n$p")
+  }
+
+  test("kmeansInt assignment is scan-local: one exchange per update, none for assign") {
+    val q = Quantize.quantizeInt8(Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    // iterations=0 → pure assignment against the seed centroids: the only
+    // exchanges allowed are the broadcast of the packed 1-row centroid
+    // table (and its tiny seed aggregation) — no shuffle of the n vectors.
+    val p = Clustering.kmeansInt(q, "vec_id", "qvec", 4, 0)
+      .queryExecution.executedPlan.toString
+    val vecShuffles = "Exchange hashpartitioning\\(id".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"assignment shuffles the vector table:\n$p")
+  }
+
   // ------------------------------------------------------------- k-means
 
   test("kmeansInt separates two obvious integer clusters exactly") {
