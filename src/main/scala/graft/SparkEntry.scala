@@ -2454,6 +2454,55 @@ object SparkEntry {
       val quantized = Quantize.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
       graft.ops.Clustering.kmeansInt(quantized, "vec_id", "qvec", k = 8, iterations = 2)
         .orderBy("vec_id")
+    },
+    // NS-ST7: sessions rendered as ordered training episodes (event log →
+    // behavioral sequence) — explicit sort makes the concat deterministic.
+    Q(
+      "ns60_session_episodes",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts, event_type,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+          |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+          |    THEN 1 ELSE 0 END AS nsflag FROM l),
+          |g AS (SELECT *, SUM(nsflag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+          |SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n_events,
+          |  date_diff('second', min(ts), max(ts))::BIGINT AS duration_secs,
+          |  string_agg(event_type, '>' ORDER BY ts, event_id) AS episode
+          |FROM g GROUP BY user_id, g.session_id
+          |ORDER BY user_id, session_id""".stripMargin)) { (s, dir) =>
+      Streams.sessionEpisodes(T(s, dir, "events"), 30).orderBy("user_id", "session_id")
+    },
+    // NS-D11: canonical selection — keep the BEST copy per near-dup
+    // cluster (longest text here), singletons kept as their own cluster.
+    Q(
+      "ns61_canonical_dedup",
+      Some(
+        s"""WITH RECURSIVE toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+           |p AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |reach(v, r) AS (
+           |  SELECT a, a FROM edges UNION SELECT a, b FROM edges
+           |  UNION SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+           |members AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+           |canon AS (SELECT cluster_id, doc_id, score FROM (
+           |    SELECT m.cluster_id, m.doc_id, d.n_chars AS score,
+           |      row_number() OVER (PARTITION BY m.cluster_id ORDER BY d.n_chars DESC, m.doc_id) AS rn
+           |    FROM members m JOIN documents d USING (doc_id)) t WHERE rn = 1),
+           |single AS (SELECT d.doc_id AS cluster_id, d.doc_id, d.n_chars AS score
+           |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM members))
+           |SELECT cluster_id, doc_id, score FROM canon
+           |UNION ALL SELECT cluster_id, doc_id, score FROM single
+           |ORDER BY cluster_id, doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      Dedup.canonicalPerCluster(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).select("doc_a", "doc_b"),
+          "doc_a", "doc_b", docs, "doc_id", "n_chars")
+        .orderBy("cluster_id", "doc_id")
     }
   )
 

@@ -682,6 +682,47 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Canonical selection: one KEPT document per near-dup cluster — the
+    * step after [[connectedComponents]] that production dedup pipelines
+    * actually run ("keep the best copy", not "keep an arbitrary copy").
+    * The canonical is the cluster member with the highest `scoreCol`
+    * (ties to the lowest id — deterministic); documents that appear in no
+    * pair are their own cluster and always kept.
+    *
+    * Output: `(cluster_id, doc_id, score)` — one row per kept document
+    * over the WHOLE corpus (cluster canonicals plus singletons).
+    *
+    * Scale shape: [[connectedComponents]]' per-round cost on the pair
+    * graph (near-dup clusters are tiny cliques/chains); the score join and
+    * the per-cluster argmax window both shuffle one row per PAIRED
+    * document — the unpaired majority of the corpus takes only the
+    * anti-join, never a window.
+    */
+  def canonicalPerCluster(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val members = connectedComponents(pairs, aCol, bCol)
+    val scored = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(scoreCol).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val canonicals = members
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("score"))
+    val singletons = scored
+      .join(members.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("cluster_id"), col("doc_id"), col("score"))
+    canonicals.unionByName(singletons)
+  }
+
   /** Free the storage blocks behind a `localCheckpoint`ed frame that no
     * later plan references. No-op on non-checkpointed plans. (The FINAL
     * round's labels are intentionally never unpersisted — the returned

@@ -93,7 +93,15 @@ object Streams {
     * `session_window`/`flatMapGroupsWithState` state logic.
     * Output: (user_id, session_id, n_events, session_start).
     */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+
+  /** Session-id assignment shared by [[sessionize]] and
+    * [[sessionEpisodes]]: gap-splits per user, ids 1..n in time order.
+    */
+  private def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
@@ -105,9 +113,38 @@ object Streams {
             (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapMinutes * 60L,
           1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(run))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
   }
+
+  /** Sessions rendered as ordered training EPISODES (north-star
+    * extension): each session becomes one row with the `>`-joined event
+    * sequence in (ts, event_id) order plus count and whole-second duration
+    * — the "event log → behavioral training sequence" transform an
+    * LLM-on-actions pipeline runs before tokenization.
+    *
+    * Determinism: the sequence is assembled by an explicit
+    * `array_sort(collect_list(struct(ts, event_id, type)))` — collect_list
+    * order is shuffle-arrival-dependent, the sort makes it a pure function
+    * of the data (same rule as bm25TopK's sorted fold). Duration is exact
+    * integer seconds (`unix_timestamp` floors, matching DuckDB's
+    * `date_diff('second', ...)` boundary count).
+    *
+    * Scale shape: the same single user-partitioned window as [[sessionize]]
+    * plus one (user, session) aggregation; per-group state is bounded by
+    * session length (sessions are gap-bounded by construction — a user
+    * cannot have an unbounded session without an unbounded activity run).
+    */
+  def sessionEpisodes(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_secs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            s => s.getField("event_type")),
+          ">").as("episode"))
 
   /** Custom stateful aggregation over a stream (or batch) of events:
     * `KeyValueGroupedDataset.mapGroupsWithState` with one state record per

@@ -164,6 +164,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Set((0L, 0.0, 10.0, 2L), (1L, 10.0, 20.0, 3L), (2L, 20.0, 30.0, 1L)))
   }
 
+  // -------------------------------------------------- canonical selection
+
+  test("canonicalPerCluster keeps the best-scored member; singletons survive") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // cluster {1,2,3}: 2 and 3 tie on score → lowest id (2) wins
+      (7L, 5L)                          // unpaired singleton
+    ).toDF("doc_id", "score")
+    val got = graft.ops.Dedup
+      .canonicalPerCluster(pairs, "doc_a", "doc_b", docs, "doc_id", "score")
+      .select("cluster_id", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (7L, 7L)))
+  }
+
+  // ----------------------------------------------------- session episodes
+
+  test("sessionEpisodes renders gap-split sessions as ordered sequences") {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(60), "click"),       // session 1
+      (3L, 1L, ts(60 + 31 * 60), "purchase"),                   // gap > 30min → session 2
+      (4L, 2L, ts(0), "signup")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.streaming.Streams.sessionEpisodes(ev, 30)
+      .select("user_id", "session_id", "episode", "duration_secs")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, "view>click", 60L),
+      (1L, 2L, "purchase", 0L),
+      (2L, 1L, "signup", 0L)))
+  }
+
   // ------------------------------------------------------- plan shapes
 
   test("fuzzySelfJoin blocks: equi-join on the block key, never cartesian") {
