@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis (north-star extension): how many users completed
@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   * not advance the funnel — so the result is reproducible regardless of
   * event arrival order.
   *
-  * Scale shape: every stage is a `groupBy(user)` min-aggregation (partial
-  * before the shuffle) chained by a co-partitioned join on the SAME key, so
-  * Catalyst reuses one hash-partitioning of the event stream end to end —
-  * no per-user event list is ever collected (unlike a sort+fold
-  * sessionization approach, this holds even for a user with 10^9 events).
-  * Timestamps compare as exact `unix_micros` longs.
+  * Scale shape: stage k costs one min-aggregation of the STAGE-k-FILTERED
+  * events (partial before the shuffle — and a funnel stage's events are a
+  * small slice of the log) joined co-partitioned on user_id with the
+  * previous stage's per-user table. Each stage frame is `localCheckpoint`ed
+  * once it is defined, so later stages and the final count union read the
+  * materialized O(users) frame instead of recomputing the whole prefix
+  * chain — without this the union of K stage counts re-scans the event
+  * table O(K^2) times (swap for `persist`/`checkpoint` against reliable
+  * storage on a real cluster). No per-user event list is ever collected
+  * (unlike a sort+fold sessionization approach, this holds even for a
+  * user with 10^9 events). Timestamps compare as exact `unix_micros`
+  * longs.
   */
 object Funnel {
 
@@ -32,32 +38,15 @@ object Funnel {
       tsCol: String,
       typeCol: String,
       stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "empty funnel")
-    val spark = events.sparkSession
-    val e = events
-      .where(col(typeCol).isInCollection(stages))
-      .select(
-        col(userCol).cast("long").as("user_id"),
-        col(typeCol).as("ty"),
-        unix_micros(col(tsCol)).as("t"))
-    // Stage 1: first qualifying event per user.
-    var cur = e
-      .where(col("ty") === stages.head)
-      .groupBy("user_id")
-      .agg(min(col("t")).as("tk"))
-    var out = stageRow(spark, 1, stages.head, cur)
-    // Stage k: first stage-k event strictly after t_{k-1}; the join and the
-    // aggregation hash-partition on user_id, so the exchange is reused.
-    for (k <- 1 until stages.length) {
-      cur = e
-        .where(col("ty") === stages(k))
-        .join(cur.select(col("user_id"), col("tk").as("prev")), "user_id")
-        .where(col("t") > col("prev"))
-        .groupBy("user_id")
-        .agg(min(col("t")).as("tk"))
-      out = out.unionByName(stageRow(spark, k + 1, stages(k), cur))
-    }
-    out
+    val frames = stageFrames(events, userCol, tsCol, typeCol, stages)
+    frames.zipWithIndex
+      .map { case (cur, k) =>
+        cur.agg(count(lit(1)).as("users")).select(
+          lit((k + 1).toLong).as("stage"),
+          lit(stages(k)).as("event_type"),
+          col("users"))
+      }
+      .reduce(_ unionByName _)
   }
 
   /** Per-user stage timestamps (micros) for the given funnel — one row per
@@ -69,6 +58,25 @@ object Funnel {
       tsCol: String,
       typeCol: String,
       stages: Seq[String]): DataFrame = {
+    val frames = stageFrames(events, userCol, tsCol, typeCol, stages)
+    frames.zipWithIndex
+      .map { case (cur, k) =>
+        cur.select(
+          col("user_id"),
+          lit((k + 1).toLong).as("stage"),
+          lit(stages(k)).as("event_type"),
+          col("tk").as("t_micros"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** One `(user_id, tk)` frame per stage, each materialized exactly once. */
+  private def stageFrames(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): Seq[DataFrame] = {
     require(stages.nonEmpty, "empty funnel")
     val e = events
       .where(col(typeCol).isInCollection(stages))
@@ -80,11 +88,9 @@ object Funnel {
       .where(col("ty") === stages.head)
       .groupBy("user_id")
       .agg(min(col("t")).as("tk"))
-    var out = cur.select(
-      col("user_id"),
-      lit(1L).as("stage"),
-      lit(stages.head).as("event_type"),
-      col("tk").as("t_micros"))
+      .localCheckpoint()
+    val frames = Seq.newBuilder[DataFrame]
+    frames += cur
     for (k <- 1 until stages.length) {
       cur = e
         .where(col("ty") === stages(k))
@@ -92,25 +98,11 @@ object Funnel {
         .where(col("t") > col("prev"))
         .groupBy("user_id")
         .agg(min(col("t")).as("tk"))
-      out = out.unionByName(
-        cur.select(
-          col("user_id"),
-          lit((k + 1).toLong).as("stage"),
-          lit(stages(k)).as("event_type"),
-          col("tk").as("t_micros")))
+        .localCheckpoint()
+      frames += cur
     }
-    out
+    frames.result()
   }
-
-  private def stageRow(
-      spark: SparkSession,
-      stage: Int,
-      ty: String,
-      reached: DataFrame): DataFrame =
-    reached.agg(count(lit(1)).as("users")).select(
-      lit(stage.toLong).as("stage"),
-      lit(ty).as("event_type"),
-      col("users"))
 
   /** Strict-after comparison helper exposed for tests. */
   private[ops] def strictlyAfter(t: Column, prev: Column): Column = t > prev
