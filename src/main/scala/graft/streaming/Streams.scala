@@ -189,6 +189,58 @@ object Streams {
   def streamingDedup(events: DataFrame, idCol: String = "event_id", delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates(idCol, "ts")
 
+  /** Streaming incremental near-dup dedup: the steady-state corpus
+    * pipeline run AS A STREAM — each micro-batch of new documents is
+    * LSH-probed against the accepted corpus' persisted MinHash signatures
+    * ([[graft.ops.Dedup.incrementalNearDups]] semantics) and only the
+    * survivors append through the managed writer.
+    *
+    * foreachBatch is the right tool here, not a stream-static join: a
+    * document is a near-dup when ANY of its bands collides, so the
+    * survivor set needs a per-document ALL-bands verdict — an aggregation
+    * over the probe result that foreachBatch runs with exact batch
+    * semantics per trigger, while a pure stream-static anti-join on band
+    * rows would keep a document's non-colliding band rows even when
+    * another band matched. Per batch the cost is exactly the batch
+    * operator's: sketch-only join, candidate volume scales with the
+    * increment.
+    *
+    * Intra-batch duplicates (two near-identical docs arriving in the SAME
+    * trigger) are the caller's composition point — run
+    * [[graft.ops.Dedup.minhashPairs]] + canonical selection inside a
+    * custom `transform` before handing batches here if that matters;
+    * cross-batch duplicates are caught once the corpus signatures include
+    * earlier batches' survivors.
+    *
+    * @param corpusSignatures static `(doc_id, sig)` — the artifact a
+    *        production pipeline persists between increments; cache it, the
+    *        stream probes it every trigger.
+    */
+  def streamingIncrementalDedup(
+      newDocs: DataFrame,
+      corpusSignatures: DataFrame,
+      writer: graft.sinks.ManagedWriter,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = graft.ops.Dedup
+          .incrementalNearDups(
+            graft.ops.Dedup.minhashSignatures(batch, idCol, textCol, shingleLen, k),
+            corpusSignatures,
+            bands,
+            rowsPerBand,
+            minEstJaccard)
+          .select(col("doc_id").as(idCol))
+        writer.write(batch.join(flagged, Seq(idCol), "left_anti")): Unit
+      }
+      .start()
+
   /** Streaming tumbling counts over a parquet-file source directory —
     * the end-to-end readStream → watermark → window → agg plan used by the
     * ScalaTest harness (memory sink, complete/update mode).

@@ -123,6 +123,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == events.count())
   }
 
+  test("streaming incremental dedup appends only corpus-novel documents") {
+    import graft.ops.Dedup
+    import graft.sinks.{ManagedWriter, StreamType}
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 16).cache()
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // corpus dup → dropped
+      (2L, "completely unrelated fresh content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-sid-src-${UUID.randomUUID().toString.take(8)}"
+    incoming.repartition(2).write.parquet(srcDir) // ≥2 files → ≥2 triggers
+    val schema = spark.read.parquet(srcDir).schema
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft-sid-dest-${UUID.randomUUID().toString.take(8)}"
+    val writer = new ManagedWriter(spark, dest, schema, StreamType.Committed)
+    val q = Streams.streamingIncrementalDedup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      corpusSigs, writer)
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.read.parquet(dest).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables(spark, sfDir, "events")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ssj-${UUID.randomUUID().toString.take(8)}"
