@@ -218,6 +218,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(vecShuffles == 0, s"assignment shuffles the vector table:\n$p")
   }
 
+  // ----------------------------------------------------- kernel property
+
+  test("sqDistArgmin kernel equals the naive argmin on random inputs") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dims = Gen.choose(1, 16)
+    val params = Gen.zip(dims, Gen.choose(1, 8)).flatMap { case (d, k) =>
+      Gen.zip(
+        Gen.const(d),
+        Gen.listOfN(d, Gen.choose(-255L, 255L)),
+        Gen.listOfN(k * d, Gen.choose(-255L, 255L)))
+    }
+    (0 until 200).foreach { i =>
+      val (d, v, cs) = params.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val got = graft.functions.VectorKernels
+        .sqDistArgmin(
+          UnsafeArrayData.fromPrimitiveArray(v.toArray),
+          UnsafeArrayData.fromPrimitiveArray(cs.toArray))
+        .toLongArray()
+      val naive = cs.toArray
+        .grouped(d)
+        .zipWithIndex
+        .map { case (c, cid) =>
+          (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, cid.toLong)
+        }
+        .minBy(x => (x._1, x._2)) // lowest distance, ties to lowest cid
+      assert(got(0) == naive._2 && got(1) == naive._1, s"seed=$i d=$d")
+    }
+  }
+
   // ------------------------------------------------------------- k-means
 
   test("kmeansInt separates two obvious integer clusters exactly") {
