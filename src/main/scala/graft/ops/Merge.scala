@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * values.
   *
   * Semantics, per base key:
-  *   - change op `U` (upsert) — the change row replaces the base row, or is
-  *     inserted if the key is absent (upsert-style `WHEN [NOT] MATCHED`);
   *   - change op `D` (delete) — the base row is dropped;
+  *   - any other op (canonically `U`) — upsert: the change row replaces the
+  *     base row, or is inserted if the key is absent (upsert-style
+  *     `WHEN [NOT] MATCHED`). Non-delete ops deliberately all upsert: a
+  *     typo'd op tag must not silently DELETE the base row (which is what
+  *     an exact `op = 'U'` filter would do — the key is already
+  *     anti-joined out of the kept side);
   *   - keys without a change row pass through untouched.
   * The changeset must carry at most one row per key (CDC compaction — keep
   * the latest — is the caller's `Dedup.keepFirstPerKey`-shaped step);
@@ -39,7 +43,7 @@ object Merge {
     require(keyCols.nonEmpty, "empty merge key")
     val touched = changes.select(keyCols.map(col): _*)
     val kept = base.join(touched, keyCols, "left_anti")
-    val upserts = changes.where(col(opCol) === "U").drop(opCol)
+    val upserts = changes.where(col(opCol) =!= "D").drop(opCol)
     kept.unionByName(upserts)
   }
 }

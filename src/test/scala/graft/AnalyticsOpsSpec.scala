@@ -116,15 +116,16 @@ class AnalyticsOpsSpec extends SparkSpec {
   // --------------------------------------------------------------- merge
 
   test("applyChanges upserts, inserts, deletes, and passes through") {
-    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
     val changes = Seq(
       (2L, "B", "U"), // update
       (3L, "", "D"),  // delete
-      (9L, "z", "U")  // insert (upsert on absent key)
+      (9L, "z", "U"), // insert (upsert on absent key)
+      (4L, "D2", "X") // unknown op: must UPSERT, never silently delete
     ).toDF("k", "v", "op")
     val got = Merge.applyChanges(base, changes, Seq("k"))
       .as[(Long, String)].collect().toSet
-    assert(got == Set((1L, "a"), (2L, "B"), (9L, "z")))
+    assert(got == Set((1L, "a"), (2L, "B"), (9L, "z"), (4L, "D2")))
   }
 
   // --------------------------------------------- incremental near-dup probe
