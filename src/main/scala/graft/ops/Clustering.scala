@@ -113,7 +113,7 @@ object Clustering {
         .join(rebuilt, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("c"), col("oc")).as("c"))
         .localCheckpoint()
-      unpersistCheckpoint(centroids)
+      Checkpoints.unpersist(centroids)
       centroids = next
       iter += 1
     }
@@ -170,10 +170,4 @@ object Clustering {
     */
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-      case _ => ()
-    }
 }

@@ -668,7 +668,7 @@ object Dedup {
       // count is the round's ONE job: it materializes the lazy checkpoint
       // and probes convergence in the same pass.
       converged = next.filter(col("lbl") < col("prev")).count() == 0L
-      unpersistCheckpoint(labels)
+      Checkpoints.unpersist(labels)
       labels = next
       iter += 1
     }
@@ -678,7 +678,7 @@ object Dedup {
         .warn(
           s"connectedComponents exited after maxIter=$maxIter rounds WITHOUT converging: " +
             "cluster ids may be wrong for long chains. Raise maxIter.")
-    unpersistCheckpoint(edges)
+    Checkpoints.unpersist(edges)
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -722,18 +722,6 @@ object Dedup {
       .select(col("doc_id").as("cluster_id"), col("doc_id"), col("score"))
     canonicals.unionByName(singletons)
   }
-
-  /** Free the storage blocks behind a `localCheckpoint`ed frame that no
-    * later plan references. No-op on non-checkpointed plans. (The FINAL
-    * round's labels are intentionally never unpersisted — the returned
-    * DataFrame reads from that RDD and a truncated lineage cannot
-    * recompute it.)
-    */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-      case _ => ()
-    }
 
   /** float→double widen (exact), then divide by the index-order L2 norm —
     * the JVM twin of `x / sqrt(list_dot_product(v, v))`.

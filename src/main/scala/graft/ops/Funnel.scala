@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis (north-star extension): how many users completed
@@ -103,7 +103,4 @@ object Funnel {
     }
     frames.result()
   }
-
-  /** Strict-after comparison helper exposed for tests. */
-  private[ops] def strictlyAfter(t: Column, prev: Column): Column = t > prev
 }

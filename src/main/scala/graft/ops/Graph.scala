@@ -47,6 +47,11 @@ object Graph {
         keyCol.cast("long").as("k"),
         col(userCol).cast("long").as("u"),
         unix_micros(col(tsCol)).as("t"))
+      // A NULL key (cast/extraction failure) is not a shared touchpoint:
+      // without this filter every unparseable event lands in one giant
+      // k=NULL window partition and fabricates edges between unrelated
+      // users (plus a skew hot spot).
+      .where(col("k").isNotNull)
       .groupBy("k", "u")
       .agg(min("t").as("ft"))
     val w = Window.partitionBy("k").orderBy(col("ft"), col("u"))
@@ -94,16 +99,10 @@ object Graph {
           (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("rank"))
         .localCheckpoint()
-      unpersistCheckpoint(ranks)
+      Checkpoints.unpersist(ranks)
       ranks = next
       iter += 1
     }
     ranks
   }
-
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-      case _ => ()
-    }
 }

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *   - change op `D` (delete) — the base row is dropped;
   *   - any other op (canonically `U`) — upsert: the change row replaces the
   *     base row, or is inserted if the key is absent (upsert-style
-  *     `WHEN [NOT] MATCHED`). Non-delete ops deliberately all upsert: a
-  *     typo'd op tag must not silently DELETE the base row (which is what
-  *     an exact `op = 'U'` filter would do — the key is already
-  *     anti-joined out of the kept side);
+  *     `WHEN [NOT] MATCHED`). Non-delete ops — INCLUDING a NULL op —
+  *     deliberately all upsert: a typo'd or missing op tag must not
+  *     silently DELETE the base row (which is what an exact `op = 'U'`
+  *     filter would do — the key is already anti-joined out of the kept
+  *     side, and `op <> 'D'` is NULL, not true, for a NULL op);
   *   - keys without a change row pass through untouched.
   * The changeset must carry at most one row per key (CDC compaction — keep
   * the latest — is the caller's `Dedup.keepFirstPerKey`-shaped step);
@@ -43,7 +44,7 @@ object Merge {
     require(keyCols.nonEmpty, "empty merge key")
     val touched = changes.select(keyCols.map(col): _*)
     val kept = base.join(touched, keyCols, "left_anti")
-    val upserts = changes.where(col(opCol) =!= "D").drop(opCol)
+    val upserts = changes.where(!(col(opCol) <=> "D")).drop(opCol)
     kept.unionByName(upserts)
   }
 }

@@ -61,8 +61,12 @@ object Profile {
     * float `width_bucket` whose boundary arithmetic can differ in the last
     * ulp exactly at bucket edges.
     *
-    * Output: (bucket, lo, hi, n) — bucket = floor(cents / widthCents),
-    * lo/hi rendered back to doubles (exact: cent multiples < 2^53).
+    * Output: (bucket, lo, hi, n) — bucket = cents div widthCents, lo/hi
+    * rendered back to doubles (exact: cent multiples < 2^53). Intended
+    * for NON-NEGATIVE money columns: `div` truncates toward zero
+    * (identically in Spark and DuckDB), so for negative values bucket 0
+    * would span (-width, width) and the lo/hi labels would be shifted —
+    * shift such columns into the non-negative domain first.
     *
     * Scale shape: scan-local bucket assignment + one map-side-combined
     * count aggregation — the same cost as any groupBy count; no sort, no

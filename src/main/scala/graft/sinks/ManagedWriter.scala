@@ -223,24 +223,33 @@ object ManagedWriter {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, destDir, Some(version)) match {
       case Some((_, files)) if files.nonEmpty =>
-        spark.read.parquet(files.map(f => s"$destDir/$f"): _*)
-      case Some(_) => spark.read.parquet(destDir).limit(0)
+        manifestRead(spark, destDir, files)
+      case Some(_) => emptySnapshot(spark, fs, destDir)
       case None => throw new java.io.FileNotFoundException(
         s"no manifest version $version at $destDir (have: ${versions(spark, destDir).mkString(",")})")
     }
   }
 
   /** Part files physically present in the destination (pre-manifest
-    * state; used only to seed the base manifest).
+    * state; used only to seed the base manifest). RECURSIVE, with
+    * destination-relative paths, so adopting a pre-existing PARTITIONED
+    * dataset (`df.write.partitionBy(...).parquet(dest)` → files under
+    * `col=value/` subdirectories) captures every row — a top-level-only
+    * listing would publish a base manifest that silently dropped them
+    * from all subsequent manifest reads.
     */
   private def physicalFiles(fs: FileSystem, destDir: String): Seq[String] = {
     val dest = new Path(destDir)
-    if (!fs.exists(dest)) Seq.empty
-    else fs.listStatus(dest)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getPath.getName)
-      .toSeq
-      .sorted
+    if (!fs.exists(dest)) return Seq.empty
+    val destUri = fs.makeQualified(dest).toUri
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(dest, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-"))
+        out += destUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+    }
+    out.result().sorted
   }
 
   /** Guarantee a manifest exists BEFORE the first promotion touches the
@@ -260,10 +269,14 @@ object ManagedWriter {
     * the newest version. This rename IS the batch-commit point
     * (≈ bigquery_write.go:473-484's atomic BatchCommitWriteStreams).
     *
-    * The latest-files union is computed immediately before the rename and
-    * the rename refuses an existing target, so a concurrent writer's
-    * commit landing in between surfaces as a retry (its files are picked
-    * up by the re-read), not a silent omission from the newest manifest.
+    * The latest-files union is computed immediately before the commit
+    * attempt, and the commit primitive REFUSES an existing target — on
+    * HDFS-like filesystems `rename` does that natively; on the local
+    * filesystem POSIX `rename()` silently OVERWRITES, so the primitive is
+    * a hard link (`link()` fails with EEXIST atomically, no
+    * check-then-act window). A concurrent writer's commit landing in
+    * between therefore surfaces as a retry (its files are picked up by
+    * the re-read), not a silently clobbered manifest version.
     * Manifests are full snapshots — simple and atomic, at the cost of
     * O(appends x files) manifest bytes over a table's lifetime; a
     * production variant would add log-segment deltas + periodic
@@ -286,7 +299,7 @@ object ManagedWriter {
       try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       val target = new Path(md, f"v-${version + 1}%08d.txt")
-      if (!fs.exists(target) && fs.rename(tmp, target)) return
+      if (commitFile(fs, tmp, target)) return
       fs.delete(tmp, false)
       if (attempts >= 10)
         throw new java.io.IOException(
@@ -294,6 +307,27 @@ object ManagedWriter {
             "(concurrent committers); staged data left in place")
       // another writer took this version — re-read and publish on top
     }
+  }
+
+  /** Fail-if-exists commit primitive behind [[publishManifest]]'s version
+    * claim. Local filesystems: hard link — `link()` is specified to fail
+    * with EEXIST atomically, where POSIX `rename()` would overwrite and
+    * `exists() && rename()` has a race window. Everything else: Hadoop
+    * `rename`, which refuses an existing destination on HDFS-like stores.
+    */
+  private def commitFile(fs: FileSystem, tmp: Path, target: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case _ =>
+      !fs.exists(target) && fs.rename(tmp, target)
   }
 
   /** Manifest-consulting reader — the strict-visibility read path. Loads
@@ -306,13 +340,43 @@ object ManagedWriter {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, destDir) match {
       case Some((_, files)) if files.nonEmpty =>
-        spark.read.parquet(files.map(f => s"$destDir/$f"): _*)
+        manifestRead(spark, destDir, files)
       case Some(_) =>
-        // Committed-but-empty destination: zero visible files. Derive the
-        // (empty) result from the physical files' schema if any exist.
-        spark.read.parquet(destDir).limit(0)
+        emptySnapshot(spark, fs, destDir)
       case None =>
         spark.read.parquet(destDir)
     }
+  }
+
+  /** Read exactly the manifested files. Flat (destination-root) and
+    * nested (Hive-partitioned, `col=value/...`) files are read as two
+    * groups and unioned by name: the nested group needs `basePath` so the
+    * directory-encoded partition columns are re-derived, while mixing the
+    * two depths under one basePath confuses partition discovery into
+    * silently dropping one group's rows. `allowMissingColumns` covers
+    * adopted files written before a column existed (filled with nulls —
+    * the standard parquet schema-evolution posture).
+    */
+  private def manifestRead(spark: SparkSession, destDir: String, files: Seq[String]): DataFrame = {
+    val (nested, flat) = files.partition(_.contains("/"))
+    val groups = Seq(
+      if (flat.nonEmpty) Some(spark.read.parquet(flat.map(f => s"$destDir/$f"): _*)) else None,
+      if (nested.nonEmpty)
+        Some(spark.read.option("basePath", destDir).parquet(nested.map(f => s"$destDir/$f"): _*))
+      else None).flatten
+    groups.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Zero visible files: derive the empty frame from any physical file's
+    * schema; a committed-but-never-written destination has no schema to
+    * offer, so it reads as a 0-row 0-column frame rather than throwing
+    * (a crash after `ensureBaseManifest` but before the first promotion
+    * must leave the table readable — the atomicity contract).
+    */
+  private def emptySnapshot(spark: SparkSession, fs: FileSystem, destDir: String): DataFrame = {
+    val phys = physicalFiles(fs, destDir)
+    if (phys.nonEmpty)
+      manifestRead(spark, destDir, phys).limit(0)
+    else spark.emptyDataFrame
   }
 }

@@ -205,16 +205,22 @@ object Streams {
     * operator's: sketch-only join, candidate volume scales with the
     * increment.
     *
-    * Intra-batch duplicates (two near-identical docs arriving in the SAME
-    * trigger) are the caller's composition point — run
-    * [[graft.ops.Dedup.minhashPairs]] + canonical selection inside a
-    * custom `transform` before handing batches here if that matters;
-    * cross-batch duplicates are caught once the corpus signatures include
-    * earlier batches' survivors.
+    * Cross-trigger duplicates ARE caught: each trigger's survivors'
+    * signatures are unioned into the probe side (localCheckpoint'ed, the
+    * superseded snapshot unpersisted — foreachBatch triggers run
+    * sequentially, so the rotation is single-threaded), so a duplicate of
+    * an earlier trigger's survivor collides against the accumulated set.
+    * The accumulated state is O(accepted corpus) SIGNATURES — exactly the
+    * artifact a production pipeline persists between runs; it does not
+    * survive a restart here (re-derive it from the written corpus or
+    * persist it alongside). Intra-batch duplicates (two near-identical
+    * docs in the SAME trigger) remain the caller's composition point —
+    * run [[graft.ops.Dedup.minhashPairs]] + canonical selection inside a
+    * `transform` before handing batches here if that matters.
     *
     * @param corpusSignatures static `(doc_id, sig)` — the artifact a
-    *        production pipeline persists between increments; cache it, the
-    *        stream probes it every trigger.
+    *        production pipeline persists between increments; the stream
+    *        probes it (plus accumulated survivors) every trigger.
     */
   def streamingIncrementalDedup(
       newDocs: DataFrame,
@@ -226,20 +232,26 @@ object Streams {
       k: Int = 16,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    var sigs = corpusSignatures.localCheckpoint()
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchSigs = graft.ops.Dedup
+          .minhashSignatures(batch, idCol, textCol, shingleLen, k)
+          .localCheckpoint()
         val flagged = graft.ops.Dedup
-          .incrementalNearDups(
-            graft.ops.Dedup.minhashSignatures(batch, idCol, textCol, shingleLen, k),
-            corpusSignatures,
-            bands,
-            rowsPerBand,
-            minEstJaccard)
+          .incrementalNearDups(batchSigs, sigs, bands, rowsPerBand, minEstJaccard)
           .select(col("doc_id").as(idCol))
         writer.write(batch.join(flagged, Seq(idCol), "left_anti")): Unit
+        val survivorSigs =
+          batchSigs.join(flagged.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
+        val next = sigs.unionByName(survivorSigs).localCheckpoint()
+        graft.ops.Checkpoints.unpersist(sigs)
+        graft.ops.Checkpoints.unpersist(batchSigs)
+        sigs = next
       }
       .start()
+  }
 
   /** Streaming tumbling counts over a parquet-file source directory —
     * the end-to-end readStream → watermark → window → agg plan used by the

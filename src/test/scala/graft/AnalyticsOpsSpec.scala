@@ -116,16 +116,17 @@ class AnalyticsOpsSpec extends SparkSpec {
   // --------------------------------------------------------------- merge
 
   test("applyChanges upserts, inserts, deletes, and passes through") {
-    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v")
     val changes = Seq(
-      (2L, "B", "U"), // update
-      (3L, "", "D"),  // delete
-      (9L, "z", "U"), // insert (upsert on absent key)
-      (4L, "D2", "X") // unknown op: must UPSERT, never silently delete
+      (2L, "B", "U"),             // update
+      (3L, "", "D"),              // delete
+      (9L, "z", "U"),             // insert (upsert on absent key)
+      (4L, "D2", "X"),            // unknown op: must UPSERT, never silently delete
+      (5L, "E2", null: String)    // NULL op: must UPSERT too (op <> 'D' is NULL, not true)
     ).toDF("k", "v", "op")
     val got = Merge.applyChanges(base, changes, Seq("k"))
       .as[(Long, String)].collect().toSet
-    assert(got == Set((1L, "a"), (2L, "B"), (9L, "z"), (4L, "D2")))
+    assert(got == Set((1L, "a"), (2L, "B"), (9L, "z"), (4L, "D2"), (5L, "E2")))
   }
 
   // --------------------------------------------- incremental near-dup probe

@@ -110,6 +110,39 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.read(spark, dest).count() == 2 * df.count())
   }
 
+  test("adopting a pre-existing PARTITIONED dataset keeps every row visible") {
+    // Hive-partitioned layout: files live under nested n_regionkey=*/ dirs;
+    // the base manifest must list them recursively and the manifest read
+    // must re-derive the partition column (basePath) — a top-level-only
+    // adoption would silently drop all the old rows.
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    df.write.partitionBy("n_regionkey").parquet(dest)
+    val adopted = spark.read.parquet(dest) // partition col now last
+    val w = new ManagedWriter(spark, dest, adopted.schema, StreamType.Pending)
+    w.write(adopted)
+    w.finalizeCommit()
+    val got = ManagedWriter.read(spark, dest)
+    assert(got.count() == 2 * df.count())
+    assert(got.columns.contains("n_regionkey"))
+    assert(got.groupBy("n_regionkey").count().count() ==
+      df.select("n_regionkey").distinct().count())
+  }
+
+  test("crash after base manifest but before ANY promotion reads as empty, not an error") {
+    // Crash window: ensureBaseManifest published the empty base manifest,
+    // the process died before the first batch promotion — the destination
+    // holds a manifest and zero parquet files. The table must stay
+    // readable (zero rows), per the atomicity contract.
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df)
+    w.crashAfterBatches = 0
+    intercept[java.io.IOException](w.finalizeCommit())
+    assert(ManagedWriter.read(spark, dest).count() == 0)
+  }
+
   test("FIRST commit to a fresh destination is also all-or-nothing") {
     // Regression: before ensureBaseManifest, a crash mid-promotion on a
     // never-committed destination left no manifest at all, so the

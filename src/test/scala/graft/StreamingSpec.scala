@@ -123,7 +123,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == events.count())
   }
 
-  test("streaming incremental dedup appends only corpus-novel documents") {
+  test("streaming incremental dedup drops corpus dups AND cross-trigger dups") {
     import graft.ops.Dedup
     import graft.sinks.{ManagedWriter, StreamType}
     import spark.implicits._
@@ -131,12 +131,17 @@ class StreamingSpec extends SparkSpec {
       (100L, "the quick brown fox jumps over the lazy dog today")
     ).toDF("doc_id", "text")
     val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 16).cache()
-    val incoming = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog today"), // corpus dup → dropped
-      (2L, "completely unrelated fresh content nothing shared here at all")
-    ).toDF("doc_id", "text")
     val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-sid-src-${UUID.randomUUID().toString.take(8)}"
-    incoming.repartition(2).write.parquet(srcDir) // ≥2 files → ≥2 triggers
+    // Two files with ordered modification times → two ordered triggers.
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),          // corpus dup → dropped
+      (2L, "a brand new survivor document with plenty of original words") // novel → kept
+    ).toDF("doc_id", "text").coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100) // distinct mtime second for deterministic file order
+    Seq(
+      (3L, "a brand new survivor document with plenty of original words"), // dup of trigger-1 SURVIVOR → dropped
+      (4L, "completely unrelated fresh content nothing shared here at all") // novel → kept
+    ).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val dest = s"${System.getProperty("java.io.tmpdir")}/graft-sid-dest-${UUID.randomUUID().toString.take(8)}"
     val writer = new ManagedWriter(spark, dest, schema, StreamType.Committed)
@@ -146,7 +151,7 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable()
     finally q.stop()
     val got = spark.read.parquet(dest).select("doc_id").as[Long].collect().toSet
-    assert(got == Set(2L))
+    assert(got == Set(2L, 4L))
   }
 
   test("stream-stream interval join matches the batch join") {
