@@ -2503,6 +2503,35 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).select("doc_a", "doc_b"),
           "doc_a", "doc_b", docs, "doc_id", "n_chars")
         .orderBy("cluster_id", "doc_id")
+    },
+    // NS-SA6: leakage-free train/test split — the coin is flipped on the
+    // near-dup CLUSTER id, so near-duplicates never straddle the boundary.
+    Q(
+      "ns62_leakage_split",
+      Some(
+        s"""WITH RECURSIVE toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+           |p AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |reach(v, r) AS (
+           |  SELECT a, a FROM edges UNION SELECT a, b FROM edges
+           |  UNION SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+           |members AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+           |wc AS (SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN members m USING (doc_id))
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN ${oHash32("cluster_id::VARCHAR")}::DOUBLE / 4294967296.0 < 0.2
+           |       THEN 'test' ELSE 'train' END AS split
+           |FROM wc ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      Sampling.leakageFreeSplit(
+          docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).select("doc_a", "doc_b"),
+          "doc_a", "doc_b", testFrac = 0.2)
+        .orderBy("doc_id")
     }
   )
 

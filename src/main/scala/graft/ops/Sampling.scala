@@ -80,6 +80,48 @@ object Sampling {
       TextOps.hash32(col(idCol).cast("string")).cast("double") / lit(4294967296.0) <
         least(greatest(rate, lit(0.0)), lit(1.0)))
 
+  /** Leakage-free train/test split: the split coin is flipped on the
+    * NEAR-DUP CLUSTER id, not the document id, so near-duplicate documents
+    * can never straddle the boundary — the train/test contamination that a
+    * per-document split silently bakes into evaluation (the dedup
+    * literature's canonical reason to dedup before splitting, enforced
+    * here by construction even for pairs you chose not to collapse).
+    *
+    * `pairs` is any near-dup pair set ([[Dedup.minhashPairs]],
+    * [[Dedup.ngramJaccardPairs]], ...); unpaired documents are their own
+    * cluster. Output: (idCol, cluster_id, split) over the whole corpus,
+    * split ∈ {train, test} with P(test) = testFrac via the same md5 coin
+    * as [[weightedSample]] — deterministic across engines and reruns.
+    *
+    * Scale shape: [[Dedup.connectedComponents]] on the pair graph plus ONE
+    * left join of the corpus against the O(paired-docs) membership table;
+    * the coin is a scan-local predicate.
+    */
+  def leakageFreeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      testFrac: Double): DataFrame = {
+    require(testFrac >= 0.0 && testFrac <= 1.0, s"bad testFrac $testFrac")
+    val members = Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("doc_id", "__did")
+    val withCluster = df
+      .select(col(idCol).cast("long").as("__did"))
+      .join(members, Seq("__did"), "left")
+      .select(
+        col("__did").as(idCol),
+        coalesce(col("cluster_id"), col("__did")).as("cluster_id"))
+    withCluster.select(
+      col(idCol),
+      col("cluster_id"),
+      when(
+        TextOps.hash32(col("cluster_id").cast("string")).cast("double") /
+          lit(4294967296.0) < lit(testFrac),
+        lit("test")).otherwise(lit("train")).as("split"))
+  }
+
   /** Largest exact-mixture sample: draw groups in the integer proportions
     * `weights` (e.g. en:2, de:1, es:1 → a 2:1:1 corpus mix), scaled to
     * the biggest whole multiple every group can actually supply —

@@ -181,6 +181,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (7L, 7L)))
   }
 
+  // --------------------------------------------------- leakage-free split
+
+  test("leakageFreeSplit keeps near-dup clusters on one side of the boundary") {
+    import graft.ops.Sampling
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // three clusters: {1,2,3}, {10,11}, and singletons for the rest
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Sampling
+      .leakageFreeSplit(docs, "doc_id", pairs, "doc_a", "doc_b", testFrac = 0.5)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 40)
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    // no straddling: every cluster member shares its cluster's side
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(10L) == byDoc(11L))
+    // both sides non-empty at this fraction on 40 docs
+    assert(got.map(_._3).toSet == Set("train", "test"))
+    // deterministic: second run identical
+    val again = Sampling
+      .leakageFreeSplit(docs, "doc_id", pairs, "doc_a", "doc_b", testFrac = 0.5)
+      .as[(Long, Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   // ----------------------------------------------------- session episodes
 
   test("sessionEpisodes renders gap-split sessions as ordered sequences") {
