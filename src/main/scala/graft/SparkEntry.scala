@@ -947,13 +947,36 @@ object SparkEntry {
           count(lit(1)).over(w).as("n_near"))
         .orderBy("o_orderkey")
     },
-    // HLL++ sketch distinct — algorithmically approximate, so no SQL
-    // oracle (driver records a rows-only check).
-    Q("b40_approx_distinct", None) { (s, dir) =>
+    // HLL++ sketch distinct. The sketch VALUE is engine-specific (Spark
+    // HLL++ vs DuckDB's HLL differ by design), so the gated output is the
+    // deterministic derived check: the exact distincts (hash-matched
+    // against the oracle) plus the sketch's error-bound verdict — Spark
+    // computes |approx − exact| / exact ≤ 3·rsd from the REAL
+    // approx_count_distinct values, the oracle asserts TRUE literals. A
+    // drifting sketch flips the booleans and fails the hash, so the HLL
+    // path stays regression-gated without pretending cross-engine sketch
+    // equality. (Raw sketch values remain pinned in ScalaTest.)
+    Q(
+      "b40_approx_distinct",
+      Some(
+        """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+          |  count(DISTINCT l_suppkey)::BIGINT AS exact_supps,
+          |  TRUE AS parts_in_bound, TRUE AS supps_in_bound
+          |FROM lineitem""".stripMargin)) { (s, dir) =>
+      val rsd = 0.05 // approx_count_distinct default relativeSD
+      def inBound(approx: Column, exact: Column) =
+        abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") <= rsd * 3
       T(s, dir, "lineitem")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey"), rsd).as("ap"),
+          approx_count_distinct(col("l_suppkey"), rsd).as("as_"))
+        .select(
+          col("exact_parts"),
+          col("exact_supps"),
+          inBound(col("ap"), col("exact_parts")).as("parts_in_bound"),
+          inBound(col("as_"), col("exact_supps")).as("supps_in_bound"))
     },
     // Bucketed co-located join: both sides pre-bucketed on the join key →
     // sort-merge join with NO shuffle of either side (plan-asserted in
@@ -1549,18 +1572,57 @@ object SparkEntry {
         .select(col("doc_id"), norm.as("norm_text"), length(norm).cast("long").as("norm_len"))
         .orderBy("doc_id")
     },
-    // NS-S3: IVF ANN (seeded-KMeans coarse quantizer + probe-nearest
-    // cells). Cells are data-dependent, so no SQL oracle — the driver
-    // records a rows-only check; recall vs brute force is pinned in
-    // ScalaTest.
-    Q("ns20_ivf_knn", None) { (s, dir) =>
+    // NS-S3: IVF ANN — integer-quantized coarse-quantizer variant: int8
+    // quantize → bit-reproducible integer-k-means cells (ns59's Lloyd:
+    // lowest-id seed, exact long distances, sum-div-count updates, ties to
+    // the lowest cid) → integer-L2 probe of the 4 nearest cells → exact
+    // cosine rerank on the ORIGINAL float vectors. Every step is a pure
+    // function of the input, so the oracle replays the ENTIRE index build
+    // and serve in SQL and the full top-k is hash-checked. (The float-Lloyd
+    // ivfFit/ivfQuery serving path — memoized fit-once index — keeps its
+    // recall + golden pins in OpsSpec; its cells are float-sum
+    // order-dependent by nature, which is exactly why the gated variant
+    // quantizes first.)
+    Q(
+      "ns20_ivf_knn", {
+        val dist =
+          "list_sum(list_transform(range(len(q.v)), i -> (q.v[i+1]-c.c[i+1])*(q.v[i+1]-c.c[i+1])))"
+        def round(prev: String, n: Int) =
+          s"""a$n AS (SELECT vec_id, v, cid, d FROM (
+             |    SELECT q.vec_id, q.v AS v, c.cid, $dist AS d FROM q CROSS JOIN $prev c) t
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+             |u$n AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS val FROM a$n),
+             |m$n AS (SELECT cid, pos, (SUM(val) / COUNT(*))::BIGINT AS m FROM u$n GROUP BY 1, 2),
+             |r$n AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$n GROUP BY 1),
+             |c$n AS (SELECT p.cid, coalesce(r.c, p.c) AS c FROM $prev p LEFT JOIN r$n r USING (cid)),""".stripMargin
+        Some(
+          s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+             |s AS (SELECT vec_id, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale, vd FROM ef),
+             |q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(vd, x -> 0::BIGINT)
+             |    ELSE list_transform(vd, x -> round(x / scale)::BIGINT) END AS v FROM s),
+             |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             |  FROM q ORDER BY vec_id LIMIT 16),
+             |${round("c0", 1)}
+             |${round("c1", 2)}
+             |cells AS (SELECT vec_id AS nid, cid FROM (
+             |    SELECT q.vec_id, c.cid, $dist AS d FROM q CROSS JOIN c2 c) t
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+             |qp AS (SELECT vec_id AS qid, v FROM q WHERE vec_id < 20),
+             |pr AS (SELECT qid, cid FROM (
+             |    SELECT qp.qid, c.cid,
+             |      list_sum(list_transform(range(len(qp.v)), i -> (qp.v[i+1]-c.c[i+1])*(qp.v[i+1]-c.c[i+1]))) AS d
+             |    FROM qp CROSS JOIN c2 c) t
+             |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, cid) <= 4),
+             |cand AS (SELECT pr.qid, cells.nid FROM pr JOIN cells USING (cid) WHERE pr.qid <> cells.nid),
+             |sc AS (SELECT qid, nid, ${oCosine("x.vd", "y.vd")} AS cos
+             |  FROM cand JOIN ef x ON x.vec_id = qid JOIN ef y ON y.vec_id = nid),
+             |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc)
+             |SELECT qid, rank::BIGINT AS rank, nid, cos FROM r WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)
+      }) { (s, dir) =>
       val e = T(s, dir, "embeddings")
-      // Fit-once index, memoized per (session, corpus): the query path is
-      // assignment + cell join only — the serving shape (round-2 verdict:
-      // refitting KMeans per call cost 10.3 s/lookup).
-      val idx = Similarity.ivfIndexFor(e, s"$dir/embeddings", "vec_id", "embedding", nCells = 16)
-      Similarity.ivfQuery(idx, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-          nProbe = 4, k = 3)
+      Similarity.ivfIntTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          nCells = 16, nProbe = 4, k = 3)
         .orderBy("qid", "rank")
     },
     // NS-T2b: char-trigram language ID — the n-gram profile heuristic
@@ -2045,23 +2107,30 @@ object SparkEntry {
     // NS-Q1: symmetric per-vector int8 embedding quantization — the 4x
     // payload compressor for ANN candidate joins and at-rest embedding
     // tables. Exact arithmetic twin on both engines: double widening,
-    // max|v|/127 scale, half-away-from-zero rounding. qvec elements are
-    // surfaced as BIGINT in the gated output (the operator itself emits
-    // array<tinyint>; DuckDB list comparison is element-type-sensitive).
+    // max|v|/127 scale, half-away-from-zero rounding. The full qvec is
+    // serialized to an md5 key (the ns07 array pattern — the driver's
+    // pandas comparator cannot sort raw array cells) alongside scale and
+    // a sampled element so the whole vector is still hash-gated.
     Q(
       "ns44_quantize_int8",
       Some(
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-          |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e)
-          |SELECT vec_id, scale,
+          |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e),
+          |qv AS (SELECT vec_id, scale,
           |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
           |       ELSE list_transform(v, x -> round(x / scale)::BIGINT) END AS qvec
-          |FROM s ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+          |FROM s)
+          |SELECT vec_id, scale,
+          |  md5(array_to_string(list_transform(qvec, x -> x::VARCHAR), ',')) AS qvec_key,
+          |  qvec[2] AS q1
+          |FROM qv ORDER BY vec_id""".stripMargin)) { (s, dir) =>
       Quantize.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
         .select(
           col("vec_id"),
           col("scale"),
-          transform(col("qvec"), q => q.cast("long")).as("qvec"))
+          md5(concat_ws(",", transform(col("qvec"), q => q.cast("long").cast("string"))))
+            .as("qvec_key"),
+          col("qvec").getItem(1).cast("long").as("q1"))
         .orderBy("vec_id")
     },
     // NS-S5: LSH-bucketed cosine top-k — the candidates-then-rerank ANN
@@ -2327,9 +2396,10 @@ object SparkEntry {
     Q(
       "ns55_pagerank",
       Some(
-        """WITH e AS (SELECT user_id::BIGINT AS u, regexp_extract(props, '[0-9]+')::BIGINT AS k,
+        """WITH e AS (SELECT user_id::BIGINT AS u,
+          |    TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
           |    epoch_us(ts)::BIGINT AS t FROM events),
-          |ft AS (SELECT k, u, MIN(t) AS ft FROM e GROUP BY 1, 2),
+          |ft AS (SELECT k, u, MIN(t) AS ft FROM e WHERE k IS NOT NULL GROUP BY 1, 2),
           |ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY k ORDER BY ft, u) AS dst FROM ft),
           |edges AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL AND dst <> src),
           |nodes AS (SELECT DISTINCT u AS node FROM e),

@@ -66,8 +66,28 @@ object Clustering {
       vecCol: String,
       k: Int,
       iterations: Int): DataFrame = {
-    val (_, centroids) = fit(df, idCol, vecCol, k, iterations)
+    val (vecs, centroids) = fit(df, idCol, vecCol, k, iterations)
+    // The caller gets centroids only — release the checkpointed input
+    // (k·d centroid rows stay pinned; the n·d vector block must not).
+    Checkpoints.unpersist(vecs)
     centroids
+  }
+
+  /** One fit, both outputs: `(assignments, centroids)` — the coarse-
+    * quantizer shape [[Similarity.ivfIntTopK]] needs (cell-assigned corpus
+    * AND the centroid table for query-side probing) without paying Lloyd
+    * twice.
+    */
+  def kmeansIntModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
+    val (vecs, centroids) = fit(df, idCol, vecCol, k, iterations)
+    val assigned = assign(vecs, centroids)
+      .select(col("id").as(idCol), col("cluster"), col("sqdist"))
+    (assigned, centroids)
   }
 
   private def fit(
@@ -168,6 +188,6 @@ object Clustering {
   /** Exact squared L2 distance between two long arrays (index-order fold —
     * integer adds are associative, the order is for clarity only).
     */
-  private def sqDist(a: Column, b: Column): Column =
+  private[ops] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 }

@@ -349,6 +349,70 @@ object Similarity {
       d2.sortBy(x => (x._1, x._2)).take(n).map(_._2).toSeq
     }
 
+  /** Integer-quantized IVF ANN — the DETERMINISTIC coarse-quantizer
+    * variant: int8-quantize the corpus ([[Quantize.quantizeInt8]]), train a
+    * bit-reproducible integer k-means ([[Clustering.kmeansIntModel]] —
+    * deterministic lowest-id seed, exact long distances, `sum div count`
+    * centroid updates, ties to the lowest cell id), probe the `nProbe`
+    * nearest cells by exact integer L2, then rerank candidates with exact
+    * cosine on the ORIGINAL float vectors. Every step is a pure function of
+    * the input, so the full top-k result is SQL-oracle-checkable
+    * (hash-matched in `ns20_ivf_knn`) — unlike the float-Lloyd
+    * [[ivfFit]]/[[ivfQuery]] path, whose data-dependent cells are verified
+    * by recall instead. Quantizing the coarse quantizer is standard IVF
+    * practice (per-vector max-normalization preserves direction, the
+    * geometry cosine cares about).
+    *
+    * Scale shape: identical to [[ivfQuery]] — centroids are k·d longs
+    * (ONE broadcast row per probe join), cell assignment is scan-local,
+    * the candidate join co-partitions on the cell id carrying ids only,
+    * and vectors rejoin O(candidates).
+    * Output: (qid, rank, nid, cos).
+    */
+  def ivfIntTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      nProbe: Int,
+      k: Int,
+      iterations: Int = 2): DataFrame = {
+    val qz = Quantize.quantizeInt8(corpus, idCol, vecCol)
+    val (assigned, centroids) =
+      Clustering.kmeansIntModel(qz, idCol, "qvec", nCells, iterations)
+    val cells = assigned.select(col(idCol).cast("long").as("nid"), col("cluster").as("cell"))
+    // Per-vector quantization is row-local, so quantizing the query subset
+    // yields the same qvec the corpus row has — query and corpus agree on
+    // the integer geometry by construction.
+    val qq = Quantize.quantizeInt8(queries, idCol, vecCol)
+      .select(
+        col(idCol).cast("long").as("qid"),
+        transform(col("qvec"), x => x.cast("long")).as("qv"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+    val probed = qq
+      .crossJoin(broadcast(centroids)) // nCells centroid rows — justified hint
+      .select(col("qid"), col("cid"), Clustering.sqDist(col("qv"), col("c")).as("d"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+    // Each corpus vector lives in exactly one cell, so the cell join yields
+    // each (qid, nid) at most once — no distinct needed.
+    val cands = probed
+      .join(cells, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cands
+      .join(vecs.select(col("vid").as("qid"), col("vec").as("qvec")), "qid")
+      .join(vecs.select(col("vid").as("nid"), col("vec").as("nvec")), "nid")
+      .select(col("qid"), col("nid"), cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: exact cosine rerank *within* buckets only.
     * Output: (qid, rank, nid, cos) for the top-k within each query's bucket.
     *

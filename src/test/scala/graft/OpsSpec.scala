@@ -290,6 +290,18 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("integer-quantized ivf achieves high recall against brute force") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val ivf = Similarity.ivfIntTopK(e, q, "vec_id", "embedding",
+        nCells = 8, nProbe = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"integer IVF recall too low: $recall")
+  }
+
   test("ivf fit-once index reproduces the one-shot path and is reused") {
     val e = Tables(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 10)
@@ -306,22 +318,23 @@ class OpsSpec extends SparkSpec {
   }
 
   test("ns20 IVF pipeline reproduces its golden result set exactly") {
-    // The seeded pipeline (ordered training sample, seeded Lloyd loop,
-    // deterministic tie-breaks) is fully deterministic, so the exact
-    // (qid, rank, nid) set is pinned — not just the recall bound. If an
-    // intentional quantizer change moves this, regenerate via
+    // The integer-quantized pipeline (lowest-id seed, integer Lloyd,
+    // integer probe distances, deterministic tie-breaks) is fully
+    // deterministic, so the exact (qid, rank, nid) set is pinned — not
+    // just the recall bound. If an intentional quantizer change moves
+    // this, regenerate via
     // SPARK_GRAFT_FILTER=ns20 tools/run_verify.sh /root/testdata/sf0.001.
     val golden = Set(
-      (0, 1, 225), (0, 2, 12), (0, 3, 260), (1, 1, 209), (1, 2, 440), (1, 3, 75),
-      (2, 1, 443), (2, 2, 62), (2, 3, 246), (3, 1, 205), (3, 2, 84), (3, 3, 426),
-      (4, 1, 345), (4, 2, 143), (4, 3, 413), (5, 1, 113), (5, 2, 440), (5, 3, 234),
-      (6, 1, 434), (6, 2, 495), (6, 3, 25), (7, 1, 329), (7, 2, 220), (7, 3, 18),
-      (8, 1, 190), (8, 2, 142), (8, 3, 398), (9, 1, 396), (9, 2, 327), (9, 3, 314),
-      (10, 1, 260), (10, 2, 348), (10, 3, 130), (11, 1, 147), (11, 2, 211), (11, 3, 471),
-      (12, 1, 288), (12, 2, 120), (12, 3, 363), (13, 1, 140), (13, 2, 105), (13, 3, 481),
-      (14, 1, 203), (14, 2, 204), (14, 3, 87), (15, 1, 226), (15, 2, 19), (15, 3, 332),
-      (16, 1, 337), (16, 2, 253), (16, 3, 250), (17, 1, 238), (17, 2, 105), (17, 3, 112),
-      (18, 1, 7), (18, 2, 229), (18, 3, 47), (19, 1, 189), (19, 2, 15), (19, 3, 306))
+      (0, 1, 17), (0, 2, 225), (0, 3, 12), (1, 1, 257), (1, 2, 209), (1, 3, 129),
+      (2, 1, 443), (2, 2, 62), (2, 3, 246), (3, 1, 205), (3, 2, 212), (3, 3, 84),
+      (4, 1, 345), (4, 2, 98), (4, 3, 143), (5, 1, 113), (5, 2, 440), (5, 3, 298),
+      (6, 1, 141), (6, 2, 434), (6, 3, 78), (7, 1, 382), (7, 2, 466), (7, 3, 209),
+      (8, 1, 20), (8, 2, 385), (8, 3, 190), (9, 1, 381), (9, 2, 107), (9, 3, 365),
+      (10, 1, 260), (10, 2, 96), (10, 3, 348), (11, 1, 307), (11, 2, 147), (11, 3, 160),
+      (12, 1, 445), (12, 2, 288), (12, 3, 120), (13, 1, 140), (13, 2, 346), (13, 3, 105),
+      (14, 1, 116), (14, 2, 203), (14, 3, 164), (15, 1, 226), (15, 2, 19), (15, 3, 332),
+      (16, 1, 337), (16, 2, 253), (16, 3, 445), (17, 1, 0), (17, 2, 471), (17, 3, 62),
+      (18, 1, 255), (18, 2, 7), (18, 3, 229), (19, 1, 189), (19, 2, 306), (19, 3, 70))
       .map { case (q, r, n) => (q.toLong, r.toLong, n.toLong) }
     val got = SparkEntry.queries("ns20_ivf_knn")(spark, sfDir)
       .collect()
