@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   *   - UPDATE posexplodes (cluster, pos, val) with map-side combine, so
   *     the shuffle carries at most k·d rows PER PARTITION (never n·d);
   *     the new centroid array reassembles from k·d aggregated rows.
-  *   - Quantized vectors are `localCheckpoint`ed once (they are re-scanned
-  *     every iteration; int8 inputs make this 4x cheaper than float — on a
-  *     real cluster swap for `persist(DISK_ONLY)`/`checkpoint`).
+  *   - Quantized vectors are checkpointed once via [[Checkpoints.truncate]]
+  *     (they are re-scanned every iteration; int8 inputs make this 4x
+  *     cheaper than float — `spark.graft.checkpoint.mode=reliable` swaps
+  *     every round to an executor-loss-safe reliable checkpoint).
   * Initial centroids are the vectors of the k lowest ids (deterministic
   * seed — k-means++ trades reproducibility for quality; callers wanting it
   * can pass better-seeded data ids). Empty clusters keep their previous
@@ -98,18 +99,17 @@ object Clustering {
       iterations: Int): (DataFrame, DataFrame) = {
     require(k > 0, "k must be positive")
     require(iterations >= 0, "negative iterations")
-    val vecs = df
-      .select(
+    val vecs = Checkpoints.truncate(
+      df.select(
         col(idCol).cast("long").as("id"),
-        transform(col(vecCol), x => x.cast("long")).as("v"))
-      .localCheckpoint()
+        transform(col(vecCol), x => x.cast("long")).as("v")))
     // Deterministic seed: the k lowest ids, centroid ids 0..k-1 in id order.
     val w = Window.orderBy(col("id"))
-    var centroids = vecs
-      .orderBy("id")
-      .limit(k)
-      .select((row_number().over(w) - 1).cast("long").as("cid"), col("v").as("c"))
-      .localCheckpoint()
+    var centroids = Checkpoints.truncate(
+      vecs
+        .orderBy("id")
+        .limit(k)
+        .select((row_number().over(w) - 1).cast("long").as("cid"), col("v").as("c")))
     var iter = 0
     while (iter < iterations) {
       val assigned = assign(vecs, centroids)
@@ -128,11 +128,11 @@ object Clustering {
             s => s.getField("m")).as("c"))
         .withColumnRenamed("cluster", "cid")
       // Empty clusters keep their previous centroid.
-      val next = centroids
-        .select(col("cid"), col("c").as("oc"))
-        .join(rebuilt, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("c"), col("oc")).as("c"))
-        .localCheckpoint()
+      val next = Checkpoints.truncate(
+        centroids
+          .select(col("cid"), col("c").as("oc"))
+          .join(rebuilt, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("c"), col("oc")).as("c")))
       Checkpoints.unpersist(centroids)
       centroids = next
       iter += 1

@@ -620,9 +620,10 @@ object Dedup {
     * near-dup graphs are overwhelmingly tiny cliques/short chains, so it
     * converges in 2–4 rounds in practice. Scale profile per round: one
     * shuffle of |E| (dst, label) rows + one min-aggregation — no
-    * all-pairs step, no growing state. `localCheckpoint` after each round
-    * truncates the lineage so the plan stays constant-size across rounds
-    * (swap for `checkpoint` against a reliable store on a real cluster).
+    * all-pairs step, no growing state. [[Checkpoints.truncate]] after each
+    * round cuts the lineage so the plan stays constant-size across rounds
+    * (`spark.graft.checkpoint.mode=reliable` makes every round an
+    * executor-loss-safe reliable checkpoint).
     *
     * One distributed job per round: the previous label rides through the
     * same min-aggregation (tagged union), so the convergence probe is a
@@ -641,14 +642,13 @@ object Dedup {
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // Undirected graph -> both directions; materialized once, reused
     // every round.
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = edges
-      .groupBy("src")
-      .agg(min("dst").as("nmin"))
-      .select(col("src").as("v"), least(col("src"), col("nmin")).as("lbl"))
-      .localCheckpoint()
+    val edges = Checkpoints.truncate(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = Checkpoints.truncate(
+      edges
+        .groupBy("src")
+        .agg(min("dst").as("nmin"))
+        .select(col("src").as("v"), least(col("src"), col("nmin")).as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -658,12 +658,13 @@ object Dedup {
       // Every vertex has exactly one labels row, so max(prev) recovers its
       // previous label in the SAME aggregation that computes the new min —
       // the convergence signal costs no extra join.
-      val next = labels
-        .select(col("v"), col("lbl"), col("lbl").as("prev"))
-        .union(prop)
-        .groupBy("v")
-        .agg(min("lbl").as("lbl"), max("prev").as("prev"))
-        .localCheckpoint(eager = false)
+      val next = Checkpoints.truncate(
+        labels
+          .select(col("v"), col("lbl"), col("lbl").as("prev"))
+          .union(prop)
+          .groupBy("v")
+          .agg(min("lbl").as("lbl"), max("prev").as("prev")),
+        eager = false)
       // Labels only ever decrease; a fixpoint means no label dropped. This
       // count is the round's ONE job: it materializes the lazy checkpoint
       // and probes convergence in the same pass.

@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: stage k costs one min-aggregation of the STAGE-k-FILTERED
   * events (partial before the shuffle — and a funnel stage's events are a
   * small slice of the log) joined co-partitioned on user_id with the
-  * previous stage's per-user table. Each stage frame is `localCheckpoint`ed
-  * once it is defined, so later stages and the final count union read the
-  * materialized O(users) frame instead of recomputing the whole prefix
-  * chain — without this the union of K stage counts re-scans the event
-  * table O(K^2) times (swap for `persist`/`checkpoint` against reliable
-  * storage on a real cluster). No per-user event list is ever collected
+  * previous stage's per-user table. Each stage frame is checkpointed via
+  * [[Checkpoints.truncate]] once it is defined, so later stages and the
+  * final count union read the materialized O(users) frame instead of
+  * recomputing the whole prefix chain — without this the union of K stage
+  * counts re-scans the event table O(K^2) times
+  * (`spark.graft.checkpoint.mode=reliable` makes the stage frames
+  * executor-loss-safe on a real cluster). No per-user event list is ever collected
   * (unlike a sort+fold sessionization approach, this holds even for a
   * user with 10^9 events). Timestamps compare as exact `unix_micros`
   * longs.
@@ -84,21 +85,19 @@ object Funnel {
         col(userCol).cast("long").as("user_id"),
         col(typeCol).as("ty"),
         unix_micros(col(tsCol)).as("t"))
-    var cur = e
-      .where(col("ty") === stages.head)
-      .groupBy("user_id")
-      .agg(min(col("t")).as("tk"))
-      .localCheckpoint()
+    var cur = Checkpoints.truncate(
+      e.where(col("ty") === stages.head)
+        .groupBy("user_id")
+        .agg(min(col("t")).as("tk")))
     val frames = Seq.newBuilder[DataFrame]
     frames += cur
     for (k <- 1 until stages.length) {
-      cur = e
-        .where(col("ty") === stages(k))
-        .join(cur.select(col("user_id"), col("tk").as("prev")), "user_id")
-        .where(col("t") > col("prev"))
-        .groupBy("user_id")
-        .agg(min(col("t")).as("tk"))
-        .localCheckpoint()
+      cur = Checkpoints.truncate(
+        e.where(col("ty") === stages(k))
+          .join(cur.select(col("user_id"), col("tk").as("prev")), "user_id")
+          .where(col("t") > col("prev"))
+          .groupBy("user_id")
+          .agg(min(col("t")).as("tk")))
       frames += cur
     }
     frames.result()

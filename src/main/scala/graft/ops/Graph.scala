@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: one co-partitioned join of the edge list with
   * the rank table on `src` (both hash-partitioned on the same key — the
   * exchange is reused) and one sum-aggregation on `dst` with map-side
-  * partial combine. State per round is O(|V|); `localCheckpoint` truncates
-  * the growing lineage exactly as `Dedup.connectedComponents` does (swap
-  * for `checkpoint` against reliable storage on a real cluster).
+  * partial combine. State per round is O(|V|); [[Checkpoints.truncate]]
+  * cuts the growing lineage each round — `spark.graft.checkpoint.mode=
+  * reliable` switches every round to a reliable-store checkpoint for
+  * executor-loss-safe 100 TB runs.
   */
 object Graph {
 
@@ -75,13 +76,12 @@ object Graph {
       dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame = {
     require(iterations >= 0, "negative iterations")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val n = nodes.select(col("node").cast("long").as("node")).localCheckpoint()
+    val e = Checkpoints.truncate(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    val outdeg = Checkpoints.truncate(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val n = Checkpoints.truncate(nodes.select(col("node").cast("long").as("node")))
     val base = ((dampDen - dampNum) * scale) / dampDen
-    var ranks = n.select(col("node"), lit(scale).as("rank")).localCheckpoint()
+    var ranks = Checkpoints.truncate(n.select(col("node"), lit(scale).as("rank")))
     var iter = 0
     while (iter < iterations) {
       // contrib(src) = rank(src) div outdeg(src): exact integer floor; the
@@ -92,17 +92,23 @@ object Graph {
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst")
         .agg(sum("c").as("s"))
-      val next = n
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(
-          col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
-            .as("rank"))
-        .localCheckpoint()
+      val next = Checkpoints.truncate(
+        n.join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(
+            col("node"),
+            (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+              .as("rank")))
       Checkpoints.unpersist(ranks)
       ranks = next
       iter += 1
     }
+    // Only the returned frame must stay persisted: the final ranks are
+    // checkpointed, so the iteration's inputs can release their blocks
+    // (left pinned, they leak O(|E|+|V|) executor storage per call across
+    // a long session).
+    Checkpoints.unpersist(e)
+    Checkpoints.unpersist(outdeg)
+    Checkpoints.unpersist(n)
     ranks
   }
 }

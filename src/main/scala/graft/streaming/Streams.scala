@@ -233,19 +233,18 @@ object Streams {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
-    var sigs = corpusSignatures.localCheckpoint()
+    var sigs = graft.ops.Checkpoints.truncate(corpusSignatures)
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val batchSigs = graft.ops.Dedup
-          .minhashSignatures(batch, idCol, textCol, shingleLen, k)
-          .localCheckpoint()
+        val batchSigs = graft.ops.Checkpoints.truncate(
+          graft.ops.Dedup.minhashSignatures(batch, idCol, textCol, shingleLen, k))
         val flagged = graft.ops.Dedup
           .incrementalNearDups(batchSigs, sigs, bands, rowsPerBand, minEstJaccard)
           .select(col("doc_id").as(idCol))
         writer.write(batch.join(flagged, Seq(idCol), "left_anti")): Unit
         val survivorSigs =
           batchSigs.join(flagged.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
-        val next = sigs.unionByName(survivorSigs).localCheckpoint()
+        val next = graft.ops.Checkpoints.truncate(sigs.unionByName(survivorSigs))
         graft.ops.Checkpoints.unpersist(sigs)
         graft.ops.Checkpoints.unpersist(batchSigs)
         sigs = next

@@ -102,6 +102,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("reliable checkpoint mode reproduces the local-mode result and writes to the dir") {
+    // spark.graft.checkpoint.mode is session-scoped: a sibling session with
+    // mode=reliable runs every iterative round as a reliable-store
+    // checkpoint (the 100 TB executor-loss-safe path) while the shared
+    // suite session stays on localCheckpoint.
+    val s2 = spark.newSession()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    s2.conf.set("spark.graft.checkpoint.mode", "reliable")
+    s2.conf.set("spark.graft.checkpoint.dir", dir.getAbsolutePath)
+    val ev2 = Tables(s2, sfDir, "events")
+    val edges2 = Graph.attributionEdges(ev2, "user_id", "ts",
+      regexp_extract(col("props"), "[0-9]+", 0))
+    val nodes2 = ev2.select(col("user_id").cast("long").as("node")).distinct()
+    val reliable = Graph.pageRankInt(nodes2, edges2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables(spark, sfDir, "events")
+    val edges = Graph.attributionEdges(ev, "user_id", "ts",
+      regexp_extract(col("props"), "[0-9]+", 0))
+    val nodes = ev.select(col("user_id").cast("long").as("node")).distinct()
+    val local = Graph.pageRankInt(nodes, edges, 3).as[(Long, Long)].collect().toSet
+    assert(reliable == local && reliable.nonEmpty,
+      "reliable-checkpoint rounds diverged from localCheckpoint rounds")
+    // The rounds really went through the reliable store, not executor memory.
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        (if (f.getName.startsWith("rdd-")) Seq(f) else Seq.empty) ++
+          Option(f.listFiles).toSeq.flatten.flatMap(rddDirs)
+      else Seq.empty
+    assert(rddDirs(dir).nonEmpty, s"no rdd-* checkpoint dirs under $dir")
+  }
+
+  test("unknown checkpoint mode is rejected with a clear error") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.checkpoint.mode", "ram")
+    val df = s2.range(3).toDF("x")
+    val e = intercept[IllegalArgumentException](graft.ops.Checkpoints.truncate(df))
+    assert(e.getMessage.contains("spark.graft.checkpoint.mode"))
+  }
+
   test("attributionEdges links first-touch order per key, ties by user id") {
     def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     val ev = Seq(
