@@ -2602,6 +2602,53 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).select("doc_a", "doc_b"),
           "doc_a", "doc_b", testFrac = 0.2)
         .orderBy("doc_id")
+    },
+    // NS-W2: VERSIONED merge — ns56's changeset applied through the
+    // managed table (ManagedWriter.merge): base snapshot committed as one
+    // manifest version, the merged table published atomically as the next,
+    // then both versions time-travel-read back and diffed. The oracle
+    // replays the version-N-1 vs version-N full-outer audit from the
+    // supplier table directly: a NULL bal_old row is an insert, a NULL
+    // bal_new row is a delete, both non-NULL is carry-over or update.
+    Q(
+      "ns63_versioned_merge",
+      Some(
+        """WITH up AS (SELECT s_suppkey, s_acctbal + 100.0 AS s_acctbal FROM supplier
+          |  WHERE s_suppkey % 10 = 0),
+          |ins AS (SELECT s_suppkey + 1000000 AS s_suppkey, s_acctbal FROM supplier
+          |  WHERE s_suppkey % 10 = 2),
+          |merged AS (
+          |  SELECT s_suppkey, s_acctbal FROM supplier
+          |    WHERE s_suppkey % 10 NOT IN (0, 1)
+          |  UNION ALL SELECT * FROM up
+          |  UNION ALL SELECT * FROM ins)
+          |SELECT coalesce(b.s_suppkey, m.s_suppkey) AS s_suppkey,
+          |  b.s_acctbal AS bal_old, m.s_acctbal AS bal_new
+          |FROM supplier b FULL OUTER JOIN merged m USING (s_suppkey)
+          |ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-merge-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Pending)
+      w.write(base)
+      w.finalizeCommit()
+      val vBase = ManagedWriter.versions(s, dest).last
+      val ups = base.where(col("s_suppkey") % 10 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val dels = base.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D"))
+      val ins = base.where(col("s_suppkey") % 10 === 2)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+        .withColumn("op", lit("U"))
+      val vNew = ManagedWriter.merge(
+        s, dest, ups.unionByName(dels).unionByName(ins), Seq("s_suppkey"))
+      val old = ManagedWriter.readVersion(s, dest, vBase)
+        .select(col("s_suppkey"), col("s_acctbal").as("bal_old"))
+      val neu = ManagedWriter.readVersion(s, dest, vNew)
+        .select(col("s_suppkey"), col("s_acctbal").as("bal_new"))
+      old.join(neu, Seq("s_suppkey"), "full_outer")
+        .select(col("s_suppkey"), col("bal_old"), col("bal_new"))
+        .orderBy("s_suppkey")
     }
   )
 

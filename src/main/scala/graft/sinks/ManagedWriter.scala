@@ -103,26 +103,8 @@ final class ManagedWriter(
     * files are only ever deleted by the caller after *all* renames
     * succeeded.
     */
-  private def promote(batchPath: Path): Seq[String] = {
-    val dest = new Path(destDir)
-    if (!fs.exists(dest)) fs.mkdirs(dest)
-    fs.listStatus(batchPath)
-      .filter(f => f.getPath.getName.startsWith("part-"))
-      .map { f =>
-        val to = new Path(dest, f.getPath.getName)
-        if (fs.exists(to)) {
-          throw new java.io.IOException(
-            s"commit failed: destination $to already exists; staged data left in place")
-        }
-        if (!fs.rename(f.getPath, to)) {
-          throw new java.io.IOException(
-            s"commit failed: rename ${f.getPath} -> $to returned false; " +
-              "staged data left in place")
-        }
-        to.getName
-      }
-      .toSeq
-  }
+  private def promote(batchPath: Path): Seq[String] =
+    ManagedWriter.promoteDir(fs, batchPath, destDir)
 
   /** Make all pending appends visible ATOMICALLY; returns number of batches
     * committed (≈ Finalize's return, bigquery_write.go:466-485). Data-file
@@ -163,6 +145,132 @@ final class ManagedWriter(
 }
 
 object ManagedWriter {
+
+  /** Move every data file of one staged batch into the destination;
+    * returns the promoted file names (destination-relative).
+    *
+    * A name collision at the destination aborts the commit with the
+    * staged data still intact — checked explicitly BEFORE the rename
+    * (Hadoop's LocalFileSystem rename onto an existing directory silently
+    * moves the source *into* it and returns true, so the return value
+    * alone is not a sufficient guard), and the return value is still
+    * verified for filesystems that signal failure that way (HDFS). Staged
+    * files are only ever deleted by the caller after *all* renames
+    * succeeded.
+    */
+  private def promoteDir(fs: FileSystem, batchPath: Path, destDir: String): Seq[String] = {
+    val dest = new Path(destDir)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    fs.listStatus(batchPath)
+      .filter(f => f.getPath.getName.startsWith("part-"))
+      .map { f =>
+        val to = new Path(dest, f.getPath.getName)
+        if (fs.exists(to)) {
+          throw new java.io.IOException(
+            s"commit failed: destination $to already exists; staged data left in place")
+        }
+        if (!fs.rename(f.getPath, to)) {
+          throw new java.io.IOException(
+            s"commit failed: rename ${f.getPath} -> $to returned false; " +
+              "staged data left in place")
+        }
+        to.getName
+      }
+      .toSeq
+  }
+
+  /** Delta-style versioned MERGE: apply a CDC changeset
+    * ([[graft.ops.Merge.applyChanges]] semantics — op `D` deletes, any
+    * other op upserts) to the destination's LATEST committed snapshot and
+    * publish the merged table as the next manifest version. The commit
+    * point is the same single manifest rename every batch commit uses:
+    * merged data files land first (invisible to manifest readers), then
+    * one atomic rename makes version N+1 the newest — a crash anywhere
+    * before it leaves version N authoritative and the merge invisible.
+    *
+    * Unlike append commits (which publish a superset manifest), the merge
+    * manifest names ONLY the merged snapshot's files — but no physical
+    * file is ever deleted, so every earlier version stays readable via
+    * [[readVersion]]: `readVersion(dest, v-1)` vs `readVersion(dest, v)`
+    * is the audit diff of what the changeset did.
+    *
+    * Concurrency is optimistic, Delta-style: the merge was computed
+    * against version N and claims exactly version N+1; if a concurrent
+    * committer takes N+1 first, the merge FAILS with the merged files
+    * left unreferenced (never a silent lost update — an append's
+    * publish-retry would instead resurrect rows this merge deleted).
+    * Re-run the merge against the new snapshot on conflict.
+    *
+    * @return the published manifest version.
+    */
+  def merge(
+      spark: SparkSession,
+      destDir: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op"): Long =
+    mergeImpl(spark, destDir, changes, keyCols, opCol, crashBeforePublish = false)
+
+  /** Test seam for [[merge]]: `crashBeforePublish` dies after the merged
+    * files are promoted but before the manifest rename — proving the
+    * commit point's atomicity (files physically present, zero rows
+    * visible, versions unchanged).
+    */
+  private[graft] def mergeImpl(
+      spark: SparkSession,
+      destDir: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String,
+      crashBeforePublish: Boolean): Long = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Adopt pre-manifest destinations first so the merge input and the
+    // version claim both come from manifest state, never a raw listing.
+    ensureBaseManifest(fs, destDir)
+    val (baseVersion, baseFiles) = latestManifest(fs, destDir).get
+    val base =
+      if (baseFiles.nonEmpty) manifestRead(spark, destDir, baseFiles)
+      else emptySnapshot(spark, fs, destDir)
+    val merged = graft.ops.Merge.applyChanges(base, changes, keyCols, opCol)
+    // Materialize the merged snapshot OUTSIDE the destination, then move
+    // the files in: the write both executes the plan (while the base files
+    // are still the authoritative snapshot) and keeps half-written output
+    // out of the destination directory.
+    val staging = new Path(s"$destDir-merge-${UUID.randomUUID().toString.take(8)}")
+    merged.write.mode("errorifexists").parquet(staging.toString)
+    val promoted = promoteDir(fs, staging, destDir)
+    if (crashBeforePublish)
+      throw new java.io.IOException("simulated crash before merge publish (test hook)")
+    publishExactManifest(fs, destDir, baseVersion, promoted)
+    fs.delete(staging, true)
+    baseVersion + 1
+  }
+
+  /** Publish version `baseVersion + 1` containing EXACTLY `files` —
+    * [[merge]]'s replacement commit. One fail-if-exists [[commitFile]],
+    * no retry loop: a taken version number means the snapshot this merge
+    * was computed from is stale, which must surface as a conflict (see
+    * [[merge]]'s concurrency note), not re-resolve by unioning.
+    */
+  private def publishExactManifest(
+      fs: FileSystem,
+      destDir: String,
+      baseVersion: Long,
+      files: Seq[String]): Unit = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) fs.mkdirs(md)
+    val tmp = new Path(md, s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write((files.distinct.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(md, f"v-${baseVersion + 1}%08d.txt")
+    if (!commitFile(fs, tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"merge commit conflict: ${target.getName} was published concurrently; " +
+          "merged files left unreferenced — re-run the merge against the new snapshot")
+    }
+  }
 
   private val ManifestDirName = "_graft_manifest"
 
@@ -215,9 +323,11 @@ object ManagedWriter {
   }
 
   /** Time-travel read: the snapshot exactly as manifest `version` committed
-    * it. Batch commits never delete or rewrite previously-committed files
-    * (appends promote NEW files and publish a superset manifest), so every
-    * historical version stays readable until files are physically vacuumed.
+    * it. Commits never delete or rewrite previously-committed files
+    * (appends promote NEW files and publish a superset manifest; [[merge]]
+    * publishes a replacement manifest but leaves the old files on disk),
+    * so every historical version stays readable until files are physically
+    * vacuumed.
     */
   def readVersion(spark: SparkSession, destDir: String, version: Long): DataFrame = {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)

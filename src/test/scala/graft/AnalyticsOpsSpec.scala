@@ -44,6 +44,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(Linkage.fuzzySelfJoin(df, "id", "name", maxDist = 0).count() == 1L)
   }
 
+  test("prefix-qgram pass recalls tokenization drift that token blocking misses") {
+    // "bolt" vs "bol t": the stray space moves the anchors (first token
+    // "bolt"/"bol", last token "bolt"/"t") so token blocking generates NO
+    // candidate despite levenshtein distance 1. The normalized-prefix
+    // q-gram pass keys both as {bo, ol, lt} and recalls the pair; the
+    // token pass keeps its own pairs, and shared pairs still appear once.
+    val df = Seq((1L, "bolt"), (2L, "bol t"), (3L, "bolt")).toDF("id", "name")
+    val tokensOnly = Linkage.fuzzySelfJoin(df, "id", "name", maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tokensOnly == Set((1L, 3L)),
+      s"token blocking unexpectedly paired the drifted name: $tokensOnly")
+    val both = Linkage.fuzzySelfJoin(df, "id", "name", maxDist = 2,
+        blocking = Seq(Linkage.Blocking.Tokens, Linkage.Blocking.PrefixQgrams()))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(both == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   // -------------------------------------------------------------- funnel
 
   test("funnel stages require strictly-later events in order") {

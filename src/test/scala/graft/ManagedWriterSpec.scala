@@ -187,6 +187,63 @@ class ManagedWriterSpec extends SparkSpec {
     }
   }
 
+  test("versioned merge: upserts/deletes/inserts publish the next version, old version intact") {
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df)
+    w.finalizeCommit()
+    val vBase = ManagedWriter.versions(spark, dest).last
+    val changes = df.where(col("s_suppkey") % 10 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+      .withColumn("op", lit("U"))
+      .unionByName(df.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D")))
+    val vNew = ManagedWriter.merge(spark, dest, changes, Seq("s_suppkey"))
+    assert(vNew == vBase + 1)
+    assert(ManagedWriter.versions(spark, dest).takeRight(2) == Seq(vBase, vNew))
+    // New snapshot: deletes gone, updates applied.
+    val latest = ManagedWriter.read(spark, dest)
+    assert(latest.where(col("s_suppkey") % 10 === 1).count() == 0)
+    val expectUpd = df.where(col("s_suppkey") % 10 === 0)
+      .select(col("s_suppkey"), (col("s_acctbal") + lit(100.0)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val gotUpd = latest.where(col("s_suppkey") % 10 === 0)
+      .select("s_suppkey", "s_acctbal")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotUpd == expectUpd)
+    // Time travel: the pre-merge snapshot is bit-identical to the base.
+    val old = ManagedWriter.readVersion(spark, dest, vBase)
+    assert(old.count() == df.count())
+    assert(old.where(col("s_suppkey") % 10 === 1).count() ==
+      df.where(col("s_suppkey") % 10 === 1).count())
+  }
+
+  test("crash before the merge's manifest publish leaves the old version authoritative") {
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df)
+    w.finalizeCommit()
+    val versionsBefore = ManagedWriter.versions(spark, dest)
+    val visibleBefore = ManagedWriter.read(spark, dest).count()
+    val changes = df.limit(5).withColumn("op", lit("D"))
+    assertThrows[java.io.IOException] {
+      ManagedWriter.mergeImpl(spark, dest, changes, Seq("n_nationkey"), "op",
+        crashBeforePublish = true)
+    }
+    // Merged files were physically promoted (the crash came after)...
+    assert(spark.read.parquet(dest).count() > visibleBefore)
+    // ...but no manifest names them: versions and visible rows unchanged.
+    assert(ManagedWriter.versions(spark, dest) == versionsBefore)
+    assert(ManagedWriter.read(spark, dest).count() == visibleBefore)
+    // And a SUBSEQUENT merge still works off the authoritative snapshot —
+    // the orphaned files are never adopted.
+    val vNew = ManagedWriter.merge(spark, dest, changes, Seq("n_nationkey"))
+    assert(ManagedWriter.readVersion(spark, dest, vNew).count() == visibleBefore - 5)
+  }
+
   test("writer refuses appends after finalize (bigquery_write.go:466 contract)") {
     val df = Tables(spark, sfDir, "supplier")
     val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)
