@@ -9,8 +9,51 @@ import org.apache.spark.sql.SparkSession
   * optimizer cannot prune away projected columns — the timing covers the
   * full computation each query claims to do. A warmup action first
   * amortizes JVM/session startup out of the per-query numbers.
+  *
+  * SCALING CHECK: after the primary suite, the same queries run against a
+  * second scale factor (one ladder step down — sf0.1 pairs with sf0.01 —
+  * or SPARK_GRAFT_SF2_DIR; disable with SPARK_GRAFT_SF2_DIR=none). A
+  * query whose primary/secondary time ratio exceeds 15x on 10x the data
+  * has a super-linear plan shape (quadratic candidate generation, an
+  * unpushed filter, a broadcast gone shuffle...) and is flagged in the
+  * `superlinear` field — measurement catching what plan-reading misses.
+  * The primary suite runs FIRST so its numbers stay comparable with
+  * earlier single-SF rounds.
   */
 object Bench {
+
+  private def runSuite(
+      spark: SparkSession,
+      sfDir: String,
+      selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      repeats: Int): Seq[(String, Double)] =
+    selected.map { case (name, fn) =>
+      val timings = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> timings.min
+    }
+
+  /** One ladder step down from the primary SF (10x less data), when that
+    * directory exists.
+    */
+  private def siblingSf(sfDir: String): Option[String] = {
+    val ladder = Seq("sf0.001", "sf0.01", "sf0.1", "sf1")
+    val p = java.nio.file.Paths.get(sfDir)
+    val name = Option(p.getFileName).map(_.toString).getOrElse("")
+    val i = ladder.indexOf(name)
+    if (i <= 0) None
+    else {
+      val cand = Option(p.getParent)
+        .map(_.resolve(ladder(i - 1)).toString)
+        .getOrElse(ladder(i - 1))
+      Some(cand).filter(d => new java.io.File(d).isDirectory)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,34 +98,60 @@ object Bench {
     // whatever else the host was doing.
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
-    val results = selected.map { case (name, fn) =>
-      val timings = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> timings.min
+    val results = runSuite(spark, sfDir, selected, repeats)
+    // Secondary (smaller) SF pass for the scaling check.
+    val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR") match {
+      case Some("none") => None
+      case Some(d) => Some(d).filter(d2 => new java.io.File(d2).isDirectory && d2 != sfDir)
+      case None => siblingSf(sfDir)
+    }
+    val results2 = sf2Dir.map(d => runSuite(spark, d, selected, repeats))
+    // Ratio on 10x data; flooring the small-SF time at 50 ms and requiring
+    // 0.5 s at the large SF keeps fixed-overhead-dominated queries (session
+    // setup, tiny dims) from flagging as false positives.
+    val superlinear: Seq[(String, Double)] = results2 match {
+      case None => Seq.empty
+      case Some(r2) =>
+        val m2 = r2.toMap
+        results.flatMap { case (name, t1) =>
+          m2.get(name).collect {
+            case t2 if t1 > 0.5 && t1 / math.max(t2, 0.05) > 15.0 =>
+              name -> math.rint(t1 / math.max(t2, 0.05) * 10) / 10
+          }
+        }
     }
     // The driver captures only a bounded tail of stdout (2000 chars in
     // BENCH_r0{1,2}.json) and the full-name/full-precision line (~4 KB)
     // overflowed it -> "parsed": null both rounds. Keep the line short:
     // query keys shortened to their unique id prefix ("b04_agg_..." ->
-    // "b04"), values rounded to ms. 70 queries ≈ 1 KB, which fits the
-    // tail window even with sbt's trailing "[success]" line after it.
+    // "b04"), values rounded to ms; the secondary pass contributes only
+    // its total and the flagged queries to stdout (full per-query map in
+    // bench_last.json).
     def ms(v: Double): String = {
       val r = math.rint(v * 1000) / 1000
       java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
     }
-    val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val scalePart = results2 match {
+      case None => ""
+      case Some(r2) =>
+        val flags = superlinear
+          .map { case (k, r) => "\"" + k.split("_")(0) + "\":" + r }
+          .mkString("{", ",", "}")
+        s""","sf2":"${sf2Dir.get}","sf2_total":${ms(r2.map(_._2).sum)},"superlinear":$flags"""
+    }
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces: also leave the payload at a well-known path.
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$scalePart}"""
+    // Belt and braces: the full dual-SF payload at a well-known path (the
+    // stdout line stays within the driver's bounded tail capture).
+    val fileLines = Seq(line) ++ results2.map(r2 =>
+      s"""{"metric":"sf2_detail","sf":"${sf2Dir.get}","total":${ms(r2.map(_._2).sum)},"queries":${qmap(r2)}}""")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLines.mkString("\n") + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
     spark.stop()
