@@ -218,9 +218,23 @@ object Streams {
     * run [[graft.ops.Dedup.minhashPairs]] + canonical selection inside a
     * `transform` before handing batches here if that matters.
     *
+    * Retry/replay semantics: foreachBatch can re-invoke a batch id — on a
+    * trigger retry, or on restart from `checkpointLocation` when the last
+    * trigger wrote but did not commit. Batch ids that were already
+    * processed by THIS writer instance are skipped (idempotent within the
+    * query's lifetime, so an in-process retry cannot double-append
+    * survivors through the ManagedWriter). Across a RESTART the
+    * signature state is gone regardless (it is in-memory by design — see
+    * above), so the caller re-derives it from the written corpus; a
+    * restart replay of the one uncommitted batch then re-evaluates
+    * against that state rather than double-appending blindly.
+    *
     * @param corpusSignatures static `(doc_id, sig)` — the artifact a
     *        production pipeline persists between increments; the stream
     *        probes it (plus accumulated survivors) every trigger.
+    * @param checkpointLocation Structured Streaming checkpoint dir for the
+    *        query's progress log (source offsets + committed batch ids);
+    *        None keeps the harness-friendly ephemeral default.
     */
   def streamingIncrementalDedup(
       newDocs: DataFrame,
@@ -232,10 +246,21 @@ object Streams {
       k: Int = 16,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+      minEstJaccard: Double = 0.5,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     var sigs = graft.ops.Checkpoints.truncate(corpusSignatures)
-    newDocs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    // Last batch id this instance processed: foreachBatch triggers run
+    // sequentially, so a plain var is safe; a re-delivered id (trigger
+    // retry) must not re-append its survivors.
+    var lastBatchId = -1L
+    val stream = newDocs.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+        lastBatchId = batchId
         val batchSigs = graft.ops.Checkpoints.truncate(
           graft.ops.Dedup.minhashSignatures(batch, idCol, textCol, shingleLen, k))
         val flagged = graft.ops.Dedup
@@ -248,6 +273,7 @@ object Streams {
         graft.ops.Checkpoints.unpersist(sigs)
         graft.ops.Checkpoints.unpersist(batchSigs)
         sigs = next
+        }
       }
       .start()
   }
