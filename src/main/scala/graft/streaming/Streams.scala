@@ -189,6 +189,54 @@ object Streams {
   def streamingDedup(events: DataFrame, idCol: String = "event_id", delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates(idCol, "ts")
 
+  /** Stream-static backward as-of join: each micro-batch of left rows is
+    * matched against the STATIC right table with
+    * [[graft.ops.AsofJoin.backward]] semantics (latest right timestamp <=
+    * the left row's, per key, optional tolerance) and handed to `sink` —
+    * the serving shape for "enrich a live event stream with the most
+    * recent quote/dimension snapshot".
+    *
+    * foreachBatch, not a streaming join: the as-of match is a window over
+    * the (key)-partitioned union of both sides ordered by time, which
+    * streaming DataFrames cannot run incrementally — and per-row backward
+    * matches against a STATIC right side depend only on the row itself,
+    * so batch-at-a-time evaluation is EXACT: splitting the left stream
+    * across any trigger boundaries yields byte-identical rows to the one-
+    * shot batch join (spec-pinned across two triggers). Per trigger the
+    * cost is the batch operator's: ONE shuffle of |batch|+|R| rows on the
+    * key. A stream-STREAM as-of (right side also live) needs watermarked
+    * state to bound how long a left row may wait for a better match —
+    * compose the interval-join + `mapGroupsWithState` tools for that.
+    *
+    * Trigger retries: a re-delivered batch id is skipped, so a retried
+    * trigger cannot double-append through `sink` within this query's
+    * lifetime.
+    */
+  def streamingAsofBackward(
+      leftStream: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      asofTsName: String = "asof_ts",
+      toleranceSec: Option[Long] = None,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var lastBatchId = -1L
+    val stream = leftStream.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          sink(graft.ops.AsofJoin.backward(
+            batch, right, key, leftTs, rightTs, asofTsName, toleranceSec))
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental near-dup dedup: the steady-state corpus
     * pipeline run AS A STREAM — each micro-batch of new documents is
     * LSH-probed against the accepted corpus' persisted MinHash signatures

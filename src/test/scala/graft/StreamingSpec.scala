@@ -154,6 +154,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(2L, 4L))
   }
 
+  test("stream-static backward as-of equals the batch as-of across two triggers") {
+    import graft.ops.AsofJoin
+    val events = Tables(spark, sfDir, "events")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-asof-src-${UUID.randomUUID().toString.take(8)}"
+    // Two files with ordered mtimes → two ordered triggers.
+    val left = events.select("event_id", "user_id", "ts")
+    left.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    left.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    // Static right side: each user's signup times.
+    val right = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("rts"))
+    val schema = spark.read.parquet(srcDir).schema
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft-asof-dest-${UUID.randomUUID().toString.take(8)}"
+    val q = Streams.streamingAsofBackward(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      right, "user_id", "ts", "rts")(
+      batch => batch.write.mode("append").parquet(dest))
+    try q.processAllAvailable()
+    finally q.stop()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3)))
+    val got = spark.read.parquet(dest)
+      .select("event_id", "user_id", "ts", "asof_ts").collect().map(keyOf).toSet
+    val want = AsofJoin.backward(spark.read.parquet(srcDir), right, "user_id", "ts", "rts")
+      .select("event_id", "user_id", "ts", "asof_ts").collect().map(keyOf).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_._4.isDefined), "no as-of match landed — fixture broken")
+    // The stream really ran as two triggers, not one.
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables(spark, sfDir, "events")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ssj-${UUID.randomUUID().toString.take(8)}"
