@@ -2649,6 +2649,57 @@ object SparkEntry {
       old.join(neu, Seq("s_suppkey"), "full_outer")
         .select(col("s_suppkey"), col("bal_old"), col("bal_new"))
         .orderBy("s_suppkey")
+    },
+    // NS-P3: robust per-language outlier gate — median + MAD on document
+    // length, computed by order-statistic COUNTING (no per-group value
+    // buffering; see Profile.groupedMedian). The (lo+hi)/2 interpolation
+    // is IEEE-exact on integer lengths, so med/mad/flag all hash-match
+    // DuckDB's quantile_cont replay.
+    Q(
+      "ns64_mad_outliers",
+      Some(
+        """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+          |  FROM documents GROUP BY lang),
+          |d AS (SELECT doc_id, lang, n_chars, med FROM documents JOIN m USING (lang)),
+          |a AS (SELECT lang, quantile_cont(abs(n_chars - med), 0.5) AS mad
+          |  FROM d GROUP BY lang)
+          |SELECT doc_id, lang, n_chars, med, mad,
+          |  abs(n_chars - med) > 3.0 * mad AS is_outlier
+          |FROM d JOIN a USING (lang) ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Profile.madOutliers(T(s, dir, "documents"), "doc_id", "lang", "n_chars", k = 3.0)
+        .orderBy("doc_id")
+    },
+    // NS-T12: BPE merge-candidate mining — the adjacent-character-pair
+    // counts byte-pair encoding greedily merges first (tokenizer
+    // induction over the curated corpus). Exact integer counts,
+    // deterministic (cnt desc, pair) tie-break.
+    Q(
+      "ns65_bpe_pairs",
+      Some(
+        """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+          |p AS (SELECT unnest([tok[i+1:i+2] for i in range(length(tok)-1)]) AS pair
+          |  FROM t WHERE length(tok) >= 2),
+          |c AS (SELECT pair, COUNT(*)::BIGINT AS cnt FROM p GROUP BY pair)
+          |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 25""".stripMargin)) { (s, dir) =>
+      TextOps.bpePairCandidates(T(s, dir, "documents"), "text", 25)
+    },
+    // NS-D12: cross-source duplication audit matrix — distinct shared
+    // shingle fingerprints per source pair with size-robust containment.
+    Q(
+      "ns66_source_overlap",
+      Some(
+        s"""WITH toks AS (SELECT source, $oToks AS ts FROM documents),
+           |sh AS (SELECT source, unnest($oShingles) AS gram FROM toks),
+           |fp AS (SELECT DISTINCT source AS src, ${oHash32("gram")} AS h FROM sh),
+           |n AS (SELECT src, COUNT(*)::BIGINT AS n FROM fp GROUP BY src),
+           |pr AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*)::BIGINT AS shared
+           |  FROM fp a JOIN fp b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+           |SELECT src_a, src_b, shared, na.n AS n_a, nb.n AS n_b,
+           |  shared::DOUBLE / least(na.n, nb.n)::DOUBLE AS containment
+           |FROM pr JOIN n na ON na.src = src_a JOIN n nb ON nb.src = src_b
+           |ORDER BY src_a, src_b""".stripMargin)) { (s, dir) =>
+      Dedup.sourceOverlapMatrix(T(s, dir, "documents"), "source", "text", shingleLen = 3)
+        .orderBy("src_a", "src_b")
     }
   )
 

@@ -607,6 +607,56 @@ object Dedup {
     rerankPairs(cands, nvecs, minCosine)
   }
 
+  /** Cross-source duplication audit: for every pair of sources, how many
+    * DISTINCT shingle fingerprints they share — the dataset-level overlap
+    * matrix a curation team reads before mixing crawls ("is src3 just
+    * src1 re-crawled?") and the contamination screen between a training
+    * mix and a benchmark source. `containment = shared / min(|A|, |B|)`
+    * is the asymmetric-size-robust overlap measure (Jaccard under-reports
+    * when one source dwarfs the other).
+    *
+    * Output: one row per unordered source pair with at least one shared
+    * fingerprint: (src_a, src_b, shared, n_a, n_b, containment), with
+    * src_a < src_b.
+    *
+    * Scale shape: shingles come from the scan-local kernel
+    * ([[shingleRows]]) and compress to DISTINCT (source, hash32) rows
+    * before anything shuffles; the self-join keys on the fingerprint, so
+    * a fingerprint shared by s sources contributes s² rows — bounded by
+    * sources² per fingerprint, carrying (hash, source) pairs only; AQE
+    * skew-splits stop-phrase fingerprints. The result is sources² rows —
+    * driver-safe for any real source count.
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    // shingleRows' "doc_id" output column carries whatever id column it is
+    // given — here the SOURCE, so the distinct below collapses straight to
+    // (source, fingerprint).
+    val fps = shingleRows(df, srcCol, textCol, shingleLen)
+      .select(col("doc_id").as("src"), TextOps.hash32(col("gram")).as("h"))
+      .distinct()
+    val counts = fps.groupBy("src").agg(count(lit(1)).as("n"))
+    val a = fps.select(col("src").as("src_a"), col("h"))
+    val b = fps.select(col("src").as("src_b"), col("h"))
+    a.join(b, Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("src").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(counts.select(col("src").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("shared"),
+        col("n_a"),
+        col("n_b"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+          .as("containment"))
+  }
+
   /** Connected components over a near-duplicate pair list: every document
     * that appears in at least one pair is assigned the smallest doc id
     * reachable through the pair graph (its cluster representative) — the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling: per-column row/null/distinct counts and min/max in a
@@ -73,6 +74,90 @@ object Profile {
     * window, no driver-side min/max pre-pass (the bucket domain derives
     * from the data).
     */
+  /** Exact per-group continuous median (the `quantile_cont(0.5)` /
+    * interpolated-median semantic) computed by ORDER-STATISTIC COUNTING,
+    * not value buffering: count rows per (group, value), running-sum the
+    * counts in value order, and average the lower/upper middle order
+    * statistics. Exactly `percentile(v, 0.5)` — but Spark's exact
+    * percentile aggregate buffers EVERY group value in executor memory
+    * (an OOM at 10^9-row groups), while this shape shuffles one row per
+    * (group, DISTINCT value) with map-side combine and two window passes
+    * over that compressed table: safe wherever the value domain is
+    * bounded (lengths, scores, cents), which is exactly where medians
+    * get asked for at corpus scale. Null values are excluded (the SQL
+    * aggregate convention). Output: (groupCol, outName) — the median as a
+    * double; (lo+hi)/2 is IEEE-exact for integer-valued inputs, matching
+    * the oracle's interpolation bit-for-bit.
+    */
+  def groupedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      outName: String = "med"): DataFrame = {
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"))
+      .groupBy(groupCol, "_v")
+      .agg(count(lit(1)).as("_c"))
+    val running = Window.partitionBy(groupCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(groupCol)
+    counts
+      .withColumn("_cum", sum("_c").over(running))
+      .withColumn("_tot", sum("_c").over(whole))
+      // 1-based middle ranks: lower = (tot+1) div 2, upper = tot div 2 + 1
+      // (equal when tot is odd). The first cumulative count reaching a rank
+      // holds that order statistic.
+      .groupBy(groupCol)
+      .agg(
+        ((min(when(col("_cum") >= expr("(_tot + 1) div 2"), col("_v"))) +
+          min(when(col("_cum") >= expr("_tot div 2 + 1"), col("_v")))) / 2.0)
+          .as(outName))
+  }
+
+  /** Robust per-group outlier gate: median + MAD (median absolute
+    * deviation), flagging rows with `|v − median| > k·MAD` — the
+    * quality-filter primitive that survives heavy-tailed corpus
+    * distributions where mean/stddev gates saturate (a handful of 100 MB
+    * documents drag a mean; they cannot drag a median). Both medians run
+    * through [[groupedMedian]]'s counting shape, so no per-group value
+    * buffering anywhere. Note the standard MAD caveat: when over half the
+    * group sits AT the median, MAD = 0 and every deviating row flags.
+    *
+    * Output: (idCol, groupCol, valueCol, med, mad, is_outlier) — one row
+    * per non-null input row.
+    *
+    * Scale shape: two (group, distinct-value) counting aggregations + two
+    * corpus joins on the group key against |groups|-row dimensions (AQE
+    * broadcasts them when small — never hint-forced).
+    */
+  def madOutliers(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "non-positive MAD multiplier")
+    val base = df
+      .where(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol))
+    val med = groupedMedian(base, groupCol, valueCol, "med")
+    val withMed = base.join(med, Seq(groupCol))
+    val devs = withMed.select(
+      col(groupCol),
+      abs(col(valueCol).cast("double") - col("med")).as("_dev"))
+    val mad = groupedMedian(devs, groupCol, "_dev", "mad")
+    withMed
+      .join(mad, Seq(groupCol))
+      .select(
+        col(idCol),
+        col(groupCol),
+        col(valueCol),
+        col("med"),
+        col("mad"),
+        (abs(col(valueCol).cast("double") - col("med")) > col("mad") * k).as("is_outlier"))
+  }
+
   def centsHistogram(df: DataFrame, valueCol: String, widthCents: Long): DataFrame = {
     require(widthCents > 0, "non-positive bucket width")
     df.select(expr(s"CAST(ROUND($valueCol * 100) AS BIGINT) div $widthCents").as("bucket"))

@@ -548,4 +548,36 @@ object TextOps {
       .orderBy(col("lift").desc, col("bigram"))
       .limit(k)
   }
+
+  /** Tokenizer induction, step 1 of BPE training: the `k` most frequent
+    * ADJACENT CHARACTER PAIRS inside whitespace tokens — exactly the
+    * statistic byte-pair encoding greedily merges first. Running this
+    * over the corpus is how a vocabulary gets bootstrapped from the data
+    * the engine curates (full BPE iterates merge → re-count; each round
+    * is another call over the re-paired corpus).
+    *
+    * Deterministic ties (count desc, then pair lexicographic), exact
+    * integer counts. Output: (pair, cnt), top-k.
+    *
+    * Scale shape: both explodes are scan-local row generation; the only
+    * shuffle is the map-side-combined (pair) count — pair cardinality is
+    * alphabet², tiny; the final top-k is a TakeOrdered, no global sort.
+    */
+  def bpePairCandidates(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "non-positive k")
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -119,6 +119,63 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("groupedMedian matches percentile(0.5) and hand-computed odd/even cases") {
+    import graft.ops.Profile
+    // Odd count: median 3; even count: interpolated 2.5.
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L)
+    ).toDF("g", "v")
+    val got = Profile.groupedMedian(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("a" -> 3.0, "b" -> 2.5))
+    // Equivalence with Spark's exact percentile on the real fixture.
+    val docs = Tables(spark, sfDir, "documents")
+    val mine = Profile.groupedMedian(docs, "lang", "n_chars")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val ref = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.5)").as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(mine == ref)
+  }
+
+  test("madOutliers flags the heavy tail and nothing else") {
+    import graft.ops.Profile
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L), (5L, "a", 100L)
+    ).toDF("id", "g", "v")
+    // med 3, devs [2,1,0,1,97], mad 1 → only |100-3| > 3·1 flags.
+    val got = Profile.madOutliers(df, "id", "g", "v", k = 3.0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(5))).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("bpePairCandidates counts adjacent in-token pairs with deterministic ties") {
+    import graft.ops.TextOps
+    val df = Seq("aab ab", "x ab").toDF("text")
+    val got = TextOps.bpePairCandidates(df, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // pairs: "aab"→aa,ab; "ab"→ab; "x" too short; "ab"→ab.
+    assert(got == List(("ab", 3L), ("aa", 1L)))
+  }
+
+  test("sourceOverlapMatrix counts distinct shared fingerprints, src_a < src_b") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s2", "alpha beta gamma epsilon"),        // shares shingle "alpha beta gamma"
+      (3L, "s2", "alpha beta gamma delta"),           // shares both of s1's shingles
+      (4L, "s3", "totally different words here now")
+    ).toDF("doc_id", "source", "text")
+    val rows = Dedup.sourceOverlapMatrix(df, "source", "text", shingleLen = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // s1 shingles: {abg, bgd}; s2: {abg, bgd, bge(=beta gamma epsilon)}; s3: 2 distinct.
+    assert(rows.keySet == Set(("s1", "s2")))
+    val (shared, nA, nB) = rows(("s1", "s2"))
+    assert(shared == 2L && nA == 2L && nB == 3L)
+  }
+
   test("reliable checkpoint mode reproduces the local-mode result and writes to the dir") {
     // spark.graft.checkpoint.mode is session-scoped: a sibling session with
     // mode=reliable runs every iterative round as a reliable-store
