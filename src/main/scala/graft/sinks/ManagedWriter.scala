@@ -272,6 +272,43 @@ object ManagedWriter {
     }
   }
 
+  /** Storage reclamation for the versioned table: keep the newest
+    * `keepVersions` manifest versions, delete every older manifest AND
+    * every physical data file no kept manifest references. The Delta/
+    * Iceberg VACUUM analogue — appends never delete and [[merge]] only
+    * supersedes, so without this a long-lived 100 TB table accumulates
+    * every version's files forever.
+    *
+    * Safety order: old MANIFESTS are deleted FIRST, then unreferenced
+    * files — a crash between the two phases leaves harmless orphaned data
+    * files (invisible to manifest readers, never adopted — ensureBase only
+    * seeds manifests on never-committed destinations, and a later vacuum
+    * sweeps them), never a manifest naming a deleted file. Time travel to
+    * vacuumed versions fails by construction; that is the retention
+    * trade-off being bought.
+    *
+    * Concurrency caveat (same as Delta's): don't vacuum concurrently with
+    * a writer whose commit could land between the manifest scan and the
+    * file deletes. Returns (versions deleted, data files deleted).
+    */
+  def vacuum(spark: SparkSession, destDir: String, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = versions(spark, destDir)
+    if (all.isEmpty) return (0, 0)
+    val keep = all.takeRight(keepVersions)
+    val drop = all.dropRight(keepVersions)
+    val referenced: Set[String] = keep
+      .flatMap(v => latestManifest(fs, destDir, Some(v)).map(_._2).getOrElse(Seq.empty))
+      .toSet
+    val md = manifestDir(destDir)
+    drop.foreach(v => fs.delete(new Path(md, f"v-$v%08d.txt"), false))
+    val deleted = physicalFiles(fs, destDir).count { rel =>
+      !referenced.contains(rel) && fs.delete(new Path(destDir, rel), false)
+    }
+    (drop.size, deleted)
+  }
+
   private val ManifestDirName = "_graft_manifest"
 
   private def manifestDir(destDir: String) = new Path(destDir, ManifestDirName)

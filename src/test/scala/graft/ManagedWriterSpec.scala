@@ -244,6 +244,35 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.readVersion(spark, dest, vNew).count() == visibleBefore - 5)
   }
 
+  test("vacuum drops superseded versions' files, keeps every kept version readable") {
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df)
+    w.finalizeCommit()
+    val vBase = ManagedWriter.versions(spark, dest).last
+    // Merge away the %10==1 keys: the merged snapshot references only NEW
+    // files, so the base version's files become vacuum-able.
+    val vNew = ManagedWriter.merge(
+      spark, dest, df.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D")),
+      Seq("s_suppkey"))
+    val latestCount = ManagedWriter.read(spark, dest).count()
+    val physBefore = spark.read.parquet(dest).count()
+    val (vDropped, filesDropped) = ManagedWriter.vacuum(spark, dest, keepVersions = 1)
+    assert(vDropped == 2, s"expected the empty seed + base versions dropped, got $vDropped")
+    assert(filesDropped >= 1, "no data files reclaimed")
+    // Latest version unharmed, byte-identical row count.
+    assert(ManagedWriter.versions(spark, dest) == Seq(vNew))
+    assert(ManagedWriter.read(spark, dest).count() == latestCount)
+    // Physical directory really shrank (old snapshot's rows gone).
+    assert(spark.read.parquet(dest).count() < physBefore)
+    // Time travel to the vacuumed version now fails cleanly.
+    assertThrows[java.io.FileNotFoundException] {
+      ManagedWriter.readVersion(spark, dest, vBase)
+    }
+  }
+
   test("writer refuses appends after finalize (bigquery_write.go:466 contract)") {
     val df = Tables(spark, sfDir, "supplier")
     val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)

@@ -133,6 +133,30 @@ class PlanSpec extends SparkSpec {
     sane(lsh.queryExecution.executedPlan.toString, "lsh-neardup")
   }
 
+  test("round-7 ops keep their scale shapes (counting median, TakeOrdered, keyed self-join)") {
+    import graft.ops.{Dedup, Profile, TextOps}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // The MAD gate must use the order-statistic counting median — Spark's
+    // exact percentile aggregate (value-buffering, OOM at big groups) must
+    // not appear anywhere in the plan.
+    val mad = Profile.madOutliers(docs, "doc_id", "lang", "n_chars", 3.0)
+    mad.collect()
+    val mp = mad.queryExecution.executedPlan.toString
+    assert(!mp.toLowerCase.contains("percentile"),
+      s"median fell back to the value-buffering percentile aggregate:\n$mp")
+    // BPE top-k: a TakeOrdered, never a global sort of the pair counts.
+    val bpe = TextOps.bpePairCandidates(docs, "text", 25)
+    bpe.collect()
+    val bp = bpe.queryExecution.executedPlan.toString
+    assert(bp.contains("TakeOrderedAndProject"), s"bpe top-k is a global sort:\n$bp")
+    // Overlap matrix: the fingerprint self-join stays an equi-join.
+    val ovl = Dedup.sourceOverlapMatrix(docs, "source", "text", 3)
+    ovl.collect()
+    val op = ovl.queryExecution.executedPlan.toString
+    assert(!op.contains("CartesianProduct") && !op.contains("BroadcastNestedLoopJoin"),
+      s"overlap self-join degraded to a cartesian:\n$op")
+  }
+
   test("corpus-cardinality dimensions are not force-broadcast (ns09/ns22 scale guard)") {
     // The counts dim in ngramJaccardPairs is one row per DOCUMENT, and the
     // CleanCorpus dropList is every near-dup doc — at 10^9 docs a forced
