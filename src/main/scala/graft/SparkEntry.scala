@@ -1592,7 +1592,7 @@ object SparkEntry {
              |    SELECT q.vec_id, q.v AS v, c.cid, $dist AS d FROM q CROSS JOIN $prev c) t
              |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
              |u$n AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS val FROM a$n),
-             |m$n AS (SELECT cid, pos, (SUM(val) / COUNT(*))::BIGINT AS m FROM u$n GROUP BY 1, 2),
+             |m$n AS (SELECT cid, pos, (SUM(val) // COUNT(*))::BIGINT AS m FROM u$n GROUP BY 1, 2),
              |r$n AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$n GROUP BY 1),
              |c$n AS (SELECT p.cid, coalesce(r.c, p.c) AS c FROM $prev p LEFT JOIN r$n r USING (cid)),""".stripMargin
         Some(
