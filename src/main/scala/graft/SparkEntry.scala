@@ -2700,6 +2700,38 @@ object SparkEntry {
            |ORDER BY src_a, src_b""".stripMargin)) { (s, dir) =>
       Dedup.sourceOverlapMatrix(T(s, dir, "documents"), "source", "text", shingleLen = 3)
         .orderBy("src_a", "src_b")
+    },
+    // NS-M3: REAL compressed-image decode — each doc's UTF-8 bytes become
+    // a 16-wide RGB raster, deflate-compressed into an actual PNG (JDK
+    // encoder), then decoded back through the JDK ImageIO reader chain.
+    // PNG is lossless, so the decoded per-channel sums must equal the raw
+    // byte sums the oracle computes from first principles: a broken
+    // deflate/filter/row-stride step anywhere breaks the hash. (The text
+    // is ASCII, so ascii(char) == byte — the ns48 derivation.)
+    Q(
+      "ns67_png_decode",
+      Some(
+        """WITH d AS (SELECT doc_id, substring(text, 1, (length(text) // 48) * 48) AS t
+          |  FROM documents WHERE length(text) >= 48),
+          |b AS (SELECT doc_id, length(t) AS n,
+          |    [ascii(substring(t, i+1, 1)) FOR i IN range(length(t))] AS bs FROM d)
+          |SELECT doc_id, 'png' AS format, 16::BIGINT AS width,
+          |  (n // 48)::BIGINT AS height, 3::BIGINT AS n_components,
+          |  list_sum([bs[3*i+1] FOR i IN range(n // 3)])::BIGINT AS sum_r,
+          |  list_sum([bs[3*i+2] FOR i IN range(n // 3)])::BIGINT AS sum_g,
+          |  list_sum([bs[3*i+3] FOR i IN range(n // 3)])::BIGINT AS sum_b
+          |FROM b ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Multimodal.pngFeatures(
+          s,
+          T(s, dir, "documents")
+            .where(length(col("text")) >= 48)
+            .select(
+              col("doc_id"),
+              encode(expr("substring(text, 1, (length(text) div 48) * 48)"), "UTF-8")
+                .as("rgb")),
+          "doc_id", "rgb", width = 16)
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 

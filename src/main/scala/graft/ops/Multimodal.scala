@@ -99,7 +99,11 @@ object Multimodal {
     * no shuffle introduced, batch-at-a-time memory profile.
     *
     * STUB: `decodeFrame` fakes decode deterministically from the bytes
-    * (checksum + pretend-dimensions) instead of calling an image library.
+    * (checksum + pretend-dimensions). Formats with a real in-repo decoder
+    * use their genuine paths instead: [[wavFeatures]] (RIFF/WAVE PCM16),
+    * [[decodePpmP6]] (binary PPM), and [[imageFeatures]] (PNG/JPEG/BMP/GIF
+    * through the JDK's built-in javax.imageio readers). The stub remains
+    * only for formats with no JDK codec (MP3, H.264, WebP).
     */
   def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String, payload: String = "media")
       : Dataset[MediaFeatures] = {
@@ -128,10 +132,10 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------------
-  // REAL codec-free decoders. Compressed formats (JPEG/MP3/H.264) need
-  // libraries this container doesn't have — those stay stubbed above — but
-  // RIFF/WAVE PCM and binary PPM are raw formats a pure-JVM parser decodes
-  // completely, so for them the decode step is genuine, not a stand-in.
+  // REAL codec-free decoders: RIFF/WAVE PCM and binary PPM are raw formats
+  // a pure-JVM parser decodes completely. (Compressed images are ALSO real
+  // — via the JDK's built-in ImageIO readers, further below; only formats
+  // with no JDK codec at all stay stubbed.)
   // ------------------------------------------------------------------------
 
   /** Integer-only audio features decoded from a PCM16 WAV payload —
@@ -312,5 +316,133 @@ object Multimodal {
       i += 3
     }
     PpmFeatures(id, w.toLong, h.toLong, mx.toLong, sr, sg, sb)
+  }
+
+  // ------------------------------------------------------------------------
+  // REAL compressed-image decode. The JDK SHIPS image codecs — javax.imageio
+  // has built-in PNG/JPEG/BMP/GIF readers — so "no codec libraries in the
+  // container" does not apply to these formats: decode is genuine, zero
+  // added dependencies. Formats without a JDK reader (MP3, H.264, WebP)
+  // remain behind the documented deterministic stub above.
+  // ------------------------------------------------------------------------
+
+  /** Features decoded from a compressed image payload (PNG/JPEG/BMP/GIF):
+    * container format, dimensions, color components, and exact integer
+    * per-channel sums of the decoded RGB raster. For the lossless formats
+    * the sums are bit-exact properties of the payload; for JPEG they are
+    * decoder-version-dependent (pin dims/format, not sums, across JVMs).
+    */
+  final case class ImageFeatures(
+      doc_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_components: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Decode one payload with the JDK's ImageIO reader chain (format
+    * sniffed from the bytes, not trusted from metadata).
+    */
+  private[graft] def decodeImage(id: Long, bytes: Array[Byte]): ImageFeatures = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"doc $id: no JDK image reader recognizes this payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L
+        var sg = 0L
+        var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(
+          id, reader.getFormatName.toLowerCase, w.toLong, h.toLong,
+          img.getColorModel.getNumComponents.toLong, sr, sg, sb)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Executor-side compressed-image decode — same partition-preserving
+    * mapPartitions shape as [[decodeFeatures]]/[[wavFeatures]]: one
+    * decoded-feature row per payload row, no shuffle, batch-at-a-time
+    * memory (one BufferedImage live per row).
+    */
+  def imageFeatures(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) => decodeImage(id, data) })
+  }
+
+  /** Encode-then-decode through REAL PNG bytes: each row's payload bytes
+    * become a width-wide RGB raster (truncated to whole rows), deflate-
+    * compressed into an actual PNG container, then decoded back through
+    * the JDK reader chain. Because PNG is lossless, the decoded channel
+    * sums must equal the raw raster's byte sums — which is exactly what
+    * the SQL oracle recomputes from first principles, so a real
+    * compressed-image decode is hash-gated end to end (`ns67`). Same
+    * partition-preserving mapPartitions shape as [[wavFeatures]].
+    */
+  def pngFeatures(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      width: Int): Dataset[ImageFeatures] = {
+    require(width > 0, "non-positive raster width")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        val n = data.length - data.length % (width * 3)
+        val h = n / (width * 3)
+        require(h > 0, s"doc $id: payload shorter than one $width-pixel raster row")
+        decodeImage(id, encodePng(java.util.Arrays.copyOf(data, n), width, h))
+      })
+  }
+
+  /** PNG-encode an RGB raster with the JDK encoder (test/fixture helper —
+    * PNG is lossless, so decode(encode(rgb)) recovers the exact pixels).
+    */
+  private[graft] def encodePng(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length != w*h*3")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 }
