@@ -1213,6 +1213,102 @@ object SparkEntry {
           first_value(col("o_orderkey")).over(w).as("cheapest"),
           nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
         .orderBy("o_orderkey")
+    },
+    // TPC-H Q3 (shipping priority): the classic 3-table star join with an
+    // exact-cents revenue aggregate and a top-k on the aggregate.
+    // Broadcast-ability: customer-filtered dim is AQE-sized; the
+    // orders⨝lineitem fact-fact join shuffles on the order key.
+    Q(
+      "b56_tpch_q3",
+      Some(
+        s"""SELECT l_orderkey,
+           |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS DOUBLE) / 10000.0 AS revenue,
+           |  o_orderdate, o_orderpriority
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)) { (s, dir) =>
+      val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+      T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cut)
+        .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > cut)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    // TPC-H Q5-shaped (local supplier volume): 6-table snowflake with the
+    // c_nationkey = s_nationkey locality condition — the widest join tree
+    // in the parity suite; the three dims (supplier, nation, region)
+    // broadcast, the two facts shuffle on their keys.
+    Q(
+      "b57_tpch_q5",
+      Some(
+        s"""SELECT n_name,
+           |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS DOUBLE) / 10000.0 AS revenue
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON l_orderkey = o_orderkey
+           |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)) { (s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(
+          T(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    // TPC-H Q10-shaped (returned-item reporting): quarter-scoped returns
+    // ranked by lost revenue per customer.
+    Q(
+      "b58_tpch_q10",
+      Some(
+        s"""SELECT c_custkey, c_name,
+           |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS DOUBLE) / 10000.0 AS revenue,
+           |  c_acctbal, n_name
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON l_orderkey = o_orderkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY c_custkey, c_name, c_acctbal, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)) { (s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(
+          col("o_orderdate") >= lit("1997-10-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }
   )
 
