@@ -157,6 +157,21 @@ class PlanSpec extends SparkSpec {
       s"overlap self-join degraded to a cartesian:\n$op")
   }
 
+  test("TPC-H shapes: dims broadcast, top-k is TakeOrdered, no cartesians") {
+    for (name <- Seq("b56_tpch_q3", "b57_tpch_q5", "b58_tpch_q10")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name: no dim broadcast at test SF:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: join degenerated to a cartesian:\n$p")
+    }
+    val q3 = SparkEntry.queries("b56_tpch_q3")(spark, sfDir)
+    q3.collect()
+    assert(q3.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "b56 top-k is a global sort, not TakeOrdered")
+  }
+
   test("corpus-cardinality dimensions are not force-broadcast (ns09/ns22 scale guard)") {
     // The counts dim in ngramJaccardPairs is one row per DOCUMENT, and the
     // CleanCorpus dropList is every near-dup doc — at 10^9 docs a forced
