@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Layout, Linkage, Merge, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Layout, Linkage, Merge, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
@@ -2828,6 +2828,42 @@ object SparkEntry {
           "doc_id", "rgb", width = 16)
         .toDF()
         .orderBy("doc_id")
+    },
+    // NS-K1: deterministic count-min sketch — md5-derived row hashes make
+    // the whole depth×width counter table a pure function of the corpus,
+    // so the (never-undercounting) estimates hash-match a full SQL replay
+    // of the sketch. Output per probe word: CM estimate + exact count.
+    Q(
+      "ns68_cms_counts", {
+        val (depth, width) = (4, 1024)
+        val words = Seq("the", "data", "query", "spark", "window", "zzz_absent")
+        val qList = words.map(w => s"('$w')").mkString(", ")
+        Some(
+          s"""WITH tok AS (SELECT unnest($oToks) AS tok FROM documents),
+             |e AS (SELECT tok, unnest(range($depth)) AS r FROM tok),
+             |c AS (SELECT r, ${oHash32("r::VARCHAR || ':' || tok")} % $width AS bucket,
+             |    COUNT(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+             |q(word) AS (VALUES $qList),
+             |qe AS (SELECT word, r, ${oHash32("r::VARCHAR || ':' || word")} % $width AS bucket
+             |  FROM q CROSS JOIN (SELECT unnest(range($depth)) AS r)),
+             |est AS (SELECT word, MIN(coalesce(cnt, 0))::BIGINT AS est
+             |  FROM qe LEFT JOIN c USING (r, bucket) GROUP BY word),
+             |ex AS (SELECT tok AS word, COUNT(*)::BIGINT AS exact FROM tok GROUP BY 1)
+             |SELECT word, est, coalesce(exact, 0)::BIGINT AS exact
+             |FROM est LEFT JOIN ex USING (word) ORDER BY word""".stripMargin)
+      }) { (s, dir) =>
+      import s.implicits._
+      val (depth, width) = (4, 1024)
+      val words = Seq("the", "data", "query", "spark", "window", "zzz_absent")
+      val occ = T(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val counters = Sketch.cmsCounters(occ, "tok", depth, width)
+      val est = Sketch.cmsEstimate(counters, words.toDF("word"), "word", depth, width)
+      val exact = occ.groupBy(col("tok").as("word")).agg(count(lit(1)).as("exact"))
+      est
+        .join(exact, Seq("word"), "left")
+        .select(col("word"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+        .orderBy("word")
     }
   )
 

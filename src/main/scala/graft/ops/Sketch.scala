@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic count-min sketch (north-star extension): approximate
+  * frequency counting in FIXED space — the vocabulary-stats primitive for
+  * corpora where the exact (token, count) table is itself huge. The
+  * sketch is `depth × width` long counters; estimates never undercount
+  * and overcount by at most `N/width` with probability `1 − 2^−depth`
+  * (the classic CM guarantee).
+  *
+  * Unlike seeded-random CMS implementations, the row hashes derive from
+  * md5 (`hash32(row ':' token)`), so the ENTIRE sketch is a pure function
+  * of the input: bit-identical across engines, cluster sizes, and reruns
+  * — estimates are hash-checkable against a SQL replay (`ns68`), and two
+  * sketches built anywhere merge by adding counters cell-wise (the
+  * streaming/distributed counting artifact a pipeline persists between
+  * increments, like C49's signature table).
+  *
+  * Scale shape: counter build is one explode (×depth) with map-side
+  * combine into AT MOST depth×width rows — the shuffle is bounded by the
+  * sketch size, never the vocabulary; estimation joins the (tiny) query
+  * fan-out against the bounded counter table (AQE broadcasts it).
+  */
+object Sketch {
+
+  private def bucketOf(row: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column, width: Int) =
+    TextOps.hash32(concat(row.cast("string"), lit(":"), tok)) % width
+
+  /** Build the counter table from one row per token OCCURRENCE.
+    * Output: (r, bucket, cnt) — at most depth×width rows; absent cells
+    * are zero.
+    */
+  def cmsCounters(
+      occurrences: DataFrame,
+      tokenCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
+    occurrences
+      .select(col(tokenCol).as("_tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), bucketOf(col("r"), col("_tok"), width).as("bucket"))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each query token: the min over the
+    * `depth` counters the token hashes into (0 when a cell was never
+    * touched). Output: (tokenCol, est).
+    */
+  def cmsEstimate(
+      counters: DataFrame,
+      queries: DataFrame,
+      tokenCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
+    queries
+      .select(col(tokenCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucketOf(col("r"), col(tokenCol), width))
+      .join(counters, Seq("r", "bucket"), "left")
+      .groupBy(tokenCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Merge two counter tables cell-wise (the distributed/streaming
+    * accumulation property: sketch(A ∪ B) = sketch(A) + sketch(B)).
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("r", "bucket")
+      .agg(sum("cnt").as("cnt"))
+}

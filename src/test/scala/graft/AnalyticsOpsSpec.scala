@@ -176,6 +176,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(shared == 2L && nA == 2L && nB == 3L)
   }
 
+  test("count-min sketch never undercounts, merges cell-wise, stays bounded") {
+    import graft.ops.{Sketch, TextOps}
+    val docs = Tables(spark, sfDir, "documents")
+    def occOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val occ = occOf(docs)
+    val (d, w) = (4, 256)
+    val counters = Sketch.cmsCounters(occ, "tok", d, w)
+    assert(counters.count() <= d.toLong * w, "counter table exceeded the sketch bound")
+    // The CM guarantee's one-sided error: est >= exact for EVERY token.
+    val vocab = occ.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val est = Sketch.cmsEstimate(counters, vocab.select("tok"), "tok", d, w)
+    assert(est.join(vocab, "tok").where(col("est") < col("exact")).count() == 0,
+      "CM estimate undercounted")
+    // Mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), cell for cell.
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsCounters(occOf(docs.where(col("doc_id") % 2 === 0)), "tok", d, w),
+      Sketch.cmsCounters(occOf(docs.where(col("doc_id") % 2 === 1)), "tok", d, w))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cells(merged) == cells(counters), "merged sketch diverged from the one-shot sketch")
+  }
+
   test("reliable checkpoint mode reproduces the local-mode result and writes to the dir") {
     // spark.graft.checkpoint.mode is session-scoped: a sibling session with
     // mode=reliable runs every iterative round as a reliable-store
