@@ -2864,6 +2864,45 @@ object SparkEntry {
         .join(exact, Seq("word"), "left")
         .select(col("word"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
         .orderBy("word")
+    },
+    // NS-K2: deterministic Bloom membership screen — the no-false-negative
+    // pre-filter ahead of exact decontamination. Same md5 hash family as
+    // the CMS, so the position set (and therefore every probe verdict) is
+    // a pure function of the corpus and hash-matches the SQL replay.
+    Q(
+      "ns69_bloom_probe", {
+        val (k, m) = (5, 65536)
+        val words = Seq("the", "data", "query", "zzz_absent", "qqq_missing", "window")
+        val qList = words.map(w => s"('$w')").mkString(", ")
+        Some(
+          s"""WITH tok AS (SELECT DISTINCT unnest($oToks) AS tok FROM documents),
+             |bits AS (SELECT DISTINCT ${oHash32("r::VARCHAR || ':' || tok")} % $m AS pos
+             |  FROM tok CROSS JOIN (SELECT unnest(range($k)) AS r)),
+             |q(word) AS (VALUES $qList),
+             |qp AS (SELECT word, ${oHash32("r::VARCHAR || ':' || word")} % $m AS pos
+             |  FROM q CROSS JOIN (SELECT unnest(range($k)) AS r)),
+             |pr AS (SELECT word, bool_and(pos IN (SELECT pos FROM bits)) AS maybe_present
+             |  FROM qp GROUP BY word),
+             |ex AS (SELECT word, word IN (SELECT tok FROM tok) AS actually_present FROM q)
+             |SELECT word, maybe_present, actually_present
+             |FROM pr JOIN ex USING (word) ORDER BY word""".stripMargin)
+      }) { (s, dir) =>
+      import s.implicits._
+      val (k, m) = (5, 65536)
+      val words = Seq("the", "data", "query", "zzz_absent", "qqq_missing", "window")
+      val toks = T(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .distinct()
+      val bits = Sketch.bloomBits(toks, "tok", k, m)
+      val probe = Sketch.bloomProbe(bits, words.toDF("word"), "word", k, m)
+      val present = toks.select(col("tok").as("word")).withColumn("_p", lit(true))
+      probe
+        .join(present, Seq("word"), "left")
+        .select(
+          col("word"),
+          col("maybe_present"),
+          coalesce(col("_p"), lit(false)).as("actually_present"))
+        .orderBy("word")
     }
   )
 

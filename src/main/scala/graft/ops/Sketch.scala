@@ -71,4 +71,48 @@ object Sketch {
     a.unionByName(b)
       .groupBy("r", "bucket")
       .agg(sum("cnt").as("cnt"))
+
+  // --------------------------------------------------------------- bloom
+
+  /** Deterministic Bloom filter, represented as its SET-BIT POSITIONS
+    * (one row per distinct set bit, ≤ min(k·|items|, m) rows): membership
+    * screening with NO false negatives and a bounded false-positive rate
+    * — the "could this benchmark n-gram appear anywhere in the corpus?"
+    * pre-screen ahead of exact decontamination (C34), at a fraction of
+    * the exact fingerprint table's size. Same md5 hash family as the CMS,
+    * so the filter is a pure function of the input: replayable in SQL,
+    * and two filters merge by POSITION-SET UNION.
+    *
+    * Output: (pos) — distinct positions in [0, m).
+    */
+  def bloomBits(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame = {
+    require(k >= 1 && m >= 1, "need k >= 1 and m >= 1")
+    items
+      .select(col(itemCol).as("_it"), explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select((bucketOf(col("r"), col("_it"), m)).as("pos"))
+      .distinct()
+  }
+
+  /** Probe each query item against the filter: `maybe_present` is true
+    * iff ALL `k` of the item's positions are set — never a false
+    * negative. Output: (itemCol, maybe_present).
+    */
+  def bloomProbe(
+      bits: DataFrame,
+      queries: DataFrame,
+      itemCol: String,
+      k: Int,
+      m: Int): DataFrame = {
+    require(k >= 1 && m >= 1, "need k >= 1 and m >= 1")
+    queries
+      .select(col(itemCol), explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .withColumn("pos", bucketOf(col("r"), col(itemCol), m))
+      .join(bits.withColumn("_hit", lit(1L)), Seq("pos"), "left")
+      .groupBy(itemCol)
+      .agg((count(lit(1)) === sum(coalesce(col("_hit"), lit(0L)))).as("maybe_present"))
+  }
+
+  /** Union two filters' position sets: bloom(A ∪ B) = bits(A) ∪ bits(B). */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
 }

@@ -199,6 +199,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(cells(merged) == cells(counters), "merged sketch diverged from the one-shot sketch")
   }
 
+  test("bloom filter: zero false negatives, position-set merge, bounded size") {
+    import graft.ops.{Sketch, TextOps}
+    val docs = Tables(spark, sfDir, "documents")
+    def toksOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+    val toks = toksOf(docs)
+    val (k, m) = (5, 4096)
+    val bits = Sketch.bloomBits(toks, "tok", k, m)
+    assert(bits.count() <= m.toLong, "more set positions than filter bits")
+    // EVERY inserted item must probe positive — the Bloom contract.
+    val probedAll = Sketch.bloomProbe(bits, toks, "tok", k, m)
+    assert(probedAll.where(!col("maybe_present")).count() == 0, "false negative")
+    // Merge = position-set union.
+    val merged = Sketch.bloomMerge(
+      Sketch.bloomBits(toksOf(docs.where(col("doc_id") % 2 === 0)), "tok", k, m),
+      Sketch.bloomBits(toksOf(docs.where(col("doc_id") % 2 === 1)), "tok", k, m))
+    assert(merged.collect().map(_.getLong(0)).toSet ==
+      bits.collect().map(_.getLong(0)).toSet)
+  }
+
   test("reliable checkpoint mode reproduces the local-mode result and writes to the dir") {
     // spark.graft.checkpoint.mode is session-scoped: a sibling session with
     // mode=reliable runs every iterative round as a reliable-store
