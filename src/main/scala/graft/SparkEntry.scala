@@ -2903,6 +2903,27 @@ object SparkEntry {
           col("maybe_present"),
           coalesce(col("_p"), lit(false)).as("actually_present"))
         .orderBy("word")
+    },
+    // NS-P4: per-group quantile profile (p25/p50/p75/p95 of document
+    // length) — the counting-quantile generalization of ns64's median:
+    // arbitrary continuous quantiles with no per-group value buffering,
+    // interpolation evaluated in the same IEEE order both engines use.
+    Q(
+      "ns70_quantile_profile",
+      Some(
+        """SELECT lang,
+          |  quantile_cont(n_chars, 0.25) AS p25,
+          |  quantile_cont(n_chars, 0.50) AS p50,
+          |  quantile_cont(n_chars, 0.75) AS p75,
+          |  quantile_cont(n_chars, 0.95) AS p95
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+        .map { case (q, name) =>
+          Profile.groupedQuantileCont(docs, "lang", "n_chars", q, name)
+        }
+        .reduce(_.join(_, "lang"))
+        .orderBy("lang")
     }
   )
 

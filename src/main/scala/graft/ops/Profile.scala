@@ -93,7 +93,26 @@ object Profile {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      outName: String = "med"): DataFrame = {
+      outName: String = "med"): DataFrame =
+    groupedQuantileCont(df, groupCol, valueCol, 0.5, outName)
+
+  /** Exact per-group CONTINUOUS quantile (`quantile_cont(q)` /
+    * `percentile(v, q)` semantics: order statistic at rank `h = (n−1)·q`,
+    * linearly interpolated between the straddling values) by the same
+    * order-statistic counting shape as [[groupedMedian]] — no per-group
+    * value buffering. The interpolation is evaluated as
+    * `v_lo·(1−frac) + v_hi·frac` — the exact operation ORDER the oracle
+    * engine uses (empirically pinned; `v_lo + frac·(v_hi−v_lo)` differs
+    * in the last ulp for non-dyadic `q`) — so results hash-match for any
+    * `q`.
+    */
+  def groupedQuantileCont(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      q: Double,
+      outName: String = "quantile"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
     val counts = df
       .where(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("double").as("_v"))
@@ -102,17 +121,22 @@ object Profile {
     val running = Window.partitionBy(groupCol).orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(groupCol)
+    // 0-based fractional rank h = (n−1)·q; the two straddling 1-based
+    // ranks are floor(h)+1 and min(floor(h)+2, n). The first cumulative
+    // count reaching a rank holds that order statistic.
     counts
       .withColumn("_cum", sum("_c").over(running))
       .withColumn("_tot", sum("_c").over(whole))
-      // 1-based middle ranks: lower = (tot+1) div 2, upper = tot div 2 + 1
-      // (equal when tot is odd). The first cumulative count reaching a rank
-      // holds that order statistic.
+      .withColumn("_h", (col("_tot") - 1).cast("double") * lit(q))
+      .withColumn("_lo", floor(col("_h")).cast("long") + 1)
+      .withColumn("_hi", least(col("_lo") + 1, col("_tot")))
       .groupBy(groupCol)
-      .agg(
-        ((min(when(col("_cum") >= expr("(_tot + 1) div 2"), col("_v"))) +
-          min(when(col("_cum") >= expr("_tot div 2 + 1"), col("_v")))) / 2.0)
-          .as(outName))
+      .agg {
+        val vlo = min(when(col("_cum") >= col("_lo"), col("_v")))
+        val vhi = min(when(col("_cum") >= col("_hi"), col("_v")))
+        val frac = max(col("_h")) - (max(col("_lo")) - 1).cast("double")
+        (vlo * (lit(1.0) - frac) + vhi * frac).as(outName)
+      }
   }
 
   /** Robust per-group outlier gate: median + MAD (median absolute

@@ -138,6 +138,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(mine == ref)
   }
 
+  test("groupedQuantileCont matches percentile(q) across dyadic and non-dyadic q") {
+    import graft.ops.Profile
+    val docs = Tables(spark, sfDir, "documents")
+    for (q <- Seq(0.0, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0)) {
+      val mine = Profile.groupedQuantileCont(docs, "lang", "n_chars", q)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val ref = docs.groupBy("lang").agg(expr(s"percentile(n_chars, $q)").as("m"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(mine == ref, s"q=$q diverged from Spark percentile: $mine vs $ref")
+    }
+  }
+
   test("madOutliers flags the heavy tail and nothing else") {
     import graft.ops.Profile
     val df = Seq(
