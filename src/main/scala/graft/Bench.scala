@@ -22,19 +22,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Per-query MIN timing, or None when every repeat threw. A thrown run
+    * must NOT masquerade as a fast run: a failure at the small SF would
+    * fabricate a superlinear flag, and a failure at the big SF would hand
+    * a genuinely quadratic query the clean verdict — both exactly what
+    * the scaling screen exists to catch. Failures go to stderr and a
+    * `failed` stdout field instead.
+    */
   private def runSuite(
       spark: SparkSession,
       sfDir: String,
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      repeats: Int): Seq[(String, Double)] =
+      repeats: Int): Seq[(String, Option[Double])] =
     selected.map { case (name, fn) =>
-      val timings = (1 to repeats).map { _ =>
+      val timings = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed at $sfDir: ${e.getMessage}")
+            None
+        }
       }
-      name -> timings.min
+      name -> timings.minOption
     }
 
   /** One ladder step down from the primary SF (10x less data), when that
@@ -98,17 +110,23 @@ object Bench {
     // whatever else the host was doing.
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
-    val results = runSuite(spark, sfDir, selected, repeats)
+    val raw1 = runSuite(spark, sfDir, selected, repeats)
+    val results = raw1.collect { case (n, Some(t)) => n -> t }
     // Secondary (smaller) SF pass for the scaling check.
     val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR") match {
       case Some("none") => None
       case Some(d) => Some(d).filter(d2 => new java.io.File(d2).isDirectory && d2 != sfDir)
       case None => siblingSf(sfDir)
     }
-    val results2 = sf2Dir.map(d => runSuite(spark, d, selected, repeats))
+    val raw2 = sf2Dir.map(d => runSuite(spark, d, selected, repeats))
+    val results2 = raw2.map(_.collect { case (n, Some(t)) => n -> t })
+    val failed = (raw1 ++ raw2.getOrElse(Seq.empty))
+      .collect { case (n, None) => n }.distinct
     // Ratio on 10x data; flooring the small-SF time at 50 ms and requiring
     // 0.5 s at the large SF keeps fixed-overhead-dominated queries (session
-    // setup, tiny dims) from flagging as false positives.
+    // setup, tiny dims) from flagging as false positives. Queries that
+    // FAILED at either SF are excluded (reported via `failed`), never
+    // ratio'd.
     val superlinear: Seq[(String, Double)] = results2 match {
       case None => Seq.empty
       case Some(r2) =>
@@ -143,8 +161,11 @@ object Bench {
           .mkString("{", ",", "}")
         s""","sf2":"${sf2Dir.get}","sf2_total":${ms(r2.map(_._2).sum)},"superlinear":$flags"""
     }
+    val failedPart =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + n.split("_")(0) + "\"").mkString(""","failed":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$scalePart}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$scalePart$failedPart}"""
     // Belt and braces: the full dual-SF payload at a well-known path (the
     // stdout line stays within the driver's bounded tail capture).
     val fileLines = Seq(line) ++ results2.map(r2 =>

@@ -2754,9 +2754,11 @@ object SparkEntry {
     Q(
       "ns64_mad_outliers",
       Some(
-        """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
-          |  FROM documents GROUP BY lang),
-          |d AS (SELECT doc_id, lang, n_chars, med FROM documents JOIN m USING (lang)),
+        """WITH nn AS (SELECT doc_id, lang, n_chars FROM documents
+          |  WHERE n_chars IS NOT NULL),
+          |m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+          |  FROM nn GROUP BY lang),
+          |d AS (SELECT doc_id, lang, n_chars, med FROM nn JOIN m USING (lang)),
           |a AS (SELECT lang, quantile_cont(abs(n_chars - med), 0.5) AS mad
           |  FROM d GROUP BY lang)
           |SELECT doc_id, lang, n_chars, med, mad,
@@ -2916,13 +2918,11 @@ object SparkEntry {
           |  quantile_cont(n_chars, 0.50) AS p50,
           |  quantile_cont(n_chars, 0.75) AS p75,
           |  quantile_cont(n_chars, 0.95) AS p95
-          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
-      val docs = T(s, dir, "documents")
-      Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-        .map { case (q, name) =>
-          Profile.groupedQuantileCont(docs, "lang", "n_chars", q, name)
-        }
-        .reduce(_.join(_, "lang"))
+          |FROM documents WHERE n_chars IS NOT NULL
+          |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      Profile.groupedQuantilesCont(
+          T(s, dir, "documents"), "lang", "n_chars",
+          Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
         .orderBy("lang")
     }
   )

@@ -37,7 +37,8 @@ private[graft] object Checkpoints {
 
   /** Cut `df` from its lineage under the session's configured mode.
     * `eager=false` defers materialization to the frame's first job (the
-    * convergence-probe pattern: one job per round).
+    * convergence-probe pattern: one job per round) — honored in local
+    * mode; reliable mode materializes eagerly regardless (see below).
     */
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
@@ -51,7 +52,17 @@ private[graft] object Checkpoints {
             s"$ModeKey=reliable requires sparkContext.setCheckpointDir(...) or $DirKey")
           spark.sparkContext.setCheckpointDir(dir)
         }
-        df.checkpoint(eager)
+        // A bare Dataset.checkpoint computes the plan TWICE — once for the
+        // materializing action and once more when the checkpoint-write job
+        // re-runs the unpersisted lineage (Spark's documented behavior).
+        // Persisting first makes the write job read the cached blocks, so
+        // each round is computed once; the cache is dropped as soon as the
+        // files are down (the returned frame reads the files). This is
+        // also why reliable mode is always eager: a deferred
+        // materialization could not release the staging cache.
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist()
       case other =>
         throw new IllegalArgumentException(s"$ModeKey=$other (expected local | reliable)")
     }

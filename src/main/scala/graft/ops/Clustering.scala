@@ -86,8 +86,15 @@ object Clustering {
       k: Int,
       iterations: Int): (DataFrame, DataFrame) = {
     val (vecs, centroids) = fit(df, idCol, vecCol, k, iterations)
-    val assigned = assign(vecs, centroids)
-      .select(col("id").as(idCol), col("cluster"), col("sqdist"))
+    // Materialize the assignment and RELEASE the n·d quantized-vector
+    // blocks: only the assignment (3 longs/row, checkpointed) and the
+    // tiny k·d centroid table stay pinned. Without this, every model fit
+    // (e.g. each ivfIntTopK serving call) would leave a full vector block
+    // set in executor storage for the session's lifetime — the same
+    // per-call leak pageRankInt sheds after its loop.
+    val assigned = Checkpoints.truncate(
+      assign(vecs, centroids).select(col("id").as(idCol), col("cluster"), col("sqdist")))
+    Checkpoints.unpersist(vecs)
     (assigned, centroids)
   }
 

@@ -111,8 +111,22 @@ object Profile {
       groupCol: String,
       valueCol: String,
       q: Double,
-      outName: String = "quantile"): DataFrame = {
-    require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
+      outName: String = "quantile"): DataFrame =
+    groupedQuantilesCont(df, groupCol, valueCol, Seq(q -> outName))
+
+  /** All requested quantiles in ONE counting pass: the (group, distinct
+    * value) aggregation and its two window passes are shared, and each
+    * quantile adds only cheap per-row rank columns plus one aggregate
+    * expression — a q-quantile profile costs the same scan as a single
+    * median, not q of them.
+    */
+  def groupedQuantilesCont(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      quantiles: Seq[(Double, String)]): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    quantiles.foreach { case (q, _) => require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q") }
     val counts = df
       .where(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("double").as("_v"))
@@ -124,19 +138,21 @@ object Profile {
     // 0-based fractional rank h = (n−1)·q; the two straddling 1-based
     // ranks are floor(h)+1 and min(floor(h)+2, n). The first cumulative
     // count reaching a rank holds that order statistic.
-    counts
+    val base = counts
       .withColumn("_cum", sum("_c").over(running))
       .withColumn("_tot", sum("_c").over(whole))
-      .withColumn("_h", (col("_tot") - 1).cast("double") * lit(q))
-      .withColumn("_lo", floor(col("_h")).cast("long") + 1)
-      .withColumn("_hi", least(col("_lo") + 1, col("_tot")))
-      .groupBy(groupCol)
-      .agg {
-        val vlo = min(when(col("_cum") >= col("_lo"), col("_v")))
-        val vhi = min(when(col("_cum") >= col("_hi"), col("_v")))
-        val frac = max(col("_h")) - (max(col("_lo")) - 1).cast("double")
-        (vlo * (lit(1.0) - frac) + vhi * frac).as(outName)
-      }
+    val enriched = quantiles.zipWithIndex.foldLeft(base) { case (d, ((q, _), i)) =>
+      d.withColumn(s"_h_$i", (col("_tot") - 1).cast("double") * lit(q))
+        .withColumn(s"_lo_$i", floor(col(s"_h_$i")).cast("long") + 1)
+        .withColumn(s"_hi_$i", least(col(s"_lo_$i") + 1, col("_tot")))
+    }
+    val aggs = quantiles.zipWithIndex.map { case ((_, name), i) =>
+      val vlo = min(when(col("_cum") >= col(s"_lo_$i"), col("_v")))
+      val vhi = min(when(col("_cum") >= col(s"_hi_$i"), col("_v")))
+      val frac = max(col(s"_h_$i")) - (max(col(s"_lo_$i")) - 1).cast("double")
+      (vlo * (lit(1.0) - frac) + vhi * frac).as(name)
+    }
+    enriched.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Robust per-group outlier gate: median + MAD (median absolute

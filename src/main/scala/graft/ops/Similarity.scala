@@ -396,7 +396,11 @@ object Similarity {
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
       .select(col("qid"), col("cid").as("cell"))
-    val vecs = corpus.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+    // Query vectors come from the QUERIES frame, corpus vectors from the
+    // corpus — queries need not be corpus rows (an external query set must
+    // rerank against its own vectors, not a corpus lookup by id).
+    val qvecs = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+    val nvecs = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nvec"))
     // Each corpus vector lives in exactly one cell, so the cell join yields
     // each (qid, nid) at most once — no distinct needed.
     val cands = probed
@@ -405,8 +409,8 @@ object Similarity {
       .select(col("qid"), col("nid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     cands
-      .join(vecs.select(col("vid").as("qid"), col("vec").as("qvec")), "qid")
-      .join(vecs.select(col("vid").as("nid"), col("vec").as("nvec")), "nid")
+      .join(qvecs, "qid")
+      .join(nvecs, "nid")
       .select(col("qid"), col("nid"), cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

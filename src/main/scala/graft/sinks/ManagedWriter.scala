@@ -237,12 +237,21 @@ object ManagedWriter {
     // are still the authoritative snapshot) and keeps half-written output
     // out of the destination directory.
     val staging = new Path(s"$destDir-merge-${UUID.randomUUID().toString.take(8)}")
-    merged.write.mode("errorifexists").parquet(staging.toString)
-    val promoted = promoteDir(fs, staging, destDir)
-    if (crashBeforePublish)
-      throw new java.io.IOException("simulated crash before merge publish (test hook)")
-    publishExactManifest(fs, destDir, baseVersion, promoted)
-    fs.delete(staging, true)
+    // The staging dir must not outlive the call on ANY outcome: after
+    // promoteDir the part files have moved into the destination, so only
+    // the _SUCCESS marker (and, on a pre-promote failure, partial output)
+    // remains — but it sits BESIDE destDir where no vacuum ever lists, so
+    // a conflict-path leak would accumulate one orphan dir per failed
+    // merge forever.
+    try {
+      merged.write.mode("errorifexists").parquet(staging.toString)
+      val promoted = promoteDir(fs, staging, destDir)
+      if (crashBeforePublish)
+        throw new java.io.IOException("simulated crash before merge publish (test hook)")
+      publishExactManifest(fs, destDir, baseVersion, promoted)
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
     baseVersion + 1
   }
 

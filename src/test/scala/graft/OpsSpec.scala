@@ -302,6 +302,24 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"integer IVF recall too low: $recall")
   }
 
+  test("integer-quantized ivf serves EXTERNAL query sets (ids absent from the corpus)") {
+    // A serving query set is usually NOT rows of the corpus: remap the ids
+    // out of the corpus domain and the rerank must still use the query's
+    // own vector — each external query's nearest neighbor is its corpus
+    // twin (identical vector, cosine 1), which a corpus-lookup-by-qid bug
+    // would miss entirely (empty result) or corrupt (wrong vector).
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10).withColumn("vec_id", $"vec_id" + 1000000L)
+    val got = Similarity.ivfIntTopK(e, q, "vec_id", "embedding", nCells = 8, nProbe = 4, k = 3)
+      .collect()
+    assert(got.length == 30, s"expected 10 queries x top-3, got ${got.length}")
+    val rank1 = got.filter(_.getAs[Long]("rank") == 1L)
+    assert(rank1.forall(r =>
+      r.getAs[Long]("nid") == r.getAs[Long]("qid") - 1000000L &&
+        r.getAs[Double]("cos") > 0.999999),
+      "external query did not find its identical corpus twin at rank 1")
+  }
+
   test("ivf fit-once index reproduces the one-shot path and is reused") {
     val e = Tables(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 10)
