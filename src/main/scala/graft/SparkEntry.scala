@@ -2842,11 +2842,12 @@ object SparkEntry {
         val qList = words.map(w => s"('$w')").mkString(", ")
         Some(
           s"""WITH tok AS (SELECT unnest($oToks) AS tok FROM documents),
-             |e AS (SELECT tok, unnest(range($depth)) AS r FROM tok),
-             |c AS (SELECT r, ${oHash32("r::VARCHAR || ':' || tok")} % $width AS bucket,
+             |e AS (SELECT ${oHash32("tok")} AS b, unnest(range($depth)) AS r FROM tok),
+             |c AS (SELECT r, ((b * (r*2+1) + r*12345 + 67891) % 4294967296) % $width AS bucket,
              |    COUNT(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
              |q(word) AS (VALUES $qList),
-             |qe AS (SELECT word, r, ${oHash32("r::VARCHAR || ':' || word")} % $width AS bucket
+             |qe AS (SELECT word, r,
+             |    ((${oHash32("word")} * (r*2+1) + r*12345 + 67891) % 4294967296) % $width AS bucket
              |  FROM q CROSS JOIN (SELECT unnest(range($depth)) AS r)),
              |est AS (SELECT word, MIN(coalesce(cnt, 0))::BIGINT AS est
              |  FROM qe LEFT JOIN c USING (r, bucket) GROUP BY word),
@@ -2878,10 +2879,12 @@ object SparkEntry {
         val qList = words.map(w => s"('$w')").mkString(", ")
         Some(
           s"""WITH tok AS (SELECT DISTINCT unnest($oToks) AS tok FROM documents),
-             |bits AS (SELECT DISTINCT ${oHash32("r::VARCHAR || ':' || tok")} % $m AS pos
+             |bits AS (SELECT DISTINCT
+             |    ((${oHash32("tok")} * (r*2+1) + r*12345 + 67891) % 4294967296) % $m AS pos
              |  FROM tok CROSS JOIN (SELECT unnest(range($k)) AS r)),
              |q(word) AS (VALUES $qList),
-             |qp AS (SELECT word, ${oHash32("r::VARCHAR || ':' || word")} % $m AS pos
+             |qp AS (SELECT word,
+             |    ((${oHash32("word")} * (r*2+1) + r*12345 + 67891) % 4294967296) % $m AS pos
              |  FROM q CROSS JOIN (SELECT unnest(range($k)) AS r)),
              |pr AS (SELECT word, bool_and(pos IN (SELECT pos FROM bits)) AS maybe_present
              |  FROM qp GROUP BY word),

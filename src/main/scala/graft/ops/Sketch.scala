@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * (the classic CM guarantee).
   *
   * Unlike seeded-random CMS implementations, the row hashes derive from
-  * md5 (`hash32(row ':' token)`), so the ENTIRE sketch is a pure function
-  * of the input: bit-identical across engines, cluster sizes, and reruns
+  * ONE md5 base hash per item via the minhash affine family
+  * (`(b·(2r+1) + 12345·r + 67891) mod 2^32`), so the ENTIRE sketch is a
+  * pure function of the input: bit-identical across engines, cluster
+  * sizes, and reruns
   * — estimates are hash-checkable against a SQL replay (`ns68`), and two
   * sketches built anywhere merge by adding counters cell-wise (the
   * streaming/distributed counting artifact a pipeline persists between
@@ -25,8 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  private def bucketOf(row: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column, width: Int) =
-    TextOps.hash32(concat(row.cast("string"), lit(":"), tok)) % width
+  /** Row-`r` bucket from a PRECOMPUTED base hash: the affine family
+    * `(b·(2r+1) + 12345·r + 67891) mod 2^32 mod width` — the same
+    * construction [[TextOps.minhashSignature]] uses, so one md5 per item
+    * serves every row instead of `depth` md5s (the md5 is the kernel's
+    * whole cost; the affine step is three integer ops).
+    */
+  private def bucketOf(row: org.apache.spark.sql.Column, base: org.apache.spark.sql.Column, width: Int) =
+    ((base * (row * 2 + lit(1)) + row * lit(12345L) + lit(67891L)) % lit(TextOps.MinhashEmpty)) % width
+
+  private def baseHash(c: org.apache.spark.sql.Column) = TextOps.hash32(c)
 
   /** Build the counter table from one row per token OCCURRENCE.
     * Output: (r, bucket, cnt) — at most depth×width rows; absent cells
@@ -39,8 +49,8 @@ object Sketch {
       width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
     occurrences
-      .select(col(tokenCol).as("_tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .select(col("r"), bucketOf(col("r"), col("_tok"), width).as("bucket"))
+      .select(baseHash(col(tokenCol)).as("_b"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), bucketOf(col("r"), col("_b"), width).as("bucket"))
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -57,8 +67,9 @@ object Sketch {
       width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
     queries
-      .select(col(tokenCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("bucket", bucketOf(col("r"), col(tokenCol), width))
+      .select(col(tokenCol), baseHash(col(tokenCol)).as("_b"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", bucketOf(col("r"), col("_b"), width))
       .join(counters, Seq("r", "bucket"), "left")
       .groupBy(tokenCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
@@ -88,8 +99,8 @@ object Sketch {
   def bloomBits(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame = {
     require(k >= 1 && m >= 1, "need k >= 1 and m >= 1")
     items
-      .select(col(itemCol).as("_it"), explode(sequence(lit(0), lit(k - 1))).as("r"))
-      .select((bucketOf(col("r"), col("_it"), m)).as("pos"))
+      .select(baseHash(col(itemCol)).as("_b"), explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select(bucketOf(col("r"), col("_b"), m).as("pos"))
       .distinct()
   }
 
@@ -105,8 +116,9 @@ object Sketch {
       m: Int): DataFrame = {
     require(k >= 1 && m >= 1, "need k >= 1 and m >= 1")
     queries
-      .select(col(itemCol), explode(sequence(lit(0), lit(k - 1))).as("r"))
-      .withColumn("pos", bucketOf(col("r"), col(itemCol), m))
+      .select(col(itemCol), baseHash(col(itemCol)).as("_b"),
+        explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .withColumn("pos", bucketOf(col("r"), col("_b"), m))
       .join(bits.withColumn("_hit", lit(1L)), Seq("pos"), "left")
       .groupBy(itemCol)
       .agg((count(lit(1)) === sum(coalesce(col("_hit"), lit(0L)))).as("maybe_present"))
