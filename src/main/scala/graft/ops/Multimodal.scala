@@ -357,14 +357,19 @@ object Multimodal {
         val img = reader.read(0)
         val w = img.getWidth
         val h = img.getHeight
+        // Bulk row transfer: one getRGB call per row into a reused buffer
+        // (per-pixel getRGB pays a color-model conversion call per pixel —
+        // ~2x the decode cost on large rasters).
+        val row = new Array[Int](w)
         var sr = 0L
         var sg = 0L
         var sb = 0L
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             sr += (rgb >> 16) & 0xff
             sg += (rgb >> 8) & 0xff
             sb += rgb & 0xff
@@ -429,18 +434,17 @@ object Multimodal {
     require(rgb.length == width * height * 3, "rgb length != w*h*3")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // One bulk setRGB with a packed pixel array (per-pixel setRGB pays a
+    // color-model conversion call per pixel).
+    val px = new Array[Int](width * height)
     var i = 0
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y,
-          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-        i += 3
-        x += 1
-      }
-      y += 1
+    var p = 0
+    while (p < px.length) {
+      px(p) = ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff)
+      i += 3
+      p += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
