@@ -1309,6 +1309,37 @@ object SparkEntry {
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+    // TPC-H Q18-shaped (large-volume customers): the grouped-HAVING
+    // semi-join — orders qualify via an aggregate predicate over their own
+    // lineitems, then rejoin the facts for reporting. The qualifying-key
+    // set is aggregate-output-sized (AQE broadcasts it when small).
+    Q(
+      "b59_tpch_q18",
+      Some(
+        s"""WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           |  HAVING SUM(${oCents("l_quantity")}) > 15000)
+           |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           |  ${oSum("l_quantity")} AS total_qty
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+           |ORDER BY total_qty DESC, o_orderkey LIMIT 25""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(cents(col("l_quantity"))).as("q"))
+        .filter(col("q") > 15000L)
+        .select(col("l_orderkey").as("bk"))
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(big, col("o_orderkey") === col("bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(fsum(col("l_quantity")).as("total_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(25)
     }
   )
 

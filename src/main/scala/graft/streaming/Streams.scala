@@ -237,6 +237,47 @@ object Streams {
       .start()
   }
 
+  /** Streaming count-min accumulation: each trigger's batch is sketched
+    * ([[graft.ops.Sketch.cmsCounters]]) and merged cell-wise into the
+    * running counter table — the streaming twin of the batch sketch
+    * build. Because sketch(A ∪ B) = sketch(A) + sketch(B) exactly,
+    * per-trigger accumulation introduces NO additional error over
+    * one-shot sketching the whole stream (spec-pinned cell-for-cell
+    * across triggers). State is the bounded depth×width counter table —
+    * O(sketch), never O(vocabulary) — rotated through
+    * [[graft.ops.Checkpoints]] like the incremental-dedup signatures.
+    * Re-delivered batch ids are skipped (a retried trigger must not
+    * double-count its tokens); `sink` receives the accumulated counters
+    * after each trigger.
+    */
+  def streamingCmsCounts(
+      newDocs: DataFrame,
+      textCol: String,
+      depth: Int,
+      width: Int,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var counters: Option[DataFrame] = None
+    var lastBatchId = -1L
+    val stream = newDocs.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val occ = batch.select(explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+          val batchSketch = graft.ops.Sketch.cmsCounters(occ, "tok", depth, width)
+          val next = graft.ops.Checkpoints.truncate(
+            counters.map(c => graft.ops.Sketch.cmsMerge(c, batchSketch)).getOrElse(batchSketch))
+          counters.foreach(graft.ops.Checkpoints.unpersist)
+          counters = Some(next)
+          sink(next)
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental near-dup dedup: the steady-state corpus
     * pipeline run AS A STREAM — each micro-batch of new documents is
     * LSH-probed against the accepted corpus' persisted MinHash signatures

@@ -187,6 +187,34 @@ class StreamingSpec extends SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
   }
 
+  test("streaming CMS accumulation equals the one-shot sketch cell for cell") {
+    import graft.ops.{Sketch, TextOps}
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-cms-src-${UUID.randomUUID().toString.take(8)}"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val (d, w) = (4, 256)
+    @volatile var last: Option[Array[((Int, Long), Long)]] = None
+    var triggers = 0
+    val q = Streams.streamingCmsCounts(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      "text", d, w) { counters =>
+      triggers += 1
+      last = Some(counters.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))))
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(triggers >= 2, "stream did not run as multiple triggers")
+    val oneShot = Sketch.cmsCounters(
+      spark.read.parquet(srcDir).select(explode(TextOps.tokens(col("text"))).as("tok")),
+      "tok", d, w)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(last.map(_.toMap).contains(oneShot),
+      "accumulated streaming sketch diverged from the one-shot sketch")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables(spark, sfDir, "events")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ssj-${UUID.randomUUID().toString.take(8)}"
