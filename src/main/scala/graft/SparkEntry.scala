@@ -2940,6 +2940,19 @@ object SparkEntry {
           coalesce(col("_p"), lit(false)).as("actually_present"))
         .orderBy("word")
     },
+    // NS-L1: Good-Turing count-of-counts over word trigrams — the N_r
+    // table discount-smoothed LMs are estimated from (N_1/N = the corpus'
+    // hapax fraction). Exact integer counts end to end.
+    Q(
+      "ns71_count_of_counts",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |g AS (SELECT doc_id, unnest($oShingles) AS gram FROM toks),
+           |f AS (SELECT gram, COUNT(*)::BIGINT AS freq FROM g GROUP BY gram)
+           |SELECT freq, COUNT(*)::BIGINT AS n_types FROM f GROUP BY freq
+           |ORDER BY freq""".stripMargin)) { (s, dir) =>
+      TextOps.countOfCounts(T(s, dir, "documents"), "doc_id", "text", n = 3)
+    },
     // NS-P4: per-group quantile profile (p25/p50/p75/p95 of document
     // length) — the counting-quantile generalization of ns64's median:
     // arbitrary continuous quantiles with no per-group value buffering,

@@ -580,4 +580,29 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
   }
+
+  /** Good-Turing count-of-counts: for word `n`-grams, how many DISTINCT
+    * n-gram types occur exactly `freq` times — the `N_r` table every
+    * discount-smoothed language model (Good-Turing, Katz, Kneser-Ney's
+    * singleton/doubleton statistics) is estimated from, and the standard
+    * "how heavy is the corpus tail" diagnostic (N_1/N is the fraction of
+    * hapax types). Output: (freq, n_types), ascending.
+    *
+    * Scale shape: grams come from the scan-local kernel
+    * ([[graft.ops.Dedup.shingleRows]]); the per-gram count shuffles the
+    * vocabulary with map-side combine, and the count-of-counts collapse
+    * shuffles one row per DISTINCT frequency — a few hundred rows at any
+    * corpus size (frequencies follow Zipf).
+    */
+  def countOfCounts(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.Dedup.shingleRows(df, idCol, textCol, n)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("freq")
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy("freq")
 }
