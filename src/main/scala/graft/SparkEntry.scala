@@ -1393,6 +1393,10 @@ object SparkEntry {
   private def oHits(toksExpr: String, words: Seq[String]) =
     s"length(list_filter($toksExpr, t -> list_contains(${oList(words)}, t)))"
   private val oHash32 = (e: String) => s"('0x' || substring(md5($e), 1, 8))::BIGINT"
+  // 60-bit md5 base (first 15 hex digits) — the Sketch hash family's
+  // single expensive value; rows split it into high-32/low-28 halves
+  // (Kirsch-Mitzenmacher double hashing).
+  private val oBase60 = (e: String) => s"('0x' || substring(md5($e), 1, 15))::BIGINT"
   // 3-word shingles of the token list `ts` (empty when < 3 tokens).
   private val oShingles =
     "CASE WHEN len(ts) >= 3 THEN [array_to_string(ts[i+1:i+3], ' ') for i in range(len(ts)-2)] ELSE [] END"
@@ -2873,13 +2877,14 @@ object SparkEntry {
         val qList = words.map(w => s"('$w')").mkString(", ")
         Some(
           s"""WITH tok AS (SELECT unnest($oToks) AS tok FROM documents),
-             |e AS (SELECT ${oHash32("tok")} AS b, unnest(range($depth)) AS r FROM tok),
-             |c AS (SELECT r, ((b * (r*2+1) + r*12345 + 67891) % 4294967296) % $width AS bucket,
+             |e AS (SELECT ${oBase60("tok")} AS b, unnest(range($depth)) AS r FROM tok),
+             |c AS (SELECT r, (((b // 268435456) + r * (b % 268435456)) % 4294967296) % $width AS bucket,
              |    COUNT(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
              |q(word) AS (VALUES $qList),
+             |qw AS (SELECT word, ${oBase60("word")} AS b FROM q),
              |qe AS (SELECT word, r,
-             |    ((${oHash32("word")} * (r*2+1) + r*12345 + 67891) % 4294967296) % $width AS bucket
-             |  FROM q CROSS JOIN (SELECT unnest(range($depth)) AS r)),
+             |    (((b // 268435456) + r * (b % 268435456)) % 4294967296) % $width AS bucket
+             |  FROM qw CROSS JOIN (SELECT unnest(range($depth)) AS r)),
              |est AS (SELECT word, MIN(coalesce(cnt, 0))::BIGINT AS est
              |  FROM qe LEFT JOIN c USING (r, bucket) GROUP BY word),
              |ex AS (SELECT tok AS word, COUNT(*)::BIGINT AS exact FROM tok GROUP BY 1)
@@ -2910,13 +2915,15 @@ object SparkEntry {
         val qList = words.map(w => s"('$w')").mkString(", ")
         Some(
           s"""WITH tok AS (SELECT DISTINCT unnest($oToks) AS tok FROM documents),
+             |tb AS (SELECT tok, ${oBase60("tok")} AS b FROM tok),
              |bits AS (SELECT DISTINCT
-             |    ((${oHash32("tok")} * (r*2+1) + r*12345 + 67891) % 4294967296) % $m AS pos
-             |  FROM tok CROSS JOIN (SELECT unnest(range($k)) AS r)),
+             |    (((b // 268435456) + r * (b % 268435456)) % 4294967296) % $m AS pos
+             |  FROM tb CROSS JOIN (SELECT unnest(range($k)) AS r)),
              |q(word) AS (VALUES $qList),
+             |qb AS (SELECT word, ${oBase60("word")} AS b FROM q),
              |qp AS (SELECT word,
-             |    ((${oHash32("word")} * (r*2+1) + r*12345 + 67891) % 4294967296) % $m AS pos
-             |  FROM q CROSS JOIN (SELECT unnest(range($k)) AS r)),
+             |    (((b // 268435456) + r * (b % 268435456)) % 4294967296) % $m AS pos
+             |  FROM qb CROSS JOIN (SELECT unnest(range($k)) AS r)),
              |pr AS (SELECT word, bool_and(pos IN (SELECT pos FROM bits)) AS maybe_present
              |  FROM qp GROUP BY word),
              |ex AS (SELECT word, word IN (SELECT tok FROM tok) AS actually_present FROM q)

@@ -248,16 +248,29 @@ object Streams {
     * [[graft.ops.Checkpoints]] like the incremental-dedup signatures.
     * Re-delivered batch ids are skipped (a retried trigger must not
     * double-count its tokens); `sink` receives the accumulated counters
-    * after each trigger.
+    * after each trigger — VALID ONLY UNTIL THE NEXT TRIGGER (the
+    * superseded snapshot's blocks are then freed with truncated lineage;
+    * a sink that retains frames must copy/write them inside its call).
+    *
+    * RESTART semantics: the accumulated counters live in driver memory,
+    * NOT in the streaming checkpoint — with `checkpointLocation` set,
+    * Spark resumes source offsets past already-committed batches but
+    * this writer starts from an EMPTY sketch, silently undercounting
+    * everything before the restart. The counter table is exactly the
+    * artifact to persist each trigger (it is tiny and mergeable):
+    * persist from `sink`, reload on restart, and pass it as `initial`
+    * — sketch mergeability makes the resumed accumulation exact.
     */
   def streamingCmsCounts(
       newDocs: DataFrame,
       textCol: String,
       depth: Int,
       width: Int,
-      checkpointLocation: Option[String] = None)(
+      checkpointLocation: Option[String] = None,
+      initial: Option[DataFrame] = None)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    var counters: Option[DataFrame] = None
+    var counters: Option[DataFrame] =
+      initial.map(graft.ops.Checkpoints.truncate(_))
     var lastBatchId = -1L
     val stream = newDocs.writeStream
     checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))

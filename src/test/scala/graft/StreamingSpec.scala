@@ -197,7 +197,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(srcDir).schema
     val (d, w) = (4, 256)
     @volatile var last: Option[Array[((Int, Long), Long)]] = None
-    var triggers = 0
+    @volatile var triggers = 0
     val q = Streams.streamingCmsCounts(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
       "text", d, w) { counters =>
@@ -213,6 +213,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
     assert(last.map(_.toMap).contains(oneShot),
       "accumulated streaming sketch diverged from the one-shot sketch")
+  }
+
+  test("streaming CMS resumes exactly from a persisted initial sketch") {
+    import graft.ops.{Sketch, TextOps}
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    def occOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val (d, w) = (4, 256)
+    // "Pre-restart" half, persisted as a counter table...
+    val initial = Sketch.cmsCounters(occOf(docs.filter(col("doc_id") % 2 === 0)), "tok", d, w)
+    // ...then the stream delivers only the remaining half.
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-cmsr-src-${UUID.randomUUID().toString.take(8)}"
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    @volatile var last: Option[Map[(Int, Long), Long]] = None
+    val q = Streams.streamingCmsCounts(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "text", d, w, initial = Some(initial)) { counters =>
+      last = Some(counters.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    val oneShot = Sketch.cmsCounters(occOf(docs), "tok", d, w)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(last.contains(oneShot), "seeded resume diverged from the one-shot sketch")
   }
 
   test("stream-stream interval join matches the batch join") {
