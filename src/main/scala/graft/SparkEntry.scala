@@ -1340,6 +1340,30 @@ object SparkEntry {
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(25)
+    },
+    // TPC-H Q6 (forecasting revenue change): the pure filter+aggregate
+    // scan — every predicate must reach the parquet reader (pushdown
+    // plan-asserted class) and the revenue product stays exact cents.
+    Q(
+      "b60_tpch_q6",
+      Some(
+        s"""SELECT CAST(SUM(${oCents("l_extendedprice")} * ${oCents("l_discount")}) AS DOUBLE) / 10000.0 AS revenue,
+           |  COUNT(*) AS n
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          (sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+            .cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n"))
     }
   )
 

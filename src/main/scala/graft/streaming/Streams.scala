@@ -291,6 +291,44 @@ object Streams {
       .start()
   }
 
+  /** Streaming Bloom accumulation: the membership twin of
+    * [[streamingCmsCounts]] — each trigger's distinct tokens extend the
+    * running set-bit position table (`bloom(A ∪ B) = bits(A) ∪ bits(B)`,
+    * so per-trigger accumulation is EXACT), giving a live
+    * no-false-negative screen over everything the stream has delivered.
+    * Same contracts as the CMS twin: sink frames valid only within their
+    * trigger, driver-held state with an `initial` seed for exact restart
+    * resume, retried batch ids skipped.
+    */
+  def streamingBloomBits(
+      newDocs: DataFrame,
+      textCol: String,
+      k: Int,
+      m: Int,
+      checkpointLocation: Option[String] = None,
+      initial: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var bits: Option[DataFrame] = initial.map(graft.ops.Checkpoints.truncate(_))
+    var lastBatchId = -1L
+    val stream = newDocs.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val toks = batch.select(explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+          val batchBits = graft.ops.Sketch.bloomBits(toks, "tok", k, m)
+          val next = graft.ops.Checkpoints.truncate(
+            bits.map(b => graft.ops.Sketch.bloomMerge(b, batchBits)).getOrElse(batchBits))
+          bits.foreach(graft.ops.Checkpoints.unpersist)
+          bits = Some(next)
+          sink(next)
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental near-dup dedup: the steady-state corpus
     * pipeline run AS A STREAM — each micro-batch of new documents is
     * LSH-probed against the accepted corpus' persisted MinHash signatures

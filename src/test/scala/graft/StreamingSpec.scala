@@ -240,6 +240,29 @@ class StreamingSpec extends SparkSpec {
     assert(last.contains(oneShot), "seeded resume diverged from the one-shot sketch")
   }
 
+  test("streaming Bloom accumulation equals the one-shot filter, seeded resume included") {
+    import graft.ops.{Sketch, TextOps}
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    def toksOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val (k, m) = (5, 4096)
+    val initial = Sketch.bloomBits(toksOf(docs.filter(col("doc_id") % 2 === 0)), "tok", k, m)
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-blm-src-${UUID.randomUUID().toString.take(8)}"
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    @volatile var last: Option[Set[Long]] = None
+    val q = Streams.streamingBloomBits(
+      spark.readStream.schema(schema).parquet(srcDir),
+      "text", k, m, initial = Some(initial)) { bits =>
+      last = Some(bits.collect().map(_.getLong(0)).toSet)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    val oneShot = Sketch.bloomBits(toksOf(docs), "tok", k, m)
+      .collect().map(_.getLong(0)).toSet
+    assert(last.contains(oneShot), "accumulated streaming bloom diverged from one-shot")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables(spark, sfDir, "events")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ssj-${UUID.randomUUID().toString.take(8)}"
