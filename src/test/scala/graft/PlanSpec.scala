@@ -172,6 +172,27 @@ class PlanSpec extends SparkSpec {
       "b56 top-k is a global sort, not TakeOrdered")
   }
 
+  test("sketch shapes: bounded counter table broadcasts to the probe, partial-agg build") {
+    import graft.ops.{Sketch, TextOps}
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val occ = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val counters = Sketch.cmsCounters(occ, "tok", 4, 1024)
+    counters.collect()
+    val cp = counters.queryExecution.executedPlan.toString
+    // The counter build must map-side combine (the shuffle is bounded by
+    // the sketch, but only because partial aggregation collapses each
+    // partition's occurrences to <= depth*width rows first).
+    assert(cp.contains("partial_count"), s"counter build shuffles raw occurrences:\n$cp")
+    val est = Sketch.cmsEstimate(counters, Seq("the", "data").toDF("word"), "word", 4, 1024)
+    est.collect()
+    val ep = est.queryExecution.executedPlan.toString
+    // The <= depth*width counter table is broadcast to the probe fan-out —
+    // an estimate must never shuffle for a dimension bounded by the sketch.
+    assert(ep.contains("BroadcastHashJoin"), s"probe join shuffles the bounded counters:\n$ep")
+    assert(!ep.contains("CartesianProduct"), s"probe degenerated to a cartesian:\n$ep")
+  }
+
   test("corpus-cardinality dimensions are not force-broadcast (ns09/ns22 scale guard)") {
     // The counts dim in ngramJaccardPairs is one row per DOCUMENT, and the
     // CleanCorpus dropList is every near-dup doc — at 10^9 docs a forced
