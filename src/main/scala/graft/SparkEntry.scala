@@ -2971,6 +2971,38 @@ object SparkEntry {
           coalesce(col("_p"), lit(false)).as("actually_present"))
         .orderBy("word")
     },
+    // NS-P5: distribution drift between two corpus snapshots — exact
+    // integer histogram comparison with per-bucket share deltas and the
+    // total-variation distance (|n_a·tb − n_b·ta| summed exactly, two
+    // IEEE divisions at the end). Snapshots here: early vs late ship-date
+    // halves of lineitem, monitored on extended price.
+    Q(
+      "ns72_histogram_drift",
+      Some(
+        """WITH a AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 1000000 AS bucket,
+          |    COUNT(*)::BIGINT AS n_a FROM lineitem
+          |  WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00' GROUP BY 1),
+          |b AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 1000000 AS bucket,
+          |    COUNT(*)::BIGINT AS n_b FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00' GROUP BY 1),
+          |j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+          |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+          |t AS (SELECT SUM(n_a)::BIGINT AS ta, SUM(n_b)::BIGINT AS tb FROM j),
+          |s AS (SELECT SUM(abs(n_a * tb - n_b * ta))::BIGINT AS num FROM j CROSS JOIN t)
+          |SELECT bucket, n_a, n_b,
+          |  n_a::DOUBLE / ta::DOUBLE AS share_a,
+          |  n_b::DOUBLE / tb::DOUBLE AS share_b,
+          |  num::DOUBLE / (ta::DOUBLE * tb::DOUBLE) / 2.0 AS tvd
+          |FROM j CROSS JOIN t CROSS JOIN s ORDER BY bucket""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+      Profile.histogramDrift(
+          li.where(col("l_shipdate") < cut),
+          li.where(col("l_shipdate") >= cut),
+          "l_extendedprice", widthCents = 1000000L)
+        .orderBy("bucket")
+    },
     // NS-L1: Good-Turing count-of-counts over word trigrams — the N_r
     // table discount-smoothed LMs are estimated from (N_1/N = the corpus'
     // hapax fraction). Exact integer counts end to end.

@@ -198,6 +198,55 @@ object Profile {
         (abs(col(valueCol).cast("double") - col("med")) > col("mad") * k).as("is_outlier"))
   }
 
+  /** Distribution drift between two corpus snapshots: both sides bucketed
+    * with the same exact integer histogram ([[centsHistogram]] buckets),
+    * full-outer joined, with per-bucket counts, per-bucket share deltas,
+    * and the total-variation distance (half the L1 distance between the
+    * two share vectors — 0 = identical distributions, 1 = disjoint)
+    * repeated on every row. All bucketing and counting is exact integer
+    * arithmetic; shares and TVD are fixed-order IEEE divisions of exact
+    * longs, so the result is engine-reproducible — the "did the new crawl
+    * shift the length/quality/price distribution?" monitoring primitive.
+    *
+    * Output: (bucket, n_a, n_b, share_a, share_b, tvd), one row per
+    * bucket present on either side.
+    *
+    * Scale shape: two scan-local bucket aggregations (map-side combined),
+    * a bucket-cardinality full-outer join, and two one-row total
+    * aggregates broadcast by AQE — nothing scales with row count but the
+    * two scans.
+    */
+  def histogramDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      widthCents: Long): DataFrame = {
+    val ha = centsHistogram(a, valueCol, widthCents).select(col("bucket"), col("n").as("n_a"))
+    val hb = centsHistogram(b, valueCol, widthCents).select(col("bucket"), col("n").as("n_b"))
+    val joined = ha
+      .join(hb, Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    // TVD numerator per bucket: |n_a·tb − n_b·ta| — EXACT integer, so the
+    // cross-bucket sum is order-independent (a direct sum of the double
+    // share deltas would drift with aggregation order); one double
+    // division at the end. Long headroom: counts up to ~3·10^9 rows per
+    // side stay under 2^63 in the product.
+    joined
+      .crossJoin(broadcast(totals)) // one-row totals — justified hint
+      .withColumn("share_a", col("n_a").cast("double") / col("ta").cast("double"))
+      .withColumn("share_b", col("n_b").cast("double") / col("tb").cast("double"))
+      .withColumn("_num", abs(col("n_a") * col("tb") - col("n_b") * col("ta")))
+      .withColumn(
+        "tvd",
+        sum(col("_num")).over(Window.partitionBy(lit(1))).cast("double") /
+          (col("ta").cast("double") * col("tb").cast("double")) / 2.0)
+      .select("bucket", "n_a", "n_b", "share_a", "share_b", "tvd")
+  }
+
   def centsHistogram(df: DataFrame, valueCol: String, widthCents: Long): DataFrame = {
     require(widthCents > 0, "non-positive bucket width")
     df.select(expr(s"CAST(ROUND($valueCol * 100) AS BIGINT) div $widthCents").as("bucket"))

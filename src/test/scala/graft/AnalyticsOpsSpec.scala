@@ -150,6 +150,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramDrift: hand-computed TVD, zero for identical snapshots") {
+    import graft.ops.Profile
+    // A: values 1.00 x2, 2.00 x2  ->  buckets(width 100c): {1:2, 2:2}
+    // B: values 1.00 x4           ->  {1:4}
+    // shares A: (.5, .5); B: (1, 0); TVD = (|.5-1| + |.5-0|)/2 = 0.5
+    val a = Seq(1.00, 1.00, 2.00, 2.00).toDF("v")
+    val b = Seq(1.00, 1.00, 1.00, 1.00).toDF("v")
+    val got = Profile.histogramDrift(a, b, "v", widthCents = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 4L, 0.5), (2L, 2L, 0L, 0.5)))
+    // Identical snapshots -> TVD exactly 0 on every row.
+    val same = Profile.histogramDrift(a, a, "v", 100L).select("tvd")
+      .collect().map(_.getDouble(0))
+    assert(same.nonEmpty && same.forall(_ == 0.0))
+  }
+
   test("madOutliers flags the heavy tail and nothing else") {
     import graft.ops.Profile
     val df = Seq(
