@@ -2989,11 +2989,11 @@ object SparkEntry {
           |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
           |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
           |t AS (SELECT SUM(n_a)::BIGINT AS ta, SUM(n_b)::BIGINT AS tb FROM j),
-          |s AS (SELECT SUM(abs(n_a * tb - n_b * ta))::BIGINT AS num FROM j CROSS JOIN t)
+          |s AS (SELECT SUM(abs(n_a * tb - n_b * ta))::DOUBLE AS num FROM j CROSS JOIN t)
           |SELECT bucket, n_a, n_b,
           |  n_a::DOUBLE / ta::DOUBLE AS share_a,
           |  n_b::DOUBLE / tb::DOUBLE AS share_b,
-          |  num::DOUBLE / (ta::DOUBLE * tb::DOUBLE) / 2.0 AS tvd
+          |  num / (ta::DOUBLE * tb::DOUBLE) / 2.0 AS tvd
           |FROM j CROSS JOIN t CROSS JOIN s ORDER BY bucket""".stripMargin)) { (s, dir) =>
       val li = T(s, dir, "lineitem")
       val cut = lit("1998-06-01 00:00:00").cast("timestamp")

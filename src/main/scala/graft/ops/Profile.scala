@@ -233,16 +233,30 @@ object Profile {
     // TVD numerator per bucket: |n_a·tb − n_b·ta| — EXACT integer, so the
     // cross-bucket sum is order-independent (a direct sum of the double
     // share deltas would drift with aggregation order); one double
-    // division at the end. Long headroom: counts up to ~3·10^9 rows per
-    // side stay under 2^63 in the product.
+    // division at the end. Each per-bucket product needs counts under
+    // ~3·10^9 per side to fit a long, but the cross-bucket SUM can reach
+    // 2·ta·tb — accumulated as decimal(38,0) (exact, order-independent;
+    // the decimal path runs over BUCKET-cardinality rows, never the
+    // corpus). An EMPTY side raises instead of returning NULL shares — a
+    // drift monitor must never read "no signal" from a misconfigured
+    // snapshot.
+    val shareA = when(
+      col("ta") > 0,
+      col("n_a").cast("double") / col("ta").cast("double"))
+      .otherwise(raise_error(lit("histogramDrift: left snapshot is empty")))
+    val shareB = when(
+      col("tb") > 0,
+      col("n_b").cast("double") / col("tb").cast("double"))
+      .otherwise(raise_error(lit("histogramDrift: right snapshot is empty")))
     joined
       .crossJoin(broadcast(totals)) // one-row totals — justified hint
-      .withColumn("share_a", col("n_a").cast("double") / col("ta").cast("double"))
-      .withColumn("share_b", col("n_b").cast("double") / col("tb").cast("double"))
+      .withColumn("share_a", shareA)
+      .withColumn("share_b", shareB)
       .withColumn("_num", abs(col("n_a") * col("tb") - col("n_b") * col("ta")))
       .withColumn(
         "tvd",
-        sum(col("_num")).over(Window.partitionBy(lit(1))).cast("double") /
+        sum(col("_num").cast("decimal(38,0)")).over(Window.partitionBy(lit(1)))
+          .cast("double") /
           (col("ta").cast("double") * col("tb").cast("double")) / 2.0)
       .select("bucket", "n_a", "n_b", "share_a", "share_b", "tvd")
   }

@@ -165,6 +165,13 @@ class AnalyticsOpsSpec extends SparkSpec {
     val same = Profile.histogramDrift(a, a, "v", 100L).select("tvd")
       .collect().map(_.getDouble(0))
     assert(same.nonEmpty && same.forall(_ == 0.0))
+    // An empty snapshot must raise, never report NULL shares ("no drift").
+    val empty = a.where(lit(false))
+    val e = intercept[Exception] {
+      Profile.histogramDrift(a, empty, "v", 100L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("snapshot is empty") ||
+      Option(e.getCause).exists(_.getMessage.contains("snapshot is empty")))
   }
 
   test("madOutliers flags the heavy tail and nothing else") {
