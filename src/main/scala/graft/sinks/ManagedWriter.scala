@@ -182,7 +182,9 @@ object ManagedWriter {
   /** Delta-style versioned MERGE: apply a CDC changeset
     * ([[graft.ops.Merge.applyChanges]] semantics — op `D` deletes, any
     * other op upserts) to the destination's LATEST committed snapshot and
-    * publish the merged table as the next manifest version. The commit
+    * publish the merged table as the next manifest version — the
+    * updatable-table step the reference's append-only managed write
+    * (`bigquery_write.go:327-485`) stops short of. The commit
     * point is the same single manifest rename every batch commit uses:
     * merged data files land first (invisible to manifest readers), then
     * one atomic rename makes version N+1 the newest — a crash anywhere

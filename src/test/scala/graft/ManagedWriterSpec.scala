@@ -219,6 +219,20 @@ class ManagedWriterSpec extends SparkSpec {
       df.where(col("s_suppkey") % 10 === 1).count())
   }
 
+  test("merge adopts a plain parquet destination (pre-manifest) before applying changes") {
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sfDir, "nation")
+    val dest = tmp()
+    // Plain df.write.parquet — no ManagedWriter, no manifest.
+    df.write.parquet(dest)
+    val changes = df.where(col("n_nationkey") < 5).withColumn("op", lit("D"))
+    val vNew = ManagedWriter.merge(spark, dest, changes, Seq("n_nationkey"))
+    // The base manifest adopted the pre-existing files (version vNew-1),
+    // and the merge applied on top of the adopted snapshot.
+    assert(ManagedWriter.read(spark, dest).count() == df.count() - 5)
+    assert(ManagedWriter.readVersion(spark, dest, vNew - 1).count() == df.count())
+  }
+
   test("crash before the merge's manifest publish leaves the old version authoritative") {
     import org.apache.spark.sql.functions._
     val df = Tables(spark, sfDir, "nation")
