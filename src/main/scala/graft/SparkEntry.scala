@@ -1431,6 +1431,37 @@ object SparkEntry {
   private val oDotSelf = (v: String) => s"list_dot_product($v, $v)"
   private def oCosine(a: String, b: String) =
     s"list_dot_product($a, $b) / (sqrt(${oDotSelf(a)}) * sqrt(${oDotSelf(b)}))"
+  // Exact integer squared-L2 between quantized vectors `q.v` and centroid
+  // `c.c` — the oracle twin of Clustering.sqDist.
+  private val oIntSqDist =
+    "list_sum(list_transform(range(len(q.v)), i -> (q.v[i+1]-c.c[i+1])*(q.v[i+1]-c.c[i+1])))"
+  // One DuckDB replay of a Lloyd round (assignment → exact sum-div-count
+  // centroid update → empty clusters keep their previous centroid) —
+  // the oracle twin of Clustering.fit's loop body.
+  private def oLloydRound(prev: String, n: Int) =
+    s"""a$n AS (SELECT vec_id, v, cid, d FROM (
+       |    SELECT q.vec_id, q.v AS v, c.cid, $oIntSqDist AS d FROM q CROSS JOIN $prev c) t
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+       |u$n AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS val FROM a$n),
+       |m$n AS (SELECT cid, pos, (SUM(val) // COUNT(*))::BIGINT AS m FROM u$n GROUP BY 1, 2),
+       |r$n AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$n GROUP BY 1),
+       |c$n AS (SELECT p.cid, coalesce(r.c, p.c) AS c FROM $prev p LEFT JOIN r$n r USING (cid)),""".stripMargin
+  // The full quantize → seeded Lloyd replay as a WITH-clause prefix:
+  // `ef` (float64 embeddings), `q` (int8-quantized as BIGINT), `c0`
+  // (lowest-id seed) through `c$rounds` (trained centroids). Shared by
+  // every oracle that must reproduce Clustering.kmeansInt* exactly
+  // (ns20 IVF, ns73 SemDeDup).
+  private def oKmeansCtes(k: Int, rounds: Int): String = {
+    val roundCtes =
+      (1 to rounds).map(n => oLloydRound(s"c${n - 1}", n)).mkString("\n")
+    s"""ef AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+       |s AS (SELECT vec_id, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale, vd FROM ef),
+       |q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(vd, x -> 0::BIGINT)
+       |    ELSE list_transform(vd, x -> round(x / scale)::BIGINT) END AS v FROM s),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |  FROM q ORDER BY vec_id LIMIT $k),
+       |$roundCtes""".stripMargin
+  }
 
   private val layerNS: Seq[Q] = Seq(
     // NS-T1: token counting — whitespace + BPE-ish regex tokens.
@@ -1740,25 +1771,9 @@ object SparkEntry {
     // quantizes first.)
     Q(
       "ns20_ivf_knn", {
-        val dist =
-          "list_sum(list_transform(range(len(q.v)), i -> (q.v[i+1]-c.c[i+1])*(q.v[i+1]-c.c[i+1])))"
-        def round(prev: String, n: Int) =
-          s"""a$n AS (SELECT vec_id, v, cid, d FROM (
-             |    SELECT q.vec_id, q.v AS v, c.cid, $dist AS d FROM q CROSS JOIN $prev c) t
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
-             |u$n AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS val FROM a$n),
-             |m$n AS (SELECT cid, pos, (SUM(val) // COUNT(*))::BIGINT AS m FROM u$n GROUP BY 1, 2),
-             |r$n AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$n GROUP BY 1),
-             |c$n AS (SELECT p.cid, coalesce(r.c, p.c) AS c FROM $prev p LEFT JOIN r$n r USING (cid)),""".stripMargin
+        val dist = oIntSqDist
         Some(
-          s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
-             |s AS (SELECT vec_id, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale, vd FROM ef),
-             |q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(vd, x -> 0::BIGINT)
-             |    ELSE list_transform(vd, x -> round(x / scale)::BIGINT) END AS v FROM s),
-             |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-             |  FROM q ORDER BY vec_id LIMIT 16),
-             |${round("c0", 1)}
-             |${round("c1", 2)}
+          s"""WITH ${oKmeansCtes(k = 16, rounds = 2)}
              |cells AS (SELECT vec_id AS nid, cid FROM (
              |    SELECT q.vec_id, c.cid, $dist AS d FROM q CROSS JOIN c2 c) t
              |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
@@ -3034,6 +3049,31 @@ object SparkEntry {
           T(s, dir, "documents"), "lang", "n_chars",
           Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
         .orderBy("lang")
+    },
+    // NS-D8: SemDeDup — cluster-scoped semantic dedup (quantize →
+    // bit-reproducible integer Lloyd → within-cluster exact-cosine pairs →
+    // greedy lowest-id keeper). The oracle replays the ENTIRE pipeline:
+    // the shared Lloyd CTEs train the same 16 centroids ns20 probes, the
+    // pair join is cluster-scoped, and kept = "no lower-id near-dup in my
+    // cluster".
+    Q(
+      "ns73_semdedup",
+      Some(
+        s"""WITH ${oKmeansCtes(k = 16, rounds = 2)}
+           |cells AS (SELECT vec_id, cid AS cluster FROM (
+           |    SELECT q.vec_id, c.cid, $oIntSqDist AS d FROM q CROSS JOIN c2 c) t
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+           |p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM cells a
+           |  JOIN cells b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+           |dp AS (SELECT DISTINCT p.vb FROM p
+           |  JOIN ef x ON x.vec_id = p.va JOIN ef y ON y.vec_id = p.vb
+           |  WHERE ${oCosine("x.vd", "y.vd")} >= 0.38)
+           |SELECT c.vec_id, c.cluster, (dp.vb IS NULL) AS kept
+           |FROM cells c LEFT JOIN dp ON dp.vb = c.vec_id
+           |ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+      Dedup.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 16, iterations = 2, minCosine = 0.38)
+        .orderBy("vec_id")
     }
   )
 

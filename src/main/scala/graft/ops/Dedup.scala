@@ -774,6 +774,76 @@ object Dedup {
     canonicals.unionByName(singletons)
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-partition the embedding
+    * space, then look for near-duplicates ONLY within each cluster — the
+    * standard trick that turns the quadratic all-pairs cosine search into
+    * k independent (n/k)²-sized problems, because semantically-duplicate
+    * documents land in the same cluster by construction.
+    *
+    * Pipeline (every step a pure function of the input — bit-identical
+    * across engines, retries, and partitionings):
+    *   1. int8-quantize ([[Quantize.quantizeInt8]]) and run the
+    *      bit-reproducible integer Lloyd ([[Clustering.kmeansIntModel]]:
+    *      lowest-id seed, exact long distances, sum-div-count updates,
+    *      ties to the lowest cid) to assign each vector a cluster;
+    *   2. candidate pairs = within-cluster id-ordered self-join;
+    *   3. exact cosine on the ORIGINAL float vectors keeps pairs at
+    *      `cos >= minCosine`;
+    *   4. greedy lowest-id keeper: a vector is dropped iff some
+    *      lower-id vector in its cluster is a near-duplicate of it.
+    *
+    * Output: `(idCol, cluster, kept)` — one row per input vector.
+    *
+    * Scale shape (the reason SemDeDup exists at 100 TB):
+    *   - the Lloyd fit shuffles at most k·d rows per partition per round
+    *     (see [[Clustering]]);
+    *   - the candidate self-join carries (cluster, id) rows ONLY — never
+    *     a vector payload — and each cluster's pair count is (n/k choose
+    *     2) instead of the global (n choose 2), an expected k× reduction
+    *     (more when clusters are balanced);
+    *   - full vectors rejoin by id O(candidate pairs) times for the exact
+    *     rerank, the same candidates-then-rerank split as
+    *     [[lshNearDupPairs]];
+    *   - the drop rule is a distinct over pair right-ids plus one left
+    *     join — no window, no per-cluster collection.
+    * Tune k so n/k keeps the per-cluster quadratic affordable (the paper
+    * uses k ≈ sqrt(n)·c; at 10^9 docs and k = 10^5, pairs ≈ 5·10^12·1/k
+    * per percent duplication — bounded by cluster balance, which the
+    * integer Lloyd preserves as well as float k-means does).
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int,
+      minCosine: Double): DataFrame = {
+    val qz = Quantize.quantizeInt8(df, idCol, vecCol)
+    val (assigned, _) = Clustering.kmeansIntModel(qz, idCol, "qvec", k, iterations)
+    val members = assigned.select(col(idCol).cast("long").as("vid"), col("cluster"))
+    // Id-only candidate generation: both self-join sides are the same
+    // (cluster, vid) subplan, so ReuseExchange computes it once.
+    val cand = members
+      .select(col("cluster"), col("vid").as("vid_a"))
+      .join(members.select(col("cluster"), col("vid").as("vid_b")), Seq("cluster"))
+      .filter(col("vid_a") < col("vid_b"))
+    val vecs = df.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
+    val dropped = cand
+      .join(vecs.select(col("vid").as("vid_a"), col("vec").as("va")), Seq("vid_a"))
+      .join(vecs.select(col("vid").as("vid_b"), col("vec").as("vb")), Seq("vid_b"))
+      .filter(Similarity.cosineFast(df, col("va"), col("vb")) >= minCosine)
+      .select(col("vid_b").as("vid"))
+      .distinct()
+    members
+      .join(dropped.withColumn("_dropped", lit(true)), Seq("vid"), "left")
+      .select(
+        col("vid").as(idCol),
+        col("cluster"),
+        coalesce(col("_dropped"), lit(false)).unary_!.as("kept"))
+  }
+
   /** float→double widen (exact), then divide by the index-order L2 norm —
     * the JVM twin of `x / sqrt(list_dot_product(v, v))`.
     */

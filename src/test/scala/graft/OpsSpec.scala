@@ -264,6 +264,37 @@ class OpsSpec extends SparkSpec {
     assert(ivf.nonEmpty, "IVF candidates found no pairs at all")
   }
 
+  test("semDedup drops exactly the higher id of a near-identical pair") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", k = 1, iterations = 1, minCosine = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Boolean]("kept")).toSeq == Seq(true, false, true))
+    // An impossible threshold keeps everything.
+    val all = Dedup.semDedup(df, "vec_id", "embedding", k = 1, iterations = 1, minCosine = 1.5)
+    assert(all.filter(!$"kept").count() == 0)
+  }
+
+  test("semDedup drops are a subset of global brute-force near-dup targets") {
+    val e = Tables(spark, sfDir, "embeddings")
+    // Cluster scoping can only REMOVE candidate pairs vs the global
+    // quadratic — every dropped id must be droppable globally — and the
+    // lowest id in the corpus can never be dropped (no lower-id witness).
+    val globalTargets = Dedup.bruteForceNearDupPairs(e, "vec_id", "embedding", 0.38)
+      .select($"vec_b").distinct().collect().map(_.getLong(0)).toSet
+    val out = Dedup.semDedup(e, "vec_id", "embedding", k = 16, iterations = 2, minCosine = 0.38)
+    val dropped = out.filter(!$"kept").select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture produced no semantic duplicates at 0.38")
+    assert(dropped.subsetOf(globalTargets),
+      s"semDedup dropped ids no global near-dup pair justifies: ${dropped -- globalTargets}")
+    assert(out.count() == e.count(), "semDedup must emit one row per input vector")
+    val minId = e.agg(min($"vec_id")).head().getLong(0)
+    assert(!dropped.contains(minId), "the lowest id has no lower-id witness and must be kept")
+  }
+
   test("embedding near-dup routes to the bucketed plan above the size guard") {
     val e = Tables(spark, sfDir, "embeddings")
     val viaGuard = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.38,
