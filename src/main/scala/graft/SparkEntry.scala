@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Layout, Linkage, Merge, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Layout, Linkage, Merge, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import graft.sinks.{ManagedWriter, StreamType}
@@ -3074,6 +3074,36 @@ object SparkEntry {
       Dedup.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
           k = 16, iterations = 2, minCosine = 0.38)
         .orderBy("vec_id")
+    },
+    // NS-T9: DSIR-style importance selection — hashed-unigram linear
+    // likelihood-ratio classifier (exact decimal/HUGEINT integers end to
+    // end, one final double cast), target corpus = the English slice.
+    // The oracle replays feature hashing, both corpus tables, the weight
+    // arithmetic, and the top-k verdict.
+    Q(
+      "ns74_importance_select",
+      Some(
+        s"""WITH tk AS (SELECT doc_id, unnest($oToks) AS t FROM documents),
+           |tf AS (SELECT doc_id, ${oHash32("t")} % 1024 AS bucket, COUNT(*)::BIGINT AS cnt
+           |  FROM tk GROUP BY 1, 2),
+           |ttk AS (SELECT doc_id, unnest($oToks) AS t FROM documents WHERE lang = 'en'),
+           |ttf AS (SELECT ${oHash32("t")} % 1024 AS bucket, COUNT(*)::BIGINT AS t_f
+           |  FROM ttk GROUP BY 1),
+           |sf AS (SELECT bucket, SUM(cnt)::BIGINT AS s_f FROM tf GROUP BY 1),
+           |tot AS (SELECT (SELECT SUM(s_f)::HUGEINT FROM sf) AS s_tot,
+           |               (SELECT coalesce(SUM(t_f), 0)::HUGEINT FROM ttf) AS t_tot),
+           |w AS (SELECT sf.bucket,
+           |    coalesce(ttf.t_f, 0)::HUGEINT * s_tot - sf.s_f::HUGEINT * t_tot AS w
+           |  FROM sf LEFT JOIN ttf USING (bucket) CROSS JOIN tot),
+           |sc AS (SELECT doc_id, SUM(cnt::HUGEINT * w.w) AS sc FROM tf JOIN w USING (bucket) GROUP BY 1),
+           |s2 AS (SELECT d.doc_id, coalesce(sc.sc, 0)::DOUBLE AS score
+           |  FROM documents d LEFT JOIN sc USING (doc_id)),
+           |r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM s2)
+           |SELECT doc_id, score, (rn <= 100) AS selected FROM r ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      Importance.importanceSelect(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024, k = 100)
+        .orderBy("doc_id")
     }
   )
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, Dedup, Funnel, Graph, Linkage, Merge, Profile, Quantize}
+import graft.ops.{Clustering, Dedup, Funnel, Graph, Importance, Linkage, Merge, Profile, Quantize}
 
 /** Specs for the round-6 analytics operator batch: record linkage, funnel,
   * integer PageRank, CDC merge, incremental dedup, cents histogram.
@@ -507,5 +507,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     val cents = Clustering.kmeansIntCentroids(df, "id", "v", k = 2, iterations = 3)
       .as[(Long, Array[Long])].collect().toMap
     assert(cents.size == 2 && cents.contains(1L))
+  }
+
+  // ---------------------------------------------------------- importance
+
+  test("importance scores prefer documents made of target-corpus words") {
+    val raw = Seq(
+      (1L, "aa aa aa"), // pure target vocabulary
+      (2L, "aa bb bb"), // mixed
+      (3L, "bb bb bb") // pure raw-only vocabulary
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "aa aa")).toDF("doc_id", "text")
+    val out = Importance.importanceSelect(raw, target, "doc_id", "text", buckets = 64, k = 1)
+      .orderBy("doc_id").collect()
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // 'aa' is over-represented in the target, 'bb' absent from it:
+    // w(aa) > 0 > w(bb), so scores must be strictly ordered 1 > 2 > 3.
+    assert(score(1L) > score(2L) && score(2L) > score(3L), score.toString)
+    assert(score(1L) > 0 && score(3L) < 0, score.toString)
+    assert(out.map(r => r.getAs[Boolean]("selected")).toSeq == Seq(true, false, false))
+  }
+
+  test("importance selection is exact-k and deterministic across partitionings") {
+    val docs = Tables(spark, sfDir, "documents")
+    val target = docs.filter($"lang" === "en")
+    val a = Importance.importanceSelect(docs, target, "doc_id", "text", 1024, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val b = Importance.importanceSelect(docs.repartition(7), target, "doc_id", "text", 1024, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(a == b, "importance selection must not depend on input partitioning")
+    assert(a.count(_._3) == 50)
+    assert(a.size == docs.count())
   }
 }
