@@ -3104,6 +3104,45 @@ object SparkEntry {
       Importance.importanceSelect(docs, docs.filter(col("lang") === "en"),
           "doc_id", "text", buckets = 1024, k = 100)
         .orderBy("doc_id")
+    },
+    // NS-SRC1: JSONL corpus ingest — write the documents table as JSONL,
+    // inject three malformed lines, read it back through the quarantine
+    // split, and aggregate per-language (plus one quarantine-count row).
+    // Proves byte-exact JSON round-trip (sum of read-back text lengths ==
+    // sum over the parquet source) AND that corrupt lines are counted,
+    // not dropped and not fatal. NOTE: like ns32/ns33, the timing
+    // includes the full JSONL WRITE by design.
+    Q(
+      "ns75_jsonl_ingest",
+      Some(
+        """SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(length(text))::BIGINT AS sum_len,
+          |  SUM(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY lang
+          |UNION ALL SELECT '_corrupt', 3::BIGINT, NULL::BIGINT, NULL::BIGINT
+          |ORDER BY lang""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val path = tmpLayoutDir(s, "graft_jsonl")
+      graft.sources.JsonlCorpus.writeJsonl(docs, path)
+      Seq("{\"doc_id\": 900001 garbage", "not json at all", "{\"text\": \"unterminated")
+        .toDF("value").coalesce(1).write.mode("append").text(path)
+      val (good, quarantine) = graft.sources.JsonlCorpus.readJsonl(s, path,
+        StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+      val perLang = good
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          sum("n_chars").as("sum_chars"))
+      val corrupt = quarantine
+        .agg(count(lit(1)).as("n_docs"))
+        .select(
+          lit("_corrupt").as("lang"), col("n_docs"),
+          lit(null).cast("long").as("sum_len"), lit(null).cast("long").as("sum_chars"))
+      perLang.unionByName(corrupt).orderBy("lang")
     }
   )
 
