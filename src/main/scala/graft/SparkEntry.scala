@@ -3143,6 +3143,30 @@ object SparkEntry {
           lit("_corrupt").as("lang"), col("n_docs"),
           lit(null).cast("long").as("sum_len"), lit(null).cast("long").as("sum_chars"))
       perLang.unionByName(corrupt).orderBy("lang")
+    },
+    // NS-T10: cross-document repeated-substring spans (substring-level
+    // dedup's cut list) — maximal token ranges covered by corpus-repeated
+    // trigram shingles, islands merged. The oracle replays the positional
+    // shingle hash, the ≥2 count, and the gaps-and-islands merge.
+    Q(
+      "ns76_repeated_spans",
+      Some(
+        """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+          |p AS (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS pos FROM toks WHERE len(ts) >= 3),
+          |g AS (SELECT doc_id, pos,
+          |    ('0x' || substring(md5(array_to_string(ts[pos+1:pos+3], ' ')), 1, 15))::BIGINT AS h FROM p),
+          |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+          |d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+          |wn AS (SELECT doc_id, pos, max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM d),
+          |i AS (SELECT doc_id, pos, SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+          |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM wn)
+          |SELECT doc_id, MIN(pos)::BIGINT AS span_start, (MAX(pos) + 2)::BIGINT AS span_end,
+          |  (MAX(pos) + 2 - MIN(pos) + 1)::BIGINT AS span_tokens
+          |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)) { (s, dir) =>
+      TextOps.repeatedSubstringSpans(T(s, dir, "documents"), "doc_id", "text",
+          w = 3, minCount = 2)
+        .orderBy("doc_id", "span_start")
     }
   )
 

@@ -496,6 +496,124 @@ object TextOps {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Cross-document repeated-substring SPANS (after Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): per document, the maximal token ranges covered by
+    * `w`-token shingles that occur at least `minCount` times in the WHOLE
+    * corpus (within-doc repeats count). Where [[boilerplateSpans]] names
+    * the shared grams, this names the positions — the removable ranges a
+    * substring-level dedup pass actually cuts.
+    *
+    * Output: `(idCol, span_start, span_end, span_tokens)` — token-index
+    * ranges (0-based, inclusive), overlapping or adjacent shingle hits
+    * merged into maximal islands.
+    *
+    * Scale shape: the shingle stream shuffles `(doc, pos, hash)` rows —
+    * O(corpus tokens), the irreducible cost of positional substring
+    * dedup — with the gram STRING collapsed to a 60-bit md5 hash below
+    * the explode (16 bytes/row, never text payload; collision odds at
+    * 10^12 grams ≈ 10^12²/2^61 — the op trades that for never shuffling
+    * strings, same stance as the minhash family). The ≥minCount filter
+    * is a map-side-combined count on the hash; the island windows run
+    * per doc over DUP positions only — the clean majority of the corpus
+    * never enters a window.
+    */
+  def repeatedSubstringSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(w >= 1, "shingle width must be >= 1")
+    val toks = df
+      .select(col(idCol).cast("long").as("_doc"), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= w)
+    val grams = toks
+      // Two projections: a generator's child must be a resolved attribute,
+      // not a higher-order-function expression.
+      .select(
+        col("_doc"),
+        transform(
+          sequence(lit(0), size(col("ts")) - w),
+          i => concat_ws(" ", slice(col("ts"), i + 1, lit(w)))).as("_grams"))
+      .select(col("_doc"), posexplode(col("_grams")).as(Seq("pos", "gram")))
+      .select(
+        col("_doc"),
+        col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+    val dup = grams
+      .groupBy("h")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("h")
+    val hits = grams.join(dup, "h").select("_doc", "pos")
+    val wPrev = Window
+      .partitionBy("_doc")
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("_doc").orderBy("pos")
+    hits
+      .withColumn("prev_end", max(col("pos") + lit(w - 1)).over(wPrev))
+      // New island iff this hit starts beyond (previous covered end + 1):
+      // overlapping AND touching ranges merge — contiguous duplicated
+      // text is one span.
+      .withColumn(
+        "island",
+        sum(
+          when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+            .otherwise(0L)).over(wRun))
+      .groupBy(col("_doc"), col("island"))
+      .agg(min("pos").as("span_start"), (max("pos") + lit(w - 1)).as("span_end"))
+      .select(
+        col("_doc").as(idCol),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The removal half of substring-level dedup: rebuild each document's
+    * text with every [[repeatedSubstringSpans]] token range cut out.
+    * Output: `(idCol, text_clean, n_removed_tokens)` — one row per input
+    * document (docs with no spans pass through unchanged).
+    *
+    * The cut is declarative: spans collect per doc (a handful of (start,
+    * end) structs — near-dup spans are short by construction), join back,
+    * and a two-arg lambda filter keeps tokens no span covers. No UDF, no
+    * per-doc driver logic.
+    */
+  def removeRepeatedSubstrings(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val spans = repeatedSubstringSpans(df, idCol, textCol, w, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    df.join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col(textCol),
+        coalesce(col("_spans"), array().cast("array<struct<span_start:long,span_end:long>>"))
+          .as("_spans"))
+      .select(
+        col(idCol),
+        array_join(
+          filter(
+            tokens(col(textCol)),
+            (t, i) =>
+              !exists(
+                col("_spans"),
+                s => i.cast("long") >= s.getField("span_start") &&
+                  i.cast("long") <= s.getField("span_end"))),
+          " ").as("text_clean"),
+        aggregate(
+          col("_spans"),
+          lit(0L),
+          (acc, s) => acc + s.getField("span_end") - s.getField("span_start") + 1)
+          .as("n_removed_tokens"))
+  }
+
   /** Top-k corpus collocations: bigrams ranked by pointwise lift
     * `P(w1 w2) / (P(w1) P(w2))` — the tokenizer/phrase-mining signal
     * (which token pairs co-occur far above chance). Exact integer counts

@@ -264,6 +264,39 @@ class OpsSpec extends SparkSpec {
     assert(ivf.nonEmpty, "IVF candidates found no pairs at all")
   }
 
+  test("repeated-substring spans find the shared phrase at its position in each doc") {
+    val df = Seq(
+      (1L, "a b c d x"),
+      (2L, "z a b c d"),
+      (3L, "all unique tokens here")).toDF("doc_id", "text")
+    val out = TextOps.repeatedSubstringSpans(df, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "a b c d" occurs in both docs: tokens 0-3 of doc 1, 1-4 of doc 2.
+    assert(out.toSeq == Seq((1L, 0L, 3L, 4L), (2L, 1L, 4L, 4L)), out.toSeq.toString)
+  }
+
+  test("repeated-substring spans merge overlapping and touching shingle hits") {
+    // Every trigram of the periodic string repeats, so the whole doc is
+    // ONE maximal island, not six 3-token spans.
+    val df = Seq((1L, "p q r p q r p q")).toDF("doc_id", "text")
+    val out = TextOps.repeatedSubstringSpans(df, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 7L, 8L)), out.toSeq.toString)
+  }
+
+  test("removeRepeatedSubstrings cuts the spans and passes clean docs through") {
+    val df = Seq(
+      (1L, "a b c d x"),
+      (2L, "z a b c d"),
+      (3L, "all unique tokens here")).toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSubstrings(df, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "x", 4L), (2L, "z", 4L), (3L, "all unique tokens here", 0L)),
+      out.toSeq.toString)
+  }
+
   test("semDedup drops exactly the higher id of a near-identical pair") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)),
