@@ -3167,6 +3167,26 @@ object SparkEntry {
       TextOps.repeatedSubstringSpans(T(s, dir, "documents"), "doc_id", "text",
           w = 3, minCount = 2)
         .orderBy("doc_id", "span_start")
+    },
+    // NS-SA1: cluster-balanced diversity sampling — ≤8 vectors per
+    // integer-k-means cell in md5-of-id order (cluster-based data
+    // pruning: dense regions can't dominate the sample). The oracle
+    // replays the Lloyd fit via the shared CTEs plus the per-cell ranked
+    // verdict.
+    Q(
+      "ns77_diversity_sample",
+      Some(
+        s"""WITH ${oKmeansCtes(k = 16, rounds = 2)}
+           |cells AS (SELECT vec_id, cid AS cluster FROM (
+           |    SELECT q.vec_id, c.cid, $oIntSqDist AS d FROM q CROSS JOIN c2 c) t
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+           |r AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+           |    ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn FROM cells)
+           |SELECT vec_id, cluster, (rn <= 8) AS sampled FROM r ORDER BY vec_id""".stripMargin)) {
+      (s, dir) =>
+        Sampling.diversityClusterSample(T(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 16, iterations = 2, perCluster = 8)
+          .orderBy("vec_id")
     }
   )
 

@@ -178,4 +178,48 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
   }
+
+  /** Cluster-balanced diversity sampling: partition the embedding space
+    * with the bit-reproducible integer k-means ([[Clustering.kmeansInt]]
+    * over int8-quantized vectors) and keep at most `perCluster` vectors
+    * per cell, chosen in md5-of-id order — the cluster-based data-pruning
+    * recipe (keep semantic coverage, cut redundancy: a uniform sample
+    * over-represents dense regions; a per-cluster cap cannot).
+    *
+    * Output: `(idCol, cluster, sampled)` — one row per input vector, the
+    * verdict on all of them (filter on `sampled` for the subset).
+    *
+    * Determinism: cluster assignment is a pure function of the input
+    * (integer Lloyd, ties to the lowest cid); the within-cell order is
+    * (md5(id), id) — unbiased w.r.t. any natural data order, stable
+    * across engines, partitionings, and retries.
+    *
+    * Scale shape: one shuffle on the cluster id for the per-cell window
+    * (each cell ranks inside one partition — k chosen so cells fit, the
+    * same contract as [[stratifiedSample]]); the Lloyd fit shuffles at
+    * most k·d rows per partition per round; no vector payload moves after
+    * assignment (the window sees (id, cluster, hash) only).
+    */
+  def diversityClusterSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int,
+      perCluster: Int): DataFrame = {
+    require(perCluster >= 0, "perCluster must be non-negative")
+    val qz = Quantize.quantizeInt8(df, idCol, vecCol)
+    val assigned = Clustering
+      .kmeansInt(qz, idCol, "qvec", k, iterations)
+      .select(col(idCol).cast("long").as("_id"), col("cluster"))
+    val w = Window
+      .partitionBy(col("cluster"))
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+    assigned
+      .withColumn("_rn", row_number().over(w))
+      .select(
+        col("_id").as(idCol),
+        col("cluster"),
+        (col("_rn") <= perCluster).as("sampled"))
+  }
 }

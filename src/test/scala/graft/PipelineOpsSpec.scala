@@ -326,4 +326,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(spark.read.parquet(zo).count() == 20000)
   }
+
+  test("diversity sample caps every cluster and is partition-invariant") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val out = Sampling.diversityClusterSample(e, "vec_id", "embedding",
+      k = 16, iterations = 2, perCluster = 8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == e.count(), "one verdict row per input vector")
+    val perCell = rows.filter(_._3).groupBy(_._2).view.mapValues(_.length)
+    assert(perCell.nonEmpty && perCell.values.forall(_ <= 8),
+      s"a cluster exceeded the cap: $perCell")
+    // Every non-empty cluster contributes (the point of diversity
+    // sampling: a uniform sample could miss a small cluster entirely).
+    val clusters = rows.map(_._2).toSet
+    assert(perCell.keySet == clusters, "an occupied cluster got zero samples")
+    val again = Sampling.diversityClusterSample(e.repartition(7), "vec_id", "embedding",
+      k = 16, iterations = 2, perCluster = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSet == again.toSet, "sampling verdict must not depend on partitioning")
+  }
 }

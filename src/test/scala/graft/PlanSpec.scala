@@ -262,4 +262,72 @@ class PlanSpec extends SparkSpec {
     // is the final ORDER BY — a right-side pre-dedup would add a third.
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"extra shuffle:\n$p")
   }
+
+  test("semDedup within-cluster candidate join carries no vector payload (ns73 shape)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = graft.ops.Dedup.semDedup(e, "vec_id", "embedding", k = 8, iterations = 1,
+      minCosine = 0.38)
+    q.collect() // finalize AQE stages
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    // The cluster-keyed self-join (candidate generation) must see only
+    // (cluster, vid) — a vector column means the quadratic pair stream
+    // shuffles embedding payloads, the exact failure SemDeDup avoids.
+    val clusterJoins = flatten(q.queryExecution.executedPlan)
+      .collect { case j: BaseJoinExec => j }
+      .filter(j => (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "cluster")))
+    assert(clusterJoins.nonEmpty, "no cluster-keyed candidate join found in the plan")
+    clusterJoins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"vector payload shuffled through the cluster candidate join: ${arrays.map(_.name)}")
+    }
+  }
+
+  test("repeated-substring count shuffle carries the 60-bit hash, not gram text (ns76 shape)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val docs = Tables(spark, sfDir, "documents")
+    val q = graft.ops.TextOps.repeatedSubstringSpans(docs, "doc_id", "text", w = 3)
+    q.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val shuffles = flatten(q.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, "expected shuffles in the span plan")
+    shuffles.foreach { s =>
+      val strings = s.child.output.filter(a => a.dataType == StringType && a.name == "gram")
+      assert(strings.isEmpty,
+        s"gram text shuffled — the hash projection must sit below the exchange: " +
+          s"${s.child.output.map(_.name)}")
+    }
+  }
+
+  test("importance selection's top-k is a TakeOrdered, never a global window (ns74 shape)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val q = graft.ops.Importance.importanceSelect(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text", 1024, 50)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be a TakeOrdered:\n$p")
+    assert(!p.contains("Window"), s"global ranking window found in selection plan:\n$p")
+  }
 }
