@@ -3187,6 +3187,30 @@ object SparkEntry {
         Sampling.diversityClusterSample(T(s, dir, "embeddings"), "vec_id", "embedding",
             k = 16, iterations = 2, perCluster = 8)
           .orderBy("vec_id")
+    },
+    // NS-T11: contamination overlap-fraction report — the graded
+    // refinement of ns40's binary gate (production thresholds gate on the
+    // FRACTION of a doc's distinct n-grams found in the benchmark, not an
+    // absolute count). Benchmark slice = every 10th doc.
+    Q(
+      "ns78_contamination_frac",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |g AS (SELECT doc_id, list_distinct($oShingles) AS gs FROM toks),
+           |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+           |pd AS (SELECT doc_id, len(gs)::BIGINT AS n_grams,
+           |    unnest(CASE WHEN len(gs) = 0 THEN [NULL::VARCHAR] ELSE gs END) AS gram FROM g),
+           |c AS (SELECT doc_id, max(n_grams) AS n_grams,
+           |    SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+           |  FROM pd LEFT JOIN bg USING (gram) GROUP BY doc_id)
+           |SELECT doc_id, n_overlap, n_grams,
+           |  CASE WHEN n_grams > 0 THEN n_overlap::DOUBLE / n_grams::DOUBLE ELSE 0.0 END AS overlap_frac,
+           |  (CASE WHEN n_grams > 0 THEN n_overlap::DOUBLE / n_grams::DOUBLE ELSE 0.0 END >= 0.5) AS contaminated
+           |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      TextOps.contaminationReport(docs, docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, minFrac = 0.5)
+        .orderBy("doc_id")
     }
   )
 

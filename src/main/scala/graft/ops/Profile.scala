@@ -220,9 +220,20 @@ object Profile {
       a: DataFrame,
       b: DataFrame,
       valueCol: String,
-      widthCents: Long): DataFrame = {
-    val ha = centsHistogram(a, valueCol, widthCents).select(col("bucket"), col("n").as("n_a"))
-    val hb = centsHistogram(b, valueCol, widthCents).select(col("bucket"), col("n").as("n_b"))
+      widthCents: Long): DataFrame =
+    driftFromHistograms(
+      centsHistogram(a, valueCol, widthCents).select("bucket", "n"),
+      centsHistogram(b, valueCol, widthCents).select("bucket", "n"))
+
+  /** [[histogramDrift]] from pre-bucketed `(bucket, n)` tables — the
+    * entry point for callers that maintain histograms incrementally
+    * (the streaming accumulation twin: histograms are exactly mergeable,
+    * so a running bucket table drifts against a reference without ever
+    * re-scanning the stream's past).
+    */
+  def driftFromHistograms(a: DataFrame, b: DataFrame): DataFrame = {
+    val ha = a.select(col("bucket"), col("n").as("n_a"))
+    val hb = b.select(col("bucket"), col("n").as("n_b"))
     val joined = ha
       .join(hb, Seq("bucket"), "full_outer")
       .select(
@@ -260,6 +271,17 @@ object Profile {
           (col("ta").cast("double") * col("tb").cast("double")) / 2.0)
       .select("bucket", "n_a", "n_b", "share_a", "share_b", "tvd")
   }
+
+  /** Cell-wise histogram merge: `hist(A ∪ B) = hist(A) + hist(B)` exactly
+    * (counts add per bucket) — the mergeability that makes incremental /
+    * streaming drift monitoring exact. Input/output: `(bucket, n)`.
+    */
+  def mergeHistograms(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("n").as("_na"))
+      .join(b.select(col("bucket"), col("n").as("_nb")), Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        (coalesce(col("_na"), lit(0L)) + coalesce(col("_nb"), lit(0L))).as("n"))
 
   def centsHistogram(df: DataFrame, valueCol: String, widthCents: Long): DataFrame = {
     require(widthCents > 0, "non-positive bucket width")

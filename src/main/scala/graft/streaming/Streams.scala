@@ -329,6 +329,58 @@ object Streams {
       .start()
   }
 
+  /** Streaming distribution-drift monitor: each trigger's rows extend a
+    * running cents histogram of `valueCol` (`hist(A ∪ B) = hist(A) +
+    * hist(B)` exactly — [[graft.ops.Profile.mergeHistograms]]), and the
+    * accumulated histogram is drifted against the fixed `reference`
+    * snapshot ([[graft.ops.Profile.driftFromHistograms]]: exact-integer
+    * TVD) after every trigger — the live twin of the batch
+    * `histogramDrift` (ns72), answering "has the stream's value
+    * distribution walked away from the reference yet?" continuously.
+    *
+    * State is the bounded bucket table — O(buckets), never O(stream);
+    * the reference histogram is computed ONCE and pinned. Same contracts
+    * as [[streamingCmsCounts]]: re-delivered batch ids are skipped, sink
+    * frames are valid only until the next trigger, restart resumes from
+    * an empty running histogram unless the caller persists the bucket
+    * table from `sink` and reseeds via `initial` (histogram mergeability
+    * makes the resumed accumulation exact). Triggers that leave the
+    * accumulated histogram EMPTY (no rows seen yet) skip the sink — the
+    * drift of nothing is not zero, and `driftFromHistograms` raises on
+    * empty sides by design.
+    */
+  def streamingHistogramDrift(
+      newRows: DataFrame,
+      valueCol: String,
+      widthCents: Long,
+      reference: DataFrame,
+      checkpointLocation: Option[String] = None,
+      initial: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val refHist = graft.ops.Checkpoints.truncate(
+      graft.ops.Profile.centsHistogram(reference, valueCol, widthCents).select("bucket", "n"))
+    var hist: Option[DataFrame] = initial.map(graft.ops.Checkpoints.truncate(_))
+    var lastBatchId = -1L
+    val stream = newRows.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val bh = graft.ops.Profile
+            .centsHistogram(batch, valueCol, widthCents)
+            .select("bucket", "n")
+          val next = graft.ops.Checkpoints.truncate(
+            hist.map(h => graft.ops.Profile.mergeHistograms(h, bh)).getOrElse(bh))
+          hist.foreach(graft.ops.Checkpoints.unpersist)
+          hist = Some(next)
+          if (!next.isEmpty) sink(graft.ops.Profile.driftFromHistograms(refHist, next))
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental near-dup dedup: the steady-state corpus
     * pipeline run AS A STREAM — each micro-batch of new documents is
     * LSH-probed against the accepted corpus' persisted MinHash signatures

@@ -264,6 +264,22 @@ class OpsSpec extends SparkSpec {
     assert(ivf.nonEmpty, "IVF candidates found no pairs at all")
   }
 
+  test("contamination report grades overlap by fraction, not count") {
+    val corpus = Seq(
+      (1L, "a b c d"), // grams {a b c, b c d}: both in bench → frac 1.0
+      (2L, "a b c x y"), // grams {a b c, b c x, c x y}: 1 of 3 → frac 1/3
+      (3L, "zz yy") // too short for a trigram: 0 grams, frac 0.0
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val out = TextOps.contaminationReport(corpus, bench, "doc_id", "text", n = 3, minFrac = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0, true),
+      (2L, 1L, 3L, 1.0 / 3.0, false),
+      (3L, 0L, 0L, 0.0, false)), out.toSeq.toString)
+  }
+
   test("repeated-substring spans find the shared phrase at its position in each doc") {
     val df = Seq(
       (1L, "a b c d x"),

@@ -240,6 +240,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.contains(oneShot), "seeded resume diverged from the one-shot sketch")
   }
 
+  test("streaming drift monitor converges to the batch drift across triggers") {
+    import graft.ops.Profile
+    val ev = Tables(spark, sfDir, "events").select("event_id", "value")
+    val reference = ev.filter(col("event_id") % 3 === 0)
+    val streamed = ev.filter(col("event_id") % 3 =!= 0)
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-drift-src-${UUID.randomUUID().toString.take(8)}"
+    streamed.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    streamed.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val width = 500L
+    @volatile var last: Option[Map[Long, (Long, Long, Double)]] = None
+    @volatile var triggers = 0
+    val q = Streams.streamingHistogramDrift(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      "value", width, reference) { drift =>
+      triggers += 1
+      last = Some(drift.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getAs[Double]("tvd")))).toMap)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(triggers >= 2, "stream did not run as multiple triggers")
+    val oneShot = Profile.histogramDrift(reference, spark.read.parquet(srcDir), "value", width)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getAs[Double]("tvd")))).toMap
+    assert(last.contains(oneShot),
+      "accumulated streaming drift diverged from the one-shot batch drift")
+  }
+
   test("streaming Bloom accumulation equals the one-shot filter, seeded resume included") {
     import graft.ops.{Sketch, TextOps}
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
