@@ -3211,6 +3211,28 @@ object SparkEntry {
       TextOps.contaminationReport(docs, docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text", n = 3, minFrac = 0.5)
         .orderBy("doc_id")
+    },
+    // NS-T12: vocabulary coverage / OOV profile — top-500 corpus vocab
+    // (count desc, token ties), per-doc OOV counts and rate. The oracle
+    // replays the vocabulary cut and the probe.
+    Q(
+      "ns79_vocab_coverage",
+      Some(
+        s"""WITH tk AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+           |dt AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY 1, 2),
+           |v AS (SELECT tok FROM (SELECT tok, SUM(cnt) AS n FROM dt GROUP BY tok)
+           |  QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 500),
+           |pd AS (SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens,
+           |    SUM(CASE WHEN v.tok IS NULL THEN cnt ELSE 0 END)::BIGINT AS n_oov
+           |  FROM dt LEFT JOIN v USING (tok) GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+           |  coalesce(n_oov, 0)::BIGINT AS n_oov,
+           |  CASE WHEN coalesce(n_tokens, 0) > 0
+           |    THEN coalesce(n_oov, 0)::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END AS oov_rate
+           |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)) {
+      (s, dir) =>
+        TextOps.vocabCoverage(T(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
+          .orderBy("doc_id")
     }
   )
 

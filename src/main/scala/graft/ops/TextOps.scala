@@ -445,6 +445,57 @@ object TextOps {
         .otherwise(lit(0.0)) >= minFrac).as("contaminated"))
   }
 
+  /** Vocabulary coverage / OOV profile — the tokenizer-evaluation
+    * primitive: build the top-`vocabSize` corpus vocabulary (by count
+    * desc, token asc — deterministic), then report per document how much
+    * of it the vocabulary covers: token count, out-of-vocabulary token
+    * count, and the OOV rate (exact integer counts, ONE IEEE division).
+    * This is the measurement behind "does a V-entry vocab cover this
+    * corpus slice" / "which documents will shatter into UNKs".
+    *
+    * Output: `(doc_id, n_tokens, n_oov, oov_rate)` — one row per doc
+    * (token-less docs rate 0.0).
+    *
+    * Scale shape: the vocabulary is ONE map-side-combined token count +
+    * a TakeOrdered top-V (never a global window); the per-doc probe
+    * joins (doc, token, cnt) rows against the V-row vocab — AQE
+    * broadcasts it (dimension-sized by construction); per-doc totals
+    * aggregate with map-side combine.
+    */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val docToks = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = docToks
+      .groupBy("tok")
+      .agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1L).as("_inv"))
+    val perDoc = docToks
+      .join(vocab, Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        sum(when(col("_inv").isNull, col("cnt")).otherwise(lit(0L))).as("n_oov"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          coalesce(col("n_oov"), lit(0L)).cast("double") /
+            coalesce(col("n_tokens"), lit(0L)).cast("double"))
+          .otherwise(lit(0.0)).as("oov_rate"))
+  }
+
   /** Budget-sliced sequential packing — assemble rows (documents/chunks)
     * into fixed-token-budget training examples: within each `keyCol`
     * group, rows in `orderCol` order are assigned `pack_id = exclusive

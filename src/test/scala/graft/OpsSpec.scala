@@ -264,6 +264,16 @@ class OpsSpec extends SparkSpec {
     assert(ivf.nonEmpty, "IVF candidates found no pairs at all")
   }
 
+  test("vocab coverage counts OOV tokens against the deterministic top-V cut") {
+    // Corpus counts: x=2, y=2, z=1 → top-2 vocab is {x, y} (count desc,
+    // token asc ties). Doc 2's 'z' is the only OOV occurrence.
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 2L, 1L, 0.5)), out.toSeq.toString)
+  }
+
   test("contamination report grades overlap by fraction, not count") {
     val corpus = Seq(
       (1L, "a b c d"), // grams {a b c, b c d}: both in bench → frac 1.0
