@@ -168,12 +168,15 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$scalePart$failedPart}"""
     // Belt and braces: the full dual-SF payload at a well-known path (the
     // stdout line stays within the driver's bounded tail capture).
+    // FILTERED runs (SPARK_GRAFT_FILTER profiling) must NOT clobber the
+    // committed full-suite baseline with a one-query snapshot.
     val fileLines = Seq(line) ++ results2.map(r2 =>
       s"""{"metric":"sf2_detail","sf":"${sf2Dir.get}","total":${ms(r2.map(_._2).sum)},"queries":${qmap(r2)}}""")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"),
-      (fileLines.mkString("\n") + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    if (filter.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_last.json"),
+        (fileLines.mkString("\n") + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

@@ -285,7 +285,13 @@ object Profile {
 
   def centsHistogram(df: DataFrame, valueCol: String, widthCents: Long): DataFrame = {
     require(widthCents > 0, "non-positive bucket width")
-    df.select(expr(s"CAST(ROUND($valueCol * 100) AS BIGINT) div $widthCents").as("bucket"))
+    // NULL values are excluded (the SQL aggregate convention) — and a
+    // structural requirement: a NULL bucket key would never equi-join in
+    // mergeHistograms/driftFromHistograms (SQL NULL ≠ NULL), duplicating
+    // rows per merge and corrupting the TVD on exactly the dirty data a
+    // drift monitor watches.
+    df.where(col(valueCol).isNotNull)
+      .select(expr(s"CAST(ROUND($valueCol * 100) AS BIGINT) div $widthCents").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
       .select(

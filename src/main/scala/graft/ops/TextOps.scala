@@ -692,7 +692,10 @@ object TextOps {
   /** The removal half of substring-level dedup: rebuild each document's
     * text with every [[repeatedSubstringSpans]] token range cut out.
     * Output: `(idCol, text_clean, n_removed_tokens)` — one row per input
-    * document (docs with no spans pass through unchanged).
+    * document. Docs with no spans pass through BYTE-IDENTICAL (original
+    * text, not a token rebuild); docs that get cut are re-joined with
+    * single spaces — the token-level rebuild cannot reconstruct the
+    * original whitespace around the removed ranges.
     *
     * The cut is declarative: spans collect per doc (a handful of (start,
     * end) structs — near-dup spans are short by construction), join back,
@@ -711,25 +714,23 @@ object TextOps {
     df.join(spans, Seq(idCol), "left")
       .select(
         col(idCol),
-        col(textCol),
-        coalesce(col("_spans"), array().cast("array<struct<span_start:long,span_end:long>>"))
-          .as("_spans"))
-      .select(
-        col(idCol),
-        array_join(
-          filter(
-            tokens(col(textCol)),
-            (t, i) =>
-              !exists(
-                col("_spans"),
-                s => i.cast("long") >= s.getField("span_start") &&
-                  i.cast("long") <= s.getField("span_end"))),
-          " ").as("text_clean"),
-        aggregate(
-          col("_spans"),
-          lit(0L),
-          (acc, s) => acc + s.getField("span_end") - s.getField("span_start") + 1)
-          .as("n_removed_tokens"))
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(
+            array_join(
+              filter(
+                tokens(col(textCol)),
+                (t, i) =>
+                  !exists(
+                    col("_spans"),
+                    s => i.cast("long") >= s.getField("span_start") &&
+                      i.cast("long") <= s.getField("span_end"))),
+              " ")).as("text_clean"),
+        coalesce(
+          aggregate(
+            col("_spans"),
+            lit(0L),
+            (acc, s) => acc + s.getField("span_end") - s.getField("span_start") + 1),
+          lit(0L)).as("n_removed_tokens"))
   }
 
   /** Top-k corpus collocations: bigrams ranked by pointwise lift

@@ -65,17 +65,22 @@ object JsonlCorpus {
       .toDF("line")
       .filter(trim(col("line")) =!= "")
       .select(
+        col("line"),
         from_json(
           col("line"),
           parseSchema,
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptField)
         ).as("rec"))
+    // Two corrupt shapes: a populated corrupt-record field (malformed
+    // object / mistyped field), and a NULL struct — from_json's result
+    // for the JSON literal `null`, which is a scalar, not a document,
+    // and must not become a phantom all-null row.
     val good = parsed
-      .filter(col("rec")(CorruptField).isNull)
+      .filter(col("rec").isNotNull && col("rec")(CorruptField).isNull)
       .select(schema.fieldNames.map(f => col("rec")(f).as(f)).toIndexedSeq: _*)
     val quarantine = parsed
-      .filter(col("rec")(CorruptField).isNotNull)
-      .select(col("rec")(CorruptField).as("corrupt_record"))
+      .filter(col("rec").isNull || col("rec")(CorruptField).isNotNull)
+      .select(col("line").as("corrupt_record"))
     (good, quarantine)
   }
 

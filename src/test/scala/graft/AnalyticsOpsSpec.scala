@@ -509,6 +509,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(cents.size == 2 && cents.contains(1L))
   }
 
+  test("centsHistogram excludes nulls so merged histograms keep unique bucket keys") {
+    val a = Seq(Some(1.0), Some(1.1), None).toDF("v")
+    val b = Seq(Some(1.0), None, None).toDF("v")
+    val ha = Profile.centsHistogram(a, "v", widthCents = 100L).select("bucket", "n")
+    val hb = Profile.centsHistogram(b, "v", widthCents = 100L).select("bucket", "n")
+    assert(ha.filter($"bucket".isNull).count() == 0, "null bucket row leaked")
+    val merged = Profile.mergeHistograms(ha, hb).collect().map(r => r.getLong(0) -> r.getLong(1))
+    // A NULL bucket key would never equi-join: the merge would emit
+    // duplicate keys and the drift TVD would double-count. Unique keys +
+    // exact count addition is the mergeability contract.
+    assert(merged.map(_._1).distinct.length == merged.length, s"duplicate buckets: ${merged.toSeq}")
+    assert(merged.toMap == Map(1L -> 3L), merged.toSeq.toString)
+  }
+
   // ---------------------------------------------------------- importance
 
   test("importance scores prefer documents made of target-corpus words") {

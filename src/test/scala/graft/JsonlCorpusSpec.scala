@@ -33,6 +33,7 @@ class JsonlCorpusSpec extends SparkSpec {
         |{"doc_id": 2, "text": "quote \" and \n newline", "n": 3}
         |{"doc_id": oops not json
         |garbage line
+        |null
         |
         |{"doc_id": 3, "n": 7}
         |""".stripMargin)
@@ -43,9 +44,12 @@ class JsonlCorpusSpec extends SparkSpec {
     assert(g(1).getString(1) == "quote \" and \n newline", "escapes must round-trip")
     assert(g(2).getLong(0) == 3L && g(2).isNullAt(1), "missing field parses as null, not corrupt")
     val q = quarantine.orderBy("corrupt_record").collect().map(_.getString(0))
-    assert(q.length == 2, s"quarantine: ${q.toSeq}")
+    assert(q.length == 3, s"quarantine: ${q.toSeq}")
     assert(q.contains("garbage line") && q.exists(_.contains("oops")),
       "quarantine must keep the raw line byte-for-byte")
+    // The JSON literal `null` is a scalar, not a document — it must be
+    // quarantined, never surfaced as a phantom all-null row.
+    assert(q.contains("null"), "JSON literal null line must be quarantined")
   }
 
   test("writeJsonl → readJsonl round-trips the documents fixture exactly") {

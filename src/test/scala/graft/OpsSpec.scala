@@ -315,11 +315,14 @@ class OpsSpec extends SparkSpec {
     val df = Seq(
       (1L, "a b c d x"),
       (2L, "z a b c d"),
-      (3L, "all unique tokens here")).toDF("doc_id", "text")
+      (3L, "all unique\ttokens\n\nhere")).toDF("doc_id", "text")
     val out = TextOps.removeRepeatedSubstrings(df, "doc_id", "text", w = 4)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    assert(out.toSeq == Seq((1L, "x", 4L), (2L, "z", 4L), (3L, "all unique tokens here", 0L)),
+    // Span-free docs pass through BYTE-IDENTICAL — tabs and newlines
+    // intact, not token-rejoined.
+    assert(out.toSeq == Seq(
+      (1L, "x", 4L), (2L, "z", 4L), (3L, "all unique\ttokens\n\nhere", 0L)),
       out.toSeq.toString)
   }
 
