@@ -3233,6 +3233,36 @@ object SparkEntry {
       (s, dir) =>
         TextOps.vocabCoverage(T(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
           .orderBy("doc_id")
+    },
+    // NS-T13: length-bucketed batch assignment — similar-length docs
+    // bucket together (padding-efficiency), batches cut per bucket in
+    // md5-of-id order. Oracle replays the div bucketing and the ranked
+    // batch/slot arithmetic.
+    Q(
+      "ns80_length_batches",
+      Some(
+        """WITH b AS (SELECT doc_id, n_chars // 200 AS bucket FROM documents),
+          |r AS (SELECT doc_id, bucket, row_number() OVER (PARTITION BY bucket
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS rn FROM b)
+          |SELECT doc_id, bucket, rn // 16 AS batch_id, rn % 16 AS slot
+          |FROM r ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      TextOps.lengthBucketBatches(T(s, dir, "documents"), "doc_id", "n_chars",
+          bucketWidth = 200L, batchSize = 16)
+        .orderBy("doc_id")
+    },
+    // NS-P5: per-group embedding centroid profile (domain fingerprint) —
+    // long-form per-dimension means via exact scaled-long sums (the
+    // micros twin of the cents pattern), one division at the end.
+    Q(
+      "ns81_embedding_profile",
+      Some(
+        """WITH p AS (SELECT label, unnest(range(len(embedding))) AS pos, embedding FROM embeddings),
+          |s AS (SELECT label, pos, round(embedding[pos+1]::DOUBLE * 1000000.0)::BIGINT AS sv FROM p)
+          |SELECT label, pos::BIGINT AS pos, COUNT(*)::BIGINT AS n_vecs,
+          |  SUM(sv)::DOUBLE / (COUNT(*)::DOUBLE * 1000000.0) AS mean_val
+          |FROM s GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)) { (s, dir) =>
+      Profile.groupEmbeddingProfile(T(s, dir, "embeddings"), "label", "embedding", scale = 6)
+        .orderBy("label", "pos")
     }
   )
 

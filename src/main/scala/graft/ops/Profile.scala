@@ -272,6 +272,48 @@ object Profile {
       .select("bucket", "n_a", "n_b", "share_a", "share_b", "tvd")
   }
 
+  /** Per-group embedding centroid profile — the "domain fingerprint" of
+    * each corpus slice (source/language/cluster): the per-dimension mean
+    * embedding, in LONG FORM `(groupCol, pos, n_vecs, mean_val)` — one
+    * row per (group, dimension), deliberately NOT an array column (array
+    * cells don't sort/hash in downstream tabular tooling; long form
+    * joins, diffs, and drifts like any other table).
+    *
+    * Determinism: a float sum is shuffle-order-dependent, so each
+    * component is first scaled to an exact long (`round(v · 10^scale)` —
+    * the micros twin of the cents pattern), summed exactly
+    * (order-independent integer adds), and divided ONCE by `n · 10^scale`
+    * — bit-identical across engines, partitionings, and retries, at the
+    * cost of 10^-scale quantization (1e-6 at the default — far below
+    * float32 embedding noise).
+    *
+    * Scale shape: the posexplode is scan-local row generation; the ONE
+    * shuffle is the (group, pos) sum with map-side combine — at most
+    * `groups × dims` rows reach the reduce side per partition; no
+    * vector payload moves after the explode.
+    */
+  def groupEmbeddingProfile(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, "scale out of [0,9]")
+    val factor = math.pow(10.0, scale)
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .select(
+        col(groupCol),
+        col("pos").cast("long").as("pos"),
+        round(col("_v").cast("double") * factor).cast("long").as("_s"))
+      .groupBy(groupCol, "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("_s").as("_sum"))
+      .select(
+        col(groupCol),
+        col("pos"),
+        col("n_vecs"),
+        (col("_sum").cast("double") /
+          (col("n_vecs").cast("double") * factor)).as("mean_val"))
+  }
+
   /** Cell-wise histogram merge: `hist(A ∪ B) = hist(A) + hist(B)` exactly
     * (counts add per bucket) — the mergeability that makes incremental /
     * streaming drift monitoring exact. Input/output: `(bucket, n)`.

@@ -445,6 +445,48 @@ object TextOps {
         .otherwise(lit(0.0)) >= minFrac).as("contaminated"))
   }
 
+  /** Length-bucketed batch assignment — the padding-efficiency step of
+    * training-batch assembly: rows bucket by `weightCol div bucketWidth`
+    * (similar-length docs together, so per-batch padding waste is bounded
+    * by the bucket width), and within each bucket fixed-size batches are
+    * cut in (md5(id), id) order — deterministic, unbiased w.r.t. the
+    * data's natural order, reproducible across engines/retries/
+    * partitionings.
+    *
+    * Output: `(idCol, bucket, batch_id, slot)` — `batch_id` is globally
+    * unique only within a bucket (key batches by (bucket, batch_id));
+    * `slot` is the row's 0-based position in its batch.
+    *
+    * Scale shape: ONE shuffle on the bucket key for the per-bucket
+    * window; a pathologically hot bucket ranks inside one partition —
+    * the same contract as [[budgetPack]]/stratified sampling; widen
+    * `bucketWidth` or shard first when a bucket outgrows a partition.
+    */
+  def lengthBucketBatches(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      weightCol: String,
+      bucketWidth: Long,
+      batchSize: Int): org.apache.spark.sql.DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val bucketed = df.select(
+      col(idCol).cast("long").as("_id"),
+      // Integer `div` (truncating), not double `/` — identical to the
+      // oracle's `//` and exact at any magnitude.
+      expr(s"CAST($weightCol AS BIGINT) div $bucketWidth").as("bucket"))
+    val w = Window
+      .partitionBy(col("bucket"))
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+    bucketed
+      .withColumn("_rn", row_number().over(w).cast("long") - 1)
+      .select(
+        col("_id").as(idCol),
+        col("bucket"),
+        expr(s"_rn div $batchSize").as("batch_id"),
+        (col("_rn") % batchSize).as("slot"))
+  }
+
   /** Vocabulary coverage / OOV profile — the tokenizer-evaluation
     * primitive: build the top-`vocabSize` corpus vocabulary (by count
     * desc, token asc — deterministic), then report per document how much

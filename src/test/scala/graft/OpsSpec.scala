@@ -264,6 +264,38 @@ class OpsSpec extends SparkSpec {
     assert(ivf.nonEmpty, "IVF candidates found no pairs at all")
   }
 
+  test("length-bucket batches group similar lengths and cut fixed-size batches") {
+    val df = (1L to 40L).map(i => (i, if (i <= 30) 100L else 900L)).toDF("doc_id", "len")
+    val out = TextOps.lengthBucketBatches(df, "doc_id", "len", bucketWidth = 200L, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 40)
+    val byBucket = out.groupBy(_._2)
+    assert(byBucket.keySet == Set(0L, 4L), byBucket.keySet.toString)
+    // 30 docs in bucket 0 → batches 0..3 (8+8+8+6); 10 docs in bucket 4 →
+    // batches 0,1 (8+2). Slots are 0-based positions within the batch.
+    assert(byBucket(0L).groupBy(_._3).view.mapValues(_.length).toMap ==
+      Map(0L -> 8, 1L -> 8, 2L -> 8, 3L -> 6))
+    assert(byBucket(4L).groupBy(_._3).view.mapValues(_.length).toMap == Map(0L -> 8, 1L -> 2))
+    assert(out.forall(r => r._4 >= 0 && r._4 < 8))
+    // Deterministic across partitionings.
+    val again = TextOps.lengthBucketBatches(df.repartition(7), "doc_id", "len", 200L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("group embedding profile means match a hand computation exactly") {
+    val df = Seq(
+      (1, Seq(1.0f, 0.0f)),
+      (1, Seq(0.0f, 1.0f)),
+      (2, Seq(0.5f, 0.5f))).toDF("label", "embedding")
+    val out = graft.ops.Profile.groupEmbeddingProfile(df, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, 0L, 2L, 0.5), (1, 1L, 2L, 0.5),
+      (2, 0L, 1L, 0.5), (2, 1L, 1L, 0.5)), out.toSeq.toString)
+  }
+
   test("vocab coverage counts OOV tokens against the deterministic top-V cut") {
     // Corpus counts: x=2, y=2, z=1 → top-2 vocab is {x, y} (count desc,
     // token asc ties). Doc 2's 'z' is the only OOV occurrence.
