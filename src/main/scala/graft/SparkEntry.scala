@@ -3263,6 +3263,35 @@ object SparkEntry {
           |FROM s GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)) { (s, dir) =>
       Profile.groupEmbeddingProfile(T(s, dir, "embeddings"), "label", "embedding", scale = 6)
         .orderBy("label", "pos")
+    },
+    // NS-M3: frame-wise PCM16 energy (silence-trim / VAD primitive) over
+    // the documents payloads as little-endian PCM — exact integer energy
+    // per 64-sample frame, RMS from two IEEE ops. Oracle replays the
+    // byte-pair sample decode (the ns48 derivation) and the framing.
+    Q(
+      "ns82_frame_energy",
+      Some(
+        """WITH s AS (SELECT doc_id,
+          |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+          |     FOR v IN [ascii(substring(text, 2*i+1, 1)) + 256 * ascii(substring(text, 2*i+2, 1))
+          |               FOR i IN range(length(text) // 2)]] AS smp
+          |  FROM documents),
+          |f AS (SELECT doc_id, smp, unnest(range((len(smp) + 63) // 64)) AS frame
+          |  FROM s WHERE len(smp) > 0),
+          |e AS (SELECT doc_id, frame,
+          |    least(64, len(smp) - frame * 64)::BIGINT AS n_samples,
+          |    coalesce(list_sum(list_transform(
+          |      smp[frame*64+1 : least((frame+1)*64, len(smp))], x -> x * x)), 0)::BIGINT AS energy
+          |  FROM f)
+          |SELECT doc_id, frame::BIGINT AS frame, n_samples, energy,
+          |  sqrt(energy::DOUBLE / n_samples::DOUBLE) AS rms
+          |FROM e ORDER BY doc_id, frame""".stripMargin)) { (s, dir) =>
+      Multimodal.pcmFrameEnergy(
+          s,
+          T(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm")),
+          "doc_id", "pcm", frameSize = 64)
+        .toDF()
+        .orderBy("doc_id", "frame")
     }
   )
 

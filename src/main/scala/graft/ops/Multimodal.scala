@@ -253,6 +253,56 @@ object Multimodal {
       })
   }
 
+  /** Per-frame PCM16 energy row. */
+  final case class FrameEnergy(
+      doc_id: Long,
+      frame: Long,
+      n_samples: Long,
+      energy: Long,
+      rms: Double)
+
+  /** Frame-wise audio energy over little-endian PCM16 payloads — the
+    * primitive behind silence trimming / voice-activity gating in an
+    * audio training pipeline: per `frameSize`-sample frame, the exact
+    * integer sum of squared samples and its RMS. The last frame may be
+    * short (its true sample count is reported); payloads with fewer than
+    * 2 bytes produce no frames.
+    *
+    * Determinism: sample decode is bit-exact ((hi << 8) | lo, signed),
+    * energy is an exact long sum in index order, and RMS is
+    * sqrt(energy/n) — two correctly-rounded IEEE ops on exact integers,
+    * identical across engines. Partition-preserving flatMap: byte-level
+    * codec work, the documented mapPartitions exception — no shuffle,
+    * frames are generated executor-side in one pass.
+    */
+  def pcmFrameEnergy(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      frameSize: Int): Dataset[FrameEnergy] = {
+    require(frameSize > 0, "frameSize must be positive")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, data) =>
+        val nSamples = data.length / 2
+        val nFrames = (nSamples + frameSize - 1) / frameSize
+        (0 until nFrames).iterator.map { f =>
+          var i = f * frameSize
+          val end = math.min(i + frameSize, nSamples)
+          val n = end - i
+          var energy = 0L
+          while (i < end) {
+            val s = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort).toLong
+            energy += s * s
+            i += 1
+          }
+          FrameEnergy(id, f.toLong, n.toLong, energy, math.sqrt(energy.toDouble / n))
+        }
+      }
+  }
+
   /** Integer-only image features decoded from a binary (P6) PPM payload. */
   final case class PpmFeatures(
       doc_id: Long,

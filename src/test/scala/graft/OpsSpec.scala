@@ -264,6 +264,22 @@ class OpsSpec extends SparkSpec {
     assert(ivf.nonEmpty, "IVF candidates found no pairs at all")
   }
 
+  test("pcm frame energy: exact per-frame sums, short last frame, signed decode") {
+    // Little-endian PCM16: [1, -2, 3] = bytes 01 00 FE FF 03 00; frame
+    // size 2 → frame 0 = {1, -2} energy 5, frame 1 = {3} energy 9 (short).
+    val pcm = Array[Byte](0x01, 0x00, 0xFE.toByte, 0xFF.toByte, 0x03, 0x00)
+    val df = Seq((1L, pcm)).toDF("doc_id", "pcm")
+    val out = Multimodal.pcmFrameEnergy(spark, df, "doc_id", "pcm", frameSize = 2)
+      .collect().sortBy(_.frame)
+    assert(out.length == 2)
+    assert(out(0).n_samples == 2 && out(0).energy == 5L && out(0).rms == math.sqrt(2.5))
+    assert(out(1).n_samples == 1 && out(1).energy == 9L && out(1).rms == 3.0)
+    // An odd trailing byte is not a sample; an empty payload has no frames.
+    val odd = Multimodal.pcmFrameEnergy(
+      spark, Seq((1L, Array[Byte](0x01))).toDF("doc_id", "pcm"), "doc_id", "pcm", 2)
+    assert(odd.count() == 0)
+  }
+
   test("length-bucket batches group similar lengths and cut fixed-size batches") {
     val df = (1L to 40L).map(i => (i, if (i <= 30) 100L else 900L)).toDF("doc_id", "len")
     val out = TextOps.lengthBucketBatches(df, "doc_id", "len", bucketWidth = 200L, batchSize = 8)
