@@ -52,17 +52,28 @@ object JsonlCorpus {
   def readJsonl(
       spark: SparkSession,
       path: String,
+      schema: StructType): (DataFrame, DataFrame) =
+    splitLines(spark.read.textFile(path).toDF("line"), schema)
+
+  /** The shared parse kernel behind the batch and streaming readers:
+    * classify raw `line` rows into (good, quarantine).
+    *
+    * PERMISSIVE from_json alone cannot flag bad lines (it returns an
+    * all-null struct, indistinguishable from `{}`); the documented
+    * detection contract is the corrupt-record column: a line that fails
+    * to parse completely lands verbatim in that field. Two corrupt
+    * shapes: a populated corrupt-record field (malformed object /
+    * mistyped field), and a NULL struct — from_json's result for the
+    * JSON literal `null`, which is a scalar, not a document, and must
+    * not become a phantom all-null row.
+    */
+  private def splitLines(
+      lines: DataFrame,
       schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptField),
       s"schema must not declare reserved field $CorruptField")
-    // PERMISSIVE from_json alone cannot flag bad lines (it returns an
-    // all-null struct, indistinguishable from `{}`); the documented
-    // detection contract is the corrupt-record column: a line that fails
-    // to parse completely lands verbatim in that field.
     val parseSchema = schema.add(StructField(CorruptField, StringType))
-    val parsed = spark.read
-      .textFile(path)
-      .toDF("line")
+    val parsed = lines
       .filter(trim(col("line")) =!= "")
       .select(
         col("line"),
@@ -71,10 +82,6 @@ object JsonlCorpus {
           parseSchema,
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptField)
         ).as("rec"))
-    // Two corrupt shapes: a populated corrupt-record field (malformed
-    // object / mistyped field), and a NULL struct — from_json's result
-    // for the JSON literal `null`, which is a scalar, not a document,
-    // and must not become a phantom all-null row.
     val good = parsed
       .filter(col("rec").isNotNull && col("rec")(CorruptField).isNull)
       .select(schema.fieldNames.map(f => col("rec")(f).as(f)).toIndexedSeq: _*)
@@ -88,4 +95,37 @@ object JsonlCorpus {
     * uses; overridable there, fixed here).
     */
   val CorruptField = "_corrupt_record"
+
+  /** Streaming twin of [[readJsonl]]: tail a directory of JSONL files and
+    * deliver each trigger's good rows and quarantined raw lines to the
+    * caller's sinks — live corpus ingest with the same quarantine
+    * boundary as the batch path (the parse IS the batch kernel, applied
+    * per micro-batch, so stream and batch classify identically —
+    * spec-pinned). Re-delivered batch ids are skipped (a retried trigger
+    * must not double-ingest); pass `checkpointLocation` for restartable
+    * source offsets.
+    */
+  def readJsonlStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      checkpointLocation: Option[String] = None)(
+      onBatch: (DataFrame, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!schema.fieldNames.contains(CorruptField),
+      s"schema must not declare reserved field $CorruptField")
+    var lastBatchId = -1L
+    val stream = spark.readStream.text(path).writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val (good, quarantine) = splitLines(batch.toDF("line"), schema)
+          onBatch(good, quarantine)
+        }
+      }
+      .start()
+  }
 }

@@ -71,6 +71,35 @@ class JsonlCorpusSpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => x == y }, "JSONL round trip must be lossless")
   }
 
+  test("streaming ingest classifies every line exactly like the batch reader") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(s"$dir/a.jsonl"),
+      (1 to 20).map(i =>
+        if (i % 5 == 0) s"broken $i" else s"""{"doc_id": $i, "text": "t$i", "n": $i}""")
+        .mkString("\n"))
+    Files.writeString(Paths.get(s"$dir/b.jsonl"),
+      (21 to 40).map(i =>
+        if (i % 5 == 0) s"broken $i" else s"""{"doc_id": $i, "text": "t$i", "n": $i}""")
+        .mkString("\n"))
+    @volatile var goodIds = Set.empty[Long]
+    @volatile var corrupt = Set.empty[String]
+    @volatile var triggers = 0
+    val q = JsonlCorpus.readJsonlStream(spark, dir, schema) { (good, quarantine) =>
+      triggers += 1
+      goodIds ++= good.collect().map(_.getLong(0))
+      corrupt ++= quarantine.collect().map(_.getString(0))
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(triggers >= 1)
+    val (bGood, bQuar) = JsonlCorpus.readJsonl(spark, dir, schema)
+    assert(goodIds == bGood.collect().map(_.getLong(0)).toSet,
+      "streaming good split diverged from the batch reader")
+    assert(corrupt == bQuar.collect().map(_.getString(0)).toSet,
+      "streaming quarantine diverged from the batch reader")
+    assert(goodIds.size == 32 && corrupt.size == 8)
+  }
+
   test("quarantine split never drops a line: good + corrupt = non-blank lines") {
     val dir = tmpDir()
     Files.writeString(Paths.get(s"$dir/mix.jsonl"),
