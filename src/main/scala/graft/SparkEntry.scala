@@ -3292,6 +3292,32 @@ object SparkEntry {
           "doc_id", "pcm", frameSize = 64)
         .toDF()
         .orderBy("doc_id", "frame")
+    },
+    // NS-T14: span-level decontamination — the maximal token ranges of
+    // each corpus doc covered by benchmark trigrams (benchmark = every
+    // 10th doc), i.e. the surgical cut list where ns40/ns78 give whole-doc
+    // verdicts. Oracle replays the positional hash, the benchmark-distinct
+    // probe, and the island merge.
+    Q(
+      "ns83_benchmark_spans",
+      Some(
+        """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+          |p AS (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS pos FROM toks WHERE len(ts) >= 3),
+          |g AS (SELECT doc_id, pos,
+          |    ('0x' || substring(md5(array_to_string(ts[pos+1:pos+3], ' ')), 1, 15))::BIGINT AS h FROM p),
+          |bh AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+          |d AS (SELECT g.doc_id, g.pos FROM g JOIN bh USING (h)),
+          |wn AS (SELECT doc_id, pos, max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM d),
+          |i AS (SELECT doc_id, pos, SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+          |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM wn)
+          |SELECT doc_id, MIN(pos)::BIGINT AS span_start, (MAX(pos) + 2)::BIGINT AS span_end,
+          |  (MAX(pos) + 2 - MIN(pos) + 1)::BIGINT AS span_tokens
+          |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      TextOps.benchmarkSpans(docs, docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", w = 3)
+        .orderBy("doc_id", "span_start")
     }
   )
 

@@ -359,6 +359,18 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 7L, 8L)), out.toSeq.toString)
   }
 
+  test("benchmark spans locate exactly the leaked phrase, not the clean remainder") {
+    val corpus = Seq(
+      (1L, "intro words then the secret eval answer ends here"),
+      (2L, "totally clean document with no leak at all")).toDF("doc_id", "text")
+    val bench = Seq((99L, "the secret eval answer")).toDF("doc_id", "text")
+    val out = TextOps.benchmarkSpans(corpus, bench, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Bench trigrams: {the secret eval, secret eval answer} — they hit doc
+    // 1 at positions 3 and 4, merging into one span over tokens 3..6.
+    assert(out.toSeq == Seq((1L, 3L, 6L, 4L)), out.toSeq.toString)
+  }
+
   test("removeRepeatedSubstrings cuts the spans and passes clean docs through") {
     val df = Seq(
       (1L, "a b c d x"),
