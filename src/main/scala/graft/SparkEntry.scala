@@ -3318,6 +3318,29 @@ object SparkEntry {
       TextOps.benchmarkSpans(docs, docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text", w = 3)
         .orderBy("doc_id", "span_start")
+    },
+    // NS-D10: df-capped n-gram Jaccard — stop-gram removal (df > 10
+    // dropped from pairs AND counts), the boilerplate-skew mitigation the
+    // scale audit names for the inverted-index self-join. Oracle replays
+    // the df cut and the filtered Jaccard.
+    Q(
+      "ns84_jaccard_capped",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |exall AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+           |keep AS (SELECT gram FROM exall GROUP BY gram HAVING COUNT(*) <= 10),
+           |exk AS (SELECT doc_id, gram FROM exall JOIN keep USING (gram)),
+           |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS ng FROM exk GROUP BY 1),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |  FROM exk a JOIN exk b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter::DOUBLE / (ca.ng + cb.ng - inter)::DOUBLE AS jaccard
+           |FROM j JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE inter::DOUBLE / (ca.ng + cb.ng - inter)::DOUBLE >= 0.3
+           |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      Dedup.ngramJaccardPairsCapped(T(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.3, maxDf = 10L)
+        .orderBy("doc_a", "doc_b")
     }
   )
 

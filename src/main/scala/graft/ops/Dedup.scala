@@ -359,6 +359,50 @@ object Dedup {
     val grams = shingleRows(df, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
+    jaccardFromGrams(grams, minJaccard)
+  }
+
+  /** [[ngramJaccardPairs]] with STOP-GRAM REMOVAL — the df-cap skew
+    * mitigation the scale audit names: grams appearing in more than
+    * `maxDf` documents are dropped from BOTH the pair join and the
+    * per-doc counts before Jaccard, so similarity is computed over the
+    * informative gram sets only. This is the standard answer to the
+    * operator's one scale hazard (a gram in k docs yields k² pair rows:
+    * one boilerplate phrase across 10^6 docs is 10^12 rows) — the cap
+    * bounds per-gram fan-out at maxDf² BY CONSTRUCTION, where plain
+    * AQE skew-splitting only spreads the blow-up across executors.
+    * Semantics: pairs connected ONLY by dropped stop-grams disappear
+    * (that is the point — boilerplate is not similarity evidence); docs
+    * whose every gram is capped have no informative grams and emit no
+    * pairs.
+    */
+  def ngramJaccardPairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double,
+      maxDf: Long): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val grams = shingleRows(df, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    // Grams are distinct per doc, so COUNT(*) per gh IS document
+    // frequency; the keep-list is map-side combined and gram-cardinality.
+    val keep = grams
+      .groupBy("gh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("gh")
+    jaccardFromGrams(grams.join(keep, "gh"), minJaccard)
+  }
+
+  /** Shared tail of the Jaccard family: inverted-index self-join on the
+    * (doc_id, gh) gram rows, per-doc counts rejoin (deliberately NOT
+    * hint-broadcast — AQE sizes the one-row-per-doc dimension), one IEEE
+    * division per pair.
+    */
+  private def jaccardFromGrams(grams: DataFrame, minJaccard: Double): DataFrame = {
     val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.alias("a")
     val b = grams.alias("b")

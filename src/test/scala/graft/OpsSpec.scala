@@ -359,6 +359,28 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 7L, 8L)), out.toSeq.toString)
   }
 
+  test("df-capped jaccard kills stop-gram pairs and keeps rare-gram duplicates") {
+    // Docs 1-4 share only the boilerplate trigram "x a b" (df=4); docs
+    // 5-6 are true near-dups through rare grams (df=2 each).
+    val df = Seq(
+      (1L, "x a b p1 q1"),
+      (2L, "x a b p2 q2"),
+      (3L, "x a b p3 q3"),
+      (4L, "x a b p4 q4"),
+      (5L, "u v w r s"),
+      (6L, "u v w r t")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)), "sanity: boilerplate links docs 1-2 uncapped")
+    val capped = Dedup.ngramJaccardPairsCapped(df, "doc_id", "text", 3, 0.01, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.map(t => (t._1, t._2)).toSet == Set((5L, 6L)),
+      s"stop-gram pairs must vanish, true dups must survive: ${capped.toSeq}")
+    // Doc 5 grams after cap: {u v w, v w r, w r s}; doc 6: {u v w, v w r,
+    // w r t} → inter 2, union 4 → jaccard 0.5 over the FILTERED sets.
+    assert(capped.head._3 == 0.5, capped.head.toString)
+  }
+
   test("benchmark spans locate exactly the leaked phrase, not the clean remainder") {
     val corpus = Seq(
       (1L, "intro words then the secret eval answer ends here"),
