@@ -78,6 +78,10 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 (Spark's legacy default) carries no parquet footer statistics
+      // and so defeats timestamp zone maps (sinks.DataSkipping); write the
+      // modern stats-bearing micros type, as Iceberg mandates.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

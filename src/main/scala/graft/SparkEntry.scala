@@ -11,7 +11,9 @@ import graft.engine.Engine
 import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Layout, Linkage, Merge, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
-import graft.sinks.{ManagedWriter, StreamType}
+import org.apache.spark.sql.sources
+
+import graft.sinks.{DataSkipping, ManagedWriter, StreamType}
 import graft.sources.{ParquetTableSource, ScanOptions}
 import graft.streaming.Streams
 
@@ -3341,6 +3343,115 @@ object SparkEntry {
       Dedup.ngramJaccardPairsCapped(T(s, dir, "documents"), "doc_id", "text",
           n = 3, minJaccard = 0.3, maxDf = 10L)
         .orderBy("doc_a", "doc_b")
+    },
+    // NS-W3: manifest data skipping (zone maps) — orders committed through
+    // the managed writer as range-partitioned files, then read back under
+    // a key-range predicate through DataSkipping.readSkipping, which
+    // consults the commit-time footer stats and OPENS only the files whose
+    // min/max admit the range (DataSkippingSpec pins that files are
+    // actually pruned). Skipping is lossless by construction — pruning
+    // removes provably-non-matching files and the predicate re-applies
+    // row-wise — so the result hash-matches the oracle's plain filter.
+    Q(
+      "ns85_data_skipping",
+      Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+          |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-skip-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w.write(ord.repartitionByRange(8, col("o_orderkey")))
+      w.finalizeCommit()
+      DataSkipping.readSkipping(s, dest, Seq(
+          sources.GreaterThanOrEqual("o_orderkey", 1000L),
+          sources.LessThan("o_orderkey", 3000L)))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    // NS-K3: Bloom-accelerated semi-join — the deterministic C61 filter
+    // deployed as a runtime row pre-filter: key-side bits embed in the
+    // plan as a literal bitmap, the big side screens SCAN-LOCALLY (no
+    // false negatives), and only survivors reach the exact semi-join.
+    // False positives cost time, never rows, so the result hash-matches
+    // the oracle's plain IN-subquery.
+    Q(
+      "ns86_bloom_join",
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+          |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
+      Sketch.bloomSemiJoin(
+          T(s, dir, "lineitem"), "l_partkey",
+          T(s, dir, "part").where(col("p_size") === 15), "p_partkey",
+          k = 5, m = 1 << 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // NS-W4: version change feed — ns63's merge commits versions N and
+    // N+1; ManagedWriter.changes derives the Delta-CDF row set between
+    // them post-hoc (insert / delete / update pre+post pairs, unchanged
+    // keys silent). The oracle classifies the same changeset from the
+    // supplier table directly.
+    Q(
+      "ns87_change_feed",
+      Some(
+        """WITH up AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0),
+          |del AS (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey % 10 = 1),
+          |ins AS (SELECT s_suppkey + 1000000 AS s_suppkey, s_acctbal FROM supplier
+          |  WHERE s_suppkey % 10 = 2)
+          |SELECT s_suppkey, s_acctbal, 'insert' AS _change_type FROM ins
+          |UNION ALL SELECT s_suppkey, s_acctbal, 'delete' FROM del
+          |UNION ALL SELECT s.s_suppkey, s.s_acctbal, 'update_preimage'
+          |  FROM supplier s JOIN up USING (s_suppkey)
+          |UNION ALL SELECT s.s_suppkey, s.s_acctbal + 100.0, 'update_postimage'
+          |  FROM supplier s JOIN up USING (s_suppkey)
+          |ORDER BY s_suppkey, _change_type""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-cdf-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Pending)
+      w.write(base)
+      w.finalizeCommit()
+      val vBase = ManagedWriter.versions(s, dest).last
+      val ups = base.where(col("s_suppkey") % 10 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val dels = base.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D"))
+      val ins = base.where(col("s_suppkey") % 10 === 2)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+        .withColumn("op", lit("U"))
+      val vNew = ManagedWriter.merge(
+        s, dest, ups.unionByName(dels).unionByName(ins), Seq("s_suppkey"))
+      ManagedWriter.changes(s, dest, vBase, vNew, Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("_change_type"))
+        .orderBy("s_suppkey", "_change_type")
+    },
+    // NS-W5: OPTIMIZE (manifest-aware compaction) — orders committed as
+    // many small range-partitioned files, compacted into ≈one file as the
+    // next manifest version (fresh skipping stats, old layout still
+    // time-travelable). Compaction is a LAYOUT change only, so the
+    // compacted read hash-matches the oracle's plain aggregate;
+    // ManagedWriterSpec pins the file-count drop and the crash seam.
+    Q(
+      "ns88_optimize_compact",
+      Some(
+        s"""SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+           |  ${oSum("o_totalprice")} AS total
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-opt-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w.write(ord.repartitionByRange(16, col("o_orderkey")))
+      w.finalizeCommit()
+      ManagedWriter.compact(s, dest, targetFileBytes = 1L << 30)
+      ManagedWriter.read(s, dest)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Deliberately NOT setting outputTimestampType=TIMESTAMP_MICROS here
+      // (unlike Engine/Bench): the driver's pandas comparator reads INT96
+      // result columns as tz-naive datetimes — matching the DuckDB oracle —
+      // while micros annotate UTC and hash-mismatch every timestamp column.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

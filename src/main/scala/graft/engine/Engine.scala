@@ -36,6 +36,10 @@ object Graft {
       // events.ts-style TIMESTAMP(NANOS) parquet columns decode as raw
       // nanos BIGINT; a session-build setting, never mutated per-read.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 (Spark's legacy default) carries no parquet footer statistics
+      // and so defeats timestamp zone maps (sinks.DataSkipping); write the
+      // modern stats-bearing micros type, as Iceberg mandates.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
     warehouse.foreach(w => b.config("spark.sql.warehouse.dir", w))
     val s = b.getOrCreate()

@@ -149,4 +149,80 @@ object Sketch {
   /** Union two filters' position sets: bloom(A ∪ B) = bits(A) ∪ bits(B). */
   def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).distinct()
+
+  /** Bloom-accelerated semi-join (runtime row pre-filter): rows of `big`
+    * whose `bigKey` appears in `keys.keyCol` — EXACTLY `big LEFT SEMI
+    * JOIN keys`, computed as a scan-local Bloom screen followed by the
+    * exact join over the survivors only. The screen has no false
+    * negatives, and survivors re-join exactly, so false positives cost
+    * time, never correctness.
+    *
+    * This is the shape of Spark's own `InjectRuntimeFilter`, built from
+    * this module's DETERMINISTIC filter instead of a seeded one: the
+    * key-side bits aggregate into an m-bit bitmap that embeds in the plan
+    * as a literal word array, and the probe — the same md5
+    * double-hash as [[bloomBits]], k `element_at` bit tests against that
+    * literal — evaluates inside the big side's scan stage under
+    * whole-stage codegen. Nothing of the big side shuffles until the
+    * (pre-screened) exact join.
+    *
+    * The ONLY materialization is the filter artifact itself: ≤ m bits
+    * (`m/8` bytes, `require`-bounded) — bounded by the CHOSEN sketch
+    * size, never by either input's cardinality, the same bounded-artifact
+    * exception as the IVF codebook. At 100 TB the economics are the
+    * runtime filter's: one bounded broadcast spares the exact join's
+    * shuffle from every non-matching big-side row, and `m` trades
+    * false-positive rate against plan payload.
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      bigKey: String,
+      keys: DataFrame,
+      keyCol: String,
+      k: Int = 5,
+      m: Int = 1 << 20): DataFrame = {
+    // rename the probe side so a same-named key can't turn the condition
+    // self-referential (semi-join output carries no right columns anyway)
+    val rhs = keys.select(col(keyCol).as("_graft_bloom_key")).distinct()
+    bloomScreen(big, bigKey, keys, keyCol, k, m)
+      .join(rhs, col(bigKey) === col("_graft_bloom_key"), "left_semi")
+  }
+
+  /** The scan-local screen alone (test seam): `big` rows whose key the
+    * bitmap admits — a superset of the exact semi-join's rows, smaller
+    * than `big` wherever the filter bites.
+    */
+  private[graft] def bloomScreen(
+      big: DataFrame,
+      bigKey: String,
+      keys: DataFrame,
+      keyCol: String,
+      k: Int,
+      m: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(m >= 64 && m <= (1 << 26), s"m=$m out of range [64, 2^26] (bitmap is the plan payload)")
+    // keys hash via their canonical string form so numeric and string key
+    // columns both feed the md5 family, identically on both sides
+    val words = new Array[Long]((m + 63) / 64)
+    bloomBits(keys.select(col(keyCol).cast("string").as(keyCol)), keyCol, k, m)
+      .collect().foreach { r =>
+        if (!r.isNullAt(0)) {
+          val pos = r.getLong(0)
+          words((pos >> 6).toInt) |= 1L << (pos & 63L)
+        }
+      }
+    val wordsLit = typedLit(words.toSeq)
+    val b = baseHash(col(bigKey).cast("string"))
+    val b1 = shiftright(b, 28)
+    val b2 = b.bitwiseAND(lit(0xfffffffL))
+    val mightMatch = forall(
+      transform(
+        sequence(lit(0), lit(k - 1)),
+        r => ((b1 + r * b2) % lit(TextOps.MinhashEmpty)) % m),
+      pos =>
+        call_function("shiftright",
+          element_at(wordsLit, (pos / 64).cast("int") + 1),
+          (pos % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L))
+    big.where(mightMatch)
+  }
 }

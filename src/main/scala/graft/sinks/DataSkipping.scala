@@ -1,0 +1,412 @@
+package graft.sinks
+
+import java.util.{Base64, UUID}
+
+import scala.language.existentials
+import scala.util.Try
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+
+/** File-level data skipping (zone maps) for the managed table.
+  *
+  * The reference's managed write (`bigquery_write.go:327-485`) appends rows
+  * and stops; at 100 TB the dominant read cost is scanning files a
+  * predicate could never match. This module records per-file column
+  * statistics — min / max / null count, lifted from the parquet footers the
+  * writer already produced — into a sidecar of the `_graft_manifest`
+  * directory at COMMIT time, and [[DataSkipping.readSkipping]] consults
+  * them to open only the files whose stats admit the predicate. The same
+  * shape as Delta's per-file stats / Iceberg's manifest value ranges:
+  * pruning happens on O(files) metadata on the driver, before any Spark
+  * scan task is planned.
+  *
+  * Everything is CONSERVATIVE by construction: a file with no recorded
+  * stats for a referenced column (adopted file, unsupported physical type,
+  * corrupt footer) is always kept, and the full predicate is re-applied
+  * row-wise after the scan — skipping can only remove files that provably
+  * contain no matching row, so `readSkipping(dest, fs)` ≡
+  * `read(dest).where(fs)` on every input.
+  *
+  * Statistics collection is O(newly committed files) footer reads —
+  * metadata-only, never column data — and only ever for the files a commit
+  * adds, not the whole table (the Delta posture: stats ride the commit).
+  *
+  * Predicates use Spark's public, stable [[org.apache.spark.sql.sources.Filter]]
+  * algebra — the same terms the DSv2 pushdown surface speaks — so a caller
+  * can hand the exact filters a scan would receive.
+  */
+object DataSkipping {
+
+  /** Aggregated footer statistics for one column of one file.
+    * `lo`/`hi` are None when every value in the file is NULL (the bounds
+    * then prune any value comparison); `kind` fixes the comparison domain.
+    */
+  private[sinks] final case class ColStats(
+      kind: String, // "i" integral (int32/int64/date/timestamp-micros), "d" double, "s" utf8 bytes, "b" boolean
+      lo: Option[Any],
+      hi: Option[Any],
+      nullCount: Long,
+      rowCount: Long)
+
+  /** Skipping decision for one read: every manifested file, the subset the
+    * predicate admits, and how many were pruned purely from metadata.
+    */
+  final case class SkipReport(totalFiles: Int, keptFiles: Seq[String]) {
+    def skipped: Int = totalFiles - keptFiles.size
+  }
+
+  // ---------------------------------------------------------------------
+  // Stats collection (commit-time, driver-side, metadata-only)
+  // ---------------------------------------------------------------------
+
+  /** Read one parquet file's footer and aggregate per-column stats across
+    * its row groups. Only top-level primitive columns with footer
+    * statistics are recorded; anything else is simply absent (= never
+    * pruned on). Row-group stats aggregate as min-of-mins / max-of-maxes /
+    * sum-of-nulls; if ANY row group lacks stats for a column, the column
+    * is dropped for the whole file (a partial bound is not a bound).
+    */
+  private def footerStats(fs: FileSystem, file: Path): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, fs.getConf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val groups = footer.getBlocks
+      if (groups.isEmpty) return Map.empty
+      val fields = scala.jdk.CollectionConverters.ListHasAsScala(schema.getFields).asScala
+      fields.flatMap { f =>
+        if (!f.isPrimitive) None
+        else {
+          val prim = f.asPrimitiveType()
+          val kind = prim.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              // DATE (int32 epoch days) and TIMESTAMP (int64 micros) ride
+              // the integral domain; decimals backed by ints do NOT (scale
+              // would be lost) and are skipped below.
+              prim.getLogicalTypeAnnotation match {
+                case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+                case _ => Some("i")
+              }
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("d")
+            case PrimitiveTypeName.BINARY
+                if prim.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              Some("s")
+            case PrimitiveTypeName.BOOLEAN => Some("b")
+            case _ => None
+          }
+          kind.flatMap { k =>
+            val name = f.getName
+            var lo: Option[Any] = None
+            var hi: Option[Any] = None
+            var nulls = 0L
+            var rows = 0L
+            var ok = true
+            groups.forEach { g =>
+              scala.jdk.CollectionConverters
+                .ListHasAsScala(g.getColumns).asScala
+                .find(c => c.getPath.size() == 1 && c.getPath.toDotString == name)
+                .foreach { c =>
+                  val st = c.getStatistics
+                  rows += g.getRowCount
+                  if (st == null || st.isEmpty || !st.isNumNullsSet) ok = false
+                  else {
+                    nulls += st.getNumNulls
+                    if (st.hasNonNullValue) {
+                      val (mn, mx) = (normalize(k, st.genericGetMin), normalize(k, st.genericGetMax))
+                      lo = Some(lo.fold(mn)(prev => if (cmp(k, mn, prev) < 0) mn else prev))
+                      hi = Some(hi.fold(mx)(prev => if (cmp(k, mx, prev) > 0) mx else prev))
+                    } else if (st.getNumNulls < g.getRowCount) {
+                      // non-null values exist but no bounds recorded
+                      ok = false
+                    }
+                  }
+                }
+            }
+            if (ok && rows > 0) Some(name -> ColStats(k, lo, hi, nulls, rows)) else None
+          }
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Canonical in-memory form per kind: Long for "i"/"b", Double for "d",
+    * Array[Byte] for "s" (parquet orders UTF8 binary by UNSIGNED bytes —
+    * Java String.compareTo orders by UTF-16 code unit, which disagrees
+    * above ASCII, so bounds stay as bytes).
+    */
+  private def normalize(kind: String, v: Any): Any = kind match {
+    case "i" => v.asInstanceOf[Number].longValue()
+    case "d" => v.asInstanceOf[Number].doubleValue()
+    case "b" => if (v.asInstanceOf[Boolean]) 1L else 0L
+    case "s" => v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+  }
+
+  private def cmp(kind: String, a: Any, b: Any): Int = kind match {
+    case "i" | "b" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "d" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "s" =>
+      java.util.Arrays.compareUnsigned(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+
+  // ---------------------------------------------------------------------
+  // Sidecar persistence (`_graft_manifest/stats-*.txt`)
+  // ---------------------------------------------------------------------
+
+  private def enc(kind: String, v: Option[Any]): String = v match {
+    case None => ""
+    case Some(x) =>
+      kind match {
+        case "i" | "b" => x.asInstanceOf[Long].toString
+        case "d" => x.asInstanceOf[Double].toString // Double.toString round-trips exactly
+        case "s" => Base64.getEncoder.encodeToString(x.asInstanceOf[Array[Byte]])
+      }
+  }
+
+  private def dec(kind: String, s: String): Option[Any] =
+    if (s.isEmpty) None
+    else Some(kind match {
+      case "i" | "b" => s.toLong
+      case "d" => s.toDouble
+      case "s" => Base64.getDecoder.decode(s)
+    })
+
+  /** Record stats for newly committed `files` (destination-relative) as one
+    * sidecar file in the manifest directory. Files are immutable once
+    * promoted, so stats lines are write-once facts; a per-file footer
+    * failure drops that file's lines (conservative), never the commit.
+    * Torn writes can't corrupt readers: the sidecar lands under a
+    * dot-prefixed temp name first and is renamed into place.
+    */
+  private[sinks] def writeStats(fs: FileSystem, destDir: String, files: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    val lines = files.flatMap { rel =>
+      Try(footerStats(fs, new Path(destDir, rel))).toOption.toSeq.flatMap {
+        _.toSeq.sortBy(_._1).map { case (c, s) =>
+          Seq(rel, c, s.kind, enc(s.kind, s.lo), enc(s.kind, s.hi),
+            s.nullCount.toString, s.rowCount.toString).mkString("\t")
+        }
+      }
+    }
+    if (lines.isEmpty) return
+    val md = new Path(destDir, "_graft_manifest")
+    if (!fs.exists(md)) fs.mkdirs(md)
+    val tmp = new Path(md, s".tmp-stats-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(md, s"stats-${UUID.randomUUID().toString.take(8)}.txt"))
+  }
+
+  /** All recorded stats at `destDir`: file → column → stats. Malformed
+    * lines are ignored (skipping is advisory metadata; the manifest owns
+    * correctness).
+    */
+  private[sinks] def readStats(fs: FileSystem, destDir: String): Map[String, Map[String, ColStats]] = {
+    val md = new Path(destDir, "_graft_manifest")
+    if (!fs.exists(md)) return Map.empty
+    val statFiles = fs.listStatus(md).map(_.getPath)
+      .filter(p => p.getName.startsWith("stats-") && p.getName.endsWith(".txt"))
+    statFiles.flatMap { p =>
+      val in = fs.open(p)
+      val ls =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      ls.flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(f, c, k, mn, mx, nc, rc) =>
+            Try(ColStats(k, dec(k, mn), dec(k, mx), nc.toLong, rc.toLong))
+              .toOption.map(s => (f, c, s))
+          case _ => None
+        }
+      }
+    }.groupBy(_._1)
+      .map { case (f, ts) => f -> ts.map(t => t._2 -> t._3).toMap }
+  }
+
+  /** Rewrite the sidecar down to `keep` (vacuum support): surviving lines
+    * land in a fresh stats file BEFORE the old ones are deleted, so a
+    * crash between the two phases leaves duplicate lines (harmless — the
+    * reader keys by file) rather than missing ones.
+    */
+  private[sinks] def compactStats(fs: FileSystem, destDir: String, keep: Set[String]): Unit = {
+    val md = new Path(destDir, "_graft_manifest")
+    if (!fs.exists(md)) return
+    val old = fs.listStatus(md).map(_.getPath)
+      .filter(p => p.getName.startsWith("stats-") && p.getName.endsWith(".txt"))
+    if (old.isEmpty) return
+    val survivors = readStats(fs, destDir).view.filterKeys(keep).toMap
+    val lines = survivors.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        Seq(f, c, s.kind, enc(s.kind, s.lo), enc(s.kind, s.hi),
+          s.nullCount.toString, s.rowCount.toString).mkString("\t")
+      }
+    }
+    if (lines.nonEmpty) {
+      val tmp = new Path(md, s".tmp-stats-${UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.rename(tmp, new Path(md, s"stats-${UUID.randomUUID().toString.take(8)}.txt"))
+    }
+    old.foreach(p => fs.delete(p, false))
+  }
+
+  // ---------------------------------------------------------------------
+  // Pruning (might-match evaluation against one file's stats)
+  // ---------------------------------------------------------------------
+
+  /** Lift a filter-side literal into a column's comparison domain. None =
+    * the literal doesn't fit the domain (type confusion) → conservative.
+    */
+  private def toDomain(kind: String, v: Any): Option[Any] = (kind, v) match {
+    case (_, null) => None
+    case ("i", n: java.lang.Number) => Some(n.longValue())
+    case ("i", d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case ("i", d: java.time.LocalDate) => Some(d.toEpochDay)
+    case ("i", t: java.sql.Timestamp) =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case ("i", t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case ("d", n: java.lang.Number) => Some(n.doubleValue())
+    case ("s", s: String) => Some(s.getBytes("UTF-8"))
+    case ("b", b: java.lang.Boolean) => Some(if (b) 1L else 0L)
+    case _ => None
+  }
+
+  /** Could any row of a file with stats `st` satisfy `f`? Absent stats →
+    * true (keep). The evaluation mirrors what the row-wise filter will do,
+    * so a `false` here is a proof, not a guess.
+    */
+  private def mightMatch(st: Map[String, ColStats], f: Filter): Boolean = f match {
+    case And(l, r) => mightMatch(st, l) && mightMatch(st, r)
+    case Or(l, r) => mightMatch(st, l) || mightMatch(st, r)
+    case EqualTo(a, v) => rangeMight(st.get(a), v, loOk = _ <= 0, hiOk = _ >= 0)
+    case EqualNullSafe(a, null) => st.get(a).forall(_.nullCount > 0)
+    case EqualNullSafe(a, v) => rangeMight(st.get(a), v, loOk = _ <= 0, hiOk = _ >= 0)
+    case GreaterThan(a, v) => rangeMight(st.get(a), v, loOk = _ => true, hiOk = _ > 0)
+    case GreaterThanOrEqual(a, v) => rangeMight(st.get(a), v, loOk = _ => true, hiOk = _ >= 0)
+    case LessThan(a, v) => rangeMight(st.get(a), v, loOk = _ < 0, hiOk = _ => true)
+    case LessThanOrEqual(a, v) => rangeMight(st.get(a), v, loOk = _ <= 0, hiOk = _ => true)
+    case In(a, vs) =>
+      st.get(a) match {
+        case None => true
+        case Some(s) =>
+          vs.exists(v => rangeMight(Some(s), v, loOk = _ <= 0, hiOk = _ >= 0))
+      }
+    case IsNull(a) => st.get(a).forall(_.nullCount > 0)
+    case IsNotNull(a) => st.get(a).forall(s => s.nullCount < s.rowCount)
+    case StringStartsWith(a, p) =>
+      st.get(a) match {
+        case None => true
+        case Some(s) if s.kind != "s" => true
+        case Some(s) =>
+          (s.lo, s.hi) match {
+            case (Some(lo), Some(hi)) =>
+              // any string with prefix p truncates (byte-wise) to exactly p,
+              // and truncation is monotone: a match exists only if
+              // trunc(lo) <= p <= trunc(hi)
+              val pb = p.getBytes("UTF-8")
+              val lt = truncBytes(lo.asInstanceOf[Array[Byte]], pb.length)
+              val ht = truncBytes(hi.asInstanceOf[Array[Byte]], pb.length)
+              java.util.Arrays.compareUnsigned(lt, pb) <= 0 &&
+                java.util.Arrays.compareUnsigned(ht, pb) >= 0
+            case _ => false // all-null file: no string starts with anything
+          }
+      }
+    case _ => true // unknown term: never prune on it
+  }
+
+  private def truncBytes(b: Array[Byte], n: Int): Array[Byte] =
+    if (b.length <= n) b else java.util.Arrays.copyOfRange(b, 0, n)
+
+  /** Shared value-vs-[lo,hi] check: keep when the comparison outcomes the
+    * predicate needs are possible. All-null files (no bounds) prune every
+    * value comparison; a domain-mismatched literal keeps the file.
+    */
+  private def rangeMight(
+      st: Option[ColStats],
+      v: Any,
+      loOk: Int => Boolean,
+      hiOk: Int => Boolean): Boolean = st match {
+    case None => true
+    case Some(s) =>
+      (s.lo, s.hi) match {
+        case (Some(lo), Some(hi)) =>
+          toDomain(s.kind, v) match {
+            case None => v != null // null literal in a value comparison matches nothing
+            case Some(dv) => loOk(cmp(s.kind, lo, dv)) && hiOk(cmp(s.kind, hi, dv))
+          }
+        case _ => false // every row NULL: no value comparison can hold
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // Residual conversion (Filter → Column, applied after the pruned scan)
+  // ---------------------------------------------------------------------
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case StringContains(a, p) => Some(col(a).contains(p))
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------------
+  // Public read path
+  // ---------------------------------------------------------------------
+
+  /** The skipping decision for `filters` at `destDir`, without reading any
+    * data: every file the latest manifest names vs the subset whose stats
+    * admit the predicate. Exposed so callers (and specs) can measure
+    * pruning — the whole point of the feature at 100 TB.
+    */
+  def report(spark: SparkSession, destDir: String, filters: Seq[Filter]): SkipReport = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ManagedWriter.manifestFiles(fs, destDir)
+    val stats = readStats(fs, destDir)
+    val kept = files.filter { f =>
+      val st = stats.getOrElse(f, Map.empty)
+      filters.forall(mightMatch(st, _))
+    }
+    SkipReport(files.size, kept)
+  }
+
+  /** Read the latest committed snapshot under `filters`, opening ONLY the
+    * files whose recorded stats admit the predicate; the predicate is then
+    * re-applied row-wise, so the result is exactly
+    * `ManagedWriter.read(destDir).where(filters)` — skipping changes which
+    * files are scanned, never which rows come back. Every filter must be
+    * expressible as a Column (it is for the whole
+    * [[org.apache.spark.sql.sources.Filter]] vocabulary this module
+    * handles); an inexpressible term throws rather than silently widening
+    * the result.
+    */
+  def readSkipping(spark: SparkSession, destDir: String, filters: Seq[Filter]): DataFrame = {
+    val residual = filters.map(f =>
+      toColumn(f).getOrElse(throw new IllegalArgumentException(
+        s"unsupported residual filter: $f")))
+    val rep = report(spark, destDir, filters)
+    val base = ManagedWriter.readFiles(spark, destDir, rep.keptFiles)
+    residual.foldLeft(base)(_.where(_))
+  }
+}

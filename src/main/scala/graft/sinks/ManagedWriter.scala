@@ -87,6 +87,7 @@ final class ManagedWriter(
       ManagedWriter.ensureBaseManifest(fs, destDir)
       val promoted = promote(new Path(batchDir))
       ManagedWriter.publishManifest(fs, destDir, promoted)
+      DataSkipping.writeStats(fs, destDir, promoted)
     }
     n
   }
@@ -138,6 +139,7 @@ final class ManagedWriter(
         promoted ++= promote(b.getPath)
       }
       ManagedWriter.publishManifest(fs, destDir, promoted.result())
+      DataSkipping.writeStats(fs, destDir, promoted.result())
     }
     if (fs.exists(staging)) fs.delete(staging, true)
     appended
@@ -251,6 +253,7 @@ object ManagedWriter {
       if (crashBeforePublish)
         throw new java.io.IOException("simulated crash before merge publish (test hook)")
       publishExactManifest(fs, destDir, baseVersion, promoted)
+      DataSkipping.writeStats(fs, destDir, promoted)
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)
     }
@@ -281,6 +284,92 @@ object ManagedWriter {
         s"merge commit conflict: ${target.getName} was published concurrently; " +
           "merged files left unreferenced — re-run the merge against the new snapshot")
     }
+  }
+
+  /** Change feed between two committed versions (Delta CDF's read shape,
+    * derived post-hoc from the snapshots instead of logged at write time):
+    * per key — `insert` (in `toVersion` only), `delete` (in `fromVersion`
+    * only), or an `update_preimage`/`update_postimage` row pair (key in
+    * both, any non-key column differing under null-safe equality).
+    * Unchanged keys emit nothing. Output: the table's columns plus
+    * `_change_type`, deterministic given the two snapshots.
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key — the
+    * same cost [[merge]] already paid to produce the new version; struct
+    * comparison is scan-local on the joined rows.
+    */
+  def changes(
+      spark: SparkSession,
+      destDir: String,
+      fromVersion: Long,
+      toVersion: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "need key columns to line up rows across versions")
+    val pre = readVersion(spark, destDir, fromVersion)
+    val post = readVersion(spark, destDir, toVersion)
+    val cols = pre.columns.toSeq
+    require(post.columns.toSeq == cols,
+      s"schema drift between versions: ${cols.mkString(",")} vs ${post.columns.mkString(",")}")
+    val o = pre.select(
+      keyCols.map(col) :+ struct(cols.map(col): _*).as("_o"): _*)
+    val n = post.select(
+      keyCols.map(col) :+ struct(cols.map(col): _*).as("_n"): _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    val inserts = joined.where(col("_o").isNull).select(
+      cols.map(c => col(s"_n.$c").as(c)) :+ lit("insert").as("_change_type"): _*)
+    val deletes = joined.where(col("_n").isNull).select(
+      cols.map(c => col(s"_o.$c").as(c)) :+ lit("delete").as("_change_type"): _*)
+    val updatedKeys = joined.where(
+      col("_o").isNotNull && col("_n").isNotNull && !(col("_o") <=> col("_n")))
+    val upPre = updatedKeys.select(
+      cols.map(c => col(s"_o.$c").as(c)) :+ lit("update_preimage").as("_change_type"): _*)
+    val upPost = updatedKeys.select(
+      cols.map(c => col(s"_n.$c").as(c)) :+ lit("update_postimage").as("_change_type"): _*)
+    inserts.unionByName(deletes).unionByName(upPre).unionByName(upPost)
+  }
+
+  /** OPTIMIZE for the versioned table: rewrite the LATEST snapshot's
+    * small files into ≈`targetFileBytes` files and publish the compacted
+    * layout as the next manifest version — same row set, fewer/larger
+    * files, fresh skipping stats. The commit point is [[merge]]'s single
+    * manifest rename: a crash anywhere before it leaves the uncompacted
+    * version authoritative (compacted files orphaned, invisible, swept
+    * by a later vacuum). Old versions stay readable until vacuumed —
+    * compaction is a LAYOUT change, so time travel across it is exact.
+    *
+    * Returns the published version. The rewrite is one job whose
+    * parallelism is the output file count; like any OPTIMIZE it trades
+    * one bounded rewrite now for every future scan's open-file count.
+    */
+  def compact(spark: SparkSession, destDir: String, targetFileBytes: Long): Long =
+    compactImpl(spark, destDir, targetFileBytes, crashBeforePublish = false)
+
+  private[graft] def compactImpl(
+      spark: SparkSession,
+      destDir: String,
+      targetFileBytes: Long,
+      crashBeforePublish: Boolean): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureBaseManifest(fs, destDir)
+    val (baseVersion, baseFiles) = latestManifest(fs, destDir).get
+    if (baseFiles.isEmpty) return baseVersion // nothing to lay out
+    val bytes = baseFiles.map(f => fs.getFileStatus(new Path(destDir, f)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val base = manifestRead(spark, destDir, baseFiles)
+    val staging = new Path(s"$destDir-compact-${UUID.randomUUID().toString.take(8)}")
+    try {
+      base.repartition(nOut).write.mode("errorifexists").parquet(staging.toString)
+      val promoted = promoteDir(fs, staging, destDir)
+      if (crashBeforePublish)
+        throw new java.io.IOException("simulated crash before compact publish (test hook)")
+      publishExactManifest(fs, destDir, baseVersion, promoted)
+      DataSkipping.writeStats(fs, destDir, promoted)
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+    baseVersion + 1
   }
 
   /** Storage reclamation for the versioned table: keep the newest
@@ -317,6 +406,9 @@ object ManagedWriter {
     val deleted = physicalFiles(fs, destDir).count { rel =>
       !referenced.contains(rel) && fs.delete(new Path(destDir, rel), false)
     }
+    // Drop skipping stats of vacuumed files alongside (new sidecar first,
+    // old ones after — a crash in between duplicates lines, never loses them).
+    DataSkipping.compactStats(fs, destDir, referenced)
     (drop.size, deleted)
   }
 
@@ -486,6 +578,22 @@ object ManagedWriter {
       }
     case _ =>
       !fs.exists(target) && fs.rename(tmp, target)
+  }
+
+  /** Files named by the latest committed manifest (destination-relative),
+    * empty when none — the file list [[DataSkipping]] prunes.
+    */
+  private[sinks] def manifestFiles(fs: FileSystem, destDir: String): Seq[String] =
+    latestManifest(fs, destDir).map(_._2).getOrElse(Seq.empty)
+
+  /** Read an explicit subset of the snapshot's files (schema-preserving
+    * even when the subset is empty) — [[DataSkipping.readSkipping]]'s
+    * scan, after pruning decided which files survive.
+    */
+  private[sinks] def readFiles(spark: SparkSession, destDir: String, files: Seq[String]): DataFrame = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (files.nonEmpty) manifestRead(spark, destDir, files)
+    else emptySnapshot(spark, fs, destDir)
   }
 
   /** Manifest-consulting reader — the strict-visibility read path. Loads

@@ -255,6 +255,34 @@ class AnalyticsOpsSpec extends SparkSpec {
       bits.collect().map(_.getLong(0)).toSet)
   }
 
+  test("bloom semi-join: exact under false positives, screen actually bites") {
+    import graft.ops.Sketch
+    val li = Tables(spark, sfDir, "lineitem")
+    val keys = Tables(spark, sfDir, "part").where(col("p_size") === 15)
+    val exact = li.join(
+      keys.select(col("p_partkey").as("k")), col("l_partkey") === col("k"), "left_semi")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_linenumber").collect().map(_.toString).toSet
+    // comfortable m: screen admits few non-matches, join result is exact
+    val viaBloom = Sketch.bloomSemiJoin(li, "l_partkey", keys, "p_partkey", k = 5, m = 1 << 16)
+    assert(rows(viaBloom) == rows(exact))
+    // tiny m: false positives guaranteed — result must STILL be exact
+    val viaTiny = Sketch.bloomSemiJoin(li, "l_partkey", keys, "p_partkey", k = 2, m = 64)
+    assert(rows(viaTiny) == rows(exact))
+    // the screen is a superset of the exact rows and prunes the big side
+    val screened = Sketch.bloomScreen(li, "l_partkey", keys, "p_partkey", k = 5, m = 1 << 16)
+    assert(screened.count() >= exact.count())
+    assert(screened.count() < li.count(),
+      s"screen kept everything (${screened.count()} of ${li.count()})")
+    // null big-side keys never survive, matching semi-join semantics
+    val withNull = li.withColumn("l_partkey",
+      when(col("l_linenumber") === 1, lit(null).cast("long")).otherwise(col("l_partkey")))
+    val exactNull = withNull.join(
+      keys.select(col("p_partkey").as("k")), col("l_partkey") === col("k"), "left_semi")
+    val bloomNull = Sketch.bloomSemiJoin(withNull, "l_partkey", keys, "p_partkey", 5, 1 << 16)
+    assert(rows(bloomNull) == rows(exactNull))
+  }
+
   test("reliable checkpoint mode reproduces the local-mode result and writes to the dir") {
     // spark.graft.checkpoint.mode is session-scoped: a sibling session with
     // mode=reliable runs every iterative round as a reliable-store

@@ -294,4 +294,73 @@ class ManagedWriterSpec extends SparkSpec {
     w.finalizeCommit()
     assertThrows[IllegalArgumentException] { w.write(df) }
   }
+
+  test("change feed classifies insert/delete/update pairs; unchanged keys silent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dest = tmp()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base); w.finalizeCommit()
+    val v1 = ManagedWriter.versions(spark, dest).last
+    val cs = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "U")).toDF("id", "v", "op")
+    val v2 = ManagedWriter.merge(spark, dest, cs, Seq("id"))
+    val feed = ManagedWriter.changes(spark, dest, v1, v2, Seq("id"))
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (4L, "d", "insert"),
+      (3L, "c", "delete"),
+      (2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage")), s"got $feed")
+    // key 1 unchanged: absent. Feed between identical versions is empty.
+    assert(ManagedWriter.changes(spark, dest, v2, v2, Seq("id")).isEmpty)
+  }
+
+  test("compact shrinks the file count, preserves rows, keeps old layout travelable") {
+    val sup = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, sup.schema, StreamType.Pending)
+    w.write(sup.repartition(8))
+    w.finalizeCommit()
+    val v1 = ManagedWriter.versions(spark, dest).last
+    val before = ManagedWriter.read(spark, dest)
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore >= 8)
+    val v2 = ManagedWriter.compact(spark, dest, targetFileBytes = 1L << 30)
+    assert(v2 == v1 + 1)
+    val after = ManagedWriter.read(spark, dest)
+    assert(after.inputFiles.length < filesBefore)
+    assert(rowsOf(after) == rowsOf(before))
+    // the pre-compact layout is still exactly readable
+    assert(rowsOf(ManagedWriter.readVersion(spark, dest, v1)) == rowsOf(before))
+    // compacted files carry fresh skipping stats (sidecar mentions them)
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compacted = ManagedWriter.read(spark, dest).inputFiles
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dest/_graft_manifest"))
+      .map(_.getPath).filter(_.getName.startsWith("stats-"))
+    val statLines = sidecars.flatMap { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList finally in.close()
+    }
+    assert(compacted.exists(c => statLines.exists(_.startsWith(c))))
+  }
+
+  test("crash before the compact publish leaves the old layout authoritative") {
+    val sup = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, sup.schema, StreamType.Pending)
+    w.write(sup.repartition(6))
+    w.finalizeCommit()
+    val vsBefore = ManagedWriter.versions(spark, dest)
+    assertThrows[java.io.IOException] {
+      ManagedWriter.compactImpl(spark, dest, 1L << 30, crashBeforePublish = true)
+    }
+    assert(ManagedWriter.versions(spark, dest) == vsBefore)
+    assert(ManagedWriter.read(spark, dest).count() == sup.count())
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
 }
