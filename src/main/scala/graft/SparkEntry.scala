@@ -3452,6 +3452,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
         .orderBy("o_orderpriority")
+    },
+    // NS-W6: metadata-only count — the range count answers from the
+    // manifest's per-file row counts wherever the stats DECIDE a whole
+    // file (range layout → only the two boundary files scan;
+    // DataSkippingSpec pins the decided/scanned split). Exact on every
+    // input by construction, so it hash-matches the oracle's plain count.
+    Q(
+      "ns89_meta_count",
+      Some(
+        """SELECT COUNT(*)::BIGINT AS n FROM orders
+          |WHERE o_orderkey >= 1000 AND o_orderkey < 3000""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-cnt-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w.write(ord.repartitionByRange(8, col("o_orderkey")))
+      w.finalizeCommit()
+      val n = DataSkipping.countWhere(s, dest, Seq(
+        sources.GreaterThanOrEqual("o_orderkey", 1000L),
+        sources.LessThan("o_orderkey", 3000L)))
+      s.range(1).select(lit(n).as("n"))
     }
   )
 

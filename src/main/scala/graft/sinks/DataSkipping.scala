@@ -348,6 +348,90 @@ object DataSkipping {
       }
   }
 
+  /** Does EVERY row of a file with stats `st` satisfy `f`? A `true` here
+    * is a proof (value comparisons additionally require a null-free
+    * column — NULL satisfies no comparison); `false` just means
+    * undecided. The dual of [[mightMatch]], for metadata-only aggregates.
+    */
+  private def mustMatchAll(st: Map[String, ColStats], f: Filter): Boolean = f match {
+    case And(l, r) => mustMatchAll(st, l) && mustMatchAll(st, r)
+    case Or(l, r) => mustMatchAll(st, l) || mustMatchAll(st, r)
+    case EqualTo(a, v) => boundsAll(st.get(a), v, loOk = _ == 0, hiOk = _ == 0)
+    case GreaterThan(a, v) => boundsAll(st.get(a), v, loOk = _ > 0, hiOk = _ => true)
+    case GreaterThanOrEqual(a, v) => boundsAll(st.get(a), v, loOk = _ >= 0, hiOk = _ => true)
+    case LessThan(a, v) => boundsAll(st.get(a), v, loOk = _ => true, hiOk = _ < 0)
+    case LessThanOrEqual(a, v) => boundsAll(st.get(a), v, loOk = _ => true, hiOk = _ <= 0)
+    case In(a, vs) =>
+      // provable only through a constant column equal to one member
+      vs.exists(v => boundsAll(st.get(a), v, loOk = _ == 0, hiOk = _ == 0))
+    case IsNull(a) => st.get(a).exists(s => s.nullCount == s.rowCount)
+    case IsNotNull(a) => st.get(a).exists(_.nullCount == 0)
+    case _ => false
+  }
+
+  private def boundsAll(
+      st: Option[ColStats],
+      v: Any,
+      loOk: Int => Boolean,
+      hiOk: Int => Boolean): Boolean = st match {
+    case Some(s) if s.nullCount == 0 =>
+      (s.lo, s.hi) match {
+        case (Some(lo), Some(hi)) =>
+          toDomain(s.kind, v) match {
+            case Some(dv) => loOk(cmp(s.kind, lo, dv)) && hiOk(cmp(s.kind, hi, dv))
+            case None => false
+          }
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Metadata split for a count: files the predicate provably misses
+    * entirely (dropped), provably matches entirely (counted from recorded
+    * row counts, no scan), and the undecided remainder (scanned).
+    */
+  final case class CountPlan(
+      prunedFiles: Int, decidedFiles: Int, decidedRows: Long, scanFiles: Seq[String])
+
+  private[graft] def countPlan(
+      spark: SparkSession, destDir: String, filters: Seq[Filter]): CountPlan = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ManagedWriter.manifestFiles(fs, destDir)
+    val stats = readStats(fs, destDir)
+    var pruned = 0
+    var decided = 0
+    var decidedRows = 0L
+    val scan = Seq.newBuilder[String]
+    files.foreach { f =>
+      val st = stats.getOrElse(f, Map.empty)
+      if (!filters.forall(mightMatch(st, _))) pruned += 1
+      else if (st.nonEmpty && filters.forall(mustMatchAll(st, _))) {
+        decided += 1
+        decidedRows += st.valuesIterator.next().rowCount
+      } else scan += f
+    }
+    CountPlan(pruned, decided, decidedRows, scan.result())
+  }
+
+  /** `COUNT(*)` under `filters`, answered from metadata wherever the
+    * stats decide a whole file (Iceberg's metadata-aggregate shape): only
+    * the undecided files are scanned, with the full predicate re-applied
+    * there — so the count is exact on every input, and on
+    * range-partitioned layouts a range count touches at most the two
+    * boundary files.
+    */
+  def countWhere(spark: SparkSession, destDir: String, filters: Seq[Filter]): Long = {
+    val residual = filters.map(f =>
+      toColumn(f).getOrElse(throw new IllegalArgumentException(
+        s"unsupported residual filter: $f")))
+    val plan = countPlan(spark, destDir, filters)
+    val scanned =
+      if (plan.scanFiles.isEmpty) 0L
+      else residual.foldLeft(
+        ManagedWriter.readFiles(spark, destDir, plan.scanFiles))(_.where(_)).count()
+    plan.decidedRows + scanned
+  }
+
   // ---------------------------------------------------------------------
   // Residual conversion (Filter → Column, applied after the pruned scan)
   // ---------------------------------------------------------------------

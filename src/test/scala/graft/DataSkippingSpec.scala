@@ -148,6 +148,34 @@ class DataSkippingSpec extends SparkSpec {
     assert(skipped.as[(Long, Long)].collect().toSeq == Seq((50L, 0L)))
   }
 
+  test("metadata count: boundary files scan, interior files count from stats") {
+    val ord = Tables(spark, sfDir, "orders")
+    val dest = tmp()
+    commitRanged(ord, dest, "o_orderkey", 8)
+    val filters = Seq[Filter](
+      GreaterThanOrEqual("o_orderkey", 100L), LessThan("o_orderkey", 5000L))
+    val expected = ord.where(col("o_orderkey") >= 100L && col("o_orderkey") < 5000L).count()
+    assert(DataSkipping.countWhere(spark, dest, filters) == expected)
+    val plan = DataSkipping.countPlan(spark, dest, filters)
+    assert(plan.scanFiles.size <= 2, s"more than boundary files scanned: $plan")
+    assert(plan.decidedFiles >= 1, s"no file decided from metadata: $plan")
+    // a null-free column: IsNotNull decides EVERY file, zero scanned
+    val nn = DataSkipping.countPlan(spark, dest, Seq(IsNotNull("o_orderkey")))
+    assert(nn.scanFiles.isEmpty && nn.decidedRows == ord.count())
+    assert(DataSkipping.countWhere(spark, dest, Seq(IsNotNull("o_orderkey"))) == ord.count())
+  }
+
+  test("metadata count stays exact with nulls and stat-less files") {
+    import spark.implicits._
+    val dest = tmp()
+    val a = Seq((1L, Some(10L)), (2L, None: Option[Long])).toDF("id", "v")
+    val w = new ManagedWriter(spark, dest, a.schema, StreamType.Pending)
+    w.write(a.coalesce(1)); w.finalizeCommit()
+    // NULL satisfies no comparison: count must be 1, not 2
+    assert(DataSkipping.countWhere(spark, dest, Seq(GreaterThan("v", 0L))) == 1L)
+    assert(DataSkipping.countWhere(spark, dest, Seq(IsNull("v"))) == 1L)
+  }
+
   test("unsupported residual filter throws instead of widening the result") {
     val dest = tmp()
     val sup = Tables(spark, sfDir, "supplier")
