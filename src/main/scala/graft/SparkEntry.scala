@@ -14,7 +14,7 @@ import graft.proto.RowCodec
 import org.apache.spark.sql.sources
 
 import graft.sinks.{DataSkipping, ManagedWriter, StreamType}
-import graft.sources.{ParquetTableSource, ScanOptions}
+import graft.sources.{ParquetTableSource, PartitionedArrow, ScanOptions}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3473,6 +3473,37 @@ object SparkEntry {
         sources.GreaterThanOrEqual("o_orderkey", 1000L),
         sources.LessThan("o_orderkey", 3000L)))
       s.range(1).select(lit(n).as("n"))
+    },
+    // NS-A1: storage-partitioned join — customer and supplier laid out as
+    // key=value Arrow directories on their nation keys; both scans report
+    // KeyGroupedPartitioning, so with V2 bucketing on the join plans with
+    // ZERO exchanges (StoragePartitionedJoinSpec pins the plan shape; the
+    // conf is advisory, so the result hash-matches the oracle's plain
+    // join either way).
+    Q(
+      "ns90_storage_partitioned_join",
+      Some(
+        """SELECT c_nationkey AS nkey, COUNT(*)::BIGINT AS pairs
+          |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-spj-" +
+        UUID.randomUUID().toString.take(8)
+      PartitionedArrow.write(
+        T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        s"$base-c", "c_nationkey")
+      PartitionedArrow.write(
+        T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        s"$base-s", "s_nationkey")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def rd(d: String, k: String) =
+        s.read.format("graft.sources.PartitionedArrowSource")
+          .option("partitionCol", k).load(d)
+      rd(s"$base-c", "c_nationkey")
+        .join(rd(s"$base-s", "s_nationkey"),
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("nkey"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("nkey")
     }
   )
 
