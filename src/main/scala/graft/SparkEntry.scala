@@ -3504,6 +3504,31 @@ object SparkEntry {
         .groupBy(col("c_nationkey").as("nkey"))
         .agg(count(lit(1)).as("pairs"))
         .orderBy("nkey")
+    },
+    // NS-W7: schema evolution — the supplier table committed, then an
+    // evolved batch carrying a NEW nullable column appended through the
+    // same writer (Delta mergeSchema posture: append-only widening, the
+    // declared schema versioned in the manifest). Earlier rows read the
+    // new column as NULL; the oracle replays the union.
+    Q(
+      "ns91_schema_evolution",
+      Some(
+        """SELECT s_suppkey, s_acctbal, NULL::BIGINT AS bonus FROM supplier
+          |UNION ALL
+          |SELECT s_suppkey, s_acctbal, s_suppkey * 2 AS bonus FROM supplier
+          |  WHERE s_suppkey % 5 = 0
+          |ORDER BY s_suppkey, bonus""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-evo-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Committed,
+        allowSchemaEvolution = true)
+      w.write(base)
+      w.write(base.where(col("s_suppkey") % 5 === 0)
+        .withColumn("bonus", col("s_suppkey") * 2))
+      ManagedWriter.read(s, dest)
+        .select(col("s_suppkey"), col("s_acctbal"), col("bonus"))
+        .orderBy("s_suppkey", "bonus")
     }
   )
 

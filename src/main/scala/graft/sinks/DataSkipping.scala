@@ -188,11 +188,17 @@ object DataSkipping {
   private[sinks] def writeStats(fs: FileSystem, destDir: String, files: Seq[String]): Unit = {
     if (files.isEmpty) return
     val lines = files.flatMap { rel =>
-      Try(footerStats(fs, new Path(destDir, rel))).toOption.toSeq.flatMap {
-        _.toSeq.sortBy(_._1).map { case (c, s) =>
-          Seq(rel, c, s.kind, enc(s.kind, s.lo), enc(s.kind, s.hi),
-            s.nullCount.toString, s.rowCount.toString).mkString("\t")
-        }
+      Try(footerStats(fs, new Path(destDir, rel))).toOption.toSeq.flatMap { st =>
+        if (st.isEmpty)
+          // readable but nothing recordable (e.g. a zero-row file): an
+          // empty-column marker keeps indexExisting from re-scanning it
+          // — never consulted by pruning (no filter names column "")
+          Seq(Seq(rel, "", "_", "", "", "0", "0").mkString("\t"))
+        else
+          st.toSeq.sortBy(_._1).map { case (c, s) =>
+            Seq(rel, c, s.kind, enc(s.kind, s.lo), enc(s.kind, s.hi),
+              s.nullCount.toString, s.rowCount.toString).mkString("\t")
+          }
       }
     }
     if (lines.isEmpty) return
@@ -453,6 +459,23 @@ object DataSkipping {
     case StringEndsWith(a, p) => Some(col(a).endsWith(p))
     case StringContains(a, p) => Some(col(a).contains(p))
     case _ => None
+  }
+
+  /** Opt-in stats backfill for files the manifest names but no sidecar
+    * covers — ADOPTED files (a pre-existing dataset the first commit took
+    * over, deliberately not footer-scanned then: adoption is implicit and
+    * the directory could hold millions of files, so the scan must be an
+    * explicit choice). After indexing, skipping over the adopted layout —
+    * e.g. a Z-ordered table — is as effective as over written-through
+    * data. Returns the number of files indexed; O(that) footer reads.
+    */
+  def indexExisting(spark: SparkSession, destDir: String): Int = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ManagedWriter.manifestFiles(fs, destDir)
+    val covered = readStats(fs, destDir).keySet
+    val missing = files.filterNot(covered)
+    writeStats(fs, destDir, missing)
+    missing.size
   }
 
   // ---------------------------------------------------------------------

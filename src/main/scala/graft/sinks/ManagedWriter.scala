@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Stream visibility mode (≈ storagepb stream types, bigquery_write.go:384-394):
   *   - Committed: each append is immediately visible.
@@ -51,11 +51,13 @@ final class ManagedWriter(
     spark: SparkSession,
     destDir: String,
     expectedSchema: StructType,
-    streamType: StreamType = StreamType.Pending) {
+    streamType: StreamType = StreamType.Pending,
+    allowSchemaEvolution: Boolean = false) {
 
   private val stagingDir = s"$destDir-staging-${UUID.randomUUID().toString.take(8)}"
   private var finalized = false
   private var appended = 0L
+  private var currentSchema: StructType = expectedSchema
 
   /** Test hook: simulate a crash after this many batch promotions inside
     * `finalizeCommit` (before the manifest publish). Proves atomicity: the
@@ -76,9 +78,29 @@ final class ManagedWriter(
     */
   def write(df: DataFrame): Long = {
     require(!finalized, "writer already finalized (bigquery_write.go:466 contract)")
-    require(
-      df.schema == expectedSchema,
-      s"schema mismatch: got ${df.schema.simpleString}, want ${expectedSchema.simpleString}")
+    if (allowSchemaEvolution) {
+      // Delta mergeSchema posture: a batch may APPEND new nullable columns
+      // (widening the table — older files read them back as NULL through
+      // the manifest reader's allowMissingColumns union); it may never
+      // drop or retype what the table already has.
+      val have = currentSchema.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        have.get(f.name).foreach { dt =>
+          require(dt == f.dataType,
+            s"schema evolution cannot retype column '${f.name}': " +
+              s"table has ${dt.simpleString}, batch has ${f.dataType.simpleString}")
+        }
+      }
+      val missing = currentSchema.fieldNames.filterNot(df.schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"schema evolution cannot drop columns: batch lacks ${missing.mkString(", ")}")
+      currentSchema = StructType(currentSchema.fields ++
+        df.schema.fields.filterNot(f => have.contains(f.name)))
+    } else {
+      require(
+        df.schema == expectedSchema,
+        s"schema mismatch: got ${df.schema.simpleString}, want ${expectedSchema.simpleString}")
+    }
     val batchDir = s"$stagingDir/batch-$appended"
     df.write.mode("errorifexists").parquet(batchDir)
     appended += 1
@@ -86,7 +108,8 @@ final class ManagedWriter(
     if (streamType == StreamType.Committed) {
       ManagedWriter.ensureBaseManifest(fs, destDir)
       val promoted = promote(new Path(batchDir))
-      ManagedWriter.publishManifest(fs, destDir, promoted)
+      val v = ManagedWriter.publishManifest(fs, destDir, promoted)
+      ManagedWriter.writeSchemaSidecar(fs, destDir, v, currentSchema)
       DataSkipping.writeStats(fs, destDir, promoted)
     }
     n
@@ -138,7 +161,8 @@ final class ManagedWriter(
             s"simulated crash after $i promoted batches (test hook)")
         promoted ++= promote(b.getPath)
       }
-      ManagedWriter.publishManifest(fs, destDir, promoted.result())
+      val v = ManagedWriter.publishManifest(fs, destDir, promoted.result())
+      ManagedWriter.writeSchemaSidecar(fs, destDir, v, currentSchema)
       DataSkipping.writeStats(fs, destDir, promoted.result())
     }
     if (fs.exists(staging)) fs.delete(staging, true)
@@ -232,9 +256,10 @@ object ManagedWriter {
     // version claim both come from manifest state, never a raw listing.
     ensureBaseManifest(fs, destDir)
     val (baseVersion, baseFiles) = latestManifest(fs, destDir).get
+    val baseDeclared = schemaSidecar(fs, destDir, baseVersion)
     val base =
-      if (baseFiles.nonEmpty) manifestRead(spark, destDir, baseFiles)
-      else emptySnapshot(spark, fs, destDir)
+      if (baseFiles.nonEmpty) manifestRead(spark, destDir, baseFiles, baseDeclared)
+      else emptySnapshot(spark, fs, destDir, baseDeclared)
     val merged = graft.ops.Merge.applyChanges(base, changes, keyCols, opCol)
     // Materialize the merged snapshot OUTSIDE the destination, then move
     // the files in: the write both executes the plan (while the base files
@@ -253,6 +278,7 @@ object ManagedWriter {
       if (crashBeforePublish)
         throw new java.io.IOException("simulated crash before merge publish (test hook)")
       publishExactManifest(fs, destDir, baseVersion, promoted)
+      writeSchemaSidecar(fs, destDir, baseVersion + 1, merged.schema)
       DataSkipping.writeStats(fs, destDir, promoted)
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)
@@ -357,7 +383,7 @@ object ManagedWriter {
     if (baseFiles.isEmpty) return baseVersion // nothing to lay out
     val bytes = baseFiles.map(f => fs.getFileStatus(new Path(destDir, f)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val base = manifestRead(spark, destDir, baseFiles)
+    val base = manifestRead(spark, destDir, baseFiles, schemaSidecar(fs, destDir, baseVersion))
     val staging = new Path(s"$destDir-compact-${UUID.randomUUID().toString.take(8)}")
     try {
       base.repartition(nOut).write.mode("errorifexists").parquet(staging.toString)
@@ -365,6 +391,7 @@ object ManagedWriter {
       if (crashBeforePublish)
         throw new java.io.IOException("simulated crash before compact publish (test hook)")
       publishExactManifest(fs, destDir, baseVersion, promoted)
+      writeSchemaSidecar(fs, destDir, baseVersion + 1, base.schema)
       DataSkipping.writeStats(fs, destDir, promoted)
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)
@@ -473,8 +500,8 @@ object ManagedWriter {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, destDir, Some(version)) match {
       case Some((_, files)) if files.nonEmpty =>
-        manifestRead(spark, destDir, files)
-      case Some(_) => emptySnapshot(spark, fs, destDir)
+        manifestRead(spark, destDir, files, schemaSidecar(fs, destDir, version))
+      case Some(_) => emptySnapshot(spark, fs, destDir, schemaSidecar(fs, destDir, version))
       case None => throw new java.io.FileNotFoundException(
         s"no manifest version $version at $destDir (have: ${versions(spark, destDir).mkString(",")})")
     }
@@ -536,7 +563,7 @@ object ManagedWriter {
   private[sinks] def publishManifest(
       fs: FileSystem,
       destDir: String,
-      newFiles: Seq[String]): Unit = {
+      newFiles: Seq[String]): Long = {
     val md = manifestDir(destDir)
     if (!fs.exists(md)) fs.mkdirs(md)
     var attempts = 0
@@ -549,7 +576,7 @@ object ManagedWriter {
       try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       val target = new Path(md, f"v-${version + 1}%08d.txt")
-      if (commitFile(fs, tmp, target)) return
+      if (commitFile(fs, tmp, target)) return version + 1
       fs.delete(tmp, false)
       if (attempts >= 10)
         throw new java.io.IOException(
@@ -557,6 +584,54 @@ object ManagedWriter {
             "(concurrent committers); staged data left in place")
       // another writer took this version — re-read and publish on top
     }
+    -1L // unreachable
+  }
+
+  /** Record the table schema as of manifest `version` (Delta's mechanism
+    * for schema evolution): with the sidecar present, readers scan under
+    * the DECLARED schema — files written before a column existed fill it
+    * with NULL natively, no footer-merging pass, and time travel replays
+    * the schema each version actually had. Best-effort AFTER the commit
+    * point: a missing sidecar degrades to schema inference from the
+    * files, never to an unreadable table.
+    */
+  private[sinks] def writeSchemaSidecar(
+      fs: FileSystem,
+      destDir: String,
+      version: Long,
+      schema: StructType): Unit = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) fs.mkdirs(md)
+    val tmp = new Path(md, s".tmp-schema-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(schema.json.getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(md, f"schema-v-$version%08d.json")
+    if (!commitFile(fs, tmp, target)) fs.delete(tmp, false)
+  }
+
+  /** The declared schema at `version`: the sidecar for the NEWEST version
+    * ≤ `version` (schema only changes when a commit records it), or None
+    * on pre-sidecar tables.
+    */
+  private def schemaSidecar(
+      fs: FileSystem,
+      destDir: String,
+      version: Long): Option[StructType] = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) return None
+    val candidates = fs.listStatus(md)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("schema-v-") && p.getName.endsWith(".json"))
+      .map(p => (p.getName.stripPrefix("schema-v-").stripSuffix(".json").toLong, p))
+      .filter(_._1 <= version)
+    if (candidates.isEmpty) return None
+    val (_, path) = candidates.maxBy(_._1)
+    val in = fs.open(path)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    scala.util.Try(DataType.fromJson(json).asInstanceOf[StructType]).toOption
   }
 
   /** Fail-if-exists commit primitive behind [[publishManifest]]'s version
@@ -592,8 +667,10 @@ object ManagedWriter {
     */
   private[sinks] def readFiles(spark: SparkSession, destDir: String, files: Seq[String]): DataFrame = {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (files.nonEmpty) manifestRead(spark, destDir, files)
-    else emptySnapshot(spark, fs, destDir)
+    val declared = latestManifest(fs, destDir)
+      .flatMap { case (v, _) => schemaSidecar(fs, destDir, v) }
+    if (files.nonEmpty) manifestRead(spark, destDir, files, declared)
+    else emptySnapshot(spark, fs, destDir, declared)
   }
 
   /** Manifest-consulting reader — the strict-visibility read path. Loads
@@ -605,10 +682,10 @@ object ManagedWriter {
   def read(spark: SparkSession, destDir: String): DataFrame = {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, destDir) match {
-      case Some((_, files)) if files.nonEmpty =>
-        manifestRead(spark, destDir, files)
-      case Some(_) =>
-        emptySnapshot(spark, fs, destDir)
+      case Some((v, files)) if files.nonEmpty =>
+        manifestRead(spark, destDir, files, schemaSidecar(fs, destDir, v))
+      case Some((v, _)) =>
+        emptySnapshot(spark, fs, destDir, schemaSidecar(fs, destDir, v))
       case None =>
         spark.read.parquet(destDir)
     }
@@ -623,12 +700,17 @@ object ManagedWriter {
     * adopted files written before a column existed (filled with nulls —
     * the standard parquet schema-evolution posture).
     */
-  private def manifestRead(spark: SparkSession, destDir: String, files: Seq[String]): DataFrame = {
+  private def manifestRead(
+      spark: SparkSession,
+      destDir: String,
+      files: Seq[String],
+      declared: Option[StructType] = None): DataFrame = {
     val (nested, flat) = files.partition(_.contains("/"))
+    def reader = declared.foldLeft(spark.read)(_ schema _)
     val groups = Seq(
-      if (flat.nonEmpty) Some(spark.read.parquet(flat.map(f => s"$destDir/$f"): _*)) else None,
+      if (flat.nonEmpty) Some(reader.parquet(flat.map(f => s"$destDir/$f"): _*)) else None,
       if (nested.nonEmpty)
-        Some(spark.read.option("basePath", destDir).parquet(nested.map(f => s"$destDir/$f"): _*))
+        Some(reader.option("basePath", destDir).parquet(nested.map(f => s"$destDir/$f"): _*))
       else None).flatten
     groups.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -639,10 +721,17 @@ object ManagedWriter {
     * (a crash after `ensureBaseManifest` but before the first promotion
     * must leave the table readable — the atomicity contract).
     */
-  private def emptySnapshot(spark: SparkSession, fs: FileSystem, destDir: String): DataFrame = {
-    val phys = physicalFiles(fs, destDir)
-    if (phys.nonEmpty)
-      manifestRead(spark, destDir, phys).limit(0)
-    else spark.emptyDataFrame
+  private def emptySnapshot(
+      spark: SparkSession,
+      fs: FileSystem,
+      destDir: String,
+      declared: Option[StructType] = None): DataFrame = declared match {
+    case Some(s) =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    case None =>
+      val phys = physicalFiles(fs, destDir)
+      if (phys.nonEmpty)
+        manifestRead(spark, destDir, phys).limit(0)
+      else spark.emptyDataFrame
   }
 }

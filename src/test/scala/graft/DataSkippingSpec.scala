@@ -176,6 +176,32 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.countWhere(spark, dest, Seq(IsNull("v"))) == 1L)
   }
 
+  test("Z-order layout + backfilled stats prune on BOTH clustered dimensions") {
+    val ord = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dest = tmp()
+    graft.ops.Layout.writeInterleaved(
+      ord, dest, Seq("o_custkey", "o_orderkey"), numFiles = 8, bucketBits = 3)
+    // adopt the z-ordered files (no stats yet: adoption never footer-scans)
+    val w = new ManagedWriter(spark, dest, ord.schema, StreamType.Committed)
+    w.write(ord.where(col("o_orderkey") < 0)) // empty batch triggers adoption
+    val fA = Seq[Filter](LessThan("o_custkey", 15L))
+    val fB = Seq[Filter](LessThan("o_orderkey", 500L))
+    assert(DataSkipping.report(spark, dest, fA).skipped == 0, "stats should not exist yet")
+    val indexed = DataSkipping.indexExisting(spark, dest)
+    assert(indexed >= 8, s"expected the adopted z-order files indexed, got $indexed")
+    assert(DataSkipping.indexExisting(spark, dest) == 0, "second backfill must be a no-op")
+    // the interleaved layout bounds BOTH dimensions per file
+    val repA = DataSkipping.report(spark, dest, fA)
+    val repB = DataSkipping.report(spark, dest, fB)
+    assert(repA.skipped > 0, s"no pruning on first z-order dim: $repA")
+    assert(repB.skipped > 0, s"no pruning on second z-order dim: $repB")
+    assert(rows(DataSkipping.readSkipping(spark, dest, fA)) ==
+      rows(ManagedWriter.read(spark, dest).where(col("o_custkey") < 15L)))
+    assert(rows(DataSkipping.readSkipping(spark, dest, fB)) ==
+      rows(ManagedWriter.read(spark, dest).where(col("o_orderkey") < 500L)))
+  }
+
   test("unsupported residual filter throws instead of widening the result") {
     val dest = tmp()
     val sup = Tables(spark, sfDir, "supplier")

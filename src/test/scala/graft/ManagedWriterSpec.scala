@@ -363,4 +363,42 @@ class ManagedWriterSpec extends SparkSpec {
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
+
+  test("schema evolution appends nullable columns; time travel replays each version's schema") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dest = tmp()
+    val v1df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val w = new ManagedWriter(spark, dest, v1df.schema, StreamType.Committed,
+      allowSchemaEvolution = true)
+    w.write(v1df)
+    val vNarrow = ManagedWriter.versions(spark, dest).last
+    w.write(Seq((3L, "c", 30L)).toDF("id", "v", "extra"))
+    val vWide = ManagedWriter.versions(spark, dest).last
+    // the latest read is WIDE: old rows fill the new column with NULL
+    val latest = ManagedWriter.read(spark, dest)
+    assert(latest.columns.toSeq == Seq("id", "v", "extra"))
+    assert(latest.where(col("extra").isNull).count() == 2)
+    assert(latest.where(col("extra") === 30L).count() == 1)
+    // time travel BEFORE the evolution replays the narrow schema
+    assert(ManagedWriter.readVersion(spark, dest, vNarrow).columns.toSeq == Seq("id", "v"))
+    assert(ManagedWriter.readVersion(spark, dest, vWide).columns.toSeq ==
+      Seq("id", "v", "extra"))
+    // retypes and drops refuse
+    assertThrows[IllegalArgumentException] {
+      w.write(Seq(("x", "y")).toDF("id", "v")) // id retyped to string
+    }
+    assertThrows[IllegalArgumentException] {
+      w.write(Seq(Tuple1(9L)).toDF("id")) // drops v
+    }
+  }
+
+  test("without evolution the schema guard still rejects wider batches") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val w = new ManagedWriter(spark, tmp(), df.schema, StreamType.Pending)
+    assertThrows[IllegalArgumentException] {
+      w.write(df.withColumn("extra", org.apache.spark.sql.functions.lit(1L)))
+    }
+  }
 }
