@@ -3529,6 +3529,42 @@ object SparkEntry {
       ManagedWriter.read(s, dest)
         .select(col("s_suppkey"), col("s_acctbal"), col("bonus"))
         .orderBy("s_suppkey", "bonus")
+    },
+    // NS-W8: deletion-vector merge — ns63's changeset applied WITHOUT
+    // rewriting untouched files: deletes/updates mark (file, row)
+    // positions in a manifest sidecar, post-images append, reads
+    // anti-join the position set (ManagedWriterSpec pins the no-rewrite
+    // property and the orphan-DV crash seam). Row-identical to the
+    // full-rewrite merge, so the same oracle replay hash-matches.
+    Q(
+      "ns92_dv_merge",
+      Some(
+        """WITH merged AS (
+          |  SELECT s_suppkey, s_acctbal FROM supplier
+          |    WHERE s_suppkey % 10 NOT IN (0, 1)
+          |  UNION ALL SELECT s_suppkey, s_acctbal + 100.0 FROM supplier
+          |    WHERE s_suppkey % 10 = 0
+          |  UNION ALL SELECT s_suppkey + 1000000, s_acctbal FROM supplier
+          |    WHERE s_suppkey % 10 = 2)
+          |SELECT s_suppkey, s_acctbal FROM merged ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-dv-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Pending)
+      w.write(base.repartitionByRange(8, col("s_suppkey")))
+      w.finalizeCommit()
+      val ups = base.where(col("s_suppkey") % 10 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val dels = base.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D"))
+      val ins = base.where(col("s_suppkey") % 10 === 2)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+        .withColumn("op", lit("U"))
+      ManagedWriter.mergeDV(
+        s, dest, ups.unionByName(dels).unionByName(ins), Seq("s_suppkey"))
+      ManagedWriter.read(s, dest)
+        .select(col("s_suppkey"), col("s_acctbal"))
+        .orderBy("s_suppkey")
     }
   )
 

@@ -257,8 +257,12 @@ object ManagedWriter {
     ensureBaseManifest(fs, destDir)
     val (baseVersion, baseFiles) = latestManifest(fs, destDir).get
     val baseDeclared = schemaSidecar(fs, destDir, baseVersion)
+    val baseDv = effectiveDv(fs, destDir, baseVersion)
     val base =
-      if (baseFiles.nonEmpty) manifestRead(spark, destDir, baseFiles, baseDeclared)
+      if (baseFiles.nonEmpty)
+        applyDv(spark,
+          manifestRead(spark, destDir, baseFiles, baseDeclared, keepMeta = baseDv.nonEmpty),
+          baseDv, keepMeta = false)
       else emptySnapshot(spark, fs, destDir, baseDeclared)
     val merged = graft.ops.Merge.applyChanges(base, changes, keyCols, opCol)
     // Materialize the merged snapshot OUTSIDE the destination, then move
@@ -355,6 +359,195 @@ object ManagedWriter {
     inserts.unionByName(deletes).unionByName(upPre).unionByName(upPost)
   }
 
+  /** Deletion-vector MERGE: [[merge]]'s semantics WITHOUT rewriting
+    * untouched files — the Delta deletion-vector shape, the difference
+    * between an O(changeset) and an O(table) merge at 100 TB. Deleted and
+    * updated rows are marked by POSITION (`_metadata.file_name`,
+    * `_metadata.row_index`) in a `dv-v-*.txt` sidecar; post-image rows
+    * append as new files; the new manifest is the old file list PLUS the
+    * appended files, and every read anti-joins the (tiny, broadcastable)
+    * position set. Text positions here; the production upgrade is a
+    * roaring bitmap per file behind the same validity rule.
+    *
+    * Commit protocol: the DV sidecar lands BEFORE the manifest rename and
+    * carries an md5 binding to the EXACT manifest content this merge
+    * intends to publish. A crash between the two leaves an orphan DV that
+    * a later committer's same-numbered manifest can never satisfy — the
+    * binding check ignores it, so orphaned deletions can neither apply to
+    * someone else's commit nor resurrect (ManagedWriterSpec pins this).
+    * Deletions persist across later appends (newest VALID dv ≤ version
+    * applies); [[compact]] and [[merge]] read DV-aware and so MATERIALIZE
+    * them — their rewritten snapshots need no sidecar.
+    *
+    * @return the published manifest version.
+    */
+  def mergeDV(
+      spark: SparkSession,
+      destDir: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op"): Long =
+    mergeDVImpl(spark, destDir, changes, keyCols, opCol, crashBeforePublish = false)
+
+  private[graft] def mergeDVImpl(
+      spark: SparkSession,
+      destDir: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String,
+      crashBeforePublish: Boolean): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureBaseManifest(fs, destDir)
+    val (baseVersion, baseFiles) = latestManifest(fs, destDir).get
+    require(baseFiles.nonEmpty, "mergeDV against an empty table: use merge/write")
+    val baseDeclared = schemaSidecar(fs, destDir, baseVersion)
+    val oldDv = effectiveDv(fs, destDir, baseVersion)
+    val base = applyDv(
+      spark,
+      manifestRead(spark, destDir, baseFiles, baseDeclared, keepMeta = true),
+      oldDv, keepMeta = true)
+    // one co-partitioned join classifies the changeset against the base
+    val keyed = changes.select(
+      keyCols.map(col) :+ struct(changes.columns.filterNot(_ == opCol).map(col): _*).as("_row")
+        :+ col(opCol).as("_op"): _*)
+    val joined = base.join(keyed, keyCols, "inner")
+    val newDeletes = joined
+      .select(col(MetaFileCol), col(MetaPosCol))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val dataCols = base.columns.filterNot(c => c == MetaFileCol || c == MetaPosCol)
+    val newRows = changes.where(col(opCol) =!= "D").drop(opCol)
+      .select(dataCols.map(col): _*)
+    val intended = Seq.newBuilder[String]
+    intended ++= baseFiles
+    val staging = new Path(s"$destDir-dvmerge-${UUID.randomUUID().toString.take(8)}")
+    try {
+      val promoted =
+        if (newRows.isEmpty) Seq.empty[String]
+        else {
+          newRows.write.mode("errorifexists").parquet(staging.toString)
+          promoteDir(fs, staging, destDir)
+        }
+      intended ++= promoted
+      val manifestContent = serializeManifest(intended.result())
+      val dvLines = (oldDv ++ newDeletes).distinct.sorted
+        .map { case (f, p) => s"$f\t$p" }
+      writeDvSidecar(fs, destDir, baseVersion + 1, manifestContent, dvLines)
+      if (crashBeforePublish)
+        throw new java.io.IOException("simulated crash before mergeDV publish (test hook)")
+      publishExactManifest(fs, destDir, baseVersion, intended.result())
+      writeSchemaSidecar(fs, destDir, baseVersion + 1, StructType(
+        baseDeclared.getOrElse(
+          StructType(base.schema.fields.filterNot(f =>
+            f.name == MetaFileCol || f.name == MetaPosCol))).fields))
+      DataSkipping.writeStats(fs, destDir, intended.result().diff(baseFiles))
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+    baseVersion + 1
+  }
+
+  private val MetaFileCol = "_graft_dv_file"
+  private val MetaPosCol = "_graft_dv_pos"
+
+  /** The exact byte serialization [[publishExactManifest]]/[[publishManifest]]
+    * write — also the content a DV sidecar binds to.
+    */
+  private def serializeManifest(files: Seq[String]): String =
+    files.distinct.sorted.mkString("\n") + "\n"
+
+  /** DV sidecar format: first line `md5-of-bound-manifest-content`, then
+    * one `fileName\trowIndex` per deleted position.
+    */
+  private def writeDvSidecar(
+      fs: FileSystem,
+      destDir: String,
+      version: Long,
+      manifestContent: String,
+      lines: Seq[String]): Unit = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) fs.mkdirs(md)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(manifestContent.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val tmp = new Path(md, s".tmp-dv-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(((digest +: lines).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(md, f"dv-v-$version%08d.txt")
+    // a leftover dv at this version is a PROVEN orphan (its merge never
+    // published — a published one would have made this version the base)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"could not stage deletion vector $target")
+    }
+  }
+
+  /** Deleted positions effective at `version`: the NEWEST dv sidecar
+    * ≤ `version` whose content binding matches its own version's actual
+    * manifest (orphans from crashed merges fail the binding and are
+    * skipped; deletions persist across appends by the ≤ rule).
+    */
+  private def effectiveDv(
+      fs: FileSystem,
+      destDir: String,
+      version: Long): Seq[(String, Long)] = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) return Seq.empty
+    val dvs = fs.listStatus(md)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("dv-v-") && p.getName.endsWith(".txt"))
+      .map(p => (p.getName.stripPrefix("dv-v-").stripSuffix(".txt").toLong, p))
+      .filter(_._1 <= version)
+      .sortBy(-_._1)
+    dvs.foreach { case (v, path) =>
+      latestManifest(fs, destDir, Some(v)).foreach { case (_, files) =>
+        val actual = java.security.MessageDigest.getInstance("MD5")
+          .digest(serializeManifest(files).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val in = fs.open(path)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        if (lines.headOption.contains(actual)) {
+          return lines.tail.flatMap { l =>
+            l.split("\t", -1) match {
+              case Array(f, p) => scala.util.Try((f, p.toLong)).toOption
+              case _ => None
+            }
+          }
+        }
+      }
+    }
+    Seq.empty
+  }
+
+  /** Filter `df` (read with position metadata when `dv` is nonempty)
+    * down to undeleted rows; `keepMeta` retains the position columns for
+    * callers that need them (mergeDV's own classification).
+    */
+  private def applyDv(
+      spark: SparkSession,
+      df: DataFrame,
+      dv: Seq[(String, Long)],
+      keepMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val filtered =
+      if (dv.isEmpty) df
+      else {
+        val dvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(dv.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField(MetaFileCol, org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(MetaPosCol, org.apache.spark.sql.types.LongType))))
+        df.join(broadcast(dvDf), Seq(MetaFileCol, MetaPosCol), "left_anti")
+      }
+    if (keepMeta) filtered else filtered.drop(MetaFileCol, MetaPosCol)
+  }
+
   /** OPTIMIZE for the versioned table: rewrite the LATEST snapshot's
     * small files into ≈`targetFileBytes` files and publish the compacted
     * layout as the next manifest version — same row set, fewer/larger
@@ -383,7 +576,11 @@ object ManagedWriter {
     if (baseFiles.isEmpty) return baseVersion // nothing to lay out
     val bytes = baseFiles.map(f => fs.getFileStatus(new Path(destDir, f)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val base = manifestRead(spark, destDir, baseFiles, schemaSidecar(fs, destDir, baseVersion))
+    val compactDv = effectiveDv(fs, destDir, baseVersion)
+    val base = applyDv(spark,
+      manifestRead(spark, destDir, baseFiles, schemaSidecar(fs, destDir, baseVersion),
+        keepMeta = compactDv.nonEmpty),
+      compactDv, keepMeta = false)
     val staging = new Path(s"$destDir-compact-${UUID.randomUUID().toString.take(8)}")
     try {
       base.repartition(nOut).write.mode("errorifexists").parquet(staging.toString)
@@ -429,6 +626,21 @@ object ManagedWriter {
       .flatMap(v => latestManifest(fs, destDir, Some(v)).map(_._2).getOrElse(Seq.empty))
       .toSet
     val md = manifestDir(destDir)
+    // Deletion vectors bind to their OWN version's manifest; dropping that
+    // manifest would orphan them and silently resurrect deleted rows in
+    // kept versions. Re-bind each kept version's effective DV to the kept
+    // version itself BEFORE any manifest is dropped (idempotent: a valid
+    // same-version DV is left alone; writes-before-deletes keeps a crash
+    // harmless).
+    keep.foreach { v =>
+      val dvLines = effectiveDv(fs, destDir, v)
+      if (dvLines.nonEmpty && !fs.exists(new Path(md, f"dv-v-$v%08d.txt"))) {
+        latestManifest(fs, destDir, Some(v)).foreach { case (_, files) =>
+          writeDvSidecar(fs, destDir, v, serializeManifest(files),
+            dvLines.map { case (f, p) => s"$f	$p" })
+        }
+      }
+    }
     drop.foreach(v => fs.delete(new Path(md, f"v-$v%08d.txt"), false))
     val deleted = physicalFiles(fs, destDir).count { rel =>
       !referenced.contains(rel) && fs.delete(new Path(destDir, rel), false)
@@ -500,7 +712,11 @@ object ManagedWriter {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, destDir, Some(version)) match {
       case Some((_, files)) if files.nonEmpty =>
-        manifestRead(spark, destDir, files, schemaSidecar(fs, destDir, version))
+        val dv = effectiveDv(fs, destDir, version)
+        applyDv(spark,
+          manifestRead(spark, destDir, files, schemaSidecar(fs, destDir, version),
+            keepMeta = dv.nonEmpty),
+          dv, keepMeta = false)
       case Some(_) => emptySnapshot(spark, fs, destDir, schemaSidecar(fs, destDir, version))
       case None => throw new java.io.FileNotFoundException(
         s"no manifest version $version at $destDir (have: ${versions(spark, destDir).mkString(",")})")
@@ -667,9 +883,13 @@ object ManagedWriter {
     */
   private[sinks] def readFiles(spark: SparkSession, destDir: String, files: Seq[String]): DataFrame = {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val declared = latestManifest(fs, destDir)
-      .flatMap { case (v, _) => schemaSidecar(fs, destDir, v) }
-    if (files.nonEmpty) manifestRead(spark, destDir, files, declared)
+    val v = latestManifest(fs, destDir).map(_._1)
+    val declared = v.flatMap(schemaSidecar(fs, destDir, _))
+    val dv = v.map(effectiveDv(fs, destDir, _)).getOrElse(Seq.empty)
+    if (files.nonEmpty)
+      applyDv(spark,
+        manifestRead(spark, destDir, files, declared, keepMeta = dv.nonEmpty),
+        dv, keepMeta = false)
     else emptySnapshot(spark, fs, destDir, declared)
   }
 
@@ -683,7 +903,11 @@ object ManagedWriter {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, destDir) match {
       case Some((v, files)) if files.nonEmpty =>
-        manifestRead(spark, destDir, files, schemaSidecar(fs, destDir, v))
+        val dv = effectiveDv(fs, destDir, v)
+        applyDv(spark,
+          manifestRead(spark, destDir, files, schemaSidecar(fs, destDir, v),
+            keepMeta = dv.nonEmpty),
+          dv, keepMeta = false)
       case Some((v, _)) =>
         emptySnapshot(spark, fs, destDir, schemaSidecar(fs, destDir, v))
       case None =>
@@ -704,13 +928,22 @@ object ManagedWriter {
       spark: SparkSession,
       destDir: String,
       files: Seq[String],
-      declared: Option[StructType] = None): DataFrame = {
+      declared: Option[StructType] = None,
+      keepMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val (nested, flat) = files.partition(_.contains("/"))
     def reader = declared.foldLeft(spark.read)(_ schema _)
+    // position metadata must be projected per file-relation, BEFORE the
+    // groups union (hidden _metadata does not propagate through Union)
+    def meta(df: DataFrame) =
+      if (!keepMeta) df
+      else df.select(col("*"),
+        col("_metadata.file_name").as(MetaFileCol),
+        col("_metadata.row_index").as(MetaPosCol))
     val groups = Seq(
-      if (flat.nonEmpty) Some(reader.parquet(flat.map(f => s"$destDir/$f"): _*)) else None,
+      if (flat.nonEmpty) Some(meta(reader.parquet(flat.map(f => s"$destDir/$f"): _*))) else None,
       if (nested.nonEmpty)
-        Some(reader.option("basePath", destDir).parquet(nested.map(f => s"$destDir/$f"): _*))
+        Some(meta(reader.option("basePath", destDir).parquet(nested.map(f => s"$destDir/$f"): _*)))
       else None).flatten
     groups.reduce(_.unionByName(_, allowMissingColumns = true))
   }

@@ -393,6 +393,85 @@ class ManagedWriterSpec extends SparkSpec {
     }
   }
 
+  test("deletion-vector merge: same rows as the full merge, untouched files not rewritten") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def changeset = Seq((2L, "B", "U"), (3L, "c", "D"), (9L, "i", "U"))
+      .toDF("id", "v", "op")
+    val base = (1L to 5L).map(i => (i, ('a' + i - 1).toChar.toString)).toDF("id", "v")
+    // full-rewrite merge
+    val destFull = tmp()
+    val wf = new ManagedWriter(spark, destFull, base.schema, StreamType.Pending)
+    wf.write(base.repartition(4)); wf.finalizeCommit()
+    ManagedWriter.merge(spark, destFull, changeset, Seq("id"))
+    // DV merge
+    val destDv = tmp()
+    val wd = new ManagedWriter(spark, destDv, base.schema, StreamType.Pending)
+    wd.write(base.repartition(4)); wd.finalizeCommit()
+    val filesBefore = ManagedWriter.read(spark, destDv).inputFiles.toSet
+    val vDv = ManagedWriter.mergeDV(spark, destDv, changeset, Seq("id"))
+    assert(rowsOf(ManagedWriter.read(spark, destDv)) ==
+      rowsOf(ManagedWriter.read(spark, destFull)))
+    // every pre-merge file survives un-rewritten; only new files appended
+    val after = ManagedWriter.readVersion(spark, destDv, vDv).inputFiles.toSet
+    assert(filesBefore.subsetOf(after), "DV merge rewrote pre-existing files")
+    // time travel to the base still shows the pre-merge rows
+    val vBase = ManagedWriter.versions(spark, destDv).dropRight(1).last
+    assert(ManagedWriter.readVersion(spark, destDv, vBase).count() == 5)
+  }
+
+  test("orphan deletion vector from a crashed DV merge never applies to a later commit") {
+    import spark.implicits._
+    val base = (1L to 6L).map(i => (i, i * 10L)).toDF("id", "v")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base); w.finalizeCommit()
+    val before = rowsOf(ManagedWriter.read(spark, dest))
+    // crash AFTER the dv sidecar is staged, BEFORE the manifest rename
+    assertThrows[java.io.IOException] {
+      ManagedWriter.mergeDVImpl(spark, dest,
+        Seq((1L, 0L, "D"), (2L, 0L, "D")).toDF("id", "v", "op"),
+        Seq("id"), "op", crashBeforePublish = true)
+    }
+    assert(rowsOf(ManagedWriter.read(spark, dest)) == before,
+      "crashed DV merge changed visible rows")
+    // an APPEND now claims the version the crashed merge intended: the
+    // orphan dv's content binding cannot match this manifest — no row of
+    // the append (or the base) may disappear
+    val w2 = new ManagedWriter(spark, dest, base.schema, StreamType.Committed)
+    w2.write(Seq((100L, 1000L)).toDF("id", "v"))
+    val now = ManagedWriter.read(spark, dest)
+    assert(now.count() == 7, s"orphan DV applied: ${rowsOf(now)}")
+  }
+
+  test("DV merges compound, compact materializes them, vacuum re-binds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base.repartition(3)); w.finalizeCommit()
+    ManagedWriter.mergeDV(spark, dest,
+      Seq((1L, 0L, "D")).toDF("id", "v", "op"), Seq("id"))
+    ManagedWriter.mergeDV(spark, dest,
+      Seq((2L, 0L, "D"), (3L, 33L, "U")).toDF("id", "v", "op"), Seq("id"))
+    val expect = Set((3L, 33L)) ++ (4L to 10L).map(i => (i, i))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    assert(asSet(ManagedWriter.read(spark, dest)) == expect)
+    // an append AFTER the DV merges keeps the deletions (nearest-<= rule)
+    val w2 = new ManagedWriter(spark, dest, base.schema, StreamType.Committed)
+    w2.write(Seq((50L, 50L)).toDF("id", "v"))
+    assert(asSet(ManagedWriter.read(spark, dest)) == expect + ((50L, 50L)))
+    // vacuum to 1 version: the DV's own manifest goes away, but the
+    // re-bound sidecar keeps the deletions in force
+    ManagedWriter.vacuum(spark, dest, keepVersions = 1)
+    assert(asSet(ManagedWriter.read(spark, dest)) == expect + ((50L, 50L)))
+    // compact materializes: rows unchanged, snapshot is dv-free new files
+    ManagedWriter.compact(spark, dest, targetFileBytes = 1L << 30)
+    assert(asSet(ManagedWriter.read(spark, dest)) == expect + ((50L, 50L)))
+  }
+
   test("without evolution the schema guard still rejects wider batches") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "v")
