@@ -482,4 +482,47 @@ object Streams {
     tumblingCounts(
       withWatermark(spark.readStream.schema(schema).parquet(dir), "10 minutes"),
       width)
+
+  /** Streaming CDC apply: each trigger's changeset batch (rows + an op
+    * column, `D` = delete, else upsert) merges into the managed table at
+    * `destDir` through [[graft.sinks.ManagedWriter.mergeDV]] — the
+    * streaming twin of the batch CDC merge (C48/C81): per trigger, ONE
+    * O(changeset) deletion-vector commit, untouched files never
+    * rewritten, and the table is a queryable consistent snapshot BETWEEN
+    * triggers (each trigger is one atomic manifest version).
+    *
+    * Re-delivered batch ids are skipped — a retried trigger must not
+    * re-apply its changeset (double-applying an upsert changes history
+    * even when the final row state matches). With `checkpointLocation`
+    * set, restarts resume source offsets past committed batches; the
+    * lastBatchId guard is per-run, so exactly-once across restarts
+    * holds when the checkpoint skips replays (Spark's normal contract).
+    * `onVersion` observes each published version (e.g. to snapshot
+    * metrics or trigger downstream reads).
+    */
+  def streamingCdcApply(
+      changes: DataFrame,
+      destDir: String,
+      keyCols: Seq[String],
+      opCol: String = "op",
+      checkpointLocation: Option[String] = None,
+      onVersion: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var lastBatchId = -1L
+    val stream = changes.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          if (!batch.isEmpty) {
+            val v = graft.sinks.ManagedWriter.mergeDV(
+              batch.sparkSession, destDir, batch, keyCols, opCol)
+            onVersion(v)
+          }
+        }
+      }
+      .start()
+  }
 }

@@ -339,4 +339,35 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_events") == 1L) // user 10, session 2
     assert(out(2).getAs[Long]("n_events") == 1L) // user 20
   }
+
+  test("streaming CDC apply: per-trigger DV merges converge to the sequential batch result") {
+    import graft.sinks.{ManagedWriter, StreamType}
+    import spark.implicits._
+    val base = (1L to 6L).map(i => (i, i * 10L)).toDF("id", "v")
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-${UUID.randomUUID().toString.take(8)}"
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base.repartition(3)); w.finalizeCommit()
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-src-${UUID.randomUUID().toString.take(8)}"
+    // two ordered triggers of changesets
+    Seq((1L, 0L, "D"), (2L, 222L, "U")).toDF("id", "v", "op")
+      .coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    Seq((2L, 0L, "D"), (7L, 70L, "U")).toDF("id", "v", "op")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.streamingCdcApply(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      dest, Seq("id"), onVersion = versions += _)
+    try q.processAllAvailable()
+    finally q.stop()
+    // delete 1; upsert 2 then delete it; insert 7 — sequential semantics
+    val got = ManagedWriter.read(spark, dest).as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L), (7L, 70L)), s"got $got")
+    // each trigger published exactly one new version
+    assert(versions.size == 2 && versions(1) == versions(0) + 1, s"versions: $versions")
+    // intermediate snapshot (after trigger 1) stays time-travelable
+    val mid = ManagedWriter.readVersion(spark, dest, versions(0)).as[(Long, Long)].collect().toSet
+    assert(mid == Set((2L, 222L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L)), s"mid $mid")
+  }
 }
