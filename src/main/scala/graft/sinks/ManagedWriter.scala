@@ -366,8 +366,12 @@ object ManagedWriter {
     * `_metadata.row_index`) in a `dv-v-*.txt` sidecar; post-image rows
     * append as new files; the new manifest is the old file list PLUS the
     * appended files, and every read anti-joins the (tiny, broadcastable)
-    * position set. Text positions here; the production upgrade is a
-    * roaring bitmap per file behind the same validity rule.
+    * position set. The position set is the ONLY driver materialization —
+    * O(changed rows), bounded by the changeset like the merge join
+    * itself, never by the table. Text positions here; the production
+    * upgrade is a roaring bitmap per file behind the same validity rule.
+    * Same changeset contract as [[graft.ops.Merge.applyChanges]]: at most
+    * one change row per key; a NULL/unknown op upserts, never deletes.
     *
     * Commit protocol: the DV sidecar lands BEFORE the manifest rename and
     * carries an md5 binding to the EXACT manifest content this merge
@@ -418,7 +422,9 @@ object ManagedWriter {
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
     val dataCols = base.columns.filterNot(c => c == MetaFileCol || c == MetaPosCol)
-    val newRows = changes.where(col(opCol) =!= "D").drop(opCol)
+    // null-safe op test, matching Merge.applyChanges: a NULL/typo'd op
+    // must upsert, never silently become a delete
+    val newRows = changes.where(!(col(opCol) <=> "D")).drop(opCol)
       .select(dataCols.map(col): _*)
     val intended = Seq.newBuilder[String]
     intended ++= baseFiles
@@ -594,6 +600,35 @@ object ManagedWriter {
       if (fs.exists(staging)) fs.delete(staging, true)
     }
     baseVersion + 1
+  }
+
+  /** One row per committed version — the DESCRIBE HISTORY analogue,
+    * assembled purely from manifest-directory metadata (no data files
+    * opened): file count, total bytes (absent files — vacuumed versions
+    * — count what remains), live deleted-position count under the
+    * version's effective DV, and whether a declared schema governs it.
+    */
+  def history(spark: SparkSession, destDir: String): DataFrame = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = versions(spark, destDir).map { v =>
+      val files = latestManifest(fs, destDir, Some(v)).map(_._2).getOrElse(Seq.empty)
+      val bytes = files.map { f =>
+        val p = new Path(destDir, f)
+        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+      }.sum
+      org.apache.spark.sql.Row(
+        v, files.size, bytes,
+        effectiveDv(fs, destDir, v).size.toLong,
+        schemaSidecar(fs, destDir, v).isDefined)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("num_files", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("deleted_positions", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("has_declared_schema", org.apache.spark.sql.types.BooleanType))))
   }
 
   /** Storage reclamation for the versioned table: keep the newest

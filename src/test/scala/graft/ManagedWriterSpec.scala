@@ -472,6 +472,24 @@ class ManagedWriterSpec extends SparkSpec {
     assert(asSet(ManagedWriter.read(spark, dest)) == expect + ((50L, 50L)))
   }
 
+  test("history reports per-version files, bytes, and live deletions from metadata only") {
+    import spark.implicits._
+    val base = (1L to 8L).map(i => (i, i)).toDF("id", "v")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base.repartition(2)); w.finalizeCommit()
+    ManagedWriter.mergeDV(spark, dest,
+      Seq((1L, 0L, "D"), (2L, 0L, "D")).toDF("id", "v", "op"), Seq("id"))
+    val h = ManagedWriter.history(spark, dest)
+      .orderBy("version")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // v1 = empty base, v2 = the two-file commit, v3 = DV merge (no data appended)
+    assert(h.map(_._1).toSeq == ManagedWriter.versions(spark, dest))
+    assert(h.last._3 == 2L, s"expected 2 live deletions at the tip: ${h.toSeq}")
+    assert(h(1)._2 == 2 && h(1)._3 == 0L, s"v2 wrong: ${h.toSeq}")
+  }
+
   test("without evolution the schema guard still rejects wider batches") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "v")
