@@ -1366,6 +1366,204 @@ object SparkEntry {
           (sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
             .cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n"))
+    },
+    // TPC-H Q4-shaped (order priority checking): the correlated-EXISTS
+    // decorrelation shape — the subquery's correlation carries an
+    // INEQUALITY against the outer row (l_shipdate > o_orderdate + 60d),
+    // so it can only decorrelate to a semi-join with a compound
+    // condition, not a plain key lookup. The fixture has no
+    // l_commitdate/l_receiptdate, so "late" = shipped > 60 days after
+    // the order date.
+    Q(
+      "b61_tpch_q4",
+      Some(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey
+          |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+      T(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1997-07-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+        .join(
+          T(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    // TPC-H Q17-shaped (small-quantity-order revenue): the correlated
+    // SCALAR-aggregate subquery — each lineitem compares against ITS
+    // part's average quantity. The avg threshold is evaluated in exact
+    // integers (qty < avg/5  ⇔  100·qty·5·cnt < Σ100·qty), so the gate
+    // never touches IEEE summation order; only the reported total takes
+    // the one final division.
+    Q(
+      "b62_tpch_q17",
+      Some(
+        s"""WITH pa AS (SELECT l_partkey AS pk, SUM(${oCents("l_quantity")}) AS sq,
+           |    COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+           |SELECT CAST(SUM(${oCents("l_extendedprice")}) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+           |  COUNT(*) AS n
+           |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pk = l_partkey
+           |WHERE p_brand = 'Brand#23' AND ${oCents("l_quantity")} * 5 * cnt < sq""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+      li.join(T(s, dir, "part").filter(col("p_brand") === "Brand#23"),
+          col("p_partkey") === col("l_partkey"))
+        .join(perPart, col("pk") === col("l_partkey"))
+        .filter(cents(col("l_quantity")) * lit(5L) * col("cnt") < col("sq"))
+        .agg(
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100.0 / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+    // TPC-H Q21-shaped (suppliers who kept waiting): the double-correlated
+    // EXISTS + NOT EXISTS — a late line qualifies only when SOME other
+    // supplier shares the order (semi-join, <> correlation) and NO other
+    // supplier was late on it (anti-join, <> correlation). "Late" =
+    // shipped > 90 days after the order date (no receipt/commit dates in
+    // the fixture). The late set is computed once and self-joined under
+    // two different correlation conditions.
+    Q(
+      "b63_tpch_q21",
+      Some(
+        """WITH late AS (SELECT l_orderkey AS k, l_suppkey AS sk
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |SELECT s_name, COUNT(*) AS numwait
+          |FROM supplier JOIN late l1 ON s_suppkey = l1.sk
+          |WHERE EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.k AND l2.l_suppkey <> l1.sk)
+          |  AND NOT EXISTS (SELECT 1 FROM late l3
+          |    WHERE l3.k = l1.k AND l3.sk <> l1.sk)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      val late = li
+        .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+      late
+        .join(
+          li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2")),
+          col("k2") === col("k") && col("sk2") =!= col("sk"), "left_semi")
+        .join(
+          late.select(col("k").as("k3"), col("sk").as("sk3")),
+          col("k3") === col("k") && col("sk3") =!= col("sk"), "left_anti")
+        .join(T(s, dir, "supplier"), col("s_suppkey") === col("sk"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    // TPC-H Q22-shaped (global sales opportunity): the uncorrelated
+    // SCALAR subquery (global positive-balance average) + correlated
+    // NOT EXISTS. The average gate is exact-integer
+    // (bal > Σ/cnt ⇔ 100·bal·cnt > Σ100·bal); the one-row aggregate
+    // broadcast-cross-joins (never a shuffle); the anti-join prunes
+    // customers with any 1998+ order (the fixture has no order-less
+    // customers, so the date scope keeps the result non-degenerate).
+    Q(
+      "b64_tpch_q22",
+      Some(
+        s"""WITH pos AS (SELECT SUM(${oCents("c_acctbal")}) AS sb, COUNT(*) AS cnt
+           |  FROM customer WHERE c_acctbal > 0.0)
+           |SELECT c_nationkey, COUNT(*) AS numcust, ${oSum("c_acctbal")} AS totacctbal
+           |FROM customer, pos
+           |WHERE ${oCents("c_acctbal")} * cnt > sb
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)) { (s, dir) =>
+      val pos = T(s, dir, "customer").filter(col("c_acctbal") > 0.0)
+        .agg(sum(cents(col("c_acctbal"))).as("sb"), count(lit(1)).as("cnt"))
+      T(s, dir, "customer")
+        .crossJoin(broadcast(pos))
+        .filter(cents(col("c_acctbal")) * col("cnt") > col("sb"))
+        .join(
+          T(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), fsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+    // TPC-H Q7-shaped (volume shipping): the SAME dimension joined twice
+    // under different roles (supplier nation vs customer nation) with a
+    // symmetric two-nation predicate — both nation dims broadcast; the
+    // facts shuffle once each on their join keys.
+    Q(
+      "b65_tpch_q7",
+      Some(
+        s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS INT) AS l_year,
+           |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS DOUBLE) / 10000.0 AS revenue
+           |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           |  JOIN orders ON o_orderkey = l_orderkey
+           |  JOIN customer ON c_custkey = o_custkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+           |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+           |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)) { (s, dir) =>
+      val nat = T(s, dir, "nation")
+      val sn = nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val cn = nat.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      T(s, dir, "supplier")
+        .join(T(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(sn, col("s_nationkey") === col("snk"))
+        .join(cn, col("c_nationkey") === col("cnk"))
+        .filter(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(
+          col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    // TPC-H Q14-shaped (promotion effect): conditional aggregation as a
+    // RATIO of two exact-cents sums over one scan — the percentage is
+    // two IEEE ops ((promo·100)/total) on identical operands in identical
+    // order on both engines; the raw integer sums ride alongside so the
+    // gate would catch a ratio-only coincidence.
+    Q(
+      "b66_tpch_q14", {
+        val rev = s"${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})"
+        Some(
+          s"""SELECT
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS DOUBLE) * 100.0
+             |    / CAST(SUM($rev) AS DOUBLE) AS promo_pct,
+             |  SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS promo_c,
+             |  SUM($rev) AS total_c
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)
+      }) { (s, dir) =>
+      val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+      T(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+        .join(T(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).cast("double") * 100.0 /
+            sum(rev).cast("double")).as("promo_pct"),
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_c"),
+          sum(rev).as("total_c"))
     }
   )
 

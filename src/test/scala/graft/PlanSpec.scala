@@ -158,7 +158,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("TPC-H shapes: dims broadcast, top-k is TakeOrdered, no cartesians") {
-    for (name <- Seq("b56_tpch_q3", "b57_tpch_q5", "b58_tpch_q10")) {
+    for (name <- Seq("b56_tpch_q3", "b57_tpch_q5", "b58_tpch_q10",
+        "b61_tpch_q4", "b62_tpch_q17", "b63_tpch_q21", "b65_tpch_q7",
+        "b66_tpch_q14")) {
       val q = SparkEntry.queries(name)(spark, sfDir)
       q.collect()
       val p = q.queryExecution.executedPlan.toString
@@ -166,10 +168,19 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name: join degenerated to a cartesian:\n$p")
     }
-    val q3 = SparkEntry.queries("b56_tpch_q3")(spark, sfDir)
-    q3.collect()
-    assert(q3.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
-      "b56 top-k is a global sort, not TakeOrdered")
+    for (name <- Seq("b56_tpch_q3", "b63_tpch_q21")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      q.collect()
+      assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+        s"$name top-k is a global sort, not TakeOrdered")
+    }
+    // b64's one-row scalar aggregate broadcast-cross-joins by design (the
+    // accepted one-row BNLJ pattern); the orders anti-join must stay keyed.
+    val q22 = SparkEntry.queries("b64_tpch_q22")(spark, sfDir)
+    q22.collect()
+    val p22 = q22.queryExecution.executedPlan.toString
+    assert(!p22.contains("CartesianProduct"), s"b64 degenerated to a cartesian:\n$p22")
+    assert(p22.contains("LeftAnti"), s"b64 lost its anti-join:\n$p22")
   }
 
   test("sketch shapes: bounded counter table broadcasts to the probe, partial-agg build") {
