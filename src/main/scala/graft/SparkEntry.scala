@@ -3763,6 +3763,70 @@ object SparkEntry {
       ManagedWriter.read(s, dest)
         .select(col("s_suppkey"), col("s_acctbal"))
         .orderBy("s_suppkey")
+    },
+    // NS-R4: hybrid retrieval via reciprocal-rank fusion — three arms
+    // over the SAME aligned id space (doc_id ≡ vec_id in the fixture):
+    // sparse BM25, the raw term-count baseline, and dense cosine ANN
+    // around a query vector. RRF needs only ranks, so no cross-modality
+    // score calibration; the reciprocal is integer-quantized
+    // (10^12 div (60+rank), truncating division in both engines) so the
+    // fused score is an exact long. The oracle replays all three
+    // rankings (BM25 via the ns46 CTEs, cosine via the ns10 CTEs) plus
+    // the fusion arithmetic.
+    Q(
+      "ns93_rrf_fusion", {
+        val terms = Seq("query", "spark", "stream")
+        val qList = terms.map(t => s"('$t')").mkString(", ")
+        Some(
+          s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+             |d AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM t),
+             |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM d),
+             |q(term) AS (VALUES $qList),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             |  FROM (SELECT doc_id, unnest(ts) AS term FROM t) JOIN q USING (term)
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+             |s AS (SELECT doc_id,
+             |    (n_docs - df + 0.5) / (df + 0.5)
+             |      * (tf::DOUBLE * 2.2)
+             |      / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE
+             |          / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS ts_score,
+             |    term
+             |  FROM tf JOIN dfq USING (term) JOIN d USING (doc_id), st),
+             |sc AS (SELECT doc_id,
+             |    list_reduce([0.0] || list(ts_score ORDER BY term), (a, x) -> a + x) AS score
+             |  FROM s GROUP BY doc_id),
+             |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc),
+             |rawtf AS (SELECT doc_id, SUM(tf)::BIGINT AS ttf FROM tf GROUP BY 1),
+             |rc AS (SELECT doc_id, row_number() OVER (ORDER BY ttf DESC, doc_id) AS rank FROM rawtf),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cs AS (SELECT c.vec_id AS nid, ${oCosine("q2.v", "c.v")} AS cos
+             |  FROM e q2 JOIN e c ON q2.vec_id = 7 AND q2.vec_id <> c.vec_id),
+             |rb AS (SELECT nid AS doc_id, row_number() OVER (ORDER BY cos DESC, nid) AS rank FROM cs),
+             |u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS s
+             |    FROM (SELECT * FROM ra WHERE rank <= 10)
+             |  UNION ALL SELECT doc_id, 1000000000000 // (60 + rank)
+             |    FROM (SELECT * FROM rb WHERE rank <= 10)
+             |  UNION ALL SELECT doc_id, 1000000000000 // (60 + rank)
+             |    FROM (SELECT * FROM rc WHERE rank <= 10)),
+             |f AS (SELECT doc_id, SUM(s)::BIGINT AS rrf_score FROM u GROUP BY 1),
+             |r AS (SELECT doc_id, rrf_score,
+             |    row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+             |SELECT doc_id, rrf_score, rank::BIGINT AS rank FROM r WHERE rank <= 10
+             |ORDER BY rank""".stripMargin)
+      }) { (s, dir) =>
+      val terms = Seq("query", "spark", "stream")
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .select("doc_id", "rank")
+      val lexical = Retrieval.termCountTopK(docs, "doc_id", "text", terms, k = 10)
+        .select("doc_id", "rank")
+      val dense = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 7), "vec_id", "embedding", 10)
+        .select(col("nid").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, lexical, dense), "doc_id", "rank", topN = 10)
+        .orderBy("rank")
     }
   )
 

@@ -151,4 +151,88 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Raw query-term-count top-k: (doc_id, rank, ttf) — documents ranked
+    * by total occurrences of the query terms. The zero-parameter lexical
+    * baseline (and the classic cheap second arm for rank fusion): exact
+    * integer counts, no length normalization, no idf.
+    *
+    * Scale shape: same as bm25TopK's tf stage — the query-term filter
+    * sits below the explode's aggregation so non-query tokens never
+    * shuffle; top-k is a TakeOrdered.
+    */
+  def termCountTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val qTerms = typedLit(query.distinct.sorted)
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(array_contains(qTerms, col("term")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ttf"))
+    val w = Window.orderBy(col("ttf").desc, col("doc_id"))
+    counts
+      .orderBy(col("ttf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rank"), col("ttf"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): merge N rankings
+    * of the same id space — e.g. a sparse BM25 list and a dense
+    * cosine-ANN list — into one hybrid ranking by summing per-modality
+    * reciprocal ranks `1/(kConst + rank)`. The standard hybrid-retrieval
+    * combiner: needs no score calibration across modalities (only ranks),
+    * and kConst (=60 in the paper and every production default) damps the
+    * head so one modality's #1 can't drown broad agreement lower down.
+    *
+    * Determinism contract: the reciprocal is computed in INTEGER
+    * arithmetic — `scale div (kConst + rank)` with truncating division,
+    * identical in Spark (`div`) and DuckDB (`//`) — so the fused score is
+    * an exact long (sum order never matters) instead of an IEEE
+    * 1/(k+r) sum whose association order could flip ties. At
+    * scale = 10^12 the quantization error vs the real reciprocal is
+    * < 10^-12 — far below the 1/(k+r) − 1/(k+r+1) rank gap for any
+    * plausible rank, so fused ORDER is the textbook RRF order; ties
+    * break on id.
+    *
+    * Each input carries (idCol, rankCol); ids absent from one modality
+    * simply contribute nothing there (the standard convention). Output:
+    * (idCol, rrf_score, rank) — the topN fused ids.
+    *
+    * Scale shape: inputs are top-k lists, so everything downstream of
+    * the already-computed rankings is bounded by N·k rows — one
+    * map-side-combined sum groupBy and a window over ≤ N·k rows. The
+    * expensive work (BM25, ANN) happens upstream in operators with their
+    * own scale stories; fusion adds no corpus-sized shuffle.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      topN: Int,
+      kConst: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 0 && scale >= 1, "need kConst >= 0 and scale >= 1")
+    val contribs = rankings.map(
+      _.select(
+        col(idCol),
+        expr(s"${scale}L div (${kConst}L + cast($rankCol as bigint))").as("_rrf")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(sum(col("_rrf")).as("rrf_score"))
+    // TakeOrdered top-N first; the unpartitioned rank window then runs
+    // over topN rows only (same pattern as bm25TopK).
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol))
+    fused
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topN)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("rrf_score"), col("rank"))
+  }
 }

@@ -77,6 +77,52 @@ class OpsSpec extends SparkSpec {
     assert(both(2L) == b(2L))
   }
 
+  test("rrf fusion sums exact integer reciprocals across modalities") {
+    import graft.ops.Retrieval
+    // modality A ranks docs 10,20,30; modality B ranks 20,40.
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val S = 1000000000000L
+    def rec(r: Long) = S / (60L + r) // JVM long division truncates like `div`
+    // doc 20 appears in BOTH lists: its score is the exact two-term sum,
+    // which must beat either single #1 contribution.
+    val expected = Map(
+      10L -> rec(1), 20L -> (rec(2) + rec(1)), 30L -> rec(3), 40L -> rec(2))
+    assert(got.map(t => t._1 -> t._2).toMap == expected, s"scores drifted: $got")
+    assert(got.sortBy(_._3).map(_._1) == Seq(20L, 10L, 40L, 30L),
+      s"fused order wrong: $got")
+  }
+
+  test("rrf fusion is partitioning-invariant and honors topN") {
+    import graft.ops.Retrieval
+    val a = (1L to 40L).map(i => (i, i)).toDF("doc_id", "rank").repartition(7)
+    val b = (1L to 40L).map(i => (41L - i, i)).toDF("doc_id", "rank").repartition(3)
+    val one = Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank", topN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val two = Retrieval.rrfFuse(Seq(a.coalesce(1), b.repartition(11)), "doc_id", "rank", topN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(one == two, s"fusion depends on partitioning: $one vs $two")
+    assert(one.length == 5)
+    // symmetric rankings: doc d scores rec(d) + rec(41-d), maximized at the
+    // extremes d=1 and d=40 (rec(1)+rec(40)), tie broken by id.
+    assert(one.head._1 == 1L && one(1)._1 == 40L, s"unexpected fused head: $one")
+  }
+
+  test("termCountTopK ranks by raw query-term count, ties by id") {
+    import graft.ops.Retrieval
+    val df = Seq(
+      (1L, "x x y pad"), // 3 hits
+      (2L, "x pad pad"), // 1 hit
+      (3L, "pad pad pad"), // 0 hits -> excluded
+      (4L, "y y x pad")) // 3 hits, ties doc 1 -> id order
+      .toDF("doc_id", "text")
+    val got = Retrieval.termCountTopK(df, "doc_id", "text", Seq("x", "y"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 3L), (4L, 2L, 3L), (2L, 3L, 1L)), s"got $got")
+  }
+
   test("collocations rank bound pairs above independent ones, exact lift") {
     val df = Seq(
       (1L, "new york new york new york is big"),
