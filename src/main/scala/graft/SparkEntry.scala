@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Layout, Linkage, Merge, Multimodal, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import org.apache.spark.sql.sources
@@ -1646,6 +1646,17 @@ object SparkEntry {
        |m$n AS (SELECT cid, pos, (SUM(val) // COUNT(*))::BIGINT AS m FROM u$n GROUP BY 1, 2),
        |r$n AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$n GROUP BY 1),
        |c$n AS (SELECT p.cid, coalesce(r.c, p.c) AS c FROM $prev p LEFT JOIN r$n r USING (cid)),""".stripMargin
+  // Name-parameterized Lloyd round (the oLloydRound shape over any
+  // quantized CTE and any name prefix) — per-SUBSPACE replay for the PQ
+  // oracle, which runs an independent Lloyd per sub-vector slice.
+  private def oLloydRoundP(pfx: String, qTab: String, prev: String, n: Int) =
+    s"""${pfx}a$n AS (SELECT vec_id, v, cid, d FROM (
+       |    SELECT q.vec_id, q.v AS v, c.cid, $oIntSqDist AS d FROM $qTab q CROSS JOIN $prev c) t
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+       |${pfx}u$n AS (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS val FROM ${pfx}a$n),
+       |${pfx}m$n AS (SELECT cid, pos, (SUM(val) // COUNT(*))::BIGINT AS m FROM ${pfx}u$n GROUP BY 1, 2),
+       |${pfx}r$n AS (SELECT cid, list(m ORDER BY pos) AS c FROM ${pfx}m$n GROUP BY 1),
+       |${pfx}c$n AS (SELECT p.cid, coalesce(r.c, p.c) AS c FROM $prev p LEFT JOIN ${pfx}r$n r USING (cid)),""".stripMargin
   // The full quantize → seeded Lloyd replay as a WITH-clause prefix:
   // `ef` (float64 embeddings), `q` (int8-quantized as BIGINT), `c0`
   // (lowest-id seed) through `c$rounds` (trained centroids). Shared by
@@ -3827,6 +3838,56 @@ object SparkEntry {
         .select(col("nid").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(sparse, lexical, dense), "doc_id", "rank", topN = 10)
         .orderBy("rank")
+    },
+    // NS-S6: product-quantization ADC top-k — the memory-bounded ANN
+    // serve path: 64-dim vectors compress to m=2 one-byte codes
+    // (128x vs float32); queries score by per-subspace lookup-table
+    // sums, never touching a corpus vector. All-integer (int8 quantize →
+    // per-subspace integer Lloyd → exact-long argmin codes → exact-long
+    // ADC), so the oracle replays the ENTIRE fit → encode → serve path:
+    // the shared quantize CTEs, an independent seeded Lloyd per
+    // sub-vector slice (oLloydRoundP), the code assignment, and the ADC
+    // join.
+    Q(
+      "ns94_pq_adc", {
+        val (m, ksub, rounds, dims, topk) = (2, 8, 2, 64, 5)
+        val dsub = dims / m
+        val subCtes = (0 until m).flatMap { j =>
+          Seq(
+            s"q$j AS (SELECT vec_id, v[${j * dsub + 1}:${(j + 1) * dsub}] AS v FROM q),",
+            s"""s${j}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+               |  FROM q$j ORDER BY vec_id LIMIT $ksub),""".stripMargin) ++
+            (1 to rounds).map(n => oLloydRoundP(s"s$j", s"q$j", s"s${j}c${n - 1}", n)) ++
+            Seq(
+              s"""enc$j AS (SELECT vec_id, cid AS code FROM (
+                 |    SELECT q.vec_id, c.cid, $oIntSqDist AS d FROM q$j q CROSS JOIN s${j}c$rounds c) t
+                 |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),""".stripMargin,
+              s"""lut$j AS (SELECT q.vec_id AS qid, c.cid, $oIntSqDist AS d
+                 |  FROM q$j q CROSS JOIN s${j}c$rounds c WHERE q.vec_id < 3),""".stripMargin)
+        }.mkString("\n")
+        Some(
+          s"""WITH ef AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+             |s AS (SELECT vec_id, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale, vd FROM ef),
+             |q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(vd, x -> 0::BIGINT)
+             |    ELSE list_transform(vd, x -> round(x / scale)::BIGINT) END AS v FROM s),
+             |$subCtes
+             |ad AS (SELECT l0.qid, e0.vec_id AS nid, (l0.d + l1.d)::BIGINT AS adist
+             |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+             |  JOIN lut0 l0 ON l0.cid = e0.code
+             |  JOIN lut1 l1 ON l1.cid = e1.code AND l1.qid = l0.qid
+             |  WHERE e0.vec_id <> l0.qid),
+             |r AS (SELECT qid, nid, adist,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
+             |SELECT qid, rank::BIGINT AS rank, nid, adist FROM r WHERE rank <= $topk
+             |ORDER BY qid, rank""".stripMargin)
+      }) { (s, dir) =>
+      val (m, ksub, rounds, dims, topk) = (2, 8, 2, 64, 5)
+      val qz = Quantize.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+      val books = PQ.pqFit(qz, "vec_id", "qvec", dims, m, ksub, rounds)
+      val codes = PQ.pqEncode(qz, "vec_id", "qvec", books, dims, m)
+      PQ.pqTopK(codes, "vec_id", qz.filter(col("vec_id") < 3), "vec_id", "qvec",
+          books, dims, m, topk)
+        .orderBy("qid", "rank")
     }
   )
 

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization over int8-quantized embeddings (north-star
+  * extension): the MEMORY-BOUNDED ANN representation for corpora whose
+  * float vectors don't fit the serving tier — each d-dim vector
+  * compresses to `m` sub-vector codes (one byte each at ksub ≤ 256),
+  * a 4·d/m ratio over float32 (64-dim → 2 codes = 128x in the gated
+  * demo; production 768-dim/96 codes = 32x). Queries score against the
+  * codes by asymmetric distance computation (ADC): one ksub-entry
+  * lookup table per subspace per query, then a table-lookup sum per
+  * corpus vector — no corpus float vector is ever touched at serve
+  * time. Jégou, Douze, Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011.
+  *
+  * All-INTEGER determinism (the same contract as [[Clustering]], whose
+  * per-subspace Lloyd this composes): inputs are int8-quantized vectors
+  * ([[Quantize.quantizeInt8]]), codebooks are exact-integer-mean Lloyd
+  * centroids, code assignment is an exact-long argmin (ties to the
+  * lowest code id), and the ADC score is an exact long sum of integer
+  * squared distances — bit-identical across engines, retries, and
+  * partitionings, so the whole fit → encode → serve path replays in the
+  * DuckDB oracle. (PQ on per-vector-scale int8 scores the
+  * max-normalized space — the scale-invariance cosine has; the gated
+  * recall-vs-exact pin quantifies the approximation.)
+  *
+  * Scale shape:
+  *   - FIT runs `m` independent integer k-means (bounded driver loop;
+  *     each iteration shuffles ≤ ksub·(d/m) rows per partition with
+  *     map-side combine — [[Clustering]]'s story per subspace).
+  *   - ENCODE is scan-local: all m codebooks collapse to ONE broadcast
+  *     row (m·ksub·(d/m) = ksub·d longs) and every vector's m argmins
+  *     fold inside its own row projection. One pass, no shuffle.
+  *   - SERVE joins the bounded query set (with per-query LUTs riding
+  *     along, m·ksub longs each) against the CODES table — the per-row
+  *     payload is m bytes of codes, never d floats; the only
+  *     corpus-sized work is the per-query top-k window, the same shape
+  *     as [[Similarity.bruteForceTopK]] at 1/128th the row width.
+  */
+object PQ {
+
+  /** Train per-subspace codebooks: (sub, cid, c) — `m`·`ksub` rows, `c`
+    * an array<long> of `dims/m` entries. `quantized` must carry
+    * (idCol, vecCol) with integer-valued vector cells (e.g.
+    * [[Quantize.quantizeInt8]]'s qvec). Seeds per subspace are the
+    * ksub lowest ids (Clustering's deterministic rule).
+    */
+  def pqFit(
+      quantized: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int,
+      ksub: Int,
+      iterations: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub out of (0, 256]")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      val sub = quantized.select(
+        col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as("_sub"))
+      Clustering.kmeansIntCentroids(sub, idCol, "_sub", ksub, iterations)
+        .select(lit(j.toLong).as("sub"), col("cid"), col("c"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Encode every vector to its m codes: (idCol, codes array<long>).
+    * Scan-local — the codebooks broadcast as one packed row and each
+    * row's m argmins evaluate inside its projection.
+    */
+  def pqEncode(
+      quantized: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dims: Int,
+      m: Int): DataFrame = {
+    val dsub = dims / m
+    val packed = packedBooks(codebooks)
+    val codes = (0 until m).map { j =>
+      argminCode(
+        slice(transform(col(vecCol), _.cast("long")), j * dsub + 1, dsub),
+        filter(col("_books"), b => b.getField("sub") === j))
+    }
+    quantized
+      .crossJoin(broadcast(packed)) // exactly one row — justified hint
+      .select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-k: (qid, rank, nid, adist) — for each query, the k corpus
+    * codes with the smallest table-lookup distance sum (exact longs;
+    * ties to the lowest nid). `queries` carries quantized query vectors
+    * (bounded set — it broadcasts with its LUTs).
+    */
+  def pqTopK(
+      codes: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      codebooks: DataFrame,
+      dims: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    val dsub = dims / m
+    val packed = packedBooks(codebooks)
+    // Per-query LUT: for subspace j, the ksub exact distances from the
+    // query's j-th sub-vector to that subspace's centroids (cid order).
+    val luts = (0 until m).map { j =>
+      val qsub = slice(transform(col(qVecCol), _.cast("long")), j * dsub + 1, dsub)
+      transform(
+        filter(col("_books"), b => b.getField("sub") === j),
+        b => sqDistL(qsub, b.getField("c")))
+    }
+    val q = queries
+      .crossJoin(broadcast(packed)) // exactly one row — justified hint
+      .select(col(qIdCol).cast("long").as("qid"), array(luts: _*).as("_lut"))
+    // Bounded query set joins the m-byte-wide codes table; adist is m
+    // integer lookups summed — never a vector op at serve time.
+    val adist = (0 until m)
+      .map(j => element_at(
+        element_at(col("_lut"), j + 1),
+        element_at(col("codes"), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    codes
+      .select(col(idCol).cast("long").as("nid"), col("codes"))
+      .crossJoin(broadcast(q)) // bounded query set — justified hint
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adist"))
+  }
+
+  /** All m codebooks as ONE row: `_books` = array of (sub, cid, c)
+    * structs sorted by (sub, cid) — so `filter(sub = j)` yields the
+    * j-th subspace's centroids in cid order and positional indexing is
+    * code order.
+    */
+  private def packedBooks(codebooks: DataFrame): DataFrame =
+    codebooks.agg(
+      array_sort(collect_list(struct(col("sub"), col("cid"), col("c")))).as("_books"))
+
+  /** Exact-long argmin over a (sorted-by-cid) centroid struct array:
+    * strict `<` keeps the first (lowest-cid) minimum.
+    */
+  private def argminCode(sub: Column, books: Column): Column =
+    aggregate(
+      books,
+      struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
+      (acc, b) => {
+        val d = sqDistL(sub, b.getField("c"))
+        when(d < acc.getField("d"), struct(d.as("d"), b.getField("cid").as("cid")))
+          .otherwise(acc)
+      }).getField("cid")
+
+  private def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+}

@@ -77,6 +77,49 @@ class OpsSpec extends SparkSpec {
     assert(both(2L) == b(2L))
   }
 
+  test("pq codes are bounded, m-wide, and encode is partitioning-invariant") {
+    import graft.ops.{PQ, Quantize}
+    val (m, ksub, rounds, dims) = (2, 8, 2, 64)
+    val qz = Quantize.quantizeInt8(Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    val books = PQ.pqFit(qz, "vec_id", "qvec", dims, m, ksub, rounds)
+    val bRows = books.collect()
+    assert(bRows.length == m * ksub, s"expected ${m * ksub} codebook rows, got ${bRows.length}")
+    assert(bRows.forall(_.getSeq[Long](2).length == dims / m), "wrong sub-centroid width")
+    val codes = PQ.pqEncode(qz, "vec_id", "qvec", books, dims, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(cs => cs.length == m && cs.forall(c => c >= 0 && c < ksub)),
+      "codes out of range")
+    val again = PQ.pqEncode(qz.repartition(7), "vec_id", "qvec", books, dims, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes == again, "encode depends on partitioning")
+  }
+
+  test("pq adc distance is the exact sum of per-subspace code distances") {
+    import graft.ops.{PQ, Quantize}
+    val (m, ksub, rounds, dims, k) = (2, 8, 2, 64, 5)
+    val qz = Quantize.quantizeInt8(Tables(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    val books = PQ.pqFit(qz, "vec_id", "qvec", dims, m, ksub, rounds)
+    val codes = PQ.pqEncode(qz, "vec_id", "qvec", books, dims, m)
+    val got = PQ.pqTopK(codes, "vec_id", qz.filter(col("vec_id") === 0L),
+        "vec_id", "qvec", books, dims, m, k)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    // Recompute ADC by hand from the collected artifacts.
+    val dsub = dims / m
+    val book = books.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val codeMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val qvec = qz.filter(col("vec_id") === 0L)
+      .select(col("qvec")).collect().head.getSeq[Byte](0).map(_.toLong)
+    for ((nid, adist) <- got) {
+      val want = (0 until m).map { j =>
+        val qsub = qvec.slice(j * dsub, (j + 1) * dsub)
+        val c = book((j.toLong, codeMap(nid)(j)))
+        qsub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(adist == want, s"adc drift for nid=$nid: $adist != $want")
+    }
+  }
+
   test("rrf fusion sums exact integer reciprocals across modalities") {
     import graft.ops.Retrieval
     // modality A ranks docs 10,20,30; modality B ranks 20,40.
