@@ -3888,6 +3888,66 @@ object SparkEntry {
       PQ.pqTopK(codes, "vec_id", qz.filter(col("vec_id") < 3), "vec_id", "qvec",
           books, dims, m, topk)
         .orderBy("qid", "rank")
+    },
+    // NS-S7: IVF-PQ ADC serving — the production billion-vector layout:
+    // integer-k-means cells prune the corpus to nProbe probed cells per
+    // query, and candidates score by ADC over RESIDUAL product codes
+    // (vector − cell centroid; residual coding centers every cell at the
+    // origin so ONE shared codebook covers all cells — Jégou's IVFADC).
+    // All-integer end to end, so the oracle replays coarse Lloyd (the
+    // shared ns20 CTEs), the residual table, a seeded sub-Lloyd per
+    // residual slice, code assignment, the exact cell probe, and the
+    // per-(query, cell) LUT join.
+    Q(
+      "ns95_ivfpq_adc", {
+        val (nCells, cRounds, m, ksub, pRounds, nProbe, dims, topk) =
+          (4, 2, 2, 8, 2, 2, 64, 5)
+        val dsub = dims / m
+        val parts = Seq(
+          s"""asg AS (SELECT vec_id, v, cid FROM (
+             |    SELECT q.vec_id, q.v AS v, c.cid, $oIntSqDist AS d FROM q q CROSS JOIN c$cRounds c) t
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),""".stripMargin,
+          s"""res AS (SELECT a.vec_id, a.cid AS cell,
+             |    list_transform(range(len(a.v)), i -> a.v[i+1] - c.c[i+1]) AS v
+             |  FROM asg a JOIN c$cRounds c USING (cid)),""".stripMargin) ++
+          (0 until m).flatMap { j =>
+            Seq(
+              s"rq$j AS (SELECT vec_id, v[${j * dsub + 1}:${(j + 1) * dsub}] AS v FROM res),",
+              s"""p${j}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+                 |  FROM rq$j ORDER BY vec_id LIMIT $ksub),""".stripMargin) ++
+              (1 to pRounds).map(n => oLloydRoundP(s"p$j", s"rq$j", s"p${j}c${n - 1}", n)) :+
+              s"""enc$j AS (SELECT vec_id, cid AS code FROM (
+                 |    SELECT q.vec_id, c.cid, $oIntSqDist AS d FROM rq$j q CROSS JOIN p${j}c$pRounds c) t
+                 |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),""".stripMargin
+          } ++ Seq(
+            s"""prb AS (SELECT qid, cid AS cell, qres FROM (
+               |    SELECT q.vec_id AS qid, c.cid, $oIntSqDist AS d,
+               |      list_transform(range(len(q.v)), i -> q.v[i+1] - c.c[i+1]) AS qres
+               |    FROM q q CROSS JOIN c$cRounds c WHERE q.vec_id < 3) t
+               |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, cid) <= $nProbe),""".stripMargin) ++
+          (0 until m).map { j =>
+            s"""lut$j AS (SELECT q.qid, q.cell, c.cid, $oIntSqDist AS d
+               |  FROM (SELECT qid, cell, qres[${j * dsub + 1}:${(j + 1) * dsub}] AS v FROM prb) q
+               |  CROSS JOIN p${j}c$pRounds c),""".stripMargin
+          }
+        Some(
+          s"""WITH ${oKmeansCtes(nCells, cRounds)}
+             |${parts.mkString("\n")}
+             |ad AS (SELECT l0.qid, e0.vec_id AS nid, (l0.d + l1.d)::BIGINT AS adist
+             |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+             |  JOIN res r ON r.vec_id = e0.vec_id
+             |  JOIN lut0 l0 ON l0.cell = r.cell AND l0.cid = e0.code
+             |  JOIN lut1 l1 ON l1.cell = r.cell AND l1.qid = l0.qid AND l1.cid = e1.code
+             |  WHERE e0.vec_id <> l0.qid),
+             |r AS (SELECT qid, nid, adist,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
+             |SELECT qid, rank::BIGINT AS rank, nid, adist FROM r WHERE rank <= $topk
+             |ORDER BY qid, rank""".stripMargin)
+      }) { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      PQ.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          nCells = 4, nProbe = 2, dims = 64, m = 2, ksub = 8, k = 5, iterations = 2)
+        .orderBy("qid", "rank")
     }
   )
 

@@ -137,6 +137,100 @@ object PQ {
       .select(col("qid"), col("rank"), col("nid"), col("adist"))
   }
 
+  /** IVF-PQ end to end (the production billion-vector layout: coarse
+    * cells prune the corpus, RESIDUAL product codes score the survivors):
+    * integer k-means partitions the corpus into `nCells`; each vector
+    * stores only its cell id + the m-byte PQ code of its RESIDUAL
+    * (vector − cell centroid) — residual coding centers every cell's
+    * distribution at the origin, so one shared codebook covers all cells
+    * (the classic Jégou IVFADC design). A query probes its `nProbe`
+    * nearest cells and scores candidates by ADC over the QUERY residual
+    * against that cell's centroid.
+    *
+    * All arithmetic stays exact-integer (int8 quantize → integer coarse
+    * Lloyd → long residuals in [−254, 254] → integer sub-Lloyd → long
+    * ADC), so the full pipeline replays in the DuckDB oracle like
+    * [[pqTopK]] and [[Similarity.ivfIntTopK]].
+    *
+    * Scale shape: coarse fit + per-subspace fits are bounded Lloyd loops;
+    * residuals and codes compute scan-locally against ONE broadcast
+    * centroid/codebook row each; at serve time the probe table is
+    * (queries × nProbe) rows with an m·ksub-long LUT per row (AQE
+    * broadcasts it), joined on the CELL id against m-byte code rows — the
+    * corpus contributes only probed-cell candidates, never a vector.
+    * Output: (qid, rank, nid, adist).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      nProbe: Int,
+      dims: Int,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      iterations: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe=$nProbe out of [1, $nCells]")
+    val qz = Quantize.quantizeInt8(corpus, idCol, vecCol)
+    val (assigned, centroids) =
+      Clustering.kmeansIntModel(qz, idCol, "qvec", nCells, iterations)
+    // Residual table: one scan-local zip against the (broadcast) cell
+    // centroid — each corpus row keeps (cell, residual) only.
+    val res = assigned
+      .select(col(idCol), col("cluster"))
+      .join(qz.select(col(idCol), transform(col("qvec"), _.cast("long")).as("_v")), idCol)
+      .join(broadcast(centroids), col("cluster") === col("cid")) // nCells rows — justified hint
+      .select(
+        col(idCol),
+        col("cluster").as("cell"),
+        zip_with(col("_v"), col("c"), (a, b) => a - b).as("_rv"))
+    val books = pqFit(res, idCol, "_rv", dims, m, ksub, iterations)
+    val codes = pqEncode(res, idCol, "_rv", books, dims, m)
+      .join(res.select(col(idCol), col("cell")), idCol)
+    // Query side: quantize (row-local, agrees with the corpus geometry),
+    // probe the nProbe nearest cells exactly, carry the per-cell query
+    // residual, and precompute the per-(query, cell) ADC lookup tables.
+    val qq = Quantize.quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).cast("long").as("qid"),
+        transform(col("qvec"), _.cast("long")).as("qv"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+    val probed = qq
+      .crossJoin(broadcast(centroids)) // nCells rows — justified hint
+      .select(col("qid"), col("cid"),
+        sqDistL(col("qv"), col("c")).as("d"),
+        zip_with(col("qv"), col("c"), (a, b) => a - b).as("qres"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"), col("qres"))
+    val dsub = dims / m
+    val packed = packedBooks(books)
+    val luts = (0 until m).map { j =>
+      val qsub = slice(col("qres"), j * dsub + 1, dsub)
+      transform(
+        filter(col("_books"), b => b.getField("sub") === j),
+        b => sqDistL(qsub, b.getField("c")))
+    }
+    val probeLut = probed
+      .crossJoin(broadcast(packed)) // exactly one row — justified hint
+      .select(col("qid"), col("cell"), array(luts: _*).as("_lut"))
+    val adist = (0 until m)
+      .map(j => element_at(
+        element_at(col("_lut"), j + 1),
+        element_at(col("codes"), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    codes
+      .select(col(idCol).cast("long").as("nid"), col("cell"), col("codes"))
+      .join(probeLut, "cell") // (queries × nProbe)-row side — AQE broadcasts
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adist"))
+  }
+
   /** All m codebooks as ONE row: `_books` = array of (sub, cid, c)
     * structs sorted by (sub, cid) — so `filter(sub = j)` yields the
     * j-th subspace's centroids in cid order and positional indexing is
