@@ -1513,7 +1513,11 @@ object SparkEntry {
            |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)) { (s, dir) =>
-      val nat = T(s, dir, "nation")
+      // Classic Q7 plan: each nation replica is pre-filtered to the two
+      // nations BEFORE the broadcast joins (the symmetric pair predicate
+      // references both roles so Catalyst can't derive this itself) —
+      // shrinks both build sides and rejects fact rows at the join.
+      val nat = T(s, dir, "nation").filter(col("n_name").isin("NATION_3", "NATION_7"))
       val sn = nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
       val cn = nat.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
       T(s, dir, "supplier")
@@ -1547,8 +1551,8 @@ object SparkEntry {
           s"""SELECT
              |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS DOUBLE) * 100.0
              |    / CAST(SUM($rev) AS DOUBLE) AS promo_pct,
-             |  SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS promo_c,
-             |  SUM($rev) AS total_c
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS BIGINT) AS promo_c,
+             |  CAST(SUM($rev) AS BIGINT) AS total_c
              |FROM lineitem JOIN part ON p_partkey = l_partkey
              |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)

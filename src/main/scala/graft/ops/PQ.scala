@@ -178,14 +178,18 @@ object PQ {
       Clustering.kmeansIntModel(qz, idCol, "qvec", nCells, iterations)
     // Residual table: one scan-local zip against the (broadcast) cell
     // centroid — each corpus row keeps (cell, residual) only.
-    val res = assigned
+    // Truncated once: pqFit re-reads it m times (one sub-Lloyd per
+    // subspace, each a multi-round loop), then encode and the cell join
+    // read it twice more — without the cut, every one of those replays
+    // the quantize → assign → centroid-join DAG from the scan.
+    val res = Checkpoints.truncate(assigned
       .select(col(idCol), col("cluster"))
       .join(qz.select(col(idCol), transform(col("qvec"), _.cast("long")).as("_v")), idCol)
       .join(broadcast(centroids), col("cluster") === col("cid")) // nCells rows — justified hint
       .select(
         col(idCol),
         col("cluster").as("cell"),
-        zip_with(col("_v"), col("c"), (a, b) => a - b).as("_rv"))
+        zip_with(col("_v"), col("c"), (a, b) => a - b).as("_rv")))
     val books = pqFit(res, idCol, "_rv", dims, m, ksub, iterations)
     val codes = pqEncode(res, idCol, "_rv", books, dims, m)
       .join(res.select(col(idCol), col("cell")), idCol)

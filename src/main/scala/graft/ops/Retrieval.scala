@@ -219,10 +219,19 @@ object Retrieval {
       scale: Long = 1000000000000L): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(kConst >= 0 && scale >= 1, "need kConst >= 0 and scale >= 1")
+    // Input hygiene per ranking: ranks must be >= 1 (rank <= 0 would hit
+    // division by zero at rank = -kConst, silently dropped as NULL by the
+    // sum) and ids must be unique (a duplicated id would double-count its
+    // reciprocal). Non-positive ranks are rejected; duplicates collapse
+    // to their best (minimum) rank — both checks run over top-k-bounded
+    // inputs, so the per-ranking groupBy is noise.
     val contribs = rankings.map(
-      _.select(
-        col(idCol),
-        expr(s"${scale}L div (${kConst}L + cast($rankCol as bigint))").as("_rrf")))
+      _.filter(col(rankCol) >= 1)
+        .groupBy(col(idCol))
+        .agg(min(col(rankCol).cast("long")).as("_rank"))
+        .select(
+          col(idCol),
+          expr(s"${scale}L div (${kConst}L + _rank)").as("_rrf")))
     val fused = contribs.reduce(_.unionByName(_))
       .groupBy(idCol)
       .agg(sum(col("_rrf")).as("rrf_score"))

@@ -174,6 +174,18 @@ class PlanSpec extends SparkSpec {
       assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
         s"$name top-k is a global sort, not TakeOrdered")
     }
+    // b65 (Q7): each nation replica must be PRE-filtered to the two
+    // nations before its broadcast join — the symmetric OR pair predicate
+    // names both roles, so Catalyst can't derive the per-replica filter;
+    // the query builder applies it by hand (the textbook Q7 plan). The
+    // pin: both nation-side scans carry an isin/IN filter on n_name.
+    val q7 = SparkEntry.queries("b65_tpch_q7")(spark, sfDir)
+    q7.collect()
+    val p7 = q7.queryExecution.executedPlan.toString
+    val nationFilters = "n_name#?\\d* IN \\(NATION_3,NATION_7\\)".r
+      .findAllIn(p7).size
+    assert(nationFilters >= 2,
+      s"b65: expected both nation replicas pre-filtered (found $nationFilters):\n$p7")
     // b64's one-row scalar aggregate broadcast-cross-joins by design (the
     // accepted one-row BNLJ pattern); the orders anti-join must stay keyed.
     val q22 = SparkEntry.queries("b64_tpch_q22")(spark, sfDir)
