@@ -192,15 +192,23 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$scalePart$failedPart}"""
     // Belt and braces: the full dual-SF payload at a well-known path (the
-    // stdout line stays within the driver's bounded tail capture).
+    // stdout line stays within the driver's bounded tail capture). The
+    // secondary-SF detail is NESTED inside the one top-level object —
+    // round-8 wrote it as a second concatenated JSON line, which made the
+    // .json file unparseable for single-document readers (ADVICE r8).
     // FILTERED runs (SPARK_GRAFT_FILTER profiling) must NOT clobber the
     // committed full-suite baseline with a one-query snapshot.
-    val fileLines = Seq(line) ++ results2.map(r2 =>
-      s"""{"metric":"sf2_detail","sf":"${sf2Dir.get}","total":${ms(r2.map(_._2).sum)},"queries":${qmap(r2)}}""")
+    val fileDoc = results2 match {
+      case None => line
+      case Some(r2) =>
+        val detail =
+          s""""sf2_detail":{"sf":"${sf2Dir.get}","total":${ms(r2.map(_._2).sum)},"queries":${qmap(r2)}}"""
+        line.stripSuffix("}") + "," + detail + "}"
+    }
     if (filter.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/bench_last.json"),
-        (fileLines.mkString("\n") + "\n").getBytes("UTF-8"))
+        (fileDoc + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loader over the driver-generated parquet dirs
   * (TESTDATA.md). One parquet directory per table: `$dir/$name.parquet`.
@@ -13,20 +14,25 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-      // type for. Read it as raw nanos (legacy conf) and truncate to
-      // microseconds — exactly what DuckDB does when it reads the same
-      // file, so both engines see identical values. The conf is a
-      // session-build setting (Engine/Bench/Verify/SparkSpec all set it):
-      // mutating it per-read here was racy and silently changed how later
-      // NANOS parquet reads decode (round-2 ADVICE), so fail fast instead.
-      require(
-        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-        "events.ts is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true " +
-          "when building the session (Graft session builders do)")
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      // events.ts has shipped in two physical encodings across fixture
+      // generations: parquet TIMESTAMP(NANOS) (no native Spark type —
+      // surfaces as raw long nanos under the session-level
+      // spark.sql.legacy.parquet.nanosAsLong=true that every Graft
+      // session builder sets) and TIMESTAMP(MICROS) isAdjustedToUTC=false
+      // (surfaces as TIMESTAMP_NTZ). Branch on the resolved type and
+      // normalize both to session-zone TimestampType truncated to micros —
+      // the session zone is UTC in every builder, so the NTZ cast is
+      // value-preserving and both engines (Spark here, DuckDB reading the
+      // same file as a naive timestamp) see identical values.
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => // raw nanos via nanosAsLong — truncate to micros
+          df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => df
+        case other =>
+          throw new IllegalStateException(s"events.ts: unexpected type $other")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every fixture table as a temp view (for the SQL surface). */
