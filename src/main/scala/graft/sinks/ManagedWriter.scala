@@ -303,9 +303,11 @@ object ManagedWriter {
       files: Seq[String]): Unit = {
     val md = manifestDir(destDir)
     if (!fs.exists(md)) fs.mkdirs(md)
+    val prev = latestManifest(fs, destDir, Some(baseVersion)).map(_._2)
     val tmp = new Path(md, s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
-    try out.write((files.distinct.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(
+      encodeManifest(baseVersion + 1, files, prev).getBytes("UTF-8"))
     finally out.close()
     val target = new Path(md, f"v-${baseVersion + 1}%08d.txt")
     if (!commitFile(fs, tmp, target)) {
@@ -365,11 +367,13 @@ object ManagedWriter {
     * updated rows are marked by POSITION (`_metadata.file_name`,
     * `_metadata.row_index`) in a `dv-v-*.txt` sidecar; post-image rows
     * append as new files; the new manifest is the old file list PLUS the
-    * appended files, and every read anti-joins the (tiny, broadcastable)
-    * position set. The position set is the ONLY driver materialization —
-    * O(changed rows), bounded by the changeset like the merge join
-    * itself, never by the table. Text positions here; the production
-    * upgrade is a roaring bitmap per file behind the same validity rule.
+    * appended files, and every read anti-joins the position set. The
+    * position set stays DISTRIBUTED end-to-end: small sets (≤
+    * [[DvInlineMax]]) inline into the txt sidecar and broadcast — an O(1)
+    * driver materialization by the cap — while larger sets are written by
+    * executors to a `dv-v-*.pos/` parquet directory and never touch the
+    * driver at all. Per-position rows here; the production upgrade is a
+    * roaring bitmap per file behind the same validity rule.
     * Same changeset contract as [[graft.ops.Merge.applyChanges]]: at most
     * one change row per key; a NULL/unknown op upserts, never deletes.
     *
@@ -416,11 +420,13 @@ object ManagedWriter {
       keyCols.map(col) :+ struct(changes.columns.filterNot(_ == opCol).map(col): _*).as("_row")
         :+ col(opCol).as("_op"): _*)
     val joined = base.join(keyed, keyCols, "inner")
-    val newDeletes = joined
-      .select(col(MetaFileCol), col(MetaPosCol))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .toSeq
+    // positions of every changed row — STAYS distributed: unioned with
+    // the prior DV and persisted by writeDv, which only materializes on
+    // the driver under the O(1) DvInlineMax cap
+    val newDeletes = joined.select(col(MetaFileCol), col(MetaPosCol))
+    val allDv = oldDv.df(spark)
+      .map(_.unionByName(newDeletes)).getOrElse(newDeletes)
+      .distinct()
     val dataCols = base.columns.filterNot(c => c == MetaFileCol || c == MetaPosCol)
     // null-safe op test, matching Merge.applyChanges: a NULL/typo'd op
     // must upsert, never silently become a delete
@@ -438,9 +444,7 @@ object ManagedWriter {
         }
       intended ++= promoted
       val manifestContent = serializeManifest(intended.result())
-      val dvLines = (oldDv ++ newDeletes).distinct.sorted
-        .map { case (f, p) => s"$f\t$p" }
-      writeDvSidecar(fs, destDir, baseVersion + 1, manifestContent, dvLines)
+      writeDv(spark, fs, destDir, baseVersion + 1, manifestContent, allDv)
       if (crashBeforePublish)
         throw new java.io.IOException("simulated crash before mergeDV publish (test hook)")
       publishExactManifest(fs, destDir, baseVersion, intended.result())
@@ -457,6 +461,84 @@ object ManagedWriter {
 
   private val MetaFileCol = "_graft_dv_file"
   private val MetaPosCol = "_graft_dv_pos"
+
+  /** Inline cap for a deletion vector's position set. At or below it the
+    * positions travel inside the txt sidecar and anti-join as an explicit
+    * broadcast — ONE bounded driver materialization, O(1) by the cap.
+    * Above it they are written from EXECUTORS to a parquet sidecar
+    * directory (`dv-v-NNNNNNNN.pos/`) and never exist on the driver at
+    * all: the 10⁹-position changeset that would have OOM'd the former
+    * collect()-based path streams from the classification join straight
+    * to parquet, and reads anti-join it under AQE's choice of strategy.
+    */
+  private[graft] val DvInlineMax = 10000
+  private val DvPosMarker = "@pos"
+
+  /** Handle to a version's effective deletion vector: positions inline
+    * (small DVs) or in a parquet position directory (large DVs).
+    */
+  private[sinks] final case class DvRef(
+      inline: Seq[(String, Long)], posDir: Option[Path]) {
+    def isEmpty: Boolean = inline.isEmpty && posDir.isEmpty
+    def nonEmpty: Boolean = !isEmpty
+    /** The position set as a (MetaFileCol, MetaPosCol) frame; None when empty. */
+    def df(spark: SparkSession): Option[DataFrame] = posDir match {
+      case Some(d) => Some(spark.read.parquet(d.toString))
+      case None if inline.isEmpty => None
+      case None => Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          inline.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            MetaFileCol, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(
+            MetaPosCol, org.apache.spark.sql.types.LongType)))))
+    }
+    /** Live position count — metadata-only for inline, one count job for dirs. */
+    def count(spark: SparkSession): Long =
+      if (posDir.isDefined) df(spark).map(_.count()).getOrElse(0L)
+      else inline.size.toLong
+  }
+
+  private[sinks] object DvRef { val empty: DvRef = DvRef(Seq.empty, None) }
+
+  /** Persist the deletion vector for `version`, bound to
+    * `manifestContent`. `limit(cap + 1).collect()` proves the small case
+    * complete without a separate count job: fewer than cap+1 rows back
+    * means that IS the whole set (written sorted into the txt sidecar,
+    * deterministic); otherwise the full frame is written by executors to
+    * the `.pos` parquet directory and the txt carries only the binding
+    * digest plus a marker line.
+    */
+  private def writeDv(
+      spark: SparkSession,
+      fs: FileSystem,
+      destDir: String,
+      version: Long,
+      manifestContent: String,
+      positions: DataFrame): Unit = {
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) fs.mkdirs(md)
+    val posTarget = new Path(md, f"dv-v-$version%08d.pos")
+    // a leftover pos dir at this version is a PROVEN orphan (its merge
+    // never published); clear it whichever encoding this write takes
+    if (fs.exists(posTarget)) fs.delete(posTarget, true)
+    val head = positions.limit(DvInlineMax + 1).collect()
+    if (head.length <= DvInlineMax) {
+      val lines = head.map(r => (r.getString(0), r.getLong(1))).distinct.sorted
+        .map { case (f, p) => s"$f\t$p" }
+      writeDvSidecar(fs, destDir, version, manifestContent, lines.toSeq)
+    } else {
+      val tmp = new Path(md, s".tmp-dvpos-${UUID.randomUUID().toString.take(8)}")
+      positions.write.parquet(tmp.toString)
+      if (!fs.rename(tmp, posTarget)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"could not stage deletion-vector positions $posTarget")
+      }
+      writeDvSidecar(fs, destDir, version, manifestContent, Seq(DvPosMarker))
+    }
+  }
 
   /** The exact byte serialization [[publishExactManifest]]/[[publishManifest]]
     * write — also the content a DV sidecar binds to.
@@ -500,9 +582,9 @@ object ManagedWriter {
   private def effectiveDv(
       fs: FileSystem,
       destDir: String,
-      version: Long): Seq[(String, Long)] = {
+      version: Long): DvRef = {
     val md = manifestDir(destDir)
-    if (!fs.exists(md)) return Seq.empty
+    if (!fs.exists(md)) return DvRef.empty
     val dvs = fs.listStatus(md)
       .map(_.getPath)
       .filter(p => p.getName.startsWith("dv-v-") && p.getName.endsWith(".txt"))
@@ -514,21 +596,21 @@ object ManagedWriter {
         val actual = java.security.MessageDigest.getInstance("MD5")
           .digest(serializeManifest(files).getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
-        val in = fs.open(path)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
+        val lines = readLines(fs, path)
         if (lines.headOption.contains(actual)) {
-          return lines.tail.flatMap { l =>
+          val body = lines.tail
+          if (body.headOption.contains(DvPosMarker))
+            return DvRef(Seq.empty, Some(new Path(md, f"dv-v-$v%08d.pos")))
+          return DvRef(body.flatMap { l =>
             l.split("\t", -1) match {
               case Array(f, p) => scala.util.Try((f, p.toLong)).toOption
               case _ => None
             }
-          }
+          }, None)
         }
       }
     }
-    Seq.empty
+    DvRef.empty
   }
 
   /** Filter `df` (read with position metadata when `dv` is nonempty)
@@ -538,19 +620,17 @@ object ManagedWriter {
   private def applyDv(
       spark: SparkSession,
       df: DataFrame,
-      dv: Seq[(String, Long)],
+      dv: DvRef,
       keepMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    val filtered =
-      if (dv.isEmpty) df
-      else {
-        val dvDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(dv.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
-          StructType(Seq(
-            org.apache.spark.sql.types.StructField(MetaFileCol, org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField(MetaPosCol, org.apache.spark.sql.types.LongType))))
-        df.join(broadcast(dvDf), Seq(MetaFileCol, MetaPosCol), "left_anti")
-      }
+    val filtered = dv.df(spark) match {
+      case None => df
+      case Some(d) =>
+        // inline DVs are cap-bounded — broadcast outright; dir-based DVs
+        // can be arbitrarily large, so AQE picks broadcast vs shuffle
+        val probe = if (dv.posDir.isEmpty) broadcast(d) else d
+        df.join(probe, Seq(MetaFileCol, MetaPosCol), "left_anti")
+    }
     if (keepMeta) filtered else filtered.drop(MetaFileCol, MetaPosCol)
   }
 
@@ -618,7 +698,7 @@ object ManagedWriter {
       }.sum
       org.apache.spark.sql.Row(
         v, files.size, bytes,
-        effectiveDv(fs, destDir, v).size.toLong,
+        effectiveDv(fs, destDir, v).count(spark),
         schemaSidecar(fs, destDir, v).isDefined)
     }
     spark.createDataFrame(
@@ -661,6 +741,27 @@ object ManagedWriter {
       .flatMap(v => latestManifest(fs, destDir, Some(v)).map(_._2).getOrElse(Seq.empty))
       .toSet
     val md = manifestDir(destDir)
+    // Delta-encoded kept manifests would dangle once the base versions
+    // they replay against are dropped: materialize every kept version to
+    // a full snapshot FIRST (logically identical content — DV bindings
+    // hash the logical list via serializeManifest, so they are
+    // unaffected). Replace-in-place via tmp + rename; vacuum is already
+    // documented as not safe against concurrent readers/writers.
+    keep.foreach { v =>
+      val p = new Path(md, f"v-$v%08d.txt")
+      if (fs.exists(p) && readLines(fs, p).headOption.contains(DeltaHeader)) {
+        val files = latestManifest(fs, destDir, Some(v)).map(_._2).getOrElse(Seq.empty)
+        val tmp = new Path(md, s".tmp-${UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, false)
+        try out.write(serializeManifest(files).getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"vacuum could not materialize $p")
+        }
+      }
+    }
     // Deletion vectors bind to their OWN version's manifest; dropping that
     // manifest would orphan them and silently resurrect deleted rows in
     // kept versions. Re-bind each kept version's effective DV to the kept
@@ -668,11 +769,21 @@ object ManagedWriter {
     // same-version DV is left alone; writes-before-deletes keeps a crash
     // harmless).
     keep.foreach { v =>
-      val dvLines = effectiveDv(fs, destDir, v)
-      if (dvLines.nonEmpty && !fs.exists(new Path(md, f"dv-v-$v%08d.txt"))) {
+      val dvRef = effectiveDv(fs, destDir, v)
+      if (dvRef.nonEmpty && !fs.exists(new Path(md, f"dv-v-$v%08d.txt"))) {
         latestManifest(fs, destDir, Some(v)).foreach { case (_, files) =>
-          writeDvSidecar(fs, destDir, v, serializeManifest(files),
-            dvLines.map { case (f, p) => s"$f	$p" })
+          dvRef.posDir match {
+            case Some(src) =>
+              // dir-based DV: re-bind by copying the position directory to
+              // the kept version (driver never reads the positions)
+              val dst = new Path(md, f"dv-v-$v%08d.pos")
+              if (!fs.exists(dst))
+                org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, fs.getConf)
+              writeDvSidecar(fs, destDir, v, serializeManifest(files), Seq(DvPosMarker))
+            case None =>
+              writeDvSidecar(fs, destDir, v, serializeManifest(files),
+                dvRef.inline.map { case (f, p) => s"$f\t$p" })
+          }
         }
       }
     }
@@ -689,6 +800,67 @@ object ManagedWriter {
   private val ManifestDirName = "_graft_manifest"
 
   private def manifestDir(destDir: String) = new Path(destDir, ManifestDirName)
+
+  /** Delta-log manifest segmentation (the Delta/Iceberg shape, closing the
+    * documented O(appends x files) lifetime cost of full-snapshot-only
+    * manifests): a version file is EITHER a full snapshot (plain sorted
+    * file list — doubles as a checkpoint) or, between checkpoints, a
+    * `#delta` header followed by `+file`/`-file` lines against the
+    * previous version. Every `ManifestCheckpointEvery`-th version is
+    * forced full, so resolution replays at most CheckpointEvery-1 deltas
+    * — commit bytes are O(changed files), resolution reads are O(1).
+    * The commit point is unchanged: one fail-if-exists [[commitFile]] of
+    * the version file, whatever its encoding. DV binding is unaffected —
+    * sidecars bind to [[serializeManifest]] of the LOGICAL list, not to
+    * the physical encoding. [[vacuum]] materializes every kept version
+    * to a full snapshot before dropping older ones, so a delta can never
+    * outlive its base.
+    */
+  private val ManifestCheckpointEvery = 10L
+  private val DeltaHeader = "#delta"
+
+  private def encodeManifest(
+      version: Long,
+      files: Seq[String],
+      prev: Option[Seq[String]]): String = {
+    val full = files.distinct.sorted
+    prev match {
+      case Some(p) if version % ManifestCheckpointEvery != 0 =>
+        val prevSet = p.toSet
+        val curSet = full.toSet
+        val adds = full.filterNot(prevSet)
+        val removes = p.filter(f => !curSet.contains(f)).distinct.sorted
+        (DeltaHeader +: (adds.map("+" + _) ++ removes.map("-" + _)))
+          .mkString("\n") + "\n"
+      case _ => serializeManifest(full)
+    }
+  }
+
+  private def readLines(fs: FileSystem, path: Path): List[String] = {
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** The LOGICAL file list of manifest `version`: the file itself when it
+    * is a full snapshot, else the previous version's resolution with this
+    * version's delta applied (bounded by the checkpoint spacing).
+    */
+  private def resolveManifest(fs: FileSystem, md: Path, version: Long): Seq[String] = {
+    val path = new Path(md, f"v-$version%08d.txt")
+    val lines = readLines(fs, path)
+    if (lines.headOption.contains(DeltaHeader)) {
+      val prevPath = new Path(md, f"v-${version - 1}%08d.txt")
+      if (!fs.exists(prevPath))
+        throw new java.io.IOException(
+          s"manifest v$version at $md is a delta but v${version - 1} is gone " +
+            "(vacuum materializes kept versions — was the directory hand-edited?)")
+      val base = resolveManifest(fs, md, version - 1)
+      val adds = lines.tail.collect { case l if l.startsWith("+") => l.drop(1) }
+      val removes = lines.tail.collect { case l if l.startsWith("-") => l.drop(1) }.toSet
+      (base.filterNot(removes) ++ adds).distinct.sorted
+    } else lines.filter(_.nonEmpty)
+  }
 
   /** Latest committed manifest (or a specific `version` when asked):
     * (version, destination-relative file names). None when the destination
@@ -713,11 +885,8 @@ object ManagedWriter {
         p.getName.stripPrefix("v-").stripSuffix(".txt").toLong))
     }
     chosen.map { path =>
-      val in = fs.open(path)
-      val files =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-        finally in.close()
-      (path.getName.stripPrefix("v-").stripSuffix(".txt").toLong, files)
+      val v = path.getName.stripPrefix("v-").stripSuffix(".txt").toLong
+      (v, resolveManifest(fs, md, v))
     }
   }
 
@@ -774,8 +943,14 @@ object ManagedWriter {
     val it = fs.listFiles(dest, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.startsWith("part-"))
-        out += destUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+      val rel = destUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+      // the manifest directory's own parquet content (dir-based DV
+      // position sets) is metadata, never table data: adopting it would
+      // corrupt base manifests and vacuum's unreferenced-file sweep would
+      // delete live positions
+      if (f.getPath.getName.startsWith("part-") &&
+          !rel.startsWith(ManifestDirName + "/"))
+        out += rel
     }
     out.result().sorted
   }
@@ -820,11 +995,13 @@ object ManagedWriter {
     var attempts = 0
     while (true) {
       attempts += 1
-      val (version, existing) = latestManifest(fs, destDir).getOrElse((0L, Seq.empty[String]))
+      val prev = latestManifest(fs, destDir)
+      val (version, existing) = prev.getOrElse((0L, Seq.empty[String]))
       val files = (existing ++ newFiles).distinct.sorted
       val tmp = new Path(md, s".tmp-${UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, false)
-      try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write(
+        encodeManifest(version + 1, files, prev.map(_._2)).getBytes("UTF-8"))
       finally out.close()
       val target = new Path(md, f"v-${version + 1}%08d.txt")
       if (commitFile(fs, tmp, target)) return version + 1
@@ -920,7 +1097,7 @@ object ManagedWriter {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestManifest(fs, destDir).map(_._1)
     val declared = v.flatMap(schemaSidecar(fs, destDir, _))
-    val dv = v.map(effectiveDv(fs, destDir, _)).getOrElse(Seq.empty)
+    val dv = v.map(effectiveDv(fs, destDir, _)).getOrElse(DvRef.empty)
     if (files.nonEmpty)
       applyDv(spark,
         manifestRead(spark, destDir, files, declared, keepMeta = dv.nonEmpty),

@@ -490,6 +490,73 @@ class ManagedWriterSpec extends SparkSpec {
     assert(h(1)._2 == 2 && h(1)._3 == 0L, s"v2 wrong: ${h.toSeq}")
   }
 
+  test("large DV changesets stay off the driver: positions land as an " +
+    "executor-written parquet sidecar directory") {
+    import spark.implicits._
+    val cap = ManagedWriter.DvInlineMax
+    val base = (1L to (cap * 3L)).map(i => (i, i * 2)).toDF("id", "v")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base.repartition(4)); w.finalizeCommit()
+    val nDel = cap + 2000L
+    val changes = (1L to nDel).map(i => (i, 0L, "D")).toDF("id", "v", "op")
+    val vNew = ManagedWriter.mergeDV(spark, dest, changes, Seq("id"))
+    val md = new java.io.File(dest, "_graft_manifest")
+    val src = scala.io.Source.fromFile(new java.io.File(md, f"dv-v-$vNew%08d.txt"))
+    val sidecar = try src.getLines().toList finally src.close()
+    assert(sidecar.length == 2 && sidecar(1) == "@pos",
+      s"${nDel}-position DV went through the driver sidecar (${sidecar.length} lines)")
+    assert(new java.io.File(md, f"dv-v-$vNew%08d.pos").isDirectory,
+      "no executor-written position directory")
+    assert(ManagedWriter.read(spark, dest).count() == cap * 3L - nDel)
+    // deletions persist across a later append, survive vacuum's re-bind
+    // (position-directory copy), and feed history's metadata counts
+    val w2 = new ManagedWriter(spark, dest, base.schema, StreamType.Committed)
+    w2.write(Seq((900001L, 1L)).toDF("id", "v"))
+    assert(ManagedWriter.read(spark, dest).count() == cap * 3L - nDel + 1)
+    ManagedWriter.vacuum(spark, dest, keepVersions = 1)
+    assert(ManagedWriter.read(spark, dest).count() == cap * 3L - nDel + 1)
+    val h = ManagedWriter.history(spark, dest).orderBy("version").collect()
+    assert(h.last.getLong(3) == nDel, s"history deletion count: ${h.last}")
+  }
+
+  test("manifest log is segmented: bounded deltas between full-snapshot checkpoints, " +
+    "vacuum materializes kept versions") {
+    import spark.implicits._
+    val dest = tmp()
+    val first = Seq((0L, "r0")).toDF("id", "v")
+    val w = new ManagedWriter(spark, dest, first.schema, StreamType.Committed)
+    (1 to 14).foreach(i => w.write(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    def lines(ver: Long) = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(s"$dest/_graft_manifest", f"v-$ver%08d.txt"))
+      try src.getLines().toList finally src.close()
+    }
+    val vs = ManagedWriter.versions(spark, dest)
+    assert(vs == (1L to 15L), s"expected v1..v15, got $vs")
+    // between checkpoints a commit writes ONLY its own changes...
+    assert(lines(5).headOption.contains("#delta"), s"v5 not a delta: ${lines(5)}")
+    assert(lines(15).headOption.contains("#delta"))
+    assert(lines(15).length <= 4,
+      s"delta commit bytes grew with table size: ${lines(15)}")
+    // ...while every ManifestCheckpointEvery-th version is a full snapshot
+    assert(!lines(10).headOption.contains("#delta"), "v10 checkpoint missing")
+    assert(lines(10).count(_.nonEmpty) >= 9, s"v10 snapshot too small: ${lines(10)}")
+    // resolution through the delta chain matches the logical history
+    assert(ManagedWriter.read(spark, dest).count() == 14)
+    assert(ManagedWriter.readVersion(spark, dest, 8L).count() == 7)
+    assert(ManagedWriter.readVersion(spark, dest, 13L).count() == 12)
+    // vacuum keeps only deltas (v13..v15): each must be materialized to a
+    // full snapshot so it survives its base checkpoint's deletion
+    val (dropped, _) = ManagedWriter.vacuum(spark, dest, keepVersions = 3)
+    assert(dropped == 12)
+    Seq(13L, 14L, 15L).foreach { v =>
+      assert(!lines(v).headOption.contains("#delta"), s"v$v still a delta post-vacuum")
+      assert(ManagedWriter.readVersion(spark, dest, v).count() == v - 1)
+    }
+    assert(ManagedWriter.read(spark, dest).count() == 14)
+  }
+
   test("without evolution the schema guard still rejects wider batches") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "v")
