@@ -3952,6 +3952,54 @@ object SparkEntry {
       PQ.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
           nCells = 4, nProbe = 2, dims = 64, m = 2, ksub = 8, k = 5, iterations = 2)
         .orderBy("qid", "rank")
+    },
+    // NS-S9: recall@k gate for the ANN serving ladder — per-query overlap
+    // between the IVF answer set and ground-truth brute force, as EXACT
+    // integer hit counts. ns20/ns94/ns95 gate bit-exactness of each
+    // approximate path; this row gates its QUALITY: a codebook/probe
+    // regression that stays deterministic but destroys recall shifts the
+    // hit counts and fails the hash. Both arms replay in DuckDB (the ns20
+    // IVF CTE stack + the ns10 brute-force stack over the same `ef`).
+    Q(
+      "ns96_ann_recall", {
+        val dist = oIntSqDist
+        Some(
+          s"""WITH ${oKmeansCtes(k = 16, rounds = 2)}
+             |cells AS (SELECT vec_id AS nid, cid FROM (
+             |    SELECT q.vec_id, c.cid, $dist AS d FROM q CROSS JOIN c2 c) t
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+             |qp AS (SELECT vec_id AS qid, v FROM q WHERE vec_id < 20),
+             |pr AS (SELECT qid, cid FROM (
+             |    SELECT qp.qid, c.cid,
+             |      list_sum(list_transform(range(len(qp.v)), i -> (qp.v[i+1]-c.c[i+1])*(qp.v[i+1]-c.c[i+1]))) AS d
+             |    FROM qp CROSS JOIN c2 c) t
+             |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, cid) <= 4),
+             |cand AS (SELECT pr.qid, cells.nid FROM pr JOIN cells USING (cid) WHERE pr.qid <> cells.nid),
+             |isc AS (SELECT qid, nid, ${oCosine("x.vd", "y.vd")} AS cos
+             |  FROM cand JOIN ef x ON x.vec_id = qid JOIN ef y ON y.vec_id = nid),
+             |ivf AS (SELECT qid, nid FROM (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM isc)
+             |  WHERE rank <= 3),
+             |bsc AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCosine("q.vd", "c.vd")} AS cos
+             |  FROM ef q JOIN ef c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |brute AS (SELECT qid, nid FROM (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM bsc)
+             |  WHERE rank <= 3)
+             |SELECT b.qid AS qid, count(i.nid)::BIGINT AS hits
+             |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+             |GROUP BY b.qid ORDER BY b.qid""".stripMargin)
+      }) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+        .select(col("qid"), col("nid"))
+      val ivf = Similarity.ivfIntTopK(e, q, "vec_id", "embedding",
+          nCells = 16, nProbe = 4, k = 3)
+        .select(col("qid"), col("nid"), lit(1L).as("_hit"))
+      brute.join(ivf, Seq("qid", "nid"), "left_outer")
+        .groupBy("qid")
+        .agg(coalesce(sum(col("_hit")), lit(0L)).as("hits"))
+        .orderBy("qid")
     }
   )
 
