@@ -49,6 +49,31 @@ object Bench {
       name -> timings.minOption
     }
 
+  /** Queries eligible for the scale-UP pass (the 10x rung ABOVE the
+    * primary SF, on [[ScaleUp]]'s key-shifted replica data). Curated to
+    * plans whose input distribution replication preserves: the full
+    * relational layer (joins/aggs/windows/subqueries — the plans whose
+    * shuffle shapes matter most at 100 TB), the pipeline A-layer, and
+    * row-local / aggregation text ops. Pairwise-similarity and
+    * clustering queries are excluded — their pair/cluster structure is a
+    * property of the fixture's duplicate seeding, which replication
+    * cannot preserve honestly (they are screened at sf0.1/sf0.01 like
+    * every query, and their candidate generation is banded/bucketed by
+    * construction).
+    */
+  private val scaleUpEligible: Set[String] = Set(
+    "a01", "a02", "a07", "a12",
+    "ns01", "ns02", "ns03", "ns04", "ns05", "ns21", "ns23", "ns28",
+    "ns29", "ns30", "ns34", "ns36", "ns41", "ns43", "ns53", "ns58",
+    "ns62", "ns64", "ns70", "ns71", "ns72", "ns79", "ns80")
+
+  private def scaleUpSelected(
+      selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+    selected.filter { case (name, _) =>
+      val id = name.split("_")(0)
+      id.startsWith("b") || scaleUpEligible.contains(id)
+    }
+
   /** One ladder step down from the primary SF (10x less data), when that
     * directory exists.
     */
@@ -126,8 +151,8 @@ object Bench {
     }
     val raw2 = sf2Dir.map(d => runSuite(spark, d, selected, repeats))
     val results2 = raw2.map(_.collect { case (n, Some(t)) => n -> t })
-    val failed = (raw1 ++ raw2.getOrElse(Seq.empty))
-      .collect { case (n, None) => n }.distinct
+    def failedOf(raws: Seq[(String, Option[Double])]*): Seq[String] =
+      raws.flatten.collect { case (n, None) => n }.distinct
     // Ratio on 10x data; flooring the small-SF time at 50 ms and requiring
     // 0.5 s at the large SF keeps fixed-overhead-dominated queries (session
     // setup, tiny dims) from flagging as false positives. Queries that
@@ -163,6 +188,58 @@ object Bench {
           flagRatio(best1, best2).map(name -> _)
         }
       }
+    // Scale-UP pass: a 10x rung ABOVE the primary SF on ScaleUp's
+    // benchmark-only replica data (~6M lineitem rows when primary is
+    // sf0.1) — the superlinear screen's 10x step at meaningful size.
+    // Runs only when the primary is the fixture ladder's top (sf0.1),
+    // single repeat (a screen, not a baseline — the 15x flag threshold
+    // has contention headroom), curated subset (scaleUpEligible).
+    // SPARK_GRAFT_SF_UP=none disables; any other value overrides the
+    // scratch directory.
+    val upDir: Option[String] = sys.env.get("SPARK_GRAFT_SF_UP") match {
+      case Some("none") => None
+      case o =>
+        val auto = sfDir.stripSuffix("/").endsWith("sf0.1")
+        if (o.isEmpty && (!auto || filter.nonEmpty)) None
+        else {
+          val dst = o.getOrElse("/tmp/graft_sf1")
+          try { if (ScaleUp.ensure(spark, sfDir, dst)) Some(dst) else None }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] scale-up generation failed: ${e.getMessage}")
+              None
+          }
+        }
+    }
+    val upSel = scaleUpSelected(selected)
+    val rawUp = upDir.map(d => runSuite(spark, d, upSel, 1))
+    val resultsUp = rawUp.map(_.collect { case (n, Some(t)) => n -> t })
+    val failedUp = rawUp.getOrElse(Seq.empty).collect { case (n, None) => n }
+    // Up-flags: higher floor (2 s at 10x the primary) and the same
+    // isolated-rerun confirmation discipline as the down-screen.
+    def flagUp(tu: Double, t1: Double): Option[Double] =
+      if (tu > 2.0 && tu / math.max(t1, 0.05) > 15.0)
+        Some(math.rint(tu / math.max(t1, 0.05) * 10) / 10)
+      else None
+    val superlinearUp: Seq[(String, Double)] = resultsUp match {
+      case None => Seq.empty
+      case Some(ru) =>
+        val m1 = results.toMap
+        val prov = ru.flatMap { case (n, tu) =>
+          m1.get(n).filter(t1 => flagUp(tu, t1).isDefined).map((n, tu, _))
+        }
+        if (prov.isEmpty) Seq.empty
+        else {
+          val flaggedSel = upSel.filter(p => prov.exists(_._1 == p._1))
+          val reU = runSuite(spark, upDir.get, flaggedSel, 1).toMap
+          val re1 = runSuite(spark, sfDir, flaggedSel, 1).toMap
+          prov.flatMap { case (n, tu, t1) =>
+            val bu = math.min(tu, reU.get(n).flatten.getOrElse(tu))
+            val b1 = math.min(t1, re1.get(n).flatten.getOrElse(t1))
+            flagUp(bu, b1).map(n -> _)
+          }
+        }
+    }
     // The driver captures only a bounded tail of stdout (2000 chars in
     // BENCH_r0{1,2}.json) and the full-name/full-precision line (~4 KB)
     // overflowed it -> "parsed": null both rounds. Keep the line short:
@@ -178,19 +255,27 @@ object Bench {
       rs.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + ms(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def flagMap(flags: Seq[(String, Double)]): String = flags
+      .map { case (k, r) => "\"" + k.split("_")(0) + "\":" + r }
+      .mkString("{", ",", "}")
     val scalePart = results2 match {
       case None => ""
       case Some(r2) =>
-        val flags = superlinear
-          .map { case (k, r) => "\"" + k.split("_")(0) + "\":" + r }
-          .mkString("{", ",", "}")
-        s""","sf2":"${sf2Dir.get}","sf2_total":${ms(r2.map(_._2).sum)},"superlinear":$flags"""
+        s""","sf2":"${sf2Dir.get}","sf2_total":${ms(r2.map(_._2).sum)},"superlinear":${flagMap(superlinear)}"""
     }
+    // Scale-up summary on stdout: total + confirmed flags only (the
+    // per-query map goes to bench_last.json — stdout tail budget).
+    val upPart = resultsUp match {
+      case None => ""
+      case Some(ru) =>
+        s""","sf_up":"${upDir.get}","sf_up_total":${ms(ru.map(_._2).sum)},"superlinear_up":${flagMap(superlinearUp)}"""
+    }
+    val failed = failedOf(raw1, raw2.getOrElse(Seq.empty), rawUp.getOrElse(Seq.empty))
     val failedPart =
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + n.split("_")(0) + "\"").mkString(""","failed":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$scalePart$failedPart}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"$scalePart$upPart$failedPart}"""
     // Belt and braces: the full dual-SF payload at a well-known path (the
     // stdout line stays within the driver's bounded tail capture). The
     // secondary-SF detail is NESTED inside the one top-level object —
@@ -198,13 +283,14 @@ object Bench {
     // .json file unparseable for single-document readers (ADVICE r8).
     // FILTERED runs (SPARK_GRAFT_FILTER profiling) must NOT clobber the
     // committed full-suite baseline with a one-query snapshot.
-    val fileDoc = results2 match {
-      case None => line
-      case Some(r2) =>
-        val detail =
-          s""""sf2_detail":{"sf":"${sf2Dir.get}","total":${ms(r2.map(_._2).sum)},"queries":${qmap(r2)}}"""
-        line.stripSuffix("}") + "," + detail + "}"
-    }
+    val details =
+      results2.map(r2 =>
+        s""""sf2_detail":{"sf":"${sf2Dir.get}","total":${ms(r2.map(_._2).sum)},"queries":${qmap(r2)}}""") ++
+      resultsUp.map(ru =>
+        s""""sf_up_detail":{"sf":"${upDir.get}","total":${ms(ru.map(_._2).sum)},"queries":${qmap(ru)}}""")
+    val fileDoc =
+      if (details.isEmpty) line
+      else line.stripSuffix("}") + "," + details.mkString(",") + "}"
     if (filter.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/bench_last.json"),
