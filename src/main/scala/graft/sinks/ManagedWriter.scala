@@ -468,22 +468,64 @@ object ManagedWriter {
     * Above it they are written from EXECUTORS to a parquet sidecar
     * directory (`dv-v-NNNNNNNN.pos/`) and never exist on the driver at
     * all: the 10⁹-position changeset that would have OOM'd the former
-    * collect()-based path streams from the classification join straight
-    * to parquet, and reads anti-join it under AQE's choice of strategy.
+    * collect()-based path streams from the classification shuffle
+    * straight to parquet.
     */
   private[graft] val DvInlineMax = 10000
   private val DvPosMarker = "@pos"
 
+  /** Sidecar-directory row layout — the bitmap-per-file DV shape (Delta
+    * uses roaring; a dense JDK bitset is the zero-dependency analogue),
+    * chosen ADAPTIVELY per file by encoded size:
+    *   - dense files → ONE `(file, card, NULL, bitmap)` row whose bitmap
+    *     is `java.util.BitSet.toByteArray` (bit k of byte k/8 = position
+    *     k deleted). Reads then join the TINY per-file row set and test
+    *     the bit scan-locally — table rows never shuffle for the DV.
+    *   - sparse files (bitmap would out-size the raw positions) → one
+    *     `(file, 1, pos, NULL)` row per position, anti-joined as before.
+    * `card` sums to the live deletion count either way (bitmap rows
+    * carry their cardinality, position rows carry 1), so history() needs
+    * one metadata-cheap SUM, never an expansion.
+    */
+  private val DvDirSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("card", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bitmap", org.apache.spark.sql.types.BinaryType)))
+
   /** Handle to a version's effective deletion vector: positions inline
-    * (small DVs) or in a parquet position directory (large DVs).
+    * (small DVs) or in a parquet sidecar directory (large DVs; see
+    * [[DvDirSchema]]).
     */
   private[sinks] final case class DvRef(
       inline: Seq[(String, Long)], posDir: Option[Path]) {
     def isEmpty: Boolean = inline.isEmpty && posDir.isEmpty
     def nonEmpty: Boolean = !isEmpty
-    /** The position set as a (MetaFileCol, MetaPosCol) frame; None when empty. */
+    private[sinks] def dirDf(spark: SparkSession): Option[DataFrame] =
+      posDir.map(d => spark.read.schema(DvDirSchema).parquet(d.toString))
+    /** The FULL position set as a (MetaFileCol, MetaPosCol) frame (bitmap
+      * rows expanded through a lazy per-file iterator); None when empty.
+      * The expansion is only paid where a position-level set is really
+      * needed (mergeDV's union with the new changeset) — the read path
+      * never calls this for dir-based DVs.
+      */
     def df(spark: SparkSession): Option[DataFrame] = posDir match {
-      case Some(d) => Some(spark.read.parquet(d.toString))
+      case Some(_) =>
+        import org.apache.spark.sql.functions.col
+        val all = dirDf(spark).get
+        val posRows = all.where(col("pos").isNotNull)
+          .select(col("file").as(MetaFileCol), col("pos").as(MetaPosCol))
+        import spark.implicits._
+        val bmRows = all.where(col("bitmap").isNotNull)
+          .select(col("file"), col("bitmap")).as[(String, Array[Byte])]
+          .flatMap { case (f, b) =>
+            val it = java.util.BitSet.valueOf(b).stream().iterator()
+            new Iterator[(String, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (String, Long) = (f, it.next().toLong)
+            }
+          }.toDF(MetaFileCol, MetaPosCol)
+        Some(posRows.unionByName(bmRows))
       case None if inline.isEmpty => None
       case None => Some(spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -494,10 +536,14 @@ object ManagedWriter {
           org.apache.spark.sql.types.StructField(
             MetaPosCol, org.apache.spark.sql.types.LongType)))))
     }
-    /** Live position count — metadata-only for inline, one count job for dirs. */
+    /** Live position count — metadata-only for inline, one SUM(card) job
+      * for dirs (never a bitmap expansion).
+      */
     def count(spark: SparkSession): Long =
-      if (posDir.isDefined) df(spark).map(_.count()).getOrElse(0L)
-      else inline.size.toLong
+      if (posDir.isDefined) {
+        import org.apache.spark.sql.functions.sum
+        dirDf(spark).get.agg(sum("card")).head().getLong(0)
+      } else inline.size.toLong
   }
 
   private[sinks] object DvRef { val empty: DvRef = DvRef(Seq.empty, None) }
@@ -506,9 +552,10 @@ object ManagedWriter {
     * `manifestContent`. `limit(cap + 1).collect()` proves the small case
     * complete without a separate count job: fewer than cap+1 rows back
     * means that IS the whole set (written sorted into the txt sidecar,
-    * deterministic); otherwise the full frame is written by executors to
-    * the `.pos` parquet directory and the txt carries only the binding
-    * digest plus a marker line.
+    * deterministic); otherwise the positions shuffle ONCE by file and
+    * each file group streams into its [[DvDirSchema]] encoding (dense
+    * bitmap or sparse position rows) written by the executors — the
+    * driver never sees a position.
     */
   private def writeDv(
       spark: SparkSession,
@@ -517,6 +564,7 @@ object ManagedWriter {
       version: Long,
       manifestContent: String,
       positions: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
     val md = manifestDir(destDir)
     if (!fs.exists(md)) fs.mkdirs(md)
     val posTarget = new Path(md, f"dv-v-$version%08d.pos")
@@ -529,8 +577,37 @@ object ManagedWriter {
         .map { case (f, p) => s"$f\t$p" }
       writeDvSidecar(fs, destDir, version, manifestContent, lines.toSeq)
     } else {
+      import spark.implicits._
+      val encoded = positions
+        .select(col(MetaFileCol).as("f"), col(MetaPosCol).as("p")).as[(String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (f, it) =>
+          // one streaming pass per file: dedup + cardinality + max in a
+          // growable bitset (parquet row indexes fit int by format limits)
+          val bs = new java.util.BitSet()
+          var card = 0L
+          var maxPos = -1L
+          it.foreach { t =>
+            val p = t._2
+            require(p >= 0 && p <= Int.MaxValue, s"row index $p out of bitmap range")
+            if (!bs.get(p.toInt)) {
+              bs.set(p.toInt); card += 1
+              if (p > maxPos) maxPos = p
+            }
+          }
+          if (maxPos / 8 + 1 <= card * 8) {
+            Iterator.single((f, card, Option.empty[Long], Option(bs.toByteArray)))
+          } else {
+            val pit = bs.stream().iterator()
+            new Iterator[(String, Long, Option[Long], Option[Array[Byte]])] {
+              def hasNext: Boolean = pit.hasNext
+              def next() = (f, 1L, Option(pit.next().toLong), Option.empty[Array[Byte]])
+            }
+          }
+        }
+        .toDF("file", "card", "pos", "bitmap")
       val tmp = new Path(md, s".tmp-dvpos-${UUID.randomUUID().toString.take(8)}")
-      positions.write.parquet(tmp.toString)
+      encoded.write.parquet(tmp.toString)
       if (!fs.rename(tmp, posTarget)) {
         fs.delete(tmp, true)
         throw new java.io.IOException(
@@ -623,13 +700,30 @@ object ManagedWriter {
       dv: DvRef,
       keepMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    val filtered = dv.df(spark) match {
-      case None => df
-      case Some(d) =>
-        // inline DVs are cap-bounded — broadcast outright; dir-based DVs
-        // can be arbitrarily large, so AQE picks broadcast vs shuffle
-        val probe = if (dv.posDir.isEmpty) broadcast(d) else d
-        df.join(probe, Seq(MetaFileCol, MetaPosCol), "left_anti")
+    val filtered = dv.posDir match {
+      case None => dv.df(spark) match {
+        case None => df
+        case Some(d) => // inline DVs are cap-bounded — broadcast outright
+          df.join(broadcast(d), Seq(MetaFileCol, MetaPosCol), "left_anti")
+      }
+      case Some(_) =>
+        val all = dv.dirDf(spark).get
+        // sparse files' position rows: plain anti-join, AQE-planned
+        val posRows = all.where(col("pos").isNotNull)
+          .select(col("file").as(MetaFileCol), col("pos").as(MetaPosCol))
+        // dense files' bitmaps: join ONE tiny row per file, then test the
+        // bit scan-locally — table rows never shuffle for the bitmap part
+        // (BitSet.toByteArray puts position k at bit k%8 of byte k/8; a
+        // position past the bitmap's last byte reads as not-deleted via
+        // the coalesce)
+        val bmRows = all.where(col("bitmap").isNotNull).select(col("file"), col("bitmap"))
+        val afterPos = df.join(posRows, Seq(MetaFileCol, MetaPosCol), "left_anti")
+        afterPos.join(bmRows, afterPos(MetaFileCol) === bmRows("file"), "left_outer")
+          .where(expr(
+            s"""NOT coalesce((CAST(conv(hex(substring(bitmap,
+               |  CAST($MetaPosCol DIV 8 AS INT) + 1, 1)), 16, 10) AS INT)
+               |  & shiftleft(1, CAST($MetaPosCol % 8 AS INT))) > 0, false)""".stripMargin))
+          .drop("file", "bitmap")
     }
     if (keepMeta) filtered else filtered.drop(MetaFileCol, MetaPosCol)
   }

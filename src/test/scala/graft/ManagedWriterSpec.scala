@@ -492,6 +492,7 @@ class ManagedWriterSpec extends SparkSpec {
 
   test("large DV changesets stay off the driver: positions land as an " +
     "executor-written parquet sidecar directory") {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
     val cap = ManagedWriter.DvInlineMax
     val base = (1L to (cap * 3L)).map(i => (i, i * 2)).toDF("id", "v")
@@ -508,6 +509,14 @@ class ManagedWriterSpec extends SparkSpec {
       s"${nDel}-position DV went through the driver sidecar (${sidecar.length} lines)")
     assert(new java.io.File(md, f"dv-v-$vNew%08d.pos").isDirectory,
       "no executor-written position directory")
+    // a dense changeset (contiguous ids) must take the bitmap-per-file
+    // encoding: one row per touched file, cardinalities summing to the
+    // deletion count, zero raw position rows
+    val enc = spark.read.parquet(s"$dest/_graft_manifest/" + f"dv-v-$vNew%08d.pos")
+    assert(enc.where(col("bitmap").isNotNull).count() > 0, "no bitmap rows")
+    assert(enc.where(col("pos").isNotNull).count() == 0,
+      "dense changeset produced raw position rows")
+    assert(enc.agg(sum("card")).head.getLong(0) == nDel)
     assert(ManagedWriter.read(spark, dest).count() == cap * 3L - nDel)
     // deletions persist across a later append, survive vacuum's re-bind
     // (position-directory copy), and feed history's metadata counts
@@ -518,6 +527,25 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.read(spark, dest).count() == cap * 3L - nDel + 1)
     val h = ManagedWriter.history(spark, dest).orderBy("version").collect()
     assert(h.last.getLong(3) == nDel, s"history deletion count: ${h.last}")
+  }
+
+  test("sparse large DV changesets fall back to per-position rows (bitmap would out-size them)") {
+    import org.apache.spark.sql.functions._
+    val n = 2500000L
+    val base = spark.range(1, n + 1).select(col("id"), (col("id") * 2).as("v"))
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base.coalesce(1)); w.finalizeCommit()
+    // every 200th row of a 2.5M-row file: 12.5k positions (over the inline
+    // cap) whose dense bitmap (~312 KB) would out-size the raw longs
+    val changes = spark.range(1, n + 1).where(col("id") % 200 === 0)
+      .select(col("id"), lit(0L).as("v"), lit("D").as("op"))
+    val vNew = ManagedWriter.mergeDV(spark, dest, changes, Seq("id"))
+    val enc = spark.read.parquet(s"$dest/_graft_manifest/" + f"dv-v-$vNew%08d.pos")
+    assert(enc.where(col("pos").isNotNull).count() == n / 200)
+    assert(enc.where(col("bitmap").isNotNull).count() == 0,
+      "sparse changeset took the bitmap encoding")
+    assert(ManagedWriter.read(spark, dest).count() == n - n / 200)
   }
 
   test("manifest log is segmented: bounded deltas between full-snapshot checkpoints, " +
