@@ -2961,15 +2961,25 @@ object SparkEntry {
     },
     // NS-SA6: leakage-free train/test split — the coin is flipped on the
     // near-dup CLUSTER id, so near-duplicates never straddle the boundary.
+    // Pairs come from the DF-CAPPED Jaccard (the family's scale path):
+    // the round-9 sf1 superlinear screen caught the uncapped variant's
+    // Σ df² candidate blow-up (21x on 10x data) — the cap bounds
+    // per-gram fan-out at maxDf² by construction, and a split pipeline
+    // at 100 TB would never build pairs over boilerplate grams anyway.
     Q(
       "ns62_leakage_split",
       Some(
         s"""WITH RECURSIVE toks AS (SELECT doc_id, $oToks AS ts FROM documents),
            |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
-           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
-           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
-           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
-           |p AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5),
+           |exall AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+           |keep AS (SELECT gram FROM exall GROUP BY gram HAVING COUNT(*) <= 20),
+           |exk AS (SELECT doc_id, gram FROM exall JOIN keep USING (gram)),
+           |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS ng FROM exk GROUP BY 1),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |  FROM exk a JOIN exk b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |p AS (SELECT doc_a, doc_b
+           |  FROM j JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |  WHERE inter::DOUBLE / (ca.ng + cb.ng - inter)::DOUBLE >= 0.5),
            |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
            |reach(v, r) AS (
            |  SELECT a, a FROM edges UNION SELECT a, b FROM edges
@@ -2984,7 +2994,8 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       Sampling.leakageFreeSplit(
           docs, "doc_id",
-          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).select("doc_a", "doc_b"),
+          Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text",
+            n = 3, minJaccard = 0.5, maxDf = 20L).select("doc_a", "doc_b"),
           "doc_a", "doc_b", testFrac = 0.2)
         .orderBy("doc_id")
     },

@@ -388,13 +388,16 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
     // Grams are distinct per doc, so COUNT(*) per gh IS document
-    // frequency; the keep-list is map-side combined and gram-cardinality.
-    val keep = grams
+    // frequency. Screen with the COMPLEMENT: the dropped stop-gram list
+    // (df > maxDf) is tiny — boilerplate phrases — so the anti-join
+    // broadcasts, where joining the near-total keep list would shuffle
+    // every gram row a second time for no information.
+    val dropped = grams
       .groupBy("gh")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select("gh")
-    jaccardFromGrams(grams.join(keep, "gh"), minJaccard)
+    jaccardFromGrams(grams.join(dropped, Seq("gh"), "left_anti"), minJaccard)
   }
 
   /** Shared tail of the Jaccard family: inverted-index self-join on the
