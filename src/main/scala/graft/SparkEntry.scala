@@ -1568,6 +1568,40 @@ object SparkEntry {
             sum(rev).cast("double")).as("promo_pct"),
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_c"),
           sum(rev).as("total_c"))
+    },
+    // B-W6: the remaining ANSI window-function surface — ntile bucketing,
+    // first/nth under the default RANGE-to-current frame, last over the
+    // explicit full frame. All four are value SELECTION (no float
+    // arithmetic to drift cross-engine), but they DO read the window
+    // order, and the fixture's l_linenumber is NOT unique within an order
+    // — so the window sorts on the full value tuple, which IS unique, to
+    // pin one total order on both engines.
+    Q(
+      "b67_window_frames",
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |  (ntile(4) OVER w)::BIGINT AS nt,
+          |  first_value(l_quantity) OVER w AS fv,
+          |  nth_value(l_quantity, 2) OVER w AS nv2,
+          |  last_value(l_quantity) OVER (PARTITION BY l_orderkey
+          |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+          |FROM lineitem WINDOW w AS (PARTITION BY l_orderkey
+          |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val w = Window.partitionBy("l_orderkey").orderBy(ord.map(col): _*)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "lineitem")
+        .select(
+          (Seq(col("l_orderkey")) ++ ord.map(col) ++ Seq(
+            ntile(4).over(w).cast("long").as("nt"),
+            first(col("l_quantity")).over(w).as("fv"),
+            nth_value(col("l_quantity"), 2).over(w).as("nv2"),
+            last(col("l_quantity")).over(wFull).as("lv"))): _*)
+        .orderBy((col("l_orderkey") +: ord.map(col)): _*)
+        .select("l_orderkey", "l_linenumber", "nt", "fv", "nv2", "lv")
     }
   )
 
@@ -4011,6 +4045,39 @@ object SparkEntry {
         .groupBy("qid")
         .agg(coalesce(sum(col("_hit")), lit(0L)).as("hits"))
         .orderBy("qid")
+    },
+    // NS-G3: per-vertex triangle counts over the ns55 attribution graph —
+    // exact integer counting via the degree-ordered orientation (each
+    // triangle enumerated once at its minimum-(degree,id) corner; out-
+    // degree bounded at O(√E), so the wedge join survives celebrity
+    // vertices). The oracle enumerates canonical a<b<c triangles with a
+    // 3-way self-join and credits each corner — same set, same counts.
+    Q(
+      "ns97_triangles",
+      Some(
+        """WITH e AS (SELECT user_id::BIGINT AS u,
+          |    TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+          |    epoch_us(ts)::BIGINT AS t FROM events),
+          |ft AS (SELECT k, u, MIN(t) AS ft FROM e WHERE k IS NOT NULL GROUP BY 1, 2),
+          |ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY k ORDER BY ft, u) AS dst FROM ft),
+          |edges AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL AND dst <> src),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+          |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM und e1
+          |  JOIN und e2 ON e2.a = e1.b
+          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |corners AS (SELECT u AS node FROM tri
+          |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+          |cc AS (SELECT node, COUNT(*)::BIGINT AS triangles FROM corners GROUP BY 1),
+          |nodes AS (SELECT DISTINCT u AS node FROM e)
+          |SELECT n.node AS user_id, coalesce(cc.triangles, 0)::BIGINT AS triangles
+          |FROM nodes n LEFT JOIN cc USING (node) ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val edges = Graph.attributionEdges(
+        ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+      val nodes = ev.select(col("user_id").cast("long").as("node")).distinct()
+      Graph.triangleCounts(nodes, edges)
+        .select(col("node").as("user_id"), col("triangles"))
+        .orderBy("user_id")
     }
   )
 
