@@ -1602,6 +1602,43 @@ object SparkEntry {
             last(col("l_quantity")).over(wFull).as("lv"))): _*)
         .orderBy((col("l_orderkey") +: ord.map(col)): _*)
         .select("l_orderkey", "l_linenumber", "nt", "fv", "nv2", "lv")
+    },
+    // B-SQL2: RECURSIVE CTE (new SQL surface in Spark 4) — depth-bounded
+    // walk counting from seed users over the ns55 attribution graph. The
+    // recursion uses UNION ALL (Spark's recursive CTEs reject UNION
+    // distinct) with a depth guard, so cycles terminate and the
+    // (node, depth) multiplicities are exact integers on both engines.
+    // The Spark side runs the SAME recursive SQL through spark.sql over
+    // the DataFrame-derived edge view; the oracle replays edges + the
+    // recursion in DuckDB.
+    Q(
+      "b68_recursive_cte",
+      Some(
+        """WITH RECURSIVE e AS (SELECT user_id::BIGINT AS u,
+          |    TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+          |    epoch_us(ts)::BIGINT AS t FROM events),
+          |ft AS (SELECT k, u, MIN(t) AS ft FROM e WHERE k IS NOT NULL GROUP BY 1, 2),
+          |ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY k ORDER BY ft, u) AS dst FROM ft),
+          |edges AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL AND dst <> src),
+          |walks(node, depth) AS (
+          |  SELECT src, 0 FROM (SELECT DISTINCT src FROM edges) s0 WHERE src < 3
+          |  UNION ALL
+          |  SELECT e2.dst, w.depth + 1 FROM walks w JOIN edges e2 ON e2.src = w.node
+          |  WHERE w.depth < 3)
+          |SELECT node, depth::BIGINT AS depth, COUNT(*)::BIGINT AS n_walks
+          |FROM walks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      Graph.attributionEdges(
+          ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+        .createOrReplaceTempView("b68_edges")
+      s.sql(
+        """WITH RECURSIVE walks(node, depth) AS (
+          |  SELECT src, 0 FROM (SELECT DISTINCT src FROM b68_edges) s0 WHERE src < 3
+          |  UNION ALL
+          |  SELECT e.dst, w.depth + 1 FROM walks w JOIN b68_edges e ON e.src = w.node
+          |  WHERE w.depth < 3)
+          |SELECT node, CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_walks
+          |FROM walks GROUP BY node, depth ORDER BY node, depth""".stripMargin)
     }
   )
 

@@ -109,6 +109,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1000000L, 4L -> 575000L, 5L -> 150000L))
   }
 
+  test("triangleCounts is exact on hand-built graphs") {
+    def tri(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+      Graph.triangleCounts(nodes.toDF("node"), edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+    // K4: every vertex sits on C(3,2)=3 triangles
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    assert(tri(k4, 1L to 5L) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    // a path and a star are triangle-free
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1L to 4L).values.forall(_ == 0L))
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), 1L to 5L)
+      .values.forall(_ == 0L))
+    // direction and duplicates are ignored; self-loops dropped; the
+    // shared-edge pair of triangles credits its shared corners twice
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+        (3L, 4L), (4L, 2L)), 1L to 4L) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts is invariant to input partitioning") {
+    val ev = Tables(spark, sfDir, "events")
+    val edges = Graph.attributionEdges(ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+    val nodes = ev.select(col("user_id").cast("long").as("node")).distinct()
+    val a = Graph.triangleCounts(nodes, edges).as[(Long, Long)].collect().toSet
+    val b = Graph.triangleCounts(nodes.repartition(7), edges.repartition(5))
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("pageRankInt is invariant to input partitioning (integer determinism)") {
     val ev = Tables(spark, sfDir, "events")
     val edges = Graph.attributionEdges(ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
