@@ -1639,6 +1639,59 @@ object SparkEntry {
           |  WHERE w.depth < 3)
           |SELECT node, CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_walks
           |FROM walks GROUP BY node, depth ORDER BY node, depth""".stripMargin)
+    },
+    // B-A3: approx_percentile gated like b40's HLL row — the output is the
+    // EXACT rank-convention percentile element per group (value SELECTION,
+    // no interpolation arithmetic to drift) plus a verdict that Spark's
+    // G-K sketch answer lies between the exact elements at rank t ± d,
+    // d = ceil(n/accuracy)+1 (the algorithm's published rank-error bound
+    // with one rank of slack). The oracle replays the exact elements and
+    // emits literal TRUE verdicts — a sketch regression breaks the hash.
+    Q(
+      "b69_approx_percentile",
+      Some(
+        """WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+          |c AS (SELECT g, COUNT(*)::BIGINT AS n FROM b GROUP BY 1),
+          |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM b),
+          |t AS (SELECT g, n, greatest(1, ceil(0.5 * n)::BIGINT) AS t50,
+          |              greatest(1, ceil(0.9 * n)::BIGINT) AS t90 FROM c)
+          |SELECT t.g AS l_returnflag, r50.x AS p50_exact, r90.x AS p90_exact,
+          |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
+          |FROM t JOIN r r50 ON r50.g = t.g AND r50.rn = t.t50
+          |       JOIN r r90 ON r90.g = t.g AND r90.rn = t.t90
+          |ORDER BY 1""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val acc = 10000
+      val base = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val w = Window.partitionBy("g").orderBy("x")
+      val ranked = base.withColumn("rn", row_number().over(w))
+      val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
+      val targets = counts.select(
+        col("g"), col("n"),
+        greatest(lit(1L), ceil(lit(0.5) * col("n")).cast("long")).as("t50"),
+        greatest(lit(1L), ceil(lit(0.9) * col("n")).cast("long")).as("t90"),
+        (ceil(col("n").cast("double") / acc).cast("long") + 1L).as("d"))
+      def at(rankExpr: Column, name: String) = ranked
+        .join(targets, "g")
+        .where(col("rn") === greatest(lit(1L), least(col("n"), rankExpr)))
+        .select(col("g"), col("x").as(name))
+      val approx = base.groupBy("g").agg(
+        percentile_approx(col("x"), lit(0.5), lit(acc)).as("a50"),
+        percentile_approx(col("x"), lit(0.9), lit(acc)).as("a90"))
+      at(col("t50"), "p50_exact")
+        .join(at(col("t90"), "p90_exact"), "g")
+        .join(at(col("t50") - col("d"), "lo50"), "g")
+        .join(at(col("t50") + col("d"), "hi50"), "g")
+        .join(at(col("t90") - col("d"), "lo90"), "g")
+        .join(at(col("t90") + col("d"), "hi90"), "g")
+        .join(approx, "g")
+        .select(
+          col("g").as("l_returnflag"),
+          col("p50_exact"), col("p90_exact"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_bound"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_in_bound"))
+        .orderBy("l_returnflag")
     }
   )
 
