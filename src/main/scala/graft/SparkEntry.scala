@@ -3494,6 +3494,50 @@ object SparkEntry {
           lit(null).cast("long").as("sum_len"), lit(null).cast("long").as("sum_chars"))
       perLang.unionByName(corrupt).orderBy("lang")
     },
+    // NS-I2: CSV corpus ingest + quarantine — ns75's contract over the
+    // other dump format. The corpus round-trips through a headerless CSV
+    // written by the query itself (newlines translated to spaces,
+    // LENGTH-preserving, so the oracle's sums hold even if a future
+    // fixture generation adds them — embedded newlines are out of the
+    // line-oriented reader's contract); three deliberately-corrupt lines
+    // (mistyped long, broken quote, mistyped trailing field) must land in
+    // the quarantine, nowhere else.
+    Q(
+      "ns98_csv_ingest",
+      Some(
+        """SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(length(text))::BIGINT AS sum_len,
+          |  SUM(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY lang
+          |UNION ALL SELECT '_corrupt', 3::BIGINT, NULL::BIGINT, NULL::BIGINT
+          |ORDER BY lang""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          translate(col("text"), "\r\n", "  ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val path = tmpLayoutDir(s, "graft_csv")
+      graft.sources.CsvCorpus.writeCsv(docs, path)
+      Seq("garbage,some text,en,web,12", "\"unterminated,x,y,z,1", "999,ok,en,web,notanumber")
+        .toDF("value").coalesce(1).write.mode("append").text(path)
+      val (good, quarantine) = graft.sources.CsvCorpus.readCsv(s, path,
+        StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+      val perLang = good
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          sum("n_chars").as("sum_chars"))
+      val corrupt = quarantine
+        .agg(count(lit(1)).as("n_docs"))
+        .select(
+          lit("_corrupt").as("lang"), col("n_docs"),
+          lit(null).cast("long").as("sum_len"), lit(null).cast("long").as("sum_chars"))
+      perLang.unionByName(corrupt).orderBy("lang")
+    },
     // NS-T10: cross-document repeated-substring spans (substring-level
     // dedup's cut list) — maximal token ranges covered by corpus-repeated
     // trigram shingles, islands merged. The oracle replays the positional
