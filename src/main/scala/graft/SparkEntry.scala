@@ -81,6 +81,38 @@ object SparkEntry {
   private def oAvg(x: String) =
     s"CAST(SUM(${oCents(x)}) AS DOUBLE) / 100.0 / COUNT(*)"
 
+  /** Deterministic partsupp stand-in (the fixture ships no partsupp
+    * table): a part is supplied by exactly the suppliers with
+    * (p_partkey + s_suppkey) % 25 == 0 — `|supplier| / 25` suppliers per
+    * part at every SF — with availability and cents cost derived from the
+    * keys by pure integer arithmetic, so both engines rebuild the
+    * identical relation. The Spark side expresses the residue condition
+    * as an EQUI-join on the residue class (p%25 == (25 - s%25)%25), not a
+    * filtered cross join, so the tiny supplier side broadcast-hash-joins;
+    * the oracle replays the same relation from the raw condition.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(col("p_partkey"), (col("p_partkey") % 25).as("pres"))
+      .join(
+        T(s, dir, "supplier")
+          .select(col("s_suppkey"), ((lit(25L) - col("s_suppkey") % 25) % 25).as("sres")),
+        col("pres") === col("sres"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("s_suppkey").as("ps_suppkey"),
+        ((col("p_partkey") * 31 + col("s_suppkey") * 17) % 9973 + lit(1L))
+          .cast("long").as("ps_availqty"),
+        ((col("p_partkey") * 13 + col("s_suppkey") * 7) % 90000 + lit(10000L))
+          .cast("long").as("ps_cost_c"))
+
+  /** Oracle-side twin of [[partsupp]] as a WITH-clause member. */
+  private val oPs: String =
+    """ps AS (SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+      |    (p_partkey * 31 + s_suppkey * 17) % 9973 + 1 AS ps_availqty,
+      |    (p_partkey * 13 + s_suppkey * 7) % 90000 + 10000 AS ps_cost_c
+      |  FROM part JOIN supplier ON (p_partkey + s_suppkey) % 25 = 0)""".stripMargin
+
   private final case class Q(
       name: String,
       oracle: Option[String])(val run: (SparkSession, String) => DataFrame)
@@ -1692,6 +1724,354 @@ object SparkEntry {
           (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_bound"),
           (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_in_bound"))
         .orderBy("l_returnflag")
+    },
+    // TPC-H Q2-shaped (minimum-cost supplier): the nested min-aggregate
+    // shape — for each qualifying part, keep only the regional supplier(s)
+    // at ITS minimum supply cost. partsupp is the derived relation (see
+    // `partsupp`); the min gate compares exact cents longs, so there is
+    // no float tie ambiguity. The region-filtered supplier dim broadcasts
+    // into both the candidate join and the min-cost rejoin.
+    Q(
+      "b70_tpch_q2",
+      Some(
+        s"""WITH $oPs,
+           |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+           |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |       JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'EUROPE'),
+           |pc AS (SELECT ps_partkey, ps_suppkey, ps_cost_c FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+           |mc AS (SELECT ps_partkey AS mk, MIN(ps_cost_c) AS min_c FROM pc GROUP BY 1)
+           |SELECT s_acctbal, s_name, n_name, p_partkey, CAST(pc.ps_cost_c AS DOUBLE) / 100.0 AS supplycost
+           |FROM part JOIN pc ON p_partkey = pc.ps_partkey
+           |     JOIN eu ON pc.ps_suppkey = s_suppkey
+           |     JOIN mc ON mk = pc.ps_partkey AND pc.ps_cost_c = min_c
+           |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+           |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)) { (s, dir) =>
+      val eu = T(s, dir, "supplier")
+        .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val pc = partsupp(s, dir)
+        .join(eu, col("ps_suppkey") === col("s_suppkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_cost_c")
+      val mc = pc.groupBy(col("ps_partkey").as("mk"))
+        .agg(min("ps_cost_c").as("min_c"))
+      T(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+        .join(pc, col("p_partkey") === col("ps_partkey"))
+        .join(eu, col("ps_suppkey") === col("s_suppkey"))
+        .join(mc, col("mk") === col("ps_partkey") && col("ps_cost_c") === col("min_c"))
+        .select(
+          col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          (col("ps_cost_c").cast("double") / 100.0).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    // TPC-H Q8-shaped (national market share): the 8-table join with a
+    // conditional-share aggregate — numerator and denominator are exact
+    // cents-longs summed independently, so the reported share is ONE IEEE
+    // division of identical operands in both engines. nation joins twice
+    // under different roles (customer locality vs supplier origin).
+    Q(
+      "b71_tpch_q8",
+      Some(
+        s"""WITH rev AS (
+           |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           |    ${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")}) AS amt,
+           |    n2.n_name AS supp_nation
+           |  FROM lineitem JOIN part ON p_partkey = l_partkey
+           |    JOIN supplier ON s_suppkey = l_suppkey
+           |    JOIN orders ON l_orderkey = o_orderkey
+           |    JOIN customer ON o_custkey = c_custkey
+           |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           |    JOIN region ON n1.n_regionkey = r_regionkey
+           |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+           |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+           |SELECT o_year,
+           |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN amt ELSE 0 END) AS DOUBLE)
+           |    / CAST(SUM(amt) AS DOUBLE) AS mkt_share
+           |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val n1 = T(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val n2 = T(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val amt = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+          col("p_partkey") === col("l_partkey"))
+        .join(T(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(
+          T(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("c_nk"))
+        .join(T(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("c_rk") === col("r_regionkey"))
+        .join(n2, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_5", amt).otherwise(0L)).cast("double")
+            / sum(amt).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    // TPC-H Q9-shaped (product-type profit): profit = revenue minus the
+    // derived partsupp supply cost; both terms land in the SAME 10^-4
+    // fixed-point unit (cents × hundredths), so the profit sum is one
+    // exact long aggregate. The ps join keys on (partkey, suppkey) — the
+    // classic Q9 composite-key fact-to-dim pattern.
+    Q(
+      "b72_tpch_q9",
+      Some(
+        s"""WITH $oPs
+           |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           |  CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")}) - ps_cost_c * ${oCents("l_quantity")}) AS DOUBLE) / 10000.0 AS profit
+           |FROM lineitem
+           |  JOIN part ON p_partkey = l_partkey
+           |  JOIN supplier ON s_suppkey = l_suppkey
+           |  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+           |  JOIN orders ON o_orderkey = l_orderkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |WHERE p_name LIKE '%widget%'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      val profit = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) -
+        col("ps_cost_c") * cents(col("l_quantity"))
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part").filter(col("p_name").like("%widget%")),
+          col("p_partkey") === col("l_partkey"))
+        .join(T(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(partsupp(s, dir),
+          col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+        .join(T(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(
+          col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg((sum(profit).cast("double") / 10000.0).as("profit"))
+        .orderBy("nation", "o_year")
+    },
+    // TPC-H Q11-shaped (important stock): grouped value vs a fraction of
+    // the uncorrelated grand total — the HAVING-against-scalar-subquery
+    // shape. The gate multiplies longs (sv * 200 > total) so the
+    // threshold never touches floats; the scalar total broadcasts.
+    Q(
+      "b73_tpch_q11",
+      Some(
+        s"""WITH $oPs,
+           |gps AS (SELECT ps_partkey, ps_availqty * ps_cost_c AS val
+           |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+           |       JOIN nation ON s_nationkey = n_nationkey
+           |  WHERE n_name = 'NATION_3'),
+           |agg AS (SELECT ps_partkey, SUM(val) AS sv FROM gps GROUP BY 1),
+           |tot AS (SELECT SUM(val) AS t FROM gps)
+           |SELECT ps_partkey, CAST(sv AS DOUBLE) / 100.0 AS value
+           |FROM agg, tot WHERE sv * 200 > t
+           |ORDER BY value DESC, ps_partkey""".stripMargin)) { (s, dir) =>
+      val gps = partsupp(s, dir)
+        .join(T(s, dir, "supplier"), col("s_suppkey") === col("ps_suppkey"))
+        .join(T(s, dir, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"), (col("ps_availqty") * col("ps_cost_c")).as("val"))
+      val agg = gps.groupBy("ps_partkey").agg(sum("val").as("sv"))
+      val tot = gps.agg(sum("val").as("t"))
+      agg.crossJoin(tot)
+        .filter(col("sv") * 200 > col("t"))
+        .select(col("ps_partkey"), (col("sv").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+    // TPC-H Q12-shaped (shipping-delay priority counts): the fixture has
+    // no l_shipmode/commitdate/receiptdate, so the mode dimension is
+    // l_returnflag and "late" = shipped > 45 days after the order date
+    // (an inequality that must survive into the join stage). Counts use
+    // COUNT(CASE ...) so both engines emit BIGINT, never HUGEINT.
+    Q(
+      "b74_tpch_q12",
+      Some(
+        """SELECT l_returnflag,
+          |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+          |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+          |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      T(s, dir, "orders")
+        .join(
+          T(s, dir, "lineitem").filter(
+            col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(hi, 1)).as("high_line_count"),
+          count(when(!hi, 1)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    // TPC-H Q13 (customer order-count distribution): the LEFT-join-with-
+    // filtered-right histogram — customers with zero qualifying orders
+    // must survive as c_count = 0, so the priority filter lives in the
+    // JOIN condition, not a WHERE.
+    Q(
+      "b75_tpch_q13",
+      Some(
+        """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          |  GROUP BY 1)
+          |SELECT c_count, COUNT(*) AS custdist
+          |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)) { (s, dir) =>
+      T(s, dir, "customer")
+        .join(
+          T(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // TPC-H Q15-shaped (top supplier): the max-over-a-CTE scalar subquery.
+    // Revenue stays an exact cents-long through BOTH the per-supplier
+    // aggregate and the MAX comparison — the equality gate can never hit
+    // a float tie — and converts to double only for display.
+    Q(
+      "b76_tpch_q15",
+      Some(
+        s"""WITH rev AS (SELECT l_suppkey AS sk,
+           |    SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS tr
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) / 10000.0 AS total_revenue
+           |FROM supplier JOIN rev ON s_suppkey = sk
+           |WHERE tr = (SELECT MAX(tr) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      val rev = T(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-10-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("tr"))
+      val mx = rev.agg(max("tr").as("mx"))
+      T(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("sk"))
+        .crossJoin(mx)
+        .filter(col("tr") === col("mx"))
+        .select(
+          col("s_suppkey"), col("s_name"),
+          (col("tr").cast("double") / 10000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    // TPC-H Q16-shaped (part/supplier relationship counts): NOT IN
+    // excluded-supplier subquery (negative-acctbal stands in for the
+    // comment-flagged complainers) + COUNT(DISTINCT) over the derived
+    // partsupp. s_suppkey is non-null so NOT IN lowers to an anti-join.
+    Q(
+      "b77_tpch_q16",
+      Some(
+        s"""WITH $oPs
+           |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+           |FROM ps JOIN part ON p_partkey = ps_partkey
+           |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+           |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)) { (s, dir) =>
+      val excluded = T(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("xk"))
+      partsupp(s, dir)
+        .join(
+          T(s, dir, "part").filter(
+            col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)),
+          col("p_partkey") === col("ps_partkey"))
+        .join(excluded, col("ps_suppkey") === col("xk"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs lives INSIDE the join condition — the optimizer must
+    // extract the common p_partkey = l_partkey equi-key and keep the
+    // disjunction as a post-join filter, the classic Q19 plan test.
+    Q(
+      "b78_tpch_q19",
+      Some(
+        s"""SELECT CAST(SUM(${oCents("l_extendedprice")} * (100 - ${oCents("l_discount")})) AS DOUBLE) / 10000.0 AS revenue,
+           |  COUNT(*) AS n
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+           |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin)) { (s, dir) =>
+      val disjunct =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("p_partkey") === col("l_partkey") && disjunct)
+        .agg(
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    // TPC-H Q20-shaped (potential part promotion): nested IN over the
+    // derived partsupp with a per-(part,supplier) shipped-quantity
+    // threshold. Decorrelated identically on both sides: the 1997
+    // shipped sum left-joins the candidate rows and the availability
+    // gate compares exact longs (availqty*2 > Σcents(qty) — the fixture-
+    // rescaled threshold; COALESCE keeps never-shipped contracts).
+    Q(
+      "b79_tpch_q20",
+      Some(
+        s"""WITH $oPs,
+           |sm AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+           |sh AS (SELECT l_partkey AS lp, l_suppkey AS ls, SUM(${oCents("l_quantity")}) AS sq
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  GROUP BY 1, 2),
+           |qual AS (SELECT DISTINCT ps_suppkey FROM ps
+           |  JOIN sm ON p_partkey = ps_partkey
+           |  LEFT JOIN sh ON lp = ps_partkey AND ls = ps_suppkey
+           |  WHERE ps_availqty * 2 > COALESCE(sq, 0))
+           |SELECT s_suppkey, s_name, n_name
+           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |WHERE n_name IN ('NATION_1', 'NATION_2')
+           |  AND s_suppkey IN (SELECT ps_suppkey FROM qual)
+           |ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      val sm = T(s, dir, "part")
+        .filter(col("p_name").like("small%"))
+        .select(col("p_partkey").as("smk"))
+      val sh = T(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_partkey").as("lp"), col("l_suppkey").as("ls"))
+        .agg(sum(cents(col("l_quantity"))).as("sq"))
+      val qual = partsupp(s, dir)
+        .join(sm, col("smk") === col("ps_partkey"))
+        .join(sh, col("lp") === col("ps_partkey") && col("ls") === col("ps_suppkey"), "left")
+        .filter(col("ps_availqty") * 2 > coalesce(col("sq"), lit(0L)))
+        .select("ps_suppkey").distinct()
+      T(s, dir, "supplier")
+        .join(T(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
     }
   )
 

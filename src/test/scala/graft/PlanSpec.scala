@@ -195,6 +195,39 @@ class PlanSpec extends SparkSpec {
     assert(p22.contains("LeftAnti"), s"b64 lost its anti-join:\n$p22")
   }
 
+  test("TPC-H completions (b70-b79): dims broadcast, Q19 keeps its equi-key, no cartesians") {
+    // All-keyed shapes: every join is hash-keyed, dims broadcast at test SF.
+    for (name <- Seq("b70_tpch_q2", "b71_tpch_q8", "b72_tpch_q9", "b74_tpch_q12",
+        "b75_tpch_q13", "b77_tpch_q16", "b79_tpch_q20")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      q.collect()
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$name: no dim broadcast at test SF:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: join degenerated to a cartesian:\n$p")
+    }
+    // b73 (Q11) / b76 (Q15): the one-row scalar total broadcast-cross-joins
+    // by design (the accepted one-row BNLJ pattern, same as b64); the data
+    // joins must stay keyed and nothing may be a true cartesian.
+    for (name <- Seq("b73_tpch_q11", "b76_tpch_q15")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      q.collect()
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$name: lost its keyed joins:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: true cartesian appeared:\n$p")
+    }
+    // b78 (Q19): Catalyst must extract the common p_partkey = l_partkey
+    // equi-key from the OR-of-ANDs join predicate — the whole point of the
+    // Q19 plan test. A nested-loop here would be O(|lineitem|·|part|).
+    val q19 = SparkEntry.queries("b78_tpch_q19")(spark, sfDir)
+    q19.collect()
+    val p19 = plan(q19)
+    assert(p19.contains("BroadcastHashJoin") || p19.contains("SortMergeJoin"),
+      s"b78: equi-key not extracted from the disjunctive predicate:\n$p19")
+    assert(!p19.contains("BroadcastNestedLoopJoin") && !p19.contains("CartesianProduct"),
+      s"b78: disjunctive join degenerated to a nested loop:\n$p19")
+  }
+
   test("sketch shapes: bounded counter table broadcasts to the probe, partial-agg build") {
     import graft.ops.{Sketch, TextOps}
     import spark.implicits._
