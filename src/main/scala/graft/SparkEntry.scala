@@ -4592,6 +4592,40 @@ object SparkEntry {
       Graph.triangleCounts(nodes, edges)
         .select(col("node").as("user_id"), col("triangles"))
         .orderBy("user_id")
+    },
+    // NS-T13: BPE ENCODE — apply the ns65-mined top-8 merge rules to
+    // every document (one generation, rank order, greedy left-to-right
+    // per rule). The sentinel-wrapped token stream makes each merge one
+    // literal `replace` with identical semantics in both engines (see
+    // TextOps.bpeEncode); the oracle re-mines the same ranked rules and
+    // replays the merge cascade in a recursive CTE joined on rule rank.
+    // The full encoded stream is in the output, so the hash gates every
+    // merge decision on every document.
+    Q(
+      "ns99_bpe_encode",
+      Some(
+        """WITH RECURSIVE
+          |d AS (SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 120) AS norm
+          |  FROM documents),
+          |t AS (SELECT unnest(regexp_split_to_array(trim(norm), '\s+')) AS tok FROM d),
+          |p AS (SELECT unnest([tok[i+1:i+2] for i in range(length(tok)-1)]) AS pair
+          |  FROM t WHERE length(tok) >= 2),
+          |r AS (SELECT pair, row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS rk
+          |  FROM p GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 8),
+          |i AS (SELECT doc_id, regexp_replace(norm, '(.)', '·\1·', 'g') AS s FROM d),
+          |e(doc_id, s, step) AS (
+          |  SELECT doc_id, s, 0 FROM i
+          |  UNION ALL
+          |  SELECT e.doc_id,
+          |    replace(e.s, '·' || r.pair[1:1] || '··' || r.pair[2:2] || '·', '·' || r.pair || '·'),
+          |    e.step + 1
+          |  FROM e JOIN r ON r.rk = e.step + 1)
+          |SELECT doc_id, length(replace(s, '·', ''))::BIGINT AS n_chars,
+          |  ((length(s) - length(replace(s, '·', ''))) // 2)::BIGINT AS n_tokens,
+          |  s AS encoded
+          |FROM e WHERE step = 8 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      TextOps.bpeEncode(T(s, dir, "documents"), "doc_id", "text", k = 8, maxChars = 120)
+        .orderBy("doc_id")
     }
   )
 

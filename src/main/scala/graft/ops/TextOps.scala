@@ -917,6 +917,65 @@ object TextOps {
       .limit(k)
   }
 
+  /** Tokenizer induction, step 2 of BPE training: APPLY the top-`k`
+    * mined merge rules ([[bpePairCandidates]], one generation) to every
+    * document — rules in rank order, each rule merging ALL its
+    * occurrences greedy left-to-right, the byte-pair-encoding apply
+    * step.
+    *
+    * Token-stream representation: every token is wrapped in its own
+    * sentinel pair (`·a··b·` for the stream [a, b]), so applying merge
+    * rule (a,b) is ONE literal string replace `·a··b·` → `·ab·`. That
+    * encoding makes plain `replace` — identical non-overlapping
+    * left-to-right semantics in Spark and DuckDB — a correct merge pass:
+    * both boundaries are guarded (a rule never matches inside a longer
+    * token: `xa b` does not contain `·a··b·`), and consecutive
+    * occurrences share no separator, so `a a a` merges to `aa a`
+    * exactly like greedy BPE. Whitespace stays a token no rule can name
+    * (mining counts pairs within whitespace tokens only), so merges
+    * never cross word boundaries.
+    *
+    * The k-row rule table is collected to the driver and folded into
+    * the projection as literal replaces — the standard
+    * tokenizer-training driver step (bounded at k rows, the same class
+    * as the IVF codebook collect); the encode itself is a chain of
+    * codegen'd StringReplace expressions over one scan: zero shuffles
+    * over the corpus, mining pays the alphabet²-row pair count only.
+    *
+    * Output: (id, n_chars, n_tokens, encoded) — n_chars/n_tokens are
+    * derived from the encoded stream itself (each token contributes
+    * exactly two sentinels), so the gate covers the full encoding.
+    */
+  def bpeEncode(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxChars: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "non-positive k")
+    require(maxChars > 0, "non-positive maxChars")
+    val base = df.select(
+      col(idCol),
+      substring(regexp_replace(lower(col(textCol)), "[^a-z ]", ""), 1, maxChars)
+        .as("bpe_norm"))
+    val rules: Seq[String] = bpePairCandidates(base, "bpe_norm", k)
+      .collect().map(_.getString(0)).toSeq
+    val init = regexp_replace(col("bpe_norm"), "(.)", "·$1·")
+    val encoded = rules.foldLeft(init) { (c, p) =>
+      val (a, b) = (p.substring(0, 1), p.substring(1, 2))
+      replace(c, lit(s"·${a}··${b}·"), lit(s"·${a}${b}·"))
+    }
+    base
+      .select(col(idCol), encoded.as("encoded"))
+      .select(
+        col(idCol),
+        length(regexp_replace(col("encoded"), "·", "")).cast("long").as("n_chars"),
+        ((length(col("encoded")) -
+          length(regexp_replace(col("encoded"), "·", ""))) / 2)
+          .cast("long").as("n_tokens"),
+        col("encoded"))
+  }
+
   /** Good-Turing count-of-counts: for word `n`-grams, how many DISTINCT
     * n-gram types occur exactly `freq` times — the `N_r` table every
     * discount-smoothed language model (Good-Turing, Katz, Kneser-Ney's

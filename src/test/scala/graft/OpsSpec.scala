@@ -1078,4 +1078,42 @@ class OpsSpec extends SparkSpec {
       Multimodal.decodeImage(9L, Array.fill[Byte](64)(0x2a))
     }
   }
+
+  test("bpeEncode: hand-computed merges, boundary guards, greedy overlap") {
+    // Corpus "the the cat": pair counts th=2, he=2, ca=1, at=1; ranked
+    // (count desc, pair asc) → he, th. Applying `he` first consumes the
+    // h, so `th` can no longer fire: the ⇒ [t, he]. Stream:
+    // t he ␣ t he ␣ c a t = 9 tokens over 11 chars.
+    val docs = Seq((1L, "The, the cat!")).toDF("doc_id", "text")
+    val r = TextOps.bpeEncode(docs, "doc_id", "text", k = 2, maxChars = 120)
+      .collect().head
+    assert(r.getLong(1) == 11L, "n_chars")
+    assert(r.getLong(2) == 9L, "n_tokens")
+    assert(r.getString(3) == "·t··he·· ··t··he·· ··c··a··t·", r.getString(3))
+
+    // Greedy overlap: merging (a,a) over "aaa" takes the leftmost pair —
+    // aa|a — exactly one merge, like real BPE's single left-to-right pass.
+    val aaa = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val r2 = TextOps.bpeEncode(aaa, "doc_id", "text", k = 1, maxChars = 120)
+      .collect().head
+    assert(r2.getString(3) == "·aa··a·· ··aa··a·", r2.getString(3))
+
+    // Boundary guard: rule (a,b) must not fire inside the longer token
+    // "xab" once x is attached — and never across the space.
+    val g = Seq((1L, "ab ab ab xab a b")).toDF("doc_id", "text")
+    val rg = TextOps.bpeEncode(g, "doc_id", "text", k = 1, maxChars = 120)
+      .collect().head
+    // top pair is "ab" (3 within-token occurrences + xab's = 4); merges
+    // apply to "ab" tokens AND inside "xab" (x a b → x ab), but never to
+    // the space-separated "a b".
+    assert(rg.getString(3) == "·ab·· ··ab·· ··ab·· ··x··ab·· ··a·· ··b·",
+      rg.getString(3))
+
+    // The encode projection is shuffle-free: the returned plan has no
+    // Exchange (mining already ran at build time; the corpus is encoded
+    // in one scan-local projection chain).
+    val plan = TextOps.bpeEncode(docs, "doc_id", "text", 2, 120)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
