@@ -4626,6 +4626,43 @@ object SparkEntry {
           |FROM e WHERE step = 8 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       TextOps.bpeEncode(T(s, dir, "documents"), "doc_id", "text", k = 8, maxChars = 120)
         .orderBy("doc_id")
+    },
+    // NS-T14: char-bigram LM familiarity — the CCNet-style "score
+    // candidates against a reference-corpus LM" quality filter. Train on
+    // the even-doc_id half (deterministic split → held-out misses are
+    // real), score everything. Every probability is one IEEE division of
+    // exact longs and the per-doc mean is a fixed position-order fold
+    // (Spark aggregate == DuckDB list_dot_product-against-ones), so the
+    // doubles are bit-identical — mean probability instead of
+    // log-perplexity BECAUSE cross-engine ln can drift an ulp.
+    Q(
+      "ns100_lm_familiarity",
+      Some(
+        """WITH d AS (SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 200) AS norm
+          |  FROM documents),
+          |g0 AS (SELECT doc_id, norm, unnest(range(length(norm) - 1)) AS i FROM d),
+          |g AS (SELECT doc_id, i + 1 AS pos, substring(norm, i + 1, 2) AS gm,
+          |    substring(norm, i + 1, 1) AS a FROM g0),
+          |c2 AS (SELECT gm, COUNT(*)::BIGINT AS c FROM g WHERE doc_id % 2 = 0 GROUP BY 1),
+          |c1 AS (SELECT substring(gm, 1, 1) AS a, SUM(c)::BIGINT AS c FROM c2 GROUP BY 1),
+          |p AS (SELECT g.doc_id, g.pos,
+          |    (COALESCE(c2.c, 0) + 1)::DOUBLE / (COALESCE(c1.c, 0) + 27)::DOUBLE AS p,
+          |    CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS miss
+          |  FROM g LEFT JOIN c2 ON c2.gm = g.gm LEFT JOIN c1 ON c1.a = g.a),
+          |s AS (SELECT doc_id, COUNT(*)::BIGINT AS n_trans,
+          |    COUNT(CASE WHEN miss = 1 THEN 1 END)::BIGINT AS n_unseen,
+          |    list(p ORDER BY pos) AS ps
+          |  FROM p GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(s.n_trans, 0)::BIGINT AS n_trans,
+          |  COALESCE(s.n_unseen, 0)::BIGINT AS n_unseen,
+          |  CASE WHEN s.n_trans > 0
+          |    THEN list_dot_product(ps, list_transform(ps, x -> 1.0)) / s.n_trans
+          |    ELSE 0.0 END AS familiarity
+          |FROM d LEFT JOIN s ON s.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+      TextOps.charLmScore(
+          T(s, dir, "documents"), "doc_id", "text",
+          trainFilter = col("doc_id") % 2 === 0, maxChars = 200)
+        .orderBy("doc_id")
     }
   )
 

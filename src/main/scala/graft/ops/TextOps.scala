@@ -976,6 +976,77 @@ object TextOps {
         col("encoded"))
   }
 
+  /** Character-bigram language-model familiarity scoring — the
+    * CCNet-style "how much does this document look like the reference
+    * corpus" quality filter, reduced to exact cross-engine arithmetic.
+    *
+    * Train: add-1-smoothed bigram counts over the TRAIN SPLIT
+    * (`trainFilter`), alphabet fixed at [a-z space] (V = 27) by the
+    * normalization. Score: every document's mean transition probability
+    *   mean_i (c2(g_i) + 1) / (c1(a_i) + 27)
+    * — each term is one IEEE division of exact longs, and the per-doc
+    * sum is a FIXED position-order fold (Spark `aggregate` == DuckDB
+    * `list_dot_product` against ones — the repo's proven sequential-sum
+    * pair), so the score is bit-deterministic in both engines. A mean
+    * probability is used instead of log-perplexity deliberately:
+    * cross-engine `ln` may differ in the last ulp, exact-operand
+    * divisions and ordered sums cannot.
+    *
+    * Scale shape: the count tables are alphabet²-bounded (≤ 729 + 27
+    * rows) — collected once and folded into the scoring projection as
+    * MAP LITERALS (the bounded-model-state class: BPE rules, IVF
+    * codebooks), so scoring is a ZERO-shuffle single pass over the
+    * corpus with `element_at` lookups inside codegen. n_unseen counts
+    * train-split misses — the held-out novelty signal.
+    */
+  def charLmScore(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      trainFilter: Column,
+      maxChars: Int): org.apache.spark.sql.DataFrame = {
+    require(maxChars > 1, "maxChars must exceed 1")
+    val norm = substring(regexp_replace(lower(col(textCol)), "[^a-z ]", ""), 1, maxChars)
+    val base = df.select(col(idCol), trainFilter.as("lm_train"), norm.as("lm_norm"))
+    def gramsOf(d: org.apache.spark.sql.DataFrame) = d
+      .where(length(col("lm_norm")) > 1)
+      .select(explode(transform(
+        sequence(lit(1), length(col("lm_norm")) - 1),
+        i => col("lm_norm").substr(i, lit(2)))).as("g"))
+    val c2 = gramsOf(base.where(col("lm_train")))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c1 = c2.toSeq
+      .groupBy(_._1.substring(0, 1))
+      .map { case (a, xs) => a -> xs.map(_._2).sum }
+    val m2 = typedLit(c2)
+    val m1 = typedLit(c1)
+    val probs = when(
+      length(col("lm_norm")) > 1,
+      transform(
+        sequence(lit(1), length(col("lm_norm")) - 1),
+        i => {
+          val gm = col("lm_norm").substr(i, lit(2))
+          (coalesce(element_at(m2, gm), lit(0L)) + 1L) /
+            (coalesce(element_at(m1, col("lm_norm").substr(i, lit(1))), lit(0L)) + 27L)
+        })).otherwise(array().cast("array<double>"))
+    val unseen = when(
+      length(col("lm_norm")) > 1,
+      size(filter(
+        transform(
+          sequence(lit(1), length(col("lm_norm")) - 1),
+          i => element_at(m2, col("lm_norm").substr(i, lit(2)))),
+        c => c.isNull))).otherwise(0)
+    val nTrans = greatest(length(col("lm_norm")) - 1, lit(0)).cast("long")
+    base.select(
+      col(idCol),
+      nTrans.as("n_trans"),
+      unseen.cast("long").as("n_unseen"),
+      when(nTrans > 0,
+        aggregate(probs, lit(0.0), (acc, x) => acc + x) / nTrans)
+        .otherwise(0.0).as("familiarity"))
+  }
+
   /** Good-Turing count-of-counts: for word `n`-grams, how many DISTINCT
     * n-gram types occur exactly `freq` times — the `N_r` table every
     * discount-smoothed language model (Good-Turing, Katz, Kneser-Ney's

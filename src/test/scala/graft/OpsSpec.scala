@@ -1116,4 +1116,29 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("charLmScore: hand-computed add-1 probabilities, held-out misses, no shuffle") {
+    // Train doc "ab ab" → c2 {ab:2, "b ":1, " a":1}, c1 {a:2, b:1, " ":1}.
+    // Doc 0 grams [ab, "b ", " a", ab]:
+    //   p = [3/29, 2/28, 2/28, 3/29], mean over 4, 0 misses.
+    // Doc 1 "ba": gram ba unseen → (0+1)/(c1(b)=1+27) = 1/28, 1 miss.
+    // Doc 3 "x" normalizes to a single char → 0 transitions, score 0.0.
+    val docs = Seq((0L, "AB ab!"), (1L, "ba"), (3L, "x?"))
+      .toDF("doc_id", "text")
+    val got = TextOps.charLmScore(
+        docs, "doc_id", "text", trainFilter = col("doc_id") % 2 === 0, maxChars = 200)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exp0 = (3.0 / 29 + 2.0 / 28 + 2.0 / 28 + 3.0 / 29) / 4
+    assert(got(0) == ((0L, 4L, 0L, exp0)), got(0).toString)
+    assert(got(1) == ((1L, 1L, 1L, 1.0 / 28)), got(1).toString)
+    assert(got(2) == ((3L, 0L, 0L, 0.0)), got(2).toString)
+
+    // Scoring is a zero-shuffle projection: the count tables ride as map
+    // literals, so the returned plan has no Exchange.
+    val plan = TextOps.charLmScore(docs, "doc_id", "text", col("doc_id") % 2 === 0, 200)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
