@@ -4663,6 +4663,24 @@ object SparkEntry {
           T(s, dir, "documents"), "doc_id", "text",
           trainFilter = col("doc_id") % 2 === 0, maxChars = 200)
         .orderBy("doc_id")
+    },
+    // NS-I1: DuckDB interop bundle (≈ the reference's ADBC/DuckDB bridge,
+    // duck.go:79-255, re-expressed as an attachable artifact): export the
+    // documents table as parquet + a generated typed catalog.sql, then
+    // answer the query FROM THE BUNDLE. The oracle answers from the base
+    // table — a lossy export (row, value, or type drift) breaks the hash.
+    Q(
+      "ns101_duck_export",
+      Some(
+        """SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-duck-bundle").toString
+      val bundle = graft.sinks.DuckDbBridge.export(T(s, dir, "documents"), out, "documents")
+      graft.sinks.DuckDbBridge.readBack(s, bundle)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "source")
     }
   )
 

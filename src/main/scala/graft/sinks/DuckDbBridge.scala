@@ -1,0 +1,131 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** DuckDB interop seam — the Spark-native answer to the reference's
+  * ADBC/DuckDB bridge (`duck.go:79-255`: BigQuack opens a DuckDB database
+  * over ADBC and ingests Arrow batches so users can keep querying in
+  * DuckDB).
+  *
+  * The engine replaced DuckDB with Catalyst per the north star, but a
+  * user who wants their curated output *in* DuckDB still needs a sink.
+  * With zero egress and no ADBC driver on the classpath, the honest
+  * Spark-first equivalent is a self-contained ATTACHABLE BUNDLE rather
+  * than a live connection:
+  *
+  * {{{
+  *   dir/
+  *     data/ part-*.parquet    // executor-written snapshot (no driver hop)
+  *     catalog.sql             // CREATE OR REPLACE VIEW <name> AS
+  *                             //   SELECT <typed column list>
+  *                             //   FROM read_parquet('<dir>/data/part-*.parquet');
+  *     schema.json             // {name, columns: [{name, spark, duckdb}]}
+  * }}}
+  *
+  * `duckdb -c ".read catalog.sql"` (or any ADBC client executing the
+  * file) attaches the data with the declared types — parquet is the
+  * interchange format both engines read natively, which is exactly how
+  * the repo's own oracle gate consumes Spark output every round. The
+  * live-ADBC swap-in seam is this object's surface: `export` stays the
+  * contract, a connection-backed implementation would stream the same
+  * schema + batches over the driver instead of writing files.
+  *
+  * Scale shape: the data write is a plain distributed `df.write.parquet`
+  * (one file per task, no collect); catalog.sql/schema.json are O(columns)
+  * driver metadata, same class as the manifest commit.
+  */
+object DuckDbBridge {
+
+  /** Spark → DuckDB type names for the catalog view's explicit column
+    * list. Nested types recurse; anything unmappable fails loudly rather
+    * than emitting a view DuckDB would reject later.
+    */
+  def duckType(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "VARCHAR"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+    case ArrayType(e, _) => s"${duckType(e)}[]"
+    case MapType(k, v, _) => s"MAP(${duckType(k)}, ${duckType(v)})"
+    case StructType(fields) =>
+      fields.map(f => s"${quoteIdent(f.name)} ${duckType(f.dataType)}")
+        .mkString("STRUCT(", ", ", ")")
+    case other =>
+      throw new IllegalArgumentException(s"no DuckDB mapping for $other")
+  }
+
+  /** Double-quote an identifier, doubling embedded quotes (SQL standard —
+    * identical in DuckDB and every ANSI engine).
+    */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Single-quote a string literal (path), doubling embedded quotes. */
+  private def quoteLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** The `CREATE OR REPLACE VIEW` statement for a schema over the
+    * bundle's parquet glob. The column list is explicit and CAST — an
+    * attach is a declared contract, not schema inference.
+    */
+  def catalogSql(viewName: String, schema: StructType, dataGlob: String): String = {
+    val cols = schema.fields
+      .map(f =>
+        s"    CAST(${quoteIdent(f.name)} AS ${duckType(f.dataType)}) AS ${quoteIdent(f.name)}")
+      .mkString(",\n")
+    s"""CREATE OR REPLACE VIEW ${quoteIdent(viewName)} AS
+       |SELECT
+       |$cols
+       |FROM read_parquet(${quoteLit(dataGlob)});
+       |""".stripMargin
+  }
+
+  private def schemaJson(viewName: String, schema: StructType): String = {
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val cols = schema.fields
+      .map(f =>
+        s"{${q("name")}: ${q(f.name)}, ${q("spark")}: ${q(f.dataType.sql)}, " +
+          s"${q("duckdb")}: ${q(duckType(f.dataType))}}")
+      .mkString("[", ", ", "]")
+    s"{${q("name")}: ${q(viewName)}, ${q("columns")}: $cols}"
+  }
+
+  /** Write the attachable bundle. Returns the bundle directory. */
+  def export(df: DataFrame, dir: String, viewName: String): String = {
+    val dataDir = s"$dir/data"
+    df.write.mode("overwrite").parquet(dataDir)
+    val sql = catalogSql(viewName, df.schema, s"$dataDir/*.parquet")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/catalog.sql"), sql.getBytes(StandardCharsets.UTF_8))
+    Files.write(
+      Paths.get(s"$dir/schema.json"),
+      schemaJson(viewName, df.schema).getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+
+  /** Re-open the bundle's data from Spark — the round-trip read used by
+    * the correctness gate (DuckDB consumes the same files via
+    * catalog.sql).
+    */
+  def readBack(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data")
+}

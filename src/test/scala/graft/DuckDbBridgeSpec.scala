@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sinks.DuckDbBridge
+
+/** The ADBC-bridge stand-in: the bundle must round-trip losslessly
+  * through Spark and carry a catalog DuckDB can execute verbatim.
+  */
+class DuckDbBridgeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("export bundle round-trips mixed types and writes a typed catalog") {
+    val df = Seq(
+        (1L, "alpha", 1.5, Array(1.0, 2.0), ("x", 2L)),
+        (2L, "beta", -0.25, Array(3.0), ("y", 4L)))
+      .toDF("id", "name", "score", "vec", "meta")
+      .withColumn("ts", lit("2026-01-02 03:04:05").cast("timestamp"))
+      .withColumn("raw", lit(Array[Byte](1, 2, 3)))
+    val dir = Files.createTempDirectory("duckdb-bridge").toString
+    DuckDbBridge.export(df, dir, "things")
+
+    // Lossless Spark round-trip (same files catalog.sql points at).
+    // Parquet canonicalizes nullability flags, so compare SQL types.
+    val back = DuckDbBridge.readBack(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSet ==
+      df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSet)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // The catalog declares every column with its DuckDB type over the
+    // bundle's glob — attachable with one `.read`.
+    val sql = Files.readString(Paths.get(s"$dir/catalog.sql"))
+    assert(sql.startsWith("CREATE OR REPLACE VIEW \"things\" AS"))
+    assert(sql.contains("CAST(\"id\" AS BIGINT) AS \"id\""))
+    assert(sql.contains("CAST(\"score\" AS DOUBLE) AS \"score\""))
+    assert(sql.contains("CAST(\"vec\" AS DOUBLE[]) AS \"vec\""))
+    assert(sql.contains("CAST(\"meta\" AS STRUCT(\"_1\" VARCHAR, \"_2\" BIGINT)) AS \"meta\""))
+    assert(sql.contains("CAST(\"ts\" AS TIMESTAMP) AS \"ts\""))
+    assert(sql.contains("CAST(\"raw\" AS BLOB) AS \"raw\""))
+    assert(sql.contains(s"FROM read_parquet('$dir/data/*.parquet');"))
+
+    val manifest = Files.readString(Paths.get(s"$dir/schema.json"))
+    assert(manifest.contains("\"duckdb\": \"BIGINT\""))
+  }
+
+  test("identifier quoting doubles embedded quotes; unmappable types fail loudly") {
+    assert(DuckDbBridge.quoteIdent("odd\"name") == "\"odd\"\"name\"")
+    assert(DuckDbBridge.duckType(MapType(StringType, LongType)) ==
+      "MAP(VARCHAR, BIGINT)")
+    intercept[IllegalArgumentException] {
+      DuckDbBridge.duckType(CalendarIntervalType)
+    }
+  }
+}
