@@ -2072,6 +2072,56 @@ object SparkEntry {
         .join(qual, col("s_suppkey") === col("ps_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
+    },
+    // B-SQL3: MAP functions — map_from_entries / map_keys / map_values /
+    // element_at / size over a per-group status→count map. The map is
+    // built from a SORTED entry list so its entry order is deterministic;
+    // outputs are scalars and strings (never a map-typed column — the
+    // driver's hasher has no canonical map ordering), and the oracle
+    // computes the same scalars relationally.
+    Q(
+      "b80_map_funcs",
+      Some(
+        """SELECT o_orderpriority,
+          |  COUNT(DISTINCT o_orderstatus)::BIGINT AS n_status,
+          |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT AS n_f,
+          |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_o,
+          |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+          |  COUNT(*)::BIGINT AS total
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val m = T(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("o_orderpriority")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("o_orderstatus"), col("c"))))).as("m"))
+      m.select(
+          col("o_orderpriority"),
+          size(map_keys(col("m"))).cast("long").as("n_status"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("statuses"),
+          aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("total"))
+        .orderBy("o_orderpriority")
+    },
+    // B-SQL4: posexplode — the WITH-ORDINALITY generator (b32 covers the
+    // plain explode): token positions must come from the generator
+    // itself, not a window. Both engines emit (doc, pos, tok) for the
+    // first 5 tokens; int/BIGINT parity via explicit casts.
+    Q(
+      "b81_posexplode",
+      Some(
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+          |  FROM documents WHERE doc_id < 50),
+          |g0 AS (SELECT doc_id, ts, unnest(range(least(len(ts), 5))) AS i FROM d)
+          |SELECT doc_id, i::BIGINT AS pos, ts[CAST(i + 1 AS INT)] AS tok
+          |FROM g0 ORDER BY doc_id, pos""".stripMargin)) { (s, dir) =>
+      T(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+        .where(col("pos") < 5)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")
     }
   )
 
@@ -4681,6 +4731,51 @@ object SparkEntry {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang", "source")
+    },
+    // NS-T15: tokenizer fertility — chars-per-token under the ns99 BPE
+    // encoder, per language: THE go/no-go statistic for a tokenizer over
+    // a multilingual corpus (a language with high fertility is being
+    // tokenized badly). Exact long sums; one IEEE division per language.
+    Q(
+      "ns102_token_fertility",
+      Some(
+        """WITH RECURSIVE
+          |d AS (SELECT doc_id, substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 120) AS norm
+          |  FROM documents),
+          |t AS (SELECT unnest(regexp_split_to_array(trim(norm), '\s+')) AS tok FROM d),
+          |p AS (SELECT unnest([tok[i+1:i+2] for i in range(length(tok)-1)]) AS pair
+          |  FROM t WHERE length(tok) >= 2),
+          |r AS (SELECT pair, row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS rk
+          |  FROM p GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 8),
+          |i AS (SELECT doc_id, regexp_replace(norm, '(.)', '·\1·', 'g') AS s FROM d),
+          |e(doc_id, s, step) AS (
+          |  SELECT doc_id, s, 0 FROM i
+          |  UNION ALL
+          |  SELECT e.doc_id,
+          |    replace(e.s, '·' || r.pair[1:1] || '··' || r.pair[2:2] || '·', '·' || r.pair || '·'),
+          |    e.step + 1
+          |  FROM e JOIN r ON r.rk = e.step + 1),
+          |enc AS (SELECT doc_id, length(replace(s, '·', ''))::BIGINT AS n_chars,
+          |    ((length(s) - length(replace(s, '·', ''))) // 2)::BIGINT AS n_tokens
+          |  FROM e WHERE step = 8)
+          |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS fertility
+          |FROM documents JOIN enc USING (doc_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val enc = TextOps.bpeEncode(docs, "doc_id", "text", k = 8, maxChars = 120)
+        .select(col("doc_id").as("enc_id"), col("n_chars"), col("n_tokens"))
+      docs.join(enc, col("doc_id") === col("enc_id"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (sum(col("n_chars")).cast("double") / sum(col("n_tokens")).cast("double"))
+            .as("fertility"))
+        .orderBy("lang")
     }
   )
 
