@@ -4759,21 +4759,24 @@ object SparkEntry {
           |    ((length(s) - length(replace(s, '·', ''))) // 2)::BIGINT AS n_tokens
           |  FROM e WHERE step = 8)
           |SELECT lang, COUNT(*)::BIGINT AS n_docs,
-          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-          |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS fertility
+          |  CAST(SUM(enc.n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(SUM(enc.n_tokens) AS BIGINT) AS sum_tokens,
+          |  CAST(SUM(enc.n_chars) AS DOUBLE) / CAST(SUM(enc.n_tokens) AS DOUBLE) AS fertility
           |FROM documents JOIN enc USING (doc_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
       val docs = T(s, dir, "documents")
       val enc = TextOps.bpeEncode(docs, "doc_id", "text", k = 8, maxChars = 120)
-        .select(col("doc_id").as("enc_id"), col("n_chars"), col("n_tokens"))
+        .select(
+          col("doc_id").as("enc_id"),
+          col("n_chars").as("enc_chars"),
+          col("n_tokens").as("enc_tokens"))
       docs.join(enc, col("doc_id") === col("enc_id"))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(col("n_tokens")).as("sum_tokens"),
-          (sum(col("n_chars")).cast("double") / sum(col("n_tokens")).cast("double"))
+          sum(col("enc_chars")).as("sum_chars"),
+          sum(col("enc_tokens")).as("sum_tokens"),
+          (sum(col("enc_chars")).cast("double") / sum(col("enc_tokens")).cast("double"))
             .as("fertility"))
         .orderBy("lang")
     }

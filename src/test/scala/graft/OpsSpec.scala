@@ -1117,6 +1117,32 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("token fertility: per-lang exact sums and one IEEE division (ns102 shape)") {
+    // Corpus pair counts: th=4, he=4 (two "the the cat" docs), aa=4
+    // ("aaa aaa", overlapping positions), ca=2, at=2. Rank (count desc,
+    // pair asc) → [aa, he]. Doc 1/2: only `he` fires → t he ␣ t he ␣
+    // c a t = 9 tokens / 11 chars each. Doc 3: `aa` fires leftmost per
+    // token → aa a ␣ aa a (the space is a token too) = 5 tokens over
+    // the 7 normalized chars (spaces count).
+    val docs = Seq(
+      (1L, "the the cat", "en"),
+      (2L, "the the cat", "en"),
+      (3L, "aaa aaa", "xx")).toDF("doc_id", "text", "lang")
+    val enc = TextOps.bpeEncode(docs, "doc_id", "text", k = 2, maxChars = 120)
+      .select(col("doc_id").as("enc_id"),
+        col("n_chars").as("enc_chars"), col("n_tokens").as("enc_tokens"))
+    val got = docs.join(enc, col("doc_id") === col("enc_id"))
+      .groupBy("lang")
+      .agg(sum("enc_chars").as("c"), sum("enc_tokens").as("t"),
+        (sum("enc_chars").cast("double") / sum("enc_tokens").cast("double"))
+          .as("fertility"))
+      .orderBy("lang").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("en", 22L, 18L), ("xx", 7L, 5L)))
+    assert(got(0).getDouble(3) == 22.0 / 18.0)
+    assert(got(1).getDouble(3) == 1.4)
+  }
+
   test("charLmScore: hand-computed add-1 probabilities, held-out misses, no shuffle") {
     // Train doc "ab ab" → c2 {ab:2, "b ":1, " a":1}, c1 {a:2, b:1, " ":1}.
     // Doc 0 grams [ab, "b ", " a", ab]:
