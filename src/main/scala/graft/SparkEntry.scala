@@ -4779,6 +4779,34 @@ object SparkEntry {
           (sum(col("enc_chars")).cast("double") / sum(col("enc_tokens")).cast("double"))
             .as("fertility"))
         .orderBy("lang")
+    },
+    // NS-D12: segment-level dedup (CCNet/RefinedWeb paragraph dedup) —
+    // corpus-GLOBAL first-occurrence-wins over non-overlapping 8-word
+    // segments, documents reassembled from their surviving segments. The
+    // full clean_text of every document is in the hashed output, so every
+    // keep/drop decision on every segment is gated.
+    Q(
+      "ns103_segment_dedup",
+      Some(
+        s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |seg AS (SELECT doc_id,
+           |    unnest([{'idx': i, 'seg': array_to_string(ts[i*8+1 : i*8+8], ' ')}
+           |      for i in range((len(ts)+7)//8)], recursive := true)
+           |  FROM t),
+           |rk AS (SELECT doc_id, idx, seg,
+           |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+           |  FROM seg),
+           |k AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+           |    string_agg(seg, ' ' ORDER BY idx) AS clean_text
+           |  FROM rk WHERE rn = 1 GROUP BY 1),
+           |n AS (SELECT doc_id, COUNT(*)::BIGINT AS n_segs FROM seg GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(n.n_segs, 0)::BIGINT AS n_segs,
+           |  COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+           |  COALESCE(k.clean_text, '') AS clean_text
+           |FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN k USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+      Dedup.segmentDedup(T(s, dir, "documents"), "doc_id", "text", segWords = 8)
+        .orderBy("doc_id")
     }
   )
 

@@ -36,6 +36,55 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("n_copies"))
       .select("keep_id", "n_copies", "fp")
 
+  /** Segment-level (line/paragraph) dedup — the CCNet/RefinedWeb "dedup at
+    * sub-document granularity" pass: split every document into
+    * non-overlapping `segWords`-word segments, drop every segment whose
+    * exact text already appeared earlier in the corpus (first occurrence
+    * by (doc_id, idx) wins — corpus-global, not per-document), and
+    * reassemble each document from its surviving segments in order.
+    * Output: (doc_id, n_segs, n_kept, clean_text).
+    *
+    * Scale design: the winner election groups (md5, doc_id, idx) triples —
+    * text projected OUT before the shuffle, map-side combine collapses
+    * duplicate segments before any network hop, so the shuffle carries
+    * O(distinct segments) 24-byte-keyed rows. Surviving text then moves
+    * exactly twice (winner join keyed on (doc_id, idx); reassembly keyed
+    * on doc_id) and dropped duplicate text moves once — there is no key
+    * under which the duplicated payload is shipped per-copy. Reassembly's
+    * collect_list is bounded by the document's own size (the bound the
+    * input row already carries).
+    */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String, segWords: Int): DataFrame = {
+    val occ = TextOps.chunkTokens(df, idCol, textCol, width = segWords, stride = segWords)
+      .select(col(idCol).as("doc_id"), col("chunk_idx").as("idx"),
+        col("chunk_text").as("seg"))
+    val winners = occ
+      .select(md5(col("seg")).as("h"), col("doc_id"), col("idx"))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("w_doc"), col("w.idx").as("w_idx"))
+    val kept = occ.join(winners,
+      occ("doc_id") === winners("w_doc") && occ("idx") === winners("w_idx"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("seg")))),
+            s => s.getField("seg"))).as("clean_text"))
+    val nseg = occ.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_segs"))
+    df.select(col(idCol).as("doc_id"))
+      .join(nseg, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** One row per word n-gram occurrence: (doc_id, gram). Shingles come
     * from the codegen'd one-pass kernel (`graft_shingles`,
     * [[graft.functions.TextKernels.shingles]]) and explode in the same

@@ -1117,6 +1117,28 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("segmentDedup: corpus-global first-occurrence wins, ordered reassembly") {
+    // Doc 1 owns every first occurrence; doc 2 re-uses [d e f] (dropped)
+    // but keeps its own [x y z]; doc 3 is entirely a re-used segment →
+    // empty clean_text, still present in the output.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "d e f x y z"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", segWords = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq(
+        (1L, 4L, 4L, "a b c d e f g h i j"),
+        (2L, 2L, 1L, "x y z"),
+        (3L, 1L, 0L, "")))
+    // Election is an aggregate, not a per-segment window: no Window (and
+    // so no per-group sort of segment text) anywhere in the plan.
+    val plan = Dedup.segmentDedup(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("token fertility: per-lang exact sums and one IEEE division (ns102 shape)") {
     // Corpus pair counts: th=4, he=4 (two "the the cat" docs), aa=4
     // ("aaa aaa", overlapping positions), ca=2, at=2. Rank (count desc,
