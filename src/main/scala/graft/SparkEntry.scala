@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Incremental, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import org.apache.spark.sql.sources
@@ -4807,6 +4807,51 @@ object SparkEntry {
            |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
       Dedup.segmentDedup(T(s, dir, "documents"), "doc_id", "text", segWords = 8)
         .orderBy("doc_id")
+    },
+    // NS-W8: incremental materialized-aggregate maintenance — the per-key
+    // aggregate of a managed table refreshed from the CDC change feed
+    // ALONE (state(v0) folded with changes(v0,v1); the base table is
+    // never rescanned). The oracle recomputes the final table state from
+    // scratch, so the gate proves the incremental path is bit-identical
+    // to the full recompute. Changeset mirrors ns87 (updates %10=0,
+    // deletes %10=1, inserts %10=2 re-keyed +1e6).
+    Q(
+      "ns104_incremental_agg",
+      Some(
+        """WITH fin AS (
+          |  SELECT s_nationkey,
+          |    s_acctbal + CASE WHEN s_suppkey % 10 = 0 THEN 100.0 ELSE 0.0 END AS bal
+          |  FROM supplier WHERE s_suppkey % 10 <> 1
+          |  UNION ALL
+          |  SELECT s_nationkey, s_acctbal FROM supplier WHERE s_suppkey % 10 = 2)
+          |SELECT s_nationkey, COUNT(*)::BIGINT AS n_rows,
+          |  CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+          |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-ivm-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Pending)
+      w.write(base)
+      w.finalizeCommit()
+      val vBase = ManagedWriter.versions(s, dest).last
+      val state0 = Incremental.aggState(
+        ManagedWriter.readVersion(s, dest, vBase), "s_nationkey", "s_acctbal")
+      val ups = base.where(col("s_suppkey") % 10 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val dels = base.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D"))
+      val ins = base.where(col("s_suppkey") % 10 === 2)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+        .withColumn("op", lit("U"))
+      val vNew = ManagedWriter.merge(
+        s, dest, ups.unionByName(dels).unionByName(ins), Seq("s_suppkey"))
+      val feed = ManagedWriter.changes(s, dest, vBase, vNew, Seq("s_suppkey"))
+      Incremental.applyChanges(state0, feed, "s_nationkey", "s_acctbal")
+        .select(
+          col("s_nationkey"),
+          col("n_rows"),
+          (col("sum_cents").cast("double") / 100.0).as("sum_bal"))
+        .orderBy("s_nationkey")
     }
   )
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Multimodal, Quantize, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Incremental, Multimodal, Quantize, Similarity, TextOps}
 
 /** North-star operator unit tests with hand-computable goldens. */
 class OpsSpec extends SparkSpec {
@@ -1115,6 +1115,21 @@ class OpsSpec extends SparkSpec {
     val plan = TextOps.bpeEncode(docs, "doc_id", "text", 2, 120)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("Incremental.applyChanges: appear / vanish / exact pre-image cancellation") {
+    val state = Seq((1L, 2L, 300L), (2L, 1L, 50L))
+      .toDF("k", "n_rows", "sum_cents")
+    val changes = Seq(
+      (3L, 1.25, "insert"),           // unseen key appears
+      (2L, 0.50, "delete"),           // count reaches 0 → key vanishes
+      (1L, 1.00, "update_preimage"),  // −100 cents
+      (1L, 2.00, "update_postimage")  // +200 cents
+    ).toDF("k", "v", "_change_type")
+    val got = Incremental.applyChanges(state, changes, "k", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 400L), (3L, 1L, 125L)))
   }
 
   test("segmentDedup: corpus-global first-occurrence wins, ordered reassembly") {
