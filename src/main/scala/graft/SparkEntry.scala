@@ -4852,6 +4852,62 @@ object SparkEntry {
           col("n_rows"),
           (col("sum_cents").cast("double") / 100.0).as("sum_bal"))
         .orderBy("s_nationkey")
+    },
+    // NS-W9: SCD Type-2 history maintenance — the warehouse
+    // slowly-changing-dimension table (valid_from / valid_to / is_current
+    // per key version) maintained from the SAME CDC change feed as ns104,
+    // never by rescanning or diffing the base table. The version chain is
+    // relabeled v0=0, v1=1 at the call sites so the gate is independent
+    // of ManagedWriter's internal version numbering. Changeset mirrors
+    // ns87 (updates %10=0, deletes %10=1, inserts %10=2 re-keyed +1e6);
+    // the oracle classifies every key's full lineage from the supplier
+    // table directly: updated keys get a closed 0→1 row plus an open v1
+    // row, deleted keys only the closed row, inserts an open v1 row, and
+    // untouched keys their open v0 row.
+    Q(
+      "ns105_scd2",
+      Some(
+        """SELECT s_suppkey, s_acctbal,
+          |    CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to,
+          |    FALSE AS is_current
+          |  FROM supplier WHERE s_suppkey % 10 IN (0, 1)
+          |UNION ALL
+          |SELECT s_suppkey, s_acctbal + 100.0, CAST(1 AS BIGINT),
+          |    CAST(NULL AS BIGINT), TRUE
+          |  FROM supplier WHERE s_suppkey % 10 = 0
+          |UNION ALL
+          |SELECT s_suppkey, s_acctbal, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+          |    TRUE
+          |  FROM supplier WHERE s_suppkey % 10 NOT IN (0, 1)
+          |UNION ALL
+          |SELECT s_suppkey + 1000000, s_acctbal, CAST(1 AS BIGINT),
+          |    CAST(NULL AS BIGINT), TRUE
+          |  FROM supplier WHERE s_suppkey % 10 = 2
+          |ORDER BY s_suppkey, valid_from""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-scd2-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Pending)
+      w.write(base)
+      w.finalizeCommit()
+      val vBase = ManagedWriter.versions(s, dest).last
+      val hist0 = Incremental.scd2Init(
+        ManagedWriter.readVersion(s, dest, vBase)
+          .select(col("s_suppkey"), col("s_acctbal")),
+        version = 0L)
+      val ups = base.where(col("s_suppkey") % 10 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val dels = base.where(col("s_suppkey") % 10 === 1).withColumn("op", lit("D"))
+      val ins = base.where(col("s_suppkey") % 10 === 2)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+        .withColumn("op", lit("U"))
+      val vNew = ManagedWriter.merge(
+        s, dest, ups.unionByName(dels).unionByName(ins), Seq("s_suppkey"))
+      val feed = ManagedWriter.changes(s, dest, vBase, vNew, Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("_change_type"))
+      Incremental.scd2Apply(hist0, feed, Seq("s_suppkey"), version = 1L)
+        .orderBy("s_suppkey", "valid_from")
     }
   )
 

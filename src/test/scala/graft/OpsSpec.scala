@@ -1132,6 +1132,38 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 400L), (3L, 1L, 125L)))
   }
 
+  test("Incremental.scd2: close / open / pass-through across two transitions") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val h0 = Incremental.scd2Init(snap, 0L)
+    // v0→v1: update k=1 (a→a2), delete k=2, insert k=4.
+    val f1 = Seq(
+      (1L, "a", "update_preimage"), (1L, "a2", "update_postimage"),
+      (2L, "b", "delete"), (4L, "d", "insert")
+    ).toDF("k", "v", "_change_type")
+    val h1 = Incremental.scd2Apply(h0, f1, Seq("k"), 1L)
+    // v1→v2: update k=1 again (a2→a3) — its v1 row must close, its v0 row
+    // (already closed) must pass through untouched.
+    val f2 = Seq(
+      (1L, "a2", "update_preimage"), (1L, "a3", "update_postimage")
+    ).toDF("k", "v", "_change_type")
+    val h2 = Incremental.scd2Apply(h1, f2, Seq("k"), 2L)
+    val got = h2.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "a", 0L, 1L, false),   // closed at v1
+      (1L, "a2", 1L, 2L, false),  // closed at v2
+      (1L, "a3", 2L, -1L, true),  // current
+      (2L, "b", 0L, 1L, false),   // deleted → closed, never reopened
+      (3L, "c", 0L, -1L, true),   // untouched → still the v0 row
+      (4L, "d", 1L, -1L, true)),  // inserted at v1
+      got.mkString(","))
+    // Exactly one current row per live key; history is append-only in
+    // row count (3 + 2 opens at v1 + 1 open at v2 = 6).
+    assert(h2.count() == 6)
+    assert(h2.where(col("is_current")).count() == 3)
+  }
+
   test("segmentDedup: corpus-global first-occurrence wins, ordered reassembly") {
     // Doc 1 owns every first occurrence; doc 2 re-uses [d e f] (dropped)
     // but keeps its own [x y z]; doc 3 is entirely a re-used segment →
