@@ -4908,6 +4908,35 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_acctbal"), col("_change_type"))
       Incremental.scd2Apply(hist0, feed, Seq("s_suppkey"), version = 1L)
         .orderBy("s_suppkey", "valid_from")
+    },
+    // NS-F3: ORC round-trip (format parity) — documents written as
+    // hive-partitioned ORC (lang = directory key), read back through
+    // Spark's vectorized ORC reader under a partition-pruning lang filter
+    // plus a pushed n_chars predicate, and aggregated. The oracle answers
+    // from the base parquet table, so any row/value loss or type drift in
+    // the ORC round trip breaks the hash (same gate shape as ns98/ns101).
+    // OrcTablesSpec pins that the n_chars filter reaches the ORC scan as
+    // a PushedFilter and the lang filter prunes partitions.
+    Q(
+      "ns106_orc_roundtrip",
+      Some(
+        """SELECT source, COUNT(*)::BIGINT AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+          |FROM documents WHERE lang = 'en' AND n_chars >= 200
+          |GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-orc-" +
+        UUID.randomUUID().toString.take(8)
+      graft.sources.OrcTables.writeOrc(docs, dest, partitionCols = Seq("lang"))
+      graft.sources.OrcTables.readOrc(s, dest)
+        .where(col("lang") === "en" && col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("source")
     }
   )
 
