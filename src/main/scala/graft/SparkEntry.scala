@@ -4937,6 +4937,27 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text")).cast("long")).as("sum_len"))
         .orderBy("source")
+    },
+    // NS-S7: temperature (α=0.5) language rebalancing — the mT5/CCNet
+    // alpha-sampling rule: keep rate sqrt(n_min/n_lang) per language so
+    // kept counts flatten toward sqrt-proportional, decided per row by
+    // the md5 coin. Every per-row keep decision is in the hashed output
+    // (full kept id set), and sqrt + one division are the only float ops
+    // — both correctly rounded in both engines.
+    Q(
+      "ns107_temperature_sample",
+      Some(
+        """WITH cnt AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY 1),
+          |mn AS (SELECT MIN(n) AS m FROM cnt),
+          |r AS (SELECT lang, sqrt(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+          |  FROM cnt, mn)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+          |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+          |    / 4294967296.0 < rate
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Sampling.temperatureSample(T(s, dir, "documents"), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     }
   )
 

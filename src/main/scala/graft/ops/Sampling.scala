@@ -163,6 +163,36 @@ object Sampling {
       .drop("_rn", "_quota")
   }
 
+  /** Temperature-based group rebalancing (the mT5/CCNet "alpha sampling"
+    * rule at α = 0.5): downsample each group so the EXPECTED kept count is
+    * proportional to sqrt(n_group) — large languages/domains are flattened
+    * toward the small ones without ever upsampling. The keep rate is
+    * `sqrt(n_min / n_group)` (the rarest group keeps everything), applied
+    * per row with [[weightedSample]]'s deterministic md5 coin.
+    *
+    * α is fixed at 0.5 deliberately: `sqrt` and one division are the only
+    * IEEE operations involved, both correctly rounded on every engine, so
+    * the kept SET is bit-reproducible across reruns, cluster sizes, and
+    * the DuckDB oracle — a general `pow(x, 1-α)` carries no such
+    * cross-engine guarantee. Other temperatures = compose [[mixtureSample]]
+    * with caller-computed integer weights.
+    *
+    * Scale shape: one map-side-combined count per group, a one-row global
+    * min broadcast, the ≤|groups|-row rate table broadcast back, and a
+    * scan-local coin — no shuffle ever touches the corpus rows.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val mn = counts.agg(min(col("_n")).as("_mn"))
+    val rates = counts
+      .crossJoin(broadcast(mn))
+      .select(
+        col(groupCol),
+        sqrt(col("_mn").cast("double") / col("_n").cast("double")).as("_rate"))
+    weightedSample(df.join(broadcast(rates), Seq(groupCol)), idCol, col("_rate"))
+      .drop("_rate")
+  }
+
   /** Per-group cap ("at most n documents per source/domain"): keep the
     * first n rows of each group under a caller-chosen deterministic
     * ordering — the crawl-pipeline domain cap. One shuffle on the group

@@ -100,6 +100,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids == again)
   }
 
+  test("temperature sample flattens toward sqrt-proportional, keeps the min group") {
+    // en: 400 rows, de: 4 → rates sqrt(4/400)=0.1 and 1.0: de keeps ALL
+    // rows, en keeps ≈40 (md5 coin, deterministic).
+    val df = ((1L to 400L).map(i => ("en", i)) ++ (401L to 404L).map(i => ("de", i)))
+      .toDF("lang", "doc_id")
+    val out = Sampling.temperatureSample(df, "lang", "doc_id")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 4L, byLang.toString)
+    // Bernoulli at 0.1 over 400 rows: expect ~40; accept a wide band but
+    // reject un-flattened (400) or over-thinned (<10) outcomes.
+    assert(byLang("en") >= 10L && byLang("en") <= 80L, byLang.toString)
+    // Deterministic: same call, same kept set; schema passes through.
+    assert(out.columns.toSeq == Seq("lang", "doc_id"))
+    val ids = out.collect().map(_.getLong(1)).toSet
+    assert(Sampling.temperatureSample(df, "lang", "doc_id")
+      .collect().map(_.getLong(1)).toSet == ids)
+    // Scan-local coin: the corpus rows never shuffle — the only exchanges
+    // in the plan feed the ≤|groups|-row count/rate tables.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("contamination tag counts shared distinct grams and zero-fills") {
     val corpus = Seq(
       (1L, "a b c d e"), // shares grams "a b c","b c d","c d e" with bench
