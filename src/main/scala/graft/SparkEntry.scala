@@ -4958,6 +4958,23 @@ object SparkEntry {
       Sampling.temperatureSample(T(s, dir, "documents"), "lang", "doc_id")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    },
+    // NS-T8: per-user EWMA (α=1/2) over the full event series — the
+    // smoothing statistic drift/anomaly monitors keep per key. The fold
+    // runs in explicit (ts, event_id) position order as one IEEE
+    // multiply-add chain (every op correctly rounded), so the doubles are
+    // bit-identical to DuckDB's seedless list_reduce over the same
+    // ordered list.
+    Q(
+      "ns108_ewma",
+      Some(
+        """SELECT user_id, COUNT(*)::BIGINT AS n_events,
+          |  last(value ORDER BY ts, event_id) AS last_value,
+          |  list_reduce(list(value ORDER BY ts, event_id),
+          |    (a, x) -> a * 0.5 + x * 0.5) AS ewma
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.ewma(T(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
     }
   )
 

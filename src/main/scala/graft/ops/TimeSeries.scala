@@ -27,6 +27,50 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Per-key exponentially-weighted moving average (α = 1/2) over the
+    * key's full event series in (ts, id) order — the classic smoothing
+    * statistic behind drift/anomaly monitors ("is this user's latest
+    * activity far from their smoothed history?").
+    *
+    * Determinism contract: the fold runs in EXPLICIT (ts, id) position
+    * order with `EWMA ← acc·0.5 + x·0.5` — one IEEE multiply-add chain
+    * whose every operation is correctly rounded, so the result is
+    * BIT-identical across partitionings, reruns, and engines (DuckDB:
+    * `list_reduce(list(v ORDER BY ts, id), (a,x) -> a*0.5 + x*0.5)`).
+    * α is fixed at 1/2 for that reason; other smoothing factors via
+    * per-bucket pre-aggregation upstream.
+    *
+    * Scale shape: one hash exchange on the key (map-side collect_list
+    * partials); per-key state is the key's own event list — the same
+    * bound as any per-key sessionize/sort, with the usual hot-key caveat.
+    * The fold itself is a scan-local codegen'd `aggregate` over the
+    * assembled array; nothing is collected to the driver.
+    *
+    * Output: key, n_events, last_value, ewma — ordered fold over
+    * (tsCol, idCol)-sorted values.
+    */
+  def ewma(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String): DataFrame = {
+    val series = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"),
+      col(idCol).cast("long").as("i"),
+      col(valCol).cast("double").as("v"))))
+    df.groupBy(col(keyCol))
+      .agg(series.as("_s"))
+      .select(
+        col(keyCol),
+        size(col("_s")).cast("long").as("n_events"),
+        element_at(col("_s"), size(col("_s"))).getField("v").as("last_value"),
+        aggregate(
+          slice(col("_s"), lit(2), size(col("_s")) - 1),
+          element_at(col("_s"), 1).getField("v"),
+          (acc, x) => acc * 0.5 + x.getField("v") * 0.5).as("ewma"))
+  }
+
   /** Resample `df` onto a `stepSec`-second grid per `keyCol`: one row per
     * (key, bucket) between the key's first and last event. Output columns:
     * key, bucket_ts, n (events in bucket), last_value (most recent

@@ -214,6 +214,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(u1(1).isNullAt(3) && u1(2).isNullAt(3), "empty buckets have NULL last_value")
   }
 
+  test("ewma folds in (ts, id) order with alpha = 1/2, repartition-invariant") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 8.0),
+      (1L, "2024-01-01 01:00:00", 2L, 4.0),  // ewma 6.0
+      (1L, "2024-01-01 02:00:00", 3L, 2.0),  // ewma 4.0
+      (1L, "2024-01-01 02:00:00", 4L, 10.0), // ts tie: id order → ewma 7.0
+      (2L, "2024-01-01 00:00:00", 5L, 3.5))  // singleton → seed value
+      .toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = TimeSeries.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq ==
+      Seq((1L, 4L, 10.0, 7.0), (2L, 1L, 3.5, 3.5)))
+    // Physical layout must not leak into the fold: same bits at any
+    // partitioning (the collect_list partials merge under sort_array).
+    val shuffled = TimeSeries.ewma(
+        df.repartition(7, col("event_id")), "user_id", "ts", "event_id", "value")
+      .orderBy("user_id").collect()
+    assert(shuffled.map(_.getDouble(3)).toSeq == out.map(_.getDouble(3)).toSeq)
+  }
+
   test("gap fill last_value picks the latest (ts, id) within a bucket") {
     val df = Seq(
       (1L, "2024-01-01 00:10:00", 1L, 5.0),
