@@ -4975,6 +4975,40 @@ object SparkEntry {
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, dir) =>
       TimeSeries.ewma(T(s, dir, "events"), "user_id", "ts", "event_id", "value")
         .orderBy("user_id")
+    },
+    // NS-G4: multi-source BFS — exact minimum hop distance (≤3) from the
+    // seed users (user_id % 50 = 0) over the ns55/ns97 undirected
+    // attribution graph; the "blast radius" primitive. Frontier BFS
+    // settles each vertex once per level in Spark; the oracle replays it
+    // as a recursive CTE whose UNION-dedup bounds the walk enumeration,
+    // MIN(hops) per node recovering the same BFS distances.
+    Q(
+      "ns109_bfs_hops",
+      Some(
+        """WITH RECURSIVE
+          |e AS (SELECT user_id::BIGINT AS u,
+          |    TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+          |    epoch_us(ts)::BIGINT AS t FROM events),
+          |ft AS (SELECT k, u, MIN(t) AS ft FROM e WHERE k IS NOT NULL GROUP BY 1, 2),
+          |ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY k ORDER BY ft, u) AS dst FROM ft),
+          |edges AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL AND dst <> src),
+          |und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+          |seeds AS (SELECT DISTINCT u AS node FROM e WHERE u % 50 = 0),
+          |bfs(node, hops) AS (
+          |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+          |  UNION
+          |  SELECT und.b, bfs.hops + 1 FROM bfs JOIN und ON und.a = bfs.node
+          |  WHERE bfs.hops < 3)
+          |SELECT node AS user_id, CAST(MIN(hops) AS BIGINT) AS hops
+          |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val edges = Graph.attributionEdges(
+        ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+      val seeds = ev.select(col("user_id").cast("long").as("node"))
+        .where(col("node") % 50 === 0).distinct()
+      Graph.bfsHops(edges, seeds, maxHops = 3)
+        .select(col("node").as("user_id"), col("hops"))
+        .orderBy("user_id")
     }
   )
 

@@ -128,6 +128,31 @@ class AnalyticsOpsSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("bfsHops settles exact min distances, caps at maxHops, skips unreachable") {
+    // Path 1-2-3-4-5 plus a detour 1-6-4 (so 4 is 2 hops via 6, not 3),
+    // and an isolated edge 8-9 unreachable from the seed.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 4L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L),
+      got.toString)
+    // maxHops truncates the far tail; direction is ignored (5 reaches 4).
+    assert(Graph.bfsHops(edges, seeds, 1).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 1L, 6L -> 1L))
+    assert(Graph.bfsHops(edges, Seq(5L).toDF("node"), 1)
+      .as[(Long, Long)].collect().toMap == Map(5L -> 0L, 4L -> 1L))
+    // Multi-source: nearest seed wins; early-exit once frontiers empty
+    // (maxHops far beyond the diameter must still terminate).
+    assert(Graph.bfsHops(edges, Seq(1L, 5L).toDF("node"), 100)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 4L -> 1L, 3L -> 2L))
+    // A seed with no edges is still reported at distance 0.
+    assert(Graph.bfsHops(edges, Seq(42L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap == Map(42L -> 0L))
+  }
+
   test("triangleCounts is invariant to input partitioning") {
     val ev = Tables(spark, sfDir, "events")
     val edges = Graph.attributionEdges(ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
