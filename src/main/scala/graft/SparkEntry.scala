@@ -2122,6 +2122,63 @@ object SparkEntry {
         .where(col("pos") < 5)
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
         .orderBy("doc_id", "pos")
+    },
+    // B-SQL5: LATERAL correlated subquery — per-customer top-2 orders via
+    // a correlated ORDER BY ... LIMIT subquery in the FROM clause (the
+    // SQL:1999 LATERAL shape both engines accept verbatim). Catalyst
+    // plans the correlation as a per-key window under the hood; the
+    // (price DESC, orderkey) tiebreak makes the top-2 set deterministic.
+    // No arithmetic — values pass through from the scan, so doubles
+    // can't drift.
+    Q(
+      "b82_lateral_join",
+      Some(
+        """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+          |WHERE c.c_custkey < 200
+          |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin)) { (s, dir) =>
+      T(s, dir, "customer").createOrReplaceTempView("b82_customer")
+      T(s, dir, "orders").createOrReplaceTempView("b82_orders")
+      s.sql(
+        """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          |FROM b82_customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM b82_orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+          |WHERE c.c_custkey < 200
+          |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin)
+    },
+    // B-SQL6: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    // join that treats NULL as a matchable key value instead of
+    // three-valued-logic dropping it. NULLIF(k, 0) manufactures real NULL
+    // keys on both sides (k=0 exists in the fixture), so the NULL-match
+    // path is genuinely exercised. Each side is DISTINCT first, so the
+    // NULL×NULL match contributes exactly one row, never a cross
+    // product; the plan stays a hash join (null-safe equality is still
+    // an equi-key to Catalyst).
+    Q(
+      "b83_nullsafe_join",
+      Some(
+        """WITH a AS (SELECT DISTINCT NULLIF(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT), 0) AS k
+          |  FROM events WHERE event_type = 'signup'),
+          |b AS (SELECT DISTINCT NULLIF(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT), 0) AS k
+          |  FROM events WHERE event_type = 'error')
+          |SELECT coalesce(a.k, -1)::BIGINT AS k, COUNT(*)::BIGINT AS n
+          |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+          |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      def keys(t: String) = ev.where(col("event_type") === t)
+        .select(expr(
+          "NULLIF(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT), 0)").as("k"))
+        .distinct()
+      keys("signup").as("a")
+        .join(keys("error").as("b"), col("a.k") <=> col("b.k"))
+        .groupBy(coalesce(col("a.k"), lit(-1L)).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
     }
   )
 
