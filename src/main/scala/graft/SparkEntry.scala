@@ -5066,6 +5066,24 @@ object SparkEntry {
       Graph.bfsHops(edges, seeds, maxHops = 3)
         .select(col("node").as("user_id"), col("hops"))
         .orderBy("user_id")
+    },
+    // NS-T9: weekly cohort retention matrix — users cohorted by the epoch
+    // week of their first event; per (cohort_week, week_offset) the count
+    // of cohort members active that week. Exact integer epoch-week
+    // arithmetic (div = DuckDB // for the positive fixture epochs), so
+    // the whole matrix hash-matches.
+    Q(
+      "ns110_retention",
+      Some(
+        """WITH uw AS (SELECT DISTINCT user_id::BIGINT AS u,
+          |    epoch_us(ts) // 86400000000 // 7 AS w FROM events),
+          |f AS (SELECT u, MIN(w) AS cw FROM uw GROUP BY 1)
+          |SELECT f.cw::BIGINT AS cohort_week, (uw.w - f.cw)::BIGINT AS week_offset,
+          |  COUNT(*)::BIGINT AS n_active
+          |FROM uw JOIN f USING (u)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      Funnel.retentionCohorts(T(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
     }
   )
 

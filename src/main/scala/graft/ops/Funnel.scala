@@ -102,4 +102,40 @@ object Funnel {
     }
     frames.result()
   }
+
+  /** Weekly cohort retention matrix — the other table every growth
+    * dashboard keeps next to the funnel: users cohorted by the epoch week
+    * of their FIRST event, then for each (cohort_week, week_offset) the
+    * count of cohort members active in that later week. All arithmetic is
+    * exact integer epoch math (`unix_micros div 86400000000 div 7` — the
+    * same floor division in both engines for the always-positive fixture
+    * epochs), so the matrix is bit-reproducible.
+    *
+    * Scale shape: the (user, week) activity table deduplicates with
+    * map-side combine BEFORE anything joins (one row per user-week, never
+    * per event); the first-week aggregate and the activity join both
+    * co-partition on the user key (one exchange, reused); the final
+    * matrix aggregate map-side combines into ≤ cohorts×offsets rows.
+    * Counting rows of the deduplicated join (not COUNT DISTINCT) keeps
+    * the final aggregate a cheap partial-sum.
+    *
+    * Output: `(cohort_week, week_offset, n_active)` — `week_offset` 0 is
+    * the cohort's own week, so every cohort's offset-0 row is its size.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val uw = events
+      .select(
+        col(userCol).cast("long").as("u"),
+        expr(s"unix_micros($tsCol) div 86400000000 div 7").as("w"))
+      .distinct()
+    val first = uw.groupBy("u").agg(min(col("w")).as("cw"))
+    uw.join(first, "u")
+      .groupBy(
+        col("cw").as("cohort_week"),
+        (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

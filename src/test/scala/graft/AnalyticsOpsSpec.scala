@@ -83,6 +83,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("retentionCohorts builds the exact weekly matrix, one row per user-week") {
+    val week = 7L * 86400L
+    def ts(w: Long, off: Long = 0L) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(w * week + off))
+    val ev = Seq(
+      // cohort week 0: users 1, 2. user 1 returns in weeks 1 and 2 (twice
+      // in week 1 — must count once); user 2 never returns.
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(1, 3600L)), (1L, ts(2)),
+      (2L, ts(0, 60L)),
+      // cohort week 2: user 3, returns week 3.
+      (3L, ts(2)), (3L, ts(3))
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L),  // both users present in their cohort week
+      (0L, 1L, 1L),  // user 1 only, deduplicated within the week
+      (0L, 2L, 1L),
+      (2L, 0L, 1L),
+      (2L, 1L, 1L)), got.toString)
+  }
+
   test("userStages reports per-user reach timestamps in micros") {
     def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     val ev = Seq((1L, ts(10), "signup"), (1L, ts(20), "view")).toDF("user_id", "ts", "event_type")
