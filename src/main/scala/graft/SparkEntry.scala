@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Incremental, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries}
+import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Incremental, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries, Validate}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import org.apache.spark.sql.sources
@@ -5084,6 +5084,51 @@ object SparkEntry {
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
       Funnel.retentionCohorts(T(s, dir, "events"), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")
+    },
+    // NS-V1: declarative constraint validation (the Deequ/Great-
+    // Expectations shape) — named checks over events (null / range /
+    // set-membership / uniqueness) plus referential integrity of
+    // orders.o_custkey against customer, as exact violation row counts.
+    // The range and set checks REALLY fire on the fixture (values > 100,
+    // event types outside the allowed set), so the gate pins non-zero
+    // counting, not just all-green plumbing. Row-local checks share one
+    // aggregation pass (see ops.Validate).
+    Q(
+      "ns111_validate",
+      Some(
+        """WITH checks AS (
+          |  SELECT 'not_null_user_id' AS c,
+          |    COUNT(CASE WHEN user_id IS NULL THEN 1 END)::BIGINT AS violations
+          |  FROM events
+          |  UNION ALL
+          |  SELECT 'in_range_value',
+          |    COUNT(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+          |      THEN 1 END)::BIGINT FROM events
+          |  UNION ALL
+          |  SELECT 'in_set_event_type',
+          |    COUNT(CASE WHEN event_type IS NOT NULL
+          |      AND event_type NOT IN ('signup', 'view', 'click')
+          |      THEN 1 END)::BIGINT FROM events
+          |  UNION ALL
+          |  SELECT 'unique_event_id', COALESCE((SELECT SUM(n - 1) FROM (
+          |      SELECT COUNT(*) AS n FROM events GROUP BY event_id) t
+          |    WHERE n > 1), 0)::BIGINT
+          |  UNION ALL
+          |  SELECT 'ref_integrity_o_custkey', (SELECT COUNT(*) FROM orders o
+          |    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          |      ON o.o_custkey = c.c_custkey
+          |    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)::BIGINT)
+          |SELECT c AS "check", violations, violations = 0 AS pass
+          |FROM checks ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val evChecks = Validate.validate(ev, Seq(
+        Validate.NotNull("user_id"),
+        Validate.InRange("value", 0.0, 100.0),
+        Validate.InSet("event_type", Seq("signup", "view", "click")),
+        Validate.Unique("event_id")))
+      val fk = Validate.validate(T(s, dir, "orders"), Seq(
+        Validate.RefIntegrity("o_custkey", T(s, dir, "customer"), "c_custkey")))
+      evChecks.unionByName(fk).orderBy("check")
     }
   )
 

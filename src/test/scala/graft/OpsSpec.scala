@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Incremental, Multimodal, Quantize, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Incremental, Multimodal, Quantize, Similarity, TextOps, Validate}
 
 /** North-star operator unit tests with hand-computable goldens. */
 class OpsSpec extends SparkSpec {
@@ -1162,6 +1162,46 @@ class OpsSpec extends SparkSpec {
     // row count (3 + 2 opens at v1 + 1 open at v2 = 6).
     assert(h2.count() == 6)
     assert(h2.where(col("is_current")).count() == 3)
+  }
+
+  test("Validate: per-check violation counts, pass flags, shared row-local pass") {
+    val df = Seq(
+      (1L, Some(5.0), Some("a")),
+      (2L, Some(50.0), Some("b")),
+      (2L, Some(-1.0), Some("zzz")),  // dup key, below range, out of set
+      (3L, None, None),               // nulls: skipped by range/set, hit by not_null
+      (3L, Some(101.0), Some("a"))    // dup key, above range
+    ).toDF("id", "v", "s")
+    val ref = Seq(1L, 3L).toDF("k")
+    val got = Validate.validate(df, Seq(
+        Validate.NotNull("s"),
+        Validate.InRange("v", 0.0, 100.0),
+        Validate.InSet("s", Seq("a", "b")),
+        Validate.Unique("id"),
+        Validate.RefIntegrity("id", ref, "k")))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      ("in_range_v", 2L, false),
+      ("in_set_s", 1L, false),
+      ("not_null_s", 1L, false),
+      ("ref_integrity_id", 2L, false), // the two id=2 rows orphaned
+      ("unique_id", 2L, false)),       // one extra each for ids 2 and 3
+      got.toString)
+    // All-clean table: every check passes with zero violations.
+    val clean = Seq((1L, Some(1.0), Some("a"))).toDF("id", "v", "s")
+    assert(Validate.validate(clean, Seq(
+        Validate.NotNull("s"), Validate.InRange("v", 0.0, 2.0),
+        Validate.Unique("id")))
+      .collect().forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
+    // The three row-local checks share ONE aggregation pass: exactly one
+    // scan of the input in the row-local subplan (no per-check re-scan).
+    val rowLocalOnly = Validate.validate(df, Seq(
+      Validate.NotNull("s"), Validate.InRange("v", 0.0, 100.0),
+      Validate.InSet("s", Seq("a", "b"))))
+    val scans = rowLocalOnly.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("LocalTableScan"))
+    assert(scans == 1, s"$scans scans:\n$scans")
   }
 
   test("segmentDedup: corpus-global first-occurrence wins, ordered reassembly") {
