@@ -5129,6 +5129,37 @@ object SparkEntry {
       val fk = Validate.validate(T(s, dir, "orders"), Seq(
         Validate.RefIntegrity("o_custkey", T(s, dir, "customer"), "c_custkey")))
       evChecks.unionByName(fk).orderBy("check")
+    },
+    // NS-V2: per-group winsorization — events.value clamped into the
+    // exact interpolated [p05, p95] envelope per event_type (the
+    // feature-clipping preprocessing step), then aggregated in exact
+    // cents. The envelope replays the engines' shared quantile
+    // interpolation (the ns64/ns70 counting shape), and the clamp is
+    // pure IEEE comparisons, so the sums hash-match.
+    Q(
+      "ns112_winsorize",
+      Some(
+        """WITH nn AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+          |q AS (SELECT event_type,
+          |    quantile_cont(value, 0.05) AS q_lo,
+          |    quantile_cont(value, 0.95) AS q_hi
+          |  FROM nn GROUP BY 1)
+          |SELECT nn.event_type, COUNT(*)::BIGINT AS n,
+          |  MIN(q_lo) AS q_lo, MIN(q_hi) AS q_hi,
+          |  CAST(SUM(CAST(ROUND(greatest(least(value, q_hi), q_lo) * 100) AS BIGINT))
+          |    AS DOUBLE) / 100.0 AS sum_w
+          |FROM nn JOIN q USING (event_type)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      Profile.winsorize(T(s, dir, "events"), "event_type", "value", 0.05, 0.95)
+        .where(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("q_lo")).as("q_lo"),
+          min(col("q_hi")).as("q_hi"),
+          (sum(round(col("value_w") * 100).cast("long")).cast("double") / 100.0)
+            .as("sum_w"))
+        .orderBy("event_type")
     }
   )
 

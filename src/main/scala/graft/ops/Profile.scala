@@ -198,6 +198,41 @@ object Profile {
         (abs(col(valueCol).cast("double") - col("med")) > col("mad") * k).as("is_outlier"))
   }
 
+  /** Per-group winsorization: clamp `valueCol` into the group's exact
+    * [loQ, hiQ] interpolated quantile envelope — the outlier-capping
+    * preprocessing step (feature clipping before normalization/training)
+    * that keeps heavy-tailed corpus measurements from dominating sums.
+    * Quantiles come from [[groupedQuantilesCont]]'s order-statistic
+    * COUNTING shape (state bounded by the value domain, never the group
+    * size) and replay the engines' shared interpolation order, so the
+    * clamped doubles — a `greatest(least(...))` over exact comparisons —
+    * are bit-reproducible cross-engine.
+    *
+    * Scale shape: the quantile pass's (group, distinct value) compressed
+    * table + two windows over it; the clamp itself is a broadcast join of
+    * the ≤|groups|-row envelope followed by a scan-local projection.
+    *
+    * Output: the input columns plus `<valueCol>_w` (clamped), `q_lo`,
+    * `q_hi` (the group envelope, repeated per row).
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loQ: Double,
+      hiQ: Double): DataFrame = {
+    require(loQ >= 0.0 && hiQ <= 1.0 && loQ < hiQ, s"bad envelope [$loQ, $hiQ]")
+    val env = groupedQuantilesCont(
+      df, groupCol, valueCol, Seq(loQ -> "q_lo", hiQ -> "q_hi"))
+    df.join(broadcast(env), Seq(groupCol))
+      .withColumn(
+        s"${valueCol}_w",
+        // Explicit null guard: Spark's least/greatest SKIP nulls, which
+        // would silently clamp a missing measurement to the envelope.
+        when(col(valueCol).isNotNull,
+          greatest(least(col(valueCol).cast("double"), col("q_hi")), col("q_lo"))))
+  }
+
   /** Distribution drift between two corpus snapshots: both sides bucketed
     * with the same exact integer histogram ([[centsHistogram]] buckets),
     * full-outer joined, with per-bucket counts, per-bucket share deltas,

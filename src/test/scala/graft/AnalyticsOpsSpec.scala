@@ -251,6 +251,23 @@ class AnalyticsOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("snapshot is empty")))
   }
 
+  test("winsorize clamps into the exact quantile envelope, nulls stay null") {
+    // Group g: values 0..10 → p25 = 2.5, p75 = 7.5 (interpolated).
+    val df = ((0 to 10).map(i => ("g", Some(i.toDouble))) :+ ("g", None))
+      .toDF("grp", "v")
+    val out = Profile.winsorize(df, "grp", "v", 0.25, 0.75)
+    val rows = out.orderBy("v").collect()
+    assert(rows.forall(r => r.getDouble(r.fieldIndex("q_lo")) == 2.5 &&
+      r.getDouble(r.fieldIndex("q_hi")) == 7.5))
+    val clamped = out.where(col("v").isNotNull).orderBy("v")
+      .select("v_w").collect().map(_.getDouble(0)).toSeq
+    assert(clamped == Seq(2.5, 2.5, 2.5, 3.0, 4.0, 5.0, 6.0, 7.0, 7.5, 7.5, 7.5),
+      clamped.toString)
+    // The null measurement must stay null, not clamp to the envelope
+    // (Spark's greatest/least silently skip nulls — guarded in the op).
+    assert(out.where(col("v").isNull).select("v_w").collect().head.isNullAt(0))
+  }
+
   test("madOutliers flags the heavy tail and nothing else") {
     import graft.ops.Profile
     val df = Seq(
