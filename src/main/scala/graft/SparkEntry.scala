@@ -5087,8 +5087,9 @@ object SparkEntry {
     },
     // NS-V1: declarative constraint validation (the Deequ/Great-
     // Expectations shape) — named checks over events (null / range /
-    // set-membership / uniqueness) plus referential integrity of
-    // orders.o_custkey against customer, as exact violation row counts.
+    // set-membership / uniqueness), referential integrity of
+    // orders.o_custkey against customer, and a k-anonymity privacy audit
+    // over customer quasi-identifiers, as exact violation row counts.
     // The range and set checks REALLY fire on the fixture (values > 100,
     // event types outside the allowed set), so the gate pins non-zero
     // counting, not just all-green plumbing. Row-local checks share one
@@ -5117,7 +5118,13 @@ object SparkEntry {
           |  SELECT 'ref_integrity_o_custkey', (SELECT COUNT(*) FROM orders o
           |    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           |      ON o.o_custkey = c.c_custkey
-          |    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)::BIGINT)
+          |    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)::BIGINT
+          |  UNION ALL
+          |  SELECT 'k_anonymity_c_nationkey_c_mktsegment',
+          |    COALESCE((SELECT SUM(n) FROM (
+          |      SELECT COUNT(*) AS n FROM customer
+          |      GROUP BY c_nationkey, c_mktsegment) t
+          |    WHERE n < 12), 0)::BIGINT)
           |SELECT c AS "check", violations, violations = 0 AS pass
           |FROM checks ORDER BY 1""".stripMargin)) { (s, dir) =>
       val ev = T(s, dir, "events")
@@ -5128,7 +5135,9 @@ object SparkEntry {
         Validate.Unique("event_id")))
       val fk = Validate.validate(T(s, dir, "orders"), Seq(
         Validate.RefIntegrity("o_custkey", T(s, dir, "customer"), "c_custkey")))
-      evChecks.unionByName(fk).orderBy("check")
+      val anon = Validate.validate(T(s, dir, "customer"), Seq(
+        Validate.KAnonymity(Seq("c_nationkey", "c_mktsegment"), k = 12)))
+      evChecks.unionByName(fk).unionByName(anon).orderBy("check")
     },
     // NS-V2: per-group winsorization — events.value clamped into the
     // exact interpolated [p05, p95] envelope per event_type (the

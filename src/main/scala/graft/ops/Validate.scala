@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *   - [[Validate.RefIntegrity]] is one left-anti join of the non-null
   *     child keys against the parent key column (broadcast when the
   *     parent side is a dimension — the usual case).
+  *   - [[Validate.KAnonymity]] is one quasi-identifier-grouped count
+  *     (map-side combined to ≤ combo-cardinality rows) summed where the
+  *     group is smaller than k.
   *
   * Violations count ROWS (null rows for NotNull; non-null out-of-range /
   * out-of-set rows; orphan child rows), so numbers stay meaningful under
@@ -58,6 +61,17 @@ object Validate {
   final case class RefIntegrity(col: String, ref: DataFrame, refCol: String)
       extends Check {
     def name = s"ref_integrity_$col"
+  }
+
+  /** k-anonymity over the quasi-identifier columns: every combination of
+    * `cols` values must describe at least `k` rows (the privacy audit a
+    * dataset passes before release — a combo rarer than k re-identifies
+    * its members). Violations count the ROWS sitting in under-k groups
+    * (the population at risk), not the groups.
+    */
+  final case class KAnonymity(cols: Seq[String], k: Long) extends Check {
+    require(cols.nonEmpty && k >= 2, s"need quasi-identifiers and k >= 2")
+    def name = s"k_anonymity_${cols.mkString("_")}"
   }
 
   private def violationPredicate(c: Check): Column = c match {
@@ -111,6 +125,12 @@ object Validate {
           .join(r.ref.select(col(r.refCol).as("_k")).distinct(), Seq("_k"), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit(r.name).as("check"), col("violations"))
+      case a: KAnonymity =>
+        frames += df.groupBy(a.cols.map(col): _*)
+          .agg(count(lit(1)).as("_c"))
+          .where(col("_c") < a.k)
+          .agg(coalesce(sum(col("_c")), lit(0L)).as("violations"))
+          .select(lit(a.name).as("check"), col("violations"))
       case _ => () // row-local, already counted
     }
     frames.result()

@@ -1178,12 +1178,14 @@ class OpsSpec extends SparkSpec {
         Validate.InRange("v", 0.0, 100.0),
         Validate.InSet("s", Seq("a", "b")),
         Validate.Unique("id"),
-        Validate.RefIntegrity("id", ref, "k")))
+        Validate.RefIntegrity("id", ref, "k"),
+        Validate.KAnonymity(Seq("s"), k = 2)))
       .orderBy("check").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(got == Seq(
       ("in_range_v", 2L, false),
       ("in_set_s", 1L, false),
+      ("k_anonymity_s", 3L, false),    // singleton combos b, zzz, NULL
       ("not_null_s", 1L, false),
       ("ref_integrity_id", 2L, false), // the two id=2 rows orphaned
       ("unique_id", 2L, false)),       // one extra each for ids 2 and 3
