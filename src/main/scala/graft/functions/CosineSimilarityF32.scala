@@ -139,6 +139,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductF64].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF64(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_ewma"),
+      new ExpressionInfo(classOf[EwmaHalfF64].getName, "graft_ewma"),
+      (children: Seq[Expression]) => EwmaHalfF64(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmeans_assign"),
       new ExpressionInfo(classOf[KmeansAssignI64].getName, "graft_kmeans_assign"),
       (children: Seq[Expression]) => KmeansAssignI64(children(0), children(1))))

@@ -20,6 +20,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 object VectorKernels {
 
+  /** α=1/2 EWMA left fold in element order — the verbatim arithmetic of
+    * `TimeSeries.ewma`'s `aggregate` lambda (`acc·0.5 + v·0.5`, seed =
+    * first element), so the kernel and the interpreted HOF cannot differ
+    * by a bit. Boxed return: null for an empty array or any null element
+    * (the HOF's null-poison semantics).
+    */
+  def ewmaHalf(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getDouble(i)
+      acc = if (i == 0) v else acc * 0.5 + v * 0.5
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** float→double widen (exact), divide by the index-order L2 norm —
     * identical to `Dedup.unitNormalize` / the oracle's
     * `x / sqrt(list_dot_product(v, v))`.
@@ -124,6 +144,32 @@ case class UnitNormalizeF32(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.unitNormalize($c)")
   override protected def withNewChildInternal(newChild: Expression): UnitNormalizeF32 =
+    copy(child = newChild)
+}
+
+/** `graft_ewma(array<double>) -> double`: codegen'd α=1/2 EWMA left fold
+  * in element order. One pass, no lambda interpretation — the
+  * whole-stage-codegen replacement for the `aggregate` HOF fold in
+  * [[graft.ops.TimeSeries.ewma]] (equivalence-tested bit-for-bit).
+  */
+case class EwmaHalfF64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ewma expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ewma"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.ewmaHalf(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorKernels.ewmaHalf($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): EwmaHalfF64 =
     copy(child = newChild)
 }
 

@@ -59,16 +59,26 @@ object TimeSeries {
       unix_micros(col(tsCol)).as("t"),
       col(idCol).cast("long").as("i"),
       col(valCol).cast("double").as("v"))))
+    // The codegen'd one-pass kernel when the extension is registered; the
+    // interpreted HOF fold otherwise — verbatim-identical arithmetic
+    // (equivalence-pinned in FunctionsSpec), so the choice is invisible
+    // in the output bits and only removes lambda interpretation from the
+    // hot path.
+    def fold(s: org.apache.spark.sql.Column) =
+      if (df.sparkSession.catalog.functionExists("graft_ewma"))
+        call_function("graft_ewma", transform(s, _.getField("v")))
+      else
+        aggregate(
+          slice(s, lit(2), size(s) - 1),
+          element_at(s, 1).getField("v"),
+          (acc, x) => acc * 0.5 + x.getField("v") * 0.5)
     df.groupBy(col(keyCol))
       .agg(series.as("_s"))
       .select(
         col(keyCol),
         size(col("_s")).cast("long").as("n_events"),
         element_at(col("_s"), size(col("_s"))).getField("v").as("last_value"),
-        aggregate(
-          slice(col("_s"), lit(2), size(col("_s")) - 1),
-          element_at(col("_s"), 1).getField("v"),
-          (acc, x) => acc * 0.5 + x.getField("v") * 0.5).as("ewma"))
+        fold(col("_s")).as("ewma"))
   }
 
   /** Resample `df` onto a `stepSec`-second grid per `keyCol`: one row per

@@ -107,6 +107,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_ewma matches the aggregate-HOF fold bit-for-bit, null semantics") {
+    // Kernel vs the interpreted HOF it replaces, over real fixture values
+    // grouped per user — the exact plan shape TimeSeries.ewma builds.
+    val ev = Tables(spark, sfDir, "events")
+    val series = sort_array(collect_list(struct(
+      unix_micros(col("ts")).as("t"),
+      col("event_id").cast("long").as("i"),
+      col("value").cast("double").as("v"))))
+    val both = ev.groupBy(col("user_id")).agg(series.as("s"))
+      .select(
+        col("user_id"),
+        call_function("graft_ewma", transform(col("s"), _.getField("v"))).as("k"),
+        aggregate(
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          element_at(col("s"), 1).getField("v"),
+          (acc, x) => acc * 0.5 + x.getField("v") * 0.5).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.toString)
+    }
+    // Edge cases: empty → NULL, singleton → seed, null element → NULL.
+    val edge = spark.sql(
+      """SELECT graft_ewma(CAST(array() AS ARRAY<DOUBLE>)) AS e,
+        |  graft_ewma(array(3.5d)) AS s,
+        |  graft_ewma(array(1.0d, CAST(NULL AS DOUBLE))) AS n,
+        |  graft_ewma(array(8.0d, 4.0d, 2.0d)) AS f""".stripMargin).head()
+    assert(edge.isNullAt(0) && edge.getDouble(1) == 3.5 && edge.isNullAt(2))
+    assert(edge.getDouble(3) == 4.0) // (8*.5+4*.5)=6, 6*.5+2*.5=4
+  }
+
   test("graft_lsh_bands element 1 with one table equals the declarative lshBucket") {
     val e = Tables(spark, sfDir, "embeddings").limit(100)
     val both = e.select(
