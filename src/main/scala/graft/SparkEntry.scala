@@ -5169,6 +5169,29 @@ object SparkEntry {
           (sum(round(col("value_w") * 100).cast("long")).cast("double") / 100.0)
             .as("sum_w"))
         .orderBy("event_type")
+    },
+    // NS-T10: first-order event-transition matrix — the Markov-chain view
+    // of user behavior: per (from_type → to_type) pair the exact count of
+    // immediate successions (order = the exact (unix_micros, event_id)
+    // tuple) and the row-conditional probability as one IEEE division of
+    // exact longs.
+    Q(
+      "ns113_transitions",
+      Some(
+        """WITH s AS (SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) AS to_type
+          |  FROM events),
+          |c AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n FROM s
+          |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+          |SELECT c.from_type, c.to_type, c.n,
+          |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+          |FROM c JOIN t USING (from_type)
+          |ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      Funnel.transitionMatrix(
+          T(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
     }
   )
 

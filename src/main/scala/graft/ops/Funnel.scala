@@ -103,6 +103,45 @@ object Funnel {
     frames.result()
   }
 
+  /** First-order event-transition matrix (the Markov-chain view of user
+    * behavior next to the funnel and the retention matrix): per ordered
+    * (from_type → to_type) pair, how many times a user's event of
+    * `from_type` was immediately followed by one of `to_type`, plus the
+    * row-conditional probability. Transition order is the exact
+    * (unix_micros, id) tuple — the same deterministic tiebreak as
+    * [[graft.ops.TimeSeries.ewma]] — and the probability is ONE IEEE
+    * division of exact longs, so the matrix replays bit-identically.
+    *
+    * Scale shape: one window pass partitioned by user (bounded by the
+    * per-user event count, the usual sessionize bound), then a
+    * map-side-combined count into ≤ |event types|² rows; the row-total
+    * join is over that same tiny matrix.
+    *
+    * Output: `(from_type, to_type, n, p)`.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val counts = events
+      .select(
+        col(userCol), col(typeCol).as("from_type"),
+        unix_micros(col(tsCol)).as("_t"), col(idCol).as("_i"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol)).orderBy(col("_t"), col("_i"))))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("_tot"))
+    counts.join(totals, Seq("from_type"))
+      .select(
+        col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+  }
+
   /** Weekly cohort retention matrix — the other table every growth
     * dashboard keeps next to the funnel: users cohorted by the epoch week
     * of their FIRST event, then for each (cohort_week, week_offset) the

@@ -106,6 +106,29 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, 1L, 1L)), got.toString)
   }
 
+  test("transitionMatrix counts immediate successions per user in (ts, id) order") {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      // user 1: a → b → a  (a→b, b→a)
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"),
+      // user 2: a → b      (a→b)  — ts tie broken by event_id
+      (2L, ts(5), 4L, "a"), (2L, ts(5), 5L, "b"),
+      // user 3: single event, no transition
+      (3L, ts(9), 6L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)), got.toString)
+    // Cross-user events never chain: swap user 2's second event to a new
+    // user and the a→b count drops.
+    val ev2 = ev.withColumn("user_id",
+      when(col("event_id") === 5L, 9L).otherwise(col("user_id")))
+    val got2 = Funnel.transitionMatrix(ev2, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2 == Set(("a", "b", 1L), ("b", "a", 1L)))
+  }
+
   test("userStages reports per-user reach timestamps in micros") {
     def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     val ev = Seq((1L, ts(10), "signup"), (1L, ts(20), "view")).toDF("user_id", "ts", "event_type")
