@@ -525,4 +525,64 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming constraint validation: the live twin of
+    * [[graft.ops.Validate.validate]] — each trigger's batch is validated
+    * and its per-check violation counts FOLD into a running report
+    * (row-local violations are plain sums over rows, so per-trigger
+    * accumulation is EXACT: the running report always equals a one-shot
+    * validate of everything delivered so far). The live data-quality
+    * monitor a pipeline keeps on an ingest stream.
+    *
+    * Deliberately restricted to ROW-LOCAL checks (not-null / range /
+    * set-membership): uniqueness, referential integrity, and k-anonymity
+    * are properties of the whole corpus — per-batch counts of those do
+    * NOT merge (two batches can each look unique) — so they belong on the
+    * managed snapshot, not the stream. The require makes that contract
+    * loud instead of silently wrong.
+    *
+    * Same contracts as [[streamingCmsCounts]]: sink frames are valid
+    * within their trigger, state is the ≤|checks|-row report (truncated
+    * per trigger), `initial` seeds an exact restart resume, retried batch
+    * ids are skipped.
+    */
+  def streamingValidate(
+      newRows: DataFrame,
+      checks: Seq[graft.ops.Validate.Check],
+      checkpointLocation: Option[String] = None,
+      initial: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checks.forall {
+      case _: graft.ops.Validate.NotNull | _: graft.ops.Validate.InRange |
+           _: graft.ops.Validate.InSet => true
+      case _ => false
+    }, "streaming validation accumulates row-local checks only; " +
+      "uniqueness/FK/k-anonymity are corpus properties — run them on the snapshot")
+    var report: Option[DataFrame] =
+      initial.map(graft.ops.Checkpoints.truncate(_))
+    var lastBatchId = -1L
+    val stream = newRows.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val batchReport = graft.ops.Validate.validate(batch, checks)
+            .select(col("check"), col("violations"))
+          val merged = report.map(_.select(col("check"), col("violations"))
+              .unionByName(batchReport)
+              .groupBy("check").agg(sum(col("violations")).as("violations")))
+            .getOrElse(batchReport)
+          val next = graft.ops.Checkpoints.truncate(
+            merged.select(
+              col("check"), col("violations"),
+              (col("violations") === 0L).as("pass")))
+          report.foreach(graft.ops.Checkpoints.unpersist)
+          report = Some(next)
+          sink(next)
+        }
+      }
+      .start()
+  }
 }

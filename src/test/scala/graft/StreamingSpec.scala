@@ -370,4 +370,49 @@ class StreamingSpec extends SparkSpec {
     val mid = ManagedWriter.readVersion(spark, dest, versions(0)).as[(Long, Long)].collect().toSet
     assert(mid == Set((2L, 222L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L)), s"mid $mid")
   }
+
+  test("streaming validation accumulates exactly and rejects corpus checks") {
+    import spark.implicits._
+    import graft.ops.Validate
+    val rows = Seq(
+      (1L, Some(5.0), Some("a")), (2L, Some(500.0), Some("b")),   // trigger 1
+      (3L, None, None), (4L, Some(-3.0), Some("zzz"))             // trigger 2
+    ).toDF("id", "v", "s")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-sv-src-${UUID.randomUUID().toString.take(8)}"
+    rows.where(col("id") <= 2).coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    rows.where(col("id") > 2).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val checks = Seq(
+      Validate.NotNull("s"): Validate.Check,
+      Validate.InRange("v", 0.0, 100.0),
+      Validate.InSet("s", Seq("a", "b")))
+    @volatile var last: Option[Map[String, (Long, Boolean)]] = None
+    @volatile var triggers = 0
+    val q = Streams.streamingValidate(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      checks) { rep =>
+      triggers += 1
+      last = Some(rep.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(triggers >= 2, "stream did not run as multiple triggers")
+    // The accumulated report equals a one-shot validate of everything.
+    val oneShot = Validate.validate(spark.read.parquet(srcDir), checks)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(last.contains(oneShot), s"streaming $last vs one-shot $oneShot")
+    assert(oneShot == Map(
+      "not_null_s" -> (1L, false),
+      "in_range_v" -> (2L, false),
+      "in_set_s" -> (1L, false)), oneShot.toString)
+    // Corpus-level checks are loudly rejected — per-batch counts of
+    // uniqueness do not merge.
+    intercept[IllegalArgumentException] {
+      Streams.streamingValidate(
+        spark.readStream.schema(schema).parquet(srcDir),
+        Seq(Validate.Unique("id"))) { _ => () }
+    }
+  }
 }
