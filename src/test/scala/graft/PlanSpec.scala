@@ -386,4 +386,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be a TakeOrdered:\n$p")
     assert(!p.contains("Window"), s"global ranking window found in selection plan:\n$p")
   }
+
+  test("round-9 ops keep their scale shapes (rate broadcast, no cartesian, kernel fold)") {
+    // ns107: the ≤|groups|-row rate table joins the corpus by BROADCAST —
+    // the coin stays a scan-local predicate, corpus rows never shuffle
+    // for the join.
+    val docs = Tables(spark, sfDir, "documents")
+    val pTemp = plan(graft.ops.Sampling.temperatureSample(docs, "lang", "doc_id"))
+    assert(pTemp.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$pTemp")
+    assert(!pTemp.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$pTemp")
+    // b82 LATERAL: Catalyst must rewrite the correlated LIMIT subquery
+    // into a per-key window/join — never a nested-loop cartesian.
+    val pLat = plan(SparkEntry.queries("b82_lateral_join")(spark, sfDir))
+    assert(!pLat.contains("CartesianProduct"), s"lateral degraded to cartesian:\n$pLat")
+    // b83: null-safe equality is still an equi-key to the planner — the
+    // join must be hash-based (broadcast or shuffled), never BNLJ.
+    val pNs = plan(SparkEntry.queries("b83_nullsafe_join")(spark, sfDir))
+    assert(!pNs.contains("BroadcastNestedLoopJoin") && !pNs.contains("CartesianProduct"),
+      s"null-safe join lost its equi-key:\n$pNs")
+    // ns108: the EWMA fold runs as the codegen'd kernel (no interpreted
+    // HOF lambda) when the extension is registered.
+    val pEwma = plan(graft.ops.TimeSeries.ewma(
+      Tables(spark, sfDir, "events"), "user_id", "ts", "event_id", "value"))
+    assert(pEwma.contains("graft_ewma"), s"expected the kernel fold:\n$pEwma")
+    assert(!pEwma.contains("aggregate(lambda"), s"interpreted HOF fold in the hot path:\n$pEwma")
+  }
 }
