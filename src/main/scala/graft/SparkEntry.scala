@@ -5192,6 +5192,32 @@ object SparkEntry {
       Funnel.transitionMatrix(
           T(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
         .orderBy("from_type", "to_type")
+    },
+    // NS-E2: windowed funnel — ns54's ordered funnel with a 2-hour
+    // conversion window per stage (the "converted within X of the
+    // previous stage" report). Stage k counts only events in
+    // (t_{k-1}, t_{k-1} + 2h]; exact integer micros end to end.
+    Q(
+      "ns114_funnel_window",
+      Some(
+        """WITH e AS (SELECT user_id::BIGINT AS user_id, event_type, epoch_us(ts)::BIGINT AS t
+          |  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+          |s1 AS (SELECT user_id, MIN(t) AS tk FROM e WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, MIN(e.t) AS tk FROM e JOIN s1 USING (user_id)
+          |  WHERE e.event_type = 'view' AND e.t > s1.tk AND e.t <= s1.tk + 7200000000 GROUP BY 1),
+          |s3 AS (SELECT e.user_id, MIN(e.t) AS tk FROM e JOIN s2 USING (user_id)
+          |  WHERE e.event_type = 'click' AND e.t > s2.tk AND e.t <= s2.tk + 7200000000 GROUP BY 1),
+          |s4 AS (SELECT e.user_id, MIN(e.t) AS tk FROM e JOIN s3 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.t > s3.tk AND e.t <= s3.tk + 7200000000 GROUP BY 1)
+          |SELECT * FROM (
+          |  SELECT 1::BIGINT AS stage, 'signup' AS event_type, count(*)::BIGINT AS users FROM s1
+          |  UNION ALL SELECT 2::BIGINT, 'view', count(*)::BIGINT FROM s2
+          |  UNION ALL SELECT 3::BIGINT, 'click', count(*)::BIGINT FROM s3
+          |  UNION ALL SELECT 4::BIGINT, 'purchase', count(*)::BIGINT FROM s4)
+          |ORDER BY stage""".stripMargin)) { (s, dir) =>
+      Funnel.reachWithin(T(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"), maxGapSec = 7200L)
+        .orderBy("stage")
     }
   )
 

@@ -77,7 +77,8 @@ object Funnel {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      stages: Seq[String]): Seq[DataFrame] = {
+      stages: Seq[String],
+      maxGapMicros: Option[Long] = None): Seq[DataFrame] = {
     require(stages.nonEmpty, "empty funnel")
     val e = events
       .where(col(typeCol).isInCollection(stages))
@@ -92,15 +93,52 @@ object Funnel {
     val frames = Seq.newBuilder[DataFrame]
     frames += cur
     for (k <- 1 until stages.length) {
+      val inWindow = maxGapMicros match {
+        case Some(gap) => col("t") > col("prev") && col("t") <= col("prev") + gap
+        case None => col("t") > col("prev")
+      }
       cur = Checkpoints.truncate(
         e.where(col("ty") === stages(k))
           .join(cur.select(col("user_id"), col("tk").as("prev")), "user_id")
-          .where(col("t") > col("prev"))
+          .where(inWindow)
           .groupBy("user_id")
           .agg(min(col("t")).as("tk")))
       frames += cur
     }
     frames.result()
+  }
+
+  /** [[reach]] with a conversion window: stage k only counts when it
+    * happens within `maxGapSec` seconds of the user's stage-k−1 time —
+    * the "converted within 24h of signup" funnel every growth report
+    * actually ships (an unbounded funnel credits a purchase three years
+    * later). Exact integer micros; same per-stage scale shape as
+    * [[reach]].
+    *
+    * Windowing changes reachability non-monotonically ON PURPOSE: a
+    * user whose first in-window stage-k event exists may still lose
+    * stage k+1 because the clock now starts at that EARLIER event. That
+    * is the standard windowed-funnel semantics (each stage's clock runs
+    * from the previous stage's first qualifying event).
+    */
+  def reachWithin(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      maxGapSec: Long): DataFrame = {
+    require(maxGapSec > 0, "conversion window must be positive")
+    val frames = stageFrames(
+      events, userCol, tsCol, typeCol, stages, Some(maxGapSec * 1000000L))
+    frames.zipWithIndex
+      .map { case (cur, k) =>
+        cur.agg(count(lit(1)).as("users")).select(
+          lit((k + 1).toLong).as("stage"),
+          lit(stages(k)).as("event_type"),
+          col("users"))
+      }
+      .reduce(_ unionByName _)
   }
 
   /** First-order event-transition matrix (the Markov-chain view of user

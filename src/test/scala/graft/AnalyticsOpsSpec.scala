@@ -106,6 +106,28 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, 1L, 1L)), got.toString)
   }
 
+  test("reachWithin enforces the per-stage conversion window") {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      // user 1: view 30s after signup — inside a 60s window
+      (1L, ts(10), "signup"), (1L, ts(40), "view"),
+      // user 2: view 90s after signup — outside the window
+      (2L, ts(10), "signup"), (2L, ts(100), "view"),
+      // user 3: late view at 100s but an earlier one at 70s — window is
+      // inclusive at exactly prev + gap
+      (3L, ts(10), "signup"), (3L, ts(70), "view"), (3L, ts(100), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val within = Funnel.reachWithin(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view"), maxGapSec = 60L)
+      .select("stage", "users").as[(Long, Long)].collect().toMap
+    assert(within == Map(1L -> 3L, 2L -> 2L), within.toString)
+    // The unbounded funnel credits all three views.
+    val unbounded = Funnel.reach(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view"))
+      .select("stage", "users").as[(Long, Long)].collect().toMap
+    assert(unbounded == Map(1L -> 3L, 2L -> 3L))
+  }
+
   test("transitionMatrix counts immediate successions per user in (ts, id) order") {
     def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
     val ev = Seq(
