@@ -66,7 +66,12 @@ object Bench {
     "ns01", "ns02", "ns03", "ns04", "ns05", "ns21", "ns23", "ns28",
     "ns29", "ns30", "ns34", "ns36", "ns41", "ns43", "ns53", "ns58",
     "ns62", "ns64", "ns70", "ns71", "ns72", "ns79", "ns80", "ns97",
-    "ns99", "ns100", "ns102", "ns103")
+    "ns99", "ns100", "ns102", "ns103",
+    // round-9 additions — all replication-clean: per-key structures
+    // (series, funnels, histories) replicate with shifted keys, so cost
+    // scales linearly with replicas by construction.
+    "ns105", "ns106", "ns107", "ns108", "ns109", "ns110", "ns111",
+    "ns112", "ns113", "ns114")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
