@@ -83,20 +83,32 @@ object SparkEntry {
 
   /** Deterministic partsupp stand-in (the fixture ships no partsupp
     * table): a part is supplied by exactly the suppliers with
-    * (p_partkey + s_suppkey) % 25 == 0 — `|supplier| / 25` suppliers per
-    * part at every SF — with availability and cents cost derived from the
-    * keys by pure integer arithmetic, so both engines rebuild the
-    * identical relation. The Spark side expresses the residue condition
-    * as an EQUI-join on the residue class (p%25 == (25 - s%25)%25), not a
-    * filtered cross join, so the tiny supplier side broadcast-hash-joins;
-    * the oracle replays the same relation from the raw condition.
+    * (p_partkey + s_suppkey) % m == 0 where `m = |supplier| div 4` —
+    * exactly 4 suppliers per part at EVERY scale, like the real TPC-H
+    * partsupp (|part|×4 rows, linear in SF). The modulus derives from
+    * the supplier count — a fixed literal (an earlier `% 25`) made
+    * suppliers-per-part grow with |supplier|, i.e. a relation QUADRATIC
+    * in SF: the round-9 sf1 up-screen caught b70/b72 at a confirmed
+    * 25–41× on 10× data through exactly that. Availability and cents
+    * cost derive from the keys by pure integer arithmetic, so both
+    * engines rebuild the identical relation. The Spark side expresses
+    * the residue condition as an EQUI-join on the residue class
+    * (p%m == (m − s%m)%m), not a filtered cross join, so the tiny
+    * supplier side broadcast-hash-joins; the one-row modulus frame rides
+    * in as a broadcast (never a collect); the oracle replays the same
+    * relation from the raw condition with a scalar-subquery modulus.
     */
-  private def partsupp(s: SparkSession, dir: String): DataFrame =
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val sup = T(s, dir, "supplier")
+    val mdf = sup.agg(expr("count(1) div 4").as("_m"))
     T(s, dir, "part")
-      .select(col("p_partkey"), (col("p_partkey") % 25).as("pres"))
+      .crossJoin(broadcast(mdf))
+      .select(col("p_partkey"), (col("p_partkey") % col("_m")).as("pres"))
       .join(
-        T(s, dir, "supplier")
-          .select(col("s_suppkey"), ((lit(25L) - col("s_suppkey") % 25) % 25).as("sres")),
+        sup.crossJoin(broadcast(mdf))
+          .select(
+            col("s_suppkey"),
+            ((col("_m") - col("s_suppkey") % col("_m")) % col("_m")).as("sres")),
         col("pres") === col("sres"))
       .select(
         col("p_partkey").as("ps_partkey"),
@@ -105,13 +117,15 @@ object SparkEntry {
           .cast("long").as("ps_availqty"),
         ((col("p_partkey") * 13 + col("s_suppkey") * 7) % 90000 + lit(10000L))
           .cast("long").as("ps_cost_c"))
+  }
 
   /** Oracle-side twin of [[partsupp]] as a WITH-clause member. */
   private val oPs: String =
     """ps AS (SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
       |    (p_partkey * 31 + s_suppkey * 17) % 9973 + 1 AS ps_availqty,
       |    (p_partkey * 13 + s_suppkey * 7) % 90000 + 10000 AS ps_cost_c
-      |  FROM part JOIN supplier ON (p_partkey + s_suppkey) % 25 = 0)""".stripMargin
+      |  FROM part JOIN supplier
+      |  ON (p_partkey + s_suppkey) % (SELECT COUNT(*) // 4 FROM supplier) = 0)""".stripMargin
 
   private final case class Q(
       name: String,
@@ -1867,19 +1881,24 @@ object SparkEntry {
            |       JOIN nation ON s_nationkey = n_nationkey
            |  WHERE n_name = 'NATION_3'),
            |agg AS (SELECT ps_partkey, SUM(val) AS sv FROM gps GROUP BY 1),
-           |tot AS (SELECT SUM(val) AS t FROM gps)
+           |tot AS (SELECT SUM(val) AS t, COUNT(DISTINCT ps_partkey) AS np FROM gps)
            |SELECT ps_partkey, CAST(sv AS DOUBLE) / 100.0 AS value
-           |FROM agg, tot WHERE sv * 200 > t
+           |FROM agg, tot WHERE sv * np > 2 * t
            |ORDER BY value DESC, ps_partkey""".stripMargin)) { (s, dir) =>
+      // TPC-H's real Q11 fraction is itself SF-dependent (0.0001/SF); a
+      // fixed 1/200-of-total emptied the result once partsupp scaled
+      // linearly, so the gate keeps parts above 2x the AVERAGE share —
+      // exact-integer comparison (sv·np > 2·t), meaningful at every SF.
       val gps = partsupp(s, dir)
         .join(T(s, dir, "supplier"), col("s_suppkey") === col("ps_suppkey"))
         .join(T(s, dir, "nation").filter(col("n_name") === "NATION_3"),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("ps_partkey"), (col("ps_availqty") * col("ps_cost_c")).as("val"))
       val agg = gps.groupBy("ps_partkey").agg(sum("val").as("sv"))
-      val tot = gps.agg(sum("val").as("t"))
+      val tot = gps.agg(
+        sum("val").as("t"), countDistinct(col("ps_partkey")).as("np"))
       agg.crossJoin(tot)
-        .filter(col("sv") * 200 > col("t"))
+        .filter(col("sv") * col("np") > col("t") * 2)
         .select(col("ps_partkey"), (col("sv").cast("double") / 100.0).as("value"))
         .orderBy(col("value").desc, col("ps_partkey"))
     },

@@ -197,8 +197,7 @@ class PlanSpec extends SparkSpec {
 
   test("TPC-H completions (b70-b79): dims broadcast, Q19 keeps its equi-key, no cartesians") {
     // All-keyed shapes: every join is hash-keyed, dims broadcast at test SF.
-    for (name <- Seq("b70_tpch_q2", "b71_tpch_q8", "b72_tpch_q9", "b74_tpch_q12",
-        "b75_tpch_q13", "b77_tpch_q16", "b79_tpch_q20")) {
+    for (name <- Seq("b71_tpch_q8", "b74_tpch_q12", "b75_tpch_q13")) {
       val q = SparkEntry.queries(name)(spark, sfDir)
       q.collect()
       val p = plan(q)
@@ -206,10 +205,13 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name: join degenerated to a cartesian:\n$p")
     }
-    // b73 (Q11) / b76 (Q15): the one-row scalar total broadcast-cross-joins
-    // by design (the accepted one-row BNLJ pattern, same as b64); the data
-    // joins must stay keyed and nothing may be a true cartesian.
-    for (name <- Seq("b73_tpch_q11", "b76_tpch_q15")) {
+    // Partsupp-derived shapes (b70/b72/b77/b79) and the scalar-total
+    // shapes b73 (Q11) / b76 (Q15): a ONE-ROW broadcast cross join is
+    // accepted by design (partsupp's |supplier| div 4 modulus frame and
+    // the Q11/Q15 totals — same class as b64); the data joins must stay
+    // keyed and nothing may be a true cartesian.
+    for (name <- Seq("b70_tpch_q2", "b72_tpch_q9", "b77_tpch_q16",
+        "b79_tpch_q20", "b73_tpch_q11", "b76_tpch_q15")) {
       val q = SparkEntry.queries(name)(spark, sfDir)
       q.collect()
       val p = plan(q)
