@@ -1710,27 +1710,30 @@ object SparkEntry {
       val acc = 10000
       val base = T(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-      val w = Window.partitionBy("g").orderBy("x")
-      val ranked = base.withColumn("rn", row_number().over(w))
+      // The element at sorted position t is MIN x with cumcount >= t, so one
+      // cumulative count over DISTINCT (g, x) values answers all six rank
+      // probes (t50/t90 and their ±d sketch-error bounds) in a single
+      // conditional aggregate — no per-row row_number window, no self-joins.
+      val dv = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
+      val cum = dv.withColumn(
+        "cum", sum("c").over(Window.partitionBy("g").orderBy("x")))
       val counts = base.groupBy("g").agg(count(lit(1)).as("n"))
       val targets = counts.select(
         col("g"), col("n"),
         greatest(lit(1L), ceil(lit(0.5) * col("n")).cast("long")).as("t50"),
         greatest(lit(1L), ceil(lit(0.9) * col("n")).cast("long")).as("t90"),
         (ceil(col("n").cast("double") / acc).cast("long") + 1L).as("d"))
-      def at(rankExpr: Column, name: String) = ranked
-        .join(targets, "g")
-        .where(col("rn") === greatest(lit(1L), least(col("n"), rankExpr)))
-        .select(col("g"), col("x").as(name))
+      def at(rankExpr: Column, name: String) =
+        min(when(col("cum") >= greatest(lit(1L), least(col("n"), rankExpr)),
+          col("x"))).as(name)
+      val exact = cum.join(broadcast(targets), "g").groupBy("g").agg(
+        at(col("t50"), "p50_exact"), at(col("t90"), "p90_exact"),
+        at(col("t50") - col("d"), "lo50"), at(col("t50") + col("d"), "hi50"),
+        at(col("t90") - col("d"), "lo90"), at(col("t90") + col("d"), "hi90"))
       val approx = base.groupBy("g").agg(
         percentile_approx(col("x"), lit(0.5), lit(acc)).as("a50"),
         percentile_approx(col("x"), lit(0.9), lit(acc)).as("a90"))
-      at(col("t50"), "p50_exact")
-        .join(at(col("t90"), "p90_exact"), "g")
-        .join(at(col("t50") - col("d"), "lo50"), "g")
-        .join(at(col("t50") + col("d"), "hi50"), "g")
-        .join(at(col("t90") - col("d"), "lo90"), "g")
-        .join(at(col("t90") + col("d"), "hi90"), "g")
+      exact
         .join(approx, "g")
         .select(
           col("g").as("l_returnflag"),

@@ -147,6 +147,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmeansAssignI64].getName, "graft_kmeans_assign"),
       (children: Seq[Expression]) => KmeansAssignI64(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_charlm"),
+      new ExpressionInfo(classOf[CharLmF].getName, "graft_charlm"),
+      (children: Seq[Expression]) => CharLmF(children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bands"),
       new ExpressionInfo(classOf[LshBandsF32].getName, "graft_lsh_bands"),
       (children: Seq[Expression]) => LshBandsF32(

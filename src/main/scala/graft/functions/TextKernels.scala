@@ -54,6 +54,41 @@ object TextKernels {
   private def tokenize(s: String): Array[String] =
     Whitespace.split(trimSpaces(s), -1)
 
+  /** [[CharLmF]] kernel body. `norm` is the [a-z ]-only normalized text;
+    * `c2`/`c1` are the dense bigram/unigram train counts (727/27 slots,
+    * see [[CharLmF]]). Returns [n_trans, n_unseen, familiarity] with the
+    * EXACT operation order of the declarative twin in
+    * [[graft.ops.TextOps.charLmScore]].
+    */
+  def charLm(norm: UTF8String, c2: ArrayData, c1: ArrayData): ArrayData = {
+    val s = norm.toString
+    val n = s.length
+    if (n <= 1) return new GenericArrayData(Array[Double](0.0, 0.0, 0.0))
+    var acc = 0.0
+    var unseen = 0L
+    var a = symbolIndex(s.charAt(0))
+    var i = 0
+    while (i < n - 1) {
+      val b = symbolIndex(s.charAt(i + 1))
+      val cBi = if (a >= 0 && b >= 0) c2.getLong(a * 27 + b) else 0L
+      val cUni = if (a >= 0) c1.getLong(a) else 0L
+      if (cBi == 0L) unseen += 1L
+      acc += (cBi + 1L).toDouble / (cUni + 27L).toDouble
+      a = b
+      i += 1
+    }
+    val nTrans = (n - 1).toDouble
+    new GenericArrayData(Array[Double](nTrans, unseen.toDouble, acc / nTrans))
+  }
+
+  /** 'a'..'z' → 0..25, space → 26, anything else (impossible after the
+    * charLmScore normalization) → -1 = zero-count lookup.
+    */
+  private def symbolIndex(c: Char): Int =
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c == ' ') 26
+    else -1
+
   /** First 4 md5 bytes as an unsigned 32-bit value (md5 is the only hash
     * both Spark and the DuckDB oracle compute identically).
     */
@@ -348,6 +383,41 @@ object TextKernels {
       math.min(awl / 10.0, 1.0) * 0.4 + (1.0 - punctRatio) * 0.2
     new GenericArrayData(Array[Double](awl, stopRatio, punctRatio, quality))
   }
+}
+
+/** Codegen'd char-bigram LM scoring:
+  * `graft_charlm(norm, c2_dense, c1_dense)` → array<double>
+  * [n_trans, n_unseen, familiarity]. The model state rides in as two
+  * DENSE literal arrays over the fixed 27-symbol alphabet (index
+  * a*27+b; 'a'..'z' → 0..25, space → 26; count 0 ≡ absent), so each
+  * transition is two O(1) array reads — replacing the interpreted
+  * `transform`/`aggregate` lambdas whose per-gram `element_at` did a
+  * LINEAR scan of a 729-entry map literal (ns100 was the suite's
+  * slowest query for exactly that reason). Arithmetic is bit-identical
+  * to the declarative twin: p = (c2+1)/(c1+27) as one IEEE division of
+  * exact longs, summed in position order, one final division by
+  * n_trans (asserted equal in OpsSpec).
+  */
+case class CharLmF(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_charlm expects (string, array<long>, array<long>), got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_charlm"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    TextKernels.charLm(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.TextKernels.charLm($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CharLmF =
+    copy(first = f, second = s, third = t)
 }
 
 /** Codegen'd rolling-fingerprint expression — whole-stage codegen emits a

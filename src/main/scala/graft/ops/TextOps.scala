@@ -1019,6 +1019,23 @@ object TextOps {
     val c1 = c2.toSeq
       .groupBy(_._1.substring(0, 1))
       .map { case (a, xs) => a -> xs.map(_._2).sum }
+    // Kernel path: fold the bounded model state into DENSE literal arrays
+    // over the fixed alphabet and score in one codegen'd pass per row
+    // (O(1) lookups) instead of interpreted HOF lambdas doing linear
+    // map-literal scans per gram.
+    if (df.sparkSession.catalog.functionExists("graft_charlm")) {
+      def sym(i: Int): Char = if (i == 26) ' ' else ('a' + i).toChar
+      val c2d: Seq[Long] = (0 until 27 * 27).map { k =>
+        c2.getOrElse(s"${sym(k / 27)}${sym(k % 27)}", 0L)
+      }
+      val c1d: Seq[Long] = (0 until 27).map(k => c1.getOrElse(sym(k).toString, 0L))
+      val r = call_function("graft_charlm", col("lm_norm"), typedLit(c2d), typedLit(c1d))
+      return base.select(
+        col(idCol),
+        r.getItem(0).cast("long").as("n_trans"),
+        r.getItem(1).cast("long").as("n_unseen"),
+        r.getItem(2).as("familiarity"))
+    }
     val m2 = typedLit(c2)
     val m1 = typedLit(c1)
     val probs = when(

@@ -1272,10 +1272,16 @@ class OpsSpec extends SparkSpec {
     assert(got(1) == ((1L, 1L, 1L, 1.0 / 28)), got(1).toString)
     assert(got(2) == ((3L, 0L, 0L, 0.0)), got(2).toString)
 
-    // Scoring is a zero-shuffle projection: the count tables ride as map
-    // literals, so the returned plan has no Exchange.
-    val plan = TextOps.charLmScore(docs, "doc_id", "text", col("doc_id") % 2 === 0, 200)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    // Scoring is a zero-shuffle projection: the count tables ride as dense
+    // literal arrays into the codegen'd graft_charlm kernel (the exact
+    // double assertions above pin the kernel bit-identical to the
+    // declarative HOF twin's operation order), so the returned plan has no
+    // Exchange and no interpreted lambda.
+    val qe = TextOps.charLmScore(docs, "doc_id", "text", col("doc_id") % 2 === 0, 200)
+      .queryExecution
+    assert(!qe.executedPlan.toString.contains("Exchange"), qe.executedPlan.toString)
+    // Asserted on the analyzed plan: over a local Seq input the optimizer
+    // constant-folds the whole projection into the LocalTableScan.
+    assert(qe.analyzed.toString.contains("graft_charlm"), qe.analyzed.toString)
   }
 }
