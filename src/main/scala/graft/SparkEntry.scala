@@ -2201,6 +2201,47 @@ object SparkEntry {
         .groupBy(coalesce(col("a.k"), lit(-1L)).as("k"))
         .agg(count(lit(1)).as("n"))
         .orderBy("k")
+    },
+    // B-SQL7: VARIANT semi-structured round-trip (Spark 4's native
+    // open-schema type). Each event is serialized to a nested JSON doc
+    // (object + nested object + array), parsed back through
+    // `parse_json` → VARIANT, and read with TYPED `variant_get` paths —
+    // the shred-on-read pattern for schemaless columns at scale
+    // (VARIANT parse + path extraction stay codegen'd and scan-local;
+    // no shuffle before the final aggregate). The oracle computes the
+    // same aggregates directly from the base columns, so ANY loss in
+    // the serialize→parse→extract chain (dropped field, type coercion,
+    // wrong array index) breaks the hash — the ns101 export-bundle
+    // gating pattern applied to the VARIANT codec.
+    Q(
+      "b84_variant",
+      Some(
+        s"""SELECT event_type AS t, COUNT(*)::BIGINT AS n,
+           |  CAST(SUM(${oCents("value")}) AS DOUBLE) / 100.0 AS sum_v,
+           |  SUM(user_id % 7)::BIGINT AS sum_tag0,
+           |  SUM(user_id % 11)::BIGINT AS sum_tag1,
+           |  SUM(user_id)::BIGINT AS sum_u
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val j = to_json(struct(
+        col("user_id").as("u"),
+        struct(col("event_type").as("t"), cents(col("value")).as("c")).as("m"),
+        array(col("user_id") % 7, col("user_id") % 11).as("tags")))
+      val v = parse_json(j)
+      T(s, dir, "events")
+        .select(
+          variant_get(v, "$.m.t", "string").as("t"),
+          variant_get(v, "$.m.c", "bigint").as("c"),
+          variant_get(v, "$.tags[0]", "bigint").as("tag0"),
+          variant_get(v, "$.tags[1]", "bigint").as("tag1"),
+          variant_get(v, "$.u", "bigint").as("u"))
+        .groupBy("t")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum("c").cast("double") / 100.0).as("sum_v"),
+          sum("tag0").cast("long").as("sum_tag0"),
+          sum("tag1").cast("long").as("sum_tag1"),
+          sum("u").cast("long").as("sum_u"))
+        .orderBy("t")
     }
   )
 
@@ -5240,6 +5281,33 @@ object SparkEntry {
       Funnel.reachWithin(T(s, dir, "events"), "user_id", "ts", "event_type",
           Seq("signup", "view", "click", "purchase"), maxGapSec = 7200L)
         .orderBy("stage")
+    },
+    // NS-W9: per-file Bloom point-lookup skipping — C76's zone maps
+    // can't prune a high-cardinality equality over a HASH layout (every
+    // file spans the full key range); parquet-native split-block Bloom
+    // filters, embedded by the writer inside each file (no extra pass,
+    // no sidecar), prove per-file ABSENCE at plan time. The gate
+    // round-robins documents into a bloom-indexed managed table and
+    // point-looks-up a sparse key set through readSkippingBloom; the
+    // oracle reads the base table directly, so a false negative (a
+    // wrongly pruned file = lost rows) breaks the hash. Pruning
+    // effectiveness is plan-asserted in DataSkippingSpec.
+    Q(
+      "ns115_bloom_skipping",
+      Some(
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE doc_id % 97 = 5 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-bloom-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, docs.schema, StreamType.Pending,
+        bloomColumns = Seq("doc_id"))
+      w.write(docs.repartition(8))
+      w.finalizeCommit()
+      val keys = docs.where(col("doc_id") % 97 === 5)
+        .select("doc_id").collect().map(_.getLong(0).asInstanceOf[Any])
+      DataSkipping.readSkippingBloom(s, dest, Seq(sources.In("doc_id", keys)))
+        .orderBy("doc_id")
     }
   )
 

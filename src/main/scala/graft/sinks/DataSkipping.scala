@@ -461,6 +461,140 @@ object DataSkipping {
     case _ => None
   }
 
+  // ---------------------------------------------------------------------
+  // Per-file Bloom filters (parquet-native point-lookup skipping)
+  // ---------------------------------------------------------------------
+
+  /** Writer options that make the parquet writer embed a split-block Bloom
+    * filter for each named column in every produced file (computed inside
+    * the data write itself — no extra pass, no sidecar; the filter lives in
+    * the file the way Delta's bloom index and Iceberg's ndv metrics ride
+    * the data). Probe side: [[readSkippingBloom]].
+    */
+  def bloomWriteOptions(cols: Seq[String], expectedNdv: Long = 100000L): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)).toMap
+
+  /** Lift an equality literal into a column's parquet physical domain for
+    * bloom hashing; None = unconvertible → conservative keep.
+    */
+  private def toParquetValue(
+      prim: org.apache.parquet.schema.PrimitiveType, v: Any): Option[Any] = {
+    val isString = prim.getLogicalTypeAnnotation
+      .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    (prim.getPrimitiveTypeName, v) match {
+      case (PrimitiveTypeName.INT64, n: java.lang.Number) =>
+        Some(java.lang.Long.valueOf(n.longValue()))
+      case (PrimitiveTypeName.INT32, n: java.lang.Number) =>
+        Some(java.lang.Integer.valueOf(n.intValue()))
+      case (PrimitiveTypeName.DOUBLE, n: java.lang.Number) =>
+        Some(java.lang.Double.valueOf(n.doubleValue()))
+      case (PrimitiveTypeName.FLOAT, n: java.lang.Number) =>
+        Some(java.lang.Float.valueOf(n.floatValue()))
+      case (PrimitiveTypeName.BINARY, s: String) if isString =>
+        Some(org.apache.parquet.io.api.Binary.fromString(s))
+      case _ => None
+    }
+  }
+
+  /** Could the file contain ANY of `values` in `column`, according to its
+    * embedded parquet Bloom filters? `true` is the conservative default
+    * (no bloom in some row group, unknown column, unconvertible literal);
+    * `false` is a proof of absence (modulo the bloom's zero
+    * false-negative guarantee). Cost: one footer read plus the bloom
+    * bitset pages (KB-sized) — never column data.
+    */
+  private def bloomAdmits(
+      fs: FileSystem, destDir: String, rel: String,
+      column: String, values: Seq[Any]): Boolean = {
+    val opened = Try(ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(destDir, rel), fs.getConf)))
+    opened.fold(_ => true, { reader =>
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val field = scala.jdk.CollectionConverters
+          .ListHasAsScala(schema.getFields).asScala
+          .find(f => f.getName == column && f.isPrimitive)
+        field match {
+          case None => true
+          case Some(f) =>
+            val converted = values.map(toParquetValue(f.asPrimitiveType(), _))
+            if (converted.exists(_.isEmpty)) true
+            else {
+              val vs = converted.flatten
+              var allGroupsHaveBloom = true
+              var might = false
+              reader.getFooter.getBlocks.forEach { g =>
+                if (!might && allGroupsHaveBloom) {
+                  scala.jdk.CollectionConverters
+                    .ListHasAsScala(g.getColumns).asScala
+                    .find(c => c.getPath.size() == 1 && c.getPath.toDotString == column) match {
+                    case None => allGroupsHaveBloom = false
+                    case Some(cc) =>
+                      val bf = reader.getBloomFilterDataReader(g).readBloomFilter(cc)
+                      if (bf == null) allGroupsHaveBloom = false
+                      else if (vs.exists {
+                        case l: java.lang.Long => bf.findHash(bf.hash(l.longValue()))
+                        case i: java.lang.Integer => bf.findHash(bf.hash(i.intValue()))
+                        case d: java.lang.Double => bf.findHash(bf.hash(d.doubleValue()))
+                        case fl: java.lang.Float => bf.findHash(bf.hash(fl.floatValue()))
+                        case b: org.apache.parquet.io.api.Binary => bf.findHash(bf.hash(b))
+                        case _ => true
+                      }) might = true
+                  }
+                }
+              }
+              if (!allGroupsHaveBloom) true else might
+            }
+        }
+      } finally reader.close()
+    })
+  }
+
+  /** The point-lookup terms a Bloom filter can prove absent: top-level
+    * (AND-composed) equality and IN terms with non-null literals. OR
+    * branches and other shapes stay zone-map-only (conservative).
+    */
+  private def eqTerms(f: Filter): Seq[(String, Seq[Any])] = f match {
+    case And(l, r) => eqTerms(l) ++ eqTerms(r)
+    case EqualTo(a, v) if v != null => Seq(a -> Seq(v))
+    case EqualNullSafe(a, v) if v != null => Seq(a -> Seq(v))
+    case In(a, vs) if vs.nonEmpty && !vs.contains(null) => Seq(a -> vs.toSeq)
+    case _ => Nil
+  }
+
+  /** [[report]] plus per-file Bloom probing for the predicate's equality /
+    * IN terms — the high-cardinality point-lookup case where min/max zone
+    * maps can't prune (every file spans the full key range) but a Bloom
+    * proves per-file absence. Probing is driver-side O(zone-kept files ×
+    * row groups) bloom-page reads, on the already-zone-pruned candidate
+    * list only.
+    */
+  def reportBloom(spark: SparkSession, destDir: String, filters: Seq[Filter]): SkipReport = {
+    val zone = report(spark, destDir, filters)
+    val terms = filters.flatMap(eqTerms)
+    if (terms.isEmpty) return zone
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept = zone.keptFiles.filter { f =>
+      terms.forall { case (c, vs) => bloomAdmits(fs, destDir, f, c, vs) }
+    }
+    SkipReport(zone.totalFiles, kept)
+  }
+
+  /** [[readSkipping]] with Bloom-filter point-lookup pruning on top of the
+    * zone maps; same exactness contract — the full predicate is re-applied
+    * row-wise, so the result is exactly `read(destDir).where(filters)`.
+    */
+  def readSkippingBloom(spark: SparkSession, destDir: String, filters: Seq[Filter]): DataFrame = {
+    val residual = filters.map(f =>
+      toColumn(f).getOrElse(throw new IllegalArgumentException(
+        s"unsupported residual filter: $f")))
+    val rep = reportBloom(spark, destDir, filters)
+    val base = ManagedWriter.readFiles(spark, destDir, rep.keptFiles)
+    residual.foldLeft(base)(_.where(_))
+  }
+
   /** Opt-in stats backfill for files the manifest names but no sidecar
     * covers — ADOPTED files (a pre-existing dataset the first commit took
     * over, deliberately not footer-scanned then: adoption is implicit and

@@ -52,7 +52,8 @@ final class ManagedWriter(
     destDir: String,
     expectedSchema: StructType,
     streamType: StreamType = StreamType.Pending,
-    allowSchemaEvolution: Boolean = false) {
+    allowSchemaEvolution: Boolean = false,
+    bloomColumns: Seq[String] = Nil) {
 
   private val stagingDir = s"$destDir-staging-${UUID.randomUUID().toString.take(8)}"
   private var finalized = false
@@ -102,7 +103,13 @@ final class ManagedWriter(
         s"schema mismatch: got ${df.schema.simpleString}, want ${expectedSchema.simpleString}")
     }
     val batchDir = s"$stagingDir/batch-$appended"
-    df.write.mode("errorifexists").parquet(batchDir)
+    // `bloomColumns` ride as parquet writer properties: the writer embeds a
+    // split-block Bloom filter per named column INSIDE each produced file —
+    // no extra data pass, no sidecar; DataSkipping.readSkippingBloom probes
+    // them at plan time for point-lookup pruning beyond min/max zone maps.
+    df.write
+      .options(DataSkipping.bloomWriteOptions(bloomColumns))
+      .mode("errorifexists").parquet(batchDir)
     appended += 1
     val n = spark.read.parquet(batchDir).count()
     if (streamType == StreamType.Committed) {

@@ -202,6 +202,57 @@ class DataSkippingSpec extends SparkSpec {
       rows(ManagedWriter.read(spark, dest).where(col("o_orderkey") < 500L)))
   }
 
+  test("bloom point-lookup prunes hash-laid-out files zone maps cannot; conservative without blooms") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    val dest = tmp()
+    // Hash layout: every file spans nearly the full doc_id range, so min/max
+    // zone maps admit EVERY file for a point lookup — the case blooms exist
+    // for.
+    val w = new ManagedWriter(spark, dest, docs.schema, StreamType.Pending,
+      bloomColumns = Seq("doc_id"))
+    w.write(docs.repartition(8))
+    w.finalizeCommit()
+    // Middle-of-range keys: every file's [min,max] admits them (round-robin
+    // interleaving), so zone maps alone keep everything.
+    val sortedIds = docs.orderBy("doc_id").collect().map(_.getLong(0))
+    val key = sortedIds(sortedIds.length / 2)
+    val filters = Seq[Filter](EqualTo("doc_id", key))
+    val zone = DataSkipping.report(spark, dest, filters)
+    val n = zone.totalFiles
+    assert(n >= 6, s"expected a multi-file layout, got $n files")
+    assert(zone.keptFiles.size == n, s"zone maps should be useless here: $zone")
+    val bloom = DataSkipping.reportBloom(spark, dest, filters)
+    assert(bloom.keptFiles.size < n, s"bloom should prune: $bloom")
+    assert(rows(DataSkipping.readSkippingBloom(spark, dest, filters)) ==
+      rows(ManagedWriter.read(spark, dest).where(col("doc_id") === key)))
+    // In() probes every member; only files possibly holding SOME member stay
+    val keys = sortedIds.slice(sortedIds.length / 2 - 1, sortedIds.length / 2 + 2)
+    val inF = Seq[Filter](In("doc_id", keys.map(_.asInstanceOf[Any])))
+    val inRep = DataSkipping.reportBloom(spark, dest, inF)
+    assert(inRep.keptFiles.size < n && inRep.keptFiles.nonEmpty, inRep.toString)
+    assert(rows(DataSkipping.readSkippingBloom(spark, dest, inF)) ==
+      rows(ManagedWriter.read(spark, dest).where(col("doc_id").isin(keys: _*))))
+    // Range terms carry no eq-term: bloom report degrades to the zone report
+    val rangeRep = DataSkipping.reportBloom(spark, dest, Seq(GreaterThan("doc_id", key)))
+    assert(rangeRep.keptFiles.toSet ==
+      DataSkipping.report(spark, dest, Seq(GreaterThan("doc_id", key))).keptFiles.toSet)
+    // A table written WITHOUT blooms keeps everything (conservative), result intact
+    val dest2 = tmp()
+    val w2 = new ManagedWriter(spark, dest2, docs.schema, StreamType.Pending)
+    w2.write(docs.repartition(4))
+    w2.finalizeCommit()
+    val rep2 = DataSkipping.reportBloom(spark, dest2, filters)
+    assert(rep2.keptFiles.size == rep2.totalFiles, rep2.toString)
+    // String-column blooms prove absent categories
+    val dest3 = tmp()
+    val w3 = new ManagedWriter(spark, dest3, docs.schema, StreamType.Pending,
+      bloomColumns = Seq("lang"))
+    w3.write(docs.repartition(4))
+    w3.finalizeCommit()
+    val absent = DataSkipping.reportBloom(spark, dest3, Seq(EqualTo("lang", "zz-absent")))
+    assert(absent.keptFiles.isEmpty, absent.toString)
+  }
+
   test("unsupported residual filter throws instead of widening the result") {
     val dest = tmp()
     val sup = Tables(spark, sfDir, "supplier")
