@@ -71,7 +71,13 @@ object Bench {
     // (series, funnels, histories) replicate with shifted keys, so cost
     // scales linearly with replicas by construction.
     "ns105", "ns106", "ns107", "ns108", "ns109", "ns110", "ns111",
-    "ns112", "ns113", "ns114")
+    "ns112", "ns113", "ns114",
+    // ns115 (bloom write + point lookup) and ns118 (validity join) are
+    // linear in replicas; ns116/ns117 are excluded like the pairwise
+    // class — replication densifies a FIXED coordinate domain, so the
+    // radius-join OUTPUT itself grows ~quadratically in the fixture,
+    // which says nothing about the operator (its cost is output-bound).
+    "ns115", "ns118")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

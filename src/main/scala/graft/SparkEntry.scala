@@ -76,6 +76,19 @@ object SparkEntry {
     * rounds-to-nearest while Spark's truncates, so both sides go through
     * an explicit ROUND first — exact on these integer-valued doubles).
     */
+  /** Deterministic uniform planar points from customer keys (md5-derived,
+    * the repo's standard cross-engine hash): the spatial-join fixtures.
+    * Oracle twin: `('0x' || substring(md5(id::VARCHAR [|| 'y']), 1, 8))
+    * ::BIGINT % 100000`.
+    */
+  private def spatialPoints(customer: DataFrame): DataFrame = {
+    def h(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    customer.select(
+      col("c_custkey").as("id"),
+      (h(col("c_custkey").cast("string")) % 100000).as("x"),
+      (h(concat(col("c_custkey").cast("string"), lit("y"))) % 100000).as("y"))
+  }
+
   private def oCents(x: String) = s"CAST(ROUND($x * 100) AS BIGINT)"
   private def oSum(x: String) = s"CAST(SUM(${oCents(x)}) AS DOUBLE) / 100.0"
   private def oAvg(x: String) =
@@ -2242,6 +2255,59 @@ object SparkEntry {
           sum("tag1").cast("long").as("sum_tag1"),
           sum("u").cast("long").as("sum_u"))
         .orderBy("t")
+    },
+    // B-A4: Apache DataSketches HLL (Spark 4's mergeable-sketch family,
+    // beyond b40's HyperLogLog++ aggregate): per-group sketches built
+    // over SUB-GROUPS and combined with hll_union_agg — the 100 TB
+    // pattern where per-partition/per-day sketches persist and roll up
+    // without touching rows again. Gated like b40: exact distincts
+    // hash-gate, the union-estimate must sit inside 3× the published
+    // lgK=12 relative error (±1.63%) — a sketch or merge regression
+    // flips the verdict column.
+    Q(
+      "b85_hll_sketch",
+      Some(
+        """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+          |  TRUE AS union_in_bound
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val rse = 1.04 / math.sqrt(1 << 12) // published HLL_4 relative std err at lgK=12
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        .join(
+          T(s, dir, "lineitem").groupBy("l_returnflag")
+            .agg(countDistinct("l_orderkey").as("exact_orders")),
+          "l_returnflag")
+        .select(
+          col("l_returnflag"), col("exact_orders"),
+          (abs(col("est").cast("double") - col("exact_orders").cast("double")) /
+            col("exact_orders").cast("double") <= lit(rse * 3)).as("union_in_bound"))
+        .orderBy("l_returnflag")
+    },
+    // B-A5: EXACT distinct counting through bitmap aggregates (Spark 4's
+    // bitmap_construct_agg family): ids fold into per-bucket bitmaps
+    // (32k-bit buckets), bucket counts sum — the materialized-view
+    // pattern for exact COUNT(DISTINCT) that stays mergeable across
+    // partitions/days, unlike the non-distributive raw distinct. Exact,
+    // so the whole result hash-gates against the oracle's plain
+    // COUNT(DISTINCT) — no verdict column needed.
+    Q(
+      "b86_bitmap_distinct",
+      Some(
+        """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+          |  count(DISTINCT l_partkey)::BIGINT AS n_parts
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      def bitmapDistinct(keyCol: String, out: String) = li
+        .groupBy(col("l_returnflag"), expr(s"bitmap_bucket_number($keyCol)").as("bk"))
+        .agg(expr(s"bitmap_construct_agg(bitmap_bit_position($keyCol))").as("b"))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("bitmap_count(b)")).cast("long").as(out))
+      bitmapDistinct("l_orderkey", "n_orders")
+        .join(bitmapDistinct("l_partkey", "n_parts"), "l_returnflag")
+        .orderBy("l_returnflag")
     }
   )
 
@@ -5308,6 +5374,92 @@ object SparkEntry {
         .select("doc_id").collect().map(_.getLong(0).asInstanceOf[Any])
       DataSkipping.readSkippingBloom(s, dest, Seq(sources.In("doc_id", keys)))
         .orderBy("doc_id")
+    },
+    // NS-S10: spatial radius self-join — all point pairs within R,
+    // via C109's grid-bucketed equi-join (cell key + 3×3 neighbor
+    // expansion), never a cross join. Points derive from customer keys
+    // through exact modular arithmetic (both engines compute identical
+    // BIGINTs) and the distance test compares exact squared longs, so
+    // the pair set is bit-stable — the cross-engine-safe analogue of a
+    // haversine join. The oracle brute-forces the O(n²) predicate
+    // directly; the Spark plan is asserted cartesian-free in OpsSpec.
+    Q(
+      "ns116_spatial_join",
+      Some(
+        """WITH p AS (SELECT c_custkey AS id,
+          |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100000 AS x,
+          |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))::BIGINT % 100000 AS y
+          |  FROM customer)
+          |SELECT a.id AS id1, b.id AS id2,
+          |  ((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))::BIGINT AS d2
+          |FROM p a JOIN p b ON a.id < b.id
+          |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 250000
+          |ORDER BY id1, id2""".stripMargin)) { (s, dir) =>
+      val pts = spatialPoints(T(s, dir, "customer"))
+      graft.ops.Spatial.radiusPairs(pts, "id", "x", "y", radius = 500L)
+        .orderBy("id1", "id2")
+    },
+    // NS-S11: radius-bounded nearest neighbor — each point's closest
+    // other point within R (ties → smaller id), one min-struct aggregate
+    // over the C109 pair stream. Bounding by R is what keeps the join
+    // output-proportional at 100 TB (unbounded NN needs ring growing).
+    Q(
+      "ns117_nn_join",
+      Some(
+        """WITH p AS (SELECT c_custkey AS id,
+          |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100000 AS x,
+          |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))::BIGINT % 100000 AS y
+          |  FROM customer),
+          |pr AS (SELECT a.id AS id, b.id AS nn,
+          |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          |  FROM p a JOIN p b ON a.id <> b.id
+          |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000),
+          |r AS (SELECT id, nn, d2,
+          |    row_number() OVER (PARTITION BY id ORDER BY d2, nn) AS rk FROM pr)
+          |SELECT id, nn AS nn_id, d2::BIGINT AS d2 FROM r WHERE rk = 1
+          |ORDER BY id""".stripMargin)) { (s, dir) =>
+      val pts = spatialPoints(T(s, dir, "customer"))
+      graft.ops.Spatial.nearestWithin(pts, "id", "x", "y", radius = 2000L)
+        .orderBy("id")
+    },
+    // NS-W10: temporal validity join — the READ side of ns105's SCD2:
+    // every lineitem fact meets the supplier version valid AT ITS SHIP
+    // TIME (two versions per supplier, split at epoch-day 9862 =
+    // 1997-01-01; balances in exact cents). A wrong version pick or a
+    // boundary-day off-by-one shifts the per-supplier sums and breaks
+    // the hash. Plain equi-join on the key with the window residual —
+    // versions-per-key is bounded, so no interval structure is needed.
+    Q(
+      "ns118_validity_join",
+      Some(
+        """WITH d AS (
+          |  SELECT s_suppkey AS k, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_c,
+          |    0::BIGINT AS valid_from, 9862::BIGINT AS valid_to FROM supplier
+          |  UNION ALL
+          |  SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS BIGINT) + 10000,
+          |    9862::BIGINT, CAST(NULL AS BIGINT) FROM supplier),
+          |f AS (SELECT l_suppkey AS k,
+          |    date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS t
+          |  FROM lineitem)
+          |SELECT f.k AS s_suppkey, COUNT(*)::BIGINT AS n_facts,
+          |  SUM(d.bal_c)::BIGINT AS sum_bal_c
+          |FROM f JOIN d ON f.k = d.k
+          |  AND f.t >= d.valid_from AND (d.valid_to IS NULL OR f.t < d.valid_to)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val sup = T(s, dir, "supplier")
+      val dim = sup.select(
+          col("s_suppkey").as("k"), cents(col("s_acctbal")).as("bal_c"),
+          lit(0L).as("valid_from"), lit(9862L).as("valid_to"))
+        .unionAll(sup.select(
+          col("s_suppkey").as("k"), (cents(col("s_acctbal")) + 10000L).as("bal_c"),
+          lit(9862L).as("valid_from"), lit(null).cast("long").as("valid_to")))
+      val facts = T(s, dir, "lineitem").select(
+        col("l_suppkey").as("k"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("t"))
+      Incremental.validityJoin(facts, dim, Seq("k"), "t")
+        .groupBy(col("k").as("s_suppkey"))
+        .agg(count(lit(1)).as("n_facts"), sum("bal_c").cast("long").as("sum_bal_c"))
+        .orderBy("s_suppkey")
     }
   )
 

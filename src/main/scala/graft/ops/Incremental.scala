@@ -132,4 +132,37 @@ object Incremental {
       .unionByName(currentClosed)
       .unionByName(opened.select(history.columns.map(col).toSeq: _*))
   }
+
+  /** Temporal validity join: each fact row meets the ONE dimension
+    * version whose `[fromCol, toCol)` window contains its `timeCol`
+    * (open-ended current versions carry `toCol = NULL`) — the read side
+    * of SCD Type-2: "price/owner/config AS OF the event's time".
+    *
+    * Deliberately a plain equi-join on the dimension key with the window
+    * test as a row-wise residual, NOT an interval-join structure: version
+    * counts per key are small (bounded by change frequency, independent
+    * of fact volume), so Catalyst's shuffled hash/sort-merge join on the
+    * key already co-locates each fact with its handful of candidate
+    * versions — one shuffle each side, fan-out = versions-per-key, and
+    * the non-overlapping-windows invariant keeps the match unique. An
+    * interval/range-bin structure only pays when one key's version count
+    * itself grows with data size, which SCD2 histories do not do.
+    */
+  def validityJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      fromCol: String = "valid_from",
+      toCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty, "need key columns")
+    val d = dim.select(dim.columns.map(c => col(c).as(s"__d_$c")).toSeq: _*)
+    val keyEq = keyCols.map(c => facts(c) === col(s"__d_$c")).reduce(_ && _)
+    val window = facts(timeCol) >= col(s"__d_$fromCol") &&
+      (col(s"__d_$toCol").isNull || facts(timeCol) < col(s"__d_$toCol"))
+    facts.join(d, keyEq && window)
+      .select(facts.columns.map(facts(_)) ++
+        dim.columns.filterNot(c => keyCols.contains(c) || c == fromCol || c == toCol)
+          .map(c => col(s"__d_$c").as(c)): _*)
+  }
 }

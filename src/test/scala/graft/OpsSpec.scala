@@ -1164,6 +1164,27 @@ class OpsSpec extends SparkSpec {
     assert(h2.where(col("is_current")).count() == 3)
   }
 
+  test("Incremental.validityJoin: version picked by window, boundaries half-open, current open-ended") {
+    val dim = Seq(
+      (1L, "v0", 0L, Some(10L)), (1L, "v1", 10L, Some(20L)), (1L, "v2", 20L, None),
+      (2L, "w0", 5L, None)
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, 0L),   // at window start → v0
+      (1L, 9L),   // last instant of v0
+      (1L, 10L),  // boundary: half-open → v1, not v0
+      (1L, 25L),  // open-ended current → v2
+      (2L, 4L),   // before w0 opens → NO match (dropped)
+      (2L, 7L),   // inside w0's open-ended window
+      (3L, 7L)    // unknown key → dropped
+    ).toDF("k", "t")
+    val got = Incremental.validityJoin(facts, dim, Seq("k"), "t")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 0L, "v0"), (1L, 9L, "v0"), (1L, 10L, "v1"),
+      (1L, 25L, "v2"), (2L, 7L, "w0")), got.mkString(","))
+  }
+
   test("Validate: per-check violation counts, pass flags, shared row-local pass") {
     val df = Seq(
       (1L, Some(5.0), Some("a")),
@@ -1283,5 +1304,34 @@ class OpsSpec extends SparkSpec {
     // Asserted on the analyzed plan: over a local Seq input the optimizer
     // constant-folds the whole projection into the LocalTableScan.
     assert(qe.analyzed.toString.contains("graft_charlm"), qe.analyzed.toString)
+  }
+
+  test("spatial radius join: hand-computed pairs, cross-cell coverage, no cartesian") {
+    import graft.ops.Spatial
+    // (1,(0,0)) and (2,(3,4)) are d²=25 apart; (3,(9,0)) is d²=52 from 2
+    // and 81 from 1; (4,(100,100)) is isolated. Radius 6: only pair (1,2).
+    // Points 2 and 3 sit in DIFFERENT cells (cell width 6: 3÷6=0, 9÷6=1),
+    // pair (2,3) at d²=52 > 36 is correctly rejected after candidacy;
+    // radius 8 admits it (52 ≤ 64) ACROSS the cell boundary.
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 9L, 0L), (4L, 100L, 100L))
+      .toDF("id", "x", "y")
+    val r6 = Spatial.radiusPairs(pts, "id", "x", "y", 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r6 == Set((1L, 2L, 25L)), r6.toString)
+    val r8 = Spatial.radiusPairs(pts, "id", "x", "y", 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r8 == Set((1L, 2L, 25L), (2L, 3L, 52L)), r8.toString)
+    val nn = Spatial.nearestWithin(pts, "id", "x", "y", 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nn == Set((1L, 2L, 25L), (2L, 1L, 25L), (3L, 2L, 52L)), nn.toString)
+    // The whole point: a grid-bucketed equi-join, never a cross product.
+    val plan = Spatial.radiusPairs(
+        Tables(spark, sfDir, "customer").select(
+          col("c_custkey").as("id"),
+          (col("c_custkey") % 1000).as("x"), (col("c_custkey") % 997).as("y")),
+        "id", "x", "y", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
