@@ -77,7 +77,7 @@ object Bench {
     // class — replication densifies a FIXED coordinate domain, so the
     // radius-join OUTPUT itself grows ~quadratically in the fixture,
     // which says nothing about the operator (its cost is output-bound).
-    "ns115", "ns118")
+    "ns115", "ns118", "ns119", "ns120")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -2308,6 +2308,45 @@ object SparkEntry {
       bitmapDistinct("l_orderkey", "n_orders")
         .join(bitmapDistinct("l_partkey", "n_parts"), "l_returnflag")
         .orderBy("l_returnflag")
+    },
+    // B-A6: DSv2 aggregate pushdown — COUNT/MIN/MAX answered from
+    // parquet FOOTER statistics inside the scan node itself
+    // (PushedAggregation, plan-asserted in PlanSpec): zero data pages
+    // read, the Spark-native sibling of ns89's manifest-level
+    // metadata-only counts. Runs in a child session (same
+    // SparkContext, own SQLConf) so the DSv2 + pushdown flags never
+    // leak into the shared session's other plans.
+    Q(
+      "b87_agg_pushdown",
+      Some(
+        """SELECT COUNT(*)::BIGINT AS n_rows,
+          |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+          |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+          |FROM lineitem""".stripMargin)) { (s, dir) =>
+      aggPushdownScan(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+    },
+    // B-A7: approx_top_k heavy hitters (Spark 4's frequent-items sketch).
+    // maxItemsTracked (100) exceeds the column's cardinality, so the
+    // sketch degenerates to EXACT counts by its published contract and
+    // the whole result hash-gates against the oracle's plain
+    // count-and-limit — re-sorted by (count, item) on OUR side because
+    // the sketch's internal tie order is not part of that contract. The
+    // fixture has no tie at the k boundary at any SF (checked), so the
+    // top-k SET is well-defined.
+    Q(
+      "b88_approx_top_k",
+      Some(
+        """SELECT o_orderpriority AS item, COUNT(*)::BIGINT AS cnt
+          |FROM orders GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3""".stripMargin)) { (s, dir) =>
+      T(s, dir, "orders")
+        .agg(expr("approx_top_k(o_orderpriority, 3, 100)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
     }
   )
 
@@ -2319,6 +2358,34 @@ object SparkEntry {
   // warehouse directory persists — reusing a prior run's table name would
   // hit LOCATION_ALREADY_EXISTS.
   private lazy val jvmTag: String = UUID.randomUUID().toString.take(8)
+
+  /** DSv2 parquet scan of lineitem in a CHILD session (shared
+    * SparkContext, isolated SQLConf) with footer-aggregate pushdown
+    * enabled — b87's scan + PlanSpec's PushedAggregation pin. Child
+    * session because the V1-source exclusion must not re-plan the shared
+    * session's other queries.
+    */
+  def aggPushdownScan(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.read.parquet(s"$dir/lineitem.parquet")
+  }
+
+  /** Directory-partitioned lineitem copy for ns119's DPP gate, written
+    * once per (JVM, sf-dir): three `l_returnflag=` partition directories
+    * the dynamic filter can prune.
+    */
+  private lazy val dppDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def dppFactDir(s: SparkSession, dir: String): String =
+    dppDirs.computeIfAbsent(dir, _ => {
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-dpp-$jvmTag-" +
+        math.abs(dir.hashCode).toString
+      T(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dest)
+      dest
+    })
 
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = s"${math.abs(dir.hashCode).toString}_$jvmTag"
@@ -5460,6 +5527,70 @@ object SparkEntry {
         .groupBy(col("k").as("s_suppkey"))
         .agg(count(lit(1)).as("n_facts"), sum("bal_c").cast("long").as("sum_bal_c"))
         .orderBy("s_suppkey")
+    },
+    // NS-W11: dynamic partition pruning — the fact table is a
+    // DIRECTORY-partitioned layout (partitionBy the flag column); the
+    // probe dim is derived AT RUNTIME (argmax-revenue flag, not knowable
+    // at plan time), so Catalyst injects a dynamicpruning subquery into
+    // the fact scan's PartitionFilters and the scan opens ONE of three
+    // partition directories (plan-asserted in PlanSpec) — THE mechanism
+    // that makes star joins over date-partitioned 100 TB facts read only
+    // the joined dates. Oracle replays the argmax + join over the base
+    // table; exact-cents gate.
+    Q(
+      "ns119_dpp",
+      Some(
+        s"""WITH d AS (SELECT DISTINCT l_returnflag AS f FROM lineitem
+           |  WHERE ('0x' || substring(md5(l_returnflag), 1, 8))::BIGINT % 3 = 0)
+           |SELECT l_returnflag, COUNT(*)::BIGINT AS n, ${oSum("l_extendedprice")} AS revenue
+           |FROM lineitem JOIN d ON l_returnflag = d.f
+           |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val fact = s.read.parquet(dppFactDir(s, dir))
+      // The md5-bucket predicate is a literal comparison (DPP's
+      // selectivity heuristic accepts it) whose surviving VALUES are
+      // unknowable at plan time — so the fact-side partition filter must
+      // be the runtime dynamicpruning subquery, never static pruning.
+      val dim = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f")).distinct()
+        .where(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % 3 === 0)
+      fact.join(dim, col("l_returnflag") === col("f"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), fsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    // NS-W12: dynamic partition OVERWRITE — replace ONLY the partitions
+    // present in the incoming batch (Spark's partitionOverwriteMode=
+    // dynamic; Hive's insert-overwrite-partition / Delta's replaceWhere
+    // shape), the idempotent daily-reprocess primitive: rewriting one
+    // day must not truncate the other thousand. The gate rewrites the
+    // 'en' partition with shifted char counts; every other language's
+    // partition must survive untouched — the oracle builds the expected
+    // final state from the base table, so either a truncation (lost
+    // langs) or a non-replacement (stale 'en' rows) breaks the hash.
+    Q(
+      "ns120_dynamic_overwrite",
+      Some(
+        """WITH fin AS (
+          |  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+          |    FROM documents WHERE lang = 'en'
+          |  UNION ALL
+          |  SELECT doc_id, lang, source, n_chars FROM documents WHERE lang <> 'en')
+          |SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+          |  SUM(n_chars)::BIGINT AS sum_chars
+          |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val docs = T(s2, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-dynov-" +
+        UUID.randomUUID().toString.take(8)
+      docs.write.partitionBy("lang").parquet(dest)
+      docs.where(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .write.mode("overwrite").partitionBy("lang").parquet(dest)
+      s2.read.parquet(dest)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang", "source")
     }
   )
 

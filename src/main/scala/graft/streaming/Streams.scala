@@ -237,6 +237,42 @@ object Streams {
       .start()
   }
 
+  /** Stream-static temporal validity join — the live twin of
+    * [[graft.ops.Incremental.validityJoin]] (C110): each trigger's fact
+    * batch meets the STATIC dimension history (an SCD2 snapshot) and
+    * picks the version valid at its own event time. Exact across any
+    * trigger split for the same reason as the as-of twin above: a fact
+    * row's match depends only on that row and the static dim, so
+    * batch-at-a-time evaluation ≡ the one-shot batch join (spec-pinned
+    * across two triggers). Per trigger: one shuffle of |batch| + |dim|
+    * on the key. A live dimension (stream-STREAM) needs watermarked
+    * state — rebuild the dim snapshot per version instead and restart
+    * the join, the SCD2 cadence. Re-delivered batch ids are skipped.
+    */
+  def streamStaticValidityJoin(
+      factStream: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      fromCol: String = "valid_from",
+      toCol: String = "valid_to",
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var lastBatchId = -1L
+    val stream = factStream.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          sink(graft.ops.Incremental.validityJoin(
+            batch, dim, keyCols, timeCol, fromCol, toCol))
+        }
+      }
+      .start()
+  }
+
   /** Streaming count-min accumulation: each trigger's batch is sketched
     * ([[graft.ops.Sketch.cmsCounters]]) and merged cell-wise into the
     * running counter table — the streaming twin of the batch sketch

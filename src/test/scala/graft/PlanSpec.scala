@@ -413,4 +413,20 @@ class PlanSpec extends SparkSpec {
     assert(pEwma.contains("graft_ewma"), s"expected the kernel fold:\n$pEwma")
     assert(!pEwma.contains("aggregate(lambda"), s"interpreted HOF fold in the hot path:\n$pEwma")
   }
+
+  test("ns119: the fact scan carries a dynamicpruning partition filter") {
+    val p = plan(SparkEntry.queries("ns119_dpp")(spark, sfDir))
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
+  test("b87: COUNT/MIN/MAX are answered by the scan (PushedAggregation), zero data pages") {
+    val p = plan(SparkEntry.aggPushdownScan(spark, sfDir).agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.min("l_quantity"),
+      org.apache.spark.sql.functions.max("l_extendedprice")))
+    assert(p.contains("PushedAggregation"), s"aggregate did not push to the scan:\n$p")
+    assert(p.contains("COUNT(*)") && p.contains("MIN(l_quantity)") &&
+      p.contains("MAX(l_extendedprice)"), s"missing pushed terms:\n$p")
+  }
 }

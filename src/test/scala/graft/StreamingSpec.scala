@@ -187,6 +187,45 @@ class StreamingSpec extends SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
   }
 
+  test("stream-static validity join equals the batch join across two triggers") {
+    import graft.ops.Incremental
+    val events = Tables(spark, sfDir, "events")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-vj-src-${UUID.randomUUID().toString.take(8)}"
+    val facts = events.select(
+      col("event_id"), col("user_id").as("k"),
+      unix_micros(col("ts")).as("t"))
+    facts.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    facts.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    // Static SCD2-shaped dim: two versions per user split at the median
+    // event micros, so both windows really receive facts.
+    val mid = facts.agg(expr("percentile_approx(t, 0.5)")).collect()(0).getLong(0)
+    val users = events.select(col("user_id").as("k")).distinct()
+    val dim = users.select(col("k"), lit("v0").as("ver"), lit(0L).as("valid_from"),
+        lit(mid).as("valid_to"))
+      .unionAll(users.select(col("k"), lit("v1").as("ver"), lit(mid).as("valid_from"),
+        lit(null).cast("long").as("valid_to")))
+    val schema = spark.read.parquet(srcDir).schema
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft-vj-dest-${UUID.randomUUID().toString.take(8)}"
+    val q = Streams.streamStaticValidityJoin(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      dim, Seq("k"), "t")(
+      batch => batch.write.mode("append").parquet(dest))
+    try q.processAllAvailable()
+    finally q.stop()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val got = spark.read.parquet(dest)
+      .select("event_id", "k", "t", "ver").collect().map(keyOf).toSet
+    val want = Incremental.validityJoin(spark.read.parquet(srcDir), dim, Seq("k"), "t")
+      .select("event_id", "k", "t", "ver").collect().map(keyOf).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_._4 == "v0") && got.exists(_._4 == "v1"),
+      "both validity windows should receive facts — fixture broken")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+  }
+
   test("streaming CMS accumulation equals the one-shot sketch cell for cell") {
     import graft.ops.{Sketch, TextOps}
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
