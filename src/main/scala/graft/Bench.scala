@@ -72,12 +72,14 @@ object Bench {
     // scales linearly with replicas by construction.
     "ns105", "ns106", "ns107", "ns108", "ns109", "ns110", "ns111",
     "ns112", "ns113", "ns114",
-    // ns115 (bloom write + point lookup) and ns118 (validity join) are
-    // linear in replicas; ns116/ns117 are excluded like the pairwise
-    // class — replication densifies a FIXED coordinate domain, so the
-    // radius-join OUTPUT itself grows ~quadratically in the fixture,
-    // which says nothing about the operator (its cost is output-bound).
-    "ns115", "ns118", "ns119", "ns120")
+    // ns115 (bloom write + point lookup), ns118 (validity join), ns119
+    // (DPP), ns120 (partition overwrite), ns121 (per-key rolling
+    // window), ns123 (scan-local image hash) are all linear in replicas;
+    // ns116/ns117 are excluded like the pairwise class — replication
+    // densifies a FIXED coordinate domain, so the radius-join OUTPUT
+    // itself grows ~quadratically in the fixture, which says nothing
+    // about the operator (its cost is output-bound).
+    "ns115", "ns118", "ns119", "ns120", "ns121", "ns123")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

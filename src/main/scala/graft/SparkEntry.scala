@@ -5578,19 +5578,108 @@ object SparkEntry {
           |SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
           |  SUM(n_chars)::BIGINT AS sum_chars
           |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val docs = T(s2, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      val sOv = s.newSession()
+      sOv.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val docs = T(sOv, dir, "documents").select("doc_id", "lang", "source", "n_chars")
       val dest = s"${System.getProperty("java.io.tmpdir")}/graft-dynov-" +
         UUID.randomUUID().toString.take(8)
       docs.write.partitionBy("lang").parquet(dest)
       docs.where(col("lang") === "en")
         .withColumn("n_chars", col("n_chars") + 1000L)
         .write.mode("overwrite").partitionBy("lang").parquet(dest)
-      s2.read.parquet(dest)
+      sOv.read.parquet(dest)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
         .orderBy("lang", "source")
+    },
+    // NS-T16: rolling z-score anomaly flags — each event vs its own
+    // trailing 8-event window, in EXACT integer arithmetic:
+    // (n·v − S1)² > k²·(n·S2 − S1²) compares BIGINTs only (no sqrt, no
+    // float variance), so the flagged row set is bit-identical across
+    // engines. k=2 really fires on the fixture (~5% of full windows);
+    // short histories are not judged.
+    Q(
+      "ns121_rolling_anomaly",
+      Some(
+        """WITH e AS (SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+          |    epoch_us(ts) AS t FROM events WHERE value IS NOT NULL),
+          |w AS (SELECT user_id, event_id, v,
+          |    SUM(v) OVER win AS s1, SUM(v*v) OVER win AS s2, COUNT(*) OVER win AS n
+          |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+          |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+          |SELECT user_id, event_id, v FROM w
+          |WHERE n = 8 AND (8*v - s1)*(8*v - s1) > 4*(8*s2 - s1*s1)
+          |ORDER BY user_id, event_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.rollingAnomalies(
+          T(s, dir, "events").withColumn("value", cents(col("value"))),
+          "user_id", "ts", "event_id", "value", window = 8, k = 2)
+        .orderBy("user_id", "event_id")
+    },
+    // NS-O1: observed pipeline metrics — `observe()` hooks named
+    // aggregates onto the PRE-FILTER scan of a pipeline, so "rows seen /
+    // chars seen before the quality gate" come out of the SAME pass that
+    // produces the filtered output (the A21 listener's per-query metrics,
+    // made per-STAGE; at 100 TB a second counting pass over the input is
+    // exactly what an ingest pipeline cannot afford). One action drives
+    // both; the gate emits observed totals alongside the survivors'
+    // aggregate, and the oracle recomputes both directly — an observe
+    // hook that dropped or double-counted rows breaks the hash.
+    Q(
+      "ns122_observe",
+      Some(
+        """SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_seen,
+          |  (SELECT SUM(n_chars) FROM documents)::BIGINT AS chars_seen,
+          |  COUNT(*)::BIGINT AS n_kept, SUM(n_chars)::BIGINT AS chars_kept
+          |FROM documents WHERE n_chars > 500""".stripMargin)) { (s, dir) =>
+      val obs = new org.apache.spark.sql.Observation()
+      val kept = T(s, dir, "documents")
+        .observe(obs, count(lit(1)).as("n_seen"),
+          sum("n_chars").cast("long").as("chars_seen"))
+        .where(col("n_chars") > 500)
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").cast("long").as("chars_kept"))
+      val row = kept.collect()(0) // one action: survivors computed, metrics observed
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_seen").asInstanceOf[Long], m("chars_seen").asInstanceOf[Long],
+        row.getLong(0), row.getLong(1)))
+        .toDF("n_seen", "chars_seen", "n_kept", "chars_kept")
+    },
+    // NS-M5: image perceptual average-hash through a REAL PNG round-trip
+    // (ns67's decode chain promoted to a near-dup SIGNATURE): one bit
+    // per 2×2 grid cell — "cell brighter than the image mean" — with
+    // gray = r+g+b and a cross-multiplied threshold, so the 32-bit hash
+    // is exact integers end to end. The Spark side proves the
+    // compressed-image encode→decode path; the oracle replays the hash
+    // from the raster-generation rule (PNG is lossless, so they must
+    // agree bit for bit).
+    Q(
+      "ns123_image_ahash",
+      Some(
+        """WITH d AS (SELECT doc_id, substring(text, 1, 384) AS t
+          |  FROM documents WHERE length(text) >= 384),
+          |b AS (SELECT doc_id, [ascii(substring(t, i+1, 1)) FOR i IN range(384)] AS bs FROM d),
+          |g AS (SELECT doc_id,
+          |    [bs[3*i+1] + bs[3*i+2] + bs[3*i+3] FOR i IN range(128)] AS gs FROM b),
+          |c AS (SELECT doc_id, list_sum(gs) AS tot,
+          |    [gs[(2*(k//8))*16 + 2*(k%8) + 1] + gs[(2*(k//8))*16 + 2*(k%8) + 2]
+          |     + gs[(2*(k//8)+1)*16 + 2*(k%8) + 1] + gs[(2*(k//8)+1)*16 + 2*(k%8) + 2]
+          |     FOR k IN range(32)] AS cells
+          |  FROM g)
+          |SELECT doc_id,
+          |  list_sum([CASE WHEN cells[k+1]*32 > tot THEN (1::BIGINT << k)
+          |    ELSE 0 END FOR k IN range(32)])::BIGINT AS ahash,
+          |  list_sum([CASE WHEN cells[k+1]*32 > tot THEN 1 ELSE 0 END
+          |    FOR k IN range(32)])::BIGINT AS n_bits
+          |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Multimodal.pngAHash(
+          s,
+          T(s, dir, "documents")
+            .where(length(col("text")) >= 384)
+            .select(col("doc_id"),
+              encode(expr("substring(text, 1, 384)"), "UTF-8").as("rgb")),
+          "doc_id", "rgb", width = 16, height = 8, gridW = 8, gridH = 4)
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 

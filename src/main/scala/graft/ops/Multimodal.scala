@@ -477,6 +477,66 @@ object Multimodal {
       })
   }
 
+  final case class ImageAHash(doc_id: Long, ahash: Long, n_bits: Long)
+
+  /** Perceptual average-hash over a REAL PNG round-trip: payload bytes →
+    * RGB raster → JDK PNG encode → JDK decode → per-cell gray sums → one
+    * bit per grid cell ("cell brighter than the image mean"). The
+    * near-dup signature for image corpora (hamming distance over ahash ≈
+    * visual similarity), expressed in EXACT integers end to end: gray =
+    * r+g+b (no luma weights), the brightness test cross-multiplies
+    * (cellSum·nCells > totalSum — no division), so the oracle replays
+    * the identical hash from the raster-generation rule while the Spark
+    * side proves the full compressed-image decode path (`ns123`).
+    *
+    * Scale shape: partition-preserving mapPartitions, one image per row,
+    * no shuffle; the hash is a fixed-width long however large the image.
+    */
+  def pngAHash(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      width: Int,
+      height: Int,
+      gridW: Int,
+      gridH: Int): Dataset[ImageAHash] = {
+    require(width % gridW == 0 && height % gridH == 0, "grid must tile the image")
+    require(gridW * gridH <= 63, "hash must fit a signed long")
+    import spark.implicits._
+    val (cw, ch, nCells) = (width / gridW, height / gridH, gridW * gridH)
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        val need = width * height * 3
+        require(data.length >= need, s"doc $id: payload shorter than $width x $height raster")
+        val png = encodePng(java.util.Arrays.copyOf(data, need), width, height)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val cells = new Array[Long](nCells)
+        var tot = 0L
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val rgb = img.getRGB(x, y)
+            val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            tot += g
+            cells((y / ch) * gridW + (x / cw)) += g
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var bits = 0L
+        var k = 0
+        while (k < nCells) {
+          if (cells(k) * nCells > tot) { hash |= 1L << k; bits += 1 }
+          k += 1
+        }
+        ImageAHash(id, hash, bits)
+      })
+  }
+
   /** PNG-encode an RGB raster with the JDK encoder (test/fixture helper —
     * PNG is lossless, so decode(encode(rgb)) recovers the exact pixels).
     */

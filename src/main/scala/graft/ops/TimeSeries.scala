@@ -134,4 +134,52 @@ object TimeSeries {
         col("last_value"),
         last(col("last_value"), ignoreNulls = true).over(fillW).as("filled_value"))
   }
+
+  /** Rolling z-score anomaly flags in EXACT integer arithmetic: a value
+    * is anomalous when it deviates from its own trailing `window`-row
+    * mean by more than `k` sample standard deviations. The float-free
+    * trick: with S1 = Σv, S2 = Σv² over the window (current row
+    * inclusive),
+    *
+    *   (v − S1/n)² > k²·(S2/n − (S1/n)²)  ⇔  (n·v − S1)² > k²·(n·S2 − S1²)
+    *
+    * so the test is a comparison of exact BIGINTs — bit-identical in any
+    * engine, no sqrt, no float variance. `valCol` must already be an
+    * integral (e.g. cents-scaled) column; magnitudes must keep
+    * n²·max(v)² below 2⁶³ (true for any cents-scaled measurement with
+    * small windows). Rows without a full trailing window are not
+    * evaluated (a 3-row history cannot witness a 3σ deviation honestly).
+    *
+    * Scale shape: one hash exchange on the key for the trailing-rows
+    * window (per-key partition bound — the sessionize caveat); the flag
+    * itself is a scan-local long comparison. Output: the anomalous rows
+    * (key, id, v), ordered by the caller.
+    */
+  def rollingAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      window: Int,
+      k: Int): DataFrame = {
+    require(window > 1, "window must exceed 1")
+    require(k > 0, "non-positive k")
+    val n = lit(window.toLong)
+    val base = df
+      .where(col(valCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(valCol).cast("long").as("v"),
+        unix_micros(col(tsCol)).as("__t"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col(idCol))
+      .rowsBetween(-(window - 1), 0)
+    base
+      .withColumn("s1", sum("v").over(w))
+      .withColumn("s2", sum(col("v") * col("v")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(col("cnt") === window &&
+        (n * col("v") - col("s1")) * (n * col("v") - col("s1")) >
+          lit(k.toLong * k) * (n * col("s2") - col("s1") * col("s1")))
+      .select(col(keyCol), col(idCol), col("v"))
+  }
 }

@@ -1164,6 +1164,22 @@ class OpsSpec extends SparkSpec {
     assert(h2.where(col("is_current")).count() == 3)
   }
 
+  test("TimeSeries.rollingAnomalies: exact-integer z-test, spike flagged, short history unjudged") {
+    import graft.ops.TimeSeries
+    // window=4, k=1. Row id=5 (v=50 over trailing [10,10,10,50]):
+    // (4·50−80)² = 14400 > 1·(4·2800−80²) = 4800 → anomalous. Row id=6
+    // (v=10 over [10,10,50,10]): (40−80)² = 1600 ≤ 4800 → clean. Rows
+    // 1-3 lack a full window; key 2's single row is never judged.
+    val ev = Seq(
+      (1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L), (1L, 4L, 10L),
+      (1L, 5L, 50L), (1L, 6L, 10L), (2L, 7L, 99L))
+      .toDF("k", "id", "v")
+      .withColumn("ts", timestamp_micros(col("id")))
+    val got = TimeSeries.rollingAnomalies(ev, "k", "ts", "id", "v", window = 4, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 5L, 50L)), got.toString)
+  }
+
   test("Incremental.validityJoin: version picked by window, boundaries half-open, current open-ended") {
     val dim = Seq(
       (1L, "v0", 0L, Some(10L)), (1L, "v1", 10L, Some(20L)), (1L, "v2", 20L, None),
