@@ -5680,6 +5680,48 @@ object SparkEntry {
           "doc_id", "rgb", width = 16, height = 8, gridW = 8, gridH = 4)
         .toDF()
         .orderBy("doc_id")
+    },
+    // NS-T17: linear-interpolation resampling — ns31's grid with empty
+    // buckets interpolated between the surrounding observations instead
+    // of carried forward. Anchor times ride in exact micros; the
+    // interpolation is ONE double division, multiply, add in a fixed
+    // operation order mirrored verbatim by the oracle, so the doubles
+    // are bit-identical (identical operand bits + correctly-rounded
+    // IEEE ops). Every empty bucket sits strictly between two observed
+    // buckets, so both anchors always exist.
+    Q(
+      "ns124_interpolate",
+      Some(
+        """WITH b AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+          |    ts, event_id, value FROM events WHERE user_id < 8),
+          |agg AS (SELECT user_id, bucket_ts, COUNT(*) AS n,
+          |    first(value ORDER BY ts DESC, event_id DESC) AS v,
+          |    first(epoch_us(ts) ORDER BY ts DESC, event_id DESC) AS t
+          |  FROM b GROUP BY 1, 2),
+          |g AS (SELECT user_id,
+          |    unnest(generate_series(min(bucket_ts), max(bucket_ts), INTERVAL '1 hour')) AS bucket_ts
+          |  FROM b GROUP BY user_id),
+          |j AS (SELECT g.user_id, g.bucket_ts, coalesce(agg.n, 0) AS n, agg.v, agg.t
+          |  FROM g LEFT JOIN agg ON g.user_id = agg.user_id AND g.bucket_ts = agg.bucket_ts),
+          |w AS (SELECT user_id, bucket_ts, n, v,
+          |    last_value(v IGNORE NULLS) OVER wb AS v0,
+          |    last_value(t IGNORE NULLS) OVER wb AS t0,
+          |    first_value(v IGNORE NULLS) OVER wf AS v1,
+          |    first_value(t IGNORE NULLS) OVER wf AS t1
+          |  FROM j WINDOW
+          |    wb AS (PARTITION BY user_id ORDER BY bucket_ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |    wf AS (PARTITION BY user_id ORDER BY bucket_ts
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT user_id, bucket_ts, n::BIGINT AS n,
+          |  CASE WHEN n > 0 THEN v
+          |    ELSE v0 + (v1 - v0) * ((epoch_us(bucket_ts) - t0) / (t1 - t0)) END AS interp
+          |FROM w ORDER BY user_id, bucket_ts""".stripMargin)) { (s, dir) =>
+      TimeSeries.resampleInterpolated(
+          T(s, dir, "events").filter(col("user_id") < 8),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+          valueCol = "value", stepSec = 3600L)
+        .orderBy("user_id", "bucket_ts")
     }
   )
 

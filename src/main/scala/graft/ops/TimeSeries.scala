@@ -135,6 +135,65 @@ object TimeSeries {
         last(col("last_value"), ignoreNulls = true).over(fillW).as("filled_value"))
   }
 
+  /** [[gapFillForward]]'s sibling with LINEAR interpolation: empty
+    * buckets get `v0 + (v1 − v0) · ((tb − t0) / (t1 − t0))` between the
+    * surrounding observations (times in exact micros; one double
+    * division, multiply, add — in this exact operation order, so the
+    * result is bit-reproducible in any engine applying the same tree:
+    * identical operand bits + correctly-rounded IEEE ops need no
+    * epsilon). Observed buckets keep their own latest value. Every empty
+    * bucket lies strictly between two observed buckets (the grid spans
+    * [first, last] observation), so both anchors always exist — no
+    * boundary NULL semantics to drift.
+    *
+    * Output: key, bucket_ts, n, interp. Scale shape = gapFillForward's
+    * plus one forward-looking window over the same (key, bucket) frame.
+    */
+  def resampleInterpolated(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      stepSec: Long): DataFrame = {
+    val epoch = unix_timestamp(col(tsCol))
+    val bucket = timestamp_seconds(epoch - pmod(epoch, lit(stepSec)))
+    val perBucket = df
+      .withColumn("_b", bucket)
+      .groupBy(col(keyCol), col("_b").as("bucket_ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        max_by(
+          struct(col(valueCol).as("v"), unix_micros(col(tsCol)).as("t")),
+          struct(col(tsCol), col(idCol))).as("o"))
+    val grid = df
+      .withColumn("_b", bucket)
+      .groupBy(col(keyCol))
+      .agg(min("_b").as("b0"), max("_b").as("b1"))
+      .select(
+        col(keyCol),
+        explode(sequence(col("b0"), col("b1"), expr(s"INTERVAL $stepSec SECONDS")))
+          .as("bucket_ts"))
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .join(perBucket, Seq(keyCol, "bucket_ts"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        coalesce(col("n"), lit(0L)).as("n"), col("o.v").as("v"), col("o.t").as("t"))
+      .withColumn("v0", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("t0", last(col("t"), ignoreNulls = true).over(wb))
+      .withColumn("v1", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("t1", first(col("t"), ignoreNulls = true).over(wf))
+      .select(
+        col(keyCol), col("bucket_ts"), col("n"),
+        when(col("n") > 0, col("v"))
+          .otherwise(col("v0") + (col("v1") - col("v0")) *
+            ((unix_micros(col("bucket_ts")) - col("t0")) / (col("t1") - col("t0"))))
+          .as("interp"))
+  }
+
   /** Rolling z-score anomaly flags in EXACT integer arithmetic: a value
     * is anomalous when it deviates from its own trailing `window`-row
     * mean by more than `k` sample standard deviations. The float-free

@@ -1180,6 +1180,24 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 5L, 50L)), got.toString)
   }
 
+  test("TimeSeries.resampleInterpolated: empty buckets interpolate, observed keep their latest") {
+    import graft.ops.TimeSeries
+    // key 1: obs v=10 at t=0 and v=12 at t=60s (bucket 0 keeps its LATEST,
+    // 12, which also anchors the interpolation), v=40 at t=7200s. Bucket 1
+    // is empty → v0 + (v1−v0)·((tb−t0)/(t1−t0)) anchored at (12, 60s) and
+    // (40, 7200s), reproduced here with the same operation order.
+    val ev = Seq(
+      (1L, 1L, 0L, 10.0), (1L, 2L, 60L, 12.0), (1L, 3L, 7200L, 40.0))
+      .toDF("k", "id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = TimeSeries.resampleInterpolated(ev, "k", "ts", "id", "v", 3600L)
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val mid = 12.0 + (40.0 - 12.0) * ((3600000000L - 60000000L).toDouble /
+      (7200000000L - 60000000L).toDouble)
+    assert(got == Seq((2L, 12.0), (0L, mid), (1L, 40.0)), got.mkString(","))
+  }
+
   test("Incremental.validityJoin: version picked by window, boundaries half-open, current open-ended") {
     val dim = Seq(
       (1L, "v0", 0L, Some(10L)), (1L, "v1", 10L, Some(20L)), (1L, "v2", 20L, None),
