@@ -79,7 +79,13 @@ object Bench {
     // densifies a FIXED coordinate domain, so the radius-join OUTPUT
     // itself grows ~quadratically in the fixture, which says nothing
     // about the operator (its cost is output-bound).
-    "ns115", "ns118", "ns119", "ns120", "ns121", "ns123")
+    "ns115", "ns118", "ns119", "ns120", "ns121", "ns123",
+    // round-10 additions: per-key trend/attribution, the range-partitioned
+    // skyline + concurrency sweeps, and per-source KS (sources stay fixed
+    // under replication; counts scale linearly). ns129 is excluded with
+    // the pairwise class: replicas duplicate texts, so the OUTPUT pair
+    // set itself grows quadratically in the fixture.
+    "ns125", "ns126", "ns127", "ns128", "ns130")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

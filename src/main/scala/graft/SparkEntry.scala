@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Incremental, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, TextOps, TimeSeries, Validate}
+import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Incremental, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, Skyline, TextOps, TimeSeries, Validate}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import org.apache.spark.sql.sources
@@ -5722,6 +5722,171 @@ object SparkEntry {
           keyCol = "user_id", tsCol = "ts", idCol = "event_id",
           valueCol = "value", stepSec = 3600L)
         .orderBy("user_id", "bucket_ts")
+    },
+    // NS-T18: per-key OLS trend — slope/intercept of each user's value
+    // series from five exact-long sufficient statistics (x = hours since
+    // the key's first event, y = cents); the reported doubles are ONE
+    // IEEE division of exact operands each, so every bit is gated.
+    Q(
+      "ns125_trend_ols",
+      Some(
+        """WITH e AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS y,
+          |    epoch_us(ts) AS t FROM events WHERE value IS NOT NULL),
+          |x AS (SELECT user_id, y,
+          |    (t - MIN(t) OVER (PARTITION BY user_id)) // 3600000000 AS x FROM e),
+          |st AS (SELECT user_id, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+          |    SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy, SUM(x*x)::BIGINT AS sxx
+          |  FROM x GROUP BY 1)
+          |SELECT user_id, n,
+          |  (n*sxy - sx*sy)::BIGINT AS slope_num, (n*sxx - sx*sx)::BIGINT AS den,
+          |  CASE WHEN n*sxx - sx*sx <> 0
+          |    THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE END AS slope,
+          |  CASE WHEN n*sxx - sx*sx <> 0
+          |    THEN (sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE END AS icept
+          |FROM st ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.groupTrend(
+          T(s, dir, "events").withColumn("value", cents(col("value"))),
+          "user_id", "ts", "value")
+        .orderBy("user_id")
+    },
+    // NS-A10: 2-D Pareto skyline (min price, min size) — the sort-based
+    // frontier, NOT an O(n²) dominance self-join: one range-partitioned
+    // sort with two RANGE-frame minima (Prefix.runningMinBeforeWithPeers
+    // carries the cross-partition prefix); the oracle states dominance
+    // directly as NOT EXISTS.
+    Q(
+      "ns126_skyline",
+      Some(
+        """WITH p AS (SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+          |    p_size::BIGINT AS p_size FROM part)
+          |SELECT p_partkey, price_c, p_size FROM p a
+          |WHERE NOT EXISTS (SELECT 1 FROM p b
+          |  WHERE b.price_c <= a.price_c AND b.p_size <= a.p_size
+          |    AND (b.price_c < a.price_c OR b.p_size < a.p_size))
+          |ORDER BY p_partkey""".stripMargin)) { (s, dir) =>
+      Skyline.skyline2D(
+          T(s, dir, "part").select(
+            col("p_partkey"),
+            cents(col("p_retailprice")).as("price_c"),
+            col("p_size").cast("long").as("p_size")),
+          "price_c", "p_size")
+        .orderBy("p_partkey")
+    },
+    // NS-T19: per-day PEAK concurrent sessions — gap-sessionized spans
+    // swept as +1/−1 boundaries (session active until its 30-min
+    // timeout); the running sum goes through Prefix.runningSum's
+    // two-phase scan, never a single-task global window. Exact longs.
+    Q(
+      "ns127_peak_concurrency",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+          |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+          |    THEN 1 ELSE 0 END AS nsflag FROM l),
+          |g AS (SELECT *, SUM(nsflag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+          |sp AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+          |  FROM g GROUP BY 1, 2),
+          |b AS (SELECT epoch_us(st) AS t, 1::BIGINT AS d FROM sp
+          |  UNION ALL SELECT epoch_us(en) + 1800000000, -1::BIGINT FROM sp),
+          |c AS (SELECT t, SUM(d)::BIGINT AS net FROM b GROUP BY t),
+          |r AS (SELECT t, net, SUM(net) OVER (ORDER BY t
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS running FROM c)
+          |SELECT t // 86400000000 AS day,
+          |  MAX(GREATEST(running, running - net))::BIGINT AS peak,
+          |  COUNT(*)::BIGINT AS n_changes
+          |FROM r GROUP BY 1 ORDER BY day""".stripMargin)) { (s, dir) =>
+      val spans = Streams.sessionSpans(T(s, dir, "events"), 30)
+        .withColumn("active_until", col("session_end") + expr("INTERVAL 30 MINUTES"))
+      TimeSeries.peakConcurrency(spans, "session_start", "active_until")
+        .orderBy("day")
+    },
+    // NS-P7: exact two-sample KS drift of every source's n_chars
+    // distribution vs the 'src0' reference — the numerator is an exact
+    // BIGINT cross-multiplication over cumulative counts, the argmax
+    // location ties to the smallest value, and the double is one IEEE
+    // division of exact operands.
+    Q(
+      "ns128_ks_drift",
+      Some(
+        """WITH c AS (SELECT source AS g, n_chars::BIGINT AS v, COUNT(*)::BIGINT AS c
+          |  FROM documents GROUP BY 1, 2),
+          |ref AS (SELECT v, c AS cr FROM c WHERE g = 'src0'),
+          |grp AS (SELECT g, v, c AS cg FROM c WHERE g <> 'src0'),
+          |gs AS (SELECT DISTINCT g FROM grp),
+          |rep AS (SELECT gs.g, ref.v, ref.cr FROM gs CROSS JOIN ref),
+          |m AS (SELECT coalesce(grp.g, rep.g) AS g, coalesce(grp.v, rep.v) AS v,
+          |    coalesce(cg, 0) AS cg, coalesce(cr, 0) AS cr
+          |  FROM grp FULL OUTER JOIN rep ON grp.g = rep.g AND grp.v = rep.v),
+          |s AS (SELECT g, v,
+          |    SUM(cg) OVER (PARTITION BY g ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+          |    SUM(cr) OVER (PARTITION BY g ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+          |    SUM(cg) OVER (PARTITION BY g) AS n, SUM(cr) OVER (PARTITION BY g) AS n_ref
+          |  FROM m),
+          |d AS (SELECT g, v, n::BIGINT AS n, n_ref::BIGINT AS n_ref,
+          |    abs(c1*n_ref - c2*n)::BIGINT AS diff,
+          |    row_number() OVER (PARTITION BY g ORDER BY abs(c1*n_ref - c2*n) DESC, v) AS rn
+          |  FROM s)
+          |SELECT g, n, n_ref, diff AS ks_num, v AS at_v,
+          |  CASE WHEN n*n_ref > 0 THEN diff::DOUBLE / (n*n_ref)::DOUBLE END AS ks
+          |FROM d WHERE rn = 1 ORDER BY g""".stripMargin)) { (s, dir) =>
+      Profile.ksAgainstReference(T(s, dir, "documents"), "source", "n_chars", "src0")
+        .orderBy("g")
+    },
+    // NS-D14: PPJoin prefix-filtered exact set-similarity self-join —
+    // same answer as ns09's inverted-index join (the oracle IS ns09's
+    // brute-force SQL), candidates generated only from each doc's
+    // rarest-⌊(1−τ)·s⌋+1 grams under one global df order: stop-grams
+    // sort into suffixes and never produce a candidate, by construction.
+    Q(
+      "ns129_prefix_jaccard",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+           |SELECT doc_a, doc_b, inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard
+           |FROM j WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      Dedup.prefixJaccardPairs(T(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+    // NS-F5: last-touch revenue attribution — each purchase credits the
+    // latest click/view/signup of the same user within 7 days (the as-of
+    // backward join with tolerance, composed), else the 'direct' bucket;
+    // identical-(user, ts) touches tie to the smallest (channel, id).
+    Q(
+      "ns130_attribution",
+      Some(
+        """WITH conv AS (SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS rev
+          |  FROM events WHERE event_type = 'purchase'),
+          |t AS (SELECT user_id, ts, event_type, event_id FROM events
+          |  WHERE event_type IN ('click', 'view', 'signup')),
+          |td AS (SELECT user_id, ts, event_type FROM (
+          |  SELECT user_id, ts, event_type,
+          |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_type, event_id) AS rn
+          |  FROM t) WHERE rn = 1),
+          |m AS (SELECT conv.event_id, conv.user_id, conv.rev,
+          |    CASE WHEN date_diff('microsecond', tt.ts, conv.ts) <= 604800000000
+          |      THEN tt.ts END AS touch_ts
+          |  FROM conv ASOF LEFT JOIN (SELECT user_id, ts FROM t) tt
+          |    ON conv.user_id = tt.user_id AND conv.ts >= tt.ts)
+          |SELECT coalesce(td.event_type, 'direct') AS channel,
+          |  COUNT(*)::BIGINT AS n_conversions, SUM(m.rev)::BIGINT AS revenue_cents
+          |FROM m LEFT JOIN td ON m.user_id = td.user_id AND m.touch_ts = td.ts
+          |GROUP BY 1 ORDER BY channel""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      Funnel.lastTouchAttribution(
+          touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+            .select("user_id", "ts", "event_type", "event_id"),
+          conversions = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("rev")),
+          userCol = "user_id", tsCol = "ts", idCol = "event_id",
+          channelCol = "event_type", revenueCentsCol = "rev", windowSec = 604800L)
+        .orderBy("channel")
     }
   )
 

@@ -454,6 +454,79 @@ object Dedup {
     * hint-broadcast — AQE sizes the one-row-per-doc dimension), one IEEE
     * division per pair.
     */
+  /** PPJoin-style PREFIX-FILTERED exact set-similarity self-join: the same
+    * output as [[ngramJaccardPairs]] (all pairs with n-gram Jaccard ≥ τ),
+    * with candidate generation restricted to each document's df-ordered
+    * PREFIX instead of its full gram set.
+    *
+    * Why lossless: J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ ≥ ⌈τ·|A|⌉
+    * (the last step because qualifying pairs satisfy |B| ≥ τ·|A|), and by
+    * pigeonhole two sets sharing ≥ α elements under one total order must
+    * intersect within their (size−α+1)-prefixes. Ordering every doc's
+    * grams by ASCENDING document frequency (ties on the gram hash — one
+    * total order for all docs) therefore keeps every qualifying pair
+    * while sending exactly the rarest ⌊(1−τ)·s⌋+1 grams of each doc into
+    * the candidate join. The ⌈τ·s⌉ arithmetic runs in exact integers via
+    * the τ·100 cents trick (`ceil(a/b) = (a+b−1) div b`).
+    *
+    * Scale design — what this buys over the inverted-index join at 100 TB:
+    * the candidate shuffle carries (1−τ) of the gram volume, and it is
+    * the LOW-df tail of the distribution — boilerplate stop-grams (the
+    * skew axis that forces ns09's df-cap heuristic) sort to the suffixes
+    * and never generate a candidate, BY CONSTRUCTION rather than by a
+    * tuned cutoff. A size cross-check (100·min(s) ≥ τ100·max(s), exact
+    * longs) prunes candidates before verification; verification then
+    * rejoins only candidate pairs against full gram sets — O(candidates),
+    * the operator's output-bounded cost.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val t100 = math.round(minJaccard * 100)
+    require(t100 >= 1 && t100 <= 100, "minJaccard must round into (0, 1]")
+    val grams = shingleRows(df, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    // Distinct-per-doc grams ⇒ COUNT per gh IS document frequency.
+    val dfTable = grams.groupBy("gh").agg(count(lit(1)).as("dfc"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("dfc"), col("gh"))
+    val ranked = grams
+      .join(dfTable, "gh")
+      .withColumn("r", row_number().over(wDoc))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // prefix length = s − ⌈τ·s⌉ + 1, exact: ⌈τ·s⌉ = (τ100·s + 99) div 100.
+    val prefix = ranked
+      .where(col("r") <= col("s") - expr(s"($t100 * s + 99) div 100") + 1)
+      .select(col("doc_id"), col("gh"), col("s"))
+    val a = prefix.alias("a")
+    val b = prefix.alias("b")
+    val candidates = a
+      .join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      // size filter: J ≤ min(s)/max(s), so τ·max(s) > 100·min(s) can't pass
+      .where(lit(100L) * least(col("a.s"), col("b.s")) >=
+        lit(t100) * greatest(col("a.s"), col("b.s")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.s").as("na"), col("b.s").as("nb"))
+      .distinct()
+    // Verification: exact intersection of the candidate pairs only.
+    val ga = grams.select(col("doc_id").as("doc_a"), col("gh"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("gh"))
+    candidates
+      .join(ga, "doc_a")
+      .join(gb, Seq("doc_b", "gh"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   private def jaccardFromGrams(grams: DataFrame, minJaccard: Double): DataFrame = {
     val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val a = grams.alias("a")

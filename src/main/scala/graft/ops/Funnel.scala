@@ -215,4 +215,57 @@ object Funnel {
         (col("w") - col("cw")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Last-touch revenue attribution: each conversion credits the LATEST
+    * touch event of the same user at-or-before it and within `windowSec`
+    * (the marketing-analytics report next to the funnel — "which channel
+    * gets the sale"); conversions with no in-window touch credit the
+    * `direct` bucket.
+    *
+    * Composition, not new machinery: the touch lookup IS
+    * [[AsofJoin.backward]] with tolerance (one key-partitioned window
+    * pass), and the credited CHANNEL comes from joining the matched
+    * (user, ts) back to the touch table — at an identical (user, ts) the
+    * tie breaks to the smallest (channel, id) tuple, deterministically.
+    *
+    * Output: (channel, n_conversions, revenue_cents) — exact longs.
+    *
+    * Scale shape: the as-of union shuffles once on the user key; the
+    * match-back join shuffles only CONVERSION rows (|conversions| ≪
+    * |touches|) against the touch table on (user, ts) — AQE broadcasts
+    * the conversion side when small; the final aggregate map-side
+    * combines into ≤ |channels|+1 rows.
+    */
+  def lastTouchAttribution(
+      touches: DataFrame,      // (userCol, tsCol, channelCol, idCol)
+      conversions: DataFrame,  // (userCol, tsCol, idCol, revenueCentsCol)
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      channelCol: String,
+      revenueCentsCol: String,
+      windowSec: Long): DataFrame = {
+    val matched = AsofJoin.backward(
+      conversions.select(col(userCol), col(tsCol), col(idCol), col(revenueCentsCol)),
+      touches.select(col(userCol), col(tsCol)),
+      key = userCol, leftTs = tsCol, rightTs = tsCol,
+      asofTsName = "__touch_ts", toleranceSec = Some(windowSec))
+    // Recover the touch's channel; dedup identical-(user, ts) touches to
+    // the smallest (channel, id) BEFORE the join so each conversion stays
+    // one row.
+    val touchDim = touches
+      .groupBy(col(userCol).as("__tu"), col(tsCol).as("__tt"))
+      .agg(min(struct(col(channelCol), col(idCol))).as("__pick"))
+      .select(col("__tu"), col("__tt"), col("__pick")(channelCol).as("__channel"))
+    matched
+      .join(
+        touchDim,
+        matched(userCol) === touchDim("__tu") && matched("__touch_ts") === touchDim("__tt"),
+        "left")
+      .select(coalesce(col("__channel"), lit("direct")).as("channel"), col(revenueCentsCol))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(col(revenueCentsCol)).as("revenue_cents"))
+  }
 }

@@ -378,4 +378,65 @@ object Profile {
         col("n"))
       .toDF("bucket", "lo", "hi", "n")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance of every group's value
+    * distribution against one REFERENCE group — the binning-free drift
+    * test next to [[driftFromHistograms]]'s TVD: KS needs no bucket-width
+    * choice and is sensitive to location shifts a coarse histogram hides.
+    *
+    * Exactness: for samples of sizes n₁ (group) and n₂ (reference),
+    *   KS = max over the union support of |F₁(v) − F₂(v)|
+    *      = max |C₁(v)·n₂ − C₂(v)·n₁| / (n₁·n₂)
+    * with C = cumulative counts — the numerator is an exact BIGINT
+    * cross-multiplication, so the statistic is an exact rational reported
+    * as (ks_num, n, n_ref) plus ONE IEEE division for the double. The
+    * argmax location `at_v` ties to the SMALLEST value attaining the max.
+    *
+    * Scale shape: one map-side-combined count per (group, value) — the
+    * sweep runs over the compressed (group, DISTINCT value) table, the
+    * winsorize bound, never raw rows. The reference support replicates
+    * once per compared group (|groups| × |ref support| rows — the op's
+    * irreducible cost; groups are dashboard cardinalities, not data).
+    * Per-group running sums are per-group-partitioned windows; the argmax
+    * is a row_number over the same partitioning. NULL values are excluded
+    * (the SQL aggregate convention).
+    */
+  def ksAgainstReference(
+      df: DataFrame, groupCol: String, valueCol: String, refGroup: String): DataFrame = {
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val refCounts = counts.where(col("g") === refGroup).select(col("v"), col("c").as("cr"))
+    val grpCounts = counts.where(col("g") =!= refGroup).select(col("g"), col("v"), col("c").as("cg"))
+    val groups = grpCounts.select("g").distinct()
+    // Union support per group: the reference support rides the broadcast
+    // into a |groups|-way replication; group-only values arrive from the
+    // full-outer side with cr = 0.
+    val refRep = refCounts.crossJoin(broadcast(groups))
+    val merged = grpCounts
+      .join(refRep, Seq("g", "v"), "full_outer")
+      .select(
+        col("g"), col("v"),
+        coalesce(col("cg"), lit(0L)).as("cg"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val wRun = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTotals = Window.partitionBy("g")
+    val swept = merged
+      .withColumn("c1", sum("cg").over(wRun))
+      .withColumn("c2", sum("cr").over(wRun))
+      .withColumn("n", sum("cg").over(wTotals))
+      .withColumn("n_ref", sum("cr").over(wTotals))
+      .withColumn("diff", abs(col("c1") * col("n_ref") - col("c2") * col("n")))
+    swept
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("g").orderBy(col("diff").desc, col("v"))))
+      .where(col("rn") === 1)
+      .select(
+        col("g"), col("n"), col("n_ref"), col("diff").as("ks_num"), col("v").as("at_v"),
+        when(col("n") * col("n_ref") > 0L,
+          col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
+  }
 }

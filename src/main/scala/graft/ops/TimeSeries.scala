@@ -241,4 +241,92 @@ object TimeSeries {
           lit(k.toLong * k) * (n * col("s2") - col("s1") * col("s1")))
       .select(col(keyCol), col(idCol), col("v"))
   }
+
+  /** Per-key ordinary-least-squares trend (slope + intercept) over an
+    * event series — the "is this metric drifting, and how fast" primitive
+    * behind capacity planning and burn-rate alerts.
+    *
+    * Exactness: x = whole HOURS since the key's own first event (integer
+    * floor division of non-negative micros — Spark `div` ≡ DuckDB `//`),
+    * y = the caller's exact long (cents). The five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) are exact long sums, the closed-form
+    * numerators/denominator
+    *   slope_num = n·Σxy − Σx·Σy,  den = n·Σx² − (Σx)²,
+    *   icept_num = Σy·Σx² − Σx·Σxy
+    * are exact long products, and the reported doubles are ONE correctly
+    * rounded IEEE division each — bit-identical across engines and
+    * partitionings. Overflow budget (documented, not checked per row):
+    * |y|·span_hours²·n must stay below 2⁶³ — at cents×fixture scale the
+    * worst term (Σy·Σx²) sits near 10¹⁸ with single-digit headroom, and
+    * the per-key re-centering of x is what keeps it there (absolute epoch
+    * hours would overflow Σy·Σx² by three orders of magnitude).
+    *
+    * Scale shape: one hash exchange on the key serves both the min-ts
+    * window and the final aggregation (the grouping preserves the window's
+    * partitioning, so Catalyst plans a single exchange); the statistics
+    * map-side combine into one row per key. Keys with a single distinct
+    * hour have den = 0 and report NULL slope/intercept.
+    */
+  def groupTrend(df: DataFrame, keyCol: String, tsCol: String, valCol: String): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol))
+    val base = df
+      .where(col(valCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__t"), col(valCol).cast("long").as("y"))
+      .withColumn("xm", col("__t") - min("__t").over(wk))
+      .withColumn("x", expr("xm div 3600000000"))
+    base
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("icept_num", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .withColumn(
+        "slope",
+        when(col("den") =!= 0L, col("slope_num").cast("double") / col("den").cast("double")))
+      .withColumn(
+        "icept",
+        when(col("den") =!= 0L, col("icept_num").cast("double") / col("den").cast("double")))
+      .select(keyCol, "n", "slope_num", "den", "slope", "icept")
+  }
+
+  /** Per-UTC-day PEAK concurrency of a set of half-open intervals
+    * `[start, end)` — "max concurrent sessions/users that day", the
+    * capacity number behind sizing dashboards.
+    *
+    * Construction (sweep line, fully distributed):
+    *   1. every interval emits (+1 at start, −1 at end);
+    *   2. boundaries COLLAPSE per distinct timestamp (groupBy micros →
+    *      net delta) — this both bounds the data and makes the sweep
+    *      deterministic: at one instant all ends and starts take effect
+    *      together (half-open semantics), so intermediate orderings
+    *      within a timestamp never materialize;
+    *   3. the running sum of net deltas over the global timestamp order
+    *      is the concurrency ON [t, next_t) — computed by
+    *      [[Prefix.runningSum]]'s two-phase range-partitioned scan, NOT a
+    *      single-task global window;
+    *   4. a day's peak is the max over its boundary rows of
+    *      greatest(value_after, value_before) — value_before (= running −
+    *      net) covers the carry-in plateau that entered the day from an
+    *      earlier boundary.
+    * Days with no boundary (fully inside one plateau) are not emitted —
+    * changelog semantics, same as any event-driven monitor.
+    *
+    * Output: (day [epoch days], peak, n_changes), exact longs end to end.
+    */
+  def peakConcurrency(intervals: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val starts = intervals.select(unix_micros(col(startCol)).as("t"), lit(1L).as("d"))
+    val ends = intervals.select(unix_micros(col(endCol)).as("t"), lit(-1L).as("d"))
+    val collapsed = starts.unionAll(ends).groupBy("t").agg(sum("d").as("net"))
+    Prefix.runningSum(collapsed, "t", "net", "running")
+      .withColumn("day", expr("t div 86400000000"))
+      .groupBy("day")
+      .agg(
+        max(greatest(col("running"), col("running") - col("net"))).as("peak"),
+        count(lit(1)).as("n_changes"))
+  }
 }

@@ -98,6 +98,16 @@ object Streams {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
 
+  /** [[sessionize]] with the session's full span: (user_id, session_id,
+    * session_start = first event, session_end = last event). The interval
+    * input to [[graft.ops.TimeSeries.peakConcurrency]] — same single
+    * user-partitioned window + (user, session) aggregation.
+    */
+  def sessionSpans(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+
   /** Session-id assignment shared by [[sessionize]] and
     * [[sessionEpisodes]]: gap-splits per user, ids 1..n in time order.
     */

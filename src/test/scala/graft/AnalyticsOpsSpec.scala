@@ -720,4 +720,156 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(a.count(_._3) == 50)
     assert(a.size == docs.count())
   }
+
+  // ------------------------------------------------- round-9 batch: skyline
+
+  test("skyline2D keeps the frontier, drops dominated, keeps exact duplicates") {
+    val df = Seq(
+      (1L, 1L, 9L),  // frontier (cheapest)
+      (2L, 5L, 5L),  // frontier
+      (3L, 9L, 1L),  // frontier (smallest)
+      (4L, 5L, 6L),  // dominated by 2 (same x, larger y)
+      (5L, 6L, 5L),  // dominated by 2 (larger x, same y)
+      (6L, 7L, 7L),  // dominated strictly
+      (7L, 5L, 5L)   // exact duplicate of 2 → both survive
+    ).toDF("id", "x", "y")
+    val got = graft.ops.Skyline.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 7L))
+  }
+
+  test("skyline2D is partition-invariant (Prefix two-phase scan is exact)") {
+    val rows = (1L to 500L).map(i => (i, i % 37, (i * 7) % 41))
+    val df1 = rows.toDF("id", "x", "y")
+    val df2 = df1.repartition(13)
+    val a = graft.ops.Skyline.skyline2D(df1, "x", "y").select("id").as[Long].collect().toSet
+    val b = graft.ops.Skyline.skyline2D(df2, "x", "y").select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // cross-check against the O(n²) dominance definition
+    val brute = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) => bx <= x && by <= y && (bx < x || by < y) }
+    }.map(_._1).toSet
+    assert(a == brute)
+  }
+
+  // -------------------------------------------- round-9 batch: concurrency
+
+  test("peakConcurrency sweeps half-open intervals with day carry-in") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val day = 86400000000L
+    val df = Seq(
+      (ts(0L), ts(1000000L)),            // day 0: [0s, 1s)
+      (ts(500000L), ts(1500000L)),       // overlaps → peak 2 on day 0
+      (ts(1000000L), ts(2000000L)),      // starts exactly as #1 ends → stays 2
+      (ts(day - 1000000L), ts(day + day / 2)) // spans into day 1, alone there
+    ).toDF("st", "en")
+    val got = graft.ops.TimeSeries.peakConcurrency(df, "st", "en")
+      .select("day", "peak").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 2L, got.toString) // half-open: end at t frees the slot before a start at t
+    assert(got(1L) == 1L, got.toString) // carry-in plateau from day 0 is counted
+  }
+
+  test("peakConcurrency matches a brute-force sweep on sessions") {
+    val spans = graft.streaming.Streams
+      .sessionSpans(Tables(spark, sfDir, "events").filter($"user_id" < 40), 30)
+      .withColumn("en", $"session_end" + expr("INTERVAL 30 MINUTES"))
+    val got = graft.ops.TimeSeries.peakConcurrency(spans, "session_start", "en")
+      .select("day", "peak").as[(Long, Long)].collect().toMap
+    val iv = spans.select(unix_micros($"session_start"), unix_micros($"en"))
+      .as[(Long, Long)].collect()
+    val bounds = iv.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var run = 0L
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    bounds.foreach { case (t, net) =>
+      val pre = run; run += net
+      val d = t / day0
+      brute(d) = math.max(brute.getOrElse(d, Long.MinValue), math.max(pre, run))
+    }
+    assert(got == brute.toMap)
+  }
+
+  private val day0 = 86400000000L
+
+  // ----------------------------------------------------- round-9 batch: KS
+
+  test("ksAgainstReference computes the exact two-sample statistic") {
+    // ref a: values 1,2,3,4 (n=4); group b: 3,4,5,6 (n=4). The cross-
+    // multiplied diff |c1·n_ref − c2·n| is 8 at v ∈ {2,3,4}; the argmax
+    // ties to the SMALLEST value → at_v = 2, ks = 8/16 = 0.5.
+    val df = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _)))
+      .toDF("g", "v")
+    val r = graft.ops.Profile.ksAgainstReference(df, "g", "v", "a").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("ks_num") == 8L, row.toString)
+    assert(row.getAs[Long]("at_v") == 2L, row.toString)
+    assert(row.getAs[Double]("ks") == 0.5, row.toString)
+  }
+
+  test("ksAgainstReference: identical distributions give ks 0") {
+    val df = (Seq(1, 2, 3).map(("r", _)) ++ Seq(1, 2, 3).map(("x", _))).toDF("g", "v")
+    val r = graft.ops.Profile.ksAgainstReference(df, "g", "v", "r").collect().head
+    assert(r.getAs[Long]("ks_num") == 0L && r.getAs[Double]("ks") == 0.0)
+  }
+
+  // -------------------------------------------------- round-9 batch: trend
+
+  test("groupTrend recovers an exact line and nulls the degenerate key") {
+    def t(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    val df = Seq(
+      ("a", t(0), 100L), ("a", t(1), 300L), ("a", t(2), 500L), // y = 200x + 100
+      ("b", t(0), 700L), ("b", t(0), 900L)                     // one distinct hour → den 0
+    ).toDF("k", "ts", "v")
+    val got = graft.ops.TimeSeries.groupTrend(df, "k", "ts", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Double]("slope") == 200.0, a.toString)
+    assert(a.getAs[Double]("icept") == 100.0, a.toString)
+    val b = got("b")
+    assert(b.isNullAt(b.fieldIndex("slope")) && b.isNullAt(b.fieldIndex("icept")))
+  }
+
+  // ------------------------------------------- round-9 batch: prefix join
+
+  test("prefixJaccardPairs equals the inverted-index join on the corpus") {
+    val docs = Tables(spark, sfDir, "documents").limit(400)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))
+    val base = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(key).toSet
+    val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(key).toSet
+    assert(pref == base && base.nonEmpty, s"prefix=${pref.size} base=${base.size}")
+  }
+
+  test("prefixJaccardPairs near-threshold pairs survive the prefix filter") {
+    // J exactly at τ: sets {1..3} vs {2..4} of 3-gram shingles — craft via
+    // word sequences "a b c d e" / "b c d e f": 3 shingles each, 2 shared,
+    // J = 2/4 = 0.5 = τ (boundary inclusive).
+    val df = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("jaccard") == 0.5)
+  }
+
+  // ------------------------------------------- round-9 batch: attribution
+
+  test("lastTouchAttribution credits the window, ties, and direct bucket") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val touches = Seq(
+      (1L, ts(100), "click", 10L),
+      (1L, ts(100), "ad", 11L),      // same instant → channel ties to 'ad' (min)
+      (2L, ts(0), "view", 12L),      // 200s before conv 21, window 100s → too old
+      (3L, ts(300), "click", 13L)    // AFTER conv 22 → not matched (backward)
+    ).toDF("user_id", "ts", "channel", "event_id")
+    val convs = Seq(
+      (1L, ts(150), 20L, 500L),  // matches the ts=100 pair → 'ad'
+      (2L, ts(200), 21L, 700L),  // outside window → direct
+      (3L, ts(250), 22L, 900L)   // only future touch → direct
+    ).toDF("user_id", "ts", "event_id", "rev")
+    val got = graft.ops.Funnel.lastTouchAttribution(
+        touches, convs, "user_id", "ts", "event_id", "channel", "rev", windowSec = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("ad", 1L, 500L), ("direct", 2L, 1600L)), got.toString)
+  }
 }
