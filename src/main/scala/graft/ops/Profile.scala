@@ -401,6 +401,38 @@ object Profile {
     * is a row_number over the same partitioning. NULL values are excluded
     * (the SQL aggregate convention).
     */
+  /** Single-pair KS from pre-aggregated exact counts — the mergeable form
+    * behind [[graft.streaming.Streams.streamingKsDrift]]: per-value counts
+    * add across triggers (`count(A ∪ B) = count(A) + count(B)` per value),
+    * so the accumulated table feeds the IDENTICAL arithmetic as
+    * [[ksAgainstReference]] and the streaming monitor is exact at every
+    * trigger, not approximately converging. Inputs: `(v, c)` frames for
+    * the observed stream and the reference. Output: one row
+    * (n, n_ref, ks_num, at_v, ks), same contract as the grouped form.
+    *
+    * The cumulative sums run through [[Prefix.runningSum]]'s two-phase
+    * scan (the compressed distinct-value table can be large for
+    * high-cardinality values); the argmax is a TakeOrdered limit(1),
+    * never a global window.
+    */
+  def ksFromCounts(grpCounts: DataFrame, refCounts: DataFrame): DataFrame = {
+    val merged = grpCounts.select(col("v"), col("c").as("cg"))
+      .join(refCounts.select(col("v"), col("c").as("cr")), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("cg"), lit(0L)).as("cg"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val swept = Prefix.runningSum(Prefix.runningSum(merged, "v", "cg", "c1"), "v", "cr", "c2")
+    val totals = merged.agg(sum("cg").as("n"), sum("cr").as("n_ref"))
+    swept
+      .crossJoin(broadcast(totals))
+      .withColumn("diff", abs(col("c1") * col("n_ref") - col("c2") * col("n")))
+      .orderBy(col("diff").desc, col("v"))
+      .limit(1)
+      .select(
+        col("n"), col("n_ref"), col("diff").as("ks_num"), col("v").as("at_v"),
+        when(col("n") * col("n_ref") > 0L,
+          col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
+  }
+
   def ksAgainstReference(
       df: DataFrame, groupCol: String, valueCol: String, refGroup: String): DataFrame = {
     val counts = df

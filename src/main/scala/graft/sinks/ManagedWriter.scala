@@ -246,10 +246,12 @@ object ManagedWriter {
       opCol: String = "op"): Long =
     mergeImpl(spark, destDir, changes, keyCols, opCol, crashBeforePublish = false)
 
-  /** Test seam for [[merge]]: `crashBeforePublish` dies after the merged
+  /** Test seams for [[merge]]: `crashBeforePublish` dies after the merged
     * files are promoted but before the manifest rename — proving the
     * commit point's atomicity (files physically present, zero rows
-    * visible, versions unchanged).
+    * visible, versions unchanged); `beforePublish` runs just before the
+    * version claim — a competing commit placed there forces the
+    * optimistic-concurrency conflict path deterministically.
     */
   private[graft] def mergeImpl(
       spark: SparkSession,
@@ -257,7 +259,8 @@ object ManagedWriter {
       changes: DataFrame,
       keyCols: Seq[String],
       opCol: String,
-      crashBeforePublish: Boolean): Long = {
+      crashBeforePublish: Boolean,
+      beforePublish: () => Unit = () => ()): Long = {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Adopt pre-manifest destinations first so the merge input and the
     // version claim both come from manifest state, never a raw listing.
@@ -288,6 +291,7 @@ object ManagedWriter {
       val promoted = promoteDir(fs, staging, destDir)
       if (crashBeforePublish)
         throw new java.io.IOException("simulated crash before merge publish (test hook)")
+      beforePublish()
       publishExactManifest(fs, destDir, baseVersion, promoted)
       writeSchemaSidecar(fs, destDir, baseVersion + 1, merged.schema)
       DataSkipping.writeStats(fs, destDir, promoted)

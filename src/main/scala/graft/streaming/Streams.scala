@@ -427,6 +427,57 @@ object Streams {
       .start()
   }
 
+  /** Streaming KS drift monitor: the live twin of the batch
+    * [[graft.ops.Profile.ksAgainstReference]] (ns128) — each trigger's
+    * rows extend a running per-value exact count table (counts add across
+    * triggers, so the accumulation is EXACT, not converging), and the
+    * accumulated distribution is KS-tested against the fixed `reference`
+    * snapshot after every trigger via
+    * [[graft.ops.Profile.ksFromCounts]]'s identical integer arithmetic.
+    * Complements [[streamingHistogramDrift]]: TVD needs a bucket width
+    * and misses within-bucket shifts; KS is binning-free.
+    *
+    * State is the distinct-value count table — O(distinct values), never
+    * O(stream). Same contracts as the other foreachBatch monitors:
+    * re-delivered batch ids skipped, sink frames valid until the next
+    * trigger, restart resumes exactly from a persisted count table via
+    * `initial` (count mergeability). Empty accumulations skip the sink.
+    */
+  def streamingKsDrift(
+      newRows: DataFrame,
+      valueCol: String,
+      reference: DataFrame,
+      checkpointLocation: Option[String] = None,
+      initial: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    def toCounts(df: DataFrame): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val refCounts = graft.ops.Checkpoints.truncate(
+      toCounts(reference).select(col("bucket").as("v"), col("n").as("c")))
+    var counts: Option[DataFrame] = initial.map(graft.ops.Checkpoints.truncate(_))
+    var lastBatchId = -1L
+    val stream = newRows.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val bc = toCounts(batch)
+          val next = graft.ops.Checkpoints.truncate(
+            counts.map(c => graft.ops.Profile.mergeHistograms(c, bc)).getOrElse(bc))
+          counts.foreach(graft.ops.Checkpoints.unpersist)
+          counts = Some(next)
+          if (!next.isEmpty)
+            sink(graft.ops.Profile.ksFromCounts(
+              next.select(col("bucket").as("v"), col("n").as("c")), refCounts))
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental near-dup dedup: the steady-state corpus
     * pipeline run AS A STREAM — each micro-batch of new documents is
     * LSH-probed against the accepted corpus' persisted MinHash signatures

@@ -593,4 +593,38 @@ class ManagedWriterSpec extends SparkSpec {
       w.write(df.withColumn("extra", org.apache.spark.sql.functions.lit(1L)))
     }
   }
+
+  test("concurrent merge conflict: stale writer fails loudly, no lost update, retry lands") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, df.schema, StreamType.Pending)
+    w.write(df); w.finalizeCommit()
+    val vBase = ManagedWriter.versions(spark, dest).last
+    val winner = Seq((1L, 111L, "U")).toDF("id", "v", "op")
+    val loser = Seq((2L, 0L, "D")).toDF("id", "v", "op")
+    // The loser computes against vBase; just before its version claim a
+    // competing merge publishes vBase+1 → the loser's fail-if-exists
+    // commit must surface a conflict, never silently overwrite.
+    val ex = intercept[java.io.IOException] {
+      ManagedWriter.mergeImpl(
+        spark, dest, loser, Seq("id"), "op", crashBeforePublish = false,
+        beforePublish =
+          () => { ManagedWriter.merge(spark, dest, winner, Seq("id")); () })
+    }
+    assert(ex.getMessage.contains("conflict"), ex.getMessage)
+    // Winner's update is authoritative; loser's delete did NOT apply.
+    val latest = ManagedWriter.read(spark, dest)
+    assert(latest.where($"id" === 1L).select("v").as[Long].head() == 111L)
+    assert(latest.where($"id" === 2L).count() == 1L)
+    assert(ManagedWriter.versions(spark, dest).last == vBase + 1)
+    // Conflict recovery contract: re-run against the NEW snapshot — both
+    // effects now present, one version later.
+    val vRetry = ManagedWriter.merge(spark, dest, loser, Seq("id"))
+    assert(vRetry == vBase + 2)
+    val after = ManagedWriter.read(spark, dest)
+    assert(after.where($"id" === 2L).count() == 0L)
+    assert(after.where($"id" === 1L).select("v").as[Long].head() == 111L)
+  }
 }

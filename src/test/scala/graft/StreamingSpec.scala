@@ -308,6 +308,39 @@ class StreamingSpec extends SparkSpec {
       "accumulated streaming drift diverged from the one-shot batch drift")
   }
 
+  test("streaming KS monitor equals the one-shot batch KS after every accumulation") {
+    import graft.ops.Profile
+    val ev = Tables(spark, sfDir, "events").select("event_id", "value")
+    val reference = ev.filter(col("event_id") % 3 === 0)
+    val streamed = ev.filter(col("event_id") % 3 =!= 0)
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-ks-src-${UUID.randomUUID().toString.take(8)}"
+    streamed.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    streamed.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    @volatile var last: Option[(Long, Long, Long, Long, Double)] = None
+    @volatile var triggers = 0
+    val q = Streams.streamingKsDrift(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      "value", reference) { ks =>
+      triggers += 1
+      val r = ks.collect().head
+      last = Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("ks")))
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(triggers >= 2, "stream did not run as multiple triggers")
+    // One-shot: the SAME arithmetic through the grouped batch op.
+    val both = reference.withColumn("g", lit("ref"))
+      .unionByName(spark.read.parquet(srcDir).withColumn("g", lit("stream")))
+      .withColumn("v", col("value").cast("long"))
+    val r = Profile.ksAgainstReference(both, "g", "v", "ref").collect().head
+    val oneShot = (r.getAs[Long]("n"), r.getAs[Long]("n_ref"),
+      r.getAs[Long]("ks_num"), r.getAs[Long]("at_v"), r.getAs[Double]("ks"))
+    assert(last.contains(oneShot),
+      s"accumulated streaming KS $last diverged from the one-shot $oneShot")
+  }
+
   test("streaming Bloom accumulation equals the one-shot filter, seeded resume included") {
     import graft.ops.{Sketch, TextOps}
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
