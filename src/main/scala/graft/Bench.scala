@@ -85,7 +85,11 @@ object Bench {
     // under replication; counts scale linearly). ns129 is excluded with
     // the pairwise class: replicas duplicate texts, so the OUTPUT pair
     // set itself grows quadratically in the fixture.
-    "ns125", "ns126", "ns127", "ns128", "ns130")
+    "ns125", "ns126", "ns127", "ns128", "ns130",
+    // basket pairs / TWAP / phrase postings: all key- or doc-local under
+    // replication (shifted basket and doc keys keep pair and posting
+    // fan-out within one replica).
+    "ns131", "ns132", "ns133")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -5887,6 +5887,59 @@ object SparkEntry {
           userCol = "user_id", tsCol = "ts", idCol = "event_id",
           channelCol = "event_type", revenueCentsCol = "rev", windowSec = 604800L)
         .orderBy("channel")
+    },
+    // NS-A11: frequent co-occurring item pairs (market-basket, k=2 with
+    // Apriori pruning before the quadratic step); the oracle skips the
+    // prune — monotonicity says it cannot change the answer, so the gate
+    // also proves the prune lossless.
+    Q(
+      "ns131_basket_pairs",
+      Some(
+        """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem)
+          |SELECT a.i AS item_a, c.i AS item_b, COUNT(*)::BIGINT AS support
+          |FROM b a JOIN b c ON a.bk = c.bk AND a.i < c.i
+          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+          |ORDER BY item_a, item_b""".stripMargin)) { (s, dir) =>
+      graft.ops.Association.frequentPairs(
+          T(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
+        .orderBy("item_a", "item_b")
+    },
+    // NS-T20: per-key time-weighted average — each value holds until the
+    // next observation; Σ v·dt and Σ dt are exact longs (cents × micros),
+    // the double is one IEEE division.
+    Q(
+      "ns132_twap",
+      Some(
+        """WITH e AS (SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+          |    epoch_us(ts) AS t FROM events WHERE value IS NOT NULL),
+          |d AS (SELECT user_id, v,
+          |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt FROM e),
+          |s AS (SELECT user_id, SUM(v*dt)::BIGINT AS num, SUM(dt)::BIGINT AS den
+          |  FROM d WHERE dt IS NOT NULL GROUP BY 1)
+          |SELECT user_id, num, den,
+          |  CASE WHEN den > 0 THEN num::DOUBLE / den::DOUBLE END AS twap
+          |FROM s ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.timeWeightedAverage(
+          T(s, dir, "events").withColumn("value", cents(col("value"))),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    },
+    // NS-R5: exact phrase search over a positional posting index —
+    // adjacency via chain-join on (doc, pos+i); the repeated-word phrase
+    // also pins overlapping-match counting ("x x x" contains "x x"
+    // twice). Oracle recounts from the raw token array.
+    Q(
+      "ns133_phrase_search",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |c AS (SELECT doc_id, len(list_filter(range(1, len(ts)),
+           |    i -> ts[i] = 'table' AND ts[i+1] = 'table'))::BIGINT AS n_occurrences
+           |  FROM toks)
+           |SELECT doc_id, n_occurrences FROM c WHERE n_occurrences >= 1
+           |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Retrieval.phraseOccurrences(
+          T(s, dir, "documents"), "doc_id", "text", Seq("table", "table"))
+        .orderBy("doc_id")
     }
   )
 

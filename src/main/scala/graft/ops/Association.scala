@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining: which items co-occur in the same
+  * basket more often than a support threshold — the "frequently bought
+  * together" primitive (north-star extension; pairs are the k=2 level of
+  * Apriori/FP-growth, and the level where virtually all production
+  * recommendations stop).
+  *
+  * Scale design:
+  *   - APRIORI PRUNING before any pairing: an item below `minSupport` on
+  *     its own cannot appear in a frequent pair (support is monotone), so
+  *     infrequent items are dropped by one map-side-combined count BEFORE
+  *     the quadratic step — on heavy-tailed catalogs this removes most of
+  *     the item volume.
+  *   - The pair generation is a SELF-EQUI-JOIN on the basket key (both
+  *     sides are the same pruned frame: one shuffle, exchange reuse), so
+  *     fan-out per basket is bounded by its own (pruned) size squared —
+  *     the operator's irreducible cost, proportional to its output
+  *     candidates, never |items|².
+  *   - Pair counts map-side combine; a giant basket (one order with 10⁵
+  *     distinct frequent items) is the skew axis: cap upstream with a
+  *     basket-size guard if the domain allows such baskets.
+  */
+object Association {
+
+  def frequentPairs(
+      baskets: DataFrame, basketCol: String, itemCol: String, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val b = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val frequent = b.groupBy("i").agg(count(lit(1)).as("s"))
+      .where(col("s") >= minSupport).select("i")
+    val kept = b.join(frequent, "i").select("b", "i")
+    kept.alias("a")
+      .join(kept.alias("c"), col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+}

@@ -244,4 +244,41 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col(idCol), col("rrf_score"), col("rank"))
   }
+
+  /** Exact PHRASE search over a POSITIONAL posting index — the adjacency
+    * query (`"w₁ w₂ … wₖ"` as consecutive tokens) that document-level
+    * term indexes (bm25TopK's shape) cannot answer: it needs positions.
+    *
+    * Build: tokenize with `posexplode` (whitespace tokens, same rule as
+    * the BM25/TF-IDF family), KEEP ONLY the phrase's own words — the
+    * posting extraction is a scan-local `isin` prune, so the index
+    * materialized here is proportional to the query words' document
+    * frequency, never the corpus token count. Match: chain-join word i's
+    * postings on (doc, pos = pos₀ + i) — co-partitioned equi-joins on
+    * the (doc, pos) key. Overlapping matches each count ("x x x"
+    * contains "x x" twice), matching the sliding-window definition.
+    *
+    * Output: (doc_id, n_occurrences) for docs with ≥ 1 occurrence.
+    *
+    * Scale: k−1 equi-joins over single-word posting lists; a stop-word
+    * inside the phrase inflates its own posting list (the classic phrase
+    * cost) — production engines add next-word indexes for that; here the
+    * rarest-word list still bounds the JOIN OUTPUT at each chain step.
+    */
+  def phraseOccurrences(
+      docs: DataFrame, idCol: String, textCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two words")
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase.distinct: _*))
+    def word(w: String) = postings.where(col("tok") === w).select("doc_id", "pos")
+    val first = word(phrase.head).select(col("doc_id"), col("pos").as("p0"))
+    val chained = phrase.tail.zipWithIndex.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        word(w).select(col("doc_id"), (col("pos") - (i + 1)).as("p0")),
+        Seq("doc_id", "p0"))
+    }
+    chained.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
 }

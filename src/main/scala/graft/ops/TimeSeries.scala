@@ -294,6 +294,40 @@ object TimeSeries {
       .select(keyCol, "n", "slope_num", "den", "slope", "icept")
   }
 
+  /** Per-key TIME-weighted average (TWAP): each observation's value holds
+    * until the next observation, and the average weights each plateau by
+    * its duration — the statistic that is correct where a plain mean
+    * over-counts bursts of samples (financial TWAP, sensor duty cycles).
+    *
+    * Exactness: value = caller's exact long (cents), duration = exact
+    * micros from the per-key lead; numerator Σ v·dt and denominator Σ dt
+    * are exact long sums, the reported double is ONE IEEE division.
+    * Overflow budget: max|v| · key_span_micros < 2⁶³ (cents × a
+    * multi-year span sits near 10¹⁷). The LAST observation of each key
+    * has no successor and contributes no plateau (the integral runs over
+    * the observed span); same-timestamp duplicates contribute dt = 0 and
+    * tie deterministically on the id column. Keys with a single
+    * observation have no plateau at all and are absent from the output.
+    *
+    * Scale shape: one hash exchange on the key for the lead window (the
+    * sessionize per-key bound); the aggregation reuses the window's
+    * partitioning — map-side-combined, one row per key.
+    */
+  def timeWeightedAverage(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col(idCol))
+    df.where(col(valCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(valCol).cast("long").as("v"),
+        unix_micros(col(tsCol)).as("__t"))
+      .withColumn("__dt", lead(col("__t"), 1).over(w) - col("__t"))
+      .where(col("__dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col("v") * col("__dt")).as("num"), sum(col("__dt")).as("den"))
+      .withColumn(
+        "twap",
+        when(col("den") > 0L, col("num").cast("double") / col("den").cast("double")))
+  }
+
   /** Per-UTC-day PEAK concurrency of a set of half-open intervals
     * `[start, end)` — "max concurrent sessions/users that day", the
     * capacity number behind sizing dashboards.

@@ -852,6 +852,71 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getAs[Double]("jaccard") == 0.5)
   }
 
+  // -------------------------------------------- round-9 batch: baskets
+
+  test("frequentPairs applies Apriori pruning losslessly") {
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"),
+      (4L, "c"), (4L, "d") // d is infrequent → pruned before pairing
+    ).toDF("bk", "item")
+    val got = graft.ops.Association.frequentPairs(baskets, "bk", "item", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 3L)), got.toString)
+  }
+
+  test("frequentPairs counts a basket once regardless of duplicate rows") {
+    val baskets = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("bk", "item")
+    val got = graft.ops.Association.frequentPairs(baskets, "bk", "item", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 2L)), got.toString)
+  }
+
+  // ----------------------------------------------- round-9 batch: TWAP
+
+  test("timeWeightedAverage weights plateaus by duration; singletons absent") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("a", ts(0), 1L, 100L),  // holds 10 s
+      ("a", ts(10), 2L, 200L), // holds 20 s
+      ("a", ts(30), 3L, 999L), // last observation: no plateau
+      ("b", ts(0), 4L, 700L)   // single observation → absent
+    ).toDF("k", "ts", "id", "v")
+    val rows = graft.ops.TimeSeries.timeWeightedAverage(df, "k", "ts", "id", "v").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("k") == "a")
+    assert(r.getAs[Long]("num") == 100L * 10000000L + 200L * 20000000L)
+    assert(r.getAs[Long]("den") == 30000000L)
+    assert(r.getAs[Double]("twap") == 5.0e9 / 3.0e7, r.toString)
+  }
+
+  // --------------------------------------------- round-9 batch: phrase
+
+  test("phraseOccurrences counts overlapping and repeated matches exactly") {
+    val docs = Seq(
+      (1L, "x x x"),       // "x x" twice (overlap)
+      (2L, "a b a b c"),   // "a b" twice
+      (3L, "b a"),         // no "a b"
+      (4L, "a")            // too short
+    ).toDF("doc_id", "text")
+    val xx = graft.ops.Retrieval.phraseOccurrences(docs, "doc_id", "text", Seq("x", "x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xx == Set((1L, 2L)), xx.toString)
+    val ab = graft.ops.Retrieval.phraseOccurrences(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab == Set((2L, 2L)), ab.toString)
+  }
+
+  test("phraseOccurrences chains a 3-word phrase") {
+    val docs = Seq((1L, "u v w u v w"), (2L, "u v x w")).toDF("doc_id", "text")
+    val got = graft.ops.Retrieval.phraseOccurrences(docs, "doc_id", "text", Seq("u", "v", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+
   // ------------------------------------------- round-9 batch: attribution
 
   test("lastTouchAttribution credits the window, ties, and direct bucket") {
