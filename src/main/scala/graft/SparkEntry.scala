@@ -5940,6 +5940,85 @@ object SparkEntry {
       Retrieval.phraseOccurrences(
           T(s, dir, "documents"), "doc_id", "text", Seq("table", "table"))
         .orderBy("doc_id")
+    },
+    // NS-T21: per-key rolling median (trailing 7 observations) — the
+    // robust twin of the rolling mean/σ anomaly screen. Odd frames pick
+    // an element, even (warm-up) frames average two middles: one exact
+    // IEEE halving of integers, so the double hashes identically.
+    Q(
+      "ns134_rolling_median",
+      Some(
+        """WITH e AS (SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+          |    epoch_us(ts) AS t FROM events WHERE value IS NOT NULL)
+          |SELECT user_id, event_id, v,
+          |  median(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_med,
+          |  COUNT(*) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS n_in_frame
+          |FROM e ORDER BY user_id, event_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.rollingMedian(
+          T(s, dir, "events").withColumn("value", cents(col("value"))),
+          "user_id", "ts", "event_id", "value", window = 7)
+        .orderBy("user_id", "event_id")
+    },
+    // NS-P10: pairwise covariance/correlation matrix in ONE scan — all
+    // sufficient statistics are exact longs (cov_num = n²·cov fixed-point
+    // convention), Pearson r is three IEEE ops on exact integers. Measures
+    // are bounded-magnitude (qty ≤ 50, per-mille rates ≤ 100) so the
+    // documented n·Σxy < 2⁶³ budget holds through sf1 and beyond.
+    Q(
+      "ns135_moment_matrix",
+      Some(
+        """WITH m AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+          |    CAST(ROUND(l_discount * 1000) AS BIGINT) AS disc_pm,
+          |    CAST(ROUND(l_tax * 1000) AS BIGINT) AS tax_pm
+          |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          |    AND l_tax IS NOT NULL),
+          |s AS (SELECT COUNT(*)::BIGINT AS n,
+          |    SUM(qty)::BIGINT AS s_q, SUM(disc_pm)::BIGINT AS s_d, SUM(tax_pm)::BIGINT AS s_t,
+          |    SUM(qty * qty)::BIGINT AS p_qq, SUM(disc_pm * disc_pm)::BIGINT AS p_dd,
+          |    SUM(tax_pm * tax_pm)::BIGINT AS p_tt, SUM(qty * disc_pm)::BIGINT AS p_qd,
+          |    SUM(qty * tax_pm)::BIGINT AS p_qt, SUM(disc_pm * tax_pm)::BIGINT AS p_dt
+          |  FROM m),
+          |cells AS (
+          |  SELECT 'qty' AS x, 'disc_pm' AS y, n, s_q AS sum_x, s_d AS sum_y, p_qd AS sum_xy,
+          |    (n*p_qd - s_q*s_d)::BIGINT AS cov_num,
+          |    (n*p_qq - s_q*s_q)::BIGINT AS var_num_x, (n*p_dd - s_d*s_d)::BIGINT AS var_num_y
+          |  FROM s
+          |  UNION ALL
+          |  SELECT 'qty', 'tax_pm', n, s_q, s_t, p_qt, (n*p_qt - s_q*s_t)::BIGINT,
+          |    (n*p_qq - s_q*s_q)::BIGINT, (n*p_tt - s_t*s_t)::BIGINT FROM s
+          |  UNION ALL
+          |  SELECT 'disc_pm', 'tax_pm', n, s_d, s_t, p_dt, (n*p_dt - s_d*s_t)::BIGINT,
+          |    (n*p_dd - s_d*s_d)::BIGINT, (n*p_tt - s_t*s_t)::BIGINT FROM s)
+          |SELECT x, y, n, sum_x, sum_y, sum_xy, cov_num, var_num_x, var_num_y,
+          |  CASE WHEN var_num_x > 0 AND var_num_y > 0 THEN
+          |    cov_num::DOUBLE / (sqrt(var_num_x::DOUBLE) * sqrt(var_num_y::DOUBLE)) END AS corr
+          |FROM cells ORDER BY x, y""".stripMargin)) { (s, dir) =>
+      Profile.momentMatrix(
+          T(s, dir, "lineitem").select(
+            col("l_quantity").cast("long").as("qty"),
+            round(col("l_discount") * 1000).cast("long").as("disc_pm"),
+            round(col("l_tax") * 1000).cast("long").as("tax_pm")),
+          Seq("qty", "disc_pm", "tax_pm"))
+        .orderBy("x", "y")
+    },
+    // NS-A12: ordered precedence pairs (k=2 sequential patterns) — for
+    // how many users does type A FIRST occur strictly before type B first
+    // occurs. Complements the adjacent-only transition matrix (ns113):
+    // precedence sees across any gap. Ties count in neither direction.
+    Q(
+      "ns136_precedence_pairs",
+      Some(
+        """WITH f AS (SELECT user_id AS e, event_type AS t, MIN(ts) AS ft
+          |  FROM events GROUP BY 1, 2)
+          |SELECT a.t AS type_a, c.t AS type_b, COUNT(*)::BIGINT AS n_entities
+          |FROM f a JOIN f c ON a.e = c.e AND a.ft < c.ft
+          |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+          |ORDER BY type_a, type_b""".stripMargin)) { (s, dir) =>
+      graft.ops.Association.precedencePairs(
+          T(s, dir, "events"), "user_id", "event_type", "ts", minSupport = 5L)
+        .orderBy("type_a", "type_b")
     }
   )
 

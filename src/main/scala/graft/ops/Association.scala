@@ -39,4 +39,42 @@ object Association {
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
   }
+
+  /** Ordered precedence pairs: for how many entities does event type A
+    * first occur STRICTLY before event type B first occurs? The k=2 level
+    * of sequential-pattern mining (AprioriAll/PrefixSpan stop here in most
+    * funnels) and the complement of the adjacent-only transition matrix —
+    * precedence sees "signup … eventually … purchase" across any gap,
+    * where a transition matrix only sees adjacent steps.
+    *
+    * Semantics: per (entity, type) the FIRST occurrence timestamp; a pair
+    * (a, b) counts an entity when first(a) < first(b) — entities whose two
+    * first-occurrences share a timestamp count in NEITHER direction
+    * (strictness keeps the relation antisymmetric; an id tiebreak would
+    * manufacture an ordering the data doesn't contain).
+    *
+    * Scale design: the quadratic step runs on the FIRST-OCCURRENCE frame
+    * (one row per entity × distinct type — bounded by |entities|·|types|,
+    * never by event volume); the self-join is an equi-join on the entity
+    * key over that same frame, so one exchange serves both sides, and
+    * per-entity fan-out is |types|² — a catalog constant, not a data
+    * skew axis. Pair counts map-side combine.
+    */
+  def precedencePairs(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val firsts = events
+      .groupBy(col(entityCol).as("e"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("ft"))
+    firsts.alias("a")
+      .join(firsts.alias("c"),
+        col("a.e") === col("c.e") && col("a.ft") < col("c.ft"))
+      .groupBy(col("a.t").as("type_a"), col("c.t").as("type_b"))
+      .agg(count(lit(1)).as("n_entities"))
+      .where(col("n_entities") >= minSupport)
+  }
 }

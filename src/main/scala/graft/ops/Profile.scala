@@ -471,4 +471,63 @@ object Profile {
         when(col("n") * col("n_ref") > 0L,
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
+
+  /** Pairwise covariance/correlation matrix over k integer measures in
+    * ONE scan — the feature-redundancy screen run before model training
+    * ("which of these columns are the same signal?").
+    *
+    * Exactness: every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is
+    * an exact long sum; the closed-form integer numerators
+    *   cov_num = n·Σxy − Σx·Σy,   var_num_x = n·Σx² − (Σx)²
+    * are exact long products (cov_num = n²·cov, the same fixed-point
+    * convention as [[graft.ops.TimeSeries.groupTrend]]), and Pearson r is
+    * the ONE floating expression `cov_num / (sqrt(vx)·sqrt(vy))` — three
+    * correctly rounded IEEE ops on integer-exact inputs, bit-identical
+    * across engines. Overflow budget (documented, not checked per row):
+    * n·Σ(x·y) must stay below 2⁶³ — profile bounded-magnitude measures
+    * (quantities, basis points, small counts); re-scale cents upstream
+    * when n·max|x|·max|y| approaches 10¹⁸.
+    *
+    * Scale shape: NO shuffle at all beyond the single-row global
+    * aggregate — all k(k+1)/2 products accumulate in the same map-side
+    * partial pass over the scan, and the pair explosion afterwards works
+    * on that one row. Adding a measure costs one more column in the same
+    * pass, never another scan.
+    *
+    * Rows with a NULL in ANY profiled measure are excluded everywhere
+    * (listwise deletion) so every pair sees the identical n.
+    */
+  def momentMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two measures")
+    val clean = df
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      count(lit(1)).as("n") +:
+        cols.map(c => sum(col(c)).as(s"s_$c")) ++:
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"p_${a}__$b") }
+    val one = clean.agg(aggs.head, aggs.tail: _*)
+    def varNum(c: String) =
+      col("n") * col(s"p_${c}__$c") - col(s"s_$c") * col(s"s_$c")
+    val offDiag = pairs.filter { case (a, b) => a != b }
+    val cells = offDiag.map { case (a, b) =>
+      val covNum = col("n") * col(s"p_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+      struct(
+        lit(a).as("x"), lit(b).as("y"), col("n").as("n"),
+        col(s"s_$a").as("sum_x"), col(s"s_$b").as("sum_y"),
+        col(s"p_${a}__$b").as("sum_xy"),
+        covNum.as("cov_num"),
+        varNum(a).as("var_num_x"), varNum(b).as("var_num_y"),
+        when(varNum(a) > 0L && varNum(b) > 0L,
+          covNum.cast("double") /
+            (sqrt(varNum(a).cast("double")) * sqrt(varNum(b).cast("double"))))
+          .as("corr"))
+    }
+    one
+      .select(explode(array(cells: _*)).as("c"))
+      .select(col("c.*"))
+  }
 }

@@ -363,4 +363,55 @@ object TimeSeries {
         max(greatest(col("running"), col("running") - col("net"))).as("peak"),
         count(lit(1)).as("n_changes"))
   }
+
+  /** Per-key rolling median over the trailing `window` observations — the
+    * robust-smoothing twin of [[rollingAnomalies]]'s mean/variance screen
+    * (a median tracker shrugs off the single spikes that drag a rolling
+    * mean, which is exactly why monitoring pipelines prefer it).
+    *
+    * Exactness: values are the caller's longs; an odd-count frame's median
+    * IS one of them, an even-count frame's is the mean of the two middle
+    * values — `(a+b)/2` with a, b integers is exactly representable (one
+    * IEEE halving), so the reported double is bit-identical across
+    * engines and partitionings. Position order (ts, id) is total because
+    * id is unique.
+    *
+    * Scale shape: one hash exchange on the key, one in-partition sort —
+    * the same plan skeleton as every per-key ordered window here. Spark
+    * refuses `median` over a framed window, so the frame materializes as
+    * a `collect_list` the projection sorts scan-locally — per-row state
+    * and cost are O(window)/O(window·log window), a monitoring-window
+    * constant, never the key's history; the per-key sort is the usual
+    * hot-key bound, shared with sessionize. Warm-up rows (fewer than
+    * `window` trailing values) are emitted too — their median is over the
+    * shorter prefix, the monitoring convention — with `n_in_frame`
+    * reporting the actual frame population. The two-middles index
+    * identity (⌈n/2⌉ = ⌊n/2⌋+1 exactly when n is odd) folds both parities
+    * into one branch-free expression.
+    */
+  def rollingMedian(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      window: Int): DataFrame = {
+    require(window > 1, "window must exceed 1")
+    val base = df
+      .where(col(valCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(valCol).cast("long").as("v"),
+        unix_micros(col(tsCol)).as("__t"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col(idCol))
+      .rowsBetween(-(window - 1), 0)
+    base
+      .withColumn("__frame", sort_array(collect_list(col("v")).over(w)))
+      .withColumn("n_in_frame", size(col("__frame")).cast("long"))
+      .withColumn(
+        "roll_med",
+        (element_at(col("__frame"), ((col("n_in_frame") + 1L) / 2L).cast("int")) +
+          element_at(col("__frame"), (col("n_in_frame") / 2L + 1L).cast("int")))
+          .cast("double") / 2.0d)
+      .select(col(keyCol), col(idCol), col("v"), col("roll_med"), col("n_in_frame"))
+  }
 }

@@ -937,4 +937,67 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set(("ad", 1L, 500L), ("direct", 2L, 1600L)), got.toString)
   }
+
+  // ------------------------------------------ round-9 batch: rolling median
+
+  test("rollingMedian picks elements on odd frames, halves on even, per key") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("a", ts(1), 1L, 10L),
+      ("a", ts(2), 2L, 30L),  // frame {10,30} → 20.0
+      ("a", ts(3), 3L, 20L),  // frame {10,30,20} → 20.0
+      ("a", ts(4), 4L, 100L), // frame {30,20,100} (window 3) → 30.0
+      ("b", ts(1), 5L, 7L)    // isolated key → 7.0
+    ).toDF("k", "ts", "id", "v")
+    val got = graft.ops.TimeSeries.rollingMedian(df, "k", "ts", "id", "v", window = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("a", 1L, 10.0, 1L), ("a", 2L, 20.0, 2L), ("a", 3L, 20.0, 3L),
+      ("a", 4L, 30.0, 3L), ("b", 5L, 7.0, 1L)), got.toString)
+  }
+
+  // ------------------------------------------ round-9 batch: moment matrix
+
+  test("momentMatrix reports exact integer numerators and Pearson r") {
+    // y = 2x exactly → r = 1.0; z constant → var 0 → NULL r.
+    val df = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 6L, 5L)).toDF("x1", "x2", "x3")
+    val rows = graft.ops.Profile.momentMatrix(df, Seq("x1", "x2", "x3"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xy = rows(("x1", "x2"))
+    // n=3, Σx=6, Σy=12, Σxy=28 → cov_num = 3·28 − 72 = 12; var_x = 3·14−36 = 6
+    assert(xy.getAs[Long]("n") == 3L)
+    assert(xy.getAs[Long]("cov_num") == 12L)
+    assert(xy.getAs[Long]("var_num_x") == 6L)
+    assert(xy.getAs[Long]("var_num_y") == 24L)
+    // the contract is the exact IEEE result of THIS formula, not round-1.0
+    assert(xy.getAs[Double]("corr") == 12.0 / (math.sqrt(6.0) * math.sqrt(24.0)))
+    assert(rows(("x1", "x3")).isNullAt(rows(("x1", "x3")).fieldIndex("corr")))
+    assert(rows.size == 3, rows.keys.toString) // off-diagonal pairs only
+  }
+
+  test("momentMatrix listwise-deletes rows with any NULL measure") {
+    val df = Seq(
+      (Some(1L), Some(2L)), (Some(2L), None), (Some(3L), Some(6L))
+    ).toDF("a", "b")
+    val r = graft.ops.Profile.momentMatrix(df, Seq("a", "b")).collect().head
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Long]("sum_x") == 4L)
+  }
+
+  // -------------------------------------- round-9 batch: precedence pairs
+
+  test("precedencePairs counts strict first-before-first; ties drop") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      (1L, "a", ts(10)), (1L, "b", ts(20)), (1L, "a", ts(30)), // a<b (first a=10)
+      (2L, "a", ts(5)), (2L, "b", ts(7)),                      // a<b
+      (3L, "b", ts(1)), (3L, "a", ts(2)),                      // b<a
+      (4L, "a", ts(9)), (4L, "b", ts(9))                       // tie → neither
+    ).toDF("u", "t", "ts")
+    val got = graft.ops.Association.precedencePairs(df, "u", "t", "ts", 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 2L), ("b", "a", 1L)), got.toString)
+  }
 }
