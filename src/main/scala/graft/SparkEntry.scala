@@ -2347,8 +2347,70 @@ object SparkEntry {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
         .orderBy(col("cnt").desc, col("item"))
+    },
+    // Multiset set operations: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (min(m,n) / m−n), which the DISTINCT variants b18/b19
+    // erase. Folded to (op, value, multiplicity) counts so the gate pins
+    // the multiset cardinalities themselves.
+    Q(
+      "b89_setops_all",
+      Some(
+        """WITH i AS (SELECT c_nationkey AS k FROM customer
+          |  INTERSECT ALL SELECT s_nationkey FROM supplier),
+          |e AS (SELECT c_nationkey AS k FROM customer
+          |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+          |SELECT 'intersect_all' AS op, k, COUNT(*)::BIGINT AS n FROM i GROUP BY 2
+          |UNION ALL
+          |SELECT 'except_all' AS op, k, COUNT(*)::BIGINT AS n FROM e GROUP BY 2
+          |ORDER BY op, k""".stripMargin)) { (s, dir) =>
+      val c = T(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sp = T(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.intersectAll(sp).withColumn("op", lit("intersect_all"))
+        .unionAll(c.exceptAll(sp).withColumn("op", lit("except_all")))
+        .groupBy("op", "k").agg(count(lit(1)).as("n"))
+        .select("op", "k", "n")
+        .orderBy("op", "k")
+    },
+    // GROUP BY ALL (group on every non-aggregate select item) — the SAME
+    // SQL text runs verbatim on both engines; the CAST collapses DuckDB's
+    // HUGEINT sum to BIGINT and is a no-op on Spark's LONG.
+    Q(
+      "b90_group_by_all",
+      Some(sqlGroupByAll)) { (s, dir) =>
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlGroupByAll)
+    },
+    // Union by NAME with missing-column null-fill — schema alignment by
+    // column name, not position (Spark `unionByName(allowMissingColumns)`
+    // ≡ DuckDB `UNION ALL BY NAME`).
+    Q(
+      "b91_union_by_name",
+      Some(
+        """SELECT * FROM (
+          |  SELECT p_partkey AS k, p_name AS name FROM part WHERE p_partkey <= 50
+          |  UNION ALL BY NAME
+          |  SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c, p_partkey AS k
+          |  FROM part WHERE p_partkey > 50 AND p_partkey <= 100)
+          |ORDER BY k""".stripMargin)) { (s, dir) =>
+      val p = T(s, dir, "part")
+      p.where(col("p_partkey") <= 50)
+        .select(col("p_partkey").as("k"), col("p_name").as("name"))
+        .unionByName(
+          p.where(col("p_partkey") > 50 && col("p_partkey") <= 100)
+            .select(cents(col("p_retailprice")).as("price_c"), col("p_partkey").as("k")),
+          allowMissingColumns = true)
+        .orderBy("k")
     }
   )
+
+  /** b90's shared SQL text — identical on Spark and DuckDB by design.
+    * Lazy: referenced during `layerB`'s strict init, which runs before
+    * this field in declaration order.
+    */
+  private lazy val sqlGroupByAll: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Bucketed-table join used by b41 (+ PlanSpec): both fact tables are
     * written bucketed+sorted on the join key once per (session, sf-dir),
@@ -6019,6 +6081,49 @@ object SparkEntry {
       graft.ops.Association.precedencePairs(
           T(s, dir, "events"), "user_id", "event_type", "ts", minSupport = 5L)
         .orderBy("type_a", "type_b")
+    },
+    // NS-P11: chi-square contingency between event type and 6-hour
+    // day-part — exact integer margins and deviation numerators; each
+    // chi2 term is three IEEE ops on exact longs, so it hashes.
+    Q(
+      "ns137_contingency",
+      Some(
+        """WITH c AS (SELECT event_type AS row_key, hour(ts) // 6 AS col_key,
+          |    COUNT(*)::BIGINT AS obs
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT *,
+          |    SUM(obs) OVER (PARTITION BY row_key)::BIGINT AS row_total,
+          |    SUM(obs) OVER (PARTITION BY col_key)::BIGINT AS col_total,
+          |    SUM(obs) OVER ()::BIGINT AS n FROM c)
+          |SELECT row_key, col_key, obs, row_total, col_total, n,
+          |  (n*obs - row_total*col_total)::BIGINT AS dev_num,
+          |  ((n*obs - row_total*col_total)::DOUBLE * (n*obs - row_total*col_total)::DOUBLE)
+          |    / (n*row_total*col_total)::DOUBLE AS chi2_term
+          |FROM m ORDER BY row_key, col_key""".stripMargin)) { (s, dir) =>
+      Profile.contingency(
+          T(s, dir, "events")
+            .withColumn("daypart", expr("hour(ts) div 6")),
+          "event_type", "daypart")
+        .orderBy("row_key", "col_key")
+    },
+    // NS-P12: per-group equal-frequency (decile) binning with exact
+    // [lo, hi] envelopes — ntile over the TOTAL (value, id) order, whose
+    // extra-row placement convention Spark and DuckDB share.
+    Q(
+      "ns138_equal_freq_bins",
+      Some(
+        """WITH e AS (SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |b AS (SELECT event_type, v,
+          |    ntile(10) OVER (PARTITION BY event_type ORDER BY v, event_id)::BIGINT AS bin
+          |  FROM e)
+          |SELECT event_type, bin, COUNT(*)::BIGINT AS n,
+          |  MIN(v)::BIGINT AS lo, MAX(v)::BIGINT AS hi
+          |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)) { (s, dir) =>
+      Profile.equalFrequencyBins(
+          T(s, dir, "events").withColumn("value", cents(col("value"))),
+          "event_type", "value", "event_id", nBins = 10)
+        .orderBy("event_type", "bin")
     }
   )
 

@@ -472,6 +472,79 @@ object Profile {
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
 
+  /** Chi-square contingency table between two categorical columns — the
+    * independence screen behind "did the traffic mix shift?" drift checks
+    * and feature–label leakage audits.
+    *
+    * Exactness: every cell carries its exact integer evidence (obs,
+    * row_total, col_total, n) and the deviation numerator
+    * d = n·obs − row_total·col_total as an exact long (d/n is the
+    * deviation from expected, scaled by n); the reported chi2_term is the
+    * textbook (obs − exp)²/exp rewritten over integers,
+    * d²/(n·row_total·col_total), evaluated as three IEEE ops on exact
+    * inputs — bit-identical across engines. Σ chi2_term over cells is the
+    * chi-square statistic; the caller compares against the quantile for
+    * (rows−1)(cols−1) degrees of freedom. Overflow budget: n² < 2⁶³
+    * (row_total·col_total ≤ n²) — fine to ~3·10⁹ rows, then pre-aggregate.
+    *
+    * Scale shape: ONE map-side-combined groupBy to the cell table
+    * (bounded by |row categories| × |col categories|, never data volume);
+    * the margin windows run over that tiny frame. Nothing else shuffles.
+    */
+  def contingency(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df
+      .where(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("row_key"), col(colCol).as("col_key"))
+      .agg(count(lit(1)).as("obs"))
+    val wr = Window.partitionBy("row_key")
+    val wc = Window.partitionBy("col_key")
+    val wn = Window.partitionBy()
+    val d = col("n") * col("obs") - col("row_total") * col("col_total")
+    cells
+      .withColumn("row_total", sum("obs").over(wr))
+      .withColumn("col_total", sum("obs").over(wc))
+      .withColumn("n", sum("obs").over(wn))
+      .withColumn("dev_num", d)
+      .withColumn(
+        "chi2_term",
+        (d.cast("double") * d.cast("double")) /
+          (col("n") * col("row_total") * col("col_total")).cast("double"))
+      .select("row_key", "col_key", "obs", "row_total", "col_total", "n",
+        "dev_num", "chi2_term")
+  }
+
+  /** Per-group equal-frequency binning (decile-style): assign each value
+    * to one of `nBins` rank buckets and report each bucket's population
+    * and exact [min, max] envelope — the cut-point discovery step of
+    * feature discretization (and the input to WOE/IV encodings).
+    *
+    * Determinism: ntile runs over the TOTAL order (value, id) — id
+    * uniqueness makes equal values tie-break reproducibly, and the SQL
+    * ntile definition (first `n mod nBins` buckets take the extra row) is
+    * shared by Spark and DuckDB verbatim.
+    *
+    * Scale shape: rows shuffle ONCE on the group key; the rank pass is
+    * the usual per-group sort (sessionize bound — a group's values sort
+    * in one task's spillable window), and the per-bin aggregation reuses
+    * the same exchange. Output is |groups|·nBins rows.
+    */
+  def equalFrequencyBins(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      idCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 1, "need at least two bins")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol), col(idCol))
+    df.where(col(valCol).isNotNull)
+      .withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(valCol)).as("lo"),
+        max(col(valCol)).as("hi"))
+  }
+
   /** Pairwise covariance/correlation matrix over k integer measures in
     * ONE scan — the feature-redundancy screen run before model training
     * ("which of these columns are the same signal?").

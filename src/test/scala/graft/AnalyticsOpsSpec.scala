@@ -1000,4 +1000,44 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set(("a", "b", 2L), ("b", "a", 1L)), got.toString)
   }
+
+  // ---------------------------------------- round-9 batch: contingency
+
+  test("contingency margins, deviation numerators, and chi2 terms are exact") {
+    // 2×2 with obs: (a,x)=3 (a,y)=1 (b,x)=1 (b,y)=3 → n=8, margins 4.
+    val df = (Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq.fill(3)(("b", "y"))).toDF("r", "c")
+    val got = graft.ops.Profile.contingency(df, "r", "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ax = got(("a", "x"))
+    assert(ax.getAs[Long]("obs") == 3L)
+    assert(ax.getAs[Long]("row_total") == 4L)
+    assert(ax.getAs[Long]("col_total") == 4L)
+    assert(ax.getAs[Long]("n") == 8L)
+    // dev = 8·3 − 16 = 8; term = 64 / (8·16) = 0.5
+    assert(ax.getAs[Long]("dev_num") == 8L)
+    assert(ax.getAs[Double]("chi2_term") == 0.5)
+    // Σ terms = classic chi2 = 2.0 for this table
+    val chi2 = got.values.map(_.getAs[Double]("chi2_term")).sum
+    assert(chi2 == 2.0, chi2.toString)
+  }
+
+  // ------------------------------------- round-9 batch: equal-freq bins
+
+  test("equalFrequencyBins follows the ntile extra-row convention per group") {
+    // 5 values, 2 bins → first bin takes 3 (ntile remainder), second 2.
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L),
+      ("g", 40L, 4L), ("g", 50L, 5L)).toDF("grp", "v", "id")
+    val got = graft.ops.Profile.equalFrequencyBins(df, "grp", "v", "id", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 3L, 10L, 30L), (2L, 2L, 40L, 50L)), got.toString)
+  }
+
+  test("equalFrequencyBins ties break on id, reproducibly") {
+    val df = Seq(("g", 7L, 2L), ("g", 7L, 1L), ("g", 7L, 3L), ("g", 7L, 4L))
+      .toDF("grp", "v", "id")
+    val got = graft.ops.Profile.equalFrequencyBins(df, "grp", "v", "id", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (2L, 2L)), got.toString)
+  }
 }
