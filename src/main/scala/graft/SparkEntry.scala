@@ -2486,6 +2486,22 @@ object SparkEntry {
   }
 
   private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Shared oracle WITH-members replaying the 16×8 RGB → 8×4-grid aHash
+    * build (ns123's pipeline); consumers add their own final SELECT.
+    * Lazy-safe: plain val declared BEFORE the layer seqs that use it.
+    */
+  private val oAHashMembers: String =
+    """d AS (SELECT doc_id, substring(text, 1, 384) AS t
+      |  FROM documents WHERE length(text) >= 384),
+      |b AS (SELECT doc_id, [ascii(substring(t, i+1, 1)) FOR i IN range(384)] AS bs FROM d),
+      |g AS (SELECT doc_id,
+      |    [bs[3*i+1] + bs[3*i+2] + bs[3*i+3] FOR i IN range(128)] AS gs FROM b),
+      |c AS (SELECT doc_id, list_sum(gs) AS tot,
+      |    [gs[(2*(k//8))*16 + 2*(k%8) + 1] + gs[(2*(k//8))*16 + 2*(k%8) + 2]
+      |     + gs[(2*(k//8)+1)*16 + 2*(k%8) + 1] + gs[(2*(k//8)+1)*16 + 2*(k%8) + 2]
+      |     FOR k IN range(32)] AS cells
+      |  FROM g)""".stripMargin
   private def oList(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
   private def oHits(toksExpr: String, words: Seq[String]) =
     s"length(list_filter($toksExpr, t -> list_contains(${oList(words)}, t)))"
@@ -5717,16 +5733,7 @@ object SparkEntry {
     Q(
       "ns123_image_ahash",
       Some(
-        """WITH d AS (SELECT doc_id, substring(text, 1, 384) AS t
-          |  FROM documents WHERE length(text) >= 384),
-          |b AS (SELECT doc_id, [ascii(substring(t, i+1, 1)) FOR i IN range(384)] AS bs FROM d),
-          |g AS (SELECT doc_id,
-          |    [bs[3*i+1] + bs[3*i+2] + bs[3*i+3] FOR i IN range(128)] AS gs FROM b),
-          |c AS (SELECT doc_id, list_sum(gs) AS tot,
-          |    [gs[(2*(k//8))*16 + 2*(k%8) + 1] + gs[(2*(k//8))*16 + 2*(k%8) + 2]
-          |     + gs[(2*(k//8)+1)*16 + 2*(k%8) + 1] + gs[(2*(k//8)+1)*16 + 2*(k%8) + 2]
-          |     FOR k IN range(32)] AS cells
-          |  FROM g)
+        s"""WITH $oAHashMembers
           |SELECT doc_id,
           |  list_sum([CASE WHEN cells[k+1]*32 > tot THEN (1::BIGINT << k)
           |    ELSE 0 END FOR k IN range(32)])::BIGINT AS ahash,
@@ -6124,6 +6131,89 @@ object SparkEntry {
           T(s, dir, "events").withColumn("value", cents(col("value"))),
           "event_type", "value", "event_id", nBins = 10)
         .orderBy("event_type", "bin")
+    },
+    // NS-M7: image near-dup pairs — banded Hamming join over ns123's
+    // perceptual aHash (Hamming ≤ 3 on 32 bits, 4 bands). The oracle
+    // recomputes ALL pairs from the replayed hash build, so the gate also
+    // proves the pigeonhole banding lossless.
+    Q(
+      "ns139_image_neardup",
+      Some(
+        s"""WITH $oAHashMembers,
+          |ah AS (SELECT doc_id,
+          |    list_sum([CASE WHEN cells[k+1]*32 > tot THEN (1::BIGINT << k)
+          |      ELSE 0 END FOR k IN range(32)])::BIGINT AS ahash
+          |  FROM c)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+          |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      val hashes = Multimodal.pngAHash(
+          s,
+          T(s, dir, "documents")
+            .where(length(col("text")) >= 384)
+            .select(col("doc_id"),
+              encode(expr("substring(text, 1, 384)"), "UTF-8").as("rgb")),
+          "doc_id", "rgb", width = 16, height = 8, gridW = 8, gridH = 4)
+        .toDF()
+      Dedup.hashHammingPairs(hashes, "doc_id", "ahash",
+          bits = 32, maxHamming = 3, bands = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+    // NS-S9: reciprocal best-match pairs between the even- and odd-label
+    // embedding sets (the mutual-top-1 bitext-mining filter); ties break
+    // on (cos DESC, id) in both engines.
+    Q(
+      "ns140_reciprocal_match",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+          |a AS (SELECT vec_id, v FROM e WHERE label % 2 = 0),
+          |b AS (SELECT vec_id, v FROM e WHERE label % 2 = 1),
+          |sab AS (SELECT a.vec_id AS qid, b.vec_id AS nid, ${oCosine("a.v", "b.v")} AS cos
+          |  FROM a JOIN b ON true),
+          |rab AS (SELECT qid, nid, cos,
+          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sab),
+          |sba AS (SELECT b.vec_id AS qid, a.vec_id AS nid, ${oCosine("b.v", "a.v")} AS cos
+          |  FROM b JOIN a ON true),
+          |rba AS (SELECT qid, nid,
+          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sba)
+          |SELECT x.qid AS left_id, x.nid AS right_id, x.cos
+          |FROM rab x JOIN rba y ON x.qid = y.nid AND x.nid = y.qid
+          |WHERE x.rk = 1 AND y.rk = 1
+          |ORDER BY left_id""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      Similarity.reciprocalBestMatch(
+          e.where(col("label") % 2 === 0),
+          e.where(col("label") % 2 === 1),
+          "vec_id", "embedding")
+        .orderBy("left_id")
+    },
+    // NS-T22: SLO burn rate over trailing 1 h / 6 h windows (error budget
+    // 150‰) — exact hourly counts, one IEEE division per burn, and the
+    // standard both-windows-over-1 page predicate.
+    Q(
+      "ns141_burn_rate",
+      Some(
+        """WITH hr AS (SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*)::BIGINT AS tot,
+          |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS err
+          |  FROM events GROUP BY 1),
+          |w AS (SELECT h,
+          |    SUM(err) OVER (ORDER BY h RANGE BETWEEN 0 PRECEDING AND CURRENT ROW)::BIGINT AS err_s,
+          |    SUM(tot) OVER (ORDER BY h RANGE BETWEEN 0 PRECEDING AND CURRENT ROW)::BIGINT AS tot_s,
+          |    SUM(err) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)::BIGINT AS err_l,
+          |    SUM(tot) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)::BIGINT AS tot_l
+          |  FROM hr)
+          |SELECT h, err_s, tot_s, err_l, tot_l,
+          |  (err_s * 1000)::DOUBLE / (tot_s * 150)::DOUBLE AS burn_s,
+          |  (err_l * 1000)::DOUBLE / (tot_l * 150)::DOUBLE AS burn_l,
+          |  ((err_s * 1000)::DOUBLE / (tot_s * 150)::DOUBLE > 1.0 AND
+          |   (err_l * 1000)::DOUBLE / (tot_l * 150)::DOUBLE > 1.0) AS page
+          |FROM w ORDER BY h""".stripMargin)) { (s, dir) =>
+      TimeSeries.burnRate(
+          T(s, dir, "events"), "ts", col("event_type") === "error",
+          shortHours = 1, longHours = 6, budgetPerMille = 150L)
+        .orderBy("h")
     }
   )
 

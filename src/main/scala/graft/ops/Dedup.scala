@@ -381,6 +381,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming near-dup pairs over ANY precomputed bit-hash column —
+    * the [[simhashPairs]] banding generalized to perceptual hashes the
+    * caller built elsewhere (image aHash, audio chromaprints, simhash
+    * variants): pairs whose hashes differ in at most `maxHamming` of the
+    * low `bits` bits.
+    *
+    * Losslessness is the same pigeonhole argument as simhash banding:
+    * with `bands` > maxHamming equal-width bands, two hashes within the
+    * radius MUST agree exactly on at least one band, so the band-key
+    * equi-join finds every qualifying pair — banding changes cost, never
+    * the answer.
+    *
+    * Scale shape: the self-join shuffles (band, band-key, id) rows only —
+    * O(rows × bands) with 8-byte keys, never payloads; the exact Hamming
+    * check runs on the joined pair row (one xor + popcount, codegen'd).
+    * Hot band keys (a constant image region across the corpus) are the
+    * skew axis — AQE splits them like any equi-key; raising `bands`
+    * narrows keys (more selective bands) at linear fan-out cost.
+    */
+  def hashHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      maxHamming: Int,
+      bands: Int): DataFrame = {
+    require(maxHamming < bands, s"need maxHamming ($maxHamming) < bands ($bands) for lossless banding")
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(bits >= 1 && bits <= 64, s"bits out of range: $bits")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val banded = df.select(
+      col(idCol).as("doc_id"),
+      col(hashCol).cast("long").as("__h"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col(hashCol).cast("long"), b * width).bitwiseAND(lit(mask)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("__h"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above `minJaccard`,
     * via inverted-index self-join on distinct word n-grams.
     * Output: (doc_a, doc_b, jaccard).

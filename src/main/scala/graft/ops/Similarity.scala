@@ -69,6 +69,36 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
+  /** Reciprocal best-match pairs between two vector sets: (l, r) such
+    * that r is l's single nearest right-side neighbor AND l is r's single
+    * nearest left-side neighbor — the mutual-top-1 filter behind bitext /
+    * parallel-corpus mining (a pair both sides agree on is vastly more
+    * precise than either one-directional match).
+    *
+    * Determinism: each direction is [[bruteForceTopK]] k=1 — ties break
+    * on (cos DESC, id), so "the" best match is total. The mutual filter
+    * is a plain equi-join on the two (query, neighbor) frames.
+    *
+    * Scale shape: two top-1 passes (each broadcasts its QUERY side over
+    * one corpus scan — the brute-force baseline), then an id-pair
+    * equi-join bounded by min(|left|, |right|) rows per side. The scale
+    * path swaps each direction for the bucketed IVF/LSH top-1 (same
+    * output contract) and keeps the mutual join unchanged — candidates
+    * move as id pairs either way, never vectors.
+    */
+  def reciprocalBestMatch(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val lr = bruteForceTopK(right, left, idCol, vecCol, 1)
+      .select(col("qid").as("left_id"), col("nid").as("right_id"), col("cos"))
+    val rl = bruteForceTopK(left, right, idCol, vecCol, 1)
+      .select(col("qid").as("r2"), col("nid").as("l2"))
+    lr.join(rl, col("left_id") === col("l2") && col("right_id") === col("r2"))
+      .select("left_id", "right_id", "cos")
+  }
+
   /** Deterministic pseudo-random hyperplane weight in [-1, 1): derived from
     * md5(plane ',' dim), so both engines (and every executor) materialize
     * the identical plane matrix without any broadcast state.

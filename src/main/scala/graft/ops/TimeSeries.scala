@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -362,6 +362,54 @@ object TimeSeries {
       .agg(
         max(greatest(col("running"), col("running") - col("net"))).as("peak"),
         count(lit(1)).as("n_changes"))
+  }
+
+  /** SLO burn rate over trailing hourly windows: per hour bucket, the
+    * error fraction over the short and long windows divided by the error
+    * budget — the standard multi-window alert shape (page when BOTH the
+    * fast and slow burn exceed 1: the fast window catches the spike, the
+    * slow one proves it isn't noise).
+    *
+    * Exactness: counts are exact longs; burn = (err·1000) / (tot·budget‰)
+    * is ONE IEEE division of exact integer products. Hours with no events
+    * are absent from the output (changelog semantics, like
+    * [[peakConcurrency]]) — their trailing windows still see earlier
+    * hours through the RANGE frame, which spans value distance, not rows.
+    *
+    * Scale shape: event volume collapses to the HOURLY table in one
+    * map-side-combined aggregation; the trailing RANGE windows run over
+    * that bucket-cardinality frame (8.8k rows/year — driver-trivial at
+    * any event scale, same class as the contingency margins). The
+    * unpartitioned window is deliberate: a global SLO is a global order —
+    * shard by service upstream when there is a service key.
+    */
+  def burnRate(
+      df: DataFrame,
+      tsCol: String,
+      isError: Column,
+      shortHours: Int,
+      longHours: Int,
+      budgetPerMille: Long): DataFrame = {
+    require(shortHours >= 1 && longHours > shortHours, "need 1 <= short < long")
+    require(budgetPerMille >= 1 && budgetPerMille <= 1000, "budget out of (0, 1000]")
+    val hourly = df
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+        isError.cast("long").as("e"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("tot"), sum("e").as("err"))
+    def trailing(n: Int) = Window.orderBy("h").rangeBetween(-(n - 1).toLong, 0L)
+    def burn(err: Column, tot: Column) =
+      (err * 1000L).cast("double") / (tot * budgetPerMille).cast("double")
+    hourly
+      .withColumn("err_s", sum("err").over(trailing(shortHours)))
+      .withColumn("tot_s", sum("tot").over(trailing(shortHours)))
+      .withColumn("err_l", sum("err").over(trailing(longHours)))
+      .withColumn("tot_l", sum("tot").over(trailing(longHours)))
+      .select(col("h"), col("err_s"), col("tot_s"), col("err_l"), col("tot_l"),
+        burn(col("err_s"), col("tot_s")).as("burn_s"),
+        burn(col("err_l"), col("tot_l")).as("burn_l"),
+        (burn(col("err_s"), col("tot_s")) > 1.0d &&
+          burn(col("err_l"), col("tot_l")) > 1.0d).as("page"))
   }
 
   /** Per-key rolling median over the trailing `window` observations — the

@@ -1040,4 +1040,62 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L), (2L, 2L)), got.toString)
   }
+
+  // ------------------------------------ round-9 batch: hamming hash pairs
+
+  test("hashHammingPairs finds every pair within radius (pigeonhole) and no more") {
+    val df = Seq(
+      (1L, 0x00000000L), // vs 2: hamming 1; vs 3: 2; vs 4: 32
+      (2L, 0x00000001L),
+      (3L, 0x00010001L),
+      (4L, 0xFFFFFFFFL)
+    ).toDF("id", "h")
+    val got = graft.ops.Dedup.hashHammingPairs(df, "id", "h", 32, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)), got.toString)
+  }
+
+  // ------------------------------------ round-9 batch: reciprocal match
+
+  test("reciprocalBestMatch keeps only mutual top-1 pairs") {
+    // l1↔r1 mutual; l2's best is r1 but r1's best is l1 → l2 unmatched.
+    val left = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val right = Seq(
+      (20L, Array(1.0f, 0.0f)),
+      (21L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.reciprocalBestMatch(left, right, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 → 20 (cos 1.0) and 20 → 10 (cos 1.0, tie with 11 broken by id) → mutual
+    // 11 → 20 but 20 → 10, so 11 drops; 21 → 11 (cos .11>0) but 11 → 20, drops.
+    assert(got == Set((10L, 20L)), got.toString)
+  }
+
+  // ---------------------------------------- round-9 batch: burn rate
+
+  test("burnRate computes exact windows, burns, and the page predicate") {
+    def ts(h: Long, m: Long) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)
+    // hour 0: 1 err / 4; hour 1: 3 err / 4; hour 3: 0 err / 2 (hour 2 empty)
+    val df = (Seq((ts(0, 0), "error"), (ts(0, 1), "ok"), (ts(0, 2), "ok"), (ts(0, 3), "ok")) ++
+      Seq((ts(1, 0), "error"), (ts(1, 1), "error"), (ts(1, 2), "error"), (ts(1, 3), "ok")) ++
+      Seq((ts(3, 0), "ok"), (ts(3, 1), "ok"))).toDF("ts", "event_type")
+    val got = graft.ops.TimeSeries.burnRate(
+        df, "ts", org.apache.spark.sql.functions.col("event_type") === "error",
+        shortHours = 1, longHours = 6, budgetPerMille = 500L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val h1 = got(1L)
+    assert(h1.getAs[Long]("err_s") == 3L && h1.getAs[Long]("tot_s") == 4L)
+    assert(h1.getAs[Long]("err_l") == 4L && h1.getAs[Long]("tot_l") == 8L)
+    // burn_s = 3000/2000 = 1.5 > 1; burn_l = 4000/4000 = 1.0 NOT > 1 → no page
+    assert(h1.getAs[Double]("burn_s") == 1.5)
+    assert(h1.getAs[Double]("burn_l") == 1.0)
+    assert(!h1.getAs[Boolean]("page"))
+    // hour 3's long window still sees hours 1..3 through the RANGE frame
+    val h3 = got(3L)
+    assert(h3.getAs[Long]("err_l") == 4L && h3.getAs[Long]("tot_l") == 10L)
+    assert(got.size == 3) // empty hour 2 absent (changelog semantics)
+  }
 }
