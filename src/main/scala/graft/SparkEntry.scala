@@ -6214,6 +6214,35 @@ object SparkEntry {
           T(s, dir, "events"), "ts", col("event_type") === "error",
           shortHours = 1, longHours = 6, budgetPerMille = 150L)
         .orderBy("h")
+    },
+    // NS-S12: grid-density clustering (STING/GRIDCLUS — DBSCAN's density
+    // reachability quantized to cells): dense cells (≥ 5 points per
+    // 5000×5000 cell) merge across the 8-neighborhood; labels are the
+    // component's min cell key. The oracle replays density, adjacency,
+    // and the transitive closure (recursive CTE) — so the gate covers
+    // the distributed hash-min CC too.
+    Q(
+      "ns142_grid_clusters",
+      Some(
+        """WITH RECURSIVE p AS (SELECT c_custkey AS id,
+          |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100000 AS x,
+          |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))::BIGINT % 100000 AS y
+          |  FROM customer),
+          |c AS (SELECT id, x // 5000 AS cx, y // 5000 AS cy FROM p),
+          |d AS (SELECT cx, cy, (cx * 2097152 + cy)::BIGINT AS ck
+          |  FROM c GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+          |e AS (SELECT a.ck AS a, b.ck AS b FROM d a JOIN d b
+          |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+          |reach(v, r) AS (SELECT a, b FROM e
+          |  UNION SELECT reach.v, e.b FROM reach JOIN e ON reach.r = e.a),
+          |lab AS (SELECT v AS ck, MIN(r)::BIGINT AS cluster_id FROM reach GROUP BY v)
+          |SELECT c.id, lab.cluster_id
+          |FROM c JOIN d ON c.cx = d.cx AND c.cy = d.cy JOIN lab ON d.ck = lab.ck
+          |ORDER BY id""".stripMargin)) { (s, dir) =>
+      graft.ops.Spatial.gridDensityClusters(
+          spatialPoints(T(s, dir, "customer")), "id", "x", "y",
+          cellSize = 5000L, minPts = 5L)
+        .orderBy("id")
     }
   )
 

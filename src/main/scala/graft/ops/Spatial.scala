@@ -90,4 +90,66 @@ object Spatial {
       .agg(min(struct(col("d2"), col("nn"))).as("best"))
       .select(col("id"), col("best.nn").as("nn_id"), col("best.d2").as("d2"))
   }
+
+  /** Grid-density clustering (the STING/GRIDCLUS family, the scalable
+    * cousin of DBSCAN): cells with at least `minPts` points are DENSE;
+    * dense cells that touch (8-neighborhood) merge into one cluster;
+    * every point in a dense cell gets its cluster's label (the minimum
+    * member cell key — deterministic); points in sparse cells are noise
+    * and absent from the output.
+    *
+    * This is exactly DBSCAN's density reachability quantized to the
+    * grid: one groupBy replaces the per-point ε-neighborhood queries,
+    * which is what makes it run at corpus scale. The quantization is the
+    * documented trade — border points within ε of a dense region but
+    * hashed to a sparse cell count as noise.
+    *
+    * Scale shape: the density pass is ONE map-side-combined cell count
+    * (cells, not points, flow onward — everything after is bounded by
+    * |dense cells|, which the grid caps at area/cell²); adjacency is an
+    * equi-join of each dense cell's 9 neighbor keys against the dense
+    * set; labels come from [[graft.ops.Dedup.connectedComponents]]'s
+    * hash-min rounds over that cell graph (diameter-bounded, 2–4 rounds
+    * on blob-shaped data). The final point labeling joins points back on
+    * their own cell key — the only point-volume join, and it reuses the
+    * density pass's partitioning. Cell keys encode as cx·2²¹ + cy:
+    * coordinates must stay below 2²¹·cellSize (documented domain, same
+    * class as radiusPairs' 2⁵² bound).
+    */
+  def gridDensityClusters(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      cellSize: Long,
+      minPts: Long): DataFrame = {
+    require(cellSize > 0, "non-positive cellSize")
+    require(minPts >= 1, "minPts must be >= 1")
+    val enc = 1L << 21
+    val pts = df.select(
+      col(idCol).cast("long").as("gd_id"),
+      floor(col(xCol).cast("long") / lit(cellSize)).cast("long").as("cx"),
+      floor(col(yCol).cast("long") / lit(cellSize)).cast("long").as("cy"))
+    val dense = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minPts)
+      .select(col("cx"), col("cy"), (col("cx") * enc + col("cy")).as("ck"))
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    // Every dense cell probes its 9-neighborhood (self included: the
+    // dx=dy=0 offset is the self-loop that keeps ISOLATED dense cells —
+    // clusters of one cell — present in the component graph).
+    val probe = dense
+      .withColumn("o", explode(offsets))
+      .select(col("ck").as("a"),
+        ((col("cx") + col("o.dx")) * enc + (col("cy") + col("o.dy"))).as("b"))
+    val edges = probe
+      .join(dense.select(col("ck").as("b")), "b")
+      .where(col("a") <= col("b"))
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .select(col("doc_id").as("ck"), col("cluster_id"))
+    pts
+      .join(dense.select("cx", "cy", "ck"), Seq("cx", "cy"))
+      .join(labels, "ck")
+      .select(col("gd_id").as("id"), col("cluster_id"))
+  }
 }

@@ -1098,4 +1098,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(h3.getAs[Long]("err_l") == 4L && h3.getAs[Long]("tot_l") == 10L)
     assert(got.size == 3) // empty hour 2 absent (changelog semantics)
   }
+
+  // ------------------------------------ round-9 batch: grid clustering
+
+  test("gridDensityClusters merges touching dense cells; sparse cells are noise") {
+    val enc = 1L << 21
+    // cells (0,0) and (1,1) dense (diagonal touch → one cluster);
+    // cell (5,5) dense but isolated (own cluster); (9,9) sparse (noise).
+    val pts = (
+      (1L to 3L).map(i => (i, 10L + i, 10L)) ++        // cell (0,0): 3 pts
+      (4L to 6L).map(i => (i, 110L + i, 110L)) ++      // cell (1,1): 3 pts
+      (7L to 9L).map(i => (i, 510L, 510L + i)) ++      // cell (5,5): 3 pts
+      Seq((10L, 950L, 950L))                           // cell (9,9): 1 pt
+    ).toDF("id", "x", "y")
+    val got = graft.ops.Spatial.gridDensityClusters(pts, "id", "x", "y", 100L, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 9, got.toString) // point 10 is noise
+    val blob = (1L to 6L).map(got).toSet
+    assert(blob == Set(0L), blob.toString) // min cell key of (0,0)+(1,1) = 0
+    val iso = (7L to 9L).map(got).toSet
+    assert(iso == Set(5L * enc + 5L), iso.toString)
+  }
 }
