@@ -6243,6 +6243,66 @@ object SparkEntry {
           spatialPoints(T(s, dir, "customer")), "id", "x", "y",
           cellSize = 5000L, minPts = 5L)
         .orderBy("id")
+    },
+    // NS-A13: top user journeys — each user's first 3 event types in
+    // (ts, id) order as an `a>b>c` path, counted across users (the
+    // product-analytics flows view). Prefix truncation bounds the path
+    // alphabet; minCount prunes the heavy tail.
+    Q(
+      "ns143_top_paths",
+      Some(
+        """WITH s AS (SELECT user_id,
+          |    array_to_string((list(event_type ORDER BY epoch_us(ts), event_id))[1:3], '>') AS path
+          |  FROM events GROUP BY user_id)
+          |SELECT path, COUNT(*)::BIGINT AS n_entities FROM s
+          |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY path""".stripMargin)) { (s, dir) =>
+      Funnel.topPaths(
+          T(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          maxSteps = 3, minCount = 2L)
+        .orderBy("path")
+    },
+    // NS-R6: truncated rank-biased overlap (RBO@20, p=0.9) between the
+    // 'R'- and 'A'-flag quantity rankings — exact integer overlap depths,
+    // geometric weights as an explicit multiply CHAIN (never libm pow),
+    // terms folded in ascending depth order: bit-identical doubles.
+    Q(
+      "ns144_rbo",
+      Some(
+        """WITH RECURSIVE
+          |t1 AS (SELECT l_partkey AS it, SUM(CAST(l_quantity AS BIGINT)) AS s
+          |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+          |r1 AS (SELECT it, row_number() OVER (ORDER BY s DESC, it) AS rk FROM t1),
+          |t2 AS (SELECT l_partkey AS it, SUM(CAST(l_quantity AS BIGINT)) AS s
+          |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+          |r2 AS (SELECT it, row_number() OVER (ORDER BY s DESC, it) AS rk FROM t2),
+          |aa AS (SELECT it, rk FROM r1 WHERE rk <= 20),
+          |bb AS (SELECT it, rk FROM r2 WHERE rk <= 20),
+          |mm AS (SELECT aa.it, greatest(aa.rk, bb.rk) AS m FROM aa JOIN bb USING (it)),
+          |dep AS (SELECT unnest(range(m, 21)) AS d FROM mm),
+          |xs AS (SELECT d, COUNT(*)::BIGINT AS xd FROM dep GROUP BY 1),
+          |wts(d, w) AS (SELECT 1, CAST(1.0 AS DOUBLE)
+          |  UNION ALL SELECT d + 1, w * CAST(0.9 AS DOUBLE) FROM wts WHERE d < 20),
+          |terms AS (SELECT xs.d, xd,
+          |    (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * w * xd::DOUBLE / xs.d::DOUBLE AS term
+          |  FROM xs JOIN wts ON xs.d = wts.d)
+          |SELECT 'qty_R_vs_A' AS qid,
+          |  MAX(CASE WHEN d = 20 THEN xd END)::BIGINT AS overlap_k,
+          |  list_reduce(list(term ORDER BY d), (acc, t) -> acc + t) AS rbo
+          |FROM terms""".stripMargin)) { (s, dir) =>
+      def ranking(flag: String): DataFrame = {
+        val top = T(s, dir, "lineitem")
+          .where(col("l_returnflag") === flag)
+          .groupBy(col("l_partkey").as("it"))
+          .agg(sum(col("l_quantity").cast("long")).as("s"))
+          .orderBy(col("s").desc, col("it"))
+          .limit(20)
+        top
+          .withColumn("rk", row_number().over(Window.orderBy(col("s").desc, col("it"))))
+          .select(lit("qty_R_vs_A").as("qid"), col("it"), col("rk"))
+      }
+      Retrieval.rankBiasedOverlap(
+          ranking("R"), ranking("A"), "qid", "it", "rk", k = 20, p = 0.9)
+        .orderBy("qid")
     }
   )
 

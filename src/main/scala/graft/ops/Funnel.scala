@@ -268,4 +268,44 @@ object Funnel {
         count(lit(1)).as("n_conversions"),
         sum(col(revenueCentsCol)).as("revenue_cents"))
   }
+
+  /** Top user journeys: each entity's first `maxSteps` event types in
+    * (ts, id) order rendered as one `a>b>c` path string, counted across
+    * entities — the "what do users actually do first" report product
+    * analytics ships as its flows view.
+    *
+    * Determinism: the per-entity sequence sorts on (ts, id) with id
+    * unique, so every entity renders exactly one path; prefix truncation
+    * (not sampling) keeps the path alphabet bounded — distinct paths ≤
+    * |types|^maxSteps in theory, but heavy-tailed in practice, which is
+    * what `minCount` prunes.
+    *
+    * Scale shape: one hash exchange on the entity key (map-side
+    * collect_list partials; per-entity state is the entity's own events —
+    * the sessionize bound); the path count is a map-side-combined string
+    * groupBy. Cap an entity's event list upstream when the domain allows
+    * unbounded histories — only the first maxSteps matter, so a
+    * pre-window keep-earliest filter preserves the answer.
+    */
+  def topPaths(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      maxSteps: Int,
+      minCount: Long): DataFrame = {
+    require(maxSteps >= 1, "maxSteps must be >= 1")
+    val seq = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"),
+      col(idCol).cast("long").as("i"),
+      col(typeCol).as("et"))))
+    df.groupBy(col(entityCol))
+      .agg(seq.as("_s"))
+      .select(concat_ws(">",
+        slice(transform(col("_s"), _.getField("et")), 1, maxSteps)).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_entities"))
+      .where(col("n_entities") >= minCount)
+  }
 }

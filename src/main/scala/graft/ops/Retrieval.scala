@@ -281,4 +281,57 @@ object Retrieval {
     }
     chained.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** Truncated rank-biased overlap (RBO@k, Webber et al. 2010) between
+    * two rankings per query — the top-weighted agreement measure used to
+    * compare retrieval systems (BM25 vs embeddings, ANN vs brute force):
+    * RBO@k = Σ_{d=1..k} (1−p)·p^(d−1)·|A_d ∩ B_d|/d, where A_d/B_d are
+    * the depth-d prefixes.
+    *
+    * Determinism contract: every overlap count X_d is an exact integer
+    * (an item in both lists contributes to all depths ≥ max of its two
+    * ranks); the geometric weights come from an EXPLICIT multiply chain
+    * (w_1 = 1, w_d = w_{d−1}·p — never `pow`, whose libm rounding differs
+    * across engines), and the depth terms fold in ASCENDING d order (the
+    * ewma pattern) — every float op is correctly rounded on identical
+    * operands, so the score is bit-identical across engines. Queries with
+    * zero overlap are absent (their RBO is vacuously 0).
+    *
+    * Scale shape: one (qid, item) equi-join of the two ranking frames
+    * (each ≤ k rows per query by contract), a ≤ k-row explode per
+    * overlapping item, and a per-query fold over ≤ k terms — every stage
+    * is bounded by k·|queries|, never corpus size.
+    */
+  def rankBiasedOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      qidCol: String,
+      itemCol: String,
+      rankCol: String,
+      k: Int,
+      p: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    val aa = a.select(col(qidCol).as("qid"), col(itemCol).as("it"),
+      col(rankCol).cast("long").as("ra")).where(col("ra") <= k)
+    val bb = b.select(col(qidCol).as("qid"), col(itemCol).as("it"),
+      col(rankCol).cast("long").as("rb")).where(col("rb") <= k)
+    val overlaps = aa.join(bb, Seq("qid", "it"))
+      .select(col("qid"), greatest(col("ra"), col("rb")).as("m"))
+      .select(col("qid"), explode(sequence(col("m"), lit(k.toLong))).as("d"))
+      .groupBy("qid", "d")
+      .agg(count(lit(1)).as("x"))
+    val w = when(col("d") === 1L, lit(1.0)).otherwise(
+      aggregate(sequence(lit(2L), col("d")), lit(1.0), (acc, _) => acc * lit(p)))
+    val terms = overlaps.withColumn(
+      "term",
+      (lit(1.0) - lit(p)) * w * col("x").cast("double") / col("d").cast("double"))
+    val ts = transform(
+      sort_array(collect_list(struct(col("d"), col("term"), col("x")))),
+      _.getField("term"))
+    terms.groupBy("qid")
+      .agg(
+        max(when(col("d") === k.toLong, col("x"))).as("overlap_k"),
+        aggregate(slice(ts, 2, k), element_at(ts, 1), _ + _).as("rbo"))
+  }
 }

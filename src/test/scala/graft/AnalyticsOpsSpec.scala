@@ -1119,4 +1119,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     val iso = (7L to 9L).map(got).toSet
     assert(iso == Set(5L * enc + 5L), iso.toString)
   }
+
+  // ------------------------------------------ round-9 batch: top paths
+
+  test("topPaths truncates to the prefix, orders by (ts, id), prunes by count") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "d"), // 4th step truncated away
+      (2L, ts(1), 5L, "a"), (2L, ts(2), 6L, "b"), (2L, ts(3), 7L, "c"),
+      (3L, ts(1), 8L, "a"), (3L, ts(1), 9L, "b"), // same ts → id order
+      (4L, ts(1), 10L, "z") // unique path → pruned at minCount 2
+    ).toDF("u", "ts", "id", "t")
+    val got = graft.ops.Funnel.topPaths(df, "u", "ts", "id", "t", 3, 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a>b>c", 2L)), got.toString)
+  }
+
+  // ------------------------------------------------ round-9 batch: RBO
+
+  test("rankBiasedOverlap: identical lists score Σ(1-p)p^(d-1) exactly") {
+    val r = Seq(("q", 100L, 1L), ("q", 200L, 2L), ("q", 300L, 3L))
+      .toDF("qid", "it", "rk")
+    val row = graft.ops.Retrieval.rankBiasedOverlap(r, r, "qid", "it", "rk", 3, 0.5)
+      .collect().head
+    assert(row.getAs[Long]("overlap_k") == 3L)
+    // X_d = d → terms (1-p)p^(d-1): 0.5 + 0.25 + 0.125 (exact dyadics)
+    assert(row.getAs[Double]("rbo") == 0.875, row.toString)
+  }
+
+  test("rankBiasedOverlap: disjoint lists produce no row; partial overlap counts depths") {
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("qid", "it", "rk")
+    val b = Seq(("q", 3L, 1L), ("q", 4L, 2L)).toDF("qid", "it", "rk")
+    assert(graft.ops.Retrieval.rankBiasedOverlap(a, b, "qid", "it", "rk", 2, 0.5)
+      .collect().isEmpty)
+    // item 2 at ranks (2, 1) → m=2 → contributes only at depth 2
+    val c = Seq(("q", 2L, 1L), ("q", 9L, 2L)).toDF("qid", "it", "rk")
+    val row = graft.ops.Retrieval.rankBiasedOverlap(a, c, "qid", "it", "rk", 2, 0.5)
+      .collect().head
+    assert(row.getAs[Long]("overlap_k") == 1L)
+    // term at d=2 only: 0.5 · 0.5 · 1/2 = 0.125
+    assert(row.getAs[Double]("rbo") == 0.125, row.toString)
+  }
 }
