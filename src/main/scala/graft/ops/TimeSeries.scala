@@ -389,14 +389,31 @@ object TimeSeries {
       isError: Column,
       shortHours: Int,
       longHours: Int,
-      budgetPerMille: Long): DataFrame = {
-    require(shortHours >= 1 && longHours > shortHours, "need 1 <= short < long")
-    require(budgetPerMille >= 1 && budgetPerMille <= 1000, "budget out of (0, 1000]")
-    val hourly = df
-      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+      budgetPerMille: Long): DataFrame =
+    burnRateFromHourly(
+      hourlyErrorCounts(df, tsCol, isError), shortHours, longHours, budgetPerMille)
+
+  /** [[burnRate]]'s first stage alone: exact (hour, total, errors) counts
+    * — the mergeable form (counts add across partial tables), which is
+    * what the streaming twin accumulates across triggers.
+    */
+  def hourlyErrorCounts(df: DataFrame, tsCol: String, isError: Column): DataFrame =
+    df.select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
         isError.cast("long").as("e"))
       .groupBy("h")
       .agg(count(lit(1)).as("tot"), sum("e").as("err"))
+
+  /** [[burnRate]]'s window stage over an already-aggregated hourly table
+    * (columns h, tot, err) — shared by the batch op and the streaming
+    * accumulator.
+    */
+  def burnRateFromHourly(
+      hourly: DataFrame,
+      shortHours: Int,
+      longHours: Int,
+      budgetPerMille: Long): DataFrame = {
+    require(shortHours >= 1 && longHours > shortHours, "need 1 <= short < long")
+    require(budgetPerMille >= 1 && budgetPerMille <= 1000, "budget out of (0, 1000]")
     def trailing(n: Int) = Window.orderBy("h").rangeBetween(-(n - 1).toLong, 0L)
     def burn(err: Column, tot: Column) =
       (err * 1000L).cast("double") / (tot * budgetPerMille).cast("double")

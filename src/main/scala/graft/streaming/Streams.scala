@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -473,6 +473,59 @@ object Streams {
           if (!next.isEmpty)
             sink(graft.ops.Profile.ksFromCounts(
               next.select(col("bucket").as("v"), col("n").as("c")), refCounts))
+        }
+      }
+      .start()
+  }
+
+  /** Streaming SLO burn-rate monitor: the live twin of the batch
+    * [[graft.ops.TimeSeries.burnRate]] (ns141) — each trigger's events
+    * fold into a running EXACT hourly (h, tot, err) count table (counts
+    * add across triggers, so accumulation is exact, not converging), and
+    * the fast/slow trailing burn windows recompute over the accumulated
+    * hourly table after every trigger via
+    * [[graft.ops.TimeSeries.burnRateFromHourly]]'s identical arithmetic —
+    * the monitor a paging pipeline actually runs ("is the error budget
+    * burning too fast RIGHT NOW, judged over both windows?").
+    *
+    * State is the hourly count table — O(hours observed), never
+    * O(stream). Same contracts as the other foreachBatch monitors:
+    * re-delivered batch ids are skipped, sink frames are valid only until
+    * the next trigger, restart resumes exactly from a persisted hourly
+    * table via `initial` (count mergeability), empty accumulations skip
+    * the sink.
+    */
+  def streamingBurnRate(
+      newRows: DataFrame,
+      tsCol: String,
+      isError: Column,
+      shortHours: Int,
+      longHours: Int,
+      budgetPerMille: Long,
+      checkpointLocation: Option[String] = None,
+      initial: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    def merge(a: DataFrame, b: DataFrame): DataFrame = a
+      .unionByName(b)
+      .groupBy("h")
+      .agg(sum("tot").as("tot"), sum("err").as("err"))
+    var hourly: Option[DataFrame] = initial.map(graft.ops.Checkpoints.truncate(_))
+    var lastBatchId = -1L
+    val stream = newRows.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val bh = graft.ops.TimeSeries.hourlyErrorCounts(batch, tsCol, isError)
+          val next = graft.ops.Checkpoints.truncate(
+            hourly.map(h => merge(h, bh)).getOrElse(bh))
+          hourly.foreach(graft.ops.Checkpoints.unpersist)
+          hourly = Some(next)
+          if (!next.isEmpty)
+            sink(graft.ops.TimeSeries.burnRateFromHourly(
+              next, shortHours, longHours, budgetPerMille))
         }
       }
       .start()

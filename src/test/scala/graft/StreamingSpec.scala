@@ -341,6 +341,38 @@ class StreamingSpec extends SparkSpec {
       s"accumulated streaming KS $last diverged from the one-shot $oneShot")
   }
 
+  test("streaming burn-rate monitor equals the one-shot batch burn after accumulation") {
+    import graft.ops.TimeSeries
+    val ev = Tables(spark, sfDir, "events").select("ts", "event_type")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-burn-src-${UUID.randomUUID().toString.take(8)}"
+    ev.filter(hour(col("ts")) % 2 === 0).coalesce(1).write.parquet(srcDir)
+    ev.filter(hour(col("ts")) % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    @volatile var last: Option[Set[(Long, Long, Long, Long, Long, Double, Double, Boolean)]] = None
+    @volatile var triggers = 0
+    val q = Streams.streamingBurnRate(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      "ts", col("event_type") === "error",
+      shortHours = 1, longHours = 6, budgetPerMille = 150L) { burn =>
+      triggers += 1
+      last = Some(burn.collect().map(r => (
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getAs[Double]("burn_s"), r.getAs[Double]("burn_l"),
+        r.getAs[Boolean]("page"))).toSet)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(triggers >= 2, "stream did not run as multiple triggers")
+    val oneShot = TimeSeries.burnRate(
+        spark.read.parquet(srcDir), "ts", col("event_type") === "error", 1, 6, 150L)
+      .collect().map(r => (
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getAs[Double]("burn_s"), r.getAs[Double]("burn_l"),
+        r.getAs[Boolean]("page"))).toSet
+    assert(last.contains(oneShot),
+      "accumulated streaming burn diverged from the one-shot batch burn")
+  }
+
   test("streaming Bloom accumulation equals the one-shot filter, seeded resume included") {
     import graft.ops.{Sketch, TextOps}
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
