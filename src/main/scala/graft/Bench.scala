@@ -89,7 +89,21 @@ object Bench {
     // basket pairs / TWAP / phrase postings: all key- or doc-local under
     // replication (shifted basket and doc keys keep pair and posting
     // fan-out within one replica).
-    "ns131", "ns132", "ns133")
+    "ns131", "ns132", "ns133",
+    // round-9 batch 2: per-key windows (ns134), single-row global agg
+    // (ns135), catalog-bounded quadratics (ns136/ns137), per-group sorts
+    // (ns138), bucket-cardinality windows (ns141), cell-bounded density
+    // clustering (ns142 — the coordinate domain is fixed so the cell
+    // graph is constant and points are linear), per-key paths (ns143),
+    // k-bounded rankings (ns144). ns139 is excluded with the pairwise
+    // class (replicas share the first-384-char image bytes → identical
+    // hashes → quadratic fixture output); ns140 reads embeddings, which
+    // ScaleUp does not replicate.
+    "ns134", "ns135", "ns136", "ns137", "ns138", "ns141", "ns142",
+    "ns143", "ns144",
+    // per-key folds (ns145), one-pass key profile (ns146), per-user
+    // window joins (ns147) — all linear under key-shifted replication.
+    "ns145", "ns146", "ns147")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -6303,6 +6303,92 @@ object SparkEntry {
       Retrieval.rankBiasedOverlap(
           ranking("R"), ranking("A"), "qid", "it", "rk", k = 20, p = 0.9)
         .orderBy("qid")
+    },
+    // NS-T23: Holt double-exponential smoothing (level + trend, α=β=½) —
+    // ewma's sibling for trending series, with the one-step forecast.
+    // The oracle replays the recurrence as a RECURSIVE CTE, not a
+    // list_reduce struct fold: DuckDB's struct_pack-in-lambda updates
+    // accumulator fields SEQUENTIALLY (a later field expression sees the
+    // earlier field already overwritten — measured, not documented), so
+    // the CTE is the only form whose arithmetic is the textbook
+    // recurrence. l_t is spelled once per engine and reused inside b_t —
+    // identical IEEE chains, bit-equal doubles.
+    Q(
+      "ns145_holt",
+      Some(
+        """WITH RECURSIVE
+          |seq AS (SELECT user_id, value AS v,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+          |  FROM events WHERE value IS NOT NULL),
+          |holt(user_id, rn, l, b) AS (
+          |  SELECT user_id, 1::BIGINT, v, 0.0::DOUBLE FROM seq WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.user_id, s.rn,
+          |    s.v * 0.5 + (h.l + h.b) * 0.5,
+          |    (s.v * 0.5 + (h.l + h.b) * 0.5 - h.l) * 0.5 + h.b * 0.5
+          |  FROM holt h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1)
+          |SELECT user_id, MAX(rn)::BIGINT AS n_events,
+          |  max_by(l, rn) AS level, max_by(b, rn) AS trend,
+          |  max_by(l, rn) + max_by(b, rn) AS forecast
+          |FROM holt GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.holtLinear(
+          T(s, dir, "events").where(col("value").isNotNull),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    },
+    // NS-P13: join-key skew profiler — exact per-key cardinality
+    // statistics (Σc² = self-join fan-out, heaviest key, interpolated
+    // count quantiles) in one pass; ONE output row.
+    Q(
+      "ns146_key_skew",
+      Some(
+        """WITH c AS (SELECT l_partkey AS k, COUNT(*)::BIGINT AS c
+          |  FROM lineitem GROUP BY 1),
+          |a AS (SELECT SUM(c)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_keys,
+          |    MAX(c)::BIGINT AS max_count, SUM(c * c)::BIGINT AS sum_c2,
+          |    quantile_cont(c, 0.5) AS med_count, quantile_cont(c, 0.99) AS p99_count
+          |  FROM c),
+          |top AS (SELECT CAST(k AS VARCHAR) AS top_key FROM c
+          |  ORDER BY c DESC, k DESC LIMIT 1)
+          |SELECT n_rows, n_keys, max_count, top_key, sum_c2, med_count, p99_count
+          |FROM a, top""".stripMargin)) { (s, dir) =>
+      Profile.keySkew(T(s, dir, "lineitem"), "l_partkey")
+    },
+    // NS-A14: multi-touch LINEAR attribution — every touch in the 7-day
+    // window shares the conversion's credit as exact basis points
+    // (10000 div n each, remainder to the earliest touch), so per-channel
+    // credit is an exact long that sums to 10000 per conversion.
+    Q(
+      "ns147_linear_attribution",
+      Some(
+        """WITH conv AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ct,
+          |    CAST(ROUND(value * 100) AS BIGINT) AS rev
+          |  FROM events WHERE event_type = 'purchase'),
+          |t AS (SELECT user_id, epoch_us(ts) AS tt, event_id AS tid, event_type AS ch
+          |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+          |e AS (SELECT conv.cid, conv.rev, t.ch, t.tt, t.tid
+          |  FROM conv JOIN t ON conv.user_id = t.user_id
+          |    AND t.tt <= conv.ct AND t.tt >= conv.ct - 604800000000),
+          |n AS (SELECT *, COUNT(*) OVER (PARTITION BY cid)::BIGINT AS n,
+          |    row_number() OVER (PARTITION BY cid ORDER BY tt, tid) AS rk FROM e),
+          |cr AS (SELECT ch, cid, rev,
+          |    (10000 // n) + CASE WHEN rk = 1 THEN 10000 % n ELSE 0 END AS bps FROM n
+          |  UNION ALL
+          |  SELECT 'direct', cid, rev, 10000 FROM conv
+          |  WHERE cid NOT IN (SELECT cid FROM e))
+          |SELECT ch AS channel, COUNT(DISTINCT cid)::BIGINT AS n_conversions,
+          |  SUM(bps)::BIGINT AS credit_bps, SUM(rev * bps)::BIGINT AS credit_cbps,
+          |  CAST(SUM(rev * bps) AS DOUBLE) / 10000.0 AS credit_c
+          |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      Funnel.linearAttribution(
+          touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+            .select("user_id", "ts", "event_type", "event_id"),
+          conversions = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("rev")),
+          userCol = "user_id", tsCol = "ts", idCol = "event_id",
+          channelCol = "event_type", revenueCentsCol = "rev", windowSec = 604800L)
+        .orderBy("channel")
     }
   )
 

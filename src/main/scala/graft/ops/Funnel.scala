@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis (north-star extension): how many users completed
@@ -267,6 +268,67 @@ object Funnel {
       .agg(
         count(lit(1)).as("n_conversions"),
         sum(col(revenueCentsCol)).as("revenue_cents"))
+  }
+
+  /** Multi-touch LINEAR attribution: every touch in the conversion's
+    * lookback window shares the credit — the fairness-motivated
+    * complement of [[lastTouchAttribution]] (last-touch over-credits the
+    * bottom of the funnel; linear pays the whole journey).
+    *
+    * Exact-integer credit split: a conversion with n eligible touches
+    * gives each touch `10000 div n` basis points and tops the EARLIEST
+    * touch (ties to smallest id) up by the remainder `10000 mod n`, so
+    * credits are exact longs that sum to exactly 10000 per converted
+    * conversion — no fractional drift, fully deterministic. Revenue
+    * credit accumulates as Σ rev_cents·bps (exact long, cent-basis-point
+    * units); the reported `credit_c` divides by 10000 ONCE per channel.
+    * Conversions with no eligible touch credit the synthetic 'direct'
+    * channel with their full 10000 bps.
+    *
+    * Scale shape: the eligible-touch join is a per-user equi-join with
+    * the time-window residual (per-user fan-out = touches within the
+    * window — the as-of class bound); the per-conversion count and the
+    * remainder pick ride the SAME (user, conversion) aggregation; channel
+    * totals map-side combine. One user-keyed exchange dominates.
+    */
+  def linearAttribution(
+      touches: DataFrame,      // (userCol, tsCol, channelCol, idCol)
+      conversions: DataFrame,  // (userCol, tsCol, idCol, revenueCentsCol)
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      channelCol: String,
+      revenueCentsCol: String,
+      windowSec: Long): DataFrame = {
+    val conv = conversions.select(
+      col(userCol).as("_u"), unix_micros(col(tsCol)).as("_ct"),
+      col(idCol).cast("long").as("_cid"),
+      col(revenueCentsCol).cast("long").as("_rev"))
+    val tch = touches.select(
+      col(userCol).as("_u"), unix_micros(col(tsCol)).as("_tt"),
+      col(idCol).cast("long").as("_tid"), col(channelCol).as("_ch"))
+    val eligible = conv.join(tch, Seq("_u"))
+      .where(col("_tt") <= col("_ct") &&
+        col("_tt") >= col("_ct") - lit(windowSec * 1000000L))
+    val wConv = Window.partitionBy("_cid")
+    val wFirst = Window.partitionBy("_cid").orderBy(col("_tt"), col("_tid"))
+    val credited = eligible
+      .withColumn("_n", count(lit(1)).over(wConv))
+      .withColumn("_rk", row_number().over(wFirst))
+      .withColumn("bps",
+        expr("10000 div _n") + when(col("_rk") === 1, expr("10000 % _n")).otherwise(0L))
+    val direct = conv.join(
+        eligible.select(col("_cid").as("_ecid")).distinct(),
+        col("_cid") === col("_ecid"), "left_anti")
+      .select(lit("direct").as("_ch"), col("_cid"), col("_rev"), lit(10000L).as("bps"))
+    credited.select(col("_ch"), col("_cid"), col("_rev"), col("bps"))
+      .unionByName(direct)
+      .groupBy(col("_ch").as("channel"))
+      .agg(
+        count_distinct(col("_cid")).as("n_conversions"),
+        sum(col("bps")).as("credit_bps"),
+        sum(col("_rev") * col("bps")).as("credit_cbps"),
+        (sum(col("_rev") * col("bps")).cast("double") / 10000.0d).as("credit_c"))
   }
 
   /** Top user journeys: each entity's first `maxSteps` event types in

@@ -472,6 +472,47 @@ object Profile {
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
 
+  /** Join/groupBy key-skew profiler: the pre-flight diagnostic for "will
+    * this key shuffle melt an executor?" — per-key cardinality statistics
+    * in one pass over the key column.
+    *
+    * Reported (all exact longs unless noted): n_rows, n_keys, max_count +
+    * top_key (the heaviest key, ties to the LARGEST key — max over the
+    * (count, key) struct, deterministic), sum_c2 = Σ count² (the
+    * self-join fan-out this key distribution generates — THE number a
+    * skew-join planner wants), and med_count / p99_count as interpolated
+    * doubles via [[groupedQuantilesCont]]'s engine-pinned order
+    * statistics. max_count·n_keys vs n_rows and p99 vs median quantify
+    * the skew tail; sum_c2/n_rows is the expected fan-out of joining a
+    * uniform probe against this key.
+    *
+    * Scale shape: one map-side-combined key count (the same exchange any
+    * join on this key would pay), then all statistics over the COUNTS
+    * table (|keys| rows — the quantile pass is the order-statistic
+    * counting shape, value domain = distinct counts, typically tiny).
+    * Output is ONE row.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df
+      .where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val aggRow = counts.agg(
+      sum("c").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(struct(col("c"), col("k"))).as("_top"),
+      sum(col("c") * col("c")).as("sum_c2"))
+      .select(
+        col("n_rows"), col("n_keys"),
+        col("_top.c").as("max_count"),
+        col("_top.k").cast("string").as("top_key"),
+        col("sum_c2"))
+    val quantiles = groupedQuantilesCont(
+      counts.withColumn("_g", lit("k")), "_g", "c",
+      Seq(0.5 -> "med_count", 0.99 -> "p99_count")).drop("_g")
+    aggRow.crossJoin(quantiles)
+  }
+
   /** Chi-square contingency table between two categorical columns — the
     * independence screen behind "did the traffic mix shift?" drift checks
     * and feature–label leakage audits.

@@ -393,6 +393,60 @@ object TimeSeries {
     burnRateFromHourly(
       hourlyErrorCounts(df, tsCol, isError), shortHours, longHours, budgetPerMille)
 
+  /** Per-key Holt double-exponential smoothing (level + trend, α = β =
+    * 1/2) over the key's event series in (ts, id) order — [[ewma]]'s
+    * sibling for TRENDING series (a plain EWMA lags a ramp forever; the
+    * trend term closes the gap), with the one-step-ahead forecast
+    * `level + trend` that capacity monitors alert on.
+    *
+    * Recurrence (classic Holt, seeds l₁ = v₁, b₁ = 0):
+    *   l_t = ½·v_t + ½·(l + b);   b_t = ½·(l_t − l) + ½·b
+    * Determinism contract is [[ewma]]'s: the fold runs in explicit
+    * (ts, id) order as ONE struct-accumulator chain whose every operation
+    * is a correctly rounded IEEE op on identical operands — the l_t
+    * expression is spelled once and reused inside b_t on both engines, so
+    * the bits match. The DuckDB twin is a RECURSIVE CTE replay of the
+    * same recurrence, NOT a `list_reduce` struct fold: DuckDB's
+    * struct_pack-in-lambda mutates accumulator fields SEQUENTIALLY (a
+    * later field expression observes the earlier field already
+    * overwritten — measured empirically), which silently changes the
+    * recurrence. α = β = 1/2 is fixed for the same reason as ewma's α.
+    *
+    * Scale shape: identical to [[ewma]] — one hash exchange on the key,
+    * per-key state is the key's own series (sessionize bound), the fold
+    * is a scan-local expression over the assembled array.
+    */
+  def holtLinear(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String): DataFrame = {
+    val series = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"),
+      col(idCol).cast("long").as("i"),
+      col(valCol).cast("double").as("v"))))
+    def step(acc: Column, x: Column): Column = {
+      val l = acc.getField("l")
+      val b = acc.getField("b")
+      val lNext = x.getField("v") * 0.5 + (l + b) * 0.5
+      struct(lNext.as("l"), ((lNext - l) * 0.5 + b * 0.5).as("b"))
+    }
+    df.groupBy(col(keyCol))
+      .agg(series.as("_s"))
+      .select(
+        col(keyCol),
+        size(col("_s")).cast("long").as("n_events"),
+        aggregate(
+          slice(col("_s"), lit(2), size(col("_s")) - 1),
+          struct(element_at(col("_s"), 1).getField("v").as("l"), lit(0.0).as("b")),
+          step).as("_hb"))
+      .select(
+        col(keyCol), col("n_events"),
+        col("_hb.l").as("level"), col("_hb.b").as("trend"),
+        (col("_hb.l") + col("_hb.b")).as("forecast"))
+  }
+
   /** [[burnRate]]'s first stage alone: exact (hour, total, errors) counts
     * — the mergeable form (counts add across partial tables), which is
     * what the streaming twin accumulates across triggers.

@@ -1161,4 +1161,68 @@ class AnalyticsOpsSpec extends SparkSpec {
     // term at d=2 only: 0.5 · 0.5 · 1/2 = 0.125
     assert(row.getAs[Double]("rbo") == 0.125, row.toString)
   }
+
+  // ------------------------------------------------ round-9 batch: Holt
+
+  test("holtLinear follows the textbook recurrence exactly") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(("k", ts(1), 1L, 10.0), ("k", ts(2), 2L, 12.0),
+      ("k", ts(3), 3L, 15.0), ("k", ts(4), 4L, 11.0)).toDF("k", "ts", "id", "v")
+    val r = graft.ops.TimeSeries.holtLinear(df, "k", "ts", "id", "v").collect().head
+    // seeds (10, 0); steps: (11, .5) → (13.25, 1.375) → (12.8125, .46875)
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Double]("level") == 12.8125, r.toString)
+    assert(r.getAs[Double]("trend") == 0.46875, r.toString)
+    assert(r.getAs[Double]("forecast") == 13.28125, r.toString)
+  }
+
+  test("holtLinear closes the lag on a perfect ramp where ewma cannot") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ramp = (1L to 40L).map(i => ("k", ts(i), i, i.toDouble * 10))
+      .toDF("k", "ts", "id", "v")
+    val h = graft.ops.TimeSeries.holtLinear(ramp, "k", "ts", "id", "v").collect().head
+    // on v = 10t the forecast converges to the next value, 410
+    // (geometric tail: ~1.7e-5 after 40 steps)
+    assert(math.abs(h.getAs[Double]("forecast") - 410.0) < 1e-3, h.toString)
+  }
+
+  // -------------------------------------------- round-9 batch: key skew
+
+  test("keySkew reports exact cardinality statistics and the top key") {
+    val df = (Seq.fill(4)(7L) ++ Seq.fill(4)(3L) ++ Seq(1L, 2L)).toDF("k")
+    val r = graft.ops.Profile.keySkew(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("max_count") == 4L)
+    assert(r.getAs[String]("top_key") == "7") // count tie 4 → largest key
+    assert(r.getAs[Long]("sum_c2") == 16L + 16L + 1L + 1L)
+    // counts {1,1,4,4}: median = (1+4)/2 = 2.5
+    assert(r.getAs[Double]("med_count") == 2.5)
+  }
+
+  // -------------------------------- round-9 batch: linear attribution
+
+  test("linearAttribution splits exact basis points; remainder to earliest") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val touches = Seq(
+      (1L, ts(10), "ad", 11L), (1L, ts(20), "click", 12L), (1L, ts(30), "email", 13L),
+      (2L, ts(500), "ad", 14L) // outside user 2's window
+    ).toDF("user_id", "ts", "channel", "event_id")
+    val convs = Seq(
+      (1L, ts(40), 20L, 900L), // 3 touches → 3333 each, earliest +1
+      (2L, ts(100), 21L, 500L) // no eligible touch → direct
+    ).toDF("user_id", "ts", "event_id", "rev")
+    val got = graft.ops.Funnel.linearAttribution(
+        touches, convs, "user_id", "ts", "event_id", "channel", "rev", windowSec = 60L)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(got("ad").getAs[Long]("credit_bps") == 3334L) // earliest gets 3333+1
+    assert(got("click").getAs[Long]("credit_bps") == 3333L)
+    assert(got("email").getAs[Long]("credit_bps") == 3333L)
+    assert(got("direct").getAs[Long]("credit_bps") == 10000L)
+    assert(got("direct").getAs[Long]("credit_cbps") == 5000000L)
+    assert(got("direct").getAs[Double]("credit_c") == 500.0)
+    // per-conversion bps conservation
+    val totalBps = got.values.map(_.getAs[Long]("credit_bps")).sum
+    assert(totalBps == 20000L, totalBps.toString)
+  }
 }
