@@ -103,7 +103,10 @@ object Bench {
     "ns143", "ns144",
     // per-key folds (ns145), one-pass key profile (ns146), per-user
     // window joins (ns147) — all linear under key-shifted replication.
-    "ns145", "ns146", "ns147")
+    "ns145", "ns146", "ns147",
+    // sketch rollups / one-pass profiles / sketch-bounded estimates —
+    // all linear in replicas (shifted user and part keys).
+    "ns148", "ns149", "ns150")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -6389,6 +6389,95 @@ object SparkEntry {
           userCol = "user_id", tsCol = "ts", idCol = "event_id",
           channelCol = "event_type", revenueCentsCol = "rev", windowSec = 604800L)
         .orderBy("channel")
+    },
+    // NS-K1: rolling 24 h distinct users from PERSISTED hourly HLL
+    // sketches (the precomputed-DAU dashboard pattern) — b85-style gate:
+    // exact counts hash-match, the sketch rollup must sit inside its
+    // published 3σ bound for EVERY window.
+    Q(
+      "ns148_rolling_distinct",
+      Some(
+        """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, user_id FROM events),
+          |w AS (SELECT h + d AS win, user_id FROM e
+          |  CROSS JOIN (SELECT unnest(range(24)) AS d))
+          |SELECT win, COUNT(DISTINCT user_id)::BIGINT AS exact_users, TRUE AS in_bound
+          |FROM w GROUP BY 1 ORDER BY win""".stripMargin)) { (s, dir) =>
+      val rse = 1.04 / math.sqrt(1 << 12)
+      val ev = T(s, dir, "events")
+      val est = Sketch.rollingDistinctSketch(ev, "ts", "user_id", windowHours = 24)
+      val exact = ev
+        .select(expr("unix_micros(ts) div 3600000000").as("h"), col("user_id"))
+        .select(explode(sequence(col("h"), col("h") + 23L)).as("win"), col("user_id"))
+        .groupBy("win")
+        .agg(countDistinct("user_id").as("exact_users"))
+      est.join(exact, "win")
+        .select(
+          col("win"), col("exact_users"),
+          (abs(col("est").cast("double") - col("exact_users").cast("double")) /
+            col("exact_users").cast("double") <= lit(rse * 3)).as("in_bound"))
+        .orderBy("win")
+    },
+    // NS-P14: per-column categorical concentration — Gini impurity and
+    // top-share as exact rationals over one exploded pass.
+    Q(
+      "ns149_concentration",
+      Some(
+        """WITH p AS (SELECT 'lang' AS col_name, lang AS v FROM documents
+          |    WHERE lang IS NOT NULL
+          |  UNION ALL
+          |  SELECT 'source', source FROM documents WHERE source IS NOT NULL),
+          |c AS (SELECT col_name, v, COUNT(*)::BIGINT AS c FROM p GROUP BY 1, 2),
+          |a AS (SELECT col_name, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS n_categories,
+          |    MAX(c)::BIGINT AS top_count, SUM(c * c)::BIGINT AS sum_c2
+          |  FROM c GROUP BY 1)
+          |SELECT col_name, n, n_categories, top_count, sum_c2,
+          |  (n*n - sum_c2)::DOUBLE / (n*n)::DOUBLE AS gini,
+          |  top_count::DOUBLE / n::DOUBLE AS top_share
+          |FROM a ORDER BY col_name""".stripMargin)) { (s, dir) =>
+      Profile.categoricalConcentration(T(s, dir, "documents"), Seq("lang", "source"))
+        .orderBy("col_name")
+    },
+    // NS-K2: CMS inner-product join-size estimation — the planner's
+    // "how big would this join be" answered from two persisted sketches
+    // without touching either input. The estimate is a deterministic
+    // integer (FULL hash gate, not just a bound verdict) and can never
+    // undershoot the exact join size.
+    Q(
+      "ns150_cms_join_estimate", {
+        val (depth, width) = (4, 2048)
+        Some(
+          s"""WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+             |b AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+             |  WHERE l_quantity >= 45),
+             |ae AS (SELECT ${oBase60("k")} AS bh, unnest(range($depth)) AS r FROM a),
+             |ac AS (SELECT r, (((bh // 268435456) + r * (bh % 268435456)) % 4294967296) % $width AS bucket,
+             |    COUNT(*)::BIGINT AS cnt FROM ae GROUP BY 1, 2),
+             |be AS (SELECT ${oBase60("k")} AS bh, unnest(range($depth)) AS r FROM b),
+             |bc AS (SELECT r, (((bh // 268435456) + r * (bh % 268435456)) % 4294967296) % $width AS bucket,
+             |    COUNT(*)::BIGINT AS cnt FROM be GROUP BY 1, 2),
+             |ip AS (SELECT ac.r, SUM(ac.cnt * bc.cnt)::BIGINT AS ip
+             |  FROM ac JOIN bc ON ac.r = bc.r AND ac.bucket = bc.bucket GROUP BY 1),
+             |est AS (SELECT MIN(ip)::BIGINT AS est_join_size FROM ip),
+             |ex AS (SELECT SUM(ca * cb)::BIGINT AS exact_join_size FROM
+             |    (SELECT k, COUNT(*) AS ca FROM a GROUP BY 1) x
+             |  JOIN (SELECT k, COUNT(*) AS cb FROM b GROUP BY 1) y USING (k))
+             |SELECT est_join_size, exact_join_size,
+             |  est_join_size >= exact_join_size AS never_under
+             |FROM est, ex""".stripMargin)
+      }) { (s, dir) =>
+      val (depth, width) = (4, 2048)
+      val li = T(s, dir, "lineitem")
+      val a = li.select(col("l_partkey").cast("string").as("k"))
+      val b = li.where(col("l_quantity") >= 45).select(col("l_partkey").cast("string").as("k"))
+      val est = Sketch.cmsJoinSizeEstimate(
+        Sketch.cmsCounters(a, "k", depth, width),
+        Sketch.cmsCounters(b, "k", depth, width))
+      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+        .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("est_join_size"), col("exact_join_size"),
+          (col("est_join_size") >= col("exact_join_size")).as("never_under"))
     }
   )
 

@@ -472,6 +472,43 @@ object Profile {
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
 
+  /** Per-column categorical concentration profile: for each profiled
+    * column, how concentrated its value distribution is — Gini impurity
+    * and top-category share as EXACT rationals ((n² − Σc²) and n² are
+    * exact longs; the reported doubles are one IEEE division each), plus
+    * the exact category count. Gini 0 = one category holds everything
+    * (degenerate label, drop it); near 1 − 1/k = uniform over k. The
+    * "which of these categorical columns carry signal vs noise" screen
+    * run before encoding features or choosing partition keys.
+    *
+    * Scale shape: ONE pass — rows explode to (col_name, value) pairs
+    * (×k, the same Expand cost as multi-column count-distinct), one
+    * map-side-combined (col, value) count, then per-column aggregates
+    * over the counts table (bounded by Σ per-column cardinalities).
+    * Overflow budget: n² < 2⁶³ — same bound as [[contingency]].
+    */
+  def categoricalConcentration(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select("p.*")
+      .where(col("v").isNotNull)
+    pairs
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("col_name")
+      .agg(
+        sum("c").as("n"),
+        count(lit(1)).as("n_categories"),
+        max("c").as("top_count"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(
+        col("col_name"), col("n"), col("n_categories"), col("top_count"), col("sum_c2"),
+        ((col("n") * col("n") - col("sum_c2")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("gini"),
+        (col("top_count").cast("double") / col("n").cast("double")).as("top_share"))
+  }
+
   /** Join/groupBy key-skew profiler: the pre-flight diagnostic for "will
     * this key shuffle melt an executor?" — per-key cardinality statistics
     * in one pass over the key column.

@@ -105,6 +105,62 @@ object Sketch {
       .groupBy("r", "bucket")
       .agg(sum("cnt").as("cnt"))
 
+  /** CMS inner-product JOIN-SIZE estimate (Cormode & Muthukrishnan's
+    * second moment application): |A ⋈ B| on the sketched key is
+    * estimated by `min_r Σ_w a_r[w]·b_r[w]` — the cardinality-estimation
+    * primitive a cost-based planner wants BEFORE paying for the join,
+    * computable from two already-persisted counter tables without
+    * touching either input again.
+    *
+    * Guarantees (both deterministic, both gate-able): the estimate NEVER
+    * underestimates (every true key pair lands in the same cell on every
+    * row, so each row's inner product = true size + non-negative
+    * collision mass), and overshoot is bounded by ε‖A‖₁‖B‖₁ with
+    * ε = e/width at the usual confidence — width is the precision knob.
+    *
+    * Scale shape: one (r, bucket) equi-join of two ≤ depth×width-row
+    * tables + a depth-row aggregate — O(sketch), independent of either
+    * input's size. Output: ONE row (est_join_size).
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("bucket"), col("cnt").as("_ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("_cb")), Seq("r", "bucket"))
+      .groupBy("r")
+      .agg(sum(col("_ca") * col("_cb")).as("_ip"))
+      .agg(min("_ip").as("est_join_size"))
+
+  /** Rolling-window distinct counting from PERSISTED hourly HLL sketches
+    * (the "DAU over a trailing 24 h window, every hour" production
+    * pattern): one sketch per hour bucket, each trailing window unions
+    * the `windowHours` sketches that cover it — sketch mergeability makes
+    * the rollup exact-in-the-sketch (union of sketches ≡ sketch of the
+    * union, the same property b85 gates for static rollups).
+    *
+    * THE point at scale: the raw stream is touched ONCE (hourly
+    * sketches, map-side combined); every window after that is built from
+    * `windowHours` FIXED-SIZE sketches — fan-out is hours×window over
+    * kilobyte sketches, never rows×window over events, which is what the
+    * exact rollup costs (and why dashboards precompute sketches).
+    * Windows whose trailing span reaches before the first hour are still
+    * emitted (partial-history semantics, like any dashboard's first day).
+    *
+    * Output: (win — the hour the window ENDS on, est). lgK = 12
+    * (±1.04/√2¹² relative error, the b85 convention).
+    */
+  def rollingDistinctSketch(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      windowHours: Int): DataFrame = {
+    require(windowHours >= 1, "windowHours must be >= 1")
+    df.select(expr(s"unix_micros($tsCol) div 3600000000").as("h"), col(idCol).as("_id"))
+      .groupBy("h")
+      .agg(expr("hll_sketch_agg(_id, 12)").as("sk"))
+      .select(col("sk"), explode(sequence(col("h"), col("h") + (windowHours - 1).toLong)).as("win"))
+      .groupBy("win")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+  }
+
   // --------------------------------------------------------------- bloom
 
   /** Deterministic Bloom filter, represented as its SET-BIT POSITIONS

@@ -1225,4 +1225,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     val totalBps = got.values.map(_.getAs[Long]("credit_bps")).sum
     assert(totalBps == 20000L, totalBps.toString)
   }
+
+  // --------------------------------- round-9 batch: CMS join estimate
+
+  test("cmsJoinSizeEstimate never undershoots and is exact without collisions") {
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("only_a")).toDF("k")
+    val b = (Seq.fill(5)("x") ++ Seq("y") ++ Seq("only_b")).toDF("k")
+    val est = graft.ops.Sketch.cmsJoinSizeEstimate(
+        graft.ops.Sketch.cmsCounters(a, "k", 4, 4096),
+        graft.ops.Sketch.cmsCounters(b, "k", 4, 4096))
+      .collect().head.getLong(0)
+    val exact = 3L * 5L + 2L * 1L // x: 15, y: 2
+    assert(est >= exact, s"$est < $exact")
+    // 4 distinct keys in 4096 buckets: collisions are possible only on
+    // engineered inputs; equality documents the no-collision case.
+    assert(est == exact, s"$est != $exact with collision-free width")
+  }
+
+  // -------------------------------- round-9 batch: rolling distinct
+
+  test("rollingDistinctSketch windows cover trailing hours and merge sketches") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    // hour 0: users 1,2; hour 1: user 3; hour 5: user 1
+    val df = Seq((ts(0), 1L), (ts(0), 2L), (ts(1), 3L), (ts(5), 1L))
+      .toDF("ts", "uid")
+    val got = graft.ops.Sketch.rollingDistinctSketch(df, "ts", "uid", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // win 0: {1,2}; win 1: {1,2,3}; win 2: {1,2,3}; win 3: {3}; win 5,6,7: {1}
+    // (tiny cardinalities → HLL is exact)
+    assert(got == Map(0L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L), got.toString)
+  }
+
+  // ------------------------------- round-9 batch: concentration
+
+  test("categoricalConcentration reports exact Gini rationals per column") {
+    val df = Seq(("a", "u"), ("a", "v"), ("a", "w"), ("b", null))
+      .toDF("c1", "c2")
+    val got = graft.ops.Profile.categoricalConcentration(df, Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c1 = got("c1")
+    assert(c1.getAs[Long]("n") == 4L)
+    assert(c1.getAs[Long]("n_categories") == 2L)
+    assert(c1.getAs[Long]("sum_c2") == 10L) // 9 + 1
+    assert(c1.getAs[Double]("gini") == 6.0 / 16.0)
+    assert(c1.getAs[Double]("top_share") == 0.75)
+    val c2 = got("c2")
+    assert(c2.getAs[Long]("n") == 3L) // null excluded
+    assert(c2.getAs[Double]("gini") == 6.0 / 9.0) // uniform over 3
+  }
 }
