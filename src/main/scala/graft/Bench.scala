@@ -106,7 +106,9 @@ object Bench {
     "ns145", "ns146", "ns147",
     // sketch rollups / one-pass profiles / sketch-bounded estimates —
     // all linear in replicas (shifted user and part keys).
-    "ns148", "ns149", "ns150")
+    "ns148", "ns149", "ns150",
+    // scan-local projections — trivially linear.
+    "ns151", "ns152")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

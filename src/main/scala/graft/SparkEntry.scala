@@ -6478,6 +6478,50 @@ object SparkEntry {
       est.crossJoin(exact)
         .select(col("est_join_size"), col("exact_join_size"),
           (col("est_join_size") >= col("exact_join_size")).as("never_under"))
+    },
+    // NS-V1: hashing-trick vectorizer (dim=32) — vocabulary-free
+    // fixed-dimension term-count vectors, md5-bucketed so every engine
+    // and executor maps a token identically. Zero shuffle; the full
+    // vectors hash-gate element-wise.
+    Q(
+      "ns151_hashing_vectorize",
+      Some(
+        s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+           |h AS (SELECT doc_id,
+           |    [('0x' || substring(md5(t), 1, 15))::BIGINT % 32 FOR t IN toks] AS hs
+           |  FROM t)
+           |SELECT doc_id,
+           |  [len(list_filter(hs, x -> x = i))::BIGINT FOR i IN range(32)] AS vec
+           |FROM h ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      TextOps.hashingVectorize(T(s, dir, "documents"), "doc_id", "text", dim = 32)
+        .orderBy("doc_id")
+    },
+    // NS-V2: Unicode NFC normalization (codegen'd graft_nfc kernel vs
+    // DuckDB's utf8proc nfc_normalize — both implement the SAME
+    // standard-defined bijection, so bytes match). The gate manufactures
+    // decomposed text (e + U+0301) and pins that composition actually
+    // shortened it.
+    Q(
+      "ns152_nfc_normalize",
+      Some(
+        """SELECT doc_id,
+          |  nfc_normalize(substring(text, 1, 20) || 'e' || chr(769) || ' cafe' || chr(769)) AS norm,
+          |  length(substring(text, 1, 20) || 'e' || chr(769) || ' cafe' || chr(769))::BIGINT AS len_dec,
+          |  length(nfc_normalize(substring(text, 1, 20) || 'e' || chr(769) || ' cafe' || chr(769)))::BIGINT AS len_nfc
+          |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // DECOMPOSED suffix: base letters + combining acute (U+0301) twice —
+      // NOT the precomposed \u00e9. Spark `chr` is mod-256 ASCII and cannot
+      // emit a combining mark, so the codepoint rides in as a literal.
+      val dec = concat(expr("substring(text, 1, 20)"),
+        lit("e" + "\u0301" + " cafe" + "\u0301"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), dec.as("_dec"))
+        .select(
+          col("doc_id"),
+          call_function("graft_nfc", col("_dec")).as("norm"),
+          length(col("_dec")).cast("long").as("len_dec"),
+          length(call_function("graft_nfc", col("_dec"))).cast("long").as("len_nfc"))
+        .orderBy("doc_id")
     }
   )
 

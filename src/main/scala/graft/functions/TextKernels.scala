@@ -383,6 +383,24 @@ object TextKernels {
       math.min(awl / 10.0, 1.0) * 0.4 + (1.0 - punctRatio) * 0.2
     new GenericArrayData(Array[Double](awl, stopRatio, punctRatio, quality))
   }
+
+  /** Unicode NFC (canonical composition) via the JDK's ICU-derived
+    * `java.text.Normalizer` — the corpus-cleaning step that makes
+    * byte-level dedup/hash keys stable across sources that emit the same
+    * text precomposed vs decomposed (e\u0301 vs \u00e9). NFC is a
+    * Unicode-standard-defined bijection on canonical-equivalence classes,
+    * so any conformant implementation (JDK here, utf8proc in DuckDB)
+    * produces identical bytes — the cross-engine gate leans on the
+    * standard, not an implementation detail.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // Fast path: Normalizer.isNormalized is a cheap scan and true for
+    // virtually all real corpus text (ASCII is always NFC).
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Codegen'd char-bigram LM scoring:
@@ -484,6 +502,22 @@ case class NormalizeF(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.normalize($c)")
   override protected def withNewChildInternal(newChild: Expression): NormalizeF =
+    copy(child = newChild)
+}
+
+/** Codegen'd Unicode NFC normalization (see [[TextKernels.nfc]]). */
+case class NfcNormalizeF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeF =
     copy(child = newChild)
 }
 

@@ -1088,4 +1088,40 @@ object TextOps {
       .groupBy("freq")
       .agg(count(lit(1)).as("n_types"))
       .orderBy("freq")
+
+  /** Hashing-trick (feature-hashing) vectorizer: each document becomes a
+    * dense `dim`-long term-count vector with bucket = md5⁶⁰(token) mod
+    * dim — the classic fixed-dimension featurization (Weinberger 2009,
+    * sklearn's HashingVectorizer) that needs NO vocabulary pass, no
+    * fitted state, and no broadcast: any executor (or any engine — the
+    * hash is the repo's cross-engine md5 convention) maps the same token
+    * to the same bucket forever.
+    *
+    * Scale shape: ZERO shuffle — one md5 per token builds the hashed
+    * array, then the counting transform is O(dim × tokens) integer ops
+    * per row, all inside one codegen'd projection. The vectors feed the
+    * ANN/similarity ladder directly (cosine over count vectors), and the
+    * no-state property is what makes the op streaming- and
+    * increment-safe by construction.
+    */
+  def hashingVectorize(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    val hs = transform(tokens(col(textCol)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim)
+    // Two projections on purpose: `_hs` is referenced dim times by the
+    // counting transform, and CollapseProject does not inline a
+    // multiply-referenced non-trivial alias — so each token is md5'd
+    // ONCE, not dim times.
+    df.select(col(idCol).as("doc_id"), hs.as("_hs"))
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0L), lit((dim - 1).toLong)),
+          i => aggregate(col("_hs"), lit(0L), (acc, x) =>
+            acc + when(x === i, 1L).otherwise(0L))).as("vec"))
+  }
 }

@@ -1274,4 +1274,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(c2.getAs[Long]("n") == 3L) // null excluded
     assert(c2.getAs[Double]("gini") == 6.0 / 9.0) // uniform over 3
   }
+
+  // --------------------------------- round-9 batch: hashing vectorizer
+
+  test("hashingVectorize buckets deterministically and counts every token") {
+    val df = Seq((1L, "a b a"), (2L, "a")).toDF("doc_id", "text")
+    val rows = graft.ops.TextOps.hashingVectorize(df, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).sum == 3L) // every token lands somewhere
+    assert(rows(2L).sum == 1L)
+    // same token → same bucket in every document
+    val aBucket1 = rows(1L).indexWhere(_ == 2L)
+    assert(aBucket1 >= 0, rows(1L).toString)
+    assert(rows(2L)(aBucket1) == 1L)
+    assert(rows(1L).length == 8 && rows(2L).length == 8)
+  }
 }

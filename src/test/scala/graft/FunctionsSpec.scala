@@ -171,4 +171,12 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](7).length == 4)
     assert(r.getString(8) == "abc d") // punct removed, runs collapsed, trimmed
   }
+
+  test("graft_nfc composes decomposed sequences and fast-paths NFC text") {
+    val dec = "é café" // e + combining acute, twice
+    val r = spark.sql(s"SELECT graft_nfc('$dec') AS n, graft_nfc('plain ascii') AS p").head()
+    assert(r.getString(0) == "é café", r.getString(0))
+    assert(r.getString(0).length == dec.length - 2) // two marks composed away
+    assert(r.getString(1) == "plain ascii")
+  }
 }
