@@ -108,7 +108,13 @@ object Bench {
     // all linear in replicas (shifted user and part keys).
     "ns148", "ns149", "ns150",
     // scan-local projections — trivially linear.
-    "ns151", "ns152")
+    "ns151", "ns152",
+    // pair/triple mining + per-key sweeps + fingerprint windows — linear
+    // under key-shifted replication (pair/triple fan-out stays within a
+    // replica: basket keys shift; document texts get per-replica
+    // suffixes BUT fingerprints ignore suffix order... ns156 uses sorted
+    // distinct tokens, so the zscaleup suffix keeps replicas distinct).
+    "ns153", "ns154", "ns155", "ns156")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -6522,6 +6522,97 @@ object SparkEntry {
           length(col("_dec")).cast("long").as("len_dec"),
           length(call_function("graft_nfc", col("_dec"))).cast("long").as("len_nfc"))
         .orderBy("doc_id")
+    },
+    // NS-A15: frequent item triples — the k=3 Apriori level with both
+    // prunes (item-level and pair-level); the oracle skips BOTH, so the
+    // gate proves the full prune chain lossless by monotonicity.
+    Q(
+      "ns153_basket_triples",
+      Some(
+        """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem)
+          |SELECT a.i AS item_a, c.i AS item_b, d.i AS item_c, COUNT(*)::BIGINT AS support
+          |FROM b a JOIN b c ON a.bk = c.bk AND a.i < c.i
+          |  JOIN b d ON a.bk = d.bk AND c.i < d.i
+          |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+          |ORDER BY item_a, item_b, item_c""".stripMargin)) { (s, dir) =>
+      graft.ops.Association.frequentTriples(
+          T(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy("item_a", "item_b", "item_c")
+    },
+    // NS-W11: exact proportional test-set allocation (largest-remainder
+    // apportionment) — quotas sum to EXACTLY k (per-row sampling only
+    // hits k in expectation), picks are md5-ranked and reproducible.
+    Q(
+      "ns154_proportional_split",
+      Some(
+        """WITH r AS (SELECT source AS stratum, doc_id AS id FROM documents),
+          |c AS (SELECT stratum, COUNT(*)::BIGINT AS c FROM r GROUP BY 1),
+          |t AS (SELECT *, SUM(c) OVER ()::BIGINT AS n FROM c),
+          |se AS (SELECT stratum, c, (c * 100) // n AS base, (c * 100) % n AS rem,
+          |    SUM((c * 100) // n) OVER ()::BIGINT AS base_sum FROM t),
+          |q AS (SELECT stratum, c,
+          |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum) <= 100 - base_sum
+          |      THEN 1 ELSE 0 END AS quota FROM se),
+          |p AS (SELECT stratum, id,
+          |    row_number() OVER (PARTITION BY stratum
+          |      ORDER BY md5(CAST(stratum AS VARCHAR) || '|' || CAST(id AS VARCHAR)), id) AS rk
+          |  FROM r)
+          |SELECT p.stratum AS stratum, p.id, q.quota::BIGINT AS quota
+          |FROM p JOIN q ON p.stratum = q.stratum WHERE p.rk <= q.quota
+          |ORDER BY p.stratum, p.id""".stripMargin)) { (s, dir) =>
+      Sampling.proportionalAllocation(
+          T(s, dir, "documents").select(col("source"), col("doc_id")),
+          "source", "doc_id", k = 100L)
+        .orderBy("stratum", "id")
+    },
+    // NS-T24: union-of-intervals covered time per user (sessions from
+    // the 30-min gap sessionizer; overlaps and touches merge) — the
+    // "actually active" duration Σ-of-durations over-counts.
+    Q(
+      "ns155_covered_time",
+      Some(
+        """WITH sp AS (SELECT user_id, epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+          |  FROM (SELECT user_id, ts,
+          |      SUM(CASE WHEN prev_ts IS NULL
+          |          OR epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 > 1800
+          |          THEN 1 ELSE 0 END)
+          |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+          |    FROM (SELECT user_id, ts, event_id,
+          |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |      FROM events))
+          |  GROUP BY user_id, sid),
+          |isl AS (SELECT user_id, s, e,
+          |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY s, e) AS island
+          |  FROM (SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sp)),
+          |agg AS (SELECT user_id, island, MAX(e) - MIN(s) AS len, COUNT(*) AS n
+          |  FROM isl GROUP BY 1, 2)
+          |SELECT user_id, SUM(len)::BIGINT AS covered_micros,
+          |  COUNT(*)::BIGINT AS n_islands, SUM(n)::BIGINT AS n_intervals
+          |FROM agg GROUP BY 1 ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.coveredTime(
+          Streams.sessionSpans(T(s, dir, "events"), gapMinutes = 30),
+          "user_id", "session_start", "session_end")
+        .orderBy("user_id")
+    },
+    // NS-D20: per-source novelty report — which ingestion sources re-serve
+    // fingerprints the corpus already has (cross-source dups debit the
+    // LATER source by arrival order).
+    Q(
+      "ns156_novelty",
+      Some(
+        s"""WITH f AS (SELECT doc_id, source,
+           |    md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS fp
+           |  FROM documents),
+           |m AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS first_id FROM f)
+           |SELECT source, COUNT(*)::BIGINT AS n_docs,
+           |  SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           |  (COUNT(*) - SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END))::DOUBLE
+           |    / COUNT(*)::DOUBLE AS dup_rate
+           |FROM m GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
+      Dedup.noveltyBySource(T(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source")
     }
   )
 

@@ -40,6 +40,41 @@ object Association {
       .where(col("support") >= minSupport)
   }
 
+  /** Frequent item TRIPLES — the k=3 Apriori level, with BOTH prunes the
+    * algorithm is named for: items below support cannot appear in a
+    * frequent triple (level-1), and a triple is only counted when the
+    * (a,b) pair it extends is itself frequent (level-2) — support is
+    * monotone, so neither prune can change the answer (the oracle skips
+    * them and proves it).
+    *
+    * Scale design: the cubic step never runs on raw items — candidates
+    * extend FREQUENT PAIRS only (the level-2 frame is bounded by the
+    * pair answer, which minSupport already made small), joined back to
+    * the pruned basket frame on the basket key; every shuffle reuses the
+    * (basket) exchange. Fan-out per basket = |frequent pairs in it| ×
+    * |frequent items after them| — on heavy-tailed catalogs orders of
+    * magnitude below pruned-size³.
+    */
+  def frequentTriples(
+      baskets: DataFrame, basketCol: String, itemCol: String, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val b = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val freqItems = b.groupBy("i").agg(count(lit(1)).as("s"))
+      .where(col("s") >= minSupport).select("i")
+    val kept = b.join(freqItems, "i").select("b", "i")
+    val freqPairs = frequentPairs(baskets, basketCol, itemCol, minSupport)
+      .select(col("item_a").as("fa"), col("item_b").as("fb"))
+    val pairInBasket = kept.alias("a")
+      .join(kept.alias("c"), col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+      .select(col("a.b").as("pb"), col("a.i").as("ia"), col("c.i").as("ib"))
+      .join(freqPairs, col("ia") === col("fa") && col("ib") === col("fb"), "left_semi")
+    pairInBasket
+      .join(kept.alias("d"), col("pb") === col("d.b") && col("ib") < col("d.i"))
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"), col("d.i").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
   /** Ordered precedence pairs: for how many entities does event type A
     * first occur STRICTLY before event type B first occurs? The k=2 level
     * of sequential-pattern mining (AprioriAll/PrefixSpan stop here in most

@@ -381,6 +381,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-source novelty report: what fraction of each source's documents
+    * is an exact duplicate (by canonical fingerprint) of an EARLIER
+    * document anywhere in the corpus — the "is this new crawl adding
+    * content or re-serving what we have" number a corpus pipeline tracks
+    * per ingestion source. "Earlier" = smaller id (the arrival-order
+    * contract); the first copy of each fingerprint is novel wherever it
+    * lands, every later copy is a duplicate — cross-source duplicates
+    * debit the LATER source, which is the attribution an acquisition
+    * decision needs.
+    *
+    * Scale shape: fingerprints are the scan-local kernel (one pass, no
+    * payload shuffle); the first-occurrence window shuffles one (fp, id)
+    * row per document; the source aggregation map-side combines.
+    * Hot fingerprints (a boilerplate page duplicated 10⁶ times) are the
+    * usual equi-key skew — AQE splits, and the window only needs the
+    * min, not the group.
+    */
+  def noveltyBySource(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp")
+    df.select(
+        col(idCol).as("_id"), col(sourceCol).as("source"),
+        TextOps.fingerprintFast(col(textCol)).as("_fp"))
+      .withColumn("_first", min("_id").over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_id") === col("_first"), 1L).otherwise(0L)).as("n_novel"))
+      .select(
+        col("source"), col("n_docs"), col("n_novel"),
+        ((col("n_docs") - col("n_novel")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+  }
+
   /** Banded Hamming near-dup pairs over ANY precomputed bit-hash column —
     * the [[simhashPairs]] banding generalized to perceptual hashes the
     * caller built elsewhere (image aHash, audio chromaprints, simhash

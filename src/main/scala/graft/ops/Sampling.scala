@@ -193,6 +193,49 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** EXACT proportional test-set allocation (largest-remainder /
+    * Hamilton apportionment): split a `k`-row budget across strata so
+    * every stratum gets floor(c·k/N) rows and the leftover seats go to
+    * the largest remainders (ties → smaller stratum key) — quotas sum to
+    * EXACTLY k by construction, where independent per-row sampling only
+    * hits k in expectation (the off-by-a-few that breaks "eval set is
+    * exactly 10k rows" contracts). Rows are then picked per stratum by
+    * md5 rank (ties on the id tiebreak) — deterministic, reproducible,
+    * order-independent.
+    *
+    * Scale shape: one stratum count (map-side combined), the
+    * apportionment over the |strata|-row table (one window), then one
+    * per-stratum md5-rank window over the data — the stratifiedSample
+    * skeleton; the usual hot-stratum sort caveat applies.
+    *
+    * Output: the PICKED rows (stratum, id) plus each stratum's quota.
+    */
+  def proportionalAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Long): DataFrame = {
+    require(k >= 0, "negative budget")
+    val rows = df.select(col(stratumCol).as("stratum"), col(idCol).as("id"))
+    val counts = rows.groupBy("stratum").agg(count(lit(1)).as("c"))
+    val withTotal = counts.withColumn("n", sum("c").over(Window.partitionBy()))
+    val seats = withTotal
+      .withColumn("base", expr(s"(c * $k) div n"))
+      .withColumn("rem", (col("c") * k) % col("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum"))))
+      .withColumn("extra_n", lit(k) - sum("base").over(Window.partitionBy()))
+      .withColumn("quota", col("base") + when(col("rk") <= col("extra_n"), 1L).otherwise(0L))
+      .select("stratum", "c", "quota")
+    val ranked = rows.withColumn("pick_rk", row_number().over(
+      Window.partitionBy("stratum")
+        .orderBy(md5(concat(col("stratum").cast("string"), lit("|"), col("id").cast("string"))),
+          col("id"))))
+    ranked.join(seats, "stratum")
+      .where(col("pick_rk") <= col("quota"))
+      .select(col("stratum"), col("id"), col("quota"))
+  }
+
   /** Per-group cap ("at most n documents per source/domain"): keep the
     * first n rows of each group under a caller-chosen deterministic
     * ordering — the crawl-pipeline domain cap. One shuffle on the group

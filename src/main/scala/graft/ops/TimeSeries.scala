@@ -393,6 +393,48 @@ object TimeSeries {
     burnRateFromHourly(
       hourlyErrorCounts(df, tsCol, isError), shortHours, longHours, budgetPerMille)
 
+  /** Per-key UNION-OF-INTERVALS covered time: total duration covered by
+    * at least one interval, overlaps merged — billable hours, device
+    * uptime, SLA coverage ("how long was the user actually active",
+    * which Σ durations over-counts whenever sessions overlap).
+    *
+    * Classic island sweep, exact micros end to end: in (start, end)
+    * order, an interval starts a NEW island when its start exceeds the
+    * running max end of everything before it (touching intervals —
+    * start == previous end — merge, closed-interval semantics); each
+    * island contributes max(end) − min(start).
+    *
+    * Scale shape: one hash exchange on the key + the per-key sort (the
+    * island flag, the running max, and the island aggregation all ride
+    * the same window partitioning) — sessionize's exact skeleton and
+    * hot-key bound.
+    *
+    * Output: (key, covered_micros, n_islands, n_intervals).
+    */
+  def coveredTime(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val base = intervals.select(
+      col(keyCol),
+      unix_micros(col(startCol)).as("_s"),
+      unix_micros(col(endCol)).as("_e"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_s"), col("_e"))
+    val prevMax = max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    base
+      .withColumn("_new", when(prevMax.isNull || col("_s") > prevMax, 1L).otherwise(0L))
+      .withColumn("_island",
+        sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg((max("_e") - min("_s")).as("_len"), count(lit(1)).as("_n"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum("_len").as("covered_micros"),
+        count(lit(1)).as("n_islands"),
+        sum("_n").as("n_intervals"))
+  }
+
   /** Per-key Holt double-exponential smoothing (level + trend, α = β =
     * 1/2) over the key's event series in (ts, id) order — [[ewma]]'s
     * sibling for TRENDING series (a plain EWMA lags a ramp forever; the

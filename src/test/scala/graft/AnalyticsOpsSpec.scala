@@ -1289,4 +1289,68 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows(2L)(aBucket1) == 1L)
     assert(rows(1L).length == 8 && rows(2L).length == 8)
   }
+
+  // ---------------------------------- round-9 batch: frequent triples
+
+  test("frequentTriples finds supported triples; prunes are lossless") {
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"),
+      (3L, "a"), (3L, "b"), (3L, "d"),
+      (4L, "a"), (4L, "c")
+    ).toDF("bk", "item")
+    val got = graft.ops.Association.frequentTriples(baskets, "bk", "item", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // (a,b,c) in baskets 1,2; (a,b,d) in 2,3. d appears 2× (frequent).
+    assert(got == Set(("a", "b", "c", 2L), ("a", "b", "d", 2L)), got.toString)
+  }
+
+  // --------------------------- round-9 batch: proportional allocation
+
+  test("proportionalAllocation quotas sum to exactly k via largest remainders") {
+    // strata sizes 5, 3, 2 with k=7: exact shares 3.5/2.1/1.4 →
+    // bases 3/2/1 (sum 6), largest remainder .5 wins the seat → 4/2/1.
+    val df = ((1 to 5).map(i => ("a", i.toLong)) ++
+      (6 to 8).map(i => ("b", i.toLong)) ++
+      (9 to 10).map(i => ("c", i.toLong))).toDF("s", "id")
+    val rows = graft.ops.Sampling.proportionalAllocation(df, "s", "id", 7L).collect()
+    assert(rows.length == 7, rows.length.toString)
+    val quotas = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(quotas == Map("a" -> 4L, "b" -> 2L, "c" -> 1L), quotas.toString)
+    val perStratum = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perStratum == Map("a" -> 4, "b" -> 2, "c" -> 1), perStratum.toString)
+  }
+
+  // --------------------------------- round-9 batch: covered time
+
+  test("coveredTime merges overlaps and touches, splits true gaps") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("u", ts(0), ts(10)),   // island 1
+      ("u", ts(5), ts(20)),   // overlaps → still island 1
+      ("u", ts(20), ts(25)),  // touches (start == running max end) → merges
+      ("u", ts(100), ts(110)),// gap → island 2
+      ("v", ts(0), ts(1))
+    ).toDF("k", "s", "e")
+    val got = graft.ops.TimeSeries.coveredTime(df, "k", "s", "e")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("u") == ((35000000L, 2L, 4L)), got.toString) // 25s + 10s in micros
+    assert(got("v") == ((1000000L, 1L, 1L)))
+  }
+
+  // ----------------------------------- round-9 batch: novelty report
+
+  test("noveltyBySource debits later sources for cross-source duplicates") {
+    val df = Seq(
+      (1L, "alpha beta", "s1"),  // first copy → novel for s1
+      (2L, "beta alpha", "s2"),  // same fingerprint (sorted tokens) → dup for s2
+      (3L, "gamma", "s2"),       // novel for s2
+      (4L, "alpha beta", "s1")   // dup for s1
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Dedup.noveltyBySource(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("s1") == ((2L, 1L, 0.5)), got.toString)
+    assert(got("s2") == ((2L, 1L, 0.5)), got.toString)
+  }
 }
