@@ -114,7 +114,9 @@ object Bench {
     // replica: basket keys shift; document texts get per-replica
     // suffixes BUT fingerprints ignore suffix order... ns156 uses sorted
     // distinct tokens, so the zscaleup suffix keeps replicas distinct).
-    "ns153", "ns154", "ns155", "ns156")
+    "ns153", "ns154", "ns155", "ns156",
+    // O(k)-state heap aggregate — linear by construction.
+    "ns157")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

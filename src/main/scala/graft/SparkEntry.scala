@@ -6613,6 +6613,23 @@ object SparkEntry {
            |FROM m GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
       Dedup.noveltyBySource(T(s, dir, "documents"), "doc_id", "text", "source")
         .orderBy("source")
+    },
+    // NS-K3: per-group top-k via the native graft_topk heap aggregate —
+    // O(k) state per group, map-side partial heaps merged across
+    // partitions (no per-group sort, no full-group buffering). Ties are
+    // equal longs, so the value array hash-gates exactly.
+    Q(
+      "ns157_topk_agg",
+      Some(
+        """SELECT l_returnflag,
+          |  (list(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+          |    ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) DESC))[1:5] AS top5
+          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("p"))
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_topk", col("p"), lit(5)).as("top5"))
+        .orderBy("l_returnflag")
     }
   )
 

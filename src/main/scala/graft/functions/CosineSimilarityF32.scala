@@ -127,6 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FingerprintF].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => FingerprintF(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopKAgg(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeF].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalizeF(children(0))))

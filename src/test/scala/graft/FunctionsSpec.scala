@@ -172,6 +172,34 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(8) == "abc d") // punct removed, runs collapsed, trimmed
   }
 
+  test("graft_topk keeps the k largest across partitions in O(k) heap state") {
+    import spark.implicits._
+    val df = spark.sparkContext
+      .parallelize((1L to 1000L) ++ Seq(5000L, 4000L), 8) // maxima in different partitions
+      .toDF("v")
+    val got = df.agg(call_function("graft_topk", col("v"), lit(3))).head()
+      .getSeq[Long](0)
+    assert(got == Seq(5000L, 4000L, 1000L), got.toString)
+    // fewer values than k → all of them, descending; nulls ignored
+    val small = Seq(Some(7L), None, Some(9L)).toDF("v")
+      .agg(call_function("graft_topk", col("v"), lit(5))).head().getSeq[Long](0)
+    assert(small == Seq(9L, 7L), small.toString)
+    // duplicates count as separate members (multiset semantics)
+    val dup = Seq(3L, 3L, 1L).toDF("v")
+      .agg(call_function("graft_topk", col("v"), lit(2))).head().getSeq[Long](0)
+    assert(dup == Seq(3L, 3L), dup.toString)
+  }
+
+  test("graft_topk plans as a partial-merged ObjectHashAggregate, not a window sort") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+      .groupBy("g").agg(call_function("graft_topk", col("v"), lit(2)).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_topk") || plan.contains("partial graft_topk"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("graft_nfc composes decomposed sequences and fast-paths NFC text") {
     val dec = "é café" // e + combining acute, twice
     val r = spark.sql(s"SELECT graft_nfc('$dec') AS n, graft_nfc('plain ascii') AS p").head()
