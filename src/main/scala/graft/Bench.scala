@@ -116,7 +116,9 @@ object Bench {
     // distinct tokens, so the zscaleup suffix keeps replicas distinct).
     "ns153", "ns154", "ns155", "ns156",
     // O(k)-state heap aggregate — linear by construction.
-    "ns157")
+    "ns157",
+    // counting-skeleton weighted quantile — linear.
+    "ns158")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

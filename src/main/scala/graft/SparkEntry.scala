@@ -2380,6 +2380,30 @@ object SparkEntry {
       T(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(sqlGroupByAll)
     },
+    // Aggregate FILTER clause — per-aggregate predicates without CASE
+    // gymnastics; one SQL text runs verbatim on both engines.
+    Q(
+      "b92_agg_filter",
+      Some(sqlAggFilter)) { (s, dir) =>
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlAggFilter)
+    },
+    // Ordered-set aggregate: percentile_cont WITHIN GROUP — the SQL:2003
+    // inverse-distribution syntax, identical text on both engines.
+    Q(
+      "b93_within_group",
+      Some(sqlWithinGroup)) { (s, dir) =>
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlWithinGroup)
+    },
+    // Error-safe casts: TRY_CAST returns NULL on bad parses and overflow
+    // instead of raising — identical text on both engines.
+    Q(
+      "b94_try_cast",
+      Some(sqlTryCast)) { (s, dir) =>
+      T(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(sqlTryCast)
+    },
     // Union by NAME with missing-column null-fill — schema alignment by
     // column name, not position (Spark `unionByName(allowMissingColumns)`
     // ≡ DuckDB `UNION ALL BY NAME`).
@@ -2411,6 +2435,33 @@ object SparkEntry {
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** b92: aggregate FILTER clause — one identical text on both engines. */
+  private lazy val sqlAggFilter: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** b93: ordered-set aggregate (WITHIN GROUP) — identical text; both
+    * engines interpolate `v_lo·(1−f) + v_hi·f` (the repo's pinned
+    * convention), and 0.25/0.75 are exact dyadics.
+    */
+  private lazy val sqlWithinGroup: String =
+    """SELECT l_returnflag,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS q1,
+      |  percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS q3
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** b94: error-safe TRY_CAST — identical text; bad parses and overflow
+    * return NULL on both engines instead of raising.
+    */
+  private lazy val sqlTryCast: String =
+    """SELECT p_partkey,
+      |  TRY_CAST(p_name AS BIGINT) AS bad_parse,
+      |  TRY_CAST(CAST(p_partkey AS STRING) AS BIGINT) AS good_parse,
+      |  TRY_CAST('99999999999999999999' AS BIGINT) AS overflow
+      |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
 
   /** Bucketed-table join used by b41 (+ PlanSpec): both fact tables are
     * written bucketed+sorted on the join key once per (session, sf-dir),
@@ -6629,6 +6680,29 @@ object SparkEntry {
         .select(col("l_returnflag"), cents(col("l_extendedprice")).as("p"))
         .groupBy("l_returnflag")
         .agg(call_function("graft_topk", col("p"), lit(5)).as("top5"))
+        .orderBy("l_returnflag")
+    },
+    // NS-P15: exact weighted median (lower inverted-CDF) — quantity
+    // weighted by revenue cents: "the quantity below which half the
+    // REVENUE falls". The q·W threshold is exact integer arithmetic and
+    // the answer is one of the data's own longs.
+    Q(
+      "ns158_weighted_quantile",
+      Some(
+        """WITH c AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+          |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS w
+          |  FROM lineitem GROUP BY 1, 2),
+          |r AS (SELECT g, v,
+          |    SUM(w) OVER (PARTITION BY g ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+          |    SUM(w) OVER (PARTITION BY g)::BIGINT AS tot FROM c)
+          |SELECT g AS l_returnflag, MIN(v)::BIGINT AS wq
+          |FROM r WHERE cum * 2 >= tot * 1 GROUP BY g ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      Profile.groupedWeightedQuantile(
+          T(s, dir, "lineitem").select(
+            col("l_returnflag"), col("l_quantity"),
+            cents(col("l_extendedprice")).as("w")),
+          "l_returnflag", "l_quantity", "w", qNum = 1L, qDen = 2L)
         .orderBy("l_returnflag")
     }
   )

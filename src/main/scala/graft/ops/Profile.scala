@@ -472,6 +472,48 @@ object Profile {
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
 
+  /** Exact per-group WEIGHTED quantile by the lower inverted-CDF
+    * convention: the smallest value whose cumulative weight reaches
+    * q·W — "the latency below which q of the TRAFFIC (not q of the
+    * servers) falls", the form capacity math actually needs.
+    *
+    * q rides in as the rational qNum/qDen so the threshold test is EXACT
+    * integer arithmetic (`cum·qDen ≥ qNum·W` — no float boundary), and
+    * the picked value is one of the data's own longs: the whole answer
+    * hash-gates with no interpolation convention to pin. Zero/negative
+    * weights are rejected; rows with NULL value or weight are excluded.
+    *
+    * Scale shape: [[groupedQuantilesCont]]'s counting skeleton — one
+    * (group, DISTINCT value) weight-sum exchange (map-side combined), a
+    * running-sum window over that compressed table, one aggregate.
+    * Overflow budget: qNum·W < 2⁶³.
+    */
+  def groupedWeightedQuantile(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      qNum: Long,
+      qDen: Long,
+      outName: String = "wq"): DataFrame = {
+    require(qDen >= 1 && qNum >= 0 && qNum <= qDen, s"q out of [0,1]: $qNum/$qDen")
+    val counts = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .groupBy(groupCol, "_v")
+      .agg(sum("_w").as("_w"))
+    val running = Window.partitionBy(groupCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(groupCol)
+    counts
+      .withColumn("_cum", sum("_w").over(running))
+      .withColumn("_tot", sum("_w").over(whole))
+      .where(col("_cum") * qDen >= col("_tot") * qNum)
+      .groupBy(groupCol)
+      .agg(min("_v").as(outName))
+  }
+
   /** Per-column categorical concentration profile: for each profiled
     * column, how concentrated its value distribution is — Gini impurity
     * and top-category share as EXACT rationals ((n² − Σc²) and n² are

@@ -1353,4 +1353,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("s1") == ((2L, 1L, 0.5)), got.toString)
     assert(got("s2") == ((2L, 1L, 0.5)), got.toString)
   }
+
+  // ------------------------------- round-9 batch: weighted quantile
+
+  test("groupedWeightedQuantile picks the lower inverted-CDF value exactly") {
+    // values 1,2,3 with weights 1,1,8: half the weight (5 of 10) is
+    // reached only at v=3 → weighted median 3 (the unweighted median is 2).
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 8L)).toDF("grp", "v", "w")
+    val got = graft.ops.Profile.groupedWeightedQuantile(df, "grp", "v", "w", 1L, 2L)
+      .collect().head.getLong(1)
+    assert(got == 3L, got.toString)
+    // boundary: q exactly at a cumulative step takes THAT value (>=)
+    val df2 = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("grp", "v", "w")
+    val got2 = graft.ops.Profile.groupedWeightedQuantile(df2, "grp", "v", "w", 1L, 2L)
+      .collect().head.getLong(1)
+    assert(got2 == 1L, got2.toString)
+  }
 }
