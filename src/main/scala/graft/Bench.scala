@@ -118,7 +118,9 @@ object Bench {
     // O(k)-state heap aggregate — linear by construction.
     "ns157",
     // counting-skeleton weighted quantile — linear.
-    "ns158")
+    "ns158",
+    // counting/sessionize skeletons — linear.
+    "ns159", "ns160", "ns161")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -6704,6 +6704,72 @@ object SparkEntry {
             cents(col("l_extendedprice")).as("w")),
           "l_returnflag", "l_quantity", "w", qNum = 1L, qDen = 2L)
         .orderBy("l_returnflag")
+    },
+    // NS-P16: exact 10% two-sided trimmed mean (Olympic convention —
+    // DROP the tails, don't clamp them) by rank-interval counting; ties
+    // split across the boundary by rank, so kept mass is exact.
+    Q(
+      "ns159_trimmed_mean",
+      Some(
+        """WITH c AS (SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+          |    COUNT(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
+          |r AS (SELECT g, v, c,
+          |    SUM(c) OVER (PARTITION BY g ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+          |    SUM(c) OVER (PARTITION BY g)::BIGINT AS n FROM c),
+          |k AS (SELECT g, v,
+          |    greatest(0, least(cum, n - (n * 1) // 10)
+          |      - greatest(cum - c, (n * 1) // 10)) AS kept FROM r)
+          |SELECT g AS l_returnflag, SUM(kept)::BIGINT AS n_kept,
+          |  SUM(kept * v)::BIGINT AS sum_kept,
+          |  CASE WHEN SUM(kept) > 0 THEN SUM(kept * v)::DOUBLE / SUM(kept)::DOUBLE END
+          |    AS trimmed_mean
+          |FROM k GROUP BY g ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      Profile.groupedTrimmedMean(
+          T(s, dir, "lineitem").select(
+            col("l_returnflag"), cents(col("l_extendedprice")).as("p")),
+          "l_returnflag", "p", loNum = 1L, loDen = 10L, hiNum = 9L, hiDen = 10L)
+        .orderBy("l_returnflag")
+    },
+    // NS-T25: per-user run-length encoding of the event-type state
+    // stream — consecutive identical states collapse to dwell spans.
+    Q(
+      "ns160_run_length",
+      Some(
+        """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS t, event_id AS i
+          |  FROM events),
+          |f AS (SELECT *, CASE WHEN lag(state) OVER w IS NULL
+          |      OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, i)),
+          |g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, i)::BIGINT AS run_id
+          |  FROM f)
+          |SELECT user_id, run_id, state, MIN(t)::BIGINT AS run_start_micros,
+          |  MAX(t)::BIGINT AS run_end_micros, COUNT(*)::BIGINT AS n_events
+          |FROM g GROUP BY 1, 2, 3 ORDER BY user_id, run_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.runLengthStates(
+          T(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "run_id")
+    },
+    // NS-T26: per-user inter-arrival burstiness — exact whole-second gap
+    // statistics + cv² as one division of exact integer closed forms.
+    Q(
+      "ns161_interarrival",
+      Some(
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i FROM events),
+          |g AS (SELECT user_id,
+          |    (t - lag(t) OVER (PARTITION BY user_id ORDER BY t, i)) // 1000000 AS gap
+          |  FROM e),
+          |a AS (SELECT user_id, COUNT(*)::BIGINT AS n_gaps, SUM(gap)::BIGINT AS sum_gap_s,
+          |    SUM(gap * gap)::BIGINT AS sum_gap2_s, MIN(gap)::BIGINT AS min_gap_s,
+          |    MAX(gap)::BIGINT AS max_gap_s
+          |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+          |SELECT user_id, n_gaps, sum_gap_s, sum_gap2_s, min_gap_s, max_gap_s,
+          |  CASE WHEN sum_gap_s > 0 THEN
+          |    (n_gaps * sum_gap2_s - sum_gap_s * sum_gap_s)::DOUBLE
+          |      / (sum_gap_s * sum_gap_s)::DOUBLE END AS cv2
+          |FROM a ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.interArrivalStats(T(s, dir, "events"), "user_id", "ts", "event_id")
+        .orderBy("user_id")
     }
   )
 

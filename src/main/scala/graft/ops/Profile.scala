@@ -472,6 +472,63 @@ object Profile {
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
 
+  /** Exact per-group TRIMMED mean: the mean of the values strictly
+    * inside the [lo, hi] RANK band (drop the lowest loNum/loDen and the
+    * highest (1 − hiNum/hiDen) fractions) — the robust location estimate
+    * that, unlike winsorization, DROPS the tails instead of clamping
+    * them (the Olympic-scoring convention).
+    *
+    * Rank semantics, all exact integers: with n values, a value at
+    * 1-based ranks (r_lo, r_hi] survives where r_lo = floor(n·loNum/loDen)
+    * and r_hi = n − floor(n·(hiDen−hiNum)/hiDen) — both tails drop
+    * floor(n·tail) values, the symmetric textbook convention. Equal
+    * values split across the boundary by rank, so the kept MASS is exact
+    * regardless of ties (per-value kept count = overlap of the value's
+    * rank interval with the band). The mean is ONE IEEE division of
+    * exact longs.
+    *
+    * Scale shape: the counting skeleton again — (group, DISTINCT value)
+    * counts, one running-sum window, one aggregate; no per-group value
+    * buffering.
+    */
+  def groupedTrimmedMean(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loNum: Long,
+      loDen: Long,
+      hiNum: Long,
+      hiDen: Long): DataFrame = {
+    require(loDen >= 1 && hiDen >= 1 && loNum >= 0 && hiNum <= hiDen, "bad trim fractions")
+    require(loNum * hiDen < hiNum * loDen, "empty trim band")
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .groupBy(groupCol, "_v")
+      .agg(count(lit(1)).as("_c"))
+    val running = Window.partitionBy(groupCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(groupCol)
+    counts
+      .withColumn("_cum", sum("_c").over(running))
+      .withColumn("_n", sum("_c").over(whole))
+      // band of SURVIVING 1-based ranks: (rLo, rHi]
+      .withColumn("_rlo", expr(s"(_n * $loNum) div $loDen"))
+      .withColumn("_rhi", col("_n") - expr(s"(_n * ${hiDen - hiNum}) div $hiDen"))
+      // this value occupies ranks (_cum - _c, _cum]; kept = interval overlap
+      .withColumn("_kept",
+        greatest(lit(0L),
+          least(col("_cum"), col("_rhi")) - greatest(col("_cum") - col("_c"), col("_rlo"))))
+      .groupBy(groupCol)
+      .agg(
+        sum(col("_kept")).as("n_kept"),
+        sum(col("_kept") * col("_v")).as("sum_kept"))
+      .select(
+        col(groupCol), col("n_kept"), col("sum_kept"),
+        when(col("n_kept") > 0L,
+          col("sum_kept").cast("double") / col("n_kept").cast("double")).as("trimmed_mean"))
+  }
+
   /** Exact per-group WEIGHTED quantile by the lower inverted-CDF
     * convention: the smallest value whose cumulative weight reaches
     * q·W — "the latency below which q of the TRAFFIC (not q of the

@@ -393,6 +393,88 @@ object TimeSeries {
     burnRateFromHourly(
       hourlyErrorCounts(df, tsCol, isError), shortHours, longHours, budgetPerMille)
 
+  /** Per-key run-length encoding of a state column: consecutive
+    * identical states in (ts, id) order collapse to one row with the
+    * run's span and length — the "what state was this device/user in,
+    * and for how long" compression behavior logs get before storage or
+    * duration analytics (state-machine dwell times fall out directly).
+    *
+    * Determinism: (ts, id) is a total order (unique id); a run breaks on
+    * ANY state change, and runs are numbered per key in order. Exact
+    * micros.
+    *
+    * Scale shape: one key exchange; the change flag (lag), the run id
+    * (running sum), and the run aggregation all share the window
+    * partitioning — the sessionize skeleton and its hot-key bound.
+    *
+    * Output: (key, run_id, state, run_start_micros, run_end_micros,
+    * n_events).
+    */
+  def runLengthStates(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_t"), col("_i"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+        col(keyCol), col(stateCol).as("state"),
+        unix_micros(col(tsCol)).as("_t"), col(idCol).cast("long").as("_i"))
+      .withColumn("_prev", lag(col("state"), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col("_prev") =!= col("state"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("_chg").over(run))
+      .groupBy(col(keyCol), col("run_id"), col("state"))
+      .agg(
+        min("_t").as("run_start_micros"),
+        max("_t").as("run_end_micros"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Per-key inter-arrival statistics — the burstiness profile ("is this
+    * key a steady heartbeat or a bursty clump?") monitoring and
+    * bot-detection pipelines compute per entity: exact integer
+    * sufficient statistics of the consecutive-gap series (n, Σ, Σ²,
+    * min, max in micros) plus the squared coefficient of variation as
+    * ONE rational-over-rational IEEE expression — cv² ≈ 1 is Poisson,
+    * ≪ 1 periodic, ≫ 1 bursty.
+    *
+    * cv²'s closed form over exact longs: (n·Σg² − (Σg)²) / (Σg)² —
+    * numerator and denominator are exact; the division is the only
+    * float op. Gaps are measured in WHOLE SECONDS (floor of the micro
+    * difference) — the micro-squared term would overflow 2⁶³ on
+    * week-scale gaps, while second-granularity burstiness keeps the
+    * n·Σg² budget safe to ~year-long gaps × 10³ events and loses
+    * nothing a burstiness verdict cares about.
+    *
+    * Scale shape: one key exchange (lag window + aggregation share it);
+    * keys with fewer than 2 events are absent (no gaps exist).
+    */
+  def interArrivalStats(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_t"), col("_i"))
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("_t"),
+        col(idCol).cast("long").as("_i"))
+      .withColumn("_prev", lag(col("_t"), 1).over(w))
+      .withColumn("_gap", expr("(_t - _prev) div 1000000"))
+      .where(col("_gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum("_gap").as("sum_gap_s"),
+        sum(col("_gap") * col("_gap")).as("sum_gap2_s"),
+        min("_gap").as("min_gap_s"),
+        max("_gap").as("max_gap_s"))
+      .withColumn("cv2",
+        when(col("sum_gap_s") > 0L,
+          (col("n_gaps") * col("sum_gap2_s") - col("sum_gap_s") * col("sum_gap_s")).cast("double") /
+            (col("sum_gap_s") * col("sum_gap_s")).cast("double")))
+  }
+
   /** Per-key UNION-OF-INTERVALS covered time: total duration covered by
     * at least one interval, overlaps merged — billable hours, device
     * uptime, SLA coverage ("how long was the user actually active",

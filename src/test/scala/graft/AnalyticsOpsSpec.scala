@@ -1369,4 +1369,56 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().head.getLong(1)
     assert(got2 == 1L, got2.toString)
   }
+
+  // ---------------------------------- round-9 batch: trimmed mean
+
+  test("groupedTrimmedMean drops exact tail counts and splits ties by rank") {
+    // 10 values: drop lowest 1 and highest 1 (10% each side).
+    val df = (Seq(0L, 100L) ++ Seq.fill(8)(5L)).map(("g", _)).toDF("grp", "v")
+    val r = graft.ops.Profile.groupedTrimmedMean(df, "grp", "v", 1L, 10L, 9L, 10L)
+      .collect().head
+    assert(r.getAs[Long]("n_kept") == 8L)
+    assert(r.getAs[Long]("sum_kept") == 40L) // the eight 5s survive
+    assert(r.getAs[Double]("trimmed_mean") == 5.0)
+    // tie across the cut: 5 values of 7, drop bottom 20% (1 value) —
+    // one of the tied 7s drops BY RANK, keeping mass exact.
+    val df2 = Seq.fill(5)(("g", 7L)).toDF("grp", "v")
+    val r2 = graft.ops.Profile.groupedTrimmedMean(df2, "grp", "v", 1L, 5L, 5L, 5L)
+      .collect().head
+    assert(r2.getAs[Long]("n_kept") == 4L, r2.toString)
+  }
+
+  // ------------------------------------ round-9 batch: run length
+
+  test("runLengthStates collapses consecutive states and breaks on change") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("u", ts(1), 1L, "a"), ("u", ts(2), 2L, "a"), ("u", ts(3), 3L, "b"),
+      ("u", ts(4), 4L, "a"), ("v", ts(1), 5L, "x")
+    ).toDF("k", "ts", "id", "st")
+    val got = graft.ops.TimeSeries.runLengthStates(df, "k", "ts", "id", "st")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(5))).toSet
+    assert(got == Set(
+      ("u", 1L, "a", 2L), ("u", 2L, "b", 1L), ("u", 3L, "a", 1L),
+      ("v", 1L, "x", 1L)), got.toString)
+  }
+
+  // ---------------------------------- round-9 batch: inter-arrival
+
+  test("interArrivalStats computes exact second gaps and cv2") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // gaps: 10s, 30s → n=2, Σ=40, Σ²=1000; cv2 = (2·1000−1600)/1600 = .25
+    val df = Seq(("u", ts(0), 1L), ("u", ts(10), 2L), ("u", ts(40), 3L),
+      ("solo", ts(5), 4L)).toDF("k", "ts", "id")
+    val rows = graft.ops.TimeSeries.interArrivalStats(df, "k", "ts", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!rows.contains("solo")) // no gaps → absent
+    val u = rows("u")
+    assert(u.getAs[Long]("n_gaps") == 2L)
+    assert(u.getAs[Long]("sum_gap_s") == 40L)
+    assert(u.getAs[Long]("sum_gap2_s") == 1000L)
+    assert(u.getAs[Long]("min_gap_s") == 10L && u.getAs[Long]("max_gap_s") == 30L)
+    assert(u.getAs[Double]("cv2") == 0.25)
+  }
 }
