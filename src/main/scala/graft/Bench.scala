@@ -120,7 +120,9 @@ object Bench {
     // counting-skeleton weighted quantile — linear.
     "ns158",
     // counting/sessionize skeletons — linear.
-    "ns159", "ns160", "ns161")
+    "ns159", "ns160", "ns161",
+    // rewritten to the O(k) heap aggregate — linear.
+    "ns162")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -6770,6 +6770,24 @@ object SparkEntry {
           |FROM a ORDER BY user_id""".stripMargin)) { (s, dir) =>
       TimeSeries.interArrivalStats(T(s, dir, "events"), "user_id", "ts", "event_id")
         .orderBy("user_id")
+    },
+    // NS-K4: the top-k ANTIPATTERN spelling — slice(sort_array(
+    // collect_list(v), false), 1, 3) — which the injected TopKRewrite
+    // optimizer rule turns into the O(k)-state graft_topk heap aggregate
+    // (rewrite plan-pinned in FunctionsSpec; this gate proves the
+    // rewritten plan still answers EXACTLY).
+    Q(
+      "ns162_topk_rewrite",
+      Some(
+        """SELECT l_linestatus,
+          |  (list(CAST(l_quantity AS BIGINT)
+          |    ORDER BY CAST(l_quantity AS BIGINT) DESC))[1:3] AS top3
+          |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_linestatus"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_linestatus")
+        .agg(expr("slice(sort_array(collect_list(q), false), 1, 3)").as("top3"))
+        .orderBy("l_linestatus")
     }
   )
 

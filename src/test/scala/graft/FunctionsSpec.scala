@@ -200,6 +200,37 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("TopKRewrite turns the slice/sort_array/collect_list antipattern into graft_topk") {
+    import spark.implicits._
+    val base = Seq(("a", 5L), ("a", 9L), ("a", 1L), ("b", 2L)).toDF("g", "v")
+    def antipattern = base.groupBy("g")
+      .agg(expr("slice(sort_array(collect_list(v), false), 1, 2)").as("t"))
+    val plan = antipattern.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_topk"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    val got = antipattern.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == Map("a" -> Seq(9L, 5L), "b" -> Seq(2L)), got.toString)
+    // opt-out restores the literal plan
+    spark.conf.set("spark.graft.rewrite.topk", "false")
+    try {
+      val off = antipattern.queryExecution.optimizedPlan.toString
+      assert(off.contains("collect_list") && !off.contains("graft_topk"), off)
+    } finally spark.conf.unset("spark.graft.rewrite.topk")
+  }
+
+  test("TopKRewrite leaves non-matching shapes alone") {
+    import spark.implicits._
+    val base = Seq(("a", 5L), ("a", 9L)).toDF("g", "v")
+    // ascending sort: NOT top-k — must not rewrite
+    val asc = base.groupBy("g")
+      .agg(expr("slice(sort_array(collect_list(v), true), 1, 2)").as("t"))
+    assert(!asc.queryExecution.optimizedPlan.toString.contains("graft_topk"))
+    // distinct collect_list: different multiset — must not rewrite
+    val dist = base.groupBy("g")
+      .agg(expr("slice(sort_array(collect_set(v), false), 1, 2)").as("t"))
+    assert(!dist.queryExecution.optimizedPlan.toString.contains("graft_topk"))
+  }
+
   test("graft_nfc composes decomposed sequences and fast-paths NFC text") {
     val dec = "é café" // e + combining acute, twice
     val r = spark.sql(s"SELECT graft_nfc('$dec') AS n, graft_nfc('plain ascii') AS p").head()
