@@ -122,7 +122,9 @@ object Bench {
     // counting/sessionize skeletons — linear.
     "ns159", "ns160", "ns161",
     // rewritten to the O(k) heap aggregate — linear.
-    "ns162")
+    "ns162",
+    // hierarchy/counting/fingerprint-lag skeletons — linear.
+    "ns163", "ns164", "ns165")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

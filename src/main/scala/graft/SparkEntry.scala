@@ -6788,6 +6788,76 @@ object SparkEntry {
         .groupBy("l_linestatus")
         .agg(expr("slice(sort_array(collect_list(q), false), 1, 3)").as("top3"))
         .orderBy("l_linestatus")
+    },
+    // NS-P17: hierarchical share-of-parent (region → nation customer
+    // balances) — exact cent sums, one IEEE division per share.
+    Q(
+      "ns163_share_of_parent",
+      Some(
+        """WITH j AS (SELECT r_name AS parent, n_name AS child,
+          |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+          |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |    JOIN region ON n_regionkey = r_regionkey),
+          |a AS (SELECT parent, child, SUM(v)::BIGINT AS child_total
+          |  FROM j GROUP BY 1, 2)
+          |SELECT parent, child, child_total,
+          |  SUM(child_total) OVER (PARTITION BY parent)::BIGINT AS parent_total,
+          |  CASE WHEN SUM(child_total) OVER (PARTITION BY parent) <> 0 THEN
+          |    child_total::DOUBLE / (SUM(child_total) OVER (PARTITION BY parent))::DOUBLE
+          |  END AS share
+          |FROM a ORDER BY parent, child""".stripMargin)) { (s, dir) =>
+      Profile.shareOfParent(
+          T(s, dir, "customer")
+            .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+            .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+            .select(col("r_name").as("parent"), col("n_name").as("child"),
+              cents(col("c_acctbal")).as("v")),
+          "parent", "child", "v")
+        .orderBy("parent", "child")
+    },
+    // NS-W12: PURGED temporal split (70/30 with a 1-day embargo band
+    // dropped between train and test) — the financial-ML leakage
+    // control; the cut is an exact order statistic of the timestamps.
+    Q(
+      "ns164_temporal_split",
+      Some(
+        """WITH c AS (SELECT epoch_us(ts) AS t, COUNT(*)::BIGINT AS c FROM events GROUP BY 1),
+          |r AS (SELECT t, SUM(c) OVER (ORDER BY t
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+          |    SUM(c) OVER ()::BIGINT AS n FROM c),
+          |cut AS (SELECT MIN(t)::BIGINT AS cut FROM r WHERE cum * 10 >= n * 7),
+          |lab AS (SELECT event_id,
+          |    CASE WHEN epoch_us(ts) <= cut - 86400000000 THEN 'train'
+          |      WHEN epoch_us(ts) > cut THEN 'test' END AS split
+          |  FROM events, cut)
+          |SELECT event_id, split FROM lab WHERE split IS NOT NULL
+          |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      Sampling.temporalSplit(
+          T(s, dir, "events"), "ts", "event_id", qNum = 7L, qDen = 10L,
+          embargoSec = 86400L)
+        .orderBy("event_id")
+    },
+    // NS-D21: time-windowed exact duplicates (re-post within 36 h = dup;
+    // later re-crawls are fresh again) — document timestamps derive
+    // deterministically from arrival order (doc_id hours), the
+    // spatialPoints convention for fixture-absent attributes.
+    Q(
+      "ns165_windowed_dups",
+      Some(
+        s"""WITH f AS (SELECT doc_id, doc_id * 3600000000 AS t,
+           |    md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS fp
+           |  FROM documents),
+           |g AS (SELECT doc_id, t, lag(t) OVER (PARTITION BY fp ORDER BY t, doc_id) AS prev
+           |  FROM f)
+           |SELECT doc_id,
+           |  (prev IS NOT NULL AND t - prev <= ${36L * 3600L * 1000000L}) AS is_dup,
+           |  (t - prev) // 1000000 AS gap_s
+           |FROM g ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Dedup.windowedDuplicates(
+          T(s, dir, "documents")
+            .withColumn("ts", timestamp_seconds(col("doc_id") * 3600L)),
+          "doc_id", "text", "ts", windowSec = 36L * 3600L)
+        .orderBy("doc_id")
     }
   )
 

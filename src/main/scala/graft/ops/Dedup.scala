@@ -381,6 +381,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Time-windowed exact duplicates: a document is a DUP only when the
+    * same fingerprint appeared within the past `windowSec` — re-posts
+    * after the window are FRESH again. The recrawl semantics news/feed
+    * corpora need (yesterday's article re-served today is a dup;
+    * a standing page re-crawled quarterly is a legitimate new snapshot).
+    *
+    * Per fingerprint, in (ts, id) order: dup iff gap to the PREVIOUS
+    * copy ≤ window (exact micros; chain semantics — each copy compares
+    * to its immediate predecessor, so a long chain of re-posts stays
+    * dup as long as consecutive gaps stay inside the window).
+    *
+    * Scale shape: fingerprints are scan-local; one (fp) exchange for
+    * the lag window (payload never shuffles — (fp, ts, id) rows only);
+    * the verdict is a projection. Hot fingerprints are the usual
+    * equi-key skew.
+    *
+    * Output: (idCol, is_dup, gap_s — whole seconds to the previous copy,
+    * NULL for first occurrences).
+    */
+  def windowedDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, "non-positive window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_fp").orderBy(col("_t"), col("_id"))
+    df.select(
+        col(idCol).as("_id"),
+        unix_micros(col(tsCol)).as("_t"),
+        TextOps.fingerprintFast(col(textCol)).as("_fp"))
+      .withColumn("_prev", lag(col("_t"), 1).over(w))
+      .select(
+        col("_id").as(idCol),
+        (col("_prev").isNotNull &&
+          col("_t") - col("_prev") <= windowSec * 1000000L).as("is_dup"),
+        expr("(_t - _prev) div 1000000").as("gap_s"))
+  }
+
   /** Per-source novelty report: what fraction of each source's documents
     * is an exact duplicate (by canonical fingerprint) of an EARLIER
     * document anywhere in the corpus — the "is this new crawl adding

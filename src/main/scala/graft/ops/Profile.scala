@@ -472,6 +472,31 @@ object Profile {
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
 
+  /** Hierarchical share-of-parent report: per (parent, child), the
+    * child's exact aggregate and its share of the parent's total — the
+    * drill-down table every BI rollup renders ("nation revenue as a
+    * fraction of its region"). Sums are exact longs; each share is ONE
+    * IEEE division.
+    *
+    * Scale shape: one map-side-combined (parent, child) aggregation;
+    * the parent total is a window over that aggregated frame (bounded by
+    * the hierarchy's cardinality, never fact volume).
+    */
+  def shareOfParent(
+      df: DataFrame,
+      parentCol: String,
+      childCol: String,
+      valueCol: String): DataFrame = {
+    val agg = df.groupBy(col(parentCol), col(childCol))
+      .agg(sum(col(valueCol).cast("long")).as("child_total"))
+    agg
+      .withColumn("parent_total",
+        sum("child_total").over(Window.partitionBy(parentCol)))
+      .withColumn("share",
+        when(col("parent_total") =!= 0L,
+          col("child_total").cast("double") / col("parent_total").cast("double")))
+  }
+
   /** Exact per-group TRIMMED mean: the mean of the values strictly
     * inside the [lo, hi] RANK band (drop the lowest loNum/loDen and the
     * highest (1 − hiNum/hiDen) fractions) — the robust location estimate

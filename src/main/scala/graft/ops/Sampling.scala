@@ -193,6 +193,56 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** PURGED temporal split (time-series train/test with an embargo):
+    * rows at or before the q-quantile timestamp minus the embargo are
+    * TRAIN, rows strictly after the quantile timestamp are TEST, and the
+    * embargo band between them is DROPPED — the leakage control
+    * financial-ML splits require (an autocorrelated feature computed at
+    * t leaks label information for horizons past t; the embargo is the
+    * horizon).
+    *
+    * The cut timestamp is the lower inverted-CDF order statistic of the
+    * timestamps themselves (`cum·qDen ≥ qNum·n`, exact integers — no
+    * float boundary), so the split is reproducible bit-for-bit and the
+    * TEST fraction is within one distinct-timestamp of 1 − q by
+    * construction.
+    *
+    * Scale shape: one distinct-timestamp count pass (map-side combined)
+    * + a running-sum window over that compressed frame to find the cut
+    * (the counting skeleton), then ONE scan-local label projection —
+    * the cut rides in as a one-row broadcast join, no collect.
+    *
+    * Output: the labeled rows (idCol, split ∈ {train, test}) — embargo
+    * rows are absent.
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      qNum: Long,
+      qDen: Long,
+      embargoSec: Long): DataFrame = {
+    require(qDen >= 1 && qNum >= 1 && qNum < qDen, s"q out of (0,1): $qNum/$qDen")
+    require(embargoSec >= 0, "negative embargo")
+    val ts = df.select(unix_micros(col(tsCol)).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    val running = Window.orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val cut = ts
+      .withColumn("_cum", sum("_c").over(running))
+      .withColumn("_n", sum("_c").over(whole))
+      .where(col("_cum") * qDen >= col("_n") * qNum)
+      .agg(min("_t").as("_cut"))
+    df.select(col(idCol), unix_micros(col(tsCol)).as("_t"))
+      .crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("_t") <= col("_cut") - embargoSec * 1000000L, "train")
+          .when(col("_t") > col("_cut"), "test"))
+      .where(col("split").isNotNull)
+      .select(col(idCol), col("split"))
+  }
+
   /** EXACT proportional test-set allocation (largest-remainder /
     * Hamilton apportionment): split a `k`-row budget across strata so
     * every stratum gets floor(c·k/N) rows and the leftover seats go to

@@ -1421,4 +1421,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(u.getAs[Long]("min_gap_s") == 10L && u.getAs[Long]("max_gap_s") == 30L)
     assert(u.getAs[Double]("cv2") == 0.25)
   }
+
+  // ------------------------------- round-9 batch: share of parent
+
+  test("shareOfParent shares sum to 1 within each parent") {
+    val df = Seq(("p1", "a", 30L), ("p1", "b", 70L), ("p2", "c", 5L))
+      .toDF("par", "ch", "v")
+    val got = graft.ops.Profile.shareOfParent(df, "par", "ch", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("p1", "a")) == ((30L, 100L, 0.3)))
+    assert(got(("p1", "b")) == ((70L, 100L, 0.7)))
+    assert(got(("p2", "c")) == ((5L, 5L, 1.0)))
+  }
+
+  // ------------------------------- round-9 batch: temporal split
+
+  test("temporalSplit cuts at the exact order statistic with a purged embargo") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // 10 rows at t = 100, 200, ..., 1000; q = 7/10 → cut at t = 700.
+    val df = (1L to 10L).map(i => (i, ts(i * 100L))).toDF("id", "ts")
+    val got = graft.ops.Sampling.temporalSplit(df, "ts", "id", 7L, 10L, embargoSec = 150L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // train: t <= 700 - 150 = 550 → ids 1..5; embargo: 6, 7 dropped;
+    // test: t > 700 → ids 8, 9, 10.
+    assert(got == ((1L to 5L).map(_ -> "train") ++ (8L to 10L).map(_ -> "test")).toMap,
+      got.toString)
+  }
+
+  // ------------------------------- round-9 batch: windowed duplicates
+
+  test("windowedDuplicates marks in-window re-posts only; chains re-arm") {
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+    val df = Seq(
+      (1L, "same text", ts(0)),
+      (2L, "same text", ts(10)),  // 10h after #1 → dup (window 24h)
+      (3L, "same text", ts(50)),  // 40h after #2 → fresh again
+      (4L, "other", ts(5))
+    ).toDF("doc_id", "text", "ts")
+    val got = graft.ops.Dedup.windowedDuplicates(df, "doc_id", "text", "ts", 24L * 3600L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false), got.toString)
+  }
 }
