@@ -6321,10 +6321,10 @@ object SparkEntry {
       Some(
         """WITH RECURSIVE
           |t1 AS (SELECT l_partkey AS it, SUM(CAST(l_quantity AS BIGINT)) AS s
-          |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+          |  FROM lineitem GROUP BY 1),
           |r1 AS (SELECT it, row_number() OVER (ORDER BY s DESC, it) AS rk FROM t1),
           |t2 AS (SELECT l_partkey AS it, SUM(CAST(l_quantity AS BIGINT)) AS s
-          |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+          |  FROM lineitem WHERE l_quantity >= 10 GROUP BY 1),
           |r2 AS (SELECT it, row_number() OVER (ORDER BY s DESC, it) AS rk FROM t2),
           |aa AS (SELECT it, rk FROM r1 WHERE rk <= 20),
           |bb AS (SELECT it, rk FROM r2 WHERE rk <= 20),
@@ -6336,23 +6336,27 @@ object SparkEntry {
           |terms AS (SELECT xs.d, xd,
           |    (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * w * xd::DOUBLE / xs.d::DOUBLE AS term
           |  FROM xs JOIN wts ON xs.d = wts.d)
-          |SELECT 'qty_R_vs_A' AS qid,
+          |SELECT 'qty_all_vs_big' AS qid,
           |  MAX(CASE WHEN d = 20 THEN xd END)::BIGINT AS overlap_k,
           |  list_reduce(list(term ORDER BY d), (acc, t) -> acc + t) AS rbo
-          |FROM terms""".stripMargin)) { (s, dir) =>
-      def ranking(flag: String): DataFrame = {
-        val top = T(s, dir, "lineitem")
-          .where(col("l_returnflag") === flag)
+          |FROM terms HAVING COUNT(*) > 0""".stripMargin)) { (s, dir) =>
+      // full-data ranking vs the correlated big-quantity-subset ranking —
+      // structural overlap at EVERY SF (two disjoint random subsets share
+      // ~nothing in a 20k-part catalog, which made the gate vacuous).
+      def ranking(label: String, f: DataFrame => DataFrame): DataFrame = {
+        val top = f(T(s, dir, "lineitem"))
           .groupBy(col("l_partkey").as("it"))
           .agg(sum(col("l_quantity").cast("long")).as("s"))
           .orderBy(col("s").desc, col("it"))
           .limit(20)
         top
           .withColumn("rk", row_number().over(Window.orderBy(col("s").desc, col("it"))))
-          .select(lit("qty_R_vs_A").as("qid"), col("it"), col("rk"))
+          .select(lit(label).as("qid"), col("it"), col("rk"))
       }
       Retrieval.rankBiasedOverlap(
-          ranking("R"), ranking("A"), "qid", "it", "rk", k = 20, p = 0.9)
+          ranking("qty_all_vs_big", identity),
+          ranking("qty_all_vs_big", _.where(col("l_quantity") >= 10)),
+          "qid", "it", "rk", k = 20, p = 0.9)
         .orderBy("qid")
     },
     // NS-T23: Holt double-exponential smoothing (level + trend, α=β=½) —
