@@ -124,7 +124,10 @@ object Bench {
     // rewritten to the O(k) heap aggregate — linear.
     "ns162",
     // hierarchy/counting/fingerprint-lag skeletons — linear.
-    "ns163", "ns164", "ns165")
+    "ns163", "ns164", "ns165",
+    // packed O(k) heap rows — linear. (ns166 reads embeddings, which
+    // ScaleUp does not replicate — excluded like ns140.)
+    "ns167")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -6862,6 +6862,49 @@ object SparkEntry {
             .withColumn("ts", timestamp_seconds(col("doc_id") * 3600L)),
           "doc_id", "text", "ts", windowSec = 36L * 3600L)
         .orderBy("doc_id")
+    },
+    // NS-S13: neighborhood label disagreement (confident-learning-lite
+    // mislabel screen): fraction of each vector's 5 nearest neighbors
+    // carrying a different label — exact integer counts over the
+    // deterministic (cos DESC, id) neighbor sets.
+    Q(
+      "ns166_label_disagreement",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+           |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCosine("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sc),
+           |n AS (SELECT qid, nid FROM r WHERE rk <= 5),
+           |j AS (SELECT n.qid, ql.label AS q_label, nl.label AS n_label FROM n
+           |  JOIN e ql ON n.qid = ql.vec_id JOIN e nl ON n.nid = nl.vec_id)
+           |SELECT qid AS id, q_label AS label, COUNT(*)::BIGINT AS n_neighbors,
+           |  SUM(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)::BIGINT AS n_disagree,
+           |  SUM(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)::DOUBLE
+           |    / COUNT(*)::DOUBLE AS disagreement
+           |FROM j GROUP BY 1, 2 ORDER BY id""".stripMargin)) { (s, dir) =>
+      Similarity.labelDisagreement(
+          T(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5)
+        .orderBy("id")
+    },
+    // NS-K5: top-3 ROWS per group via the bit-packed heap aggregate —
+    // (value, id) packed into one long so the O(k) value heap IS a row
+    // heap; ties on value break toward the larger id (packing order).
+    Q(
+      "ns167_topk_rows",
+      Some(
+        """WITH p AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+          |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+          |r AS (SELECT g, id, v,
+          |    row_number() OVER (PARTITION BY g ORDER BY v DESC, id DESC) AS rank FROM p)
+          |SELECT g AS o_orderpriority, rank::BIGINT AS rank, v AS price_c, id AS o_orderkey
+          |FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin)) { (s, dir) =>
+      graft.ops.TopK.rowsPerGroup(
+          T(s, dir, "orders").select(
+            col("o_orderpriority"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_c")),
+          "o_orderpriority", "price_c", "o_orderkey", k = 3)
+        .orderBy("o_orderpriority", "rank")
     }
   )
 

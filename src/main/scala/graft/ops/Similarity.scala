@@ -99,6 +99,38 @@ object Similarity {
       .select("left_id", "right_id", "cos")
   }
 
+  /** Neighborhood label-disagreement screen (confident-learning-lite
+    * mislabel detector): for every vector, the fraction of its k nearest
+    * neighbors whose label differs — a high-disagreement point sits
+    * inside another class's neighborhood and is a mislabel/boundary
+    * candidate for review before training.
+    *
+    * Built on [[bruteForceTopK]] (ties total on cos DESC, id), so the
+    * neighbor sets — and therefore the exact integer disagreement
+    * counts — are deterministic; the rate is one IEEE division. The
+    * scale path swaps the brute top-k for the IVF/LSH ladder with the
+    * same output contract, exactly as [[reciprocalBestMatch]] documents.
+    *
+    * Output: (id, label, n_neighbors, n_disagree, disagreement).
+    */
+  def labelDisagreement(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val labels = df.select(col(idCol).as("_lid"), col(labelCol).as("_lbl"))
+    bruteForceTopK(df, df, idCol, vecCol, k)
+      .join(labels.select(col("_lid").as("qid"), col("_lbl").as("q_label")), "qid")
+      .join(labels.select(col("_lid").as("nid"), col("_lbl").as("n_label")), "nid")
+      .groupBy(col("qid").as("id"), col("q_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L)).as("n_disagree"))
+      .withColumn("disagreement",
+        col("n_disagree").cast("double") / col("n_neighbors").cast("double"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight in [-1, 1): derived from
     * md5(plane ',' dim), so both engines (and every executor) materialize
     * the identical plane matrix without any broadcast state.

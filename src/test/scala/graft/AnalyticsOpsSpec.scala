@@ -1463,4 +1463,43 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false), got.toString)
   }
+
+  // ------------------------------ round-9 batch: label disagreement
+
+  test("labelDisagreement counts differing-label neighbors exactly") {
+    // two tight clusters on orthogonal axes; vec 5 sits in cluster A's
+    // direction but carries cluster B's label → full disagreement.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.95f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.labelDisagreement(df, "vec_id", "embedding", "label", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(5L) == ((2L, 2L)), got.toString) // both neighbors labeled 0
+    assert(got(3L) == ((2L, 1L)), got.toString) // neighbors: 4 (same), 5 (mislabeled 1... )
+  }
+
+  // ------------------------------------ round-9 batch: top-k rows
+
+  test("rowsPerGroup returns whole rows ranked by (value, id-desc ties)") {
+    val df = Seq(("g", 1L, 100L), ("g", 2L, 300L), ("g", 3L, 200L),
+      ("g", 4L, 300L), ("h", 5L, 7L)).toDF("grp", "id", "v")
+    val got = graft.ops.TopK.rowsPerGroup(df, "grp", "v", "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // g: two 300s — tie breaks toward LARGER id → rank1 = (300, id 4)
+    assert(got == Set(
+      ("g", 1L, 300L, 4L), ("g", 2L, 300L, 2L), ("h", 1L, 7L, 5L)), got.toString)
+  }
+
+  test("rowsPerGroup raises on packing-domain violations") {
+    val df = Seq(("g", 1L, -5L)).toDF("grp", "id", "v")
+    val e = intercept[Exception] {
+      graft.ops.TopK.rowsPerGroup(df, "grp", "v", "id", 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
