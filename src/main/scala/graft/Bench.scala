@@ -127,7 +127,11 @@ object Bench {
     "ns163", "ns164", "ns165",
     // packed O(k) heap rows — linear. (ns166 reads embeddings, which
     // ScaleUp does not replicate — excluded like ns140.)
-    "ns167")
+    "ns167",
+    // fingerprint-rank window — linear. (ns169 is excluded: its
+    // documented n·Σv² < 2⁶³ budget would breach at 10× replication in
+    // cents units — the op's contract says re-unit, the screen honors it.)
+    "ns168")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -6905,6 +6905,42 @@ object SparkEntry {
             cents(col("o_totalprice")).as("price_c")),
           "o_orderpriority", "price_c", "o_orderkey", k = 3)
         .orderBy("o_orderpriority", "rank")
+    },
+    // NS-D22: duplicate CAPPING (keep ≤ 2 copies per fingerprint by
+    // arrival order) — the limited-repetition curriculum between full
+    // dedup and no dedup.
+    Q(
+      "ns168_cap_duplicates",
+      Some(
+        s"""WITH f AS (SELECT doc_id,
+           |    md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS fp
+           |  FROM documents),
+           |r AS (SELECT doc_id,
+           |    row_number() OVER (PARTITION BY fp ORDER BY doc_id)::BIGINT AS copy_rank
+           |  FROM f)
+           |SELECT doc_id, copy_rank FROM r WHERE copy_rank <= 2
+           |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Dedup.capDuplicates(T(s, dir, "documents"), "doc_id", "text", maxCopies = 2)
+        .orderBy("doc_id")
+    },
+    // NS-P18: per-group z-score standardization — population-σ form makes
+    // the n factors cancel into z = dev_num / sqrt(var_num), exact
+    // integers under one IEEE chain.
+    Q(
+      "ns169_group_standardize",
+      Some(
+        """WITH e AS (SELECT event_type AS g, event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |m AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS s,
+          |    SUM(v * v)::BIGINT AS s2 FROM e GROUP BY 1)
+          |SELECT e.g AS event_type, event_id, v, (n*v - s)::BIGINT AS dev_num,
+          |  CASE WHEN n >= 2 AND n*s2 - s*s > 0 THEN
+          |    (n*v - s)::DOUBLE / sqrt((n*s2 - s*s)::DOUBLE) END AS z
+          |FROM e JOIN m ON e.g = m.g ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      Profile.groupStandardize(
+          T(s, dir, "events").withColumn("value", cents(col("value"))),
+          "event_type", "event_id", "value")
+        .orderBy("event_id")
     }
   )
 

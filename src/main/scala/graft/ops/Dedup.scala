@@ -381,6 +381,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate CAPPING: keep at most `maxCopies` copies of each exact
+    * fingerprint (by arrival order — smallest ids survive) instead of
+    * full dedup — the curriculum some training mixes want, where limited
+    * repetition of high-quality text helps but unbounded boilerplate
+    * hurts (the "few epochs of good data" recipe applied at the
+    * document level).
+    *
+    * Scale shape: scan-local fingerprints, one (fp) exchange for the
+    * rank window ((fp, id) rows only — payloads rejoin by id for the
+    * survivors), verdict projection. maxCopies = 1 degrades to exact
+    * dedup keep-first.
+    *
+    * Output: the SURVIVING (idCol, copy_rank) rows.
+    */
+  def capDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCopies: Int): DataFrame = {
+    require(maxCopies >= 1, "maxCopies must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_fp").orderBy("_id")
+    df.select(col(idCol).as("_id"), TextOps.fingerprintFast(col(textCol)).as("_fp"))
+      .withColumn("copy_rank", row_number().over(w).cast("long"))
+      .where(col("copy_rank") <= maxCopies)
+      .select(col("_id").as(idCol), col("copy_rank"))
+  }
+
   /** Time-windowed exact duplicates: a document is a DUP only when the
     * same fingerprint appeared within the past `windowSec` — re-posts
     * after the window are FRESH again. The recrawl semantics news/feed

@@ -472,6 +472,48 @@ object Profile {
           col("diff").cast("double") / (col("n") * col("n_ref")).cast("double")).as("ks"))
   }
 
+  /** Per-group standardization (z-score feature transform): each row's
+    * value re-expressed as deviations from ITS GROUP's mean in group
+    * standard deviations — the per-segment normalization that makes
+    * "2σ above this user's baseline" comparable across users.
+    *
+    * Exactness: the per-row deviation numerator dev_num = n·v − Σv is an
+    * exact long (n·(v − mean), the groupTrend fixed-point convention);
+    * with the POPULATION σ the n factors cancel exactly, leaving
+    * z = dev_num / sqrt(n·Σv² − (Σv)²) — a three-op IEEE chain on exact
+    * integers, spelled identically in the oracle — bit-equal.
+    * Degenerate groups (n < 2 or zero variance) report NULL z. Overflow
+    * budget: n·Σv² < 2⁶³ (the moment-matrix budget — bounded-magnitude
+    * values by contract).
+    *
+    * Scale shape: one map-side-combined group-moments aggregation, the
+    * (AQE-sized) moments dim joined back, scan-local arithmetic — rows
+    * shuffle once at most (the join side), moments are |groups| rows.
+    */
+  def groupStandardize(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val moments = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col(valueCol).cast("long")).as("_s"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("_s2"))
+    val varNum = col("_n") * col("_s2") - col("_s") * col("_s")
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(valueCol).cast("long").as("_v"))
+      .join(moments, Seq(groupCol))
+      .select(
+        col(groupCol), col(idCol), col("_v").as("v"),
+        (col("_n") * col("_v") - col("_s")).as("dev_num"),
+        when(col("_n") >= 2L && varNum > 0L,
+          (col("_n") * col("_v") - col("_s")).cast("double") /
+            sqrt(varNum.cast("double"))).as("z"))
+  }
+
   /** Hierarchical share-of-parent report: per (parent, child), the
     * child's exact aggregate and its share of the parent's total — the
     * drill-down table every BI rollup renders ("nation revenue as a

@@ -1502,4 +1502,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  // ------------------------------- round-9 batch: duplicate capping
+
+  test("capDuplicates keeps the first maxCopies by arrival; cap 1 = dedup") {
+    val df = Seq(
+      (1L, "same"), (2L, "same"), (3L, "same"), (4L, "other")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.capDuplicates(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L), got.toString)
+    val dedup = graft.ops.Dedup.capDuplicates(df, "doc_id", "text", 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(dedup == Set(1L, 4L), dedup.toString)
+  }
+
+  // ---------------------------- round-9 batch: group standardization
+
+  test("groupStandardize emits exact deviation numerators and population z") {
+    // group g: values 1, 3 → n=2, Σ=4, Σv²=10, var_num = 20−16 = 4
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 3L), ("solo", 3L, 9L))
+      .toDF("grp", "id", "v")
+    val got = graft.ops.Profile.groupStandardize(df, "grp", "id", "v")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(got(1L).getAs[Long]("dev_num") == -2L) // 2·1 − 4
+    assert(got(1L).getAs[Double]("z") == -1.0)    // −2/√4
+    assert(got(2L).getAs[Double]("z") == 1.0)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("z"))) // n < 2
+  }
 }
