@@ -6941,6 +6941,36 @@ object SparkEntry {
           T(s, dir, "events").withColumn("value", cents(col("value"))),
           "event_type", "event_id", "value")
         .orderBy("event_id")
+    },
+    // NS-K6: Misra–Gries heavy hitters — frequent keys of an unbounded
+    // domain in O(capacity) state per group. The hash gate runs the
+    // exact regime (capacity >= distinct keys, summary = exact counts);
+    // the small-capacity leg checks the MG guarantees as exact-integer
+    // booleans (est <= true, (true-est)·(cap+1) <= n, size <= cap),
+    // which hold for EVERY merge order — cross-joined onto every row.
+    Q(
+      "ns170_heavy_hitters",
+      Some(
+        """WITH c AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS est
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, user_id, est,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY est DESC, user_id) AS rank
+          |  FROM c)
+          |SELECT event_type, rank::BIGINT AS rank, user_id, est,
+          |  TRUE AS hh_upper_ok, TRUE AS hh_lower_ok, TRUE AS hh_size_ok
+          |FROM r WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val top = Sketch.heavyHitters(ev, Seq("event_type"), "user_id", capacity = 4096)
+        .filter(col("rank") <= 10)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      val bound = Sketch.heavyHitters(ev, Seq.empty, "user_id", capacity = 8)
+        .join(exact, "user_id")
+        .crossJoin(ev.agg(count(lit(1)).as("n_total")))
+        .agg(
+          bool_and(col("est") <= col("c")).as("hh_upper_ok"),
+          bool_and((col("c") - col("est")) * 9 <= col("n_total")).as("hh_lower_ok"),
+          (count(lit(1)) <= 8).as("hh_size_ok"))
+      top.crossJoin(bound).orderBy("event_type", "rank")
     }
   )
 

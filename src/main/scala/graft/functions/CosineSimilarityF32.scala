@@ -132,6 +132,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (children: Seq[Expression]) => TopKAgg(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_heavyhitters"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavyhitters"),
+      (children: Seq[Expression]) => MisraGriesAgg(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeF].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalizeF(children(0))))

@@ -304,4 +304,34 @@ object Sketch {
       .where(mightMatch)
       .drop(baseCol)
   }
+
+  /** Misra–Gries heavy hitters per group in O(capacity) state
+    * ([[graft.functions.MisraGriesAgg]]): the frequent-keys answer
+    * without materializing the distinct-key table. Output is one row per
+    * surviving (group, key) with its estimate and the summary-wide rank
+    * (est DESC, key ASC — the aggregate's pinned presentation order).
+    *
+    * Scale shape: map-side partials carry at most `capacity` (key,
+    * counter) pairs per group; the exchange never sees the key domain.
+    * With `capacity >=` the per-partial distinct-key count the summary is
+    * exact (the hash-gate regime); under real eviction pressure the MG
+    * bounds hold for any merge order (see the aggregate's scaladoc).
+    */
+  def heavyHitters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      capacity: Int): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(expr(s"graft_heavyhitters($keyCol, $capacity)").as("hh"))
+      .select(groupCols.map(col) :+ posexplode(col("hh")): _*)
+      .select(
+        groupCols.map(col) ++ Seq(
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.key").as(keyCol),
+          col("col.est").as("est")): _*)
+  }
 }

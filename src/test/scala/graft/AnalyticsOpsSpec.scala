@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Clustering, Dedup, Funnel, Graph, Importance, Linkage, Merge, Profile, Quantize}
@@ -1529,5 +1530,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(1L).getAs[Double]("z") == -1.0)    // −2/√4
     assert(got(2L).getAs[Double]("z") == 1.0)
     assert(got(3L).isNullAt(got(3L).fieldIndex("z"))) // n < 2
+  }
+
+  // ---------------------------- round-9 batch: Misra–Gries heavy hitters
+
+  test("heavyHitters exact regime: capacity >= distinct keys gives exact ranked counts") {
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(3)(9L) ++ Seq.fill(3)(1L) ++ Seq(4L))
+      .map(k => ("g", k)).toDF("grp", "k")
+    val got = graft.ops.Sketch.heavyHitters(df, Seq("grp"), "k", capacity = 16)
+      .select("rank", "k", "est").as[(Long, Long, Long)].collect().toSeq
+    // est desc, key asc: (7,5), (1,3), (9,3), (4,1)
+    assert(got == Seq((1L, 7L, 5L), (2L, 1L, 3L), (3L, 9L, 3L), (4L, 4L, 1L)), got.toString)
+  }
+
+  test("heavyHitters MG eviction on one ordered partition is the textbook trace") {
+    // stream 1,1,1,2,3,4 at cap 2: {1:3} → insert 2 → 3 decrements all
+    // (2 vanishes, 1 drops to 2) → 4 inserts. Final {1:2, 4:1}.
+    val df = spark.createDataset(Seq(1L, 1L, 1L, 2L, 3L, 4L))(Encoders.scalaLong)
+      .repartition(1).toDF("k")
+    val got = graft.ops.Sketch.heavyHitters(df, Seq.empty, "k", capacity = 2)
+      .select("k", "est").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 1L)), got.toString)
+  }
+
+  test("heavyHitters bounds hold under eviction pressure across many partitions") {
+    // 40 distinct keys at cap 6, skewed: key k appears k times (n=820).
+    val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k))
+    val df = spark.createDataset(rows)(Encoders.scalaLong).repartition(8).toDF("k")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val hh = graft.ops.Sketch.heavyHitters(df, Seq.empty, "k", capacity = 6)
+      .select("k", "est").as[(Long, Long)].collect()
+    assert(hh.length <= 6)
+    hh.foreach { case (k, est) =>
+      assert(est <= exact(k), s"overcount at $k")
+      assert((exact(k) - est) * 7 <= rows.size, s"MG lower bound broken at $k")
+    }
+    // every key with freq > n/(cap+1) is guaranteed tracked
+    val mustHave = exact.filter(_._2 * 7 > rows.size).keySet
+    assert(mustHave.subsetOf(hh.map(_._1).toSet), s"missing guaranteed keys: $mustHave")
   }
 }
