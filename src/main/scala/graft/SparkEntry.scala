@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Funnel, Graph, Importance, Incremental, Layout, Linkage, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, Skyline, TextOps, TimeSeries, Validate}
+import graft.ops.{AsofJoin, Dedup, Encode, Funnel, Graph, Importance, Incremental, Layout, Linkage, Lpm, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, Skyline, TextOps, TimeSeries, Validate}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import org.apache.spark.sql.sources
@@ -6971,6 +6971,97 @@ object SparkEntry {
           bool_and((col("c") - col("est")) * 9 <= col("n_total")).as("hh_lower_ok"),
           (count(lit(1)) <= 8).as("hh_size_ok"))
       top.crossJoin(bound).orderBy("event_type", "rank")
+    },
+    // NS-J7: longest-prefix-match join — the routing-table shape as |L|
+    // broadcast equi-joins + one max-struct aggregate (no theta join).
+    // Addresses = md5(user_id) hex; rules = 3-hex supplier prefixes over
+    // 1-hex region prefixes, so matches mix lengths 3, 1, and none.
+    Q(
+      "ns171_lpm_join",
+      Some(
+        """WITH f AS (SELECT event_id, substring(md5(user_id::VARCHAR), 1, 8) AS addr
+          |  FROM events),
+          |r AS (SELECT DISTINCT substring(md5(s_suppkey::VARCHAR), 1, 3) AS prefix
+          |    FROM supplier
+          |  UNION SELECT DISTINCT substring(md5(r_regionkey::VARCHAR), 1, 1) FROM region),
+          |m AS (SELECT f.event_id, r.prefix, length(r.prefix)::BIGINT AS len
+          |  FROM f JOIN r ON starts_with(f.addr, r.prefix)),
+          |b AS (SELECT event_id, prefix, len,
+          |    row_number() OVER (PARTITION BY event_id ORDER BY len DESC) AS rk FROM m)
+          |SELECT f.event_id, f.addr, b.prefix AS matched_prefix, b.len AS matched_len
+          |FROM f LEFT JOIN (SELECT event_id, prefix, len FROM b WHERE rk = 1) b
+          |  USING (event_id)
+          |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val facts = T(s, dir, "events").select(
+        col("event_id"),
+        substring(md5(col("user_id").cast("string")), 1, 8).as("addr"))
+      val rules = T(s, dir, "supplier")
+        .select(substring(md5(col("s_suppkey").cast("string")), 1, 3).as("prefix"))
+        .unionAll(T(s, dir, "region")
+          .select(substring(md5(col("r_regionkey").cast("string")), 1, 1).as("prefix")))
+      Lpm.longestPrefixJoin(facts, "event_id", "addr", rules, "prefix", Seq(1, 3))
+        .orderBy("event_id")
+    },
+    // NS-F5: smoothed leave-one-out target encoding — the
+    // high-cardinality-categorical ML feature, leakage-resistant form.
+    // Exact integer sums; one fixed IEEE chain for the encoding.
+    Q(
+      "ns172_target_encode",
+      Some(
+        """WITH o AS (SELECT o_orderkey, c_mktsegment,
+          |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+          |  FROM orders JOIN customer ON o_custkey = c_custkey),
+          |c AS (SELECT c_mktsegment, SUM(y)::BIGINT AS cat_sum, COUNT(*)::BIGINT AS cat_n
+          |  FROM o GROUP BY 1),
+          |g AS (SELECT SUM(y)::BIGINT AS gs, COUNT(*)::BIGINT AS gn FROM o)
+          |SELECT o_orderkey, c_mktsegment, cat_sum, cat_n,
+          |  ((cat_sum - y)::DOUBLE + 10.0 * (gs::DOUBLE / gn::DOUBLE))
+          |    / (cat_n - 1 + 10)::DOUBLE AS enc
+          |FROM o JOIN c USING (c_mktsegment) CROSS JOIN g
+          |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      val o = T(s, dir, "orders")
+        .join(
+          broadcast(T(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), cents(col("o_totalprice")).as("y"))
+      Encode.targetEncodeLoo(o, "o_orderkey", "c_mktsegment", "y", smoothing = 10)
+        .orderBy("o_orderkey")
+    },
+    // NS-G6: local clustering coefficient — 2·tri/(d·(d−1)) over the
+    // ns97 attribution graph; exact integers, one IEEE division.
+    Q(
+      "ns173_clustering_coeff",
+      Some(
+        """WITH e AS (SELECT user_id::BIGINT AS u,
+          |    TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+          |    epoch_us(ts)::BIGINT AS t FROM events),
+          |ft AS (SELECT k, u, MIN(t) AS ft FROM e WHERE k IS NOT NULL GROUP BY 1, 2),
+          |ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY k ORDER BY ft, u) AS dst FROM ft),
+          |edges AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL AND dst <> src),
+          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+          |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM und e1
+          |  JOIN und e2 ON e2.a = e1.b
+          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |corners AS (SELECT u AS node FROM tri
+          |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+          |cc AS (SELECT node, COUNT(*)::BIGINT AS triangles FROM corners GROUP BY 1),
+          |deg AS (SELECT node, COUNT(*)::BIGINT AS degree FROM
+          |    (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+          |nodes AS (SELECT DISTINCT u AS node FROM e)
+          |SELECT n.node AS user_id, coalesce(deg.degree, 0)::BIGINT AS degree,
+          |  coalesce(cc.triangles, 0)::BIGINT AS triangles,
+          |  CASE WHEN coalesce(deg.degree, 0) >= 2 THEN
+          |    (coalesce(cc.triangles, 0) * 2)::DOUBLE
+          |      / (deg.degree * (deg.degree - 1))::DOUBLE END AS clustering
+          |FROM nodes n LEFT JOIN deg USING (node) LEFT JOIN cc USING (node)
+          |ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val edges = Graph.attributionEdges(
+        ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+      val nodes = ev.select(col("user_id").cast("long").as("node")).distinct()
+      Graph.clusteringCoefficients(nodes, edges)
+        .select(col("node").as("user_id"), col("degree"), col("triangles"), col("clustering"))
+        .orderBy("user_id")
     }
   )
 

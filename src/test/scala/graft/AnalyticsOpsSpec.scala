@@ -1569,4 +1569,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     val mustHave = exact.filter(_._2 * 7 > rows.size).keySet
     assert(mustHave.subsetOf(hh.map(_._1).toSet), s"missing guaranteed keys: $mustHave")
   }
+
+  // ---------------------------- round-9 batch: LPM join, target encoding
+
+  test("longestPrefixJoin picks the most specific rule; unmatched keys keep NULLs") {
+    val facts = Seq((1L, "abcde"), (2L, "abx"), (3L, "zzz")).toDF("id", "key")
+    val rules = Seq("a", "abc", "abc").toDF("prefix") // dup rule must not double rows
+    val got = graft.ops.Lpm.longestPrefixJoin(facts, "id", "key", rules, "prefix", Seq(1, 3))
+      .select("id", "matched_prefix", "matched_len")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map { case (k, v, l) => k -> ((v, l)) }.toMap
+    assert(got(1L) == (Some("abc"), Some(3L))) // longest wins over "a"
+    assert(got(2L) == (Some("a"), Some(1L)))   // only the short rule prefixes "abx"
+    assert(got(3L) == (None, None))            // no rule matches
+  }
+
+  test("targetEncodeLoo: singleton category degrades to the pure prior; LOO excludes own row") {
+    // cats: g={10, 30} cents, solo={100}. prior = 140/3.
+    val df = Seq((1L, "g", 10L), (2L, "g", 30L), (3L, "solo", 100L)).toDF("id", "cat", "y")
+    val got = graft.ops.Encode.targetEncodeLoo(df, "id", "cat", "y", smoothing = 2)
+      .select("id", "enc").as[(Long, Double)].collect().toMap
+    val prior = 140.0 / 3.0
+    assert(got(1L) == ((40.0 - 10.0) + 2.0 * prior) / 3.0) // (Σ−y + m·prior)/(n−1+m)
+    assert(got(2L) == ((40.0 - 30.0) + 2.0 * prior) / 3.0)
+    assert(got(3L) == (0.0 + 2.0 * prior) / 2.0)           // n=1 → only the prior mass
+  }
+
+  test("clusteringCoefficients: triangle+tail graph has the textbook coefficients") {
+    // edges: 1-2, 2-3, 1-3 (triangle) and 3-4 (tail)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node") // 5 isolated
+    val got = graft.ops.Graph.clusteringCoefficients(nodes, edges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, Some(1.0))))
+    assert(got(3L) == ((3L, 1L, Some(1.0 / 3.0)))) // 2·1/(3·2)
+    assert(got(4L) == ((1L, 0L, None)))            // degree < 2 → NULL
+    assert(got(5L) == ((0L, 0L, None)))
+  }
 }
