@@ -7062,6 +7062,86 @@ object SparkEntry {
       Graph.clusteringCoefficients(nodes, edges)
         .select(col("node").as("user_id"), col("degree"), col("triangles"), col("clustering"))
         .orderBy("user_id")
+    },
+    // NS-P19: distribution drift as TOTAL VARIATION distance between the
+    // first and second time-half of the value stream — exact integer
+    // per-bin deviations over the common denominator n_a·n_b, one final
+    // IEEE division (the ln-free sibling of PSI/KL).
+    Q(
+      "ns174_tvd_drift",
+      Some(
+        """WITH e AS (SELECT epoch_us(ts)::BIGINT AS t, CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |bd AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM e),
+          |x AS (SELECT v // 500 AS bin, (t * 2 <= tmin + tmax) AS half FROM e CROSS JOIN bd),
+          |ca AS (SELECT bin, COUNT(*)::BIGINT AS c_a FROM x WHERE half GROUP BY 1),
+          |cb AS (SELECT bin, COUNT(*)::BIGINT AS c_b FROM x WHERE NOT half GROUP BY 1),
+          |j AS (SELECT coalesce(ca.bin, cb.bin) AS bin, coalesce(c_a, 0)::BIGINT AS c_a,
+          |    coalesce(c_b, 0)::BIGINT AS c_b FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+          |t AS (SELECT *, SUM(c_a) OVER ()::BIGINT AS n_a, SUM(c_b) OVER ()::BIGINT AS n_b FROM j),
+          |d AS (SELECT *, abs(c_a*n_b - c_b*n_a)::BIGINT AS dev_num FROM t)
+          |SELECT bin, c_a, c_b, n_a, n_b, dev_num, SUM(dev_num) OVER ()::BIGINT AS tvd_num,
+          |  (SUM(dev_num) OVER ())::DOUBLE / (2*n_a*n_b)::DOUBLE AS tvd
+          |FROM d ORDER BY bin""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(expr("unix_micros(ts)").as("t"), cents(col("value")).as("v"))
+      val binned = ev.crossJoin(ev.agg(min("t").as("tmin"), max("t").as("tmax")))
+        .select(expr("v div 500").as("bin"), (col("t") * 2 <= col("tmin") + col("tmax")).as("half"))
+      Profile.totalVariationDrift(
+          binned.filter(col("half")).select("bin"),
+          binned.filter(!col("half")).select("bin"), "bin")
+        .orderBy("bin")
+    },
+    // NS-P20: Cramér's V association between lang and source — χ² terms
+    // are per-cell deterministic IEEE divisions fixed-pointed at micro
+    // precision and summed as exact longs (never a double sum); V closes
+    // with correctly-rounded sqrt.
+    Q(
+      "ns175_cramers_v",
+      Some(
+        """WITH c AS (SELECT lang AS rk, source AS ck, COUNT(*)::BIGINT AS obs FROM documents
+          |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+          |m AS (SELECT *, SUM(obs) OVER (PARTITION BY rk)::BIGINT AS rt,
+          |    SUM(obs) OVER (PARTITION BY ck)::BIGINT AS ct, SUM(obs) OVER ()::BIGINT AS n FROM c),
+          |t AS (SELECT n, rk, ck,
+          |    CAST(ROUND(1000000.0 * (((n*obs - rt*ct)::DOUBLE * (n*obs - rt*ct)::DOUBLE)
+          |      / (n*rt*ct)::DOUBLE)) AS BIGINT) AS term_u FROM m),
+          |a AS (SELECT MAX(n)::BIGINT AS n, COUNT(DISTINCT rk)::BIGINT AS n_rows,
+          |    COUNT(DISTINCT ck)::BIGINT AS n_cols, SUM(term_u)::BIGINT AS chi2_micro,
+          |    SUM(rt * ct)::BIGINT AS s_rtct FROM (SELECT t.*, m.rt, m.ct FROM t
+          |      JOIN m ON t.rk = m.rk AND t.ck = m.ck) z)
+          |SELECT n, n_rows, n_cols, chi2_micro,
+          |  chi2_micro::DOUBLE / 1000000.0 + (n*n - s_rtct)::DOUBLE / n::DOUBLE AS chi2,
+          |  sqrt((chi2_micro::DOUBLE / 1000000.0 + (n*n - s_rtct)::DOUBLE / n::DOUBLE)
+          |    / (n * least(n_rows - 1, n_cols - 1))::DOUBLE) AS cramers_v
+          |FROM a""".stripMargin)) { (s, dir) =>
+      Profile.cramersV(T(s, dir, "documents"), "lang", "source")
+    },
+    // NS-V5: Benford first-digit conformance over order totals — the
+    // leading digit comes from the exact cents STRING (never log10);
+    // Benford masses are correctly-rounded literals on both sides.
+    Q(
+      "ns176_benford",
+      Some(
+        """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+          |d AS (SELECT CAST(substring(v::VARCHAR, 1, 1) AS BIGINT) AS digit,
+          |    COUNT(*)::BIGINT AS n_obs FROM c WHERE v > 0 GROUP BY 1),
+          |b AS (SELECT * FROM (VALUES
+          |    (1, CAST('0.30102999566398120' AS DOUBLE)), (2, CAST('0.17609125905568124' AS DOUBLE)),
+          |    (3, CAST('0.12493873660829993' AS DOUBLE)), (4, CAST('0.09691001300805642' AS DOUBLE)),
+          |    (5, CAST('0.07918124604762482' AS DOUBLE)), (6, CAST('0.06694678963061322' AS DOUBLE)),
+          |    (7, CAST('0.05799194697768673' AS DOUBLE)), (8, CAST('0.05115252244738129' AS DOUBLE)),
+          |    (9, CAST('0.04575749056067514' AS DOUBLE))) AS t(digit, benford_share)),
+          |j AS (SELECT b.digit::BIGINT AS digit, coalesce(d.n_obs, 0)::BIGINT AS n_obs,
+          |    b.benford_share FROM b LEFT JOIN d ON b.digit = d.digit),
+          |t AS (SELECT *, SUM(n_obs) OVER ()::BIGINT AS n FROM j)
+          |SELECT digit, n_obs, n, n_obs::DOUBLE / n::DOUBLE AS obs_share, benford_share,
+          |  n_obs::DOUBLE / n::DOUBLE - benford_share AS dev
+          |FROM t ORDER BY digit""".stripMargin)) { (s, dir) =>
+      Validate.benfordProfile(
+          T(s, dir, "orders").select(cents(col("o_totalprice")).as("c")), "c")
+        .orderBy("digit")
     }
   )
 

@@ -847,4 +847,77 @@ object Profile {
       .select(explode(array(cells: _*)).as("c"))
       .select(col("c.*"))
   }
+
+  /** Distribution drift as TOTAL VARIATION DISTANCE between two binned
+    * samples — `TVD = ½ Σ_bins |p_bin − q_bin|` — the exact-rational
+    * sibling of PSI/KL (whose `ln` terms are libm-dependent and banned
+    * from hash-gated outputs; TVD bounds both via Pinsker and is the
+    * metric monitoring systems actually alert on). Putting both shares
+    * over the common denominator `n_a·n_b` makes every per-bin deviation
+    * an EXACT integer `|c_a·n_b − c_b·n_a|`; the sum is an exact long
+    * sum (order-independent) and the distance is ONE final IEEE division
+    * — bit-reproducible.
+    *
+    * Output: one row per bin present in either sample (`c_a`, `c_b`,
+    * `dev_num`) with the whole-distribution `tvd_num`/`tvd` repeated on
+    * each row (window-summed exact longs — no double accumulation).
+    *
+    * Scale shape: two map-side-combined bin counts (output is |bins|
+    * rows), one full-outer join on the bin key, one 1-row window sum.
+    * The raw samples never co-shuffle; at 100 TB each side collapses to
+    * its bin histogram scan-locally.
+    */
+  def totalVariationDrift(a: DataFrame, b: DataFrame, binCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.where(col(binCol).isNotNull).groupBy(binCol).agg(count(lit(1)).as(out))
+    val joined = counts(a, "c_a").join(counts(b, "c_b"), Seq(binCol), "full_outer")
+      .select(
+        col(binCol),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val wn = Window.partitionBy()
+    joined
+      .withColumn("n_a", sum("c_a").over(wn))
+      .withColumn("n_b", sum("c_b").over(wn))
+      .withColumn("dev_num", abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+      .withColumn("tvd_num", sum("dev_num").over(wn))
+      .withColumn(
+        "tvd",
+        col("tvd_num").cast("double") / (lit(2L) * col("n_a") * col("n_b")).cast("double"))
+  }
+
+  /** Cramér's V association strength between two categoricals — the
+    * bounded [0,1] summary [[contingency]] stops short of. The χ² sum
+    * cannot be a naive double sum (association order); instead each
+    * cell's χ² term — itself ONE deterministic IEEE division of exact
+    * integers (see contingency) — is fixed-pointed at micro precision
+    * (`round(term·10⁶)` of a bit-identical double is bit-identical) and
+    * summed as exact longs. `V = sqrt(χ² / (n·min(r−1,c−1)))`: IEEE sqrt
+    * is correctly rounded, so the whole chain is bit-reproducible.
+    *
+    * Output: ONE row — n, n_rows, n_cols, chi2_micro (the exact long),
+    * chi2, cramers_v.
+    */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    // contingency() emits OBSERVED cells only; the absent cells of the
+    // full r×c grid still contribute to χ² — each zero cell's term
+    // collapses to rt·ct/n, and Σ_all rt·ct/n = n, so the whole missing
+    // mass is the EXACT rational (n² − Σ_obs rt·ct)/n: one integer sum,
+    // one deterministic division — no cell grid ever materializes.
+    val chi2 = col("chi2_micro").cast("double") / 1e6 +
+      (col("n") * col("n") - col("s_rtct")).cast("double") / col("n").cast("double")
+    contingency(df, rowCol, colCol)
+      .agg(
+        max(col("n")).as("n"),
+        countDistinct(col("row_key")).as("n_rows"),
+        countDistinct(col("col_key")).as("n_cols"),
+        sum(round(col("chi2_term") * 1e6).cast("long")).as("chi2_micro"),
+        sum(col("row_total") * col("col_total")).as("s_rtct"))
+      .select(
+        col("n"), col("n_rows"), col("n_cols"), col("chi2_micro"),
+        chi2.as("chi2"),
+        sqrt(chi2 /
+          (col("n") * least(col("n_rows") - 1L, col("n_cols") - 1L)).cast("double"))
+          .as("cramers_v"))
+  }
 }

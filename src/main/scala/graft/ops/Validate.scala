@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative table-constraint validation (north-star pipeline substrate;
@@ -136,5 +137,51 @@ object Validate {
     frames.result()
       .reduce(_ unionByName _)
       .select(col("check"), col("violations"), (col("violations") === 0L).as("pass"))
+  }
+
+  /** Benford first-digit conformance profile over an exact scaled-long
+    * (cents) amount column — the classic fabricated-data screen for
+    * financial columns. The leading significant digit is taken from the
+    * DECIMAL STRING of the positive cents value (`v·100` is exact, so
+    * its leading digit IS the value's leading significant digit) — never
+    * via `log10`, whose last ulp is libm-dependent. The Benford masses
+    * `log10(1+1/d)` enter as 17-digit LITERALS (literal parsing is
+    * correctly rounded in both engines), so observed share, expected
+    * share, and their difference are all bit-reproducible.
+    *
+    * Output: one row per digit 1–9 — `n_obs`, `n`, `obs_share`,
+    * `benford_share`, `dev` (obs − expected, signed).
+    *
+    * Scale shape: one scan-local digit projection + a 9-row aggregate;
+    * the digit table broadcast-joins the expectation literals.
+    */
+  def benfordProfile(df: DataFrame, centsCol: String): DataFrame = {
+    val benford = Seq(
+      1 -> 0.30102999566398120, 2 -> 0.17609125905568124, 3 -> 0.12493873660829993,
+      4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dim = spark.createDataFrame(
+      java.util.Arrays.asList(benford.map(kv => Row(kv._1.toLong, kv._2)): _*),
+      StructType(Seq(
+        StructField("digit", LongType, nullable = false),
+        StructField("benford_share", DoubleType, nullable = false))))
+    val digits = df
+      .where(col(centsCol) > 0L)
+      .select(substring(col(centsCol).cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    // no broadcast hint: the 9-row dim is the LEFT (preserved) side of the
+    // outer join, which Spark cannot broadcast-build; the COUNTS side is
+    // tiny (≤ 9 rows) and AQE broadcast-builds it unhinted.
+    val wn = Window.partitionBy()
+    dim
+      .join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("benford_share"))
+      .withColumn("n", sum("n_obs").over(wn))
+      .withColumn("obs_share", col("n_obs").cast("double") / col("n").cast("double"))
+      .withColumn("dev", col("obs_share") - col("benford_share"))
+      .select("digit", "n_obs", "n", "obs_share", "benford_share", "dev")
   }
 }

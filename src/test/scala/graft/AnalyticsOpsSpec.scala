@@ -1607,4 +1607,51 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, None)))            // degree < 2 → NULL
     assert(got(5L) == ((0L, 0L, None)))
   }
+
+  // ---------------------------- round-9 batch: drift / association / Benford
+
+  test("totalVariationDrift: disjoint samples hit TVD 1, identical samples hit 0") {
+    val a = Seq(1L, 1L, 2L).toDF("bin")
+    val b = Seq(3L, 3L).toDF("bin")
+    val disjoint = graft.ops.Profile.totalVariationDrift(a, b, "bin")
+      .select("tvd").distinct().as[Double].collect()
+    assert(disjoint.toSeq == Seq(1.0))
+    val same = graft.ops.Profile.totalVariationDrift(a, a, "bin")
+      .select("tvd").distinct().as[Double].collect()
+    assert(same.toSeq == Seq(0.0))
+  }
+
+  test("totalVariationDrift hand-check: per-bin integer deviations over n_a·n_b") {
+    // a: {1:2, 2:1} n=3; b: {1:1, 3:1} n=2 → dev = |2·2−1·3|=1, |1·2−0|=2, |0−1·3|=3
+    val a = Seq(1L, 1L, 2L).toDF("bin")
+    val b = Seq(1L, 3L).toDF("bin")
+    val rows = graft.ops.Profile.totalVariationDrift(a, b, "bin")
+      .select("bin", "dev_num", "tvd_num", "tvd")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(r => r._1 -> r._2).toSeq == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(rows.head._3 == 6L && rows.head._4 == 6.0 / 12.0)
+  }
+
+  test("cramersV: perfectly-associated 2x2 gives V=1; independent gives V=0") {
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("r", "c")
+    // zero cells count: χ² = 2 (observed) + 2 (missing mass) = 4 → V = 1
+    val vP = graft.ops.Profile.cramersV(perfect, "r", "c")
+      .select("cramers_v").as[Double].head()
+    assert(math.abs(vP - 1.0) < 1e-6, s"perfect association: $vP")
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("r", "c")
+    val vI = graft.ops.Profile.cramersV(indep, "r", "c")
+      .select("cramers_v").as[Double].head()
+    assert(vI == 0.0, s"independence: $vI")
+  }
+
+  test("benfordProfile: digits from exact cents strings; all 9 rows present") {
+    // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
+    val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
+    val got = graft.ops.Validate.benfordProfile(df, "c")
+      .select("digit", "n_obs", "n").as[(Long, Long, Long)].collect()
+    assert(got.length == 9)
+    val m = got.map(r => r._1 -> r._2).toMap
+    assert(m(1L) == 1L && m(9L) == 1L && m(5L) == 1L && m(2L) == 0L)
+    assert(got.forall(_._3 == 3L))
+  }
 }
