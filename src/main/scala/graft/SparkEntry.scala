@@ -7142,6 +7142,96 @@ object SparkEntry {
       Validate.benfordProfile(
           T(s, dir, "orders").select(cents(col("o_totalprice")).as("c")), "c")
         .orderBy("digit")
+    },
+    // NS-T14: single change-point per key — the split maximizing
+    // D²/(k·(n−k)) with D = n·P_k − k·S over exact cents prefix sums;
+    // argmax tie-breaks toward the smallest k.
+    Q(
+      "ns177_change_point",
+      Some(
+        """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+          |    SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS v
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |w AS (SELECT event_type, h, v,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY h)::BIGINT AS k,
+          |    SUM(v) OVER (PARTITION BY event_type ORDER BY h
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS p,
+          |    COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+          |    SUM(v) OVER (PARTITION BY event_type)::BIGINT AS s FROM e),
+          |sc AS (SELECT *, ((n*p - k*s)::DOUBLE * (n*p - k*s)::DOUBLE)
+          |    / (k*(n-k))::DOUBLE AS score FROM w WHERE k < n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          |    ORDER BY score DESC, k) AS rk FROM sc)
+          |SELECT event_type, n, k AS split_k, h AS split_ord, score,
+          |  p::DOUBLE / k::DOUBLE AS mean_left,
+          |  (s - p)::DOUBLE / (n - k)::DOUBLE AS mean_right
+          |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)) { (s, dir) =>
+      val hourly = T(s, dir, "events")
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(sum(cents(col("value"))).as("v"))
+      TimeSeries.changePoint(hourly, "event_type", "h", "v")
+        .orderBy("event_type")
+    },
+    // NS-T15: lead–lag cross-correlation — Pearson r of dense hourly
+    // view counts against purchase counts shifted 0..6 hours; exact
+    // integer moments, one sqrt, one division.
+    Q(
+      "ns178_lag_xcorr",
+      Some(
+        """WITH c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+          |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS cx,
+          |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cy
+          |  FROM events GROUP BY 1),
+          |bd AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM c),
+          |grid AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM bd),
+          |g AS (SELECT grid.h, coalesce(cx, 0)::BIGINT AS x, coalesce(cy, 0)::BIGINT AS y
+          |  FROM grid LEFT JOIN c ON grid.h = c.h),
+          |l AS (SELECT unnest(range(7)) AS lag_h),
+          |p AS (SELECT l.lag_h, a.x, b.y FROM l CROSS JOIN g a
+          |  JOIN g b ON b.h = a.h + l.lag_h),
+          |m AS (SELECT lag_h, COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx,
+          |    SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+          |    SUM(x*x)::BIGINT AS sx2, SUM(y*y)::BIGINT AS sy2 FROM p GROUP BY 1)
+          |SELECT lag_h, m, (m*sxy - sx*sy)::BIGINT AS num,
+          |  CASE WHEN m*sx2 - sx*sx > 0 AND m*sy2 - sy*sy > 0 THEN
+          |    (m*sxy - sx*sy)::DOUBLE
+          |      / sqrt((m*sx2 - sx*sx)::DOUBLE * (m*sy2 - sy*sy)::DOUBLE) END AS r
+          |FROM m ORDER BY lag_h""".stripMargin)) { (s, dir) =>
+      TimeSeries.lagCrossCorrelation(
+          T(s, dir, "events"), "ts",
+          col("event_type") === "view", col("event_type") === "purchase", maxLag = 6)
+        .withColumnRenamed("lag", "lag_h")
+        .orderBy("lag_h")
+    },
+    // NS-P21: bivariate Mahalanobis outlier screen over per-user
+    // (activity, spend) — n-scaled integer deviations and covariance
+    // moments, one fixed IEEE closing chain, NULL on degenerate cov.
+    Q(
+      "ns179_mahalanobis",
+      Some(
+        """WITH u AS (SELECT user_id, COUNT(*)::BIGINT AS x,
+          |    SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS y
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |mo AS (SELECT COUNT(*)::BIGINT AS mn, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+          |    SUM(x*x)::BIGINT AS sx2, SUM(y*y)::BIGINT AS sy2, SUM(x*y)::BIGINT AS sxy FROM u),
+          |d AS (SELECT user_id, x, y, (mn*x - sx)::BIGINT AS dx, (mn*y - sy)::BIGINT AS dy,
+          |    mn, sx, sy, sx2, sy2, sxy FROM u CROSS JOIN mo)
+          |SELECT user_id, x, y, dx, dy,
+          |  CASE WHEN (mn*sx2 - sx*sx)::DOUBLE * (mn*sy2 - sy*sy)::DOUBLE
+          |      - (mn*sxy - sx*sy)::DOUBLE * (mn*sxy - sx*sy)::DOUBLE > 0 THEN
+          |    ((mn*sy2 - sy*sy)::DOUBLE * dx::DOUBLE * dx::DOUBLE
+          |      - 2.0 * (mn*sxy - sx*sy)::DOUBLE * dx::DOUBLE * dy::DOUBLE
+          |      + (mn*sx2 - sx*sx)::DOUBLE * dy::DOUBLE * dy::DOUBLE)
+          |    / ((mn*sx2 - sx*sx)::DOUBLE * (mn*sy2 - sy*sy)::DOUBLE
+          |      - (mn*sxy - sx*sy)::DOUBLE * (mn*sxy - sx*sy)::DOUBLE) END AS m2_scaled
+          |FROM d ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val per = T(s, dir, "events")
+        .where(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("x"), sum(cents(col("value"))).as("y"))
+      Profile.mahalanobis2d(per, "user_id", "x", "y")
+        .orderBy("user_id")
     }
   )
 

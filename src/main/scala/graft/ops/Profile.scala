@@ -920,4 +920,50 @@ object Profile {
           (col("n") * least(col("n_rows") - 1L, col("n_cols") - 1L)).cast("double"))
           .as("cramers_v"))
   }
+
+  /** Bivariate Mahalanobis-style outlier score: the quadratic form
+    * `Syy·dx² − 2·Sxy·dx·dy + Sxx·dy²` over `det = Sxx·Syy − Sxy²`, with
+    * deviations and covariance moments SCALED THROUGH by n so every
+    * intermediate before the final chain is an exact integer
+    * (`dx = n·x − Σx`, `Sxx = n·Σx² − (Σx)²`, …). The score equals
+    * n·(n−1)·(true Mahalanobis²) — a fixed positive factor per dataset,
+    * so thresholds and rankings are unchanged — and the closing chain is
+    * a FIXED left-associated sequence of correctly-rounded IEEE ops on
+    * deterministic operands: bit-reproducible, no matrix library, no
+    * iteration. The 2-feature closed form is deliberate: the screen's
+    * production shape is "pick two KPIs, flag the joint outliers"; higher
+    * dimensions belong to the IVF/embedding ladder.
+    *
+    * Scale shape: one global moment aggregate (1 row, broadcast) + one
+    * scan-local projection per row. Degenerate covariance (det ≤ 0, e.g.
+    * perfectly-correlated features) reports NULL scores rather than a
+    * division blow-up.
+    */
+  def mahalanobis2d(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val moments = df.agg(
+      count(lit(1)).as("mn"),
+      sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+      sum(col(xCol) * col(xCol)).as("sx2"),
+      sum(col(yCol) * col(yCol)).as("sy2"),
+      sum(col(xCol) * col(yCol)).as("sxy"))
+    val sxx = (col("mn") * col("sx2") - col("sx") * col("sx")).cast("double")
+    val syy = (col("mn") * col("sy2") - col("sy") * col("sy")).cast("double")
+    val sxy = (col("mn") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val det = sxx * syy - sxy * sxy
+    df.select(col(idCol), col(xCol), col(yCol))
+      .crossJoin(moments)
+      .withColumn("dx", col("mn") * col(xCol) - col("sx"))
+      .withColumn("dy", col("mn") * col(yCol) - col("sy"))
+      .select(
+        col(idCol), col(xCol), col(yCol), col("dx"), col("dy"),
+        when(det > 0.0,
+          (syy * col("dx").cast("double") * col("dx").cast("double") -
+            lit(2.0) * sxy * col("dx").cast("double") * col("dy").cast("double") +
+            sxx * col("dy").cast("double") * col("dy").cast("double")) / det)
+          .as("m2_scaled"))
+  }
 }

@@ -657,4 +657,106 @@ object TimeSeries {
           .cast("double") / 2.0d)
       .select(col(keyCol), col(idCol), col("v"), col("roll_med"), col("n_in_frame"))
   }
+
+  /** Single change-point localization per key: the split index k
+    * maximizing the between-segment variance score
+    * `D_k² / (k·(n−k))` with `D_k = n·P_k − k·S` (P = prefix sum,
+    * S = total) — the binary-segmentation / CUSUM-squared statistic
+    * ("when did this metric's level shift?"). Values arrive as exact
+    * longs (cents), so every D_k is an exact integer; the score is a
+    * fixed two-op IEEE chain, and the argmax tie-breaks toward the
+    * SMALLEST k — bit-reproducible end to end.
+    *
+    * Scale shape: one exchange on the key; prefix sums and the n/S
+    * totals are two frames over the same per-key sort; the argmax is a
+    * max-struct aggregate (no second window pass). Per-key state bounds
+    * like any sessionize (a key's series sorts within one spillable
+    * task).
+    *
+    * Output per key: n, split_k (1-based, left segment = [1..k]),
+    * split_ord (orderCol at k), score, and exact-cents segment means
+    * (one IEEE division each).
+    */
+  def changePoint(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val wAll = Window.partitionBy(keyCol)
+    val d = col("n") * col("p") - col("k") * col("s")
+    val scored = df
+      .select(col(keyCol), col(orderCol), col(valCol).cast("long").as("v"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("p", sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum("v").over(wAll))
+      .where(col("k") < col("n"))
+      .withColumn(
+        "score",
+        (d.cast("double") * d.cast("double")) / (col("k") * (col("n") - col("k"))).cast("double"))
+    scored
+      .groupBy(keyCol)
+      .agg(max(struct(
+        col("score"), (-col("k")).as("neg_k"), col("k"), col(orderCol).as("ord"),
+        col("p"), col("n"), col("s"))).as("best"))
+      .select(
+        col(keyCol),
+        col("best.n").as("n"),
+        col("best.k").as("split_k"),
+        col("best.ord").as("split_ord"),
+        col("best.score").as("score"),
+        (col("best.p").cast("double") / col("best.k").cast("double")).as("mean_left"),
+        ((col("best.s") - col("best.p")).cast("double") /
+          (col("best.n") - col("best.k")).cast("double")).as("mean_right"))
+  }
+
+  /** Lead–lag cross-correlation between two event streams: Pearson r of
+    * the DENSE hourly count series x against y shifted by 0..maxLag
+    * hours — "do views predict purchases h hours later?". Every moment
+    * is an exact integer over the zero-filled hour grid; r is
+    * `num / sqrt(va·vb)` — exact operands, correctly-rounded sqrt, one
+    * division — NULL when either segment variance is zero.
+    *
+    * Scale shape: each stream collapses to its hour histogram
+    * scan-locally (bounded by the time span, not the event count); the
+    * per-lag alignment joins the grid against itself shifted — |lags|
+    * candidate rows per hour — and aggregates map-side. Nothing scales
+    * with raw event volume past the first aggregation.
+    */
+  def lagCrossCorrelation(
+      df: DataFrame,
+      tsCol: String,
+      isX: Column,
+      isY: Column,
+      maxLag: Int): DataFrame = {
+    val hours = df.select(
+      expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+      isX.cast("long").as("ix"), isY.cast("long").as("iy"))
+    val counts = hours.groupBy("h").agg(sum("ix").as("cx"), sum("iy").as("cy"))
+    val grid = counts.agg(min("h").as("hmin"), max("h").as("hmax"))
+      .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val g = grid.join(counts, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("cx"), lit(0L)).as("x"), coalesce(col("cy"), lit(0L)).as("y"))
+    val shifted = g.select(
+      explode(array((0 to maxLag).map(l =>
+        struct(lit(l.toLong).as("lag"), (col("h") - l).as("h"), col("y").as("yl"))): _*)).as("e"))
+      .select(col("e.lag").as("lag"), col("e.h").as("h"), col("e.yl").as("yl"))
+    val m = g.select("h", "x").join(shifted, Seq("h"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"), sum("yl").as("sy"),
+        sum(col("x") * col("yl")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("yl") * col("yl")).as("sy2"))
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val va = col("m") * col("sx2") - col("sx") * col("sx")
+    val vb = col("m") * col("sy2") - col("sy") * col("sy")
+    m.select(
+      col("lag"), col("m"), num.as("num"),
+      when(va > 0L && vb > 0L,
+        num.cast("double") / sqrt(va.cast("double") * vb.cast("double"))).as("r"))
+  }
 }

@@ -1644,6 +1644,49 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(vI == 0.0, s"independence: $vI")
   }
 
+  test("changePoint finds the level shift at the right index, smallest-k ties") {
+    // series 0,0,0,10,10: best split after k=3 (left mean 0, right 10)
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 10L), ("a", 5L, 10L))
+      .toDF("key", "t", "v")
+    val r = graft.ops.TimeSeries.changePoint(df, "key", "t", "v").collect().head
+    assert(r.getAs[Long]("split_k") == 3L)
+    assert(r.getAs[Long]("split_ord") == 3L)
+    assert(r.getAs[Double]("mean_left") == 0.0 && r.getAs[Double]("mean_right") == 10.0)
+    // constant series: all scores 0 → tie breaks to k=1; single-row keys vanish
+    val const = Seq(("c", 1L, 5L), ("c", 2L, 5L), ("solo", 9L, 1L)).toDF("key", "t", "v")
+    val got = graft.ops.TimeSeries.changePoint(const, "key", "t", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("split_k")).toMap
+    assert(got == Map("c" -> 1L))
+  }
+
+  test("lagCrossCorrelation: a shifted copy correlates perfectly at its lag") {
+    import java.sql.Timestamp
+    // x fires at hours 0,2,4; y at hours 1,3,5 → lag 1 aligns them exactly
+    val rows = Seq(0, 2, 4).map(h => (new Timestamp(h * 3600L * 1000L), "x")) ++
+      Seq(1, 3, 5).map(h => (new Timestamp(h * 3600L * 1000L), "y"))
+    val df = rows.toDF("ts", "kind")
+    val r = graft.ops.TimeSeries.lagCrossCorrelation(
+        df, "ts", col("kind") === "x", col("kind") === "y", maxLag = 2)
+      .collect().map(x => x.getAs[Long]("lag") ->
+        (if (x.isNullAt(x.fieldIndex("r"))) None else Some(x.getAs[Double]("r")))).toMap
+    assert(r(1L) == Some(1.0), s"lag-1 perfect correlation: $r")
+    assert(r(0L).exists(_ < 0.0), s"lag-0 anti-phase: $r")
+  }
+
+  test("mahalanobis2d: on-mean rows score 0, off-axis outliers score highest, degenerate NULL") {
+    val df = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 2L), (5L, 1L, 1L))
+      .toDF("id", "x", "y")
+    val got = graft.ops.Profile.mahalanobis2d(df, "id", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got(5L) == Some(0.0))                       // the centroid row
+    assert(got(1L).get > 0 && got(1L) == got(4L))      // symmetric corners equal
+    // perfectly-correlated features → det 0 → NULL, not a blow-up
+    val degen = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 6L)).toDF("id", "x", "y")
+    val d = graft.ops.Profile.mahalanobis2d(degen, "id", "x", "y").collect()
+    assert(d.forall(_.isNullAt(5)))
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
