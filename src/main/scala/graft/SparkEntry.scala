@@ -7232,6 +7232,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("x"), sum(cents(col("value"))).as("y"))
       Profile.mahalanobis2d(per, "user_id", "x", "y")
         .orderBy("user_id")
+    },
+    // NS-D23: sparse weighted all-pairs cosine (DISCO shape) — integer
+    // tf·idf posting lists, fraction-scaled df cap, exact long dots and
+    // norms, one sqrt+division per pair.
+    Q(
+      "ns180_cosine_pairs",
+      Some(
+        """WITH tt AS (SELECT doc_id, term, least(COUNT(*), 20)::BIGINT AS tf FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          |    FROM documents) z
+          |  WHERE length(term) > 0 GROUP BY 1, 2),
+          |nd AS (SELECT COUNT(*)::BIGINT AS nd FROM documents),
+          |dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tt GROUP BY 1),
+          |w AS (SELECT doc_id, term, (tf * (((nd + 1) * 16) // (df + 1)))::BIGINT AS w
+          |  FROM tt JOIN dfq USING (term) CROSS JOIN nd WHERE df * 100 <= nd * 10),
+          |nr AS (SELECT doc_id, SUM(w*w)::BIGINT AS n2 FROM w GROUP BY 1),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w)::BIGINT AS dot
+          |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |c AS (SELECT doc_a, doc_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+          |    dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cos
+          |  FROM p JOIN nr na ON doc_a = na.doc_id JOIN nr nb ON doc_b = nb.doc_id)
+          |SELECT doc_a, doc_b, dot, n2_a, n2_b, cos FROM c WHERE cos >= 0.6
+          |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      Dedup.cosinePairsSparse(
+          T(s, dir, "documents"), "doc_id", "text",
+          minCos = 0.6, maxDfPct = 10)
+        .orderBy("doc_a", "doc_b")
+    },
+    // NS-T16: seasonal-baseline residual anomalies — hour-of-week exact
+    // cents baseline, one-division means, top-3 |residual| rows per type.
+    Q(
+      "ns181_seasonal_residuals",
+      Some(
+        """WITH e AS (SELECT event_id, event_type,
+          |    (dayofweek(ts) * 24 + hour(ts))::BIGINT AS how,
+          |    CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |b AS (SELECT event_type, how, COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS s
+          |  FROM e GROUP BY 1, 2),
+          |r AS (SELECT e.event_type, e.event_id, e.how, e.v, b.n, b.s,
+          |    e.v::DOUBLE - s::DOUBLE / n::DOUBLE AS residual
+          |  FROM e JOIN b ON e.event_type = b.event_type AND e.how = b.how),
+          |k AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          |    ORDER BY abs(residual) DESC, event_id)::BIGINT AS rank FROM r)
+          |SELECT event_type, rank, event_id, how, v, n, s, residual
+          |FROM k WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)) { (s, dir) =>
+      TimeSeries.seasonalResiduals(
+          T(s, dir, "events").where(col("value").isNotNull)
+            .withColumn("value", cents(col("value"))),
+          "event_type", "event_id", "ts", "value", topK = 3)
+        .orderBy("event_type", "rank")
     }
   )
 

@@ -1183,4 +1183,62 @@ object Dedup {
     while (i < vec.length) { v(i) = v(i) / nrm; i += 1 }
     v
   }
+
+  /** Sparse WEIGHTED all-pairs cosine over token tf·idf vectors via the
+    * posting-list (inverted-index) join — the DISCO / all-pairs-similarity
+    * shape: near-duplicate evidence that, unlike the Jaccard family's set
+    * overlap, weights rare terms above boilerplate. Every weight is an
+    * exact INTEGER: `w = min(tf, tfCap) · ((N+1)·idfScale div (df+1))` —
+    * sublinear-capped tf times an integer-quantized idf — so dots and
+    * norms are exact long sums and the cosine is `dot / sqrt(n2a·n2b)`,
+    * one correctly-rounded chain, bit-reproducible against a SQL replay.
+    *
+    * Scale design (the family's audit items, applied): the df-cap is a
+    * FRACTION of the corpus (`df·100 ≤ N·maxDfPct`), so the stop-term
+    * screen scales with the data instead of a fixed tuned constant (the
+    * b70/b72 up-screen lesson); capped terms bound per-term pair fan-out
+    * at (N·pct/100)² BY CONSTRUCTION. Posting lists carry (doc, termHash,
+    * w) — never text; norms rejoin as an AQE-sized per-doc dim; output is
+    * threshold-pruned pairs, the operator's output-bounded cost.
+    */
+  def cosinePairsSparse(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCos: Double,
+      maxDfPct: Int,
+      tfCap: Int = 20,
+      idfScale: Int = 16): DataFrame = {
+    require(maxDfPct >= 1 && maxDfPct <= 100, "maxDfPct in [1, 100]")
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
+      .select(col("doc_id"), xxhash64(col("term")).as("th"), col("tf"))
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val nd = df.agg(count(lit(1)).as("nd"))
+    val weighted = tf
+      .join(dfreq, Seq("th"))
+      .crossJoin(nd)
+      .where(col("df") * 100L <= col("nd") * maxDfPct.toLong)
+      .select(col("doc_id"), col("th"),
+        (col("tf") * expr(s"((nd + 1) * $idfScale) div (df + 1)")).as("w"))
+    val norms = weighted.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = weighted.select(col("doc_id").as("doc_a"), col("th"), col("w").as("wa"))
+      .join(
+        weighted.select(col("doc_id").as("doc_b"), col("th"), col("w").as("wb")),
+        Seq("th"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .withColumn(
+        "cos",
+        col("dot").cast("double") / sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
+      .where(col("cos") >= minCos)
+      .select("doc_a", "doc_b", "dot", "n2_a", "n2_b", "cos")
+  }
 }

@@ -317,6 +317,33 @@ object Sketch {
     * exact (the hash-gate regime); under real eviction pressure the MG
     * bounds hold for any merge order (see the aggregate's scaladoc).
     */
+  /** Merge two Misra–Gries summaries (`(key, est)` tables) under one
+    * capacity — the persisted-artifact combine of the heavy-hitters
+    * family (Agarwal et al.'s mergeable-summaries step in DataFrame
+    * form): pointwise counter sum, then subtract the (capacity+1)-th
+    * largest merged counter from everything and keep the strictly
+    * positive survivors (provably ≤ capacity of them). Both MG bounds
+    * survive the merge with the error budgets ADDING — the property that
+    * makes per-partition / per-trigger summaries composable.
+    *
+    * The rank window is global but runs over ≤ 2·capacity rows by the
+    * inputs' own contract — a bounded-summary operation, like cmsMerge's
+    * depth×width counter add.
+    */
+  def heavyHittersMerge(a: DataFrame, b: DataFrame, capacity: Int): DataFrame = {
+    val merged = a.select("key", "est").unionAll(b.select("key", "est"))
+      .groupBy("key").agg(sum("est").as("est"))
+    val ranked = merged.withColumn(
+      "_rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("est").desc, col("key"))))
+    val sub = ranked.agg(
+      max(when(col("_rk") === capacity + 1, col("est"))).as("_sub"))
+    ranked.crossJoin(sub)
+      .select(col("key"), (col("est") - coalesce(col("_sub"), lit(0L))).as("est"))
+      .where(col("est") > 0L)
+  }
+
   def heavyHitters(
       df: DataFrame,
       groupCols: Seq[String],

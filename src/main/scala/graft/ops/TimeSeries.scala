@@ -759,4 +759,45 @@ object TimeSeries {
       when(va > 0L && vb > 0L,
         num.cast("double") / sqrt(va.cast("double") * vb.cast("double"))).as("r"))
   }
+
+  /** Seasonal-baseline residual anomalies: learn the hour-of-week mean
+    * per key from exact cents sums, score every observation by its
+    * deviation from its own seasonal slot, and keep each key's top-k
+    * |residual| rows — "a spike at 3am Tuesday is an anomaly; the same
+    * value at noon Friday is the baseline". The baseline mean is the
+    * exact rational s/n evaluated as ONE IEEE division; the residual is
+    * one subtraction of deterministic doubles; ranking tie-breaks on the
+    * id — bit-reproducible.
+    *
+    * Scale shape: the baseline is a (key × 168)-row aggregate
+    * (broadcast-sized by construction); observations join it scan-local
+    * and only each key's top-k survive the rank window. The window sorts
+    * per key — the usual sessionize bound; for a global-table variant at
+    * extreme key cardinality the topk heap aggregate (C158) is the
+    * drop-in.
+    */
+  def seasonalResiduals(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      tsCol: String,
+      valCol: String,
+      topK: Int): DataFrame = {
+    val obs = df.select(
+      col(keyCol), col(idCol),
+      ((dayofweek(col(tsCol)) - 1) * 24 + hour(col(tsCol))).cast("long").as("how"),
+      col(valCol).cast("long").as("v"))
+    val base = obs.groupBy(keyCol, "how")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(abs(col("residual")).desc, col(idCol))
+    obs.join(base, Seq(keyCol, "how"))
+      .withColumn(
+        "residual",
+        col("v").cast("double") - col("s").cast("double") / col("n").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col(keyCol), col("rank"), col(idCol), col("how"), col("v"),
+        col("n"), col("s"), col("residual"))
+  }
 }

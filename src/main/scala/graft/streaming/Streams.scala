@@ -375,6 +375,51 @@ object Streams {
       .start()
   }
 
+  /** Streaming heavy-hitters: the frequent-keys twin of
+    * [[streamingCmsCounts]] — each trigger's keys collapse to a
+    * Misra–Gries summary ([[graft.ops.Sketch.heavyHitters]]: exact while
+    * the batch's distinct keys fit the capacity, MG-bounded beyond) and
+    * merge into the running summary via the mergeable-summaries combine
+    * ([[graft.ops.Sketch.heavyHittersMerge]]), keeping the live
+    * "top keys so far" table in O(capacity) state regardless of the
+    * stream's key domain — the per-tenant / per-token frequency monitor
+    * a quota or abuse screen watches. MG guarantees (est ≤ true,
+    * true − est ≤ n/(cap+1)) hold across any trigger slicing, with the
+    * per-merge error budgets adding. Same contracts as the CMS twin:
+    * driver-held bounded state, `initial` seed for restart resume, sink
+    * frames valid only within their trigger, retried batch ids skipped.
+    */
+  def streamingHeavyHitters(
+      newRows: DataFrame,
+      keyCol: String,
+      capacity: Int,
+      checkpointLocation: Option[String] = None,
+      initial: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var summary: Option[DataFrame] = initial.map(graft.ops.Checkpoints.truncate(_))
+    var lastBatchId = -1L
+    val stream = newRows.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatchId) ()
+        else {
+          lastBatchId = batchId
+          val batchSummary = graft.ops.Sketch
+            .heavyHitters(batch, Seq.empty, keyCol, capacity)
+            .select(col(keyCol).as("key"), col("est"))
+          val next = graft.ops.Checkpoints.truncate(
+            summary
+              .map(s => graft.ops.Sketch.heavyHittersMerge(s, batchSummary, capacity))
+              .getOrElse(batchSummary))
+          summary.foreach(graft.ops.Checkpoints.unpersist)
+          summary = Some(next)
+          sink(next)
+        }
+      }
+      .start()
+  }
+
   /** Streaming distribution-drift monitor: each trigger's rows extend a
     * running cents histogram of `valueCol` (`hist(A ∪ B) = hist(A) +
     * hist(B)` exactly — [[graft.ops.Profile.mergeHistograms]]), and the

@@ -1687,6 +1687,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(d.forall(_.isNullAt(5)))
   }
 
+  test("cosinePairsSparse: identical docs hit cos 1; df-cap kills boilerplate-only pairs") {
+    // docs 1/2 identical; 3 shares only the ubiquitous token "the"
+    val docs = Seq(
+      (1L, "rare quark flavor the"),
+      (2L, "rare quark flavor the"),
+      (3L, "the zebra"),
+      (4L, "the unrelated walrus entirely"),
+      (5L, "the something else"),
+      (6L, "the further filler"),
+      (7L, "the more filler"),
+      (8L, "the int filler"),
+      (9L, "the final filler"),
+      (10L, "the tenth filler")).toDF("doc_id", "text")
+    // maxDfPct 50: "the" (df=10) capped out; "filler" (df=6 > 5) capped too
+    val got = graft.ops.Dedup.cosinePairsSparse(docs, "doc_id", "text",
+        minCos = 0.9, maxDfPct = 50)
+      .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")

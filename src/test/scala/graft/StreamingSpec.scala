@@ -519,4 +519,45 @@ class StreamingSpec extends SparkSpec {
         Seq(Validate.Unique("id"))) { _ => () }
     }
   }
+
+  test("streaming heavy hitters: exact regime equals one-shot counts; capacity bounds state") {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events").select("event_id", "user_id")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-hh-src-${UUID.randomUUID().toString.take(8)}"
+    ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    ev.where(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    @volatile var last: Option[Map[Long, Long]] = None
+    @volatile var triggers = 0
+    // capacity 4096 >> distinct users → the summary stays EXACT across
+    // triggers, so it must equal the one-shot groupBy counts.
+    val q = Streams.streamingHeavyHitters(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      "user_id", capacity = 4096) { s =>
+      triggers += 1
+      assert(s.count() <= 4096L)
+      last = Some(s.as[(Long, Long)].collect().toMap)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(triggers >= 2, "stream did not run as multiple triggers")
+    val oneShot = spark.read.parquet(srcDir)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(last.contains(oneShot), "exact-regime streaming summary diverged from groupBy counts")
+  }
+
+  test("heavyHittersMerge keeps MG bounds and capacity under adversarial splits") {
+    import spark.implicits._
+    // summary A: {1:10, 2:8, 3:5}; summary B: {2:4, 4:7, 5:6}; cap 3
+    val a = Seq((1L, 10L), (2L, 8L), (3L, 5L)).toDF("key", "est")
+    val b = Seq((2L, 4L), (4L, 7L), (5L, 6L)).toDF("key", "est")
+    val got = graft.ops.Sketch.heavyHittersMerge(a, b, capacity = 3)
+      .as[(Long, Long)].collect().toMap
+    // merged: {1:10, 2:12, 3:5, 4:7, 5:6}; 4th largest = 6 → subtract,
+    // keep strictly positive: {2:6, 1:4, 4:1}
+    assert(got == Map(2L -> 6L, 1L -> 4L, 4L -> 1L), got.toString)
+    assert(got.size <= 3)
+  }
 }
