@@ -7283,6 +7283,30 @@ object SparkEntry {
             .withColumn("value", cents(col("value"))),
           "event_type", "event_id", "ts", "value", topK = 3)
         .orderBy("event_type", "rank")
+    },
+    // NS-W12: SCOPED compaction (OPTIMIZE WHERE) — only the key-range
+    // files rewrite (stats-proven exclusion for the rest); values never
+    // change, so the post-compaction read hash-matches the plain
+    // aggregate. ManagedWriterSpec pins the file-subset mechanics.
+    Q(
+      "ns182_optimize_where",
+      Some(
+        s"""SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+           |  ${oSum("o_totalprice")} AS total
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-optw-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w.write(ord.repartitionByRange(16, col("o_orderkey")))
+      w.finalizeCommit()
+      ManagedWriter.compactWhere(s, dest, targetFileBytes = 1L << 30,
+        Seq(sources.LessThan("o_orderkey", 1000L)))
+      ManagedWriter.read(s, dest)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 

@@ -291,7 +291,7 @@ object DataSkipping {
     * true (keep). The evaluation mirrors what the row-wise filter will do,
     * so a `false` here is a proof, not a guess.
     */
-  private def mightMatch(st: Map[String, ColStats], f: Filter): Boolean = f match {
+  private[sinks] def mightMatch(st: Map[String, ColStats], f: Filter): Boolean = f match {
     case And(l, r) => mightMatch(st, l) && mightMatch(st, r)
     case Or(l, r) => mightMatch(st, l) || mightMatch(st, r)
     case EqualTo(a, v) => rangeMight(st.get(a), v, loOk = _ <= 0, hiOk = _ >= 0)

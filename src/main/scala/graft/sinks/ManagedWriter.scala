@@ -53,7 +53,8 @@ final class ManagedWriter(
     expectedSchema: StructType,
     streamType: StreamType = StreamType.Pending,
     allowSchemaEvolution: Boolean = false,
-    bloomColumns: Seq[String] = Nil) {
+    bloomColumns: Seq[String] = Nil,
+    txn: Option[(String, Long)] = None) {
 
   private val stagingDir = s"$destDir-staging-${UUID.randomUUID().toString.take(8)}"
   private var finalized = false
@@ -65,6 +66,12 @@ final class ManagedWriter(
     * promoted files exist physically but no manifest version names them.
     */
   private[graft] var crashAfterBatches: Int = Int.MaxValue
+
+  /** Test hook: simulate a crash AFTER the streaming-txn sidecar lands
+    * but BEFORE the manifest publish — the exact seam the sidecar's
+    * manifest-md5 binding exists to make safe.
+    */
+  private[graft] var crashAfterTxn: Boolean = false
 
   private def fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -168,6 +175,22 @@ final class ManagedWriter(
             s"simulated crash after $i promoted batches (test hook)")
         promoted ++= promote(b.getPath)
       }
+      // Streaming-transaction sidecar (the Delta txn action's shape):
+      // written BEFORE the manifest rename and BOUND to the intended
+      // file list's md5, so a sidecar whose commit never published can
+      // never be mistaken for a committed batch (same binding discipline
+      // as the DV sidecars) — this is what makes foreachBatch appends
+      // idempotent across RESTARTS, not just within one query run.
+      txn.foreach { case (queryId, batchId) =>
+        val prevFiles = ManagedWriter.latestManifest(fs, destDir)
+          .map(_._2).getOrElse(Seq.empty)
+        val nextV = ManagedWriter.latestManifest(fs, destDir).map(_._1).getOrElse(0L) + 1
+        ManagedWriter.writeTxnSidecar(
+          fs, destDir, nextV, prevFiles ++ promoted.result(), queryId, batchId)
+      }
+      if (crashAfterTxn)
+        throw new java.io.IOException(
+          "simulated crash after txn sidecar, before manifest publish (test hook)")
       val v = ManagedWriter.publishManifest(fs, destDir, promoted.result())
       ManagedWriter.writeSchemaSidecar(fs, destDir, v, currentSchema)
       DataSkipping.writeStats(fs, destDir, promoted.result())
@@ -755,6 +778,71 @@ object ManagedWriter {
   def compact(spark: SparkSession, destDir: String, targetFileBytes: Long): Long =
     compactImpl(spark, destDir, targetFileBytes, crashBeforePublish = false)
 
+  /** SCOPED compaction — the Delta `OPTIMIZE ... WHERE` shape the full
+    * [[compact]] scaladoc names as the petabyte answer: only the files
+    * whose SKIPPING STATS might satisfy `filters` are rewritten (a
+    * `false` from the stats is a proof, so exclusion is always safe;
+    * files without stats rewrite conservatively); every other file rides
+    * into the new manifest untouched. The rewrite is DV-aware — the
+    * selected files' deletions MATERIALIZE — while untouched files keep
+    * their existing deletion vectors: DV entries bind to file NAMES,
+    * names are never reused, so the prior sidecar keeps applying to the
+    * survivors and the rewritten files' stale entries can never match a
+    * read (same mechanism plain compact relies on). Same single-rename
+    * atomic commit; a crash mid-compact orphans invisible files only.
+    *
+    * Scale shape: cost is O(selected bytes) — the point of the WHERE —
+    * and each scoped run is its own committed, time-travelable version,
+    * so a petabyte table compacts partition-range by partition-range
+    * without one giant commit.
+    */
+  def compactWhere(
+      spark: SparkSession,
+      destDir: String,
+      targetFileBytes: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Long =
+    compactWhereImpl(spark, destDir, targetFileBytes, filters, crashBeforePublish = false)
+
+  private[graft] def compactWhereImpl(
+      spark: SparkSession,
+      destDir: String,
+      targetFileBytes: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      crashBeforePublish: Boolean): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(filters.nonEmpty, "compactWhere without filters is compact()")
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureBaseManifest(fs, destDir)
+    val (baseVersion, baseFiles) = latestManifest(fs, destDir).get
+    if (baseFiles.isEmpty) return baseVersion
+    val stats = DataSkipping.readStats(fs, destDir)
+    val selected = baseFiles.filter { f =>
+      stats.get(f).forall(st => filters.forall(fl => DataSkipping.mightMatch(st, fl)))
+    }
+    if (selected.isEmpty) return baseVersion
+    val untouched = baseFiles.diff(selected)
+    val dv = effectiveDv(fs, destDir, baseVersion)
+    val subset = applyDv(spark,
+      manifestRead(spark, destDir, selected, schemaSidecar(fs, destDir, baseVersion),
+        keepMeta = dv.nonEmpty),
+      dv, keepMeta = false)
+    val bytes = selected.map(f => fs.getFileStatus(new Path(destDir, f)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = new Path(s"$destDir-compactw-${UUID.randomUUID().toString.take(8)}")
+    try {
+      subset.repartition(nOut).write.mode("errorifexists").parquet(staging.toString)
+      val promoted = promoteDir(fs, staging, destDir)
+      if (crashBeforePublish)
+        throw new java.io.IOException("simulated crash before compactWhere publish (test hook)")
+      publishExactManifest(fs, destDir, baseVersion, untouched ++ promoted)
+      writeSchemaSidecar(fs, destDir, baseVersion + 1, subset.schema)
+      DataSkipping.writeStats(fs, destDir, promoted)
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+    baseVersion + 1
+  }
+
   private[graft] def compactImpl(
       spark: SparkSession,
       destDir: String,
@@ -903,6 +991,68 @@ object ManagedWriter {
   }
 
   private val ManifestDirName = "_graft_manifest"
+
+  private def manifestMd5(files: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(serializeManifest(files).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Persist the streaming-transaction record for the (about to publish)
+    * `version`: one line `md5-of-bound-manifest \t queryId \t batchId`.
+    * Validity = the md5 matches the file list actually published at that
+    * version — a crashed commit's sidecar never validates.
+    */
+  private[sinks] def writeTxnSidecar(
+      fs: FileSystem,
+      destDir: String,
+      version: Long,
+      intendedFiles: Seq[String],
+      queryId: String,
+      batchId: Long): Unit = {
+    require(!queryId.contains("\t") && !queryId.contains("\n"),
+      "queryId must not contain tabs/newlines")
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) fs.mkdirs(md)
+    val tmp = new Path(md, s".tmp-txn-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(s"${manifestMd5(intendedFiles)}\t$queryId\t$batchId\n".getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(md, f"txn-v-$version%08d.txt")
+    if (fs.exists(target)) fs.delete(target, false) // orphan of a crashed commit
+    if (!commitFile(fs, tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"could not stage txn sidecar $target")
+    }
+  }
+
+  /** Highest batch id `queryId` has DURABLY committed to `destDir` (−1 if
+    * none): the restart-safe idempotence watermark of the exactly-once
+    * streaming sink ([[graft.streaming.Streams.streamingManagedAppend]]).
+    * Only sidecars whose bound md5 matches the file list actually
+    * published at their version count — a txn written by a commit that
+    * crashed before its manifest rename is invisible, so the batch
+    * correctly replays.
+    */
+  def lastCommittedBatch(spark: SparkSession, destDir: String, queryId: String): Long = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = manifestDir(destDir)
+    if (!fs.exists(md)) return -1L
+    fs.listStatus(md).map(_.getPath)
+      .filter(p => p.getName.startsWith("txn-v-") && p.getName.endsWith(".txt"))
+      .flatMap { p =>
+        val v = p.getName.stripPrefix("txn-v-").stripSuffix(".txt").toLong
+        readLines(fs, p).headOption.toSeq.flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(md5, qid, bid) if qid == queryId =>
+              latestManifest(fs, destDir, Some(v)).toSeq.collect {
+                case (`v`, files) if manifestMd5(files) == md5 => bid.toLong
+              }
+            case _ => Seq.empty
+          }
+        }
+      }
+      .foldLeft(-1L)(math.max)
+  }
 
   private def manifestDir(destDir: String) = new Path(destDir, ManifestDirName)
 

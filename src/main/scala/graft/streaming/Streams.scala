@@ -375,6 +375,46 @@ object Streams {
       .start()
   }
 
+  /** EXACTLY-ONCE streaming append into a managed table — the Delta
+    * transactional-sink shape: every trigger commits its batch as one
+    * atomic manifest version carrying a (queryId, batchId) transaction
+    * sidecar ([[graft.sinks.ManagedWriter.lastCommittedBatch]]), and a
+    * batch id at or below the table's durable watermark is SKIPPED. That
+    * closes the failure window in-memory dedup cannot: after a crash
+    * between the sink's write and the checkpoint's offset commit,
+    * Structured Streaming REPLAYS the last batch into a fresh process —
+    * the txn watermark (bound to the published manifest's md5, so a
+    * crashed commit never counts) rejects the replay instead of
+    * double-appending. Combined with the manifest's single-rename
+    * atomicity this is end-to-end exactly-once into the table for any
+    * replayable source, the analogue of the reference's
+    * offset-tracked `AppendRows` → `BatchCommitWriteStreams` contract
+    * (bigquery_write.go:448-484).
+    */
+  def streamingManagedAppend(
+      newRows: DataFrame,
+      destDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      queryId: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newRows.sparkSession
+    val stream = newRows.writeStream
+    checkpointLocation.foreach(dir => stream.option("checkpointLocation", dir))
+    stream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= graft.sinks.ManagedWriter.lastCommittedBatch(spark, destDir, queryId)) ()
+        else {
+          val w = new graft.sinks.ManagedWriter(
+            spark, destDir, schema, graft.sinks.StreamType.Pending,
+            txn = Some((queryId, batchId)))
+          w.write(batch)
+          w.finalizeCommit(): Unit
+        }
+      }
+      .start()
+  }
+
   /** Streaming heavy-hitters: the frequent-keys twin of
     * [[streamingCmsCounts]] — each trigger's keys collapse to a
     * Misra–Gries summary ([[graft.ops.Sketch.heavyHitters]]: exact while

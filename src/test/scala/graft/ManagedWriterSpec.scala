@@ -627,4 +627,73 @@ class ManagedWriterSpec extends SparkSpec {
     assert(after.where($"id" === 2L).count() == 0L)
     assert(after.where($"id" === 1L).select("v").as[Long].head() == 111L)
   }
+
+  test("compactWhere rewrites only the stats-matching files; rest ride untouched") {
+    import org.apache.spark.sql.functions.col
+    val ord = Tables(spark, sfDir, "orders")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, ord.schema, StreamType.Pending)
+    w.write(ord.repartitionByRange(8, col("o_orderkey")))
+    w.finalizeCommit()
+    val before = ManagedWriter.read(spark, dest)
+    val beforeFiles = before.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val maxKey = before.agg(org.apache.spark.sql.functions.max("o_orderkey")).head().getLong(0)
+    val v1 = ManagedWriter.versions(spark, dest).last
+    val v2 = ManagedWriter.compactWhere(spark, dest, targetFileBytes = 1L << 30,
+      Seq(org.apache.spark.sql.sources.LessThan("o_orderkey", maxKey / 2)))
+    assert(v2 == v1 + 1)
+    val after = ManagedWriter.read(spark, dest)
+    val afterFiles = after.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val untouched = beforeFiles.intersect(afterFiles)
+    // some files survived by name (out-of-range) and some were rewritten
+    assert(untouched.nonEmpty, "scoped compaction rewrote everything")
+    assert(afterFiles.size < beforeFiles.size, "no compaction happened")
+    assert(rowsOf(after) == rowsOf(before))
+    // scoping to an impossible range is a no-op version-wise
+    assert(ManagedWriter.compactWhere(spark, dest, 1L << 30,
+      Seq(org.apache.spark.sql.sources.GreaterThan("o_orderkey", maxKey + 1000000L))) == v2)
+  }
+
+  test("compactWhere is DV-aware: deletions materialize in scope, persist out of scope") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base.repartitionByRange(4, col("id")))
+    w.finalizeCommit()
+    // delete ids 10 (low range) and 90 (high range) via DV
+    ManagedWriter.mergeDV(spark, dest,
+      Seq((10L, 0L, "D"), (90L, 0L, "D")).toDF("id", "v", "op"), Seq("id"), "op")
+    val beforeRows = ManagedWriter.read(spark, dest).select("id").as[Long].collect().toSet
+    assert(!beforeRows.contains(10L) && !beforeRows.contains(90L))
+    // compact only the low half: 10's deletion materializes, 90's DV persists
+    ManagedWriter.compactWhere(spark, dest, 1L << 30,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 50L)))
+    val afterRows = ManagedWriter.read(spark, dest).select("id").as[Long].collect().toSet
+    assert(afterRows == beforeRows, "scoped compaction changed the visible row set")
+  }
+
+  test("txn sidecar watermark: committed batches are durable, crashed commits invisible") {
+    val sup = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "q1") == -1L)
+    val w0 = new ManagedWriter(spark, dest, sup.schema, StreamType.Pending,
+      txn = Some(("q1", 0L)))
+    w0.write(sup); w0.finalizeCommit()
+    val w1 = new ManagedWriter(spark, dest, sup.schema, StreamType.Pending,
+      txn = Some(("q1", 1L)))
+    w1.write(sup); w1.finalizeCommit()
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "q1") == 1L)
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "other") == -1L)
+    // the dangerous seam: txn sidecar ON DISK, manifest never published —
+    // the md5 binding must reject it and the watermark must not move
+    val w2 = new ManagedWriter(spark, dest, sup.schema, StreamType.Pending,
+      txn = Some(("q1", 2L)))
+    w2.write(sup)
+    w2.crashAfterTxn = true
+    intercept[java.io.IOException](w2.finalizeCommit())
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "q1") == 1L,
+      "a crashed commit's txn sidecar must not advance the watermark")
+  }
 }

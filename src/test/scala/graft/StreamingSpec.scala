@@ -548,6 +548,36 @@ class StreamingSpec extends SparkSpec {
     assert(last.contains(oneShot), "exact-regime streaming summary diverged from groupBy counts")
   }
 
+  test("streamingManagedAppend is exactly-once across a from-scratch replay") {
+    import graft.sinks.ManagedWriter
+    val sup = Tables(spark, sfDir, "supplier")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft-eo-src-${UUID.randomUUID().toString.take(8)}"
+    val dest = s"${System.getProperty("java.io.tmpdir")}/graft-eo-dst-${UUID.randomUUID().toString.take(8)}"
+    sup.where(col("s_suppkey") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    sup.where(col("s_suppkey") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q1 = Streams.streamingManagedAppend(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      dest, schema, queryId = "eo-test")
+    try q1.processAllAvailable()
+    finally q1.stop()
+    val n = sup.count()
+    assert(ManagedWriter.read(spark, dest).count() == n)
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "eo-test") >= 1L)
+    // Replay from scratch: a FRESH checkpoint restarts batch ids at 0 —
+    // the in-memory guard is gone, only the durable txn watermark stands.
+    val q2 = Streams.streamingManagedAppend(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      dest, schema, queryId = "eo-test")
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(ManagedWriter.read(spark, dest).count() == n,
+      "replayed batches double-appended despite the txn watermark")
+    // a DIFFERENT query id is a different ledger — it may append
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "someone-else") == -1L)
+  }
+
   test("heavyHittersMerge keeps MG bounds and capacity under adversarial splits") {
     import spark.implicits._
     // summary A: {1:10, 2:8, 3:5}; summary B: {2:4, 4:7, 5:6}; cap 3
