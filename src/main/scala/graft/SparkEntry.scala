@@ -7307,6 +7307,107 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
         .orderBy("o_orderpriority")
+    },
+    // NS-G7: bounded k-core peeling (3 unrolled rounds, k=2) over the
+    // ns97 attribution graph — fixed rounds keep the oracle an exact
+    // unrolled CTE chain; `converged` certifies the fixpoint.
+    Q(
+      "ns183_kcore",
+      Some(
+        """WITH e AS (SELECT user_id::BIGINT AS u,
+          |    TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+          |    epoch_us(ts)::BIGINT AS t FROM events),
+          |ft AS (SELECT k, u, MIN(t) AS ft FROM e WHERE k IS NOT NULL GROUP BY 1, 2),
+          |ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY k ORDER BY ft, u) AS dst FROM ft),
+          |edges AS (SELECT DISTINCT src, dst FROM ch WHERE dst IS NOT NULL AND dst <> src),
+          |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+          |d1 AS (SELECT node, COUNT(*)::BIGINT AS deg FROM
+          |    (SELECT a AS node FROM u0 UNION ALL SELECT b FROM u0) z GROUP BY 1),
+          |kv AS (SELECT (SELECT MIN(deg) + 1 FROM d1) AS kk),
+          |k1 AS (SELECT node FROM d1 WHERE deg >= (SELECT kk FROM kv)),
+          |u1 AS (SELECT u0.a, u0.b FROM u0 JOIN k1 x ON u0.a = x.node JOIN k1 y ON u0.b = y.node),
+          |d2 AS (SELECT node, COUNT(*)::BIGINT AS deg FROM
+          |    (SELECT a AS node FROM u1 UNION ALL SELECT b FROM u1) z GROUP BY 1),
+          |k2 AS (SELECT node FROM d2 WHERE deg >= (SELECT kk FROM kv)),
+          |u2 AS (SELECT u1.a, u1.b FROM u1 JOIN k2 x ON u1.a = x.node JOIN k2 y ON u1.b = y.node),
+          |d3 AS (SELECT node, COUNT(*)::BIGINT AS deg FROM
+          |    (SELECT a AS node FROM u2 UNION ALL SELECT b FROM u2) z GROUP BY 1),
+          |k3 AS (SELECT node FROM d3 WHERE deg >= (SELECT kk FROM kv)),
+          |u3 AS (SELECT u2.a, u2.b FROM u2 JOIN k3 x ON u2.a = x.node JOIN k3 y ON u2.b = y.node),
+          |fd AS (SELECT node, COUNT(*)::BIGINT AS degree FROM
+          |    (SELECT a AS node FROM u3 UNION ALL SELECT b FROM u3) z GROUP BY 1),
+          |cv AS (SELECT (SELECT COUNT(*) FROM u2) = (SELECT COUNT(*) FROM u3) AS converged)
+          |SELECT node AS user_id, degree, converged FROM fd CROSS JOIN cv
+          |WHERE degree >= (SELECT kk FROM kv) ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val edges = Graph.attributionEdges(
+        ev, "user_id", "ts", regexp_extract(col("props"), "[0-9]+", 0))
+      Graph.kCoreAboveMinDegree(edges, rounds = 3)
+        .select(col("node").as("user_id"), col("degree"), col("converged"))
+        .orderBy("user_id")
+    },
+    // NS-F6: modal-value imputation — missing lang ← the source's
+    // dominant language; ties toward the larger value (max-struct order).
+    Q(
+      "ns184_mode_impute",
+      Some(
+        """WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS cnt FROM documents
+          |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+          |m AS (SELECT source, lang AS mode_v,
+          |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang DESC) AS rk FROM c)
+          |SELECT doc_id, source, lang, coalesce(lang, m.mode_v) AS imputed_lang
+          |FROM documents LEFT JOIN (SELECT source, mode_v FROM m WHERE rk = 1) m USING (source)
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Encode.modeImpute(T(s, dir, "documents"), "source", "lang", "imputed_lang")
+        .select("doc_id", "source", "lang", "imputed_lang")
+        .orderBy("doc_id")
+    },
+    // NS-P22: RFM quintile segmentation — exact recency/frequency/cents
+    // metrics, ntile(5) over (metric, id) total orders, 5 = best.
+    Q(
+      "ns185_rfm",
+      Some(
+        """WITH p AS (SELECT user_id, MAX(epoch_us(ts))::BIGINT AS lastt,
+          |    COUNT(*)::BIGINT AS f, SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS m
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+          |r AS (SELECT *, ((SELECT MAX(lastt) FROM p) - lastt) // 1000000 AS recency_s FROM p),
+          |s AS (SELECT user_id, recency_s, f, m,
+          |    (6 - ntile(5) OVER (ORDER BY recency_s, user_id))::BIGINT AS r_score,
+          |    ntile(5) OVER (ORDER BY f, user_id)::BIGINT AS f_score,
+          |    ntile(5) OVER (ORDER BY m, user_id)::BIGINT AS m_score FROM r)
+          |SELECT user_id, recency_s, f, m, r_score, f_score, m_score,
+          |  (r_score * 100 + f_score * 10 + m_score)::BIGINT AS segment
+          |FROM s ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      Profile.rfmSegments(
+          T(s, dir, "events").where(col("value").isNotNull)
+            .withColumn("v", cents(col("value"))),
+          "user_id", "ts", "v")
+        .orderBy("user_id")
+    },
+    // NS-F7: cohort LTV curve — cumulative exact-cents revenue per
+    // cohort member by account age in weeks.
+    Q(
+      "ns186_ltv_curve",
+      Some(
+        """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 // 7 AS w,
+          |    CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |f AS (SELECT u, MIN(w) AS cw FROM e GROUP BY 1),
+          |sz AS (SELECT cw, COUNT(*)::BIGINT AS cohort_size FROM f GROUP BY 1),
+          |c AS (SELECT cw AS cohort_week, (w - cw)::BIGINT AS age_weeks,
+          |    SUM(v)::BIGINT AS revenue_c FROM e JOIN f USING (u) GROUP BY 1, 2),
+          |x AS (SELECT c.*, sz.cohort_size,
+          |    SUM(revenue_c) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_revenue_c
+          |  FROM c JOIN sz ON c.cohort_week = sz.cw)
+          |SELECT cohort_week, age_weeks, revenue_c, cohort_size, cum_revenue_c,
+          |  cum_revenue_c::DOUBLE / cohort_size::DOUBLE AS ltv_c
+          |FROM x ORDER BY cohort_week, age_weeks""".stripMargin)) { (s, dir) =>
+      Funnel.ltvCurve(
+          T(s, dir, "events").where(col("value").isNotNull)
+            .withColumn("v", cents(col("value"))),
+          "user_id", "ts", "v")
+        .orderBy("cohort_week", "age_weeks")
     }
   )
 

@@ -60,4 +60,33 @@ object Encode {
           lit(smoothing.toDouble) * (col("_g_sum").cast("double") / col("_g_n").cast("double"))) /
           (col("cat_n") - 1L + smoothing.toLong).cast("double")).as("enc"))
   }
+
+  /** Modal-value imputation: fill NULLs of `valCol` with the most
+    * frequent non-null value of the row's group — the categorical
+    * imputer of an ML feature pipeline ("missing language ← the source's
+    * dominant language"). Tie convention: equal counts break toward the
+    * LARGER value (the max-struct aggregate's natural order, documented
+    * so the SQL replay pins it); groups whose every value is null keep
+    * their NULLs.
+    *
+    * Scale shape: one (group, value) map-side-combined count, one
+    * max-struct reduce to \|groups\| modal rows (an AQE-broadcast dim),
+    * one scan-local coalesce — payloads never shuffle.
+    */
+  def modeImpute(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      outCol: String): DataFrame = {
+    val mode = df
+      .where(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol)
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(groupCol)
+      .agg(max(struct(col("_cnt"), col(valCol).as("_v"))).as("_m"))
+      .select(col(groupCol), col("_m._v").as("_mode"))
+    df.join(mode, Seq(groupCol), "left")
+      .withColumn(outCol, coalesce(col(valCol), col("_mode")))
+      .drop("_mode")
+  }
 }

@@ -370,4 +370,41 @@ object Funnel {
       .agg(count(lit(1)).as("n_entities"))
       .where(col("n_entities") >= minCount)
   }
+
+  /** Cohort LTV curve: cumulative revenue per cohort member by account
+    * age — the [[retentionCohorts]] table's revenue sibling ("what is a
+    * week-N customer worth so far?"). Cohort = the user's first event
+    * week; revenue lands in the (cohort, age) cell of the event's week;
+    * the cumulative sum runs over exact cents longs ordered by age (an
+    * exact prefix sum, order-free), and ltv = cum / cohort_size is ONE
+    * IEEE division per row.
+    *
+    * Scale shape: one distinct-week pass + one (cohort, age) aggregation
+    * (map-side combined, ≤ cohorts·ages rows); the cumulative window
+    * runs over that bounded grid, never the event volume.
+    */
+  def ltvCurve(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val ev = events.select(
+      col(userCol).cast("long").as("u"),
+      expr(s"unix_micros($tsCol) div 86400000000 div 7").as("w"),
+      col(valCol).cast("long").as("v"))
+    val first = ev.groupBy("u").agg(min(col("w")).as("cw"))
+    val sizes = first.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    val cells = ev.join(first, "u")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("age_weeks"))
+      .agg(sum("v").as("revenue_c"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells
+      .join(sizes.select(col("cw").as("cohort_week"), col("cohort_size")), Seq("cohort_week"))
+      .withColumn("cum_revenue_c", sum("revenue_c").over(cum))
+      .withColumn(
+        "ltv_c",
+        col("cum_revenue_c").cast("double") / col("cohort_size").cast("double"))
+  }
 }

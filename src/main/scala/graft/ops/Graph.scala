@@ -245,6 +245,79 @@ object Graph {
     * id-only join to the triangle pass — the oriented wedge join remains
     * the dominant (and bounded, Σ d_out²-capped) cost.
     */
+  /** Bounded k-core peeling: `rounds` iterations of "drop every node with
+    * degree < k" over the undirected simple graph — the engagement-core
+    * filter crawl/social curation uses ("keep accounts embedded in a
+    * mutually-active core"). A FIXED round count instead of
+    * run-to-fixpoint keeps the computation exactly replayable as an
+    * UNROLLED SQL chain (an aggregate-per-round recursive CTE is not
+    * portable), and `converged` reports whether round `rounds` removed
+    * nobody — at which point the survivors ARE the k-core (peeling is
+    * monotone, so convergence is checkable, not assumed).
+    *
+    * Scale shape per round: one degree aggregation (map-side combined)
+    * + two semi-joins filtering the edge list — all equi-key,
+    * AQE-splittable; [[Checkpoints.truncate]] cuts the per-round lineage
+    * like every iterative op here.
+    *
+    * @return survivors `(node, degree)` under the final round's degrees,
+    *         with the same `converged` flag on every row.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore needs k >= 1 and rounds >= 1")
+    kCoreLoop(undirect(edges), k, rounds)
+  }
+
+  /** [[kCore]] with k DERIVED from the graph itself — one above the
+    * minimum degree — so the peel threshold scales with the data instead
+    * of a tuned constant (the fixture-scaling discipline: a fixed k that
+    * peels nothing at one SF and everything at another is a vacuous
+    * gate; min+1 guarantees at least the weakest node peels while the
+    * bulk survives on any degree distribution). One small aggregate
+    * action derives k; the SQL replay computes the identical scalar.
+    */
+  def kCoreAboveMinDegree(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = Checkpoints.truncate(undirect(edges))
+    val k = und
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(min("deg")).head().getLong(0) + 1L
+    kCoreLoop(und, k.toInt, rounds)
+  }
+
+  private def undirect(edges: DataFrame): DataFrame =
+    edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+
+  private def kCoreLoop(und0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(und: DataFrame): DataFrame =
+      und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    var und = Checkpoints.truncate(und0)
+    var removedLastRound = 0L
+    var r = 0
+    while (r < rounds) {
+      val keep = degrees(und).where(col("degree") >= k).select("node")
+      val next = Checkpoints.truncate(
+        und.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select("a", "b"))
+      // one count action per round, same discipline as pageRankInt
+      removedLastRound = und.count() - next.count()
+      Checkpoints.unpersist(und)
+      und = next
+      r += 1
+    }
+    val converged = removedLastRound == 0L
+    degrees(und).where(col("degree") >= k)
+      .select(col("node"), col("degree"), lit(converged).as("converged"))
+  }
+
   def clusteringCoefficients(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val und = edges
       .select(

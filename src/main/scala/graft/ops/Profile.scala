@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -939,6 +939,51 @@ object Profile {
     * perfectly-correlated features) reports NULL scores rather than a
     * division blow-up.
     */
+  /** RFM (recency / frequency / monetary) quintile segmentation — the
+    * classic customer-base scoring table. Per entity: recency = seconds
+    * from its last event to the corpus frontier (exact long), frequency
+    * = event count, monetary = exact cents sum; each scored 1–5 by
+    * `ntile(5)` over the (metric, id) total order — id ties make the
+    * bucket boundaries reproducible, and the ntile extra-row convention
+    * is shared by Spark and DuckDB (the ns138 precedent). Scores orient
+    * so 5 is best (most recent / most frequent / highest spend);
+    * `segment = r·100 + f·10 + m`.
+    *
+    * Scale note: the per-entity metric table is \|entities\| rows — the
+    * global ntile windows sort THAT dim, never the event volume. At
+    * extreme entity cardinality the quantile-cut route (groupedQuantiles
+    * → broadcast cut points → scan-local bucketing) is the documented
+    * swap with the same output contract.
+    */
+  def rfmSegments(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      valCol: String): DataFrame = {
+    val per = df.groupBy(idCol).agg(
+      max(unix_micros(col(tsCol))).as("_last"),
+      count(lit(1)).as("f"),
+      sum(col(valCol)).as("m"))
+    val w = Window.partitionBy()
+    def nt(order: Column*) = ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    per
+      .withColumn("_frontier", max(col("_last")).over(w))
+      // `div`, never `/`: Column./ on longs is a DOUBLE divide, and a
+      // double quotient near an integer can round UP across the floor
+      .withColumn("recency_s", expr("(_frontier - _last) div 1000000"))
+      .select(
+        col(idCol),
+        col("recency_s"),
+        col("f"),
+        col("m"),
+        (lit(6L) - nt(col("recency_s"), col(idCol))).as("r_score"),
+        nt(col("f"), col(idCol)).as("f_score"),
+        nt(col("m"), col(idCol)).as("m_score"))
+      .withColumn(
+        "segment",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
   def mahalanobis2d(
       df: DataFrame,
       idCol: String,

@@ -1707,6 +1707,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
   }
 
+  test("kCore peels a tail chain down to the triangle core and certifies convergence") {
+    // path 1-2 hanging off triangle 6-7-8 via 2-6: k=2 peels 1, then 2,
+    // then stabilizes on the triangle.
+    val edges = Seq((1L, 2L), (2L, 6L), (6L, 7L), (7L, 8L), (6L, 8L)).toDF("src", "dst")
+    val got = graft.ops.Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((6L, 2L, true), (7L, 2L, true), (8L, 2L, true)), got.toString)
+    // too few rounds: the cascade is mid-flight and convergence is NOT claimed
+    val early = graft.ops.Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getBoolean(2)).distinct
+    assert(early.sameElements(Array(false)), "round-1 peel wrongly claimed convergence")
+  }
+
+  test("modeImpute fills nulls with the group mode; all-null groups keep NULL") {
+    val df = Seq(
+      (1L, "a", "en"), (2L, "a", "en"), (3L, "a", "de"), (4L, "a", null),
+      (5L, "b", null), (6L, "b", null)).toDF("id", "src", "lang")
+    val got = graft.ops.Encode.modeImpute(df, "src", "lang", "imp")
+      .select("id", "imp").as[(Long, Option[String])].collect().toMap
+    assert(got(4L) == Some("en")) // mode of group a
+    assert(got(1L) == Some("en")) // non-null rows keep their value
+    assert(got(5L) == None)       // nothing to impute from
+    // tie breaks toward the LARGER value (documented max-struct order)
+    val tie = Seq((1L, "g", "aa"), (2L, "g", "bb"), (3L, "g", null)).toDF("id", "src", "lang")
+    val t = graft.ops.Encode.modeImpute(tie, "src", "lang", "imp")
+      .select("id", "imp").as[(Long, Option[String])].collect().toMap
+    assert(t(3L) == Some("bb"), t.toString)
+  }
+
+  test("rfmSegments: quintiles orient 5 = best on every axis") {
+    import java.sql.Timestamp
+    // 5 users, one event each: user i at hour i with value 10·i → user 5
+    // is most recent AND highest spend; frequency ties resolve by id.
+    val rows = (1 to 5).map(i =>
+      (i.toLong, new Timestamp(i * 3600L * 1000L), i * 10.0))
+    val df = rows.toDF("user_id", "ts", "value")
+      .withColumn("v", (col("value") * 100).cast("long"))
+    val got = graft.ops.Profile.rfmSegments(df, "user_id", "ts", "v")
+      .select("user_id", "recency_s", "r_score", "m_score")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(5L)._2 == 0L && got(5L)._3 == 5L, got.toString)  // newest → best R
+    assert(got(1L)._3 == 1L)                                     // oldest → worst R
+    assert(got(5L)._4 == 5L && got(1L)._4 == 1L)                 // spend orients up
+  }
+
+  test("ltvCurve: cumulative revenue per cohort member is an exact prefix sum") {
+    import java.sql.Timestamp
+    def ts(week: Int) = new Timestamp(week * 7L * 86400L * 1000L)
+    // cohort week 0: users 1,2 (user 1 returns in week 1); cohort 1: user 3
+    val df = Seq(
+      (1L, ts(0), 100L), (2L, ts(0), 200L), (1L, ts(1), 50L), (3L, ts(1), 70L))
+      .toDF("user_id", "ts", "v")
+    val got = graft.ops.Funnel.ltvCurve(df, "user_id", "ts", "v")
+      .select("cohort_week", "age_weeks", "cum_revenue_c", "cohort_size", "ltv_c")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((0L, 0L)) == ((300L, 2L, 150.0)))
+    assert(got((0L, 1L)) == ((350L, 2L, 175.0))) // cumulative, per member
+    assert(got((1L, 0L)) == ((70L, 1L, 70.0)))
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
