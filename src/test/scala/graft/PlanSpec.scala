@@ -429,4 +429,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("COUNT(*)") && p.contains("MIN(l_quantity)") &&
       p.contains("MAX(l_extendedprice)"), s"missing pushed terms:\n$p")
   }
+
+  test("round-10 batch keeps its scale shapes (LPM broadcast dim, encoder dims, no cartesians)") {
+    // ns171 LPM: the rule dim must BROADCAST into the candidate join —
+    // facts never shuffle for the prefix match.
+    val pLpm = plan(SparkEntry.queries("ns171_lpm_join")(spark, sfDir))
+    assert(pLpm.contains("BroadcastHashJoin"), s"LPM rule dim must broadcast:\n$pLpm")
+    // ns172 target encoding: the category/global dims join back without a
+    // cartesian blow-up (the 1-row global is a broadcast nested loop by
+    // design — a cross join OF ONE ROW — so only CartesianProduct is banned).
+    val pEnc = plan(SparkEntry.queries("ns172_target_encode")(spark, sfDir))
+    assert(!pEnc.contains("CartesianProduct"), s"encoder degraded to cartesian:\n$pEnc")
+    // ns180 sparse cosine: the posting-list self-join is an equi-join on
+    // the term hash (the 1-row corpus-count cross join is a broadcast of
+    // one row, fine) — a CartesianProduct would mean the doc×doc blow-up.
+    val pCos = plan(SparkEntry.queries("ns180_cosine_pairs")(spark, sfDir))
+    assert(!pCos.contains("CartesianProduct"), s"cosine pair join degraded:\n$pCos")
+  }
 }
