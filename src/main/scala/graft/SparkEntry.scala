@@ -7408,6 +7408,49 @@ object SparkEntry {
             .withColumn("v", cents(col("value"))),
           "user_id", "ts", "v")
         .orderBy("cohort_week", "age_weeks")
+    },
+    // NS-A8: audience overlap matrix — exact distinct-entity
+    // intersections + Jaccard for every segment pair.
+    Q(
+      "ns187_audience_overlap",
+      Some(
+        """WITH inc AS (SELECT DISTINCT user_id AS e, event_type AS seg FROM events),
+          |sz AS (SELECT seg, COUNT(*)::BIGINT AS n FROM inc GROUP BY 1),
+          |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, COUNT(*)::BIGINT AS n_both
+          |  FROM inc a JOIN inc b ON a.e = b.e AND a.seg < b.seg GROUP BY 1, 2)
+          |SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_both,
+          |  n_both::DOUBLE / (sa.n + sb.n - n_both)::DOUBLE AS jaccard
+          |FROM p JOIN sz sa ON seg_a = sa.seg JOIN sz sb ON seg_b = sb.seg
+          |ORDER BY seg_a, seg_b""".stripMargin)) { (s, dir) =>
+      graft.ops.Association.audienceOverlap(T(s, dir, "events"), "user_id", "event_type")
+        .orderBy("seg_a", "seg_b")
+    },
+    // NS-P23: drift TIMELINE — per-day total-variation distance against
+    // all prior history; absent-bin mass via inclusion–exclusion.
+    Q(
+      "ns188_drift_timeline",
+      Some(
+        """WITH cells AS (SELECT epoch_us(ts) // 86400000000 AS d,
+          |    CAST(ROUND(value * 100) AS BIGINT) // 500 AS bin, COUNT(*)::BIGINT AS c
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          |dt AS (SELECT d, SUM(c)::BIGINT AS n_day FROM cells GROUP BY 1),
+          |dt2 AS (SELECT d, n_day, coalesce(SUM(n_day) OVER (ORDER BY d
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_prev FROM dt),
+          |cp AS (SELECT cells.*, coalesce(SUM(c) OVER (PARTITION BY bin ORDER BY d
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS p FROM cells),
+          |ag AS (SELECT cp.d AS day, dt2.n_day, dt2.n_prev,
+          |    SUM(abs(c * n_prev - p * n_day))::BIGINT AS dev_present,
+          |    SUM(p)::BIGINT AS p_present
+          |  FROM cp JOIN dt2 ON cp.d = dt2.d GROUP BY 1, 2, 3)
+          |SELECT day, n_day, n_prev,
+          |  (dev_present + (n_prev - p_present) * n_day)::BIGINT AS tvd_num,
+          |  (dev_present + (n_prev - p_present) * n_day)::DOUBLE
+          |    / (2 * n_day * n_prev)::DOUBLE AS tvd
+          |FROM ag WHERE n_prev > 0 ORDER BY day""".stripMargin)) { (s, dir) =>
+      Profile.driftTimeline(
+          T(s, dir, "events").withColumn("v", cents(col("value"))),
+          "ts", "v", binWidth = 500L)
+        .orderBy("day")
     }
   )
 

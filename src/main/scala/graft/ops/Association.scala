@@ -112,4 +112,42 @@ object Association {
       .agg(count(lit(1)).as("n_entities"))
       .where(col("n_entities") >= minSupport)
   }
+
+  /** Audience overlap matrix: for every pair of segments (event types,
+    * campaigns, channels), the EXACT distinct-entity intersection and
+    * its Jaccard — the "how much do these audiences overlap" table a
+    * reach planner reads. Exact by construction: the (entity, segment)
+    * incidence distincts first, intersections come from a per-entity
+    * pair explode (bounded by |segments|² per entity — segments are a
+    * small dim), unions by inclusion–exclusion over exact longs, Jaccard
+    * is one IEEE division.
+    *
+    * Scale shape: the incidence distinct is the only event-volume
+    * shuffle; pair rows are |entities|·C(s,2) with s tiny; marginals
+    * broadcast as a segment-count dim. No HLL needed at this shape — the
+    * sketch route (b85) is the swap once segments × entities outgrows
+    * the exact distinct.
+    */
+  def audienceOverlap(
+      df: DataFrame,
+      entityCol: String,
+      segmentCol: String): DataFrame = {
+    val inc = df
+      .where(col(entityCol).isNotNull && col(segmentCol).isNotNull)
+      .select(col(entityCol).as("e"), col(segmentCol).as("seg"))
+      .distinct()
+    val sizes = inc.groupBy("seg").agg(count(lit(1)).as("n"))
+    val pairs = inc.select(col("e"), col("seg").as("seg_a"))
+      .join(inc.select(col("e"), col("seg").as("seg_b")), Seq("e"))
+      .where(col("seg_a") < col("seg_b"))
+      .groupBy("seg_a", "seg_b")
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(sizes.select(col("seg").as("seg_a"), col("n").as("n_a")), Seq("seg_a"))
+      .join(sizes.select(col("seg").as("seg_b"), col("n").as("n_b")), Seq("seg_b"))
+      .select(
+        col("seg_a"), col("seg_b"), col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+  }
 }

@@ -921,6 +921,54 @@ object Profile {
           .as("cramers_v"))
   }
 
+  /** Drift TIMELINE: each day's value distribution scored by total
+    * variation distance against ALL history before it — the "when did
+    * the data start walking" monitor ([[totalVariationDrift]] is one
+    * comparison; this is the series a dashboard plots). Exact integers
+    * throughout: per-(day, bin) counts, per-bin prefix sums as the
+    * history, and the absent-bin mass folded in by inclusion–exclusion
+    * (`Σ_present |c·N − p·n| + (N − Σ_present p)·n` — history-only bins
+    * contribute p·n without materializing them per day). One division
+    * per day. Day 1 (no history) is excluded by definition.
+    *
+    * Scale shape: events collapse to (day, bin) cells scan-locally; the
+    * prefix windows and the final per-day fold run over that bounded
+    * grid. Nothing re-reads event volume.
+    */
+  def driftTimeline(
+      df: DataFrame,
+      tsCol: String,
+      centsCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    val cells = df
+      .where(col(centsCol).isNotNull)
+      .groupBy(
+        expr(s"unix_micros($tsCol) div 86400000000").as("d"),
+        expr(s"$centsCol div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wBin = Window.partitionBy("bin").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDay = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    val dayTot = cells.groupBy("d").agg(sum("c").as("n_day"))
+      .withColumn("n_prev", coalesce(sum("n_day").over(wDay), lit(0L)))
+    cells
+      .withColumn("p", coalesce(sum("c").over(wBin), lit(0L)))
+      .join(dayTot, Seq("d"))
+      .groupBy(col("d").as("day"), col("n_day"), col("n_prev"))
+      .agg(
+        sum(abs(col("c") * col("n_prev") - col("p") * col("n_day"))).as("dev_present"),
+        sum(col("p")).as("p_present"))
+      .where(col("n_prev") > 0L)
+      .select(
+        col("day"), col("n_day"), col("n_prev"),
+        (col("dev_present") + (col("n_prev") - col("p_present")) * col("n_day"))
+          .as("tvd_num"),
+        ((col("dev_present") + (col("n_prev") - col("p_present")) * col("n_day"))
+          .cast("double") /
+          (lit(2L) * col("n_day") * col("n_prev")).cast("double")).as("tvd"))
+  }
+
   /** Bivariate Mahalanobis-style outlier score: the quadratic form
     * `Syy·dx² − 2·Sxy·dx·dy + Sxx·dy²` over `det = Sxx·Syy − Sxy²`, with
     * deviations and covariance moments SCALED THROUGH by n so every

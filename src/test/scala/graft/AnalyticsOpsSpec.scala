@@ -1768,6 +1768,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got((1L, 0L)) == ((70L, 1L, 70.0)))
   }
 
+  test("audienceOverlap: exact intersections, duplicate events don't inflate") {
+    val df = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),   // user 1 in x (twice) and y
+      (2L, "x"), (3L, "y"), (3L, "z")).toDF("u", "seg")
+    val got = graft.ops.Association.audienceOverlap(df, "u", "seg")
+      .select("seg_a", "seg_b", "n_a", "n_b", "n_both", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("x", "y")) == ((2L, 2L, 1L, 1.0 / 3.0)))
+    assert(got(("y", "z")) == ((2L, 1L, 1L, 0.5)))
+    assert(!got.contains(("x", "z"))) // empty intersections emit nothing
+  }
+
+  test("driftTimeline: identical days score 0, a shifted day scores 1, day one excluded") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // day0: bins {0,1}; day1: same distribution → tvd 0; day2: disjoint bin → tvd 1
+    val df = Seq(
+      (t(0), 100L), (t(0), 600L),
+      (t(1), 100L), (t(1), 600L),
+      (t(2), 5000L), (t(2), 5100L)).toDF("ts", "v")
+    val got = graft.ops.Profile.driftTimeline(df, "ts", "v", binWidth = 500L)
+      .select("day", "tvd").as[(Long, Double)].collect().toMap
+    assert(!got.contains(0L))        // no history for day one
+    assert(got(1L) == 0.0, got.toString)
+    assert(got(2L) == 1.0, got.toString)
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
