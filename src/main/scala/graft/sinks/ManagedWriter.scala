@@ -980,7 +980,38 @@ object ManagedWriter {
         }
       }
     }
+    // Streaming-txn watermarks bind to their own version's manifest the
+    // same way DVs do; a dropped binding target would silently REGRESS
+    // the exactly-once watermark and let a replayed batch double-append.
+    // Re-anchor every queryId whose newest valid watermark rides a
+    // to-be-dropped version onto the newest kept version BEFORE the drop
+    // (writes-before-deletes: a crash in between leaves both valid).
+    locally {
+      val dropSet = drop.toSet
+      val latestKept = keep.last
+      val keptFiles =
+        latestManifest(fs, destDir, Some(latestKept)).map(_._2).getOrElse(Seq.empty)
+      val strays = txnWatermarks(fs, destDir).filter { case (_, (v, _)) => dropSet.contains(v) }
+      if (strays.nonEmpty) {
+        val target = new Path(md, f"txn-v-$latestKept%08d.txt")
+        val existing = if (fs.exists(target)) readLines(fs, target) else Nil
+        val md5 = manifestMd5(keptFiles)
+        val lines = existing ++ strays.toSeq.sortBy(_._1).map {
+          case (qid, (_, bid)) => s"$md5\t$qid\t$bid"
+        }
+        val tmp = new Path(md, s".tmp-txn-${UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, false)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"vacuum could not re-anchor txn watermarks $target")
+        }
+      }
+    }
     drop.foreach(v => fs.delete(new Path(md, f"v-$v%08d.txt"), false))
+    drop.foreach(v => fs.delete(new Path(md, f"txn-v-$v%08d.txt"), false))
     val deleted = physicalFiles(fs, destDir).count { rel =>
       !referenced.contains(rel) && fs.delete(new Path(destDir, rel), false)
     }
@@ -1025,33 +1056,48 @@ object ManagedWriter {
     }
   }
 
-  /** Highest batch id `queryId` has DURABLY committed to `destDir` (−1 if
-    * none): the restart-safe idempotence watermark of the exactly-once
-    * streaming sink ([[graft.streaming.Streams.streamingManagedAppend]]).
-    * Only sidecars whose bound md5 matches the file list actually
-    * published at their version count — a txn written by a commit that
-    * crashed before its manifest rename is invisible, so the batch
-    * correctly replays.
+  /** Every queryId's newest VALID watermark: qid → (carrying version,
+    * batchId). A sidecar line counts only if its bound md5 matches the
+    * file list actually published at its version — a txn written by a
+    * commit that crashed before its manifest rename is invisible, so the
+    * batch correctly replays. (Sidecars may hold several lines: one from
+    * their own commit plus re-anchored watermarks vacuum migrated off
+    * dropped versions.)
     */
-  def lastCommittedBatch(spark: SparkSession, destDir: String, queryId: String): Long = {
-    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def txnWatermarks(
+      fs: FileSystem,
+      destDir: String): Map[String, (Long, Long)] = {
     val md = manifestDir(destDir)
-    if (!fs.exists(md)) return -1L
+    if (!fs.exists(md)) return Map.empty
     fs.listStatus(md).map(_.getPath)
       .filter(p => p.getName.startsWith("txn-v-") && p.getName.endsWith(".txt"))
       .flatMap { p =>
         val v = p.getName.stripPrefix("txn-v-").stripSuffix(".txt").toLong
-        readLines(fs, p).headOption.toSeq.flatMap { line =>
+        val bound = latestManifest(fs, destDir, Some(v)).collect {
+          case (`v`, files) => manifestMd5(files)
+        }
+        readLines(fs, p).flatMap { line =>
           line.split("\t", -1) match {
-            case Array(md5, qid, bid) if qid == queryId =>
-              latestManifest(fs, destDir, Some(v)).toSeq.collect {
-                case (`v`, files) if manifestMd5(files) == md5 => bid.toLong
-              }
-            case _ => Seq.empty
+            case Array(md5, qid, bid) if bound.contains(md5) =>
+              Some((qid, v, bid.toLong))
+            case _ => None
           }
         }
       }
-      .foldLeft(-1L)(math.max)
+      .groupBy(_._1)
+      .map { case (qid, rows) =>
+        val best = rows.maxBy(_._3)
+        qid -> (best._2, best._3)
+      }
+  }
+
+  /** Highest batch id `queryId` has DURABLY committed to `destDir` (−1 if
+    * none): the restart-safe idempotence watermark of the exactly-once
+    * streaming sink ([[graft.streaming.Streams.streamingManagedAppend]]).
+    */
+  def lastCommittedBatch(spark: SparkSession, destDir: String, queryId: String): Long = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    txnWatermarks(fs, destDir).get(queryId).map(_._2).getOrElse(-1L)
   }
 
   private def manifestDir(destDir: String) = new Path(destDir, ManifestDirName)

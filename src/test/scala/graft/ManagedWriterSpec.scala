@@ -696,4 +696,23 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.lastCommittedBatch(spark, dest, "q1") == 1L,
       "a crashed commit's txn sidecar must not advance the watermark")
   }
+
+  test("vacuum re-anchors txn watermarks instead of silently regressing them") {
+    val sup = Tables(spark, sfDir, "supplier")
+    val dest = tmp()
+    (0L to 2L).foreach { bid =>
+      val w = new ManagedWriter(spark, dest, sup.schema, StreamType.Pending,
+        txn = Some(("q1", bid)))
+      w.write(sup); w.finalizeCommit()
+    }
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "q1") == 2L)
+    // a maintenance commit AFTER the stream (no txn) moves the head, so
+    // keepVersions=1 drops every version the watermarks were bound to
+    ManagedWriter.compact(spark, dest, targetFileBytes = 1L << 30)
+    ManagedWriter.vacuum(spark, dest, keepVersions = 1)
+    assert(ManagedWriter.lastCommittedBatch(spark, dest, "q1") == 2L,
+      "vacuum regressed the exactly-once watermark — replays would double-append")
+    // and the table still reads
+    assert(ManagedWriter.read(spark, dest).count() == sup.count() * 3)
+  }
 }
