@@ -7451,6 +7451,38 @@ object SparkEntry {
           T(s, dir, "events").withColumn("v", cents(col("value"))),
           "ts", "v", binWidth = 500L)
         .orderBy("day")
+    },
+    // NS-P24: quantile normalization — view values mapped onto the
+    // purchase distribution by exact order-statistic matching
+    // (max-rank ties, ceil target rank, inverted-CDF interval join).
+    Q(
+      "ns189_quantile_normalize",
+      Some(
+        """WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+          |  WHERE event_type = 'view' AND value IS NOT NULL),
+          |rf AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+          |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+          |sc AS (SELECT v, COUNT(*)::BIGINT AS c FROM s GROUP BY 1),
+          |sr AS (SELECT v, c, SUM(c) OVER (ORDER BY v
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS r,
+          |    SUM(c) OVER ()::BIGINT AS n FROM sc),
+          |rcnt AS (SELECT COUNT(*)::BIGINT AS m FROM rf),
+          |rc AS (SELECT v AS rv, COUNT(*)::BIGINT AS cr FROM rf GROUP BY 1),
+          |rr AS (SELECT rv, cr, SUM(cr) OVER (ORDER BY rv
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM rc),
+          |rr2 AS (SELECT rv, cum, (cum - cr)::BIGINT AS prev FROM rr),
+          |t AS (SELECT sr.v, sr.c, sr.r, sr.n,
+          |    ((sr.r * m + sr.n - 1) // sr.n)::BIGINT AS rp FROM sr CROSS JOIN rcnt)
+          |SELECT t.v, t.c, t.r, t.n, t.rp, rr2.rv AS mapped_v
+          |FROM t JOIN rr2 ON t.rp > rr2.prev AND t.rp <= rr2.cum
+          |ORDER BY t.v""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events").where(col("value").isNotNull)
+        .withColumn("v", cents(col("value")))
+      Profile.quantileNormalize(
+          ev.filter(col("event_type") === "view").select("v"),
+          ev.filter(col("event_type") === "purchase").select("v"),
+          "v")
+        .orderBy("v")
     }
   )
 

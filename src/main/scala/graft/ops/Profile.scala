@@ -921,6 +921,45 @@ object Profile {
           .as("cramers_v"))
   }
 
+  /** Quantile normalization: map a source distribution onto a reference
+    * distribution by matching order statistics — the batch-effect
+    * correction / score-calibration primitive ("rescale model-B scores
+    * so their quantiles line up with model-A's"). Pure counting
+    * arithmetic, no interpolation: each distinct source value takes its
+    * MAX-rank cumulative count r (ties map together, the ns64
+    * order-statistic convention), targets rank `r' = ceil(r·m/n)`
+    * (exact: `(r·m + n − 1) div n`), and maps to the reference's r'-th
+    * order statistic via an interval join against the reference's
+    * cumulative-count ranges — bit-exact end to end.
+    *
+    * Scale shape: both sides collapse to DISTINCT-value count tables
+    * scan-locally (the ns64 skeleton); the rank windows and the interval
+    * join run over those dims, never the row volume. The interval join
+    * is an AQE-broadcast range join when the reference dim is small —
+    * the common case for quantized/cents domains.
+    *
+    * @return one row per distinct source value: `(v, c, r, n, rp,
+    *         mapped_v)` — join back on v for per-row application.
+    */
+  def quantileNormalize(
+      src: DataFrame,
+      ref: DataFrame,
+      valCol: String): DataFrame = {
+    val wOrd = Window.orderBy(valCol).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val rc = ref.groupBy(col(valCol).as("__rv")).agg(count(lit(1)).as("cr"))
+      .withColumn("cum", sum("cr").over(Window.orderBy("__rv").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev", col("cum") - col("cr"))
+    val m = ref.agg(count(lit(1)).as("__m"))
+    src.groupBy(valCol).agg(count(lit(1)).as("c"))
+      .withColumn("r", sum("c").over(wOrd))
+      .withColumn("n", sum("c").over(wAll))
+      .crossJoin(m)
+      .withColumn("rp", expr("(r * __m + n - 1) div n"))
+      .join(rc, col("rp") > col("prev") && col("rp") <= col("cum"))
+      .select(col(valCol), col("c"), col("r"), col("n"), col("rp"), col("__rv").as("mapped_v"))
+  }
+
   /** Drift TIMELINE: each day's value distribution scored by total
     * variation distance against ALL history before it — the "when did
     * the data start walking" monitor ([[totalVariationDrift]] is one

@@ -1796,6 +1796,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(2L) == 1.0, got.toString)
   }
 
+  test("quantileNormalize maps order statistics exactly; ties share a target") {
+    // src {10,20,20,30} (n=4) onto ref {100,200,300,400,500,600,700,800} (m=8)
+    // ranks: 10→1→rp ceil(8/4)=2→200; 20→3→rp 6→600 (both ties); 30→4→rp 8→800
+    val src = Seq(10L, 20L, 20L, 30L).toDF("v")
+    val ref = (1L to 8L).map(_ * 100L).toDF("v")
+    val got = graft.ops.Profile.quantileNormalize(src, ref, "v")
+      .select("v", "c", "rp", "mapped_v").as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((1L, 2L, 200L)), got.toString)
+    assert(got(20L) == ((2L, 6L, 600L)), got.toString)
+    assert(got(30L) == ((1L, 8L, 800L)), got.toString)
+    // identical distributions are a fixpoint
+    val id = graft.ops.Profile.quantileNormalize(ref, ref, "v")
+      .select("v", "mapped_v").as[(Long, Long)].collect()
+    assert(id.forall(r => r._1 == r._2), id.mkString(","))
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
