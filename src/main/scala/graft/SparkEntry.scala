@@ -7483,6 +7483,56 @@ object SparkEntry {
           ev.filter(col("event_type") === "purchase").select("v"),
           "v")
         .orderBy("v")
+    },
+    // NS-X1: two-proportion A/B readout — unit-level conversion, exact
+    // counts, z from the pooled rate with 1/n_a+1/n_b as one exact
+    // rational. No erf p-value by design (the ln/libm rule).
+    Q(
+      "ns190_ab_test",
+      Some(
+        """WITH per AS (SELECT user_id AS u, 'V' || (user_id % 3)::VARCHAR AS variant,
+          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+          |  FROM events GROUP BY 1, 2),
+          |g AS (SELECT variant, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS c FROM per GROUP BY 1)
+          |SELECT a.variant AS variant_a, b.variant AS variant_b, a.n AS n_a, a.c AS c_a,
+          |  b.n AS n_b, b.c AS c_b,
+          |  a.c::DOUBLE / a.n::DOUBLE AS p_a, b.c::DOUBLE / b.n::DOUBLE AS p_b,
+          |  CASE WHEN b.c > 0 THEN (a.c::DOUBLE / a.n::DOUBLE - b.c::DOUBLE / b.n::DOUBLE)
+          |    / (b.c::DOUBLE / b.n::DOUBLE) END AS rel_lift,
+          |  CASE WHEN a.c + b.c > 0 AND a.c + b.c < a.n + b.n THEN
+          |    (a.c::DOUBLE / a.n::DOUBLE - b.c::DOUBLE / b.n::DOUBLE)
+          |    / sqrt(((a.c + b.c)::DOUBLE / (a.n + b.n)::DOUBLE)
+          |      * (1.0 - (a.c + b.c)::DOUBLE / (a.n + b.n)::DOUBLE)
+          |      * ((a.n + b.n)::DOUBLE / (a.n * b.n)::DOUBLE)) END AS z
+          |FROM g a JOIN g b ON a.variant < b.variant
+          |ORDER BY variant_a, variant_b""".stripMargin)) { (s, dir) =>
+      graft.ops.Experiment.abProportionTest(
+          T(s, dir, "events")
+            .withColumn("variant", concat(lit("V"), (col("user_id") % 3).cast("string"))),
+          "user_id", "variant", col("event_type") === "purchase")
+        .orderBy("variant_a", "variant_b")
+    },
+    // NS-A12: association rules — both directions of every frequent
+    // pair with confidence and lift as exact-integer-derived divisions.
+    Q(
+      "ns191_assoc_rules",
+      Some(
+        """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+          |nb AS (SELECT COUNT(DISTINCT bk)::BIGINT AS n FROM b),
+          |isup AS (SELECT i, COUNT(*)::BIGINT AS s FROM b GROUP BY 1),
+          |p AS (SELECT a.i AS item_a, c.i AS item_b, COUNT(*)::BIGINT AS support
+          |  FROM b a JOIN b c ON a.bk = c.bk AND a.i < c.i
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+          |r AS (SELECT item_a AS ante, item_b AS cons, support FROM p
+          |  UNION ALL SELECT item_b, item_a, support FROM p)
+          |SELECT ante, cons, support, sa.s AS n_ante, sc.s AS n_cons, n,
+          |  support::DOUBLE / sa.s::DOUBLE AS confidence,
+          |  (n * support)::DOUBLE / (sa.s * sc.s)::DOUBLE AS lift
+          |FROM r JOIN isup sa ON ante = sa.i JOIN isup sc ON cons = sc.i CROSS JOIN nb
+          |ORDER BY ante, cons""".stripMargin)) { (s, dir) =>
+      graft.ops.Association.rules(
+          T(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
+        .orderBy("ante", "cons")
     }
   )
 

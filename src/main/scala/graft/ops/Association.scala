@@ -113,6 +113,41 @@ object Association {
       .where(col("n_entities") >= minSupport)
   }
 
+  /** Association RULES over the frequent pairs: both directions of every
+    * frequent pair scored by confidence `n_ab/n_a` and lift
+    * `n·n_ab/(n_a·n_b)` — the actionable layer on top of
+    * [[frequentPairs]] ("customers with A also buy B at 3× base rate").
+    * Exact integer counts; confidence and lift are fixed IEEE chains
+    * (lift's numerator `n·n_ab` and denominator `n_a·n_b` are exact
+    * longs, one division) — bit-reproducible.
+    *
+    * Scale shape: adds only \|frequent-pair\|·2 rows of arithmetic and a
+    * broadcast-sized item-support dim on top of frequentPairs' cost.
+    */
+  def rules(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long): DataFrame = {
+    val b = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val nBaskets = b.select("b").distinct().agg(count(lit(1)).as("n"))
+    val itemSupport = b.groupBy("i").agg(count(lit(1)).as("s"))
+    val pairs = frequentPairs(baskets, basketCol, itemCol, minSupport)
+    val both = pairs
+      .select(col("item_a").as("ante"), col("item_b").as("cons"), col("support"))
+      .unionAll(pairs
+        .select(col("item_b").as("ante"), col("item_a").as("cons"), col("support")))
+    both
+      .join(itemSupport.select(col("i").as("ante"), col("s").as("n_ante")), Seq("ante"))
+      .join(itemSupport.select(col("i").as("cons"), col("s").as("n_cons")), Seq("cons"))
+      .crossJoin(nBaskets)
+      .select(
+        col("ante"), col("cons"), col("support"), col("n_ante"), col("n_cons"), col("n"),
+        (col("support").cast("double") / col("n_ante").cast("double")).as("confidence"),
+        ((col("n") * col("support")).cast("double") /
+          (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+  }
+
   /** Audience overlap matrix: for every pair of segments (event types,
     * campaigns, channels), the EXACT distinct-entity intersection and
     * its Jaccard — the "how much do these audiences overlap" table a

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment analysis (north-star extension): the A/B readout layer an
+  * analytics engine serves after the funnel — unit-level conversion,
+  * per-variant rates, and the two-proportion z statistic for every
+  * variant pair.
+  *
+  * Determinism contract: conversions collapse to exact integers at the
+  * UNIT level first (a unit converts once no matter how many events it
+  * emits); rates, the pooled p̂, and the z score are then FIXED chains of
+  * correctly-rounded IEEE ops on exact-integer-derived operands — the
+  * `1/n_a + 1/n_b` term enters as the exact rational
+  * `(n_a+n_b)/(n_a·n_b)` (one division), so the whole statistic is
+  * bit-reproducible against a SQL replay. No normal-CDF p-value on
+  * purpose: erf is libm territory (the ln rule); callers compare |z|
+  * against their critical value, which is how dashboards consume it
+  * anyway.
+  *
+  * Scale shape: one unit-level aggregation (map-side combined), a
+  * |variants|-row reduce, and a |variants|²-row pair join of that dim —
+  * nothing past the first aggregation scales with event volume.
+  */
+object Experiment {
+
+  /** @param isConversion row-level predicate; a unit converts if ANY of
+    *                     its rows satisfies it.
+    * @return one row per ordered variant pair (variant_a < variant_b):
+    *         counts, rates, relative lift (NULL when the baseline rate
+    *         is 0), and z (NULL when the pooled rate is degenerate).
+    */
+  def abProportionTest(
+      df: DataFrame,
+      unitCol: String,
+      variantCol: String,
+      isConversion: Column): DataFrame = {
+    val per = df
+      .groupBy(col(unitCol).as("u"), col(variantCol).as("variant"))
+      .agg(max(isConversion.cast("long")).as("conv"))
+    val g = per.groupBy("variant").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a = g.select(col("variant").as("variant_a"), col("n").as("n_a"), col("c").as("c_a"))
+    val b = g.select(col("variant").as("variant_b"), col("n").as("n_b"), col("c").as("c_b"))
+    val pA = col("c_a").cast("double") / col("n_a").cast("double")
+    val pB = col("c_b").cast("double") / col("n_b").cast("double")
+    val pHat = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    val varTerm = pHat * (lit(1.0) - pHat) *
+      ((col("n_a") + col("n_b")).cast("double") / (col("n_a") * col("n_b")).cast("double"))
+    a.join(b, col("variant_a") < col("variant_b"))
+      .select(
+        col("variant_a"), col("variant_b"),
+        col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        pA.as("p_a"), pB.as("p_b"),
+        when(col("c_b") > 0L, (pA - pB) / pB).as("rel_lift"),
+        when(col("c_a") + col("c_b") > 0L && col("c_a") + col("c_b") < col("n_a") + col("n_b"),
+          (pA - pB) / sqrt(varTerm)).as("z"))
+  }
+}

@@ -1813,6 +1813,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(id.forall(r => r._1 == r._2), id.mkString(","))
   }
 
+  test("abProportionTest: unit-level conversion, textbook z, degenerate guards") {
+    // A: 4 units, 2 convert (one unit converts TWICE — must count once).
+    // B: 4 units, 1 converts. C: 2 units, 0 convert (pooled-0 pair → z NULL vs C? no —
+    // pooled rate vs A is fine; rel_lift vs C is NULL).
+    val df = Seq(
+      (1L, "A", true), (1L, "A", true), (2L, "A", true), (3L, "A", false), (4L, "A", false),
+      (5L, "B", true), (6L, "B", false), (7L, "B", false), (8L, "B", false),
+      (9L, "C", false), (10L, "C", false)).toDF("u", "variant", "conv")
+    val got = graft.ops.Experiment.abProportionTest(df, "u", "variant", col("conv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("A", "B"))
+    assert(ab.getAs[Long]("n_a") == 4L && ab.getAs[Long]("c_a") == 2L)
+    assert(ab.getAs[Long]("c_b") == 1L)
+    // z by hand: p̂ = 3/8, var = .375·.625·(8/16) = 0.1171875, z = .25/sqrt(...)
+    assert(math.abs(ab.getAs[Double]("z") - 0.25 / math.sqrt(0.1171875)) < 1e-12)
+    val ac = got(("A", "C"))
+    assert(ac.isNullAt(ac.fieldIndex("rel_lift")), "lift against a 0-rate baseline must be NULL")
+    assert(!ac.isNullAt(ac.fieldIndex("z")), "pooled rate 2/6 is not degenerate")
+  }
+
+  test("association rules: confidence is directional, lift is symmetric") {
+    // baskets: {1:(a,b)}, {2:(a,b)}, {3:(a,b)}, {4:(a)}, {5:(c)} — n=5
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a"), (5L, "c")).toDF("bk", "i")
+    val got = graft.ops.Association.rules(df, "bk", "i", minSupport = 3L)
+      .select("ante", "cons", "confidence", "lift")
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", "b")) == ((3.0 / 4.0, 15.0 / 12.0))) // conf 3/4, lift 5·3/(4·3)
+    assert(got(("b", "a")) == ((1.0, 15.0 / 12.0)))       // conf 3/3, same lift
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
