@@ -7533,6 +7533,30 @@ object SparkEntry {
       graft.ops.Association.rules(
           T(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
         .orderBy("ante", "cons")
+    },
+    // NS-W13: OPTIMIZE ZORDER — compaction that Morton-clusters the
+    // rewritten files on (o_custkey, o_totalprice); values never change,
+    // so the post-layout read hash-matches the plain aggregate
+    // (ManagedWriterSpec pins the skipping improvement).
+    Q(
+      "ns192_optimize_zorder",
+      Some(
+        s"""SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+           |  ${oSum("o_totalprice")} AS total
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-optz-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w.write(ord.repartition(8))
+      w.finalizeCommit()
+      ManagedWriter.compactZorder(s, dest, targetFileBytes = 256L << 10,
+        clusterCols = Seq("o_custkey", "o_totalprice"))
+      ManagedWriter.read(s, dest)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 

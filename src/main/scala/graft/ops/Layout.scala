@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators: the data-management side of a 100 TB corpus
@@ -73,15 +73,16 @@ object Layout {
     * the write is one range shuffle — the same cost shape as
     * [[writeClustered]].
     */
-  def writeInterleaved(
-      df: DataFrame,
-      path: String,
-      clusterCols: Seq[String],
-      numFiles: Int,
-      bucketBits: Int): String = {
+  /** The Morton (Z-order) interleave key as a COLUMN over `df`: each
+    * cluster column quantile-bucketed into `2^bucketBits` ranks (one
+    * approxQuantile sampling pass — driver-bounded, the standard layout
+    * practice), ranks bit-interleaved LSB-first. Shared by
+    * [[writeInterleaved]] and the managed table's OPTIMIZE-ZORDER
+    * compaction so both layouts cluster identically.
+    */
+  def mortonZ(df: DataFrame, clusterCols: Seq[String], bucketBits: Int): Column = {
     val n = clusterCols.size
     require(n >= 1, "clusterCols empty")
-    require(clusterCols.distinct.size == n, s"duplicate cluster columns: $clusterCols")
     require(n * bucketBits <= 63,
       s"$n cols x $bucketBits bits = ${n * bucketBits} Morton bits; max 63")
     val nb = 1 << bucketBits
@@ -94,11 +95,25 @@ object Layout {
         typedLit(bs.toSeq),
         b => col(c).cast("double") >= b)).cast("long")
     val ranks = clusterCols.zip(allBounds).map { case (c, bs) => rank(c, bs) }
-    val z = (for {
-        i <- 0 until bucketBits
-        (r, j) <- ranks.zipWithIndex
-      } yield shiftright(r, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j)))
+    (for {
+      i <- 0 until bucketBits
+      (r, j) <- ranks.zipWithIndex
+    } yield shiftright(r, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j)))
       .reduce(_ + _)
+  }
+
+  def writeInterleaved(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      numFiles: Int,
+      bucketBits: Int): String = {
+    val n = clusterCols.size
+    require(n >= 1, "clusterCols empty")
+    require(clusterCols.distinct.size == n, s"duplicate cluster columns: $clusterCols")
+    require(n * bucketBits <= 63,
+      s"$n cols x $bucketBits bits = ${n * bucketBits} Morton bits; max 63")
+    val z = mortonZ(df, clusterCols, bucketBits)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")

@@ -215,7 +215,7 @@ object DataSkipping {
     * lines are ignored (skipping is advisory metadata; the manifest owns
     * correctness).
     */
-  private[sinks] def readStats(fs: FileSystem, destDir: String): Map[String, Map[String, ColStats]] = {
+  private[graft] def readStats(fs: FileSystem, destDir: String): Map[String, Map[String, ColStats]] = {
     val md = new Path(destDir, "_graft_manifest")
     if (!fs.exists(md)) return Map.empty
     val statFiles = fs.listStatus(md).map(_.getPath)
@@ -291,7 +291,7 @@ object DataSkipping {
     * true (keep). The evaluation mirrors what the row-wise filter will do,
     * so a `false` here is a proof, not a guess.
     */
-  private[sinks] def mightMatch(st: Map[String, ColStats], f: Filter): Boolean = f match {
+  private[graft] def mightMatch(st: Map[String, ColStats], f: Filter): Boolean = f match {
     case And(l, r) => mightMatch(st, l) && mightMatch(st, r)
     case Or(l, r) => mightMatch(st, l) || mightMatch(st, r)
     case EqualTo(a, v) => rangeMight(st.get(a), v, loOk = _ <= 0, hiOk = _ >= 0)

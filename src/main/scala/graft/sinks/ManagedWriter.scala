@@ -54,7 +54,8 @@ final class ManagedWriter(
     streamType: StreamType = StreamType.Pending,
     allowSchemaEvolution: Boolean = false,
     bloomColumns: Seq[String] = Nil,
-    txn: Option[(String, Long)] = None) {
+    txn: Option[(String, Long)] = None,
+    checks: Seq[graft.ops.Validate.Check] = Nil) {
 
   private val stagingDir = s"$destDir-staging-${UUID.randomUUID().toString.take(8)}"
   private var finalized = false
@@ -108,6 +109,20 @@ final class ManagedWriter(
       require(
         df.schema == expectedSchema,
         s"schema mismatch: got ${df.schema.simpleString}, want ${expectedSchema.simpleString}")
+    }
+    // CHECK constraints (the Delta table-constraint shape): a batch that
+    // violates any declared check is REJECTED whole before a byte stages —
+    // the write-path data-quality gate, evaluated per batch (corpus-level
+    // checks like Unique therefore hold within the batch; cross-batch
+    // uniqueness belongs to merge keys). One extra aggregation pass over
+    // the batch, paid only when checks are declared.
+    if (checks.nonEmpty) {
+      val failed = graft.ops.Validate.validate(df, checks)
+        .where(org.apache.spark.sql.functions.col("violations") > 0L)
+        .collect()
+      require(failed.isEmpty,
+        "CHECK constraint(s) violated, batch rejected: " +
+          failed.map(r => s"${r.getString(0)} (${r.getLong(1)} rows)").mkString(", "))
     }
     val batchDir = s"$stagingDir/batch-$appended"
     // `bloomColumns` ride as parquet writer properties: the writer embeds a
@@ -777,6 +792,52 @@ object ManagedWriter {
     */
   def compact(spark: SparkSession, destDir: String, targetFileBytes: Long): Long =
     compactImpl(spark, destDir, targetFileBytes, crashBeforePublish = false)
+
+  /** OPTIMIZE ZORDER: compaction that also CLUSTERS the rewritten files
+    * on the Morton interleave of `clusterCols`
+    * ([[graft.ops.Layout.mortonZ]] — the same code path as the plain
+    * Z-order write, so both layouts cluster identically), refreshing the
+    * skipping stats so range predicates on ANY cluster column decide
+    * whole files afterward. Values never change; same single-rename
+    * atomic commit, DV-aware read, time-travelable prior layout —
+    * everything [[compact]] guarantees, plus the layout.
+    */
+  def compactZorder(
+      spark: SparkSession,
+      destDir: String,
+      targetFileBytes: Long,
+      clusterCols: Seq[String],
+      bucketBits: Int = 6): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureBaseManifest(fs, destDir)
+    val (baseVersion, baseFiles) = latestManifest(fs, destDir).get
+    if (baseFiles.isEmpty) return baseVersion
+    val dv = effectiveDv(fs, destDir, baseVersion)
+    val base = applyDv(spark,
+      manifestRead(spark, destDir, baseFiles, schemaSidecar(fs, destDir, baseVersion),
+        keepMeta = dv.nonEmpty),
+      dv, keepMeta = false)
+    val bytes = baseFiles.map(f => fs.getFileStatus(new Path(destDir, f)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = new Path(s"$destDir-zorder-${UUID.randomUUID().toString.take(8)}")
+    try {
+      import org.apache.spark.sql.functions.col
+      base
+        .withColumn("_graft_z", graft.ops.Layout.mortonZ(base, clusterCols, bucketBits))
+        .repartitionByRange(nOut, col("_graft_z"))
+        .sortWithinPartitions("_graft_z")
+        .drop("_graft_z")
+        .write.mode("errorifexists").parquet(staging.toString)
+      val promoted = promoteDir(fs, staging, destDir)
+      publishExactManifest(fs, destDir, baseVersion, promoted)
+      writeSchemaSidecar(fs, destDir, baseVersion + 1, base.schema)
+      DataSkipping.writeStats(fs, destDir, promoted)
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+    baseVersion + 1
+  }
 
   /** SCOPED compaction — the Delta `OPTIMIZE ... WHERE` shape the full
     * [[compact]] scaladoc names as the petabyte answer: only the files

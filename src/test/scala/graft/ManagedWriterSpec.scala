@@ -697,6 +697,51 @@ class ManagedWriterSpec extends SparkSpec {
       "a crashed commit's txn sidecar must not advance the watermark")
   }
 
+  test("compactZorder clusters so a 2nd-column range decides whole files; rows unchanged") {
+    import org.apache.spark.sql.functions.col
+    val ord = Tables(spark, sfDir, "orders")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, ord.schema, StreamType.Pending)
+    w.write(ord.repartition(8)) // round-robin: every file spans every range
+    w.finalizeCommit()
+    val before = rowsOf(ManagedWriter.read(spark, dest))
+    ManagedWriter.compactZorder(spark, dest, targetFileBytes = 64L << 10,
+      clusterCols = Seq("o_custkey", "o_totalprice"))
+    assert(rowsOf(ManagedWriter.read(spark, dest)) == before)
+    // a narrow o_custkey range must now be DECIDABLE from stats for most
+    // files (round-robin layout decides none — every file spans the range)
+    val (decided, scanned) = ManagedWriter.read(spark, dest).inputFiles.length match {
+      case nf if nf >= 4 =>
+        val fs = new org.apache.hadoop.fs.Path(dest)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stats = graft.sinks.DataSkipping.readStats(fs, dest)
+        val files = ManagedWriter.read(spark, dest).inputFiles
+          .map(f => f.substring(f.lastIndexOf('/') + 1))
+        val filter = org.apache.spark.sql.sources.LessThan("o_custkey", 50L)
+        val excluded = files.count(f =>
+          stats.get(f).exists(st => !graft.sinks.DataSkipping.mightMatch(st, filter)))
+        (excluded, files.length)
+      case nf => (nf, nf)
+    }
+    assert(decided > 0, s"zorder layout decided no files ($scanned scanned)")
+  }
+
+  test("CHECK constraints reject a violating batch whole; clean batches commit") {
+    import spark.implicits._
+    val schema = Seq((1L, 5.0)).toDF("id", "v").schema
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, schema, StreamType.Pending,
+      checks = Seq(graft.ops.Validate.InRange("v", 0.0, 100.0), graft.ops.Validate.NotNull("id")))
+    w.write(Seq((1L, 5.0), (2L, 99.0)).toDF("id", "v"))
+    val bad = intercept[IllegalArgumentException] {
+      w.write(Seq((3L, 5.0), (4L, 500.0)).toDF("id", "v"))
+    }
+    assert(bad.getMessage.contains("in_range_v"), bad.getMessage)
+    w.finalizeCommit()
+    // only the clean batch landed
+    assert(ManagedWriter.read(spark, dest).count() == 2L)
+  }
+
   test("vacuum re-anchors txn watermarks instead of silently regressing them") {
     val sup = Tables(spark, sfDir, "supplier")
     val dest = tmp()
