@@ -793,6 +793,47 @@ object ManagedWriter {
   def compact(spark: SparkSession, destDir: String, targetFileBytes: Long): Long =
     compactImpl(spark, destDir, targetFileBytes, crashBeforePublish = false)
 
+  /** RESTORE: roll the table back to `version`'s content as a NEW
+    * commit (Delta RESTORE semantics — history moves forward, nothing is
+    * erased; the bad head stays time-travelable for forensics). Pure
+    * metadata: the restored version's file list republishes at the next
+    * version, its declared schema re-sidecars, and the single-rename
+    * commit point makes the rollback atomic. DV correctness rides on the
+    * same name-binding property every layout op here uses: the restored
+    * manifest is byte-identical (serializeManifest is canonical) to the
+    * original's, so the original version's DV sidecar VALIDATES against
+    * the new head and deletions stay applied.
+    */
+  def restore(spark: SparkSession, destDir: String, version: Long): Long = {
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (head, _) = latestManifest(fs, destDir).getOrElse(
+      throw new IllegalArgumentException(s"restore: no committed versions at $destDir"))
+    val files = latestManifest(fs, destDir, Some(version)).collect {
+      case (`version`, fl) => fl
+    }.getOrElse(throw new IllegalArgumentException(
+      s"restore: version $version does not exist (vacuumed or never committed)"))
+    val dv = effectiveDv(fs, destDir, version)
+    publishExactManifest(fs, destDir, head, files)
+    schemaSidecar(fs, destDir, version).foreach(sch =>
+      writeSchemaSidecar(fs, destDir, head + 1, sch))
+    // re-bind the restored version's DV to the new head explicitly (the
+    // canonical-manifest argument makes the OLD sidecar validate too, but
+    // an explicit binding survives a later vacuum of the old version)
+    if (dv.nonEmpty) {
+      dv.posDir match {
+        case Some(src) =>
+          val dst = new Path(manifestDir(destDir), f"dv-v-${head + 1}%08d.pos")
+          if (!fs.exists(dst))
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, fs.getConf)
+          writeDvSidecar(fs, destDir, head + 1, serializeManifest(files), Seq(DvPosMarker))
+        case None =>
+          writeDvSidecar(fs, destDir, head + 1, serializeManifest(files),
+            dv.inline.map { case (f, p) => s"$f\t$p" })
+      }
+    }
+    head + 1
+  }
+
   /** OPTIMIZE ZORDER: compaction that also CLUSTERS the rewritten files
     * on the Morton interleave of `clusterCols`
     * ([[graft.ops.Layout.mortonZ]] — the same code path as the plain

@@ -742,6 +742,36 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.read(spark, dest).count() == 2L)
   }
 
+  test("restore rolls back as a new commit; bad head stays travelable; DVs survive") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = (1L to 50L).map(i => (i, i * 2L)).toDF("id", "v")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base); w.finalizeCommit()
+    val v1 = ManagedWriter.versions(spark, dest).last
+    // delete id 7 via DV at v2, then a "bad" append at v3
+    ManagedWriter.mergeDV(spark, dest,
+      Seq((7L, 0L, "D")).toDF("id", "v", "op"), Seq("id"), "op")
+    val v2 = ManagedWriter.versions(spark, dest).last
+    val w2 = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w2.write(Seq((999L, 0L)).toDF("id", "v")); w2.finalizeCommit()
+    assert(ManagedWriter.read(spark, dest).where(col("id") === 999L).count() == 1L)
+    // restore to v2: the bad row is gone, the DV deletion still applies
+    val v4 = ManagedWriter.restore(spark, dest, v2)
+    val now = ManagedWriter.read(spark, dest)
+    assert(now.where(col("id") === 999L).count() == 0L)
+    assert(now.where(col("id") === 7L).count() == 0L, "restore dropped the deletion vector")
+    assert(now.count() == 49L)
+    // forward history intact: the bad head is still readable
+    assert(ManagedWriter.readVersion(spark, dest, v4 - 1)
+      .where(col("id") === 999L).count() == 1L)
+    // restoring a never-committed version fails loudly
+    intercept[IllegalArgumentException](ManagedWriter.restore(spark, dest, 9999L))
+    assert(v4 > v2 && ManagedWriter.versions(spark, dest).last == v4)
+    assert(ManagedWriter.readVersion(spark, dest, v1).count() == 50L)
+  }
+
   test("vacuum re-anchors txn watermarks instead of silently regressing them") {
     val sup = Tables(spark, sfDir, "supplier")
     val dest = tmp()
