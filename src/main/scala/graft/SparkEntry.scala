@@ -7557,6 +7557,70 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
         .orderBy("o_orderpriority")
+    },
+    // NS-P25: grouped median with the distribution-free binomial
+    // order-statistic CI — ranks by floor/ceil on deterministic doubles
+    // (z as a string-parsed literal), values by order-statistic counting.
+    Q(
+      "ns193_median_ci",
+      Some(
+        """WITH e AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+          |  WHERE value IS NOT NULL),
+          |c AS (SELECT event_type, v, COUNT(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+          |m AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY v
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+          |    SUM(c) OVER (PARTITION BY event_type)::BIGINT AS n FROM c),
+          |r AS (SELECT *, ((n + 1) // 2)::BIGINT AS r_med,
+          |    GREATEST(1, CAST(floor((n::DOUBLE - CAST('1.959963984540054' AS DOUBLE)
+          |      * sqrt(n::DOUBLE)) / 2.0) AS BIGINT))::BIGINT AS r_lo,
+          |    LEAST(n, CAST(ceil((n::DOUBLE + CAST('1.959963984540054' AS DOUBLE)
+          |      * sqrt(n::DOUBLE)) / 2.0) + 1.0 AS BIGINT))::BIGINT AS r_hi FROM m)
+          |SELECT event_type, MAX(n)::BIGINT AS n,
+          |  MAX(r_lo)::BIGINT AS r_lo, MAX(r_med)::BIGINT AS r_med, MAX(r_hi)::BIGINT AS r_hi,
+          |  MIN(CASE WHEN cum >= r_lo THEN v END)::BIGINT AS ci_lo,
+          |  MIN(CASE WHEN cum >= r_med THEN v END)::BIGINT AS median_v,
+          |  MIN(CASE WHEN cum >= r_hi THEN v END)::BIGINT AS ci_hi
+          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, dir) =>
+      Profile.groupedMedianCI(
+          T(s, dir, "events").withColumn("v", cents(col("value"))),
+          "event_type", "v")
+        .orderBy("event_type")
+    },
+    // NS-S14: matryoshka truncation recall — top-5 cosine neighbors on
+    // the FIRST-16-DIM prefix scored against full-vector ground truth;
+    // exact integer hits per query (the dimension-reduction QUALITY gate
+    // next to ns96's IVF recall gate).
+    Q(
+      "ns194_matryoshka_recall",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT * FROM e WHERE vec_id < 20),
+           |sf AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCosine("q.v", "c.v")} AS cos
+           |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+           |rf AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM sf),
+           |topf AS (SELECT qid, nid FROM rf WHERE rk <= 5),
+           |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+           |qt AS (SELECT * FROM et WHERE vec_id < 20),
+           |st AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCosine("q.v", "c.v")} AS cos
+           |  FROM qt q JOIN et c ON q.vec_id <> c.vec_id),
+           |rt AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM st),
+           |topt AS (SELECT qid, nid FROM rt WHERE rk <= 5)
+           |SELECT t.qid AS qid, COUNT(f.nid)::BIGINT AS hits
+           |FROM topt t LEFT JOIN topf f ON t.qid = f.qid AND t.nid = f.nid
+           |GROUP BY 1 ORDER BY t.qid""".stripMargin)) { (s, dir) =>
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val trunc = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      val part = Similarity.bruteForceTopK(
+        trunc, trunc.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      part.select("qid", "nid")
+        .join(full.select("qid", "nid").withColumn("hit", lit(1L)), Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .orderBy("qid")
     }
   )
 

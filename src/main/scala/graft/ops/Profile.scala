@@ -921,6 +921,47 @@ object Profile {
           .as("cramers_v"))
   }
 
+  /** Grouped median with a DISTRIBUTION-FREE confidence interval: the
+    * binomial order-statistic CI (lower/upper ranks
+    * `⌊(n ∓ z·√n)/2⌋ / ⌈(n ± z·√n)/2⌉+1`, clamped to [1, n]) — the
+    * assumption-free error bar a metrics dashboard should put on every
+    * median. Runs on the ns64 order-statistic counting skeleton (per-
+    * group distinct-value cumulative counts; a rank resolves to the
+    * smallest value whose cumulative count reaches it), so no group ever
+    * buffers; the rank arithmetic is a fixed floor/ceil chain on
+    * deterministic doubles with z as a correctly-rounded literal.
+    *
+    * Output per group: n, the three ranks, and the value at each
+    * (ci_lo ≤ median_v ≤ ci_hi; median = the (n+1) div 2 lower-median
+    * convention).
+    */
+  def groupedMedianCI(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      z: Double = 1.959963984540054): DataFrame = {
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(Window.partitionBy(groupCol).orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+    val nD = col("n").cast("double")
+    val rMed = expr("(n + 1) div 2")
+    val rLo = greatest(lit(1L),
+      floor((nD - lit(z) * sqrt(nD)) / lit(2.0)).cast("long"))
+    val rHi = least(col("n"),
+      (ceil((nD + lit(z) * sqrt(nD)) / lit(2.0)) + lit(1.0)).cast("long"))
+    def pick(r: Column, name: String) =
+      min(when(col("cum") >= r, col(valCol))).alias(name)
+    cum
+      .groupBy(groupCol)
+      .agg(
+        max(col("n")).as("n"),
+        max(rLo).as("r_lo"), max(rMed).as("r_med"), max(rHi).as("r_hi"),
+        pick(rLo, "ci_lo"), pick(rMed, "median_v"), pick(rHi, "ci_hi"))
+  }
+
   /** Quantile normalization: map a source distribution onto a reference
     * distribution by matching order statistics — the batch-effect
     * correction / score-calibration primitive ("rescale model-B scores

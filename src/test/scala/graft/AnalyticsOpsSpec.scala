@@ -1845,6 +1845,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(("b", "a")) == ((1.0, 15.0 / 12.0)))       // conf 3/3, same lift
   }
 
+  test("groupedMedianCI: the CI brackets the median and widens like 1/sqrt(n)") {
+    // 1..100: median (lower) at rank 50 → 50; ranks lo=40, hi=61 at z≈1.96
+    val df = (1L to 100L).map(v => ("g", v)).toDF("grp", "v")
+    val r = graft.ops.Profile.groupedMedianCI(df, "grp", "v").collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("median_v") == 50L)
+    val (lo, hi) = (r.getAs[Long]("ci_lo"), r.getAs[Long]("ci_hi"))
+    assert(lo < 50L && hi > 50L, s"CI [$lo, $hi] must bracket the median")
+    assert(r.getAs[Long]("r_lo") == 40L && r.getAs[Long]("r_hi") == 61L,
+      s"ranks ${r.getAs[Long]("r_lo")}/${r.getAs[Long]("r_hi")}")
+    // tiny group: ranks clamp to [1, n]
+    val tiny = Seq(("t", 5L), ("t", 6L)).toDF("grp", "v")
+    val t = graft.ops.Profile.groupedMedianCI(tiny, "grp", "v").collect().head
+    assert(t.getAs[Long]("r_lo") == 1L && t.getAs[Long]("r_hi") == 2L)
+    assert(t.getAs[Long]("ci_lo") == 5L && t.getAs[Long]("ci_hi") == 6L)
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
