@@ -131,7 +131,31 @@ object Bench {
     // fingerprint-rank window — linear. (ns169 is excluded: its
     // documented n·Σv² < 2⁶³ budget would breach at 10× replication in
     // cents units — the op's contract says re-unit, the screen honors it.)
-    "ns168")
+    "ns168",
+    // round-9 batch: O(cap)-state heavy hitters (ns170), broadcast-dim
+    // LPM (ns171), dim-join target encoding (ns172), oriented-wedge
+    // clustering coefficients (ns173 — per-replica graphs under shifted
+    // keys, like ns97), fixed-bin TVD (ns174), bounded-cell Cramér's V
+    // (ns175), 9-digit Benford (ns176), per-key change point (ns177),
+    // fixed-grid lag xcorr (ns178) — all linear under key-shifted
+    // replication. Excluded with documented reasons: ns179 (the same
+    // n·Σv² moment budget as ns169 breaches at 10× in cents units —
+    // re-unit is the op's contract), ns180 (pairwise class: replicated
+    // near-identical texts make the OUTPUT pair set quadratic in the
+    // fixture), ns181 (event_type is a FIXED-cardinality partition key,
+    // so per-key window volume grows 10× — the op's documented topk-agg
+    // swap case), ns194 (embeddings, not replicated).
+    "ns170", "ns171", "ns172", "ns173", "ns174", "ns175", "ns176",
+    "ns177", "ns178",
+    // layout commits (ns182/ns192 — linear rewrite of the replica),
+    // bounded-round k-core peel (ns183), modal dim (ns184), entity-dim
+    // RFM ntiles (ns185), grid-bounded LTV (ns186), C(s,2) overlap
+    // (ns187), cell-grid drift timeline (ns188), distinct-value-dim
+    // quantile normalization (ns189), variant-dim A/B (ns190),
+    // basket-pair rules (ns191 — same class as ns131), counting-skeleton
+    // median CI (ns193).
+    "ns182", "ns183", "ns184", "ns185", "ns186", "ns187", "ns188",
+    "ns189", "ns190", "ns191", "ns192", "ns193")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
