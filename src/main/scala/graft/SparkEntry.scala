@@ -6524,9 +6524,11 @@ object SparkEntry {
       val li = T(s, dir, "lineitem")
       val a = li.select(col("l_partkey").cast("string").as("k"))
       val b = li.where(col("l_quantity") >= 45).select(col("l_partkey").cast("string").as("k"))
-      val est = Sketch.cmsJoinSizeEstimate(
-        Sketch.cmsCounters(a, "k", depth, width),
-        Sketch.cmsCounters(b, "k", depth, width))
+      // subset case → fused single-scan dual sketch (identical cells to
+      // the two cmsCounters builds the oracle replays)
+      val est = Sketch.cmsJoinSizeEstimateFiltered(
+        li.select(col("l_partkey").cast("string").as("k"), col("l_quantity")),
+        "k", col("l_quantity") >= 45, depth, width)
       val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
         .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
         .agg(sum(col("ca") * col("cb")).as("exact_join_size"))

@@ -129,6 +129,34 @@ object Sketch {
       .agg(sum(col("_ca") * col("_cb")).as("_ip"))
       .agg(min("_ip").as("est_join_size"))
 
+  /** [[cmsJoinSizeEstimate]] for the SUBSET case (`b = a WHERE pred`,
+    * the planner's commonest ask): both sketches build from ONE scan —
+    * each bucket row carries the total count and the flagged count —
+    * and the per-row inner product needs no join at all. Identical math
+    * to building the two sketches separately (the flagged rows ARE b's
+    * sketch, cell for cell), at half the scan and hash cost; the ns150
+    * gate's oracle replays the two-sketch spelling and still matches.
+    */
+  def cmsJoinSizeEstimateFiltered(
+      occurrences: DataFrame,
+      tokenCol: String,
+      bFlag: Column,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
+    occurrences
+      .select(
+        baseHash(col(tokenCol)).as("_b"),
+        bFlag.cast("long").as("_f"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), bucketOf(col("r"), col("_b"), width).as("bucket"), col("_f"))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("_ca"), sum("_f").as("_cb"))
+      .groupBy("r")
+      .agg(sum(col("_ca") * col("_cb")).as("_ip"))
+      .agg(min("_ip").as("est_join_size"))
+  }
+
   /** Rolling-window distinct counting from PERSISTED hourly HLL sketches
     * (the "DAU over a trailing 24 h window, every hour" production
     * pattern): one sketch per hour bucket, each trailing window unions
