@@ -7623,6 +7623,61 @@ object SparkEntry {
         .groupBy("qid")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
         .orderBy("qid")
+    },
+    // NS-A13: co-visitation with LINEAR recency decay — "viewed X also
+    // viewed Y", near-in-time co-visits weighted higher; exact integer
+    // weights (exp decay is libm territory by the ln rule).
+    Q(
+      "ns195_covisitation",
+      Some(
+        """WITH e AS (SELECT user_id AS u, TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS i,
+          |    epoch_us(ts) // 86400000000 AS d FROM events),
+          |ft AS (SELECT u, i, MIN(d)::BIGINT AS d FROM e WHERE i IS NOT NULL GROUP BY 1, 2),
+          |p AS (SELECT a.i AS item_a, b.i AS item_b, abs(a.d - b.d)::BIGINT AS gap
+          |  FROM ft a JOIN ft b ON a.u = b.u AND a.i < b.i WHERE abs(a.d - b.d) < 7)
+          |SELECT item_a, item_b, COUNT(*)::BIGINT AS n_covisits,
+          |  SUM(7 - gap)::BIGINT AS weight
+          |FROM p GROUP BY 1, 2 ORDER BY item_a, item_b""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events").select(
+        col("user_id"),
+        expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)").as("item"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      graft.ops.Association.covisitation(ev, "user_id", "item", "day", windowDays = 7)
+        .orderBy("item_a", "item_b")
+    },
+    // NS-P26: period-over-period rank movers — parts ranked by exact
+    // cents revenue in each shipdate half; top-20 by |rank delta|.
+    Q(
+      "ns196_rank_movers",
+      Some(
+        """WITH li AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rev,
+          |    epoch_us(l_shipdate)::BIGINT AS t FROM lineitem),
+          |bd AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM li),
+          |w AS (SELECT l_partkey, rev, (t * 2 <= tmin + tmax) AS fh FROM li CROSS JOIN bd),
+          |a AS (SELECT l_partkey, SUM(rev)::BIGINT AS val_prev FROM w WHERE fh GROUP BY 1),
+          |ar AS (SELECT *, row_number() OVER (ORDER BY val_prev DESC, l_partkey)::BIGINT
+          |    AS rank_prev FROM a),
+          |b AS (SELECT l_partkey, SUM(rev)::BIGINT AS val_cur FROM w WHERE NOT fh GROUP BY 1),
+          |br AS (SELECT *, row_number() OVER (ORDER BY val_cur DESC, l_partkey)::BIGINT
+          |    AS rank_cur FROM b),
+          |j AS (SELECT ar.l_partkey, val_prev, rank_prev, val_cur, rank_cur,
+          |    (rank_prev - rank_cur)::BIGINT AS delta FROM ar JOIN br ON ar.l_partkey = br.l_partkey),
+          |k AS (SELECT *, row_number() OVER (ORDER BY abs(delta) DESC, l_partkey)::BIGINT
+          |    AS mover_rank FROM j)
+          |SELECT l_partkey, val_prev, rank_prev, val_cur, rank_cur, delta, mover_rank
+          |FROM k WHERE mover_rank <= 20 ORDER BY mover_rank""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem").select(
+        col("l_partkey"), cents(col("l_extendedprice")).as("rev"),
+        // l_shipdate reads as TIMESTAMP_NTZ; the UTC-session cast is
+        // value-preserving (the Tables.scala events convention)
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("t"))
+      val w = li.crossJoin(li.agg(min("t").as("tmin"), max("t").as("tmax")))
+        .withColumn("fh", col("t") * 2 <= col("tmin") + col("tmax"))
+      Profile.rankMovers(
+          w.filter(col("fh")).select("l_partkey", "rev"),
+          w.filter(!col("fh")).select("l_partkey", "rev"),
+          "l_partkey", "rev", topK = 20)
+        .orderBy("mover_rank")
     }
   )
 

@@ -148,6 +148,41 @@ object Association {
           (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
   }
 
+  /** Co-visitation mining with LINEAR recency decay: for every item pair
+    * some entity touched both of, the summed weight
+    * `max(0, W − |day_i − day_j|)` over entities — the classic
+    * "people who viewed X also viewed Y" recommendation prior, with
+    * near-in-time co-visits counting more. The decay is deliberately
+    * LINEAR (exact integers) rather than exponential — `exp` is libm
+    * territory (the ln rule) and the linear window is what co-visit
+    * caches ship anyway.
+    *
+    * Scale shape: one (entity, item) first-touch aggregation, then a
+    * per-entity pair join bounded by C(items-per-entity, 2) — the
+    * entity's own breadth, never the catalog; weights combine map-side
+    * into ≤ \|item-pair\| rows.
+    */
+  def covisitation(
+      df: DataFrame,
+      entityCol: String,
+      itemCol: String,
+      dayCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ft = df
+      .where(col(itemCol).isNotNull)
+      .groupBy(col(entityCol).as("e"), col(itemCol).as("i"))
+      .agg(min(col(dayCol)).as("d"))
+    val gap = abs(col("d_a") - col("d_b"))
+    ft.select(col("e"), col("i").as("item_a"), col("d").as("d_a"))
+      .join(ft.select(col("e"), col("i").as("item_b"), col("d").as("d_b")), Seq("e"))
+      .where(col("item_a") < col("item_b") && gap < windowDays)
+      .groupBy("item_a", "item_b")
+      .agg(
+        count(lit(1)).as("n_covisits"),
+        sum(lit(windowDays.toLong) - gap).as("weight"))
+  }
+
   /** Audience overlap matrix: for every pair of segments (event types,
     * campaigns, channels), the EXACT distinct-entity intersection and
     * its Jaccard — the "how much do these audiences overlap" table a

@@ -921,6 +921,36 @@ object Profile {
           .as("cramers_v"))
   }
 
+  /** Period-over-period RANK MOVERS: entities ranked by a metric in two
+    * periods, reported by how far they climbed or fell — the "top
+    * movers" BI report. Exact cents metrics, dense total orders via
+    * `row_number` over (metric DESC, key), signed `delta = rank_prev −
+    * rank_cur` (positive = climbed), top-k by (|delta| DESC, key).
+    * Entities present in BOTH periods only (a debut has no prior rank —
+    * documented semantics).
+    *
+    * Scale shape: raw volume collapses to per-period entity aggregates
+    * first; the rank windows and the mover join run over those
+    * \|entities\|-row dims.
+    */
+  def rankMovers(
+      prev: DataFrame,
+      cur: DataFrame,
+      keyCol: String,
+      valCol: String,
+      topK: Int): DataFrame = {
+    def ranked(df: DataFrame, v: String, r: String) =
+      df.groupBy(keyCol).agg(sum(col(valCol)).as(v))
+        .withColumn(r, row_number().over(Window.orderBy(col(v).desc, col(keyCol))).cast("long"))
+    ranked(prev, "val_prev", "rank_prev")
+      .join(ranked(cur, "val_cur", "rank_cur"), Seq(keyCol))
+      .withColumn("delta", col("rank_prev") - col("rank_cur"))
+      .withColumn(
+        "mover_rank",
+        row_number().over(Window.orderBy(abs(col("delta")).desc, col(keyCol))).cast("long"))
+      .where(col("mover_rank") <= topK)
+  }
+
   /** Grouped median with a DISTRIBUTION-FREE confidence interval: the
     * binomial order-statistic CI (lower/upper ranks
     * `⌊(n ∓ z·√n)/2⌋ / ⌈(n ± z·√n)/2⌉+1`, clamped to [1, n]) — the

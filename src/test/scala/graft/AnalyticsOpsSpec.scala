@@ -1862,6 +1862,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(t.getAs[Long]("ci_lo") == 5L && t.getAs[Long]("ci_hi") == 6L)
   }
 
+  test("covisitation: same-day pairs weigh full window; out-of-window pairs drop") {
+    // user 1 touches items 10,20 same day (gap 0 → weight 7) and item 30
+    // ten days later (out of window); user 2 repeats (10,20) a day apart.
+    val df = Seq(
+      (1L, 10L, 0L), (1L, 20L, 0L), (1L, 30L, 10L),
+      (2L, 10L, 5L), (2L, 20L, 6L)).toDF("u", "item", "day")
+    val got = graft.ops.Association.covisitation(df, "u", "item", "day", windowDays = 7)
+      .select("item_a", "item_b", "n_covisits", "weight")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((10L, 20L)) == ((2L, 13L)), got.toString) // 7 + (7−1)
+    assert(!got.contains((10L, 30L)) && !got.contains((20L, 30L)))
+  }
+
+  test("rankMovers: climbs are positive, debuts excluded, top-k by |delta|") {
+    // prev: a=100, b=90, c=80 → ranks 1,2,3; cur: c=100, a=90 (b gone, d debuts)
+    val prev = Seq(("a", 100L), ("b", 90L), ("c", 80L)).toDF("k", "v")
+    val cur = Seq(("c", 100L), ("a", 90L), ("d", 50L)).toDF("k", "v")
+    val got = graft.ops.Profile.rankMovers(prev, cur, "k", "v", topK = 10)
+      .select("k", "rank_prev", "rank_cur", "delta")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("c")._4 == 2L, got.toString)  // 3 → 1: climbed 2
+    assert(got("a")._4 == -1L)               // 1 → 2: fell 1
+    assert(!got.contains("b") && !got.contains("d"))
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
