@@ -7678,6 +7678,29 @@ object SparkEntry {
           w.filter(!col("fh")).select("l_partkey", "rev"),
           "l_partkey", "rev", topK = 20)
         .orderBy("mover_rank")
+    },
+    // NS-W14: Hive-PARTITIONED managed table — the staged batch promotes
+    // with its key=value directories intact, the manifest records nested
+    // names, and every managed read partition-prunes (ManagedWriterSpec
+    // pins PartitionFilters); values round-trip exactly.
+    Q(
+      "ns197_partitioned_managed",
+      Some(
+        s"""SELECT event_type, COUNT(*)::BIGINT AS n, ${oSum("value")} AS total
+           |FROM events WHERE event_type IN ('purchase', 'view')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-partm-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, ev.schema, StreamType.Pending,
+        partitionCols = Seq("event_type"))
+      w.write(ev)
+      w.finalizeCommit()
+      ManagedWriter.read(s, dest)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), fsum(col("value")).as("total"))
+        .orderBy("event_type")
     }
   )
 

@@ -55,7 +55,11 @@ final class ManagedWriter(
     allowSchemaEvolution: Boolean = false,
     bloomColumns: Seq[String] = Nil,
     txn: Option[(String, Long)] = None,
-    checks: Seq[graft.ops.Validate.Check] = Nil) {
+    checks: Seq[graft.ops.Validate.Check] = Nil,
+    partitionCols: Seq[String] = Nil) {
+
+  require(partitionCols.forall(expectedSchema.fieldNames.contains),
+    s"partition columns ${partitionCols.filterNot(expectedSchema.fieldNames.contains).mkString(", ")} absent from the schema")
 
   private val stagingDir = s"$destDir-staging-${UUID.randomUUID().toString.take(8)}"
   private var finalized = false
@@ -129,9 +133,14 @@ final class ManagedWriter(
     // split-block Bloom filter per named column INSIDE each produced file —
     // no extra data pass, no sidecar; DataSkipping.readSkippingBloom probes
     // them at plan time for point-lookup pruning beyond min/max zone maps.
-    df.write
-      .options(DataSkipping.bloomWriteOptions(bloomColumns))
-      .mode("errorifexists").parquet(batchDir)
+    // Hive-partitioned managed layout: the staged batch (and therefore
+    // the destination) carries key=value directories; the manifest holds
+    // the NESTED relative names and the read path's basePath option
+    // re-infers the partition columns, so partition PRUNING works on
+    // every managed read with zero extra machinery.
+    val writer0 = df.write.options(DataSkipping.bloomWriteOptions(bloomColumns))
+    val writer = if (partitionCols.isEmpty) writer0 else writer0.partitionBy(partitionCols: _*)
+    writer.mode("errorifexists").parquet(batchDir)
     appended += 1
     val n = spark.read.parquet(batchDir).count()
     if (streamType == StreamType.Committed) {
@@ -232,22 +241,35 @@ object ManagedWriter {
   private def promoteDir(fs: FileSystem, batchPath: Path, destDir: String): Seq[String] = {
     val dest = new Path(destDir)
     if (!fs.exists(dest)) fs.mkdirs(dest)
-    fs.listStatus(batchPath)
-      .filter(f => f.getPath.getName.startsWith("part-"))
-      .map { f =>
-        val to = new Path(dest, f.getPath.getName)
-        if (fs.exists(to)) {
-          throw new java.io.IOException(
-            s"commit failed: destination $to already exists; staged data left in place")
-        }
-        if (!fs.rename(f.getPath, to)) {
-          throw new java.io.IOException(
-            s"commit failed: rename ${f.getPath} -> $to returned false; " +
-              "staged data left in place")
-        }
-        to.getName
+    // Recursive walk so Hive-partitioned staged batches promote with
+    // their key=value directory structure intact; the returned names are
+    // destination-RELATIVE (nested for partitioned data), which is
+    // exactly what the manifest records and manifestRead resolves.
+    val baseUri = fs.makeQualified(batchPath).toUri
+    val files = Seq.newBuilder[(Path, String)]
+    val it = fs.listFiles(batchPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-")) {
+        val rel = baseUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+        files += ((f.getPath, rel))
       }
-      .toSeq
+    }
+    files.result().map { case (from, rel) =>
+      val to = new Path(dest, rel)
+      if (fs.exists(to)) {
+        throw new java.io.IOException(
+          s"commit failed: destination $to already exists; staged data left in place")
+      }
+      val parent = to.getParent
+      if (!fs.exists(parent)) fs.mkdirs(parent)
+      if (!fs.rename(from, to)) {
+        throw new java.io.IOException(
+          s"commit failed: rename $from -> $to returned false; " +
+            "staged data left in place")
+      }
+      rel
+    }
   }
 
   /** Delta-style versioned MERGE: apply a CDC changeset

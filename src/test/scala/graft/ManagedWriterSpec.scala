@@ -772,6 +772,38 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.readVersion(spark, dest, v1).count() == 50L)
   }
 
+  test("partitioned managed writes: nested manifest, partition pruning, vacuum-safe") {
+    import org.apache.spark.sql.functions.col
+    val ord = Tables(spark, sfDir, "orders")
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, ord.schema, StreamType.Pending,
+      partitionCols = Seq("o_orderpriority"))
+    w.write(ord)
+    w.finalizeCommit()
+    val read = ManagedWriter.read(spark, dest)
+    assert(read.count() == ord.count())
+    assert(read.inputFiles.exists(_.contains("o_orderpriority=")),
+      "files did not land under partition directories")
+    // the partition column survives the round trip with its values
+    assert(read.select("o_orderpriority").distinct().count() ==
+      ord.select("o_orderpriority").distinct().count())
+    // partition PRUNING: the filter lands in PartitionFilters (plan-time
+    // directory pruning), not just as a data filter
+    val prunedPlan = read.filter(col("o_orderpriority") === "1-URGENT")
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") &&
+      prunedPlan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[[^\\]]*1-URGENT.*"),
+      s"priority filter did not become a partition filter:\n$prunedPlan")
+    // a second partitioned append + compact + vacuum keep the table whole
+    val w2 = new ManagedWriter(spark, dest, ord.schema, StreamType.Pending,
+      partitionCols = Seq("o_orderpriority"))
+    w2.write(ord.limit(100)); w2.finalizeCommit()
+    assert(ManagedWriter.read(spark, dest).count() == ord.count() + 100)
+    ManagedWriter.compact(spark, dest, targetFileBytes = 1L << 30)
+    ManagedWriter.vacuum(spark, dest, keepVersions = 1)
+    assert(ManagedWriter.read(spark, dest).count() == ord.count() + 100)
+  }
+
   test("vacuum re-anchors txn watermarks instead of silently regressing them") {
     val sup = Tables(spark, sfDir, "supplier")
     val dest = tmp()
