@@ -7701,6 +7701,37 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), fsum(col("value")).as("total"))
         .orderBy("event_type")
+    },
+    // NS-F8: point-in-time feature retrieval — every purchase label gets
+    // each feature's value AS OF the label time (never after: the
+    // feature-store leakage contract); equal-ts feature observations
+    // dedupe to the minimum value (documented tie, mirrored here).
+    Q(
+      "ns198_point_in_time",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          |v AS (SELECT user_id, ts, MIN(CAST(ROUND(value * 100) AS BIGINT)) AS last_view_value
+          |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT user_id, ts, MIN(CAST(ROUND(value * 100) AS BIGINT)) AS last_click_value
+          |  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1, 2),
+          |j1 AS (SELECT l.event_id, l.user_id, l.ts, v.last_view_value
+          |  FROM l ASOF LEFT JOIN v ON l.user_id = v.user_id AND l.ts >= v.ts),
+          |j2 AS (SELECT j1.event_id, j1.user_id, j1.last_view_value, c.last_click_value
+          |  FROM j1 ASOF LEFT JOIN c ON j1.user_id = c.user_id AND j1.ts >= c.ts)
+          |SELECT event_id, user_id, last_view_value, last_click_value
+          |FROM j2 ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      def feat(t: String, name: String) = graft.ops.FeatureStore.Feature(
+        name,
+        ev.filter(col("event_type") === t && col("value").isNotNull)
+          .select(col("user_id"), col("ts"), cents(col("value")).as("v")),
+        "user_id", "ts", "v")
+      graft.ops.FeatureStore.pointInTimeJoin(
+          ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+          "user_id", "ts",
+          Seq(feat("view", "last_view_value"), feat("click", "last_click_value")))
+        .select("event_id", "user_id", "last_view_value", "last_click_value")
+        .orderBy("event_id")
     }
   )
 

@@ -1888,6 +1888,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!got.contains("b") && !got.contains("d"))
   }
 
+  test("pointInTimeJoin never leaks post-label values; equal-ts dedupes to min") {
+    import java.sql.Timestamp
+    def t(h: Int) = new Timestamp(h * 3600L * 1000L)
+    // label for user 1 at h=5; feature obs at h=3 (v=30), h=3 dup (v=10),
+    // h=7 (v=99, POST-label — must not leak); user 2 has no prior obs.
+    val labels = Seq((100L, 1L, t(5)), (200L, 2L, t(5))).toDF("label_id", "u", "ts")
+    val fdf = Seq((1L, t(3), 30L), (1L, t(3), 10L), (1L, t(7), 99L)).toDF("u", "ts", "v")
+    val got = graft.ops.FeatureStore.pointInTimeJoin(
+        labels, "u", "ts",
+        Seq(graft.ops.FeatureStore.Feature("f", fdf, "u", "ts", "v")))
+      .select("label_id", "f").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L) == Some(10L), s"expected the h=3 min-tie value: $got")
+    assert(got(200L) == None)
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
