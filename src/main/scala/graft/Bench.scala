@@ -155,7 +155,12 @@ object Bench {
     // basket-pair rules (ns191 — same class as ns131), counting-skeleton
     // median CI (ns193).
     "ns182", "ns183", "ns184", "ns185", "ns186", "ns187", "ns188",
-    "ns189", "ns190", "ns191", "ns192", "ns193")
+    "ns189", "ns190", "ns191", "ns192", "ns193",
+    // key-shifted-linear additions: per-entity pair fan-out stays within
+    // a replica (ns195), per-period entity-dim ranks (ns196), partitioned
+    // managed write of the replica (ns197), entity-key as-of passes
+    // (ns198). ns194 stays excluded (embeddings are not replicated).
+    "ns195", "ns196", "ns197", "ns198")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
