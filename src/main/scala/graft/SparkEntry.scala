@@ -7732,6 +7732,21 @@ object SparkEntry {
           Seq(feat("view", "last_view_value"), feat("click", "last_click_value")))
         .select("event_id", "user_id", "last_view_value", "last_click_value")
         .orderBy("event_id")
+    },
+    // NS-D24: MinHash-LSH S-curve planner — collision probability over a
+    // similarity grid for the ns08 (bands=4, rows=4) parameters; integer
+    // exponents as explicit multiply chains (never libm pow).
+    Q(
+      "ns199_lsh_curve",
+      Some(
+        """WITH g AS (SELECT unnest(range(1, 20)) * 5 AS s_pct),
+          |c AS (SELECT s_pct, s_pct::DOUBLE / 100.0 AS s FROM g),
+          |r AS (SELECT s_pct, s * s * s * s AS sr FROM c)
+          |SELECT s_pct,
+          |  1.0 - ((1.0 - sr) * (1.0 - sr) * (1.0 - sr) * (1.0 - sr)) AS p_collide
+          |FROM r ORDER BY s_pct""".stripMargin)) { (s, dir) =>
+      Dedup.lshCurve(s, bands = 4, rowsPerBand = 4, stepPct = 5)
+        .orderBy("s_pct")
     }
   )
 

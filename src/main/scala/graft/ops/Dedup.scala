@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1182,6 +1182,35 @@ object Dedup {
     i = 0
     while (i < vec.length) { v(i) = v(i) / nrm; i += 1 }
     v
+  }
+
+  /** The MinHash-LSH S-CURVE planner table: collision probability
+    * `p(s) = 1 − (1 − s^rows)^bands` on a similarity grid — the table an
+    * engineer consults to pick (bands, rows) for a target threshold
+    * before launching a corpus-wide dedup (the curve's inflection
+    * ≈ (1/b)^(1/r) is the effective cut). Both exponents are small
+    * INTEGERS, so the powers evaluate as explicit left-to-right multiply
+    * chains (never libm `pow`, whose last ulp is platform territory) —
+    * bit-reproducible against the SQL replay.
+    *
+    * Output: one row per grid step — s_pct (exact integer percent),
+    * p_collide (double via the fixed chain).
+    */
+  def lshCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      bands: Int,
+      rowsPerBand: Int,
+      stepPct: Int = 5): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, "bands and rows must be >= 1")
+    require(stepPct >= 1 && stepPct <= 50, "stepPct in [1, 50]")
+    val grid = spark.range(1L, (100L / stepPct), 1L)
+      .select((col("id") * stepPct).as("s_pct"))
+    val s = col("s_pct").cast("double") / 100.0
+    def chainPow(base: Column, n: Int): Column =
+      (1 until n).foldLeft(base)((acc, _) => acc * base)
+    grid.select(
+      col("s_pct"),
+      (lit(1.0) - chainPow(lit(1.0) - chainPow(s, rowsPerBand), bands)).as("p_collide"))
   }
 
   /** Sparse WEIGHTED all-pairs cosine over token tf·idf vectors via the

@@ -1903,6 +1903,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(200L) == None)
   }
 
+  test("lshCurve: monotone S-curve with the exact dyadic value at s=0.5") {
+    val got = graft.ops.Dedup.lshCurve(spark, bands = 4, rowsPerBand = 4)
+      .orderBy("s_pct").select("s_pct", "p_collide")
+      .as[(Long, Double)].collect()
+    assert(got.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "curve must be monotone")
+    // s=0.5: s⁴ = 1/16 (dyadic, exact) → p = 1 − (15/16)⁴ = 14911/65536
+    val p50 = got.find(_._1 == 50L).get._2
+    assert(p50 == 14911.0 / 65536.0, s"exact dyadic check: $p50")
+    assert(got.head._2 < 0.001 && got.last._2 > 0.8, "endpoints sane")
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
