@@ -7747,6 +7747,39 @@ object SparkEntry {
           |FROM r ORDER BY s_pct""".stripMargin)) { (s, dir) =>
       Dedup.lshCurve(s, bands = 4, rowsPerBand = 4, stepPct = 5)
         .orderBy("s_pct")
+    },
+    // NS-X2: Simpson's-paradox screen — the A/B direction overall and
+    // within every stratum, signs as exact cross-multiplied integers;
+    // `reversed` flags aggregation bias.
+    Q(
+      "ns200_simpson_screen",
+      Some(
+        """WITH per AS (SELECT user_id AS u, 'V' || (user_id % 2)::VARCHAR AS variant,
+          |    'S' || (user_id % 5)::VARCHAR AS stratum,
+          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+          |  FROM events GROUP BY 1, 2, 3),
+          |gs AS (SELECT stratum, variant, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS c
+          |  FROM per GROUP BY 1, 2),
+          |go AS (SELECT '__overall' AS stratum, variant, COUNT(*)::BIGINT AS n,
+          |    SUM(conv)::BIGINT AS c FROM per GROUP BY 2),
+          |g AS (SELECT * FROM gs UNION ALL SELECT * FROM go),
+          |p AS (SELECT a.stratum, a.variant AS variant_a, b.variant AS variant_b,
+          |    a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+          |  FROM g a JOIN g b ON a.stratum = b.stratum AND a.variant < b.variant),
+          |d AS (SELECT *, CAST(sign((c_a * n_b - c_b * n_a)::DOUBLE) AS BIGINT) AS diff_sign,
+          |    c_a::DOUBLE / n_a::DOUBLE AS p_a, c_b::DOUBLE / n_b::DOUBLE AS p_b FROM p),
+          |o AS (SELECT diff_sign AS overall_sign FROM d WHERE stratum = '__overall')
+          |SELECT stratum, variant_a, variant_b, n_a, c_a, n_b, c_b, p_a, p_b,
+          |  diff_sign, overall_sign,
+          |  (stratum <> '__overall' AND diff_sign <> 0 AND overall_sign <> 0
+          |    AND diff_sign <> overall_sign) AS reversed
+          |FROM d CROSS JOIN o ORDER BY stratum""".stripMargin)) { (s, dir) =>
+      graft.ops.Experiment.simpsonScreen(
+          T(s, dir, "events")
+            .withColumn("variant", concat(lit("V"), (col("user_id") % 2).cast("string")))
+            .withColumn("stratum", concat(lit("S"), (col("user_id") % 5).cast("string"))),
+          "user_id", "variant", "stratum", col("event_type") === "purchase")
+        .orderBy("stratum")
     }
   )
 

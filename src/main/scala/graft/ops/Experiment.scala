@@ -56,4 +56,58 @@ object Experiment {
         when(col("c_a") + col("c_b") > 0L && col("c_a") + col("c_b") < col("n_a") + col("n_b"),
           (pA - pB) / sqrt(varTerm)).as("z"))
   }
+
+  /** Simpson's-paradox screen: the two-variant comparison computed
+    * OVERALL and within every stratum, with the effect direction as the
+    * EXACT integer sign of `c_a·n_b − c_b·n_a` (cross-multiplied rates —
+    * no float compare can flip it) and a `reversed` flag wherever a
+    * stratum's direction contradicts the overall — the aggregation-bias
+    * alarm every experiment readout should run before anyone trusts the
+    * topline. Exactly two variants by contract (the A/B shape); the
+    * overall row rides along as stratum `__overall`.
+    *
+    * Scale shape: unit-level conversion collapse first (as
+    * [[abProportionTest]]), then \|strata\|-dim arithmetic; the 1-row
+    * overall sign broadcasts onto the strata.
+    */
+  def simpsonScreen(
+      df: DataFrame,
+      unitCol: String,
+      variantCol: String,
+      stratumCol: String,
+      isConversion: Column): DataFrame = {
+    val per = df
+      .groupBy(col(unitCol).as("u"), col(variantCol).as("variant"),
+        col(stratumCol).cast("string").as("stratum"))
+      .agg(max(isConversion.cast("long")).as("conv"))
+    def pair(grouped: DataFrame): DataFrame = {
+      val g = grouped
+      val a = g.select(col("stratum"), col("variant").as("variant_a"),
+        col("n").as("n_a"), col("c").as("c_a"))
+      val b = g.select(col("stratum").as("_s2"), col("variant").as("variant_b"),
+        col("n").as("n_b"), col("c").as("c_b"))
+      a.join(b, col("stratum") === col("_s2") && col("variant_a") < col("variant_b"))
+        .drop("_s2")
+    }
+    val strata = pair(per.groupBy("stratum", "variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c")))
+    val overall = pair(per.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .withColumn("stratum", lit("__overall")))
+    val diffSign = signum((col("c_a") * col("n_b") - col("c_b") * col("n_a")).cast("double"))
+      .cast("long")
+    val all = strata.unionByName(overall)
+      .withColumn("diff_sign", diffSign)
+      .withColumn("p_a", col("c_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("p_b", col("c_b").cast("double") / col("n_b").cast("double"))
+    val oSign = all.where(col("stratum") === "__overall")
+      .select(col("diff_sign").as("overall_sign"))
+    all.crossJoin(oSign)
+      .withColumn(
+        "reversed",
+        col("stratum") =!= "__overall" && col("diff_sign") =!= 0L &&
+          col("overall_sign") =!= 0L && col("diff_sign") =!= col("overall_sign"))
+      .select("stratum", "variant_a", "variant_b", "n_a", "c_a", "n_b", "c_b",
+        "p_a", "p_b", "diff_sign", "overall_sign", "reversed")
+  }
 }

@@ -1914,6 +1914,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.head._2 < 0.001 && got.last._2 > 0.8, "endpoints sane")
   }
 
+  test("simpsonScreen flags the textbook reversal (kidney-stone shape)") {
+    // Stratum-wise A wins both; overall B wins — the classic paradox.
+    // small stones: A 81/87, B 234/270 → A better (0.93 vs 0.87)
+    // large stones: A 192/263, B 55/80 → A better (0.73 vs 0.69)
+    // overall:      A 273/350, B 289/350 → B better. Direction flips.
+    def units(v: String, s: String, conv: Int, total: Int, base: Long) =
+      (0 until total).map(i => (base + i, v, s, i < conv))
+    val rows =
+      units("A", "small", 81, 87, 0L) ++ units("B", "small", 234, 270, 1000L) ++
+      units("A", "large", 192, 263, 2000L) ++ units("B", "large", 55, 80, 3000L)
+    val df = rows.toDF("u", "variant", "stratum", "conv")
+    val got = graft.ops.Experiment.simpsonScreen(df, "u", "variant", "stratum", col("conv"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("diff_sign"), r.getAs[Boolean]("reversed")))).toMap
+    assert(got("__overall")._1 == -1L) // p_A < p_B overall
+    assert(got("small") == ((1L, true)) && got("large") == ((1L, true)),
+      s"both strata reverse the topline: $got")
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
