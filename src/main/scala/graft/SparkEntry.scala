@@ -7780,6 +7780,43 @@ object SparkEntry {
             .withColumn("stratum", concat(lit("S"), (col("user_id") % 5).cast("string"))),
           "user_id", "variant", "stratum", col("event_type") === "purchase")
         .orderBy("stratum")
+    },
+    // NS-X3: CUPED variance reduction — pooled pre-period θ from exact
+    // integer moments, covariate-adjusted variant means as fixed IEEE
+    // chains (Deng et al. WSDM'13, the experiment-sensitivity standard).
+    Q(
+      "ns201_cuped",
+      Some(
+        """WITH e AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+          |    epoch_us(ts)::BIGINT AS t FROM events WHERE value IS NOT NULL),
+          |bd AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM e),
+          |u AS (SELECT user_id, 'V' || (user_id % 2)::VARCHAR AS variant,
+          |    SUM(CASE WHEN t * 2 <= tmin + tmax THEN v ELSE 0 END)::BIGINT AS x,
+          |    SUM(CASE WHEN t * 2 > tmin + tmax THEN v ELSE 0 END)::BIGINT AS y
+          |  FROM e CROSS JOIN bd GROUP BY 1, 2),
+          |po AS (SELECT COUNT(*)::BIGINT AS pn, SUM(x)::BIGINT AS psx, SUM(y)::BIGINT AS psy,
+          |    SUM(x*y)::BIGINT AS psxy, SUM(x*x)::BIGINT AS psx2 FROM u),
+          |g AS (SELECT variant, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS sum_y,
+          |    SUM(x)::BIGINT AS sum_x FROM u GROUP BY 1),
+          |t AS (SELECT g.*, pn, psx,
+          |    CASE WHEN (pn*psx2 - psx*psx)::DOUBLE > 0 THEN
+          |      (pn*psxy - psx*psy)::DOUBLE / (pn*psx2 - psx*psx)::DOUBLE ELSE 0.0 END AS theta
+          |  FROM g CROSS JOIN po)
+          |SELECT variant, n, sum_y, sum_x, theta,
+          |  sum_y::DOUBLE / n::DOUBLE AS mean_y,
+          |  sum_y::DOUBLE / n::DOUBLE
+          |    - theta * (sum_x::DOUBLE / n::DOUBLE - psx::DOUBLE / pn::DOUBLE) AS mean_adj
+          |FROM t ORDER BY variant""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events").where(col("value").isNotNull)
+        .select(col("user_id"), cents(col("value")).as("v"), expr("unix_micros(ts)").as("t"))
+      val u = ev.crossJoin(ev.agg(min("t").as("tmin"), max("t").as("tmax")))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("t") * 2 <= col("tmin") + col("tmax"), col("v")).otherwise(0L)).as("x"),
+          sum(when(col("t") * 2 > col("tmin") + col("tmax"), col("v")).otherwise(0L)).as("y"))
+        .withColumn("variant", concat(lit("V"), (col("user_id") % 2).cast("string")))
+      graft.ops.Experiment.cuped(u, "variant", "x", "y")
+        .orderBy("variant")
     }
   )
 

@@ -57,6 +57,52 @@ object Experiment {
           (pA - pB) / sqrt(varTerm)).as("z"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13 — the production
+    * experiment-sensitivity standard): adjust each variant's post-period
+    * mean by the pooled pre-period covariate,
+    * `mean_adj = ȳ_v − θ·(x̄_v − x̄)` with
+    * `θ = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`. Every moment is an exact
+    * long over unit-level cents; θ and the adjusted means are fixed IEEE
+    * chains — bit-reproducible. Zero pre-period variance degrades to
+    * θ = 0 (adjusted = raw), never a division blow-up.
+    *
+    * Moment budget: `n·Σxy` and `n·Σx²` must stay under 2⁶³ — the same
+    * documented re-unit contract as the z-score/Mahalanobis ops (and the
+    * same reason this op sits off the 10× up-screen at cents units).
+    *
+    * Scale shape: one unit-level aggregation, one 1-row pooled-moment
+    * broadcast, \|variants\|-dim arithmetic.
+    */
+  def cuped(
+      units: DataFrame,
+      variantCol: String,
+      preCol: String,
+      postCol: String): DataFrame = {
+    val pooled = units.agg(
+      count(lit(1)).as("pn"),
+      sum(col(preCol)).as("psx"), sum(col(postCol)).as("psy"),
+      sum(col(preCol) * col(postCol)).as("psxy"),
+      sum(col(preCol) * col(preCol)).as("psx2"))
+    val thetaNum = (col("pn") * col("psxy") - col("psx") * col("psy")).cast("double")
+    val thetaDen = (col("pn") * col("psx2") - col("psx") * col("psx")).cast("double")
+    val theta = when(thetaDen > 0.0, thetaNum / thetaDen).otherwise(lit(0.0))
+    val xBarAll = col("psx").cast("double") / col("pn").cast("double")
+    units
+      .groupBy(variantCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(postCol)).as("sum_y"),
+        sum(col(preCol)).as("sum_x"))
+      .crossJoin(pooled)
+      .select(
+        col(variantCol), col("n"), col("sum_y"), col("sum_x"),
+        theta.as("theta"),
+        (col("sum_y").cast("double") / col("n").cast("double")).as("mean_y"),
+        (col("sum_y").cast("double") / col("n").cast("double") -
+          theta * (col("sum_x").cast("double") / col("n").cast("double") - xBarAll))
+          .as("mean_adj"))
+  }
+
   /** Simpson's-paradox screen: the two-variant comparison computed
     * OVERALL and within every stratum, with the effect direction as the
     * EXACT integer sign of `c_a·n_b − c_b·n_a` (cross-multiplied rates —

@@ -1933,6 +1933,25 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"both strata reverse the topline: $got")
   }
 
+  test("cuped: perfectly-predictive covariate removes the pre-period imbalance") {
+    // y = x exactly (θ=1): variant A units have bigger pre-period x by
+    // chance; adjusted means must coincide (the imbalance was all pre).
+    val df = Seq(
+      ("A", 10L, 10L), ("A", 20L, 20L), ("B", 0L, 0L), ("B", 10L, 10L))
+      .toDF("variant", "x", "y")
+    val got = graft.ops.Experiment.cuped(df, "variant", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("theta"), r.getAs[Double]("mean_y"), r.getAs[Double]("mean_adj")))).toMap
+    assert(got("A")._1 == 1.0, got.toString)
+    assert(got("A")._2 == 15.0 && got("B")._2 == 5.0)       // raw gap 10
+    assert(got("A")._3 == got("B")._3, s"adjusted gap must vanish: $got")
+    // constant pre-period → θ = 0, adjusted = raw
+    val const = Seq(("A", 5L, 10L), ("B", 5L, 30L)).toDF("variant", "x", "y")
+    val c = graft.ops.Experiment.cuped(const, "variant", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mean_adj")).toMap
+    assert(c == Map("A" -> 10.0, "B" -> 30.0), c.toString)
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
