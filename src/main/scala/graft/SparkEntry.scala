@@ -7817,6 +7817,42 @@ object SparkEntry {
         .withColumn("variant", concat(lit("V"), (col("user_id") % 2).cast("string")))
       graft.ops.Experiment.cuped(u, "variant", "x", "y")
         .orderBy("variant")
+    },
+    // NS-X4: Kaplan–Meier survival — time-to-first-purchase in days with
+    // right-censoring at last activity; exact risk sets, fixed-order
+    // factor product (the ewma fold precedent).
+    Q(
+      "ns202_survival_km",
+      Some(
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+          |f AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS dl FROM e GROUP BY 1),
+          |p AS (SELECT user_id, MIN(day) AS dp FROM e WHERE event_type = 'purchase' GROUP BY 1),
+          |u AS (SELECT f.user_id, (coalesce(p.dp, f.dl) - f.d0)::BIGINT AS dur,
+          |    p.dp IS NOT NULL AS obs FROM f LEFT JOIN p USING (user_id)),
+          |tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM u),
+          |dc AS (SELECT dur, COUNT(*)::BIGINT AS c_all,
+          |    SUM(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS d FROM u GROUP BY 1),
+          |cb AS (SELECT *, coalesce(SUM(c_all) OVER (ORDER BY dur
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS c_before FROM dc),
+          |tm AS (SELECT dur AS t, (n_total - c_before)::BIGINT AS n_risk, d,
+          |    1.0 - d::DOUBLE / (n_total - c_before)::DOUBLE AS factor
+          |  FROM cb CROSS JOIN tot WHERE d > 0),
+          |lf AS (SELECT list(factor ORDER BY t) AS l, list(t ORDER BY t) AS ts FROM tm),
+          |sv AS (SELECT ts[g] AS t, list_reduce(l[1:g], (a, b) -> a * b) AS survival
+          |  FROM lf, unnest(generate_series(1, len(l))) AS z(g))
+          |SELECT tm.t, n_risk, d, factor, sv.survival
+          |FROM tm JOIN sv ON tm.t = sv.t ORDER BY tm.t""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events").select(
+        col("user_id"), col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val f = ev.groupBy("user_id").agg(min("day").as("d0"), max("day").as("dl"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("day").as("dp"))
+      val units = f.join(p, Seq("user_id"), "left")
+        .select(
+          (coalesce(col("dp"), col("dl")) - col("d0")).as("dur"),
+          col("dp").isNotNull.as("obs"))
+      graft.ops.Survival.kaplanMeier(units, "dur", "obs")
+        .orderBy("t")
     }
   )
 

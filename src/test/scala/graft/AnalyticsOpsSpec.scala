@@ -1952,6 +1952,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(c == Map("A" -> 10.0, "B" -> 30.0), c.toString)
   }
 
+  test("kaplanMeier: textbook small cohort with censoring") {
+    // durations: events at t=1 (d=1 of n=5) and t=3 (d=1 of n=3);
+    // censored at t=2 (leaves the risk set before t=3) and t=4, t=5.
+    val units = Seq(
+      (1L, true), (2L, false), (3L, true), (4L, false), (5L, false))
+      .toDF("dur", "obs")
+    val got = graft.ops.Survival.kaplanMeier(units, "dur", "obs")
+      .orderBy("t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got(1L) == ((5L, 1L, 0.8)))              // S(1) = 4/5
+    val s3 = got(3L)
+    assert(s3._1 == 3L && s3._2 == 1L)              // risk set lost the t=2 censor
+    assert(math.abs(s3._3 - 0.8 * (2.0 / 3.0)) < 1e-15, s3.toString) // S(3) = 4/5 · 2/3
+    assert(got.size == 2, "censor-only times must not emit rows")
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
