@@ -7853,6 +7853,30 @@ object SparkEntry {
           col("dp").isNotNull.as("obs"))
       graft.ops.Survival.kaplanMeier(units, "dur", "obs")
         .orderBy("t")
+    },
+    // NS-T17: clamped running balance — credits earned on activity,
+    // spent on purchases, floor at zero: the fold no window expresses;
+    // pure integer arithmetic, bit-exact against the list_reduce replay.
+    Q(
+      "ns203_clamped_balance",
+      Some(
+        """WITH e AS (SELECT user_id, ts, event_id,
+          |    CASE WHEN event_type = 'purchase'
+          |      THEN -CAST(ROUND(value * 100) AS BIGINT)
+          |      ELSE CAST(ROUND(value * 100) AS BIGINT) END AS d
+          |  FROM events WHERE value IS NOT NULL),
+          |g AS (SELECT user_id, COUNT(*)::BIGINT AS n_events,
+          |    list(d ORDER BY ts, event_id) AS l FROM e GROUP BY 1)
+          |SELECT user_id, n_events,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT), l),
+          |    (a, x) -> greatest(CAST(0 AS BIGINT), a + x)) AS final_balance
+          |FROM g ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events").where(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", -cents(col("value")))
+            .otherwise(cents(col("value"))).as("d"))
+      TimeSeries.clampedRunningBalance(ev, "user_id", "ts", "event_id", "d")
+        .orderBy("user_id")
     }
   )
 

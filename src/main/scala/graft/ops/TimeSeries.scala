@@ -760,6 +760,40 @@ object TimeSeries {
         num.cast("double") / sqrt(va.cast("double") * vb.cast("double"))).as("r"))
   }
 
+  /** Per-key CLAMPED running balance: fold `acc ← max(0, acc + Δ)` over
+    * the key's events in (ts, id) order — the credits / stock /
+    * rate-limit-token recurrence no window function can express (the
+    * clamp makes each step depend on the folded value, not a prefix
+    * sum). Deltas are exact longs (cents), so the fold is pure integer
+    * arithmetic — bit-reproducible against DuckDB's `list_reduce` over
+    * the same ordered list, with zero float semantics at all (stronger
+    * than the ewma precedent: not even rounding is involved).
+    *
+    * Scale shape: one exchange on the key (map-side collect_list
+    * partials); per-key state is the key's own event list — the
+    * sessionize bound, like ewma/Holt.
+    *
+    * Output per key: n_events, final_balance.
+    */
+  def clampedRunningBalance(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      deltaCol: String): DataFrame = {
+    df.select(
+        col(keyCol),
+        struct(col(tsCol), col(idCol), col(deltaCol).cast("long").as("__d")).as("__e"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_events"), sort_array(collect_list(col("__e"))).as("__l"))
+      .select(
+        col(keyCol),
+        col("n_events"),
+        expr("""aggregate(__l, CAST(0 AS BIGINT),
+                |  (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x.__d))""".stripMargin)
+          .as("final_balance"))
+  }
+
   /** Seasonal-baseline residual anomalies: learn the hour-of-week mean
     * per key from exact cents sums, score every observation by its
     * deviation from its own seasonal slot, and keep each key's top-k

@@ -1968,6 +1968,17 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.size == 2, "censor-only times must not emit rows")
   }
 
+  test("clampedRunningBalance floors at zero mid-stream (order matters)") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(i * 1000L)
+    // +10, −30 (clamps to 0, NOT −20), +5 → 5; plain sum would say −15
+    val df = Seq((1L, t(1), 1L, 10L), (1L, t(2), 2L, -30L), (1L, t(3), 3L, 5L))
+      .toDF("u", "ts", "id", "d")
+    val got = graft.ops.TimeSeries.clampedRunningBalance(df, "u", "ts", "id", "d")
+      .select("final_balance").as[Long].head()
+    assert(got == 5L, s"clamp must fire mid-fold: $got")
+  }
+
   test("benfordProfile: digits from exact cents strings; all 9 rows present") {
     // 1234 cents → digit 1; 999 → 9; 50 → 5; zero/negative excluded
     val df = Seq(1234L, 999L, 50L, 0L, -700L).toDF("c")
