@@ -6538,8 +6538,10 @@ object SparkEntry {
     },
     // NS-V1: hashing-trick vectorizer (dim=32) — vocabulary-free
     // fixed-dimension term-count vectors, md5-bucketed so every engine
-    // and executor maps a token identically. Zero shuffle; the full
-    // vectors hash-gate element-wise.
+    // and executor maps a token identically. Zero shuffle; every vector
+    // element hash-gates, emitted as (doc_id, bucket, cnt) rows because
+    // the oracle harness cannot lexsort array-typed columns (the b80
+    // scalar-output rule).
     Q(
       "ns151_hashing_vectorize",
       Some(
@@ -6547,11 +6549,15 @@ object SparkEntry {
            |h AS (SELECT doc_id,
            |    [('0x' || substring(md5(t), 1, 15))::BIGINT % 32 FOR t IN toks] AS hs
            |  FROM t)
-           |SELECT doc_id,
-           |  [len(list_filter(hs, x -> x = i))::BIGINT FOR i IN range(32)] AS vec
-           |FROM h ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+           |SELECT doc_id, i::BIGINT AS bucket,
+           |  len(list_filter(hs, x -> x = i))::BIGINT AS cnt
+           |FROM h CROSS JOIN range(32) r(i)
+           |ORDER BY doc_id, bucket""".stripMargin)) { (s, dir) =>
       TextOps.hashingVectorize(T(s, dir, "documents"), "doc_id", "text", dim = 32)
-        .orderBy("doc_id")
+        .select(col("doc_id"), posexplode(col("vec")))
+        .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+          col("col").as("cnt"))
+        .orderBy("doc_id", "bucket")
     },
     // NS-V2: Unicode NFC normalization (codegen'd graft_nfc kernel vs
     // DuckDB's utf8proc nfc_normalize — both implement the SAME
@@ -6678,15 +6684,24 @@ object SparkEntry {
     Q(
       "ns157_topk_agg",
       Some(
-        """SELECT l_returnflag,
-          |  (list(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-          |    ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) DESC))[1:5] AS top5
-          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+        """WITH c AS (SELECT l_returnflag,
+          |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p FROM lineitem),
+          |k AS (SELECT l_returnflag, p,
+          |    row_number() OVER (PARTITION BY l_returnflag ORDER BY p DESC) AS rk
+          |  FROM c)
+          |SELECT l_returnflag, rk::BIGINT AS rank, p AS price_cents
+          |FROM k WHERE rk <= 5 ORDER BY l_returnflag, rank""".stripMargin)) { (s, dir) =>
+      // posexplode over the descending heap result → (group, rank, value)
+      // scalar rows: ties are equal longs, so the value sequence at each
+      // rank is deterministic and the harness can lexsort it (b80 rule).
       T(s, dir, "lineitem")
         .select(col("l_returnflag"), cents(col("l_extendedprice")).as("p"))
         .groupBy("l_returnflag")
         .agg(call_function("graft_topk", col("p"), lit(5)).as("top5"))
-        .orderBy("l_returnflag")
+        .select(col("l_returnflag"), posexplode(col("top5")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("price_cents"))
+        .orderBy("l_returnflag", "rank")
     },
     // NS-P15: exact weighted median (lower inverted-CDF) — quantity
     // weighted by revenue cents: "the quantity below which half the
@@ -6785,15 +6800,25 @@ object SparkEntry {
     Q(
       "ns162_topk_rewrite",
       Some(
-        """SELECT l_linestatus,
-          |  (list(CAST(l_quantity AS BIGINT)
-          |    ORDER BY CAST(l_quantity AS BIGINT) DESC))[1:3] AS top3
-          |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)) { (s, dir) =>
+        """WITH c AS (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q
+          |  FROM lineitem),
+          |k AS (SELECT l_linestatus, q,
+          |    row_number() OVER (PARTITION BY l_linestatus ORDER BY q DESC) AS rk
+          |  FROM c)
+          |SELECT l_linestatus, rk::BIGINT AS rank, q AS qty
+          |FROM k WHERE rk <= 3 ORDER BY l_linestatus, rank""".stripMargin)) { (s, dir) =>
+      // The aggregate keeps the ANTIPATTERN spelling verbatim so the
+      // injected rewrite rule fires on it; the posexplode projection above
+      // the Aggregate reshapes the array to scalar (group, rank, value)
+      // rows for the harness without touching the rewritten node.
       T(s, dir, "lineitem")
         .select(col("l_linestatus"), col("l_quantity").cast("long").as("q"))
         .groupBy("l_linestatus")
         .agg(expr("slice(sort_array(collect_list(q), false), 1, 3)").as("top3"))
-        .orderBy("l_linestatus")
+        .select(col("l_linestatus"), posexplode(col("top3")))
+        .select(col("l_linestatus"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("qty"))
+        .orderBy("l_linestatus", "rank")
     },
     // NS-P17: hierarchical share-of-parent (region → nation customer
     // balances) — exact cent sums, one IEEE division per share.
