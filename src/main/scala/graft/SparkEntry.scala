@@ -2903,11 +2903,13 @@ object SparkEntry {
           |  length(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')))::BIGINT AS norm_len
           |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       // One-pass kernel == the declarative lower→punct-strip→collapse→trim
-      // chain (equivalence pinned in OpsSpec).
+      // chain (equivalence pinned in OpsSpec). No trailing sort: the
+      // harness lexsorts both sides, and a global orderBy here would
+      // exchange+sort the full normalized text for nothing — it was the
+      // only non-scan stage in the plan and the up-screen's whole signal.
       val norm = call_function("graft_normalize", col("text"))
       T(s, dir, "documents")
         .select(col("doc_id"), norm.as("norm_text"), length(norm).cast("long").as("norm_len"))
-        .orderBy("doc_id")
     },
     // NS-S3: IVF ANN — integer-quantized coarse-quantizer variant: int8
     // quantize → bit-reproducible integer-k-means cells (ns59's Lloyd:
@@ -2976,10 +2978,10 @@ object SparkEntry {
       }) { (s, dir) =>
       // One codegen'd pass per row over DefaultTrigramProfiles (same
       // derivation as the oracle above) — replaces the explode of one row
-      // per character position (the bench's slowest text query).
+      // per character position (the bench's slowest text query). No
+      // trailing sort (harness lexsorts): the plan is a single scan stage.
       T(s, dir, "documents")
         .select(col("doc_id"), TextOps.langIdNgramFast(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
     },
     // NS-FLAGSHIP: the composed training-data pipeline — language gate →
     // quality gate → exact dedup → near-dup removal — one declarative
@@ -6460,8 +6462,14 @@ object SparkEntry {
       val rse = 1.04 / math.sqrt(1 << 12)
       val ev = T(s, dir, "events")
       val est = Sketch.rollingDistinctSketch(ev, "ts", "user_id", windowHours = 24)
+      // Exact arm: dedupe to hourly-distinct (h, user) FIRST — COUNT
+      // DISTINCT per window is identical, but the 24× window fan-out then
+      // runs over the |users × active hours| frame, not the raw event
+      // stream (the distinct is map-side combined; fan-out over raw
+      // events was this gate's superlinear term at 10×).
       val exact = ev
         .select(expr("unix_micros(ts) div 3600000000").as("h"), col("user_id"))
+        .distinct()
         .select(explode(sequence(col("h"), col("h") + 23L)).as("win"), col("user_id"))
         .groupBy("win")
         .agg(countDistinct("user_id").as("exact_users"))
@@ -6522,15 +6530,18 @@ object SparkEntry {
       }) { (s, dir) =>
       val (depth, width) = (4, 2048)
       val li = T(s, dir, "lineitem")
-      val a = li.select(col("l_partkey").cast("string").as("k"))
-      val b = li.where(col("l_quantity") >= 45).select(col("l_partkey").cast("string").as("k"))
       // subset case → fused single-scan dual sketch (identical cells to
       // the two cmsCounters builds the oracle replays)
       val est = Sketch.cmsJoinSizeEstimateFiltered(
         li.select(col("l_partkey").cast("string").as("k"), col("l_quantity")),
         "k", col("l_quantity") >= 45, depth, width)
-      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
-        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+      // exact arm from ONE per-key pass (ca, cb side by side) — the
+      // two-groupBy-and-join spelling scanned lineitem twice and shuffled
+      // the join both ways for a sum the single frame already carries
+      val exact = li
+        .groupBy(col("l_partkey").cast("string").as("k"))
+        .agg(count(lit(1)).as("ca"),
+          sum((col("l_quantity") >= 45).cast("long")).as("cb"))
         .agg(sum(col("ca") * col("cb")).as("exact_join_size"))
       est.crossJoin(exact)
         .select(col("est_join_size"), col("exact_join_size"),

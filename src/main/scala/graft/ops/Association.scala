@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Market-basket association mining: which items co-occur in the same
@@ -47,29 +47,42 @@ object Association {
     * monotone, so neither prune can change the answer (the oracle skips
     * them and proves it).
     *
-    * Scale design: the cubic step never runs on raw items — candidates
-    * extend FREQUENT PAIRS only (the level-2 frame is bounded by the
-    * pair answer, which minSupport already made small), joined back to
-    * the pruned basket frame on the basket key; every shuffle reuses the
-    * (basket) exchange. Fan-out per basket = |frequent pairs in it| ×
-    * |frequent items after them| — on heavy-tailed catalogs orders of
-    * magnitude below pruned-size³.
+    * Scale design — ONE basket exchange serves everything: the distinct
+    * runs as a (b, i) aggregate UNDER an explicit basket partitioning
+    * (HashPartitioning(b) satisfies the (b, i) clustering, and every
+    * downstream join keys on b), so the 3-way self-join adds NO further
+    * exchange of the basket frame — the old spelling paid a distinct
+    * exchange on (b, i) plus per-side join exchanges and SortMergeJoin
+    * sorts (the up-screen's 24.8× flag). Joins are SHUFFLE_HASH by hint:
+    * the build side is one partition of the pruned basket frame (size it
+    * with shuffle.partitions at scale), and sorting 6M-row sides for SMJ
+    * was pure overhead. Both prunes are BROADCAST semi-joins: the
+    * frequent-item and frequent-pair sets are bounded by their own
+    * answers, which minSupport made broadcast-sized — the Apriori
+    * candidate set is broadcast state by design. Candidate volume
+    * (Σ C(basket, 2) pair rows into one map-side-combined count, plus the
+    * post-prune extension fan-out) is the operator's irreducible cost.
     */
   def frequentTriples(
       baskets: DataFrame, basketCol: String, itemCol: String, minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
-    val b = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val freqItems = b.groupBy("i").agg(count(lit(1)).as("s"))
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+    val b0 = bi.repartition(col("b"))
+      .groupBy("b", "i").agg(lit(1).as("_one")).select("b", "i")
+    val freqItems = b0.groupBy("i").agg(count(lit(1)).as("s"))
       .where(col("s") >= minSupport).select("i")
-    val kept = b.join(freqItems, "i").select("b", "i")
-    val freqPairs = frequentPairs(baskets, basketCol, itemCol, minSupport)
-      .select(col("item_a").as("fa"), col("item_b").as("fb"))
-    val pairInBasket = kept.alias("a")
-      .join(kept.alias("c"), col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+    val kept = b0.join(broadcast(freqItems), Seq("i"), "left_semi")
+    val pairs = kept.alias("a").hint("SHUFFLE_HASH")
+      .join(kept.alias("c").hint("SHUFFLE_HASH"),
+        col("a.b") === col("c.b") && col("a.i") < col("c.i"))
       .select(col("a.b").as("pb"), col("a.i").as("ia"), col("c.i").as("ib"))
-      .join(freqPairs, col("ia") === col("fa") && col("ib") === col("fb"), "left_semi")
-    pairInBasket
-      .join(kept.alias("d"), col("pb") === col("d.b") && col("ib") < col("d.i"))
+    val freqPairs = pairs.groupBy("ia", "ib").agg(count(lit(1)).as("s"))
+      .where(col("s") >= minSupport).select(col("ia").as("fa"), col("ib").as("fb"))
+    val pairInBasket = pairs.join(broadcast(freqPairs),
+      col("ia") === col("fa") && col("ib") === col("fb"), "left_semi")
+    pairInBasket.hint("SHUFFLE_HASH")
+      .join(kept.alias("d").hint("SHUFFLE_HASH"),
+        col("pb") === col("d.b") && col("ib") < col("d.i"))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"), col("d.i").as("item_c"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
