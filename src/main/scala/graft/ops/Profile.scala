@@ -1004,10 +1004,13 @@ object Profile {
     * cumulative-count ranges — bit-exact end to end.
     *
     * Scale shape: both sides collapse to DISTINCT-value count tables
-    * scan-locally (the ns64 skeleton); the rank windows and the interval
-    * join run over those dims, never the row volume. The interval join
-    * is an AQE-broadcast range join when the reference dim is small —
-    * the common case for quantized/cents domains.
+    * scan-locally (the ns64 skeleton); the cumulative ranks ride
+    * [[Prefix.runningSum]] two-phase prefix scans over those dims
+    * (range-partitioned — a continuous domain makes the distinct-value
+    * dim O(rows), where an unpartitioned window would be a single-task
+    * sort), never the row volume. The interval join is an AQE-broadcast
+    * range join when the reference dim is small — the common case for
+    * quantized/cents domains.
     *
     * @return one row per distinct source value: `(v, c, r, n, rp,
     *         mapped_v)` — join back on v for per-row application.
@@ -1016,16 +1019,16 @@ object Profile {
       src: DataFrame,
       ref: DataFrame,
       valCol: String): DataFrame = {
-    val wOrd = Window.orderBy(valCol).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    val rc = ref.groupBy(col(valCol).as("__rv")).agg(count(lit(1)).as("cr"))
-      .withColumn("cum", sum("cr").over(Window.orderBy("__rv").rowsBetween(Window.unboundedPreceding, 0)))
+    val rc = Prefix.runningSum(
+        ref.groupBy(col(valCol).as("__rv")).agg(count(lit(1)).as("cr")),
+        "__rv", "cr", "cum")
       .withColumn("prev", col("cum") - col("cr"))
     val m = ref.agg(count(lit(1)).as("__m"))
-    src.groupBy(valCol).agg(count(lit(1)).as("c"))
-      .withColumn("r", sum("c").over(wOrd))
-      .withColumn("n", sum("c").over(wAll))
-      .crossJoin(m)
+    val n = src.agg(count(lit(1)).as("n"))
+    Prefix.runningSum(
+        src.groupBy(valCol).agg(count(lit(1)).as("c")), valCol, "c", "r")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(m))
       .withColumn("rp", expr("(r * __m + n - 1) div n"))
       .join(rc, col("rp") > col("prev") && col("rp") <= col("cum"))
       .select(col(valCol), col("c"), col("r"), col("n"), col("rp"), col("__rv").as("mapped_v"))

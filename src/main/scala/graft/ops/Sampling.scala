@@ -208,8 +208,10 @@ object Sampling {
     * construction.
     *
     * Scale shape: one distinct-timestamp count pass (map-side combined)
-    * + a running-sum window over that compressed frame to find the cut
-    * (the counting skeleton), then ONE scan-local label projection —
+    * + a [[Prefix.runningSum]] two-phase prefix scan over that compressed
+    * frame to find the cut (range-partitioned — for event data the
+    * distinct-timestamp dim is O(rows), so an unpartitioned window here
+    * would be a single-task sort), then ONE scan-local label projection —
     * the cut rides in as a one-row broadcast join, no collect.
     *
     * Output: the labeled rows (idCol, split ∈ {train, test}) — embargo
@@ -226,12 +228,9 @@ object Sampling {
     require(embargoSec >= 0, "negative embargo")
     val ts = df.select(unix_micros(col(tsCol)).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_c"))
-    val running = Window.orderBy("_t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy()
-    val cut = ts
-      .withColumn("_cum", sum("_c").over(running))
-      .withColumn("_n", sum("_c").over(whole))
+    val total = ts.agg(sum("_c").as("_n"))
+    val cut = Prefix.runningSum(ts, "_t", "_c", "_cum")
+      .crossJoin(broadcast(total))
       .where(col("_cum") * qDen >= col("_n") * qNum)
       .agg(min("_t").as("_cut"))
     df.select(col(idCol), unix_micros(col(tsCol)).as("_t"))

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Survival analysis (north-star extension): the Kaplan–Meier estimator —
@@ -41,13 +40,17 @@ object Survival {
       col(observedCol).cast("boolean").as("obs"))
     val total = u.agg(count(lit(1)).as("n_total"))
     // risk set at t = units with dur >= t = total − (# with dur < t):
-    // cumulative counts over the distinct-duration dim, shifted one row.
+    // cumulative counts over the distinct-duration dim (a two-phase
+    // Prefix.runningSum — continuous durations make this dim O(rows),
+    // where an unpartitioned window would be a single-task sort); the
+    // inclusive running total minus the row's own count is the
+    // strictly-before count.
     val durCounts = u.groupBy("dur").agg(
       count(lit(1)).as("c_all"),
       sum(when(col("obs"), 1L).otherwise(0L)).as("d"))
-    val wCum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    val times = durCounts
-      .withColumn("c_before", coalesce(sum("c_all").over(wCum), lit(0L)))
+    val times = graft.ops.Prefix.runningSum(durCounts, "dur", "c_all", "_cum")
+      .withColumn("c_before", col("_cum") - col("c_all"))
+      .drop("_cum")
       .crossJoin(total)
       .withColumn("n_risk", col("n_total") - col("c_before"))
       .where(col("d") > 0L)

@@ -446,4 +446,51 @@ class PlanSpec extends SparkSpec {
     val pCos = plan(SparkEntry.queries("ns180_cosine_pairs")(spark, sfDir))
     assert(!pCos.contains("CartesianProduct"), s"cosine pair join degraded:\n$pCos")
   }
+
+  test("no unpartitioned WindowExec sits above an unaggregated scan — any query") {
+    // A Window with no PARTITION BY moves its whole input to one task.
+    // That is only acceptable over a BOUNDED dim: something an aggregate
+    // (distinct-value / per-group collapse) or a limit has already
+    // shrunk. Sweep EVERY gated query's pre-AQE physical plan and flag
+    // unpartitioned windows whose subtree reaches a scan without passing
+    // any aggregate/limit — the single-task-sort-over-raw-rows shape
+    // that dies first at scale (the round-9 temporalSplit bug).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec | _: GlobalLimitExec | _: LocalLimitExec |
+          _: TakeOrderedAndProjectExec => true
+      case _: LocalTableScanExec => true // literal/inline data, not a table
+      case leaf if leaf.children.isEmpty => false // a real scan: unbounded
+      case other => other.children.forall(bounded)
+    }
+    def unboundedWindows(root0: SparkPlan): Seq[WindowExec] = {
+      val root = root0 match { case a: AdaptiveSparkPlanExec => a.initialPlan; case x => x }
+      root.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+    }
+    // Self-check: the detector must flag the known-bad shape (a global
+    // running sum straight over a table scan) before its verdict on the
+    // suite means anything.
+    val bad = Tables(spark, sfDir, "lineitem").withColumn("r",
+      sum(col("l_quantity")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("l_orderkey")))
+    assert(unboundedWindows(bad.queryExecution.executedPlan).nonEmpty,
+      "detector failed to flag a global window over a raw scan")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val planned =
+        try Some(fn(spark, sfDir).queryExecution.executedPlan)
+        catch { case _: Throwable => None } // streaming/side-effect gates
+      planned.toSeq.flatMap { ep =>
+        unboundedWindows(ep).map(w => s"$name: ${w.simpleStringWithNodeId()}")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unaggregated input:\n${offenders.mkString("\n")}")
+  }
 }
