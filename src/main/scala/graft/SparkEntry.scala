@@ -7913,6 +7913,132 @@ object SparkEntry {
             .otherwise(cents(col("value"))).as("d"))
       TimeSeries.clampedRunningBalance(ev, "user_id", "ts", "event_id", "d")
         .orderBy("user_id")
+    },
+    // NS-W20: write-path CHECK constraints (the Delta table-constraint
+    // shape, C189) — a conforming batch commits, a violating batch is
+    // REJECTED WHOLE before a byte stages, and the table afterwards holds
+    // exactly the conforming rows. The oracle recomputes the surviving
+    // state straight from the fixture (negative acctbals exist at every
+    // SF, so the reject branch provably fired — an all-pass fixture would
+    // make this gate vacuous).
+    Q(
+      "ns204_check_constraints",
+      Some(
+        """SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+          |  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))::BIGINT AS total_cents
+          |FROM customer WHERE c_acctbal >= 0
+          |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)) { (s, dir) =>
+      val cust = T(s, dir, "customer")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-chk-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, cust.schema, StreamType.Pending,
+        checks = Seq(Validate.InRange("c_acctbal", 0.0, 1e12),
+          Validate.NotNull("c_custkey")))
+      w.write(cust.where(col("c_acctbal") >= 0)) // conforming: accepted
+      val rejected =
+        try { w.write(cust.where(col("c_acctbal") < 0)); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "violating batch must be rejected whole")
+      w.finalizeCommit()
+      ManagedWriter.read(s, dest)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("c_acctbal"))).as("total_cents"))
+        .orderBy("c_mktsegment")
+    },
+    // NS-W21: RESTORE (C190) — roll the managed table back to a prior
+    // version AS A NEW COMMIT (Delta RESTORE semantics: history is
+    // append-only, the rollback is itself versioned). v1 = orders, v2 =
+    // a duplicating append; restore(v1) must read back EXACTLY v1 — the
+    // oracle recomputes v1 from the fixture, so a leaked append row or a
+    // lost original hash-mismatches.
+    Q(
+      "ns205_restore",
+      Some(
+        """SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+          |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+          |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-rst-" +
+        UUID.randomUUID().toString.take(8)
+      val w1 = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w1.write(ord); w1.finalizeCommit()
+      val v1 = ManagedWriter.versions(s, dest).max
+      val w2 = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w2.write(ord.where(col("o_orderpriority") === "1-URGENT"))
+      w2.finalizeCommit() // v2: duplicated urgent rows
+      ManagedWriter.restore(s, dest, v1)
+      ManagedWriter.read(s, dest)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    },
+    // NS-W22: optimistic-concurrency conflict surfacing (C124, the Delta
+    // contract) — a merge computed against version N whose claim on N+1
+    // is taken by a concurrent committer FAILS (never a silent lost
+    // update), the competing commit's state survives intact, and the
+    // retry against the fresh snapshot lands both changesets. The oracle
+    // replays base − deletes with the restatement applied.
+    Q(
+      "ns206_occ_conflict",
+      Some(
+        """SELECT n_nationkey,
+          |  CASE WHEN n_nationkey >= 20 THEN 'restated' ELSE n_name END AS n_name,
+          |  n_regionkey
+          |FROM nation WHERE n_nationkey >= 5 ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "nation")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-occ-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Pending)
+      w.write(base); w.finalizeCommit()
+      val restate = base.where(col("n_nationkey") >= 20)
+        .withColumn("n_name", lit("restated")).withColumn("op", lit("U"))
+      val deletes = base.where(col("n_nationkey") < 5).withColumn("op", lit("D"))
+      var conflicted = false
+      try ManagedWriter.mergeImpl(s, dest, restate, Seq("n_nationkey"), "op",
+        crashBeforePublish = false,
+        // a concurrent committer takes the version this merge claimed
+        beforePublish = () => { ManagedWriter.merge(s, dest, deletes, Seq("n_nationkey")); () })
+      catch { case _: java.io.IOException => conflicted = true }
+      require(conflicted, "the stale merge must surface a conflict, not lose the update")
+      // retry against the new snapshot (the documented conflict protocol)
+      ManagedWriter.merge(s, dest, restate, Seq("n_nationkey"))
+      ManagedWriter.read(s, dest)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    // NS-W23: exactly-once streaming appends + vacuum-safe watermarks
+    // (C177/C185) — the foreachBatch idempotence pattern: each epoch
+    // commits a txn (queryId, batchId) watermark atomically with its
+    // manifest; replays at or below the watermark are SKIPPED, and
+    // vacuuming history re-anchors the watermark instead of losing it
+    // (a lost watermark double-writes the next replay). Expected state:
+    // exactly TWO copies of supplier and a watermark of 1.
+    Q(
+      "ns207_exactly_once",
+      Some(
+        """SELECT (2 * COUNT(*))::BIGINT AS n,
+          |  (2 * SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)))::BIGINT AS total_cents,
+          |  1::BIGINT AS watermark
+          |FROM supplier""".stripMargin)) { (s, dir) =>
+      val sup = T(s, dir, "supplier")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-eo-" +
+        UUID.randomUUID().toString.take(8)
+      def writeBatch(bid: Long): Unit =
+        if (bid > ManagedWriter.lastCommittedBatch(s, dest, "q")) {
+          val wb = new ManagedWriter(s, dest, sup.schema, StreamType.Pending,
+            txn = Some(("q", bid)))
+          wb.write(sup); wb.finalizeCommit()
+        }
+      writeBatch(0); writeBatch(1)
+      writeBatch(1); writeBatch(0) // replays: watermark must skip both
+      ManagedWriter.vacuum(s, dest, keepVersions = 1)
+      writeBatch(1) // still skipped: vacuum re-anchored the watermark
+      val wm = ManagedWriter.lastCommittedBatch(s, dest, "q")
+      ManagedWriter.read(s, dest)
+        .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("total_cents"))
+        .withColumn("watermark", lit(wm))
     }
   )
 
