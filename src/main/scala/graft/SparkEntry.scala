@@ -5568,8 +5568,11 @@ object SparkEntry {
         bloomColumns = Seq("doc_id"))
       w.write(docs.repartition(8))
       w.finalizeCommit()
-      val keys = docs.where(col("doc_id") % 97 === 5)
-        .select("doc_id").collect().map(_.getLong(0).asInstanceOf[Any])
+      // BOUNDED probe collect (the point-lookup contract): probeKeys caps
+      // the driver materialization; corpus-scale probes go through
+      // Sketch.bloomSemiJoin instead.
+      val keys = DataSkipping.probeKeys(
+        docs.where(col("doc_id") % 97 === 5), "doc_id")
       DataSkipping.readSkippingBloom(s, dest, Seq(sources.In("doc_id", keys)))
         .orderBy("doc_id")
     },
@@ -8039,6 +8042,42 @@ object SparkEntry {
       ManagedWriter.read(s, dest)
         .agg(count(lit(1)).as("n"), sum(cents(col("s_acctbal"))).as("total_cents"))
         .withColumn("watermark", lit(wm))
+    },
+    // NS-M7: COMPRESSED audio through a REAL codec (closing C13's gap
+    // JDK-only): PCM16 payloads are G.711 mu-law-compressed and wrapped
+    // in a format-tag-7 WAV executor-side, then decoded back by
+    // javax.sound.sampled's built-in ULAW codec; exact integer features
+    // of the DECODED stream hash-gate against the oracle's replay of the
+    // published G.711 quantization arithmetic (bias 132, clip 32635 —
+    // OpsSpec pins the JDK codec against that table for all 256 bytes).
+    Q(
+      "ns208_ulaw_codec",
+      Some(
+        """WITH s AS (SELECT doc_id,
+          |    [CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+          |     FOR v IN [ascii(substring(text, 2*i+1, 1)) + 256 * ascii(substring(text, 2*i+2, 1))
+          |               FOR i IN range(length(text) // 2)]] AS smp
+          |  FROM documents WHERE length(text) >= 2),
+          |u AS (SELECT doc_id, unnest(smp) AS x FROM s),
+          |q AS (SELECT doc_id, x, least(abs(x), 32635) + 132 AS ax FROM u),
+          |e AS (SELECT doc_id, x, ax,
+          |    CASE WHEN ax >= 16384 THEN 7 WHEN ax >= 8192 THEN 6
+          |         WHEN ax >= 4096 THEN 5 WHEN ax >= 2048 THEN 4
+          |         WHEN ax >= 1024 THEN 3 WHEN ax >= 512 THEN 2
+          |         WHEN ax >= 256 THEN 1 ELSE 0 END AS e FROM q),
+          |m AS (SELECT doc_id, x,
+          |    ((((ax >> (e + 3)) & 15) * 8 + 132) << e) - 132 AS mag FROM e),
+          |dec AS (SELECT doc_id, CASE WHEN x < 0 THEN -mag ELSE mag END AS d FROM m)
+          |SELECT doc_id, COUNT(*)::BIGINT AS n_samples,
+          |  MAX(abs(d))::BIGINT AS peak, SUM(d * d)::BIGINT AS energy
+          |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Multimodal.ulawFeatures(
+          s,
+          T(s, dir, "documents").where(length(col("text")) >= 2)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm")),
+          "doc_id", "pcm")
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 

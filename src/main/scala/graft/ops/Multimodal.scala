@@ -253,6 +253,120 @@ object Multimodal {
       })
   }
 
+  // ------------------------------------------------------ G.711 mu-law
+
+  /** G.711 mu-law ENCODE of one PCM16 sample (CCITT software tables —
+    * the 0x84-bias, 32635-clip variant every codec ships, including the
+    * JDK's; pinned byte-for-byte against `javax.sound` in OpsSpec).
+    */
+  private[graft] def ulawEncode(s: Int): Int = {
+    val sign = if (s < 0) 0x80 else 0
+    val x = math.min(math.abs(s), 32635) + 132
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** G.711 mu-law DECODE of one encoded byte back to PCM16 (the exact
+    * inverse table the JDK codec applies — max magnitude 32124).
+    */
+  private[graft] def ulawDecode(b: Int): Int = {
+    val u = ~b & 0xff
+    val x = ((((u & 0x0f) << 3) + 132) << ((u >> 4) & 7)) - 132
+    if ((u & 0x80) != 0) -x else x
+  }
+
+  /** Encode a RIFF/WAVE file holding G.711 mu-law data (format tag 7,
+    * 8 bits per sample — the COMPRESSED telephony WAV variant).
+    */
+  private[graft] def encodeWavUlaw(
+      data: Array[Byte],
+      sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer
+      .allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(7) // G.711 mu-law
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * channels) // byte rate: 1 byte per sample
+    out.putShort(channels.toShort) // block align
+    out.putShort(8) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(data.length)
+    out.put(data)
+    out.array()
+  }
+
+  /** Features of a mu-law COMPRESSED audio payload after a REAL codec
+    * round-trip. */
+  final case class UlawFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      peak: Long,
+      energy: Long)
+
+  /** Compressed-audio decode through a REAL JDK codec (closing C13's
+    * "no compressed audio" gap without adding a dependency): each row's
+    * PCM16 payload is G.711 mu-law-compressed executor-side, wrapped in
+    * a format-tag-7 WAV container, and decoded back to linear PCM16 by
+    * `javax.sound.sampled.AudioSystem`'s built-in ULAW codec — not by
+    * this file's own formula. Features (exact integer peak/energy) are
+    * computed over the DECODED samples, so the gate hash-checks the
+    * codec's actual output against the oracle's replay of the published
+    * G.711 quantization arithmetic.
+    *
+    * Partition-preserving mapPartitions (the documented codec-work
+    * exception): encode, container build, and codec decode all happen
+    * executor-side in one pass — no shuffle, no driver bytes.
+    */
+  def ulawFeatures(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      sampleRate: Int = 8000): Dataset[UlawFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        val nSamples = data.length / 2
+        val enc = new Array[Byte](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          val s = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort).toInt
+          enc(i) = ulawEncode(s).toByte
+          i += 1
+        }
+        val wav = encodeWavUlaw(enc, sampleRate, channels = 1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          ais.getFormat.getSampleRate, 16, 1, 2, ais.getFormat.getSampleRate,
+          false)
+        val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+        val buf =
+          try dec.readAllBytes()
+          finally { dec.close(); ais.close() }
+        var peak = 0L
+        var energy = 0L
+        var j = 0
+        while (j + 1 < buf.length) {
+          val s = (((buf(j + 1) << 8) | (buf(j) & 0xff)).toShort).toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          energy += s * s
+          j += 2
+        }
+        UlawFeatures(id, (buf.length / 2).toLong, peak, energy)
+      })
+  }
+
   /** Per-frame PCM16 energy row. */
   final case class FrameEnergy(
       doc_id: Long,

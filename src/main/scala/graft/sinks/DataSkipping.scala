@@ -582,6 +582,24 @@ object DataSkipping {
     SkipReport(zone.totalFiles, kept)
   }
 
+  /** Collect a BOUNDED probe-key list for [[readSkippingBloom]]'s
+    * `In`-filter path. The point-lookup contract: an `In` filter carries
+    * LITERAL keys by nature, so the probe set must be driver-sized —
+    * this helper enforces that with a hard cap instead of an unbounded
+    * `collect()` (at 1% of a 100 TB table the collect IS the
+    * bottleneck). A probe set that outgrows the cap is not a point
+    * lookup any more: route it through `ops.Sketch.bloomSemiJoin`
+    * (C77), which screens row-side with no driver materialization.
+    */
+  def probeKeys(df: DataFrame, keyCol: String, maxKeys: Int = 10000): Array[Any] = {
+    val ks = df.select(keyCol).distinct().limit(maxKeys + 1)
+      .collect().map(_.get(0))
+    require(ks.length <= maxKeys,
+      s"probe set exceeds $maxKeys keys — not a point lookup; " +
+        "use Sketch.bloomSemiJoin for corpus-scale probes")
+    ks
+  }
+
   /** [[readSkipping]] with Bloom-filter point-lookup pruning on top of the
     * zone maps; same exactness contract — the full predicate is re-applied
     * row-wise, so the result is exactly `read(destDir).where(filters)`.

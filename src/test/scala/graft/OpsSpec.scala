@@ -1018,6 +1018,46 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(5L, hostile) }
   }
 
+  test("ulaw codec: JDK decoder equals the G.711 table for all 256 bytes; features match") {
+    // The ns208 oracle replays the published G.711 arithmetic; that is
+    // only sound if the JDK's ULAW codec implements the SAME table. Feed
+    // every possible encoded byte through javax.sound and compare.
+    val allBytes = Array.tabulate[Byte](256)(_.toByte)
+    val wav = Multimodal.encodeWavUlaw(allBytes, sampleRate = 8000, channels = 1)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val pcmFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+    val buf = try dec.readAllBytes() finally { dec.close(); ais.close() }
+    assert(buf.length == 512, "expected one int16 per encoded byte")
+    val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 256).foreach { b =>
+      assert(bb.getShort(2 * b).toInt == Multimodal.ulawDecode(b),
+        s"JDK ULAW decode diverges from the G.711 table at byte $b")
+    }
+    // encode∘decode fixpoint: re-encoding a decoded value reproduces the
+    // byte (the quantizer is idempotent on its own codebook)
+    (0 until 256).foreach { b =>
+      assert(Multimodal.ulawEncode(Multimodal.ulawDecode(b)) == b ||
+        // +/-0 share a codebook point: 0x7f and 0xff both decode to 0
+        Multimodal.ulawDecode(b) == 0,
+        s"codebook not idempotent at byte $b")
+    }
+    // end-to-end features through the real codec
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](0x01, 0x02, 0x80.toByte, 0xff.toByte)))
+      .toDF("doc_id", "pcm")
+    val f = Multimodal.ulawFeatures(spark, df, "doc_id", "pcm").collect().head
+    // 513 quantizes to 523 (exp 1), -128 to -132... compute via the table:
+    val q1 = Multimodal.ulawDecode(Multimodal.ulawEncode(513))
+    val q2 = Multimodal.ulawDecode(Multimodal.ulawEncode(-128))
+    assert(f == Multimodal.UlawFeatures(1L, 2L,
+      math.max(math.abs(q1), math.abs(q2)).toLong,
+      q1.toLong * q1 + q2.toLong * q2))
+  }
+
   test("ppm codec: golden decode with comments, exact channel sums, junk rejection") {
     val rgb = Array[Byte](10, 20, 30, 40, 50, 60) // 2x1 image
     val ppm = Multimodal.encodePpmP6(rgb, width = 2, height = 1)
