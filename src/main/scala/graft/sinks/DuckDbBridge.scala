@@ -128,4 +128,50 @@ object DuckDbBridge {
     */
   def readBack(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data")
+
+  /** LIVE DuckDB execution over an exported bundle — the connection-backed
+    * half of the seam (`duck.go:104-107` is the reference's entrypoint).
+    * The JDBC driver jar is supplied AT RUNTIME and loaded through its own
+    * classloader, so the library keeps zero compile-time dependencies (a
+    * zero-egress build never needs the jar; a user who has one gets the
+    * real in-process connection). Attaches the bundle by executing its
+    * `catalog.sql` verbatim, runs each query, and returns rows as strings
+    * (`null` stays null) — the lowest-common-denominator shape a
+    * cross-engine smoke check needs.
+    *
+    * Driver-side by design: this is the interactive attach path, not a
+    * data-plane operator — the bundle's data never moves (DuckDB reads
+    * the same parquet files Spark wrote).
+    */
+  def runLive(
+      driverJar: java.nio.file.Path,
+      bundleDir: String,
+      queries: Seq[String]): Seq[Seq[Seq[String]]] = {
+    val loader = new java.net.URLClassLoader(
+      Array(driverJar.toUri.toURL), getClass.getClassLoader)
+    // Instantiate the driver directly instead of DriverManager:
+    // DriverManager refuses drivers from a classloader the caller can't
+    // see, which is exactly our setup.
+    val driver = loader.loadClass("org.duckdb.DuckDBDriver")
+      .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+    val conn = driver.connect("jdbc:duckdb:", new java.util.Properties)
+    require(conn != null, s"driver at $driverJar did not accept jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      try {
+        val catalog = new String(
+          Files.readAllBytes(Paths.get(s"$bundleDir/catalog.sql")),
+          StandardCharsets.UTF_8)
+        st.execute(catalog)
+        queries.map { q =>
+          val rs = st.executeQuery(q)
+          val n = rs.getMetaData.getColumnCount
+          val rows = scala.collection.mutable.Buffer.empty[Seq[String]]
+          while (rs.next())
+            rows += (1 to n).map(i => Option(rs.getObject(i)).map(_.toString).orNull)
+          rows.toSeq
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
 }

@@ -55,4 +55,39 @@ class DuckDbBridgeSpec extends SparkSpec {
       DuckDbBridge.duckType(CalendarIntervalType)
     }
   }
+
+  /** A duckdb_jdbc jar present in the local offline build cache, if any —
+    * located by NAME GLOB only (no repository/host assumptions). The live
+    * test cancels cleanly when no jar exists.
+    */
+  private def findDuckDbJar(): Option[java.nio.file.Path] = {
+    val cache = Paths.get(sys.props("user.home"), ".cache", "coursier")
+    if (!Files.exists(cache)) return None
+    val s = Files.walk(cache)
+    try {
+      val hit = s.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("duckdb_jdbc-") && n.endsWith(".jar")
+      }.findFirst()
+      if (hit.isPresent) Some(hit.get) else None
+    } finally s.close()
+  }
+
+  test("LIVE round-trip: a real DuckDB connection attaches catalog.sql and answers") {
+    val jar = findDuckDbJar()
+    assume(jar.isDefined, "no duckdb_jdbc jar in the offline cache — seam stays file-based")
+    val sup = Tables(spark, sfDir, "supplier")
+    val dir = Files.createTempDirectory("graft-duck-live").toString
+    DuckDbBridge.export(sup, dir, "supplier_v")
+    val res = DuckDbBridge.runLive(jar.get, dir, Seq(
+      "SELECT COUNT(*)::BIGINT, SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))::BIGINT FROM supplier_v",
+      "SELECT COUNT(DISTINCT s_nationkey)::BIGINT FROM supplier_v"))
+    val exp = sup.agg(
+      count(lit(1)),
+      sum(round(col("s_acctbal") * 100).cast("long")),
+      countDistinct(col("s_nationkey"))).head()
+    assert(res(0).head(0).toLong == exp.getLong(0), "row count diverged")
+    assert(res(0).head(1).toLong == exp.getLong(1), "cents sum diverged")
+    assert(res(1).head(0).toLong == exp.getLong(2), "distinct count diverged")
+  }
 }
