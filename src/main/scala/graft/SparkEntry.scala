@@ -8078,6 +8078,120 @@ object SparkEntry {
           "doc_id", "pcm")
         .toDF()
         .orderBy("doc_id")
+    },
+    // NS-K5: KMV (bottom-k) distinct sketch + SET-OPERATION estimates —
+    // the sketch family that answers union/intersection/Jaccard between
+    // corpora from two persisted k-row artifacts (HLL union alone cannot
+    // intersect; ns187 is the exact twin at full-data cost). Everything
+    // is a pure md5 function of the inputs, so the estimates hash-gate
+    // AND the quality verdict pins the estimator inside a loose bound
+    // against the exact Jaccard computed on the same data.
+    Q(
+      "ns209_kmv_sketch", {
+        val k = 256
+        Some(
+          s"""WITH ha AS (SELECT DISTINCT ${oBase60("CAST(l_partkey AS VARCHAR)")} AS h
+             |    FROM lineitem WHERE l_quantity = 1),
+             |hb AS (SELECT DISTINCT ${oBase60("CAST(l_partkey AS VARCHAR)")} AS h
+             |    FROM lineitem WHERE l_quantity = 2),
+             |ka AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+             |kb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+             |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT $k),
+             |m AS (SELECT ku.h,
+             |    (CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END)
+             |      * (CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END) AS b
+             |  FROM ku LEFT JOIN ka ON ku.h = ka.h LEFT JOIN kb ON ku.h = kb.h),
+             |agg AS (SELECT COUNT(*)::BIGINT AS n_union, SUM(b)::BIGINT AS k_in_both,
+             |    MAX(h) AS hk FROM m),
+             |sa AS (SELECT DISTINCT l_partkey AS p FROM lineitem WHERE l_quantity = 1),
+             |sb AS (SELECT DISTINCT l_partkey AS p FROM lineitem WHERE l_quantity = 2),
+             |ex AS (SELECT
+             |    (SELECT COUNT(*) FROM sa JOIN sb USING (p))::BIGINT AS n_inter,
+             |    (SELECT COUNT(*) FROM (SELECT p FROM sa UNION SELECT p FROM sb))::BIGINT AS n_un)
+             |SELECT n_union, k_in_both,
+             |  k_in_both::DOUBLE / n_union::DOUBLE AS jaccard_est,
+             |  CASE WHEN n_union < $k THEN n_union::DOUBLE
+             |    ELSE ${k - 1}.0 * CAST(1152921504606846976 AS DOUBLE) / hk::DOUBLE END AS est_union,
+             |  (k_in_both::DOUBLE / n_union::DOUBLE) *
+             |    (CASE WHEN n_union < $k THEN n_union::DOUBLE
+             |      ELSE ${k - 1}.0 * CAST(1152921504606846976 AS DOUBLE) / hk::DOUBLE END)
+             |    AS est_intersection,
+             |  abs(k_in_both::DOUBLE / n_union::DOUBLE
+             |    - n_inter::DOUBLE / n_un::DOUBLE) <= 0.2 AS in_bound
+             |FROM agg, ex""".stripMargin)
+      }) { (s, dir) =>
+      val k = 256
+      val li = T(s, dir, "lineitem")
+      val a = li.where(col("l_quantity") === 1).select(col("l_partkey").cast("string").as("pk"))
+      val b = li.where(col("l_quantity") === 2).select(col("l_partkey").cast("string").as("pk"))
+      val ops = Sketch.kmvSetOps(
+        Sketch.kmvSketch(a, "pk", k), Sketch.kmvSketch(b, "pk", k), k)
+      val sa = li.where(col("l_quantity") === 1).select(col("l_partkey").as("p")).distinct()
+      val sb = li.where(col("l_quantity") === 2).select(col("l_partkey").as("p")).distinct()
+      val exact = sa.join(sb, "p").agg(count(lit(1)).as("n_inter"))
+        .crossJoin(sa.unionByName(sb).distinct().agg(count(lit(1)).as("n_un")))
+      ops.crossJoin(exact)
+        .select(col("n_union"), col("k_in_both"), col("jaccard_est"),
+          col("est_union"), col("est_intersection"),
+          (abs(col("jaccard_est")
+            - col("n_inter").cast("double") / col("n_un").cast("double")) <= 0.2)
+            .as("in_bound"))
+    },
+    // NS-D12: directed n-gram CONTAINMENT pairs — the quote/subset
+    // detector Jaccard misses (a short doc embedded in a long one has
+    // near-1 containment but low Jaccard; symmetric dedup keeps exactly
+    // these leakage pairs). Same df-capped inverted-index skeleton as
+    // ns84; both directions emitted independently. The oracle skips the
+    // hash (raw gram strings) and must agree pair for pair.
+    Q(
+      "ns210_containment_pairs",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM toks),
+           |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+           |keep AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) <= 20),
+           |ex2 AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
+           |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS ng FROM ex2 GROUP BY 1),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter
+           |  FROM ex2 a JOIN ex2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |d AS (SELECT doc_a AS doc_src, doc_b AS doc_dst, inter FROM j
+           |  UNION ALL SELECT doc_b, doc_a, inter FROM j)
+           |SELECT d.doc_src, d.doc_dst, d.inter, c.ng AS n_src,
+           |  d.inter::DOUBLE / c.ng::DOUBLE AS containment
+           |FROM d JOIN cnt c ON d.doc_src = c.doc_id
+           |WHERE d.inter::DOUBLE / c.ng::DOUBLE >= 0.8
+           |ORDER BY doc_src, doc_dst""".stripMargin)) { (s, dir) =>
+      Dedup.ngramContainmentPairs(T(s, dir, "documents"), "doc_id", "text",
+          n = 3, minContainment = 0.8, maxDf = 20L)
+        .orderBy("doc_src", "doc_dst")
+    },
+    // NS-I5: incremental JOIN-view maintenance (delta rules: Δ(A⋈B) =
+    // ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — the materialized orders⋈customer view
+    // updated from deltas only, gated against the oracle's FULL re-join
+    // of the updated tables: any dropped, duplicated, or phantom delta
+    // row breaks the count or the cents sum.
+    Q(
+      "ns211_incremental_join",
+      Some(
+        """SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+          |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)) { (s, dir) =>
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (aOld, aDelta) =
+        (o.where(col("o_orderkey") % 10 < 8), o.where(col("o_orderkey") % 10 >= 8))
+      val (bOld, bDelta) =
+        (c.where(col("o_custkey") % 7 =!= 0), c.where(col("o_custkey") % 7 === 0))
+      val viewOld = aOld.join(bOld, Seq("o_custkey"))
+      val updated = viewOld.unionByName(
+        graft.ops.Incremental.joinViewDelta(aOld, aDelta, bOld, bDelta, Seq("o_custkey")))
+      updated.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_mktsegment")
     }
   )
 

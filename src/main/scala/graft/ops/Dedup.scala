@@ -606,6 +606,59 @@ object Dedup {
     jaccardFromGrams(grams.join(dropped, Seq("gh"), "left_anti"), minJaccard)
   }
 
+  /** DIRECTED n-gram CONTAINMENT pairs: `C(src → dst) = |grams(src) ∩
+    * grams(dst)| / |grams(src)|` — the quote/subset detector Jaccard
+    * misses. A short doc fully embedded in a long one (a quoted post, a
+    * boilerplate-wrapped article, a training doc subsuming a benchmark
+    * item) has near-1 containment but arbitrarily LOW Jaccard, because
+    * Jaccard's denominator carries the long doc's size; symmetric-measure
+    * dedup keeps exactly these leakage pairs. Emits BOTH directions of a
+    * qualifying pair independently (containment is not symmetric — the
+    * small-into-large direction is usually the one that fires).
+    *
+    * Scale design: same inverted-index skeleton as [[ngramJaccardPairs]]
+    * — one distinct (doc, gram-hash) exchange reused by both self-join
+    * sides and the counts dim, df-capped (`maxDf`) with the tiny dropped
+    * stop-gram list broadcast into an anti-join, pair counting map-side
+    * combined, one IEEE division per emitted direction. Per-gram fan-out
+    * is bounded at maxDf² by construction.
+    *
+    * Output: (doc_src, doc_dst, inter, n_src, containment ≥ minC).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minContainment: Double,
+      maxDf: Long): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    require(minContainment > 0.0 && minContainment <= 1.0, "minContainment in (0, 1]")
+    val grams0 = shingleRows(df, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val dropped = grams0.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gh")
+    val grams = grams0.join(dropped, Seq("gh"), "left_anti")
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // both directions from the one undirected count
+    val directed = inter
+      .select(col("doc_a").as("doc_src"), col("doc_b").as("doc_dst"), col("inter"))
+      .unionByName(inter
+        .select(col("doc_b").as("doc_src"), col("doc_a").as("doc_dst"), col("inter")))
+    directed
+      .join(counts.withColumnRenamed("doc_id", "doc_src")
+        .withColumnRenamed("n_grams", "n_src"), "doc_src")
+      .select(col("doc_src"), col("doc_dst"), col("inter"), col("n_src"),
+        (col("inter").cast("double") / col("n_src").cast("double")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Shared tail of the Jaccard family: inverted-index self-join on the
     * (doc_id, gh) gram rows, per-doc counts rejoin (deliberately NOT
     * hint-broadcast — AQE sizes the one-row-per-doc dimension), one IEEE

@@ -243,6 +243,78 @@ object Sketch {
   def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).distinct()
 
+  // ----------------------------------------------------------------- kmv
+
+  private val Kmv60 = 1152921504606846976.0 // 2^60 — a power of two, exact
+
+  /** K-minimum-values distinct sketch (bottom-k, Bar-Yossef et al. 2002):
+    * the `k` smallest 60-bit md5 hashes of the column's DISTINCT values —
+    * the third persisted-sketch family next to the CMS counters and the
+    * Bloom bit set, and the one that answers SET-OPERATION questions
+    * (union/intersection/Jaccard between corpora) that HLL union alone
+    * cannot. Same md5 family as the other artifacts (the hash family is
+    * part of the persisted format); fully deterministic, so the sketch
+    * rows AND every downstream estimate hash-gate against a SQL replay.
+    *
+    * Output: (h) — at most k rows. Scale: one map-side-combined distinct
+    * then a TakeOrdered k — the shuffle carries k candidates per
+    * partition, never the domain.
+    */
+  def kmvSketch(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.select(baseHash(col(itemCol)).as("h")).distinct().orderBy("h").limit(k)
+  }
+
+  /** Distinct-cardinality estimate from a KMV sketch: EXACT when the
+    * sketch is unsaturated (fewer than k distinct hashes exist), else the
+    * classic unbiased `(k−1)·2⁶⁰ / h_(k)` estimator — one fixed IEEE
+    * chain on exact integers, bit-reproducible.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n"), max("h").as("hk"))
+      .select(
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Kmv60) / col("hk").cast("double"))
+          .as("est_distinct"))
+
+  /** Union sketch from two sketches alone — KMV mergeability:
+    * `sketch(A ∪ B)` = the k smallest of the combined hash sets. */
+  def kmvUnion(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    a.unionByName(b).distinct().orderBy("h").limit(k)
+  }
+
+  /** Set-operation estimates from two KMV sketches (Beyer et al.
+    * SIGMOD'07): over the union sketch `K_∪`, the fraction ρ of its
+    * hashes present in BOTH input sketches is an exact-integer Jaccard
+    * estimator, and `ρ · est(∪)` estimates the intersection size — the
+    * "audience overlap between two corpora at sketch cost" primitive
+    * (the EXACT twin is ns187's overlap matrix, at full-data cost).
+    * One row: (n_union, k_in_both, jaccard_est, est_union,
+    * est_intersection); every value is a deterministic function of the
+    * two sketches.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val u = kmvUnion(a, b, k)
+    val marked = u
+      .join(a.select(col("h")).withColumn("_ina", lit(1L)), Seq("h"), "left")
+      .join(b.select(col("h")).withColumn("_inb", lit(1L)), Seq("h"), "left")
+    marked
+      .agg(
+        count(lit(1)).as("n_union"),
+        sum(coalesce(col("_ina"), lit(0L)) * coalesce(col("_inb"), lit(0L)))
+          .as("k_in_both"),
+        max("h").as("_hk"))
+      .select(
+        col("n_union"), col("k_in_both"),
+        (col("k_in_both").cast("double") / col("n_union").cast("double"))
+          .as("jaccard_est"),
+        when(col("n_union") < k, col("n_union").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Kmv60) / col("_hk").cast("double"))
+          .as("est_union"))
+      .withColumn("est_intersection", col("jaccard_est") * col("est_union"))
+  }
+
   /** Bloom-accelerated semi-join (runtime row pre-filter): rows of `big`
     * whose `bigKey` appears in `keys.keyCol` — EXACTLY `big LEFT SEMI
     * JOIN keys`, computed as a scan-local Bloom screen followed by the

@@ -1989,4 +1989,58 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(m(1L) == 1L && m(9L) == 1L && m(5L) == 1L && m(2L) == 0L)
     assert(got.forall(_._3 == 3L))
   }
+
+  test("kmv: unsaturated estimate is exact; union of sketches == sketch of union") {
+    import graft.ops.Sketch
+    val a = (1 to 50).map(i => s"a$i").toDF("v")
+    val b = (30 to 80).map(i => s"a$i").toDF("v") // overlap a30..a50
+    // unsaturated (k > distinct): the estimate IS the exact distinct count
+    val est = Sketch.kmvEstimate(Sketch.kmvSketch(a, "v", 256), 256)
+      .as[Double].head()
+    assert(est == 50.0)
+    // mergeability: k smallest of the two sketches == sketch built on the union
+    val k = 16
+    val merged = Sketch.kmvUnion(
+      Sketch.kmvSketch(a, "v", k), Sketch.kmvSketch(b, "v", k), k)
+      .as[Long].collect().toSeq
+    val direct = Sketch.kmvSketch(a.unionByName(b), "v", k).as[Long].collect().toSeq
+    assert(merged == direct)
+    // set ops on fully-known sets: jaccard_est over an unsaturated union
+    // is the EXACT jaccard (every distinct hash is in every sketch)
+    val ops = Sketch.kmvSetOps(
+      Sketch.kmvSketch(a, "v", 256), Sketch.kmvSketch(b, "v", 256), 256).head()
+    assert(ops.getAs[Long]("n_union") == 80L)
+    assert(ops.getAs[Long]("k_in_both") == 21L) // a30..a50
+    assert(ops.getAs[Double]("est_union") == 80.0)
+    assert(math.abs(ops.getAs[Double]("est_intersection") - 21.0) < 1e-9)
+  }
+
+  test("containment is directed: embedded doc scores 1.0 forward, low backward") {
+    val short = "alpha beta gamma delta epsilon zeta" // 4 trigram shingles
+    val long = short + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(df, "doc_id", "text",
+        n = 3, minContainment = 0.9, maxDf = 100L)
+      .select("doc_src", "doc_dst", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    // every shingle of doc 1 appears in doc 2 → containment(1→2) = 1.0;
+    // doc 2 has many more shingles → containment(2→1) well under 0.9
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("joinViewDelta: delta-maintained view equals the full re-join") {
+    import graft.ops.Incremental
+    val aOld = Seq((1L, 10L), (2L, 20L)).toDF("k", "av")
+    val aDelta = Seq((1L, 11L), (3L, 30L)).toDF("k", "av")
+    val bOld = Seq((1L, "x"), (3L, "y")).toDF("k", "bv")
+    val bDelta = Seq((2L, "z"), (3L, "w")).toDF("k", "bv")
+    val updated = aOld.join(bOld, Seq("k"))
+      .unionByName(Incremental.joinViewDelta(aOld, aDelta, bOld, bDelta, Seq("k")))
+    val full = aOld.unionByName(aDelta).join(bOld.unionByName(bDelta), Seq("k"))
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("k", "av", "bv").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(canon(updated) == canon(full))
+    // the ΔA⋈ΔB term is load-bearing: key 3 joins ONLY delta-to-delta
+    assert(canon(updated).contains((3L, 30L, "w")))
+  }
 }
