@@ -8192,6 +8192,154 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
         .orderBy("c_mktsegment")
+    },
+    // NS-E5: per-class classification report — confusion-matrix counts
+    // and precision/recall/F1 of the trigram lang-id against the labeled
+    // lang column (the eval table every model-labeled column gets).
+    // Exact tp/fp/fn longs; each metric is ONE IEEE division (F1 via the
+    // single-division 2tp/(2tp+fp+fn) spelling).
+    Q(
+      "ns212_classification_report", {
+        def grams3(w: String): Seq[String] =
+          if (w.length < 3) Seq(w) else (0 to w.length - 3).map(i => w.substring(i, i + 3))
+        val profiles = TextOps.LangMarkers.map { case (l, ws) =>
+          l -> ws.flatMap(grams3).distinct.sorted
+        }
+        val hits = profiles.map { case (l, gs) =>
+          s"length(list_filter(tg, g -> list_contains(${oList(gs)}, g))) AS h_$l"
+        }.mkString(",\n  ")
+        val langs = profiles.map(_._1)
+        val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+        Some(
+          s"""WITH t AS (SELECT lang,
+             |    CASE WHEN length(text) >= 3
+             |      THEN [substring(text, i+1, 3) for i in range(length(text) - 2)]
+             |      ELSE [] END AS tg
+             |  FROM documents WHERE lang IS NOT NULL),
+             |s AS (SELECT lang, $hits FROM t),
+             |m AS (SELECT *, $mx AS mx FROM s),
+             |p AS (SELECT lang AS actual,
+             |    CASE WHEN mx = 0 THEN 'und' $cases END AS predicted FROM m),
+             |cells AS (SELECT actual, predicted, COUNT(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+             |classes AS (SELECT actual AS cls FROM cells UNION SELECT predicted FROM cells),
+             |tp AS (SELECT actual AS cls, n AS tp FROM cells WHERE actual = predicted),
+             |at AS (SELECT actual AS cls, SUM(n)::BIGINT AS na FROM cells GROUP BY 1),
+             |pt AS (SELECT predicted AS cls, SUM(n)::BIGINT AS np FROM cells GROUP BY 1),
+             |r AS (SELECT c.cls, coalesce(tp.tp, 0)::BIGINT AS tp,
+             |    (coalesce(pt.np, 0) - coalesce(tp.tp, 0))::BIGINT AS fp,
+             |    (coalesce(at.na, 0) - coalesce(tp.tp, 0))::BIGINT AS fn
+             |  FROM classes c LEFT JOIN tp USING (cls) LEFT JOIN at USING (cls)
+             |    LEFT JOIN pt USING (cls))
+             |SELECT cls, tp, fp, fn,
+             |  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE END AS "precision",
+             |  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE END AS recall,
+             |  CASE WHEN 2 * tp + fp + fn > 0
+             |    THEN (2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE END AS f1
+             |FROM r ORDER BY cls""".stripMargin)
+      }) { (s, dir) =>
+      graft.ops.Eval.classificationReport(
+          T(s, dir, "documents").where(col("lang").isNotNull)
+            .select(col("lang"), TextOps.langIdNgramFast(col("text")).as("pred")),
+          "lang", "pred")
+        .orderBy("cls")
+    },
+    // NS-E6: Cohen's kappa — chance-corrected agreement between the
+    // labeled lang column and the marker-word lang-id (the
+    // rater/heuristic-consistency statistic; raw agreement overstates
+    // consistency whenever the label distribution is skewed). Exact
+    // integer terms, ONE division.
+    Q(
+      "ns213_cohen_kappa", {
+        val hits = TextOps.LangMarkers
+          .map { case (l, ws) => s"${oHits("toks", ws)} AS h_$l" }
+          .mkString(",\n  ")
+        val langs = TextOps.LangMarkers.map(_._1)
+        val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+        Some(
+          s"""WITH t AS (SELECT lang, $oToks AS toks FROM documents WHERE lang IS NOT NULL),
+             |s AS (SELECT lang, $hits FROM t),
+             |m AS (SELECT *, $mx AS mx FROM s),
+             |p AS (SELECT lang AS a,
+             |    CASE WHEN mx = 0 THEN 'und' $cases END AS b FROM m),
+             |cells AS (SELECT a, b, COUNT(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+             |rw AS (SELECT a AS cls, SUM(n)::BIGINT AS rn FROM cells GROUP BY 1),
+             |cl AS (SELECT b AS cls, SUM(n)::BIGINT AS cn FROM cells GROUP BY 1),
+             |marg AS (SELECT SUM(rn * cn)::BIGINT AS sum_marginal
+             |  FROM rw JOIN cl USING (cls)),
+             |agg AS (SELECT SUM(n)::BIGINT AS n,
+             |    SUM(CASE WHEN a = b THEN n ELSE 0 END)::BIGINT AS n_agree FROM cells)
+             |SELECT n, n_agree, sum_marginal,
+             |  (n * n_agree - sum_marginal)::DOUBLE
+             |    / (n * n - sum_marginal)::DOUBLE AS kappa
+             |FROM agg, marg""".stripMargin)
+      }) { (s, dir) =>
+      graft.ops.Eval.cohenKappa(
+          T(s, dir, "documents").where(col("lang").isNotNull)
+            .select(col("lang"), TextOps.langIdMarkerFast(col("text")).as("pred")),
+          "lang", "pred")
+    },
+    // NS-T23: Luhn-validated PAN screen (the payment-card sibling of
+    // ns35's shape redaction — a digit run that VALIDATES under Luhn is
+    // a card number with high probability, where shape rules flood on
+    // order ids). The fixture has no card-shaped runs, so each doc gets
+    // a deterministic 15-digit candidate appended — Luhn validity then
+    // varies doc by doc (~10% valid) and BOTH branches of the screen
+    // fire. The redaction (valid runs → [PAN], digit-boundary-guarded)
+    // gates via md5 of the rebuilt text.
+    Q(
+      "ns214_luhn_screen",
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |    text || ' ' || lpad(CAST(doc_id * 7919 AS VARCHAR), 15, '7') AS tx
+          |  FROM documents),
+          |r AS (SELECT doc_id, tx,
+          |    list_filter(regexp_extract_all(tx, '[0-9]+'),
+          |      x -> length(x) BETWEEN 13 AND 19) AS cands FROM t),
+          |v AS (SELECT doc_id, tx, cands,
+          |    list_filter(cands, x -> list_sum([CASE WHEN i % 2 = 0
+          |        THEN ascii(substring(reverse(x), i+1, 1)) - 48
+          |        ELSE CASE WHEN 2 * (ascii(substring(reverse(x), i+1, 1)) - 48) > 9
+          |          THEN 2 * (ascii(substring(reverse(x), i+1, 1)) - 48) - 9
+          |          ELSE 2 * (ascii(substring(reverse(x), i+1, 1)) - 48) END END
+          |      FOR i IN range(length(x))]) % 10 = 0) AS valid FROM r)
+          |SELECT doc_id, len(cands)::BIGINT AS n_candidates,
+          |  len(valid)::BIGINT AS n_valid,
+          |  md5(list_reduce(list_prepend(tx, valid),
+          |    (a, x) -> regexp_replace(a, '\b' || x || '\b', '[PAN]', 'g'))) AS redacted_md5
+          |FROM v ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" "),
+          lpad((col("doc_id") * 7919).cast("string"), 15, "7")).as("tx"))
+      TextOps.luhnScreen(docs, "doc_id", "tx")
+        .select(col("doc_id"), col("n_candidates"), col("n_valid"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    // NS-T24: winnowing fingerprints (Schleimer et al. SIGMOD'03, the
+    // MOSS selection): min shingle-hash per w-window — any shared run of
+    // ≥ w+k−1 tokens between two docs shares a selected fingerprint, at
+    // ~2/(w+1) the index size. The oracle replays the positional hashes
+    // and the window minimum; the full selected set hash-gates.
+    Q(
+      "ns215_winnowing",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |p AS (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS pos
+           |  FROM toks WHERE len(ts) >= 3),
+           |g AS (SELECT doc_id, pos,
+           |    ${oBase60("array_to_string(ts[pos+1:pos+3], ' ')")} AS h FROM p),
+           |w AS (SELECT doc_id, pos,
+           |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+           |    COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g)
+           |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 4
+           |ORDER BY doc_id, fp""".stripMargin)) { (s, dir) =>
+      TextOps.winnowingFingerprints(T(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy("doc_id", "fp")
     }
   )
 

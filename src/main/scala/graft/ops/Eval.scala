@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classification-evaluation tables (north-star extension): the metrics a
+  * training pipeline runs over every model-labeled column — a confusion
+  * matrix, the per-class precision/recall/F1 report, and Cohen's kappa
+  * for rater/heuristic agreement. All counts are exact longs; every
+  * derived metric is a single IEEE division (or one fixed chain) on
+  * exact integers, so the tables hash-gate cross-engine.
+  *
+  * Scale shape: everything reduces to ONE map-side-combined (actual,
+  * predicted) count pass over the labeled rows; the metric arithmetic
+  * runs on the |classes|² cell table, never the row volume.
+  */
+object Eval {
+
+  /** Confusion matrix: one row per observed (actual, predicted) cell with
+    * its exact count. Cells never observed are absent (dense-ify against
+    * a class dim if a downstream consumer needs zeros).
+    */
+  def confusionMatrix(df: DataFrame, actualCol: String, predCol: String): DataFrame =
+    df.groupBy(col(actualCol).as("actual"), col(predCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-class precision / recall / F1 from exact tp/fp/fn counts. The
+    * class list is the union of observed actual and predicted labels.
+    * F1 uses the single-division spelling `2·tp / (2·tp + fp + fn)` —
+    * one IEEE op on exact longs (and well-defined 0 when the class was
+    * never seen on either side of a tp). Classes with zero denominator
+    * anywhere report NULL for that metric, SQL-style.
+    */
+  def classificationReport(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    val cells = confusionMatrix(df, actualCol, predCol)
+    val classes = cells.select(col("actual").as("cls"))
+      .unionByName(cells.select(col("predicted").as("cls"))).distinct()
+    val tp = cells.where(col("actual") === col("predicted"))
+      .select(col("actual").as("cls"), col("n").as("tp"))
+    val actualTot = cells.groupBy(col("actual").as("cls")).agg(sum("n").as("n_actual"))
+    val predTot = cells.groupBy(col("predicted").as("cls")).agg(sum("n").as("n_pred"))
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(actualTot, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .select(
+        col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_actual"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .select(
+        col("cls"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+  }
+
+  /** Cohen's kappa between two label columns — chance-corrected
+    * agreement, the standard rater/heuristic-consistency statistic.
+    * Exact integer spelling: `κ = (n·Σ_c tp_c − Σ_c row_c·col_c) /
+    * (n² − Σ_c row_c·col_c)` — every term a long, ONE division.
+    * Output: one row (n, n_agree, sum_marginal, kappa).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = confusionMatrix(df, aCol, bCol)
+    val rows = cells.groupBy(col("actual").as("cls")).agg(sum("n").as("rn"))
+    val cols_ = cells.groupBy(col("predicted").as("cls")).agg(sum("n").as("cn"))
+    val marg = rows.join(cols_, Seq("cls"))
+      .agg(sum(col("rn") * col("cn")).as("sum_marginal"))
+    cells
+      .agg(sum("n").as("n"),
+        sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(marg)
+      .select(
+        col("n"), col("n_agree"), col("sum_marginal"),
+        ((col("n") * col("n_agree") - col("sum_marginal")).cast("double") /
+          (col("n") * col("n") - col("sum_marginal")).cast("double")).as("kappa"))
+  }
+}

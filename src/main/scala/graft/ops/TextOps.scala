@@ -1136,4 +1136,100 @@ object TextOps {
           sequence(lit(0L), lit((dim - 1).toLong)),
           i => coalesce(element_at(col("_m"), i), lit(0L))).as("vec"))
   }
+
+  /** Luhn-checksum screen for PAN-shaped digit runs (the payment-card
+    * sibling of [[redactPii]]'s shape rules — a digit run that VALIDATES
+    * under Luhn is overwhelmingly a real card number, where a shape rule
+    * alone floods on order ids and timestamps). Maximal digit runs of
+    * length 13–19 are candidates; the Luhn sum runs as an indexed fold
+    * over the reversed digits (exact integers). Valid runs are redacted
+    * to `[PAN]` (every occurrence — a repeated card redacts everywhere).
+    *
+    * Output: `(idCol, n_candidates, n_valid, redacted)` — one row per
+    * document, including candidate-free ones (0, 0, original text).
+    *
+    * Scale shape: scan-local projection — regexp extraction and the
+    * fold run per row with no shuffle at all; the fold's cost is per
+    * CANDIDATE (rare), not per character.
+    */
+  def luhnScreen(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val runs = regexp_extract_all(col("_text"), lit("[0-9]+"), lit(0))
+    val cands = filter(runs, r => length(r) >= 13 && length(r) <= 19)
+    // Luhn: indexed fold over the digits — digit at 0-based position i of
+    // the REVERSED run; odd positions double (minus 9 past 9).
+    df.select(col(idCol), col(textCol).as("_text"))
+      .withColumn("_cands", cands)
+      .withColumn(
+        "_valid",
+        filter(
+          col("_cands"),
+          r =>
+            aggregate(
+              sequence(lit(0), length(r) - 1),
+              lit(0L),
+              (acc, i) => {
+                val d = (ascii(substring(reverse(r), i + 1, lit(1))) - 48).cast("long")
+                acc + when(i % 2 === 0, d)
+                  .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+              }) % 10 === 0))
+      .select(
+        col(idCol),
+        size(col("_cands")).cast("long").as("n_candidates"),
+        size(col("_valid")).cast("long").as("n_valid"),
+        aggregate(col("_valid"), col("_text"),
+          (t, r) => regexp_replace(t, concat(lit("\\b"), r, lit("\\b")), lit("[PAN]")))
+          .as("redacted"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS document-fingerprint selection): positional `k`-token
+    * shingle hashes, and from every window of `w` consecutive positions
+    * the MINIMUM hash is selected — the guarantee is that any shared run
+    * of at least `w + k − 1` tokens between two documents shares at
+    * least one selected fingerprint, at ~2/(w+1) of the full shingle
+    * set's size. The repo's whole-doc fingerprints (C12) catch exact
+    * dups; winnowing's selected set is the INDEX for partial-overlap
+    * detection at a tunable density.
+    *
+    * Output: `(idCol, fp)` — the DISTINCT selected hashes per document.
+    *
+    * Scale shape: shingle hashing is scan-local (the same positional
+    * pipeline as span decontamination); the window minimum runs under a
+    * PER-DOCUMENT partitioned window (never a global sort), and the
+    * distinct collapses map-side. Docs with fewer than `w + k − 1`
+    * tokens have no full window and emit nothing, per the algorithm.
+    */
+  def winnowingFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("ts")) - k),
+            i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))
+          .as(Seq("pos", "gram")))
+      .select(
+        col(idCol), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+    val nGrams = grams.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .join(nGrams, Seq(idCol))
+      .where(col("pos") <= col("_n") - w)
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
 }

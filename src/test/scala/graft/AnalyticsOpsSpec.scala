@@ -2028,6 +2028,61 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
+  test("classification report + kappa: textbook hand-checked values") {
+    import graft.ops.Eval
+    // 10 rows, two classes: actual A×6 B×4; predicted: A→A 5, A→B 1,
+    // B→A 2, B→B 2.
+    val df = (Seq.fill(5)(("A", "A")) ++ Seq(("A", "B")) ++
+      Seq.fill(2)(("B", "A")) ++ Seq.fill(2)(("B", "B"))).toDF("y", "p")
+    val rep = Eval.classificationReport(df, "y", "p")
+      .select("cls", "tp", "fp", "fn", "precision", "recall", "f1")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(rep == Seq(
+      ("A", 5L, 2L, 1L, 5.0 / 7.0, 5.0 / 6.0, 10.0 / 13.0),
+      ("B", 2L, 1L, 2L, 2.0 / 3.0, 2.0 / 4.0, 4.0 / 7.0)))
+    // kappa: po = 7/10; pe = (6·7 + 4·3)/100 = 0.54 → κ = 0.16/0.46
+    val kp = Eval.cohenKappa(df, "y", "p")
+      .select("n", "n_agree", "sum_marginal", "kappa")
+      .as[(Long, Long, Long, Double)].head()
+    assert(kp._1 == 10L && kp._2 == 7L && kp._3 == 54L)
+    assert(math.abs(kp._4 - (10.0 * 7 - 54) / (100.0 - 54)) < 1e-15)
+  }
+
+  test("luhn screen: textbook PAN validates, off-by-one fails, only valid redacts") {
+    import graft.ops.TextOps
+    // 4532015112830366 is Luhn-valid; flipping the check digit breaks it.
+    val df = Seq(
+      (1L, "card 4532015112830366 here"),
+      (2L, "card 4532015112830367 here"),
+      (3L, "no digits at all")).toDF("doc_id", "text")
+    val got = TextOps.luhnScreen(df, "doc_id", "text")
+      .select("doc_id", "n_candidates", "n_valid", "redacted")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 1L, 1L, "card [PAN] here")))
+    assert(got(1) == ((2L, 1L, 0L, "card 4532015112830367 here")))
+    assert(got(2) == ((3L, 0L, 0L, "no digits at all")))
+  }
+
+  test("winnowing: shared w+k-1 token run guarantees a shared fingerprint") {
+    import graft.ops.TextOps
+    val shared = "q w e r t y u i" // 8 tokens > w+k-1 = 6
+    val d1 = s"aa bb cc $shared dd ee"
+    val d2 = s"xx yy $shared zz"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().toSeq
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "shared run must share a selected fingerprint")
+    // density: selected set is a strict subset of the full shingle set
+    val full1 = d1.split(" ").sliding(3).size
+    assert(f1.size < full1, "winnowing must select, not keep every shingle")
+    // too-short docs emit nothing (no full window)
+    val tiny = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    assert(TextOps.winnowingFingerprints(tiny, "doc_id", "text", 3, 4).count() == 0L)
+  }
+
   test("joinViewDelta: delta-maintained view equals the full re-join") {
     import graft.ops.Incremental
     val aOld = Seq((1L, 10L), (2L, 20L)).toDF("k", "av")
