@@ -8340,6 +8340,121 @@ object SparkEntry {
       TextOps.winnowingFingerprints(T(s, dir, "documents"), "doc_id", "text",
           k = 3, w = 4)
         .orderBy("doc_id", "fp")
+    },
+    // NS-T25: winnowing MATCH step (the MOSS pair detector over ns215's
+    // index): doc pairs sharing ≥ m selected fingerprints — partial
+    // overlap surfaced at index cost. df-capped like the Jaccard family.
+    Q(
+      "ns216_winnow_pairs",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |p AS (SELECT doc_id, ts, unnest(range(len(ts) - 2)) AS pos
+           |  FROM toks WHERE len(ts) >= 3),
+           |g AS (SELECT doc_id, pos,
+           |    ${oBase60("array_to_string(ts[pos+1:pos+3], ' ')")} AS h FROM p),
+           |w AS (SELECT doc_id, pos,
+           |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+           |    COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g),
+           |sel AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 4),
+           |keep AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= 20),
+           |s2 AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keep USING (fp))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+           |FROM s2 a JOIN s2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+           |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+      TextOps.winnowingOverlapPairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 3L, maxDf = 20L)
+        .orderBy("doc_a", "doc_b")
+    },
+    // NS-Q5: LSH CANDIDATE RECALL gate — what fraction of the exact
+    // Jaccard-τ pairs does banded MinHash-LSH surface as candidates? The
+    // dedup-quality twin of ns96's ANN recall gate: the banding S-curve
+    // (ns199) PREDICTS this number; here it is MEASURED on the same data
+    // the exact operator answers for.
+    Q(
+      "ns217_lsh_recall",
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, $oShingles AS shingles FROM toks),
+           |shd AS (SELECT doc_id, list_distinct(shingles) AS grams FROM sh),
+           |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM shd),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb,
+           |    COUNT(*) AS inter
+           |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+           |exact AS (SELECT doc_a, doc_b FROM j
+           |  WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5),
+           |h AS (SELECT doc_id, [${oHash32("s")} for s in shingles] AS hs FROM sh),
+           |sig AS (SELECT doc_id, ${oMinhashSig(16)} AS sig FROM h),
+           |pb AS (SELECT doc_id, b,
+           |    md5(array_to_string(list_transform([b::BIGINT] || sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bkey
+           |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM pb a JOIN pb b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |hit AS (SELECT COUNT(*)::BIGINT AS n_hit FROM exact JOIN cand USING (doc_a, doc_b))
+           |SELECT (SELECT COUNT(*) FROM exact)::BIGINT AS n_exact,
+           |  (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates, n_hit,
+           |  n_hit::DOUBLE / (SELECT COUNT(*) FROM exact)::DOUBLE AS recall
+           |FROM hit""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select("doc_a", "doc_b")
+      val cand = Dedup.minhashPairs(
+          Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16),
+          bands = 4, rowsPerBand = 4, minEstJaccard = 0.0)
+        .select("doc_a", "doc_b")
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(nExact).crossJoin(nCand)
+        .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+    },
+    // NS-W24: deterministic systematic PPS sample (Madow) — probability
+    // proportional to the document's quality weight with a HARD total of
+    // exactly n picks (per-row Bernoulli hits n only in expectation),
+    // zero RNG: the weight line is walked in md5 order with exact
+    // integer multiple counting. Heavy docs legitimately pick more than
+    // once (n_picks is the multiplicity).
+    Q(
+      "ns218_systematic_pps",
+      Some(
+        """WITH r AS (SELECT doc_id, n_chars AS w,
+          |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM documents WHERE n_chars > 0),
+          |c AS (SELECT doc_id, w,
+          |    SUM(w) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+          |    SUM(w) OVER ()::BIGINT AS tw FROM r)
+          |SELECT doc_id, w AS n_chars, ((cum * 100) // tw - ((cum - w) * 100) // tw)::BIGINT AS n_picks
+          |FROM c WHERE (cum * 100) // tw - ((cum - w) * 100) // tw > 0
+          |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Sampling.systematicPps(
+          T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", n = 100L)
+        .orderBy("doc_id")
+    },
+    // NS-P30: per-group ECDF / percentile-rank table — every distinct
+    // (group, value) mapped to its max-rank cumulative count and the
+    // exact rational r/n; the inverse of the quantile table and the
+    // rank-based feature transform.
+    Q(
+      "ns219_percentile_rank",
+      Some(
+        """WITH e AS (SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |c AS (SELECT g, v, COUNT(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+          |r AS (SELECT g, v, c,
+          |    SUM(c) OVER (PARTITION BY g ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS r,
+          |    SUM(c) OVER (PARTITION BY g)::BIGINT AS n FROM c)
+          |SELECT g AS event_type, v, c, r, n, r::DOUBLE / n::DOUBLE AS pct
+          |FROM r ORDER BY event_type, v""".stripMargin)) { (s, dir) =>
+      Profile.groupedPercentileRank(
+          T(s, dir, "events").where(col("value").isNotNull)
+            .select(col("event_type"), cents(col("value")).as("v")),
+          "event_type", "v")
+        .orderBy("event_type", "v")
     }
   )
 

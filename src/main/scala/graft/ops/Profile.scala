@@ -1172,4 +1172,33 @@ object Profile {
             sxx * col("dy").cast("double") * col("dy").cast("double")) / det)
           .as("m2_scaled"))
   }
+
+  /** Per-group ECDF / percentile-rank table: every distinct (group,
+    * value) mapped to its max-rank cumulative count `r` (ties share the
+    * rank — the ns64 order-statistic convention) and the exact rational
+    * `pct = r/n` — the rank-based feature transform (percentile
+    * normalization, "what fraction of this segment is at or below me")
+    * and the inverse of [[groupedQuantiles]]. Join back on (group,
+    * value) for the per-row application.
+    *
+    * Scale shape: rows collapse to the distinct-value dim scan-locally;
+    * the cumulative window is PARTITIONED by group (never global), and
+    * per-group totals ride the same aggregate.
+    */
+  def groupedPercentileRank(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    c.withColumn("r", sum("c").over(w))
+      .withColumn("n", sum("c").over(wAll))
+      .select(
+        col("g").as(groupCol), col("v").as(valueCol),
+        col("c"), col("r"), col("n"),
+        (col("r").cast("double") / col("n").cast("double")).as("pct"))
+  }
 }

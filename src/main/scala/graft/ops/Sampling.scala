@@ -344,4 +344,46 @@ object Sampling {
         col("cluster"),
         (col("_rn") <= perCluster).as("sampled"))
   }
+
+  /** Deterministic SYSTEMATIC PPS sample (Madow 1949: probability
+    * proportional to size, zero RNG): items are laid out on a weight
+    * line in md5-of-id order, and every multiple of `W/n` (exact
+    * integer arithmetic — multiples counted via `⌊cum·n/W⌋` deltas)
+    * picks the item covering it. Heavy items (weight > W/n) are picked
+    * MULTIPLE times — `n_picks` reports the multiplicity, per classic
+    * PPS-with-replacement semantics; expected picks are exactly
+    * `n·w_i/W` and the total over all rows is exactly `n`.
+    *
+    * The weight-quality story of [[weightedSample]] with a HARD total
+    * (per-row Bernoulli hits n only in expectation) and none of the
+    * per-stratum machinery of [[proportionalAllocation]].
+    *
+    * Scale shape: the cumulative weight rides [[Prefix.runningSum]]'s
+    * two-phase range-partitioned scan over the md5 order key — no
+    * single-task sort; W joins back as a one-row broadcast.
+    *
+    * Output: `(idCol, weightCol, n_picks ≥ 1)`.
+    */
+  def systematicPps(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Long): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val rows = df
+      .select(col(idCol).as("_id"), col(weightCol).cast("long").as("_w"))
+      .where(col("_w") > 0)
+      .withColumn("_h",
+        conv(substring(md5(col("_id").cast("string")), 1, 15), 16, 10).cast("long"))
+    val total = rows.agg(sum("_w").as("_tw"))
+    // integer `div`, never float floor: ⌊cum·n/W⌋ must be exact at any
+    // magnitude (the skill's ns20 lesson — a double divide then round
+    // diverges cross-engine on large operands)
+    Prefix.runningSum(rows, "_h", "_w", "_cum")
+      .crossJoin(broadcast(total))
+      .withColumn("n_picks",
+        expr(s"(_cum * $n) div _tw") - expr(s"((_cum - _w) * $n) div _tw"))
+      .where(col("n_picks") > 0)
+      .select(col("_id").as(idCol), col("_w").as(weightCol), col("n_picks"))
+  }
 }

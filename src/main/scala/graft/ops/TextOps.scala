@@ -1232,4 +1232,37 @@ object TextOps {
       .select(col(idCol), col("fp"))
       .distinct()
   }
+
+  /** Partial-overlap pairs over the winnowing index: document pairs
+    * sharing at least `minShared` selected fingerprints — the MOSS
+    * match step. By the winnowing guarantee, any pair sharing a token
+    * run of ≥ w+k−1 tokens surfaces here, at index cost (~2/(w+1) of
+    * the shingle volume) instead of full-shingle-join cost.
+    *
+    * Scale shape: inverted-index equi-join on the fingerprint (the one
+    * (doc, fp) exchange reused by both sides), df-capped exactly like
+    * the Jaccard family — a fingerprint selected by more than `maxDf`
+    * docs is boilerplate, dropped via a broadcast anti-join of the tiny
+    * dropped list; per-fp fan-out is bounded at maxDf² by construction.
+    */
+  def winnowingOverlapPairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Long,
+      maxDf: Long): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxDf >= 1, "need minShared >= 1 and maxDf >= 1")
+    val fps0 = winnowingFingerprints(df, idCol, textCol, k, w)
+    val dropped = fps0.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val fps = fps0.join(dropped, Seq("fp"), "left_anti")
+    fps.alias("a")
+      .join(fps.alias("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

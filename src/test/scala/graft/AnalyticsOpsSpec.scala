@@ -2083,6 +2083,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(TextOps.winnowingFingerprints(tiny, "doc_id", "text", 3, 4).count() == 0L)
   }
 
+  test("systematicPps: hard total of exactly n, heavy item multiplicity") {
+    import graft.ops.Sampling
+    val df = ((1 to 50).map(i => (i.toLong, 10L)) :+ (99L, 600L)).toDF("id", "w")
+    val got = Sampling.systematicPps(df, "id", "w", n = 11L)
+      .select("id", "n_picks").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 11L, "total picks must be exactly n")
+    // the heavy item holds 600/1100 of the line → ≥ 5 of 11 picks
+    assert(got(99L) >= 5L, s"heavy item under-picked: ${got.get(99L)}")
+    // zero/negative weights are excluded, never sampled
+    val withZero = df.union(Seq((500L, 0L)).toDF("id", "w"))
+    assert(!Sampling.systematicPps(withZero, "id", "w", 11L)
+      .select("id").as[Long].collect().contains(500L))
+  }
+
   test("joinViewDelta: delta-maintained view equals the full re-join") {
     import graft.ops.Incremental
     val aOld = Seq((1L, 10L), (2L, 20L)).toDF("k", "av")
