@@ -8455,6 +8455,40 @@ object SparkEntry {
             .select(col("event_type"), cents(col("value")).as("v")),
           "event_type", "v")
         .orderBy("event_type", "v")
+    },
+    // NS-K6: OPT-IN approx-distinct OPTIMIZER RULE — COUNT(DISTINCT x)
+    // rewritten to approx_count_distinct (HLL++) under
+    // spark.graft.rewrite.approxDistinct=true (OFF by default: it
+    // changes results, unlike the lossless top-k rewrite). The gate runs
+    // the SAME aggregation both ways in one session — conf flipped
+    // around an eager, bounded (|groups|-row) collect and restored in a
+    // finally — REQUIRES the rewritten plan to actually carry the HLL
+    // aggregate, and emits the exact counts plus a per-group error-bound
+    // verdict on what the approximate plan returned.
+    Q(
+      "ns220_approx_distinct_rewrite",
+      Some(
+        """SELECT l_returnflag, COUNT(DISTINCT l_partkey)::BIGINT AS exact_distinct,
+          |  TRUE AS in_bound
+          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+      def q = li.groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      s.conf.set("spark.graft.rewrite.approxDistinct", "true")
+      val approx =
+        try {
+          val plan = q.queryExecution.optimizedPlan.toString
+          require(plan.contains("approx_count_distinct"),
+            s"rewrite did not fire under the conf:\n$plan")
+          q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        } finally s.conf.set("spark.graft.rewrite.approxDistinct", "false")
+      val approxCol = approx.foldLeft(lit(null).cast("long")) { case (acc, (flag, v)) =>
+        when(col("l_returnflag") === flag, lit(v)).otherwise(acc)
+      }
+      q.select(
+        col("l_returnflag"), col("d").as("exact_distinct"),
+        (abs(approxCol - col("d")).cast("double") / col("d").cast("double") <= 0.15)
+          .as("in_bound"))
+        .orderBy("l_returnflag")
     }
   )
 

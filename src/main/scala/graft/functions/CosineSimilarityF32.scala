@@ -91,6 +91,7 @@ case class CosineSimilarityF32(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new graft.plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityF32].getName, "graft_cosine"),

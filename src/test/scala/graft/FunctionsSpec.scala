@@ -231,6 +231,25 @@ class FunctionsSpec extends SparkSpec {
     assert(!dist.queryExecution.optimizedPlan.toString.contains("graft_topk"))
   }
 
+  test("ApproxDistinctRewrite: off by default, fires under the conf, exact answer on tiny data") {
+    import spark.implicits._
+    val base = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+    def q = base.groupBy("g").agg(countDistinct("v").as("d"))
+    // default OFF: the rewrite changes results, so it must be opt-in
+    assert(!q.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    spark.conf.set("spark.graft.rewrite.approxDistinct", "true")
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"), plan)
+      // HLL++ is exact at these cardinalities — values still correct
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 2L, "b" -> 1L), got.toString)
+      // plain COUNT(*) must be left alone even with the conf on
+      val plain = base.groupBy("g").agg(count("v").as("c"))
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    } finally spark.conf.unset("spark.graft.rewrite.approxDistinct")
+  }
+
   test("graft_nfc composes decomposed sequences and fast-paths NFC text") {
     val dec = "é café" // e + combining acute, twice
     val r = spark.sql(s"SELECT graft_nfc('$dec') AS n, graft_nfc('plain ascii') AS p").head()
