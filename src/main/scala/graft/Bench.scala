@@ -160,7 +160,23 @@ object Bench {
     // a replica (ns195), per-period entity-dim ranks (ns196), partitioned
     // managed write of the replica (ns197), entity-key as-of passes
     // (ns198). ns194 stays excluded (embeddings are not replicated).
-    "ns195", "ns196", "ns197", "ns198")
+    "ns195", "ns196", "ns197", "ns198",
+    // round-9 tail + round-10: fixed-table S-curve math (ns199),
+    // cell-bounded experiment readouts (ns200/ns201), duration-dim
+    // survival counting (ns202), per-user folds (ns203), managed-table
+    // lifecycle gates — linear rewrites/appends of the replica plus
+    // O(versions) metadata (ns204-ns207), scan-local codec work
+    // (ns208), distinct+TakeOrdered KMV (ns209), delta-bounded join
+    // maintenance (ns211), scan-local kernel + cell-table eval
+    // (ns212/ns213), scan-local Luhn (ns214), per-doc window winnowing
+    // (ns215), runningSum PPS (ns218), cell-dim percentile ranks
+    // (ns219), two-aggregation rewrite gate (ns220). Excluded with the
+    // pairwise class (replicated near-identical texts make the OUTPUT
+    // pair set itself quadratic in the fixture): ns210 (containment),
+    // ns216 (winnow pairs), ns217 (LSH recall joins those pair sets).
+    "ns199", "ns200", "ns201", "ns202", "ns203", "ns204", "ns205",
+    "ns206", "ns207", "ns208", "ns209", "ns211", "ns212", "ns213",
+    "ns214", "ns215", "ns218", "ns219", "ns220")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
