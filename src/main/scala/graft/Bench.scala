@@ -176,7 +176,11 @@ object Bench {
     // ns216 (winnow pairs), ns217 (LSH recall joins those pair sets).
     "ns199", "ns200", "ns201", "ns202", "ns203", "ns204", "ns205",
     "ns206", "ns207", "ns208", "ns209", "ns211", "ns212", "ns213",
-    "ns214", "ns215", "ns218", "ns219", "ns220")
+    "ns214", "ns215", "ns218", "ns219", "ns220",
+    // score-cell AUC (ns221/ns222) and per-part interval pairs (ns223 —
+    // partkeys shift per replica, so pair fan-out stays within one
+    // replica) — linear under key-shifted replication.
+    "ns221", "ns222", "ns223")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

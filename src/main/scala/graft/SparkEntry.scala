@@ -8489,6 +8489,82 @@ object SparkEntry {
         (abs(approxCol - col("d")).cast("double") / col("d").cast("double") <= 0.15)
           .as("in_bound"))
         .orderBy("l_returnflag")
+    },
+    // NS-E7: AUC-ROC by the rank statistic (Mann–Whitney U), exact under
+    // ties — the doubled all-integer sum over the DISTINCT-score dim, one
+    // division. "Does event value separate purchases from the rest?" No
+    // per-row global rank window: the cumulative rides Prefix.runningSum.
+    Q(
+      "ns221_auc_rank",
+      Some(
+        """WITH e AS (SELECT event_type = 'purchase' AS y,
+          |    CAST(ROUND(value * 100) AS BIGINT) AS s
+          |  FROM events WHERE value IS NOT NULL),
+          |c AS (SELECT s, SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+          |    SUM(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS neg FROM e GROUP BY 1),
+          |r AS (SELECT *, SUM(neg) OVER (ORDER BY s
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cn FROM c)
+          |SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+          |  SUM(pos * (2 * (cn - neg) + neg))::DOUBLE
+          |    / (2 * SUM(pos) * SUM(neg))::DOUBLE AS auc
+          |FROM r""".stripMargin)) { (s, dir) =>
+      graft.ops.Eval.aucRank(
+        T(s, dir, "events").where(col("value").isNotNull)
+          .select((col("event_type") === "purchase").as("y"),
+            cents(col("value")).as("score")),
+        "y", "score")
+    },
+    // NS-E8: per-cohort AUC — the same statistic under a GROUP-partitioned
+    // window (a per-segment discrimination report; a metric that looks
+    // fine globally can be chance-level inside a cohort).
+    Q(
+      "ns222_grouped_auc",
+      Some(
+        """WITH e AS (SELECT user_id % 10 AS g, event_type = 'purchase' AS y,
+          |    CAST(ROUND(value * 100) AS BIGINT) AS s
+          |  FROM events WHERE value IS NOT NULL),
+          |c AS (SELECT g, s, SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+          |    SUM(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS neg FROM e GROUP BY 1, 2),
+          |r AS (SELECT *, SUM(neg) OVER (PARTITION BY g ORDER BY s
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cn FROM c)
+          |SELECT g AS cohort, SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+          |  SUM(pos * (2 * (cn - neg) + neg))::DOUBLE
+          |    / (2 * SUM(pos) * SUM(neg))::DOUBLE AS auc
+          |FROM r GROUP BY g ORDER BY cohort""".stripMargin)) { (s, dir) =>
+      graft.ops.Eval.groupedAucRank(
+          T(s, dir, "events").where(col("value").isNotNull)
+            .select((col("user_id") % 10).as("cohort"),
+              (col("event_type") === "purchase").as("y"),
+              cents(col("value")).as("score")),
+          "cohort", "y", "score")
+        .orderBy("cohort")
+    },
+    // NS-TS20: same-key interval OVERLAP self-join — which shipments of
+    // a part were in transit together, via the 1-D grid trick (bucketed
+    // equi-join + responsibility dedup), never a per-key cross join. The
+    // oracle brute-forces the quadratic predicate; the plans must agree
+    // pair for pair with exact overlap lengths.
+    Q(
+      "ns223_interval_overlap",
+      Some(
+        """WITH iv AS (SELECT l_partkey AS k, l_orderkey * 10 + l_linenumber AS id,
+          |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS s,
+          |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+          |      + CAST(l_quantity AS BIGINT) AS e
+          |  FROM lineitem WHERE l_partkey % 5 = 0)
+          |SELECT a.k AS k, a.id AS id_a, b.id AS id_b,
+          |  (least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS overlap
+          |FROM iv a JOIN iv b ON a.k = b.k AND a.id < b.id
+          |  AND greatest(a.s, b.s) < least(a.e, b.e)
+          |ORDER BY a.k, id_a, id_b""".stripMargin)) { (s, dir) =>
+      val iv = T(s, dir, "lineitem").where(col("l_partkey") % 5 === 0)
+        .select(col("l_partkey").as("k"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("s"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000" +
+            " + CAST(l_quantity AS BIGINT)").as("e"))
+      TimeSeries.intervalOverlapPairs(iv, "k", "id", "s", "e", bucketWidth = 64L)
+        .orderBy("k", "id_a", "id_b")
     }
   )
 

@@ -84,4 +84,70 @@ object Eval {
         ((col("n") * col("n_agree") - col("sum_marginal")).cast("double") /
           (col("n") * col("n") - col("sum_marginal")).cast("double")).as("kappa"))
   }
+
+  /** AUC-ROC by the rank statistic (Mann–Whitney U), EXACT under ties:
+    * `AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)`, computed on the
+    * DISTINCT-score dim as the all-integer doubled sum
+    * `(2·Σ_s pos_s·neg_{<s} + Σ_s pos_s·neg_s) / (2·P·N)` — one IEEE
+    * division at the end, bit-reproducible. No per-row global rank
+    * window: scores collapse to (score, pos, neg) counts scan-locally
+    * and the cumulative ride is [[Prefix]]'s two-phase range-partitioned
+    * scan, so the metric survives any row volume. `scoreCol` must be
+    * integral (quantize floats to cents upstream, the repo convention).
+    * Output: one row `(n_pos, n_neg, auc)` (NULL auc if a class is
+    * empty).
+    */
+  def aucRank(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    Prefix.runningSum(cells, "s", "neg", "_cumneg")
+      .agg(
+        sum("pos").as("n_pos"),
+        sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2L) * (col("_cumneg") - col("neg")) + col("neg")))
+          .as("_num2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("_num2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+
+  /** Per-group [[aucRank]] — the cumulative negative count rides a
+    * GROUP-partitioned window over the per-group distinct-score dim
+    * (never a global sort). Output: one row per group
+    * `(group, n_pos, n_neg, auc)`.
+    */
+  def groupedAucRank(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    val w = Window.partitionBy("g").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("_cumneg", sum("neg").over(w))
+      .groupBy("g")
+      .agg(
+        sum("pos").as("n_pos"),
+        sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2L) * (col("_cumneg") - col("neg")) + col("neg")))
+          .as("_num2"))
+      .select(
+        col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("_num2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
 }

@@ -834,4 +834,50 @@ object TimeSeries {
       .select(col(keyCol), col("rank"), col(idCol), col("how"), col("v"),
         col("n"), col("s"), col("residual"))
   }
+
+  /** Same-key interval OVERLAP self-join: all pairs of half-open
+    * intervals `[s, e)` under the same key that genuinely intersect
+    * (`max(s) < min(e)`), with the exact overlap length — "which
+    * shipments of this part were in transit together", the 1-D sibling
+    * of the spatial radius join and the pairwise reading of
+    * [[intervalCoverage]]'s union.
+    *
+    * Scale design — never a per-key cross join: intervals explode into
+    * the fixed-width BUCKETS they touch and candidates meet in a (key,
+    * bucket) equi-join, exactly the grid trick the spatial join uses;
+    * each qualifying pair is counted ONCE by the responsibility rule
+    * (only the bucket containing the overlap's START reports it), so no
+    * distinct pass over the pair volume. Bucket fan-out per interval is
+    * `len/bucketWidth + 1` — size the width to the typical interval.
+    * Long intervals are the skew axis (an interval touching every
+    * bucket pairs with everything — cap upstream if the domain allows).
+    */
+  def intervalOverlapPairs(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val iv = df.select(
+      col(keyCol).as("k"), col(idCol).as("id"),
+      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+      .where(col("s") <= col("e"))
+    val buckets = iv.select(
+      col("k"), col("id"), col("s"), col("e"),
+      explode(sequence(expr(s"s div $bucketWidth"), expr(s"e div $bucketWidth")))
+        .as("bk"))
+    buckets.alias("a")
+      .join(buckets.alias("c"),
+        col("a.k") === col("c.k") && col("a.bk") === col("c.bk") &&
+          col("a.id") < col("c.id") &&
+          greatest(col("a.s"), col("c.s")) < least(col("a.e"), col("c.e")) &&
+          // responsibility: only the bucket holding the overlap start reports
+          col("a.bk") === expr(s"greatest(a.s, c.s) div $bucketWidth"))
+      .select(
+        col("a.k").as(keyCol), col("a.id").as("id_a"), col("c.id").as("id_b"),
+        (least(col("a.e"), col("c.e")) - greatest(col("a.s"), col("c.s")))
+          .as("overlap"))
+  }
 }

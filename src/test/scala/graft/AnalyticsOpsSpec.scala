@@ -2097,6 +2097,46 @@ class AnalyticsOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().contains(500L))
   }
 
+  test("aucRank: hand case with ties; perfect and reversed separation; grouped twin agrees") {
+    import graft.ops.Eval
+    // pos scores {3, 2}, neg scores {1, 2}: pairs (3,1)+ (3,2)+ (2,1)+
+    // (2,2)=tie → AUC = (3 + 0.5)/4 = 0.875
+    val df = Seq((true, 3L), (true, 2L), (false, 1L), (false, 2L)).toDF("y", "s")
+    val got = Eval.aucRank(df, "y", "s")
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Double)].head()
+    assert(got == ((2L, 2L, 0.875)))
+    // perfect separation → 1.0; reversed → 0.0
+    val sep = Seq((true, 10L), (true, 9L), (false, 1L)).toDF("y", "s")
+    assert(Eval.aucRank(sep, "y", "s").select("auc").as[Double].head() == 1.0)
+    val rev = Seq((true, 1L), (false, 9L)).toDF("y", "s")
+    assert(Eval.aucRank(rev, "y", "s").select("auc").as[Double].head() == 0.0)
+    // one-class input → NULL, SQL-style
+    val one = Seq((true, 1L)).toDF("y", "s")
+    assert(Eval.aucRank(one, "y", "s").select("auc").collect().head.isNullAt(0))
+    // grouped twin reproduces the global number when there is one group
+    val g = Eval.groupedAucRank(df.withColumn("g", lit("x")), "g", "y", "s")
+      .select("auc").as[Double].head()
+    assert(g == 0.875)
+  }
+
+  test("intervalOverlapPairs: bucketed plan equals brute force; each pair counted once") {
+    import graft.ops.TimeSeries
+    // key 1: [0,10) [5,20) overlap 5; [5,20) [19,30) overlap 1;
+    // [0,10) [19,30) disjoint; touching intervals [30,40)+[40,50) DON'T
+    // overlap (half-open); a long interval spans several buckets.
+    val df = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 19L, 30L),
+      (1L, 4L, 30L, 40L), (1L, 5L, 40L, 50L),
+      (2L, 6L, 0L, 100L), (2L, 7L, 90L, 95L)).toDF("k", "id", "s", "e")
+    for (width <- Seq(4L, 7L, 64L)) {
+      val got = TimeSeries.intervalOverlapPairs(df, "k", "id", "s", "e", width)
+        .select("k", "id_a", "id_b", "overlap")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 1L, 2L, 5L), (1L, 2L, 3L, 1L), (2L, 6L, 7L, 5L)),
+        s"width=$width: $got")
+    }
+  }
+
   test("joinViewDelta: delta-maintained view equals the full re-join") {
     import graft.ops.Incremental
     val aOld = Seq((1L, 10L), (2L, 20L)).toDF("k", "av")
