@@ -180,7 +180,11 @@ object Bench {
     // score-cell AUC (ns221/ns222) and per-part interval pairs (ns223 —
     // partkeys shift per replica, so pair fan-out stays within one
     // replica) — linear under key-shifted replication.
-    "ns221", "ns222", "ns223")
+    "ns221", "ns222", "ns223",
+    // two-level counting MAD (ns224), per-user HW folds (ns225),
+    // |types|³-bounded precedence triples (ns226) — linear under
+    // key-shifted replication.
+    "ns224", "ns225", "ns226")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

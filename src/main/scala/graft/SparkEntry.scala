@@ -8565,6 +8565,101 @@ object SparkEntry {
             " + CAST(l_quantity AS BIGINT)").as("e"))
       TimeSeries.intervalOverlapPairs(iv, "k", "id", "s", "e", bucketWidth = 64L)
         .orderBy("k", "id_a", "id_b")
+    },
+    // NS-P31: MAD-based robust outlier screen — each value vs its
+    // group's median ± 3·MAD, both medians exact integer order
+    // statistics and the flag an exact integer comparison (the robust
+    // sibling of ns121's rolling mean/σ z-score: one wild value corrupts
+    // a mean AND its σ; median/MAD shrugs off half the data).
+    Q(
+      "ns224_mad_outliers",
+      Some(
+        """WITH r AS (SELECT user_id AS g, event_id AS id,
+          |    CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |c1 AS (SELECT g, v AS x, COUNT(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+          |m1 AS (SELECT g, x, SUM(c) OVER (PARTITION BY g ORDER BY x
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(c) OVER (PARTITION BY g) AS n FROM c1),
+          |med AS (SELECT g, MIN(x)::BIGINT AS med FROM m1 WHERE cum * 2 >= n GROUP BY g),
+          |d AS (SELECT r.g, r.id, r.v, med.med, abs(r.v - med.med)::BIGINT AS dev
+          |  FROM r JOIN med USING (g)),
+          |c2 AS (SELECT g, dev AS x, COUNT(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+          |m2 AS (SELECT g, x, SUM(c) OVER (PARTITION BY g ORDER BY x
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(c) OVER (PARTITION BY g) AS n FROM c2),
+          |mad AS (SELECT g, MIN(x)::BIGINT AS mad FROM m2 WHERE cum * 2 >= n GROUP BY g)
+          |SELECT d.g AS user_id, d.id AS event_id, d.v, d.med, d.dev, mad.mad,
+          |  d.dev * 1 > mad.mad * 3 AS is_outlier
+          |FROM d JOIN mad USING (g) ORDER BY user_id, event_id""".stripMargin)) { (s, dir) =>
+      Profile.madOutlierScreen(
+          T(s, dir, "events").where(col("value").isNotNull)
+            .select(col("user_id"), col("event_id"), cents(col("value")).as("v")),
+          "user_id", "event_id", "v", kNum = 3L, kDen = 1L)
+        .orderBy("user_id", "event_id")
+    },
+    // NS-TS21: Holt–Winters ADDITIVE seasonal smoothing (period 7,
+    // α=β=γ=1/2) — level + trend + a 7-slot seasonal profile per user;
+    // the seasonal extension of ns145's Holt fold. The oracle replays
+    // the coupled three-way recurrence as a RECURSIVE CTE carrying the
+    // seasonal LIST (the struct-accumulator list_reduce hazard rules
+    // out a fold replay), step-for-step IEEE-identical.
+    Q(
+      "ns225_holt_winters",
+      Some(
+        """WITH RECURSIVE
+          |seq AS (SELECT user_id, value AS v,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+          |  FROM events WHERE value IS NOT NULL),
+          |tot AS (SELECT user_id, MAX(rn)::BIGINT AS n FROM seq GROUP BY 1),
+          |init AS (SELECT user_id, list(v ORDER BY rn) AS ys FROM seq
+          |  WHERE rn <= 7 GROUP BY user_id HAVING COUNT(*) = 7),
+          |hw(user_id, rn, l, b, s) AS (
+          |  SELECT user_id, 7::BIGINT,
+          |    list_reduce(list_prepend(CAST(0 AS DOUBLE), ys), (a, x) -> a + x) / 7.0,
+          |    CAST(0 AS DOUBLE),
+          |    list_transform(ys, y -> y -
+          |      list_reduce(list_prepend(CAST(0 AS DOUBLE), ys), (a, x) -> a + x) / 7.0)
+          |  FROM init
+          |  UNION ALL
+          |  SELECT q.user_id, q.rn,
+          |    (q.v - hw.s[(q.rn - 1) % 7 + 1]) * 0.5 + (hw.l + hw.b) * 0.5,
+          |    ((q.v - hw.s[(q.rn - 1) % 7 + 1]) * 0.5 + (hw.l + hw.b) * 0.5 - hw.l) * 0.5
+          |      + hw.b * 0.5,
+          |    list_concat(list_concat(
+          |      hw.s[1:(q.rn - 1) % 7],
+          |      [(q.v - ((q.v - hw.s[(q.rn - 1) % 7 + 1]) * 0.5 + (hw.l + hw.b) * 0.5)) * 0.5
+          |        + hw.s[(q.rn - 1) % 7 + 1] * 0.5]),
+          |      hw.s[(q.rn - 1) % 7 + 2:7])
+          |  FROM hw JOIN seq q ON q.user_id = hw.user_id AND q.rn = hw.rn + 1)
+          |SELECT hw.user_id, tot.n AS n_events,
+          |  max_by(hw.l, hw.rn) AS level, max_by(hw.b, hw.rn) AS trend,
+          |  max_by(hw.l, hw.rn) + max_by(hw.b, hw.rn)
+          |    + max_by(hw.s, hw.rn)[(tot.n % 7) + 1] AS forecast
+          |FROM hw JOIN tot USING (user_id)
+          |GROUP BY hw.user_id, tot.n ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      TimeSeries.holtWintersAdditive(
+          T(s, dir, "events").where(col("value").isNotNull),
+          "user_id", "ts", "event_id", "value", period = 7)
+        .orderBy("user_id")
+    },
+    // NS-A17: ordered precedence TRIPLES — the k=3 sequential-pattern
+    // level over first-occurrence times ("signup before first purchase
+    // before first refund"), strict ordering only, catalog-bounded
+    // fan-out on the firsts frame.
+    Q(
+      "ns226_precedence_triples",
+      Some(
+        """WITH f AS (SELECT user_id AS e, event_type AS t, MIN(epoch_us(ts))::BIGINT AS ft
+          |  FROM events GROUP BY 1, 2)
+          |SELECT a.t AS type_a, c.t AS type_b, d.t AS type_c, COUNT(*)::BIGINT AS n_entities
+          |FROM f a JOIN f c ON a.e = c.e AND a.ft < c.ft
+          |  JOIN f d ON a.e = d.e AND c.ft < d.ft
+          |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+          |ORDER BY type_a, type_b, type_c""".stripMargin)) { (s, dir) =>
+      graft.ops.Association.precedenceTriples(
+          T(s, dir, "events"), "user_id", "event_type", "ts", minSupport = 5L)
+        .orderBy("type_a", "type_b", "type_c")
     }
   )
 

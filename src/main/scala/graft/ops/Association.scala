@@ -126,6 +126,39 @@ object Association {
       .where(col("n_entities") >= minSupport)
   }
 
+  /** Ordered precedence TRIPLES — the k=3 level of [[precedencePairs]]'
+    * sequential-pattern mining (AprioriAll / PrefixSpan level 3): for how
+    * many entities does A's first occurrence come STRICTLY before B's,
+    * and B's strictly before C's? Shared-timestamp firsts count in no
+    * ordering (the antisymmetric strictness the pair level pins).
+    *
+    * Scale design: like the pair level, the cubic step runs on the
+    * FIRST-OCCURRENCE frame (|entities|·|types| rows, never event
+    * volume); the 3-way self-join is entity-key equi-joins over the same
+    * frame (one exchange serves all sides), and per-entity fan-out is
+    * |types|³ — a catalog constant.
+    */
+  def precedenceTriples(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val firsts = events
+      .groupBy(col(entityCol).as("e"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("ft"))
+    firsts.alias("a")
+      .join(firsts.alias("c"),
+        col("a.e") === col("c.e") && col("a.ft") < col("c.ft"))
+      .join(firsts.alias("d"),
+        col("a.e") === col("d.e") && col("c.ft") < col("d.ft"))
+      .groupBy(col("a.t").as("type_a"), col("c.t").as("type_b"),
+        col("d.t").as("type_c"))
+      .agg(count(lit(1)).as("n_entities"))
+      .where(col("n_entities") >= minSupport)
+  }
+
   /** Association RULES over the frequent pairs: both directions of every
     * frequent pair scored by confidence `n_ab/n_a` and lift
     * `n·n_ab/(n_a·n_b)` — the actionable layer on top of

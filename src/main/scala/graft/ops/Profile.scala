@@ -1185,6 +1185,57 @@ object Profile {
     * the cumulative window is PARTITIONED by group (never global), and
     * per-group totals ride the same aggregate.
     */
+  /** Per-group LOWER MEDIAN by order-statistic counting (the ns64
+    * convention: smallest v with 2·cum ≥ n) — shared by the MAD screen's
+    * two levels. Input (g, x) rows; output (g, med).
+    */
+  private def lowerMedianByGroup(rows: DataFrame): DataFrame = {
+    val c = rows.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    c.withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(wAll))
+      .where(col("cum") * 2 >= col("n"))
+      .groupBy("g").agg(min("x").as("med"))
+  }
+
+  /** MAD-based robust outlier screen: each value against its group's
+    * median ± k·MAD (median absolute deviation) — the robust sibling of
+    * the rolling mean/σ z-score (C113): ONE wild value corrupts a mean
+    * AND its σ (masking itself), while the median/MAD pair shrugs off
+    * up to half the data. Both medians are exact integer order
+    * statistics (lower-median convention) and the flag is the exact
+    * integer comparison `dev·kDen > mad·kNum` — no float anywhere.
+    *
+    * Scale shape: two counting skeletons over the per-group
+    * distinct-value dims (GROUP-partitioned windows, map-side-combined
+    * counts) and two broadcast-sized per-group dims joined back; the
+    * row volume is scanned twice, shuffled by group key once per level.
+    *
+    * Output: every input row with `(v, med, dev, mad, is_outlier)`.
+    */
+  def madOutlierScreen(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      kNum: Long = 3L,
+      kDen: Long = 1L): DataFrame = {
+    require(kNum >= 1 && kDen >= 1, "need a positive k ratio")
+    val rows = df.select(
+      col(groupCol).as("g"), col(idCol).as("_id"), col(valueCol).cast("long").as("v"))
+    val med = lowerMedianByGroup(rows.select(col("g"), col("v").as("x")))
+    val withDev = rows.join(med, "g").withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedianByGroup(withDev.select(col("g"), col("dev").as("x")))
+      .withColumnRenamed("med", "mad")
+    withDev.join(mad, "g")
+      .select(
+        col("g").as(groupCol), col("_id").as(idCol), col("v"), col("med"),
+        col("dev"), col("mad"),
+        (col("dev") * kDen > col("mad") * kNum).as("is_outlier"))
+  }
+
   def groupedPercentileRank(
       df: DataFrame,
       groupCol: String,

@@ -571,6 +571,81 @@ object TimeSeries {
         (col("_hb.l") + col("_hb.b")).as("forecast"))
   }
 
+  /** Holt–Winters ADDITIVE triple-exponential smoothing (α=β=γ=1/2 —
+    * the dyadic-rational convention every smoothing fold here uses):
+    * level + trend + an m-slot additive seasonal profile, per key over
+    * the (ts, id)-ordered value series. Textbook deterministic init:
+    * `l₀ = mean(y₁..yₘ)` (one fixed sum-then-divide), `b₀ = 0`,
+    * `sᵢ = yᵢ − l₀`; then for t > m with slot `j = (t−1) mod m`:
+    * `l ← (y − s_j)/2 + (l + b)/2`, `b ← (l' − l)/2 + b/2`,
+    * `s_j ← (y − l')/2 + s_j/2`. Keys with fewer than m observations
+    * cannot initialize a season and are excluded.
+    *
+    * Forecast = `l + b + s_(next slot)` — one step ahead. Every chain is
+    * a fixed IEEE sequence over exact inputs, replayed step-for-step by
+    * the oracle's RECURSIVE CTE (the coupled-recurrence rule: DuckDB's
+    * struct-accumulator list_reduce mutates fields sequentially, so
+    * recursion is the only faithful replay).
+    *
+    * Scale shape: one key exchange; per-key state is the (l, b,
+    * m-vector) fold over the key's own series (the sessionize bound).
+    */
+  def holtWintersAdditive(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val m = period
+    val series = sort_array(collect_list(struct(
+      unix_micros(col(tsCol)).as("t"),
+      col(idCol).cast("long").as("i"),
+      col(valCol).cast("double").as("v"))))
+    def step(acc: Column, x: Column): Column = {
+      val l = acc.getField("l")
+      val b = acc.getField("b")
+      val s = acc.getField("s")
+      val idx = acc.getField("n") // 0-based index of THIS element
+      val j = idx % m
+      val sOld = element_at(s, (j + 1).cast("int"))
+      val v = x.getField("v")
+      val lNext = (v - sOld) * 0.5 + (l + b) * 0.5
+      val bNext = (lNext - l) * 0.5 + b * 0.5
+      val sNext = (v - lNext) * 0.5 + sOld * 0.5
+      val sArr = concat(
+        slice(s, lit(1), j.cast("int")),
+        array(sNext),
+        slice(s, (j + 2).cast("int"), (lit(m) - j - 1).cast("int")))
+      struct(lNext.as("l"), bNext.as("b"), sArr.as("s"), (idx + 1).as("n"))
+    }
+    df.groupBy(col(keyCol))
+      .agg(series.as("_s"))
+      .where(size(col("_s")) >= m)
+      .select(
+        col(keyCol),
+        size(col("_s")).cast("long").as("n_events"),
+        aggregate(
+          slice(col("_s"), lit(m + 1), size(col("_s")) - m),
+          struct(
+            aggregate(slice(col("_s"), 1, m), lit(0.0), (a, x) => a + x.getField("v"))
+              ./(lit(m.toDouble)).as("l"),
+            lit(0.0).as("b"),
+            transform(slice(col("_s"), 1, m), x =>
+              x.getField("v") -
+                aggregate(slice(col("_s"), 1, m), lit(0.0), (a, y) => a + y.getField("v")) /
+                  lit(m.toDouble)).as("s"),
+            lit(m.toLong).as("n")),
+          step).as("_hw"))
+      .select(
+        col(keyCol), col("n_events"),
+        col("_hw.l").as("level"), col("_hw.b").as("trend"),
+        (col("_hw.l") + col("_hw.b") +
+          element_at(col("_hw.s"), (col("_hw.n") % m + 1).cast("int")))
+          .as("forecast"))
+  }
+
   /** [[burnRate]]'s first stage alone: exact (hour, total, errors) counts
     * — the mergeable form (counts add across partial tables), which is
     * what the streaming twin accumulates across triggers.

@@ -2137,6 +2137,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("madOutlierScreen: hand case — outlier flagged, median/MAD robust to it") {
+    import graft.ops.Profile
+    // values 10,12,14,16,1000: median 14, devs 4,2,0,2,986, MAD 2
+    // → only 1000 exceeds 14 ± 3·2
+    val df = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 16L), (5L, 1000L))
+      .toDF("id", "v").withColumn("g", lit("a"))
+    val got = Profile.madOutlierScreen(df, "g", "id", "v")
+      .select("id", "med", "mad", "is_outlier")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.forall(r => r._2 == 14L && r._3 == 2L))
+    assert(got.map(r => r._1 -> r._4).toMap ==
+      Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("holtWintersAdditive: constant series is a fixpoint; short keys excluded") {
+    import graft.ops.TimeSeries
+    val const = (1 to 20).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"), i.toLong, 5.0))
+    val short = (1 to 5).map(i =>
+      (2L, java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"), i.toLong, 9.0))
+    val df = (const ++ short).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.holtWintersAdditive(df, "k", "ts", "id", "v", period = 7)
+      .select("k", "n_events", "level", "trend", "forecast")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // constant input: level stays 5, trend 0, every seasonal 0 → forecast 5
+    assert(got == Seq((1L, 20L, 5.0, 0.0, 5.0)), got.toString)
+  }
+
+  test("precedenceTriples: strict chain counts, shared timestamps count nowhere") {
+    import graft.ops.Association
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val df = Seq(
+      (1L, "a", ts(0)), (1L, "b", ts(1)), (1L, "c", ts(2)),
+      (2L, "a", ts(0)), (2L, "b", ts(0)), (2L, "c", ts(5)), // a,b tied: no abc
+      (3L, "a", ts(0)), (3L, "b", ts(3)), (3L, "c", ts(4))).toDF("e", "t", "ts")
+    val got = Association.precedenceTriples(df, "e", "t", "ts", 1L)
+      .select("type_a", "type_b", "type_c", "n_entities")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", "c", 2L)), got.toString)
+  }
+
   test("joinViewDelta: delta-maintained view equals the full re-join") {
     import graft.ops.Incremental
     val aOld = Seq((1L, 10L), (2L, 20L)).toDF("k", "av")
