@@ -8660,6 +8660,87 @@ object SparkEntry {
       graft.ops.Association.precedenceTriples(
           T(s, dir, "events"), "user_id", "event_type", "ts", minSupport = 5L)
         .orderBy("type_a", "type_b", "type_c")
+    },
+    // NS-S16: deterministic Johnson–Lindenstrauss SIGN projection
+    // (Achlioptas 2003) over int8-quantized embeddings — 64→16 dims via
+    // a ±1 matrix derived from the repo's public md5 convention: exact
+    // integer output, zero fitted state, every projected coordinate
+    // hash-gated against the oracle's full replay.
+    Q(
+      "ns227_jl_projection",
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e),
+          |qv AS (SELECT vec_id,
+          |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+          |         ELSE list_transform(v, x -> round(x / scale)::BIGINT) END AS qvec
+          |  FROM s),
+          |p AS (SELECT vec_id, i,
+          |    list_sum([(CASE WHEN ('0x' || substring(md5(i::VARCHAR || '|' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+          |        THEN 1 ELSE -1 END) * qvec[j+1]
+          |      FOR j IN range(64)])::BIGINT AS value
+          |  FROM qv CROSS JOIN range(16) r(i))
+          |SELECT vec_id, i::BIGINT AS dim, value FROM p
+          |ORDER BY vec_id, dim""".stripMargin)) { (s, dir) =>
+      Quantize.signProject(T(s, dir, "embeddings"), "vec_id", "embedding",
+          inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").as("value"))
+        .orderBy("vec_id", "dim")
+    },
+    // NS-S17: k-NN majority-vote classification — each query labeled by
+    // its 5 nearest neighbors' majority label (vote ties to the smallest
+    // label); the weak-labeling / dataset-bootstrap baseline on top of
+    // the exact cosine top-k.
+    Q(
+      "ns228_knn_classify",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCosine("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc),
+           |v AS (SELECT qid, CAST(nid % 3 AS VARCHAR) AS lbl, COUNT(*)::BIGINT AS votes
+           |  FROM r WHERE rank <= 5 GROUP BY 1, 2),
+           |w AS (SELECT qid, lbl, votes,
+           |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lbl) AS rk FROM v)
+           |SELECT qid, lbl AS label_pred, votes FROM w WHERE rk = 1
+           |ORDER BY qid""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      val corpus = e.withColumn("lbl", (col("vec_id") % 3).cast("string"))
+      Similarity.knnClassify(corpus, e.filter(col("vec_id") < 30),
+          "vec_id", "embedding", "lbl", k = 5)
+        .orderBy("qid")
+    },
+    // NS-S18: SIMPLIFIED silhouette (centroid-based: a = own-centroid
+    // distance, b = nearest-other-centroid distance) over the integer
+    // k-means — the clustering-quality score that stays LINEAR in the
+    // corpus where the full silhouette's per-point neighbor means are
+    // O(n²). Exact integer a²/b² hash-gate; s is two IEEE ops.
+    Q(
+      "ns229_silhouette", {
+        val dist =
+          "list_sum(list_transform(range(len(q.v)), i -> (q.v[i+1]-c.c[i+1])*(q.v[i+1]-c.c[i+1])))"
+        Some(
+          s"""WITH ${oKmeansCtes(k = 8, rounds = 2)}
+             |d AS (SELECT q.vec_id, c.cid, $dist AS d FROM q CROSS JOIN c2 c),
+             |r AS (SELECT vec_id, cid, d,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d),
+             |t AS (SELECT vec_id,
+             |    max(CASE WHEN rk = 1 THEN cid END)::BIGINT AS cluster,
+             |    max(CASE WHEN rk = 1 THEN d END)::BIGINT AS a2,
+             |    max(CASE WHEN rk = 2 THEN d END)::BIGINT AS b2
+             |  FROM r WHERE rk <= 2 GROUP BY 1)
+             |SELECT vec_id, cluster, a2, b2,
+             |  CASE WHEN b2 = 0 THEN 0.0
+             |    ELSE (sqrt(b2::DOUBLE) - sqrt(a2::DOUBLE)) / sqrt(b2::DOUBLE) END AS silhouette
+             |FROM t ORDER BY vec_id""".stripMargin)
+      }) { (s, dir) =>
+      val quantized = Quantize.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+      graft.ops.Clustering.simplifiedSilhouette(quantized, "vec_id", "qvec",
+          k = 8, iterations = 2)
+        .orderBy("vec_id")
     }
   )
 

@@ -197,4 +197,63 @@ object Clustering {
     */
   private[ops] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** SIMPLIFIED silhouette over the integer k-means model (the
+    * centroid-based variant: a = distance to the OWN centroid, b =
+    * distance to the nearest OTHER centroid, s = (b − a)/max(a, b)) —
+    * the clustering-quality number that is LINEAR in the corpus, where
+    * the full silhouette's per-point neighbor means are O(n²) and die
+    * first at scale. Both distances are exact integer squared-L2 over
+    * the quantized vectors (hash-gated); s itself is two
+    * correctly-rounded IEEE ops (sqrt, divide).
+    *
+    * Since the assignment IS the argmin over the same centroids, a is
+    * the minimum and b the second minimum of one per-row fold over the
+    * broadcast centroid array — ties to the lowest cid, matching the
+    * k-means assignment discipline.
+    *
+    * Output: `(idCol, cluster, a2, b2, silhouette)` (s = 0 when b = 0 —
+    * duplicate centroids).
+    */
+  def simplifiedSilhouette(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2")
+    val centroids = kmeansIntCentroids(df, idCol, vecCol, k, iterations)
+    val packed = centroids.agg(
+      array_sort(collect_list(struct(col("cid"), col("c")))).as("cs"))
+    df.select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("long")).as("v"))
+      .crossJoin(broadcast(packed)) // exactly one row — justified hint
+      .withColumn(
+        "best",
+        aggregate(
+          col("cs"),
+          struct(lit(Long.MaxValue).as("d1"), lit(-1L).as("c1"),
+            lit(Long.MaxValue).as("d2")),
+          (acc, s) => {
+            val d = sqDist(col("v"), s.getField("c"))
+            when(d < acc.getField("d1"),
+              struct(d.as("d1"), s.getField("cid").as("c1"),
+                acc.getField("d1").as("d2")))
+              .otherwise(when(d < acc.getField("d2"),
+                struct(acc.getField("d1").as("d1"), acc.getField("c1").as("c1"),
+                  d.as("d2")))
+                .otherwise(acc))
+          }))
+      .select(
+        col("id").as(idCol),
+        col("best.c1").as("cluster"),
+        col("best.d1").as("a2"),
+        col("best.d2").as("b2"),
+        when(col("best.d2") === 0L, lit(0.0))
+          .otherwise(
+            (sqrt(col("best.d2").cast("double")) - sqrt(col("best.d1").cast("double"))) /
+              sqrt(col("best.d2").cast("double")))
+          .as("silhouette"))
+  }
 }

@@ -41,4 +41,50 @@ object Quantize {
   /** Exact dequantize twin: q_i * scale as array<double>. */
   def dequantizeInt8(qvec: Column, scale: Column): Column =
     transform(qvec, q => q.cast("double") * scale)
+
+  /** Deterministic Johnson–Lindenstrauss SIGN projection (Achlioptas
+    * 2003: a ±1 matrix preserves pairwise distances like a Gaussian one)
+    * over the int8-quantized vectors: `proj_i = Σ_j sign(i,j)·q_j`,
+    * where `sign(i,j)` is the PARITY of the repo's 60-bit md5 of
+    * `"i|j"` — a pure public-hash derivation, so the whole reduced
+    * embedding is replayable in SQL and EXACT (integer arithmetic end to
+    * end; quantize first, then project — float dot products would be
+    * association-order-dependent).
+    *
+    * The dimension-reduction front door of the ANN ladder: 64→16 cuts
+    * every downstream distance computation 4× with JL-bounded
+    * distortion, and the deterministic matrix means any executor, any
+    * engine, any rerun builds the IDENTICAL projection — no fitted
+    * state, no broadcast of learned weights.
+    *
+    * Scale shape: the matrix is outDim×inDim literal ints folded into
+    * the plan (bounded model state); the projection is a scan-local
+    * O(outDim·inDim) integer fold per row — zero shuffle.
+    *
+    * Output: `(idCol, scale, proj array<long>)`.
+    */
+  def signProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, "dims must be >= 1")
+    val signs: Array[Array[Int]] = Array.tabulate(outDim, inDim) { (i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i|$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
+    }
+    val matSql = signs
+      .map(_.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    quantizeInt8(df, idCol, vecCol)
+      .withColumn("_m", expr(matSql))
+      .select(
+        col(idCol), col("scale"),
+        transform(col("_m"), row =>
+          aggregate(
+            zip_with(row, col("qvec"), (a, b) => a.cast("long") * b.cast("long")),
+            lit(0L), (acc, x) => acc + x)).as("proj"))
+  }
 }

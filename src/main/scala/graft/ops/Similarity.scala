@@ -518,4 +518,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
+
+  /** k-NN majority-vote classification: each query labeled by the
+    * majority label among its k nearest corpus neighbors (exact cosine,
+    * [[bruteForceTopK]]'s tie discipline), vote ties to the SMALLEST
+    * label — total order, so the prediction is deterministic. The
+    * label-propagation baseline for weak labeling / dataset bootstrap
+    * (assign a new doc the label of what it sits next to).
+    *
+    * Scale shape: the neighbor search is the pluggable part — this
+    * baseline broadcasts the query side over one corpus scan; swap in
+    * the IVF/LSH top-k (same (qid, nid) contract) at corpus scale. The
+    * vote adds one |queries|·k-row aggregate.
+    *
+    * Output: `(qid, label_pred, votes)`.
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("nid"), col(labelCol).as("_lbl"))
+    val votes = top.join(labels, "nid")
+      .groupBy(col("qid"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("_lbl"))
+    votes
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .select(col("qid"), col("_lbl").as("label_pred"), col("votes"))
+  }
 }
