@@ -183,8 +183,11 @@ object Bench {
     "ns221", "ns222", "ns223",
     // two-level counting MAD (ns224), per-user HW folds (ns225),
     // |types|³-bounded precedence triples (ns226) — linear under
-    // key-shifted replication.
-    "ns224", "ns225", "ns226")
+    // key-shifted replication. ns227/ns228/ns229/ns232 read embeddings
+    // (not replicated — excluded like ns140/ns194).
+    "ns224", "ns225", "ns226",
+    // one-pass cell readouts (ns230/ns231) — trivially linear.
+    "ns230", "ns231")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

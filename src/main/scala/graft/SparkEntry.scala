@@ -8741,6 +8741,82 @@ object SparkEntry {
       graft.ops.Clustering.simplifiedSilhouette(quantized, "vec_id", "qvec",
           k = 8, iterations = 2)
         .orderBy("vec_id")
+    },
+    // NS-X4: per-group mean with a normal-approximation 95% CI — exact
+    // integer moments (cents), one fixed IEEE chain per group, z parsed
+    // from a string on both engines (the ns193 last-ulp convention).
+    Q(
+      "ns230_mean_ci",
+      Some(
+        """WITH e AS (SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |a AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS s1,
+          |    SUM(v * v)::BIGINT AS s2 FROM e GROUP BY 1),
+          |m AS (SELECT g, n, s1::DOUBLE / n::DOUBLE AS mean,
+          |    CASE WHEN n >= 2 THEN
+          |      sqrt(((n * s2 - s1 * s1)::DOUBLE / (n * (n - 1))::DOUBLE) / n::DOUBLE)
+          |        * CAST('1.959963984540054' AS DOUBLE) END AS hw FROM a)
+          |SELECT g AS event_type, n, mean, mean - hw AS ci_lo, mean + hw AS ci_hi
+          |FROM m ORDER BY event_type""".stripMargin)) { (s, dir) =>
+      graft.ops.Experiment.groupedMeanCI(
+          T(s, dir, "events").where(col("value").isNotNull)
+            .select(col("event_type"), cents(col("value")).as("v")),
+          "event_type", "v")
+        .orderBy("event_type")
+    },
+    // NS-X5: difference-in-differences — the quasi-experimental readout
+    // (treated cohort's post-period change vs the control cohort's).
+    // Cohort = odd user_id, post = the series' second half by an exact
+    // timestamp cut; four cells, one pass, one row.
+    Q(
+      "ns231_diff_in_diff",
+      Some(
+        """WITH b AS (SELECT user_id % 2 = 1 AS treated,
+          |    epoch_us(ts) >= 1705363200000000 AS post,
+          |    CAST(ROUND(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |a AS (SELECT
+          |    SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)::BIGINT AS n_c0,
+          |    SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)::BIGINT AS n_c1,
+          |    SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)::BIGINT AS n_t0,
+          |    SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END)::BIGINT AS n_t1,
+          |    SUM(CASE WHEN NOT treated AND NOT post THEN v ELSE 0 END)::BIGINT AS s_c0,
+          |    SUM(CASE WHEN NOT treated AND post THEN v ELSE 0 END)::BIGINT AS s_c1,
+          |    SUM(CASE WHEN treated AND NOT post THEN v ELSE 0 END)::BIGINT AS s_t0,
+          |    SUM(CASE WHEN treated AND post THEN v ELSE 0 END)::BIGINT AS s_t1
+          |  FROM b),
+          |m AS (SELECT n_c0, n_c1, n_t0, n_t1,
+          |    s_c0::DOUBLE / n_c0::DOUBLE AS m_c0, s_c1::DOUBLE / n_c1::DOUBLE AS m_c1,
+          |    s_t0::DOUBLE / n_t0::DOUBLE AS m_t0, s_t1::DOUBLE / n_t1::DOUBLE AS m_t1
+          |  FROM a)
+          |SELECT *, (m_t1 - m_t0) - (m_c1 - m_c0) AS did FROM m""".stripMargin)) { (s, dir) =>
+      graft.ops.Experiment.diffInDiff(
+        T(s, dir, "events").where(col("value").isNotNull)
+          .select((col("user_id") % 2 === 1).as("treated"),
+            (unix_micros(col("ts")) >= 1705363200000000L).as("post"),
+            cents(col("value")).as("v")),
+        "treated", "post", "v")
+    },
+    // NS-S19: hard-negative mining (the DPR/Contriever recipe: each
+    // query's k most-similar corpus items with a DIFFERENT label —
+    // maximally confusable negatives for contrastive training).
+    Q(
+      "ns232_hard_negatives",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    CAST(vec_id % 3 AS VARCHAR) AS lbl FROM embeddings),
+           |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCosine("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+           |    AND q.lbl <> c.lbl),
+           |r AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc)
+           |SELECT qid, rank::BIGINT AS rank, nid, cos FROM r WHERE rank <= 4
+           |ORDER BY qid, rank""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+        .withColumn("lbl", (col("vec_id") % 3).cast("string"))
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "lbl", k = 4)
+        .orderBy("qid", "rank")
     }
   )
 

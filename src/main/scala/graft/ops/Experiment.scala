@@ -156,4 +156,69 @@ object Experiment {
       .select("stratum", "variant_a", "variant_b", "n_a", "c_a", "n_b", "c_b",
         "p_a", "p_b", "diff_sign", "overall_sign", "reversed")
   }
+
+  /** z = 1.96 to the last ulp, parsed from a string so both engines land
+    * the identical double (the ns193 convention — DuckDB's DECIMAL→DOUBLE
+    * literal path is not correctly rounded).
+    */
+  private val Z975 = java.lang.Double.parseDouble("1.959963984540054")
+
+  /** Per-group mean with a normal-approximation 95% CI — the everyday
+    * metric readout ("revenue per order by segment, with error bars").
+    * All moments are EXACT integer sums over cents-scaled longs (the
+    * n·Σv² budget rule: re-unit if n·Σv² can reach 2⁶³); the mean,
+    * sample variance `(n·Σv² − (Σv)²)/(n(n−1))`, and half-width
+    * `z·√(s²/n)` are fixed IEEE chains on those exact operands.
+    * Output: `(group, n, mean, ci_lo, ci_hi)` — single-row groups get
+    * NULL bounds (no variance estimate), SQL-style.
+    */
+  def groupedMeanCI(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"), sum(col("v") * col("v")).as("s2"))
+      .select(
+        col("g").as(groupCol), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        when(col("n") >= 2,
+          sqrt(((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / col("n").cast("double"))
+            * Z975).as("_hw"))
+      .select(
+        col(groupCol), col("n"), col("mean"),
+        (col("mean") - col("_hw")).as("ci_lo"),
+        (col("mean") + col("_hw")).as("ci_hi"))
+
+  /** Difference-in-differences readout (the quasi-experimental workhorse
+    * when randomization wasn't possible: did the treated group's
+    * post-period change EXCEED the control group's?): the four
+    * (treated, post) cell means from exact cents sums, and
+    * `DiD = (m_t1 − m_t0) − (m_c1 − m_c0)` as a fixed IEEE chain.
+    * One map-side-combined pass; output is ONE row with every cell
+    * count/mean plus the estimate.
+    */
+  def diffInDiff(
+      df: DataFrame,
+      treatedCol: String,
+      postCol: String,
+      valueCol: String): DataFrame = {
+    def cell(t: Boolean, p: Boolean, out: String): Seq[Column] = {
+      val m = col(treatedCol) === t && col(postCol) === p
+      Seq(
+        sum(when(m, 1L).otherwise(0L)).as(s"n_$out"),
+        sum(when(m, col(valueCol).cast("long")).otherwise(0L)).as(s"s_$out"))
+    }
+    val cells = cell(false, false, "c0") ++ cell(false, true, "c1") ++
+      cell(true, false, "t0") ++ cell(true, true, "t1")
+    df.agg(cells.head, cells.tail: _*)
+      .select(
+        Seq(col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1")) ++
+          Seq("c0", "c1", "t0", "t1").map(c =>
+            // NULL mean on an empty cell (a design with a missing cell has
+            // no DiD), never a divide-by-zero under ANSI mode
+            when(col(s"n_$c") > 0,
+              col(s"s_$c").cast("double") / col(s"n_$c").cast("double"))
+              .as(s"m_$c")): _*)
+      .withColumn("did",
+        (col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")))
+  }
 }

@@ -552,4 +552,41 @@ object Similarity {
       .where(col("_rk") === 1)
       .select(col("qid"), col("_lbl").as("label_pred"), col("votes"))
   }
+
+  /** Hard-negative mining for contrastive training (DPR/Contriever
+    * recipe): for each query, the k most-similar corpus items whose
+    * label DIFFERS from the query's — maximally confusable negatives,
+    * which train retrievers orders of magnitude better than random ones.
+    * Exact cosine, ranks among the negatives only, [[bruteForceTopK]]'s
+    * tie discipline.
+    *
+    * Scale shape: identical to the top-k baseline (broadcast query side
+    * with its labels riding along, one corpus scan) plus the label
+    * inequality in the score filter — the IVF/LSH candidate path slots
+    * in at corpus scale with the same contract.
+    *
+    * Output: `(qid, rank, nid, cos)` — the per-query negative set.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("nid"), col(vecCol).as("nvec"), col(labelCol).as("nlbl"))
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).as("qvec"), col(labelCol).as("qlbl"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid") && col("nlbl") =!= col("qlbl"))
+      .select(col("qid"), col("nid"),
+        cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
 }

@@ -2179,6 +2179,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", "c", 2L)), got.toString)
   }
 
+  test("groupedMeanCI and diffInDiff: hand values, single-row and empty-cell NULLs") {
+    import graft.ops.Experiment
+    // group a: 10, 20 → mean 15, s² = 50, hw = z·√(50/2)=z·5
+    val ci = Experiment.groupedMeanCI(
+      Seq(("a", 10L), ("a", 20L), ("b", 7L)).toDF("g", "v"), "g", "v")
+      .select("g", "n", "mean", "ci_lo", "ci_hi").collect().sortBy(_.getString(0))
+    val z5 = java.lang.Double.parseDouble("1.959963984540054") * 5.0
+    assert(ci(0).getLong(1) == 2L && ci(0).getDouble(2) == 15.0)
+    assert(math.abs(ci(0).getDouble(3) - (15.0 - z5)) < 1e-12)
+    // single observation: no variance estimate → NULL bounds
+    assert(ci(1).getLong(1) == 1L && ci(1).isNullAt(3) && ci(1).isNullAt(4))
+    // DiD: control 10→12 (+2), treated 20→30 (+10) → DiD = 8
+    val did = Experiment.diffInDiff(
+      Seq((false, false, 10L), (false, true, 12L), (true, false, 20L),
+        (true, true, 30L)).toDF("t", "p", "v"), "t", "p", "v")
+      .select("did").as[Double].head()
+    assert(did == 8.0)
+    // an empty cell yields NULL did, not a divide-by-zero
+    val part = Experiment.diffInDiff(
+      Seq((false, false, 10L), (true, true, 30L)).toDF("t", "p", "v"), "t", "p", "v")
+      .select("did").collect().head
+    assert(part.isNullAt(0))
+  }
+
+  test("hardNegatives excludes same-label neighbors entirely") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), "x"), (1L, Array(0.99f, 0.1f), "x"),
+      (2L, Array(0.98f, 0.2f), "y"), (3L, Array(0.0f, 1.0f), "y"))
+      .toDF("id", "vec", "lbl")
+    val got = Similarity.hardNegatives(df, df.where(col("id") === 0), "id", "vec", "lbl", 2)
+      .select("nid").as[Long].collect().toSet
+    // id 1 shares label x with the query: excluded even though it is closest
+    assert(got == Set(2L, 3L), got.toString)
+  }
+
   test("joinViewDelta: delta-maintained view equals the full re-join") {
     import graft.ops.Incremental
     val aOld = Seq((1L, 10L), (2L, 20L)).toDF("k", "av")
