@@ -1004,13 +1004,16 @@ object Profile {
     * cumulative-count ranges — bit-exact end to end.
     *
     * Scale shape: both sides collapse to DISTINCT-value count tables
-    * scan-locally (the ns64 skeleton); the cumulative ranks ride
-    * [[Prefix.runningSum]] two-phase prefix scans over those dims
-    * (range-partitioned — a continuous domain makes the distinct-value
-    * dim O(rows), where an unpartitioned window would be a single-task
-    * sort), never the row volume. The interval join is an AQE-broadcast
-    * range join when the reference dim is small — the common case for
-    * quantized/cents domains.
+    * scan-locally (the ns64 skeleton); the cumulative ranks run over
+    * those dims, never the row volume. `boundedDomain = true` (default —
+    * quantized/cents inputs, where the dim is bounded by domain
+    * arithmetic) uses plain unpartitioned windows OVER THE AGGREGATED
+    * dim (the PlanSpec-sanctioned shape; a runningSum here costs two
+    * range-sampling re-executions of the aggregate for nothing);
+    * `false` (continuous inputs, dim O(rows)) rides
+    * [[Prefix.runningSum]]'s two-phase range-partitioned scan instead of
+    * a single-task sort. The interval join is an AQE-broadcast range
+    * join when the reference dim is small.
     *
     * @return one row per distinct source value: `(v, c, r, n, rp,
     *         mapped_v)` — join back on v for per-row application.
@@ -1018,15 +1021,21 @@ object Profile {
   def quantileNormalize(
       src: DataFrame,
       ref: DataFrame,
-      valCol: String): DataFrame = {
-    val rc = Prefix.runningSum(
+      valCol: String,
+      boundedDomain: Boolean = true): DataFrame = {
+    def cum(df: DataFrame, ord: String, cnt: String, out: String): DataFrame =
+      if (boundedDomain)
+        df.withColumn(out,
+          sum(cnt).over(Window.orderBy(ord)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      else Prefix.runningSum(df, ord, cnt, out)
+    val rc = cum(
         ref.groupBy(col(valCol).as("__rv")).agg(count(lit(1)).as("cr")),
         "__rv", "cr", "cum")
       .withColumn("prev", col("cum") - col("cr"))
     val m = ref.agg(count(lit(1)).as("__m"))
     val n = src.agg(count(lit(1)).as("n"))
-    Prefix.runningSum(
-        src.groupBy(valCol).agg(count(lit(1)).as("c")), valCol, "c", "r")
+    cum(src.groupBy(valCol).agg(count(lit(1)).as("c")), valCol, "c", "r")
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(m))
       .withColumn("rp", expr("(r * __m + n - 1) div n"))

@@ -34,21 +34,33 @@ object Survival {
   def kaplanMeier(
       units: DataFrame,
       durationCol: String,
-      observedCol: String): DataFrame = {
+      observedCol: String,
+      boundedDomain: Boolean = true): DataFrame = {
     val u = units.select(
       col(durationCol).cast("long").as("dur"),
       col(observedCol).cast("boolean").as("obs"))
     val total = u.agg(count(lit(1)).as("n_total"))
     // risk set at t = units with dur >= t = total − (# with dur < t):
-    // cumulative counts over the distinct-duration dim (a two-phase
-    // Prefix.runningSum — continuous durations make this dim O(rows),
-    // where an unpartitioned window would be a single-task sort); the
-    // inclusive running total minus the row's own count is the
-    // strictly-before count.
+    // cumulative counts over the distinct-duration dim. Durations here
+    // are BUCKETED by contract (days/weeks — the dim is bounded by
+    // domain arithmetic), so the default is a plain window OVER THE
+    // AGGREGATED dim (the PlanSpec-sanctioned shape); pass
+    // boundedDomain = false for raw continuous durations (dim O(rows))
+    // to ride Prefix.runningSum's two-phase scan instead of a
+    // single-task sort. Inclusive total minus own count = strictly-
+    // before count either way.
     val durCounts = u.groupBy("dur").agg(
       count(lit(1)).as("c_all"),
       sum(when(col("obs"), 1L).otherwise(0L)).as("d"))
-    val times = graft.ops.Prefix.runningSum(durCounts, "dur", "c_all", "_cum")
+    val cum =
+      if (boundedDomain)
+        durCounts.withColumn("_cum",
+          sum("c_all").over(
+            org.apache.spark.sql.expressions.Window.orderBy("dur")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+      else graft.ops.Prefix.runningSum(durCounts, "dur", "c_all", "_cum")
+    val times = cum
       .withColumn("c_before", col("_cum") - col("c_all"))
       .drop("_cum")
       .crossJoin(total)

@@ -1811,6 +1811,11 @@ class AnalyticsOpsSpec extends SparkSpec {
     val id = graft.ops.Profile.quantileNormalize(ref, ref, "v")
       .select("v", "mapped_v").as[(Long, Long)].collect()
     assert(id.forall(r => r._1 == r._2), id.mkString(","))
+    // the continuous-domain (runningSum) path returns the identical table
+    val both = graft.ops.Profile.quantileNormalize(src, ref, "v", boundedDomain = false)
+      .select("v", "c", "rp", "mapped_v").as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(both == got, s"$both vs $got")
   }
 
   test("abProportionTest: unit-level conversion, textbook z, degenerate guards") {
