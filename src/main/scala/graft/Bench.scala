@@ -187,7 +187,10 @@ object Bench {
     // (not replicated — excluded like ns140/ns194).
     "ns224", "ns225", "ns226",
     // one-pass cell readouts (ns230/ns231) — trivially linear.
-    "ns230", "ns231")
+    "ns230", "ns231",
+    // firsts-frame sequence rules (ns233) and scan-local text profiles
+    // (ns235/ns236) — linear; ns234 reads embeddings (excluded).
+    "ns233", "ns235", "ns236")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -8817,6 +8817,137 @@ object SparkEntry {
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", "lbl", k = 4)
         .orderBy("qid", "rank")
+    },
+    // NS-A18: SEQUENCE rules — confidence ("of those who did A, how many
+    // did B strictly after?") and lift over the precedence pairs; the
+    // actionable layer ns191 provides for baskets, here for ORDERED
+    // behavior.
+    Q(
+      "ns233_sequence_rules",
+      Some(
+        """WITH f AS (SELECT user_id AS e, event_type AS t, MIN(epoch_us(ts))::BIGINT AS ft
+          |  FROM events GROUP BY 1, 2),
+          |n AS (SELECT COUNT(DISTINCT e)::BIGINT AS n FROM f),
+          |st AS (SELECT t, COUNT(*)::BIGINT AS s FROM f GROUP BY 1),
+          |p AS (SELECT a.t AS type_a, c.t AS type_b, COUNT(*)::BIGINT AS n_entities
+          |  FROM f a JOIN f c ON a.e = c.e AND a.ft < c.ft
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+          |SELECT p.type_a, p.type_b, p.n_entities, sa.s AS n_a, sb.s AS n_b, n.n,
+          |  p.n_entities::DOUBLE / sa.s::DOUBLE AS confidence,
+          |  (n.n * p.n_entities)::DOUBLE / (sa.s * sb.s)::DOUBLE AS lift
+          |FROM p JOIN st sa ON sa.t = p.type_a JOIN st sb ON sb.t = p.type_b CROSS JOIN n
+          |ORDER BY type_a, type_b""".stripMargin)) { (s, dir) =>
+      graft.ops.Association.sequenceRules(
+          T(s, dir, "events"), "user_id", "event_type", "ts", minSupport = 5L)
+        .orderBy("type_a", "type_b")
+    },
+    // NS-P32: per-group embedding CENTROID DRIFT between two snapshots —
+    // exact integer centroids (sum div count per dimension, the Lloyd
+    // convention) of the quantized vectors, one cosine per group; the
+    // vector-space twin of ns72's scalar TVD drift.
+    Q(
+      "ns234_centroid_drift",
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e),
+          |q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+          |    ELSE list_transform(v, x -> round(x / scale)::BIGINT) END AS qv FROM s),
+          |ua AS (SELECT (vec_id // 2) % 4 AS g, i AS pos, qv[i+1] AS v
+          |  FROM q CROSS JOIN range(64) r(i) WHERE vec_id % 2 = 0),
+          |ub AS (SELECT (vec_id // 2) % 4 AS g, i AS pos, qv[i+1] AS v
+          |  FROM q CROSS JOIN range(64) r(i) WHERE vec_id % 2 = 1),
+          |ca0 AS (SELECT g, pos, (SUM(v) // COUNT(*))::BIGINT AS m, COUNT(*)::BIGINT AS cnt
+          |  FROM ua GROUP BY 1, 2),
+          |ca AS (SELECT g, MAX(cnt)::BIGINT AS n_a, list(m ORDER BY pos) AS c FROM ca0 GROUP BY 1),
+          |cb0 AS (SELECT g, pos, (SUM(v) // COUNT(*))::BIGINT AS m, COUNT(*)::BIGINT AS cnt
+          |  FROM ub GROUP BY 1, 2),
+          |cb AS (SELECT g, MAX(cnt)::BIGINT AS n_b, list(m ORDER BY pos) AS c FROM cb0 GROUP BY 1),
+          |j AS (SELECT ca.g, ca.n_a, cb.n_b,
+          |    list_sum(list_transform(range(64), i -> ca.c[i+1] * cb.c[i+1]))::BIGINT AS dot,
+          |    list_sum(list_transform(range(64), i -> ca.c[i+1] * ca.c[i+1]))::BIGINT AS da,
+          |    list_sum(list_transform(range(64), i -> cb.c[i+1] * cb.c[i+1]))::BIGINT AS db
+          |  FROM ca JOIN cb USING (g))
+          |SELECT g, n_a, n_b, dot,
+          |  CASE WHEN da > 0 AND db > 0
+          |    THEN dot::DOUBLE / (sqrt(da::DOUBLE) * sqrt(db::DOUBLE)) END AS cos_sim,
+          |  1.0 - CASE WHEN da > 0 AND db > 0
+          |    THEN dot::DOUBLE / (sqrt(da::DOUBLE) * sqrt(db::DOUBLE)) END AS drift
+          |FROM j ORDER BY g""".stripMargin)) { (s, dir) =>
+      val q = Quantize.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), expr("(vec_id div 2) % 4").as("g"),
+          transform(col("qvec"), x => x.cast("long")).as("qv"))
+      Profile.centroidDrift(
+          q.where(col("vec_id") % 2 === 0), q.where(col("vec_id") % 2 === 1),
+          "g", "qv")
+        .orderBy("g")
+    },
+    // NS-T26: language-mixing (code-switching) profile — per-language
+    // marker counts, the dominant language, and 1 − top/total; catches
+    // the concatenation artifacts whole-doc argmax lang-id hides.
+    Q(
+      "ns235_language_mix", {
+        val hits = TextOps.LangMarkers
+          .map { case (l, ws) => s"${oHits("toks", ws)} AS h_$l" }
+          .mkString(",\n  ")
+        val langs = TextOps.LangMarkers.map(_._1)
+        val total = langs.map(l => s"h_$l").mkString(" + ")
+        val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+        Some(
+          s"""WITH d AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 4 = 0 THEN ' der die das und ist nicht' ELSE '' END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, $oToks AS toks FROM d),
+             |s AS (SELECT doc_id, $hits FROM t),
+             |m AS (SELECT *, ($total)::BIGINT AS n_marked, $mx AS mx FROM s)
+             |SELECT doc_id, n_marked, mx::BIGINT AS top_hits,
+             |  CASE WHEN mx = 0 THEN 'und' $cases END AS top_lang,
+             |  CASE WHEN n_marked > 0
+             |    THEN 1.0 - mx::DOUBLE / n_marked::DOUBLE END AS mix_ratio
+             |FROM m ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      // every 4th doc gets a German marker run appended — deterministic
+      // code-switching so the mixing branch provably fires (the fixture's
+      // prose is English-shaped whatever its lang label says)
+      TextOps.languageMixProfile(
+          T(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), when(col("doc_id") % 4 === 0,
+              lit(" der die das und ist nicht")).otherwise(lit(""))).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // NS-T27: markup density — URL / email / HTML-tag shape counts and
+    // the per-kilochar rate; the page-chrome signal a web cleaner
+    // thresholds on. Fixture text is clean prose, so deterministic
+    // markup is appended to two of every three docs — both branches and
+    // all three shapes provably fire.
+    Q(
+      "ns236_markup_density",
+      Some(
+        """WITH t AS (SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 3 = 0 THEN ' <b>bold</b> see http://example.com/x'
+          |         WHEN doc_id % 3 = 1 THEN ' contact a.b@example.com'
+          |         ELSE '' END AS tx
+          |  FROM documents)
+          |SELECT doc_id,
+          |  length(regexp_extract_all(tx, 'https?://[^\s]+'))::BIGINT AS n_urls,
+          |  length(regexp_extract_all(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+          |  length(regexp_extract_all(tx, '<[^<>]+>'))::BIGINT AS n_tags,
+          |  length(tx)::BIGINT AS n_chars,
+          |  CASE WHEN length(tx) > 0 THEN
+          |    (length(regexp_extract_all(tx, 'https?://[^\s]+'))
+          |      + length(regexp_extract_all(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |      + length(regexp_extract_all(tx, '<[^<>]+>')))::DOUBLE * 1000.0
+          |      / length(tx)::DOUBLE END AS markup_per_kchar
+          |FROM t ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" <b>bold</b> see http://example.com/x"))
+            .when(col("doc_id") % 3 === 1, lit(" contact a.b@example.com"))
+            .otherwise(lit(""))).as("tx"))
+      TextOps.markupDensity(docs, "doc_id", "tx")
+        .orderBy("doc_id")
     }
   )
 

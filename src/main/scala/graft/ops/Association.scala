@@ -194,6 +194,40 @@ object Association {
           (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
   }
 
+  /** SEQUENCE rules over the precedence pairs: every A→B precedence
+    * scored by confidence `n(A→B) / n(A present)` ("of the entities that
+    * ever did A, how many did B strictly after?") and lift against B's
+    * base rate — the actionable layer [[rules]] provides for baskets,
+    * here for ORDERED behavior ("users who search then view a demo
+    * convert at 3× base"). Exact integer counts; confidence and lift are
+    * fixed IEEE chains on exact longs.
+    *
+    * Scale shape: adds an entity-count dim and two broadcast-sized
+    * type-support dims on top of [[precedencePairs]]' first-occurrence
+    * frame — nothing touches event volume twice.
+    */
+  def sequenceRules(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      minSupport: Long): DataFrame = {
+    val firsts = events
+      .groupBy(col(entityCol).as("e"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("ft"))
+    val nEntities = firsts.select("e").distinct().agg(count(lit(1)).as("n"))
+    val typeSupport = firsts.groupBy("t").agg(count(lit(1)).as("s"))
+    precedencePairs(events, entityCol, typeCol, tsCol, minSupport)
+      .join(typeSupport.select(col("t").as("type_a"), col("s").as("n_a")), Seq("type_a"))
+      .join(typeSupport.select(col("t").as("type_b"), col("s").as("n_b")), Seq("type_b"))
+      .crossJoin(nEntities)
+      .select(
+        col("type_a"), col("type_b"), col("n_entities"), col("n_a"), col("n_b"), col("n"),
+        (col("n_entities").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n") * col("n_entities")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Co-visitation mining with LINEAR recency decay: for every item pair
     * some entity touched both of, the summed weight
     * `max(0, W − |day_i − day_j|)` over entities — the classic

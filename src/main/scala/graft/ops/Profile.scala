@@ -349,6 +349,50 @@ object Profile {
           (col("n_vecs").cast("double") * factor)).as("mean_val"))
   }
 
+  /** Per-group CENTROID DRIFT between two corpus snapshots: for each
+    * group, the cosine between its integer centroid in snapshot A and in
+    * snapshot B — the embedding-space answer to "did this domain's
+    * content move?" (C63's TVD watches scalar distributions; this
+    * watches the vector fingerprint). Centroids are EXACT integer
+    * per-dimension means of the quantized vectors (`sum div count`, the
+    * Lloyd convention), so both sides hash-gate; the cosine is one fixed
+    * chain (exact long dot products, two sqrt, one divide).
+    *
+    * Scale shape: each snapshot collapses to a (group, dim) cell table
+    * scan-locally (map-side combined); the join and cosine run on the
+    * |groups| dim. Output: `(group, n_a, n_b, dot, cos_sim, drift)` with
+    * `drift = 1 − cos` (NULL for a zero centroid).
+    */
+  def centroidDrift(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    def centroids(df: DataFrame): DataFrame = df
+      .select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .groupBy("g", "pos")
+      .agg(sum(col("_v").cast("long")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("g"), col("pos"), expr("sv div cnt").as("m"), col("cnt"))
+      .groupBy("g")
+      .agg(
+        max("cnt").as("n"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    centroids(a).select(col("g"), col("n").as("n_a"), col("c").as("ca"))
+      .join(centroids(b).select(col("g"), col("n").as("n_b"), col("c").as("cb")), "g")
+      .select(
+        col("g").as(groupCol), col("n_a"), col("n_b"),
+        dot(col("ca"), col("cb")).as("dot"),
+        when(dot(col("ca"), col("ca")) > 0 && dot(col("cb"), col("cb")) > 0,
+          dot(col("ca"), col("cb")).cast("double") /
+            (sqrt(dot(col("ca"), col("ca")).cast("double")) *
+              sqrt(dot(col("cb"), col("cb")).cast("double"))))
+          .as("cos_sim"))
+      .withColumn("drift", lit(1.0) - col("cos_sim"))
+  }
+
   /** Cell-wise histogram merge: `hist(A ∪ B) = hist(A) + hist(B)` exactly
     * (counts add per bucket) — the mergeability that makes incremental /
     * streaming drift monitoring exact. Input/output: `(bucket, n)`.

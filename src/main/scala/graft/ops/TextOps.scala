@@ -1233,6 +1233,64 @@ object TextOps {
       .distinct()
   }
 
+  /** Language-mixing (code-switching) profile: per document, the
+    * marker-token count of EACH language, the dominant language, and
+    * `mix_ratio = 1 − top/total` — 0 for a pure document, rising as a
+    * second language's markers intrude. The corpus-QA signal that
+    * catches concatenation artifacts and mid-document language switches
+    * that whole-doc lang-id (C10) by definition cannot: argmax hides the
+    * minority language entirely.
+    *
+    * Ties and argmax follow the [[LangMarkers]] list order (the ns02
+    * convention). Documents with zero marker tokens report 'und' and a
+    * NULL ratio. Scan-local projection — the marker sets are literals in
+    * the plan, no shuffle, no state.
+    */
+  def languageMixProfile(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val hits = LangMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
+    val total = hits.map(_._2).reduce(_ + _)
+    val mx = greatest(hits.map(_._2): _*)
+    val top = hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
+      when(h === mx && mx > 0, lit(l)).otherwise(acc)
+    }
+    df.select(
+      col(idCol),
+      total.as("n_marked"),
+      mx.as("top_hits"),
+      top.as("top_lang"),
+      when(total > 0,
+        lit(1.0) - mx.cast("double") / total.cast("double")).as("mix_ratio"))
+  }
+
+  /** Markup / boilerplate-shape density: per document, counts of
+    * URL-shaped, email-shaped, and HTML-tag-shaped matches plus their
+    * per-kilochar rates — the "is this page chrome or prose" signal a
+    * web-corpus cleaner thresholds on before any model-based quality
+    * score runs. Pure regexp counting, scan-local, exact integers plus
+    * one division per rate.
+    */
+  def markupDensity(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
+    val urls = cnt("https?://[^\\s]+")
+    val emails = cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val tags = cnt("<[^<>]+>")
+    val len = length(col(textCol)).cast("long")
+    df.select(
+      col(idCol),
+      urls.as("n_urls"), emails.as("n_emails"), tags.as("n_tags"), len.as("n_chars"),
+      when(len > 0,
+        (urls + emails + tags).cast("double") * 1000.0 / len.cast("double"))
+        .as("markup_per_kchar"))
+  }
+
   /** Partial-overlap pairs over the winnowing index: document pairs
     * sharing at least `minShared` selected fingerprints — the MOSS
     * match step. By the winnowing guarantee, any pair sharing a token
