@@ -190,7 +190,10 @@ object Bench {
     "ns230", "ns231",
     // firsts-frame sequence rules (ns233) and scan-local text profiles
     // (ns235/ns236) — linear; ns234 reads embeddings (excluded).
-    "ns233", "ns235", "ns236")
+    "ns233", "ns235", "ns236",
+    // bounded-aggregate Arrow round-trip (ns237) and vocab-dim coverage
+    // (ns238) — linear.
+    "ns237", "ns238")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

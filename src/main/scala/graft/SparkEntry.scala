@@ -8948,6 +8948,56 @@ object SparkEntry {
             .otherwise(lit(""))).as("tx"))
       TextOps.markupDensity(docs, "doc_id", "tx")
         .orderBy("doc_id")
+    },
+    // NS-A19: Arrow IPC interchange parity (C17's oracle gate) — a query
+    // result round-trips through the DRIVER-SIDE Arrow stream encoder
+    // and decoder (the reference's Query-returns-Arrow surface,
+    // duck.go:190-206) and must still hash-match the oracle's direct
+    // SQL: schema, order-free values, and every type mapping survive the
+    // Arrow boundary. The result is an aggregate (25 rows), so the
+    // driver materialization is bounded by design — the distributed twin
+    // (encodePartitions / writeIpcDir + the DSv2 source) is gated by a03.
+    Q(
+      "ns237_arrow_interchange",
+      Some(
+        """SELECT n_name, COUNT(*)::BIGINT AS n_suppliers,
+          |  SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))::BIGINT AS total_cents
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY 1 ORDER BY n_name""".stripMargin)) { (s, dir) =>
+      val agg = T(s, dir, "supplier")
+        .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(cents(col("s_acctbal"))).as("total_cents"))
+      val bytes = graft.proto.ArrowInterchange.queryArrow(agg)
+      val (names, rows) = graft.proto.ArrowInterchange.fromIpcStream(bytes)
+      require(names == agg.columns.toSeq,
+        s"Arrow round-trip lost columns: $names vs ${agg.columns.toSeq}")
+      val javaRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.foreach(r => javaRows.add(org.apache.spark.sql.Row.fromSeq(r)))
+      s.createDataFrame(javaRows, agg.schema).orderBy("n_name")
+    },
+    // NS-T28: vocabulary mass-coverage curve — how many highest-frequency
+    // types cover 50/90/99% of total token mass (the Zipf summary behind
+    // tokenizer vocab sizing; ns79 profiles a FIXED top-V vocab, this
+    // answers which V to fix).
+    Q(
+      "ns238_vocab_coverage",
+      Some(
+        s"""WITH u AS (SELECT unnest($oToks) AS t FROM documents),
+           |c AS (SELECT t, COUNT(*)::BIGINT AS c FROM u GROUP BY 1),
+           |r AS (SELECT t, c,
+           |    SUM(c) OVER (ORDER BY c DESC, t
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+           |    row_number() OVER (ORDER BY c DESC, t)::BIGINT AS rk FROM c),
+           |tot AS (SELECT SUM(c)::BIGINT AS total_tokens, COUNT(*)::BIGINT AS vocab_size FROM c),
+           |tg AS (SELECT unnest([50, 90, 99])::BIGINT AS target_pct)
+           |SELECT tg.target_pct, MIN(r.rk)::BIGINT AS types_needed,
+           |  tot.vocab_size, tot.total_tokens
+           |FROM tg CROSS JOIN tot JOIN r ON r.cum * 100 >= tot.total_tokens * tg.target_pct
+           |GROUP BY 1, 3, 4 ORDER BY target_pct""".stripMargin)) { (s, dir) =>
+      TextOps.vocabMassCoverage(T(s, dir, "documents"), "text", Seq(50, 90, 99))
+        .orderBy("target_pct")
     }
   )
 

@@ -1291,6 +1291,51 @@ object TextOps {
         .as("markup_per_kchar"))
   }
 
+  /** Vocabulary MASS-COVERAGE curve: for each target share of total
+    * token mass (e.g. 50/90/99%), the number of highest-frequency types
+    * needed to cover it — the Zipf working summary behind "how big must
+    * the vocab be" tokenizer sizing and OOV budgeting (C70 profiles a
+    * FIXED top-V vocab; this answers which V to fix). Exact integer
+    * comparison `cum·100 ≥ total·pct` picks the cut; ties in frequency
+    * order break on the token string (total order, deterministic).
+    *
+    * Scale shape: one exploded count pass collapses to the VOCAB dim
+    * (map-side combined); the ranking window runs over that aggregated
+    * dim — the PlanSpec-sanctioned unpartitioned-window shape.
+    *
+    * Output: one row per target `(target_pct, types_needed, vocab_size,
+    * total_tokens)`.
+    */
+  def vocabMassCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      targets: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t >= 1 && t <= 100),
+      "targets must be percentages in [1, 100]")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = counts
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("t"))))
+    val totals = counts.agg(
+      sum("c").as("total_tokens"), count(lit(1)).as("vocab_size"))
+    val targetDf = df.sparkSession
+      .createDataFrame(targets.map(Tuple1(_))).toDF("target_pct")
+      .select(col("target_pct").cast("long"))
+    targetDf
+      .crossJoin(broadcast(totals))
+      .join(ranked, col("cum") * 100 >= col("total_tokens") * col("target_pct"))
+      .groupBy("target_pct", "vocab_size", "total_tokens")
+      .agg(min("rk").cast("long").as("types_needed"))
+      .select("target_pct", "types_needed", "vocab_size", "total_tokens")
+  }
+
   /** Partial-overlap pairs over the winnowing index: document pairs
     * sharing at least `minShared` selected fingerprints — the MOSS
     * match step. By the winnowing guarantee, any pair sharing a token
