@@ -193,7 +193,15 @@ object Bench {
     "ns233", "ns235", "ns236",
     // bounded-aggregate Arrow round-trip (ns237) and vocab-dim coverage
     // (ns238) — linear.
-    "ns237", "ns238")
+    "ns237", "ns238",
+    // round-10 training-data batch: range-partitioned packing prefix
+    // (ns239), window-hash span merge (ns240 — per-doc output; replicas
+    // multiply each window hash's count, never the per-doc fan-out),
+    // source-dim mixture plan (ns241), per-doc repetition profile
+    // (ns242), window-bounded co-occurrence explode (ns243) — all linear
+    // under replication. ns244/ns245 read embeddings (excluded like
+    // ns140/ns194).
+    "ns239", "ns240", "ns241", "ns242", "ns243")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Dedup, Encode, Funnel, Graph, Importance, Incremental, Layout, Linkage, Lpm, Merge, Multimodal, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, Skyline, TextOps, TimeSeries, Validate}
+import graft.ops.{AsofJoin, Association, Dedup, Encode, Eval, Funnel, Graph, Importance, Incremental, Layout, Linkage, Lpm, Merge, Multimodal, Packing, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, Skyline, TextOps, TimeSeries, Validate}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import org.apache.spark.sql.sources
@@ -8998,6 +8998,216 @@ object SparkEntry {
            |GROUP BY 1, 3, 4 ORDER BY target_pct""".stripMargin)) { (s, dir) =>
       TextOps.vocabMassCoverage(T(s, dir, "documents"), "text", Seq(50, 90, 99))
         .orderBy("target_pct")
+    },
+    // NS-T29: sequence packing — concat-and-chunk assignment of documents
+    // to fixed-length training context windows under the deterministic
+    // md5 pack order. The token prefix sum rides Prefix.runningSum (the
+    // two-phase range-partitioned scan); bins are integer `div`s of the
+    // exclusive prefix. The oracle replays the same RANGE-frame running
+    // sum (DuckDB's default frame under ORDER BY) over the same 60-bit
+    // md5 keys.
+    Q(
+      "ns239_pack_sequences",
+      Some(
+        s"""WITH t AS (SELECT doc_id,
+           |    len($oToks)::BIGINT AS ntok,
+           |    ${oBase60("doc_id::VARCHAR")} AS hk
+           |  FROM documents),
+           |p AS (SELECT doc_id, ntok,
+           |    (SUM(ntok) OVER (ORDER BY hk))::BIGINT AS incl
+           |  FROM t WHERE ntok > 0)
+           |SELECT doc_id, ntok AS n_tokens,
+           |  (incl - ntok) // 256 AS bin_start,
+           |  (incl - 1) // 256 AS bin_end,
+           |  ((incl - 1) // 256) > ((incl - ntok) // 256) AS straddles
+           |FROM p ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+      Packing.packBins(docs, "doc_id", "ntok", 256).orderBy("doc_id")
+    },
+    // NS-T30: repeated-substring spans (exact-substring dedup at 8-token
+    // window resolution, Lee et al. 2022). The fixture corpus has few
+    // organic 8-gram repeats, so the gate MANUFACTURES partial duplicates
+    // (the ns214/ns235 discipline): every 7th document's first half
+    // re-enters as a new document at a data-derived id offset (max+1 —
+    // fixture-scaling safe). Both engines build the identical union; the
+    // clone shares the original's leading windows, so spans genuinely
+    // merge.
+    Q(
+      "ns240_repeated_spans",
+      Some(
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+           |cl AS (SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM base) AS doc_id,
+           |    array_to_string(ts[1:greatest(len(ts) // 2, 1)], ' ') AS text
+           |  FROM (SELECT doc_id, $oToks AS ts FROM base WHERE doc_id % 7 = 0)),
+           |u AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM cl),
+           |wn AS (SELECT doc_id, ts, (len(ts) // 8)::BIGINT AS nw
+           |  FROM (SELECT doc_id, $oToks AS ts FROM u)),
+           |wins AS (SELECT doc_id,
+           |    unnest(range(nw))::BIGINT AS w,
+           |    unnest([${oBase60("array_to_string(ts[i*8+1 : i*8+8], ' ')")}
+           |      for i in range(nw)]) AS gh
+           |  FROM wn WHERE nw > 0),
+           |c AS (SELECT gh, COUNT(*)::BIGINT AS occ FROM wins GROUP BY 1),
+           |rep AS (SELECT doc_id, w FROM wins JOIN c USING (gh) WHERE occ >= 2),
+           |isl AS (SELECT doc_id,
+           |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS i FROM rep),
+           |sp AS (SELECT doc_id, i, COUNT(*)::BIGINT AS len FROM isl GROUP BY 1, 2)
+           |SELECT doc_id, SUM(len)::BIGINT AS dup_windows, COUNT(*)::BIGINT AS n_spans,
+           |  MAX(len)::BIGINT AS longest_span, (SUM(len) * 8)::BIGINT AS dup_tokens
+           |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mid = base.agg((max(col("doc_id")) + 1L).as("_mid"))
+      val clones = base
+        .where(col("doc_id") % 7 === 0)
+        .crossJoin(broadcast(mid))
+        .select(
+          (col("doc_id") + col("_mid")).as("doc_id"),
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
+            "greatest(size(split(trim(text), '\\\\s+')) div 2, 1)), ' ')").as("text"))
+      Dedup.repeatedTokenSpans(base.unionByName(clones), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+    // NS-T31: corpus mixture plan — the Pile/Llama-style data-mixing
+    // table: per-source token mass, a deterministic hash-derived weight
+    // policy, target share of a 2-epoch token budget (exact integer
+    // div), epoch ceiling, and the one-division sampling fraction. The
+    // budget derives from the corpus total (scale-free); weights derive
+    // from the source name, so the gate needs no hand-kept literal map.
+    Q(
+      "ns241_mixture_plan",
+      Some(
+        s"""WITH t AS (SELECT source, len($oToks)::BIGINT AS ntok FROM documents),
+           |s AS (SELECT source, SUM(ntok)::BIGINT AS n_tokens,
+           |    (${oHash32("source")} % 5 + 1)::BIGINT AS weight
+           |  FROM t GROUP BY source),
+           |g AS (SELECT SUM(weight)::BIGINT AS wsum, SUM(n_tokens)::BIGINT AS tot FROM s)
+           |SELECT source, n_tokens, weight,
+           |  ((tot * 2) * weight) // wsum AS target_tokens,
+           |  CASE WHEN n_tokens > 0
+           |    THEN ((((tot * 2) * weight) // wsum) + n_tokens - 1) // n_tokens END AS epochs_ceil,
+           |  (((tot * 2) * weight) // wsum)::DOUBLE / n_tokens::DOUBLE AS sample_frac
+           |FROM s CROSS JOIN g ORDER BY source""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+      Sampling.mixturePlan(
+          docs, "source", "ntok",
+          budget = col("total_corpus_tokens") * 2,
+          weightOf = src => TextOps.hash32(src) % 5 + 1)
+        .orderBy("source")
+    },
+    // NS-T32: Gopher within-document repetition profile — duplicated
+    // 2-gram/3-gram mass fractions and top-gram share (Rae et al. 2021
+    // §A1.1, the quality-filter table). Exact counts, one IEEE division
+    // per rate; the word-salad fixture repeats 2-grams organically, so
+    // the duplicate branch fires without manufactured input.
+    Q(
+      "ns242_repetition_profile", {
+        def grams(n: Int) =
+          s"""CASE WHEN len(ts) >= $n
+             |      THEN [array_to_string(ts[i+1:i+$n], ' ') for i in range(len(ts) - ${n - 1})]
+             |      ELSE [] END""".stripMargin
+        def prof(n: Int) =
+          s"""c$n AS (SELECT doc_id, g, COUNT(*)::BIGINT AS c
+             |  FROM (SELECT doc_id, unnest(${grams(n)}) AS g FROM t) GROUP BY 1, 2),
+             |p$n AS (SELECT doc_id, SUM(c)::BIGINT AS g${n}_total,
+             |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS g${n}_dup,
+             |    MAX(c)::BIGINT AS g${n}_top
+             |  FROM c$n GROUP BY 1)""".stripMargin
+        Some(
+          s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+             |${prof(2)},
+             |${prof(3)}
+             |SELECT d.doc_id, g2_total, g2_dup, g2_top,
+             |  g2_dup::DOUBLE / g2_total::DOUBLE AS g2_dup_frac,
+             |  g2_top::DOUBLE / g2_total::DOUBLE AS g2_top_frac,
+             |  g3_total, g3_dup, g3_top,
+             |  g3_dup::DOUBLE / g3_total::DOUBLE AS g3_dup_frac,
+             |  g3_top::DOUBLE / g3_total::DOUBLE AS g3_top_frac
+             |FROM documents d LEFT JOIN p2 USING (doc_id) LEFT JOIN p3 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      TextOps.ngramRepetitionProfile(T(s, dir, "documents"), "doc_id", "text", 2, 3)
+        .orderBy("doc_id")
+    },
+    // NS-T33: skip-gram window co-occurrence — the word2vec/GloVe corpus
+    // statistic: unordered within-window token pair counts. The Spark
+    // side explodes ≤window forward offsets into a pure EQUI-join on
+    // (doc, position) — never a per-document all-pairs band filter; the
+    // oracle states the same pairs as the band join (equivalent output,
+    // fixture-sized input).
+    Q(
+      "ns243_cooccurrence",
+      Some(
+        s"""WITH t AS (SELECT doc_id, $oToks AS ts FROM documents),
+           |p AS (SELECT doc_id, unnest(range(len(ts)))::BIGINT AS p, unnest(ts) AS tk FROM t),
+           |pr AS (SELECT least(x.tk, y.tk) AS tok_a, greatest(x.tk, y.tk) AS tok_b
+           |  FROM p x JOIN p y ON x.doc_id = y.doc_id AND y.p > x.p AND y.p <= x.p + 3)
+           |SELECT tok_a, tok_b, COUNT(*)::BIGINT AS n_cooc
+           |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      Association.cooccurrence(T(s, dir, "documents"), "doc_id", "text", window = 3)
+        .orderBy("tok_a", "tok_b")
+    },
+    // NS-E7: k-NN vote calibration — the reliability table of the ns228
+    // classifier against the REAL labels: per vote level (k = 5 ⇒ ≤ 5
+    // bins), how often that confidence is right. The discrete vote domain
+    // needs no binning policy; counts are exact, confidence and accuracy
+    // are one IEEE division each. The oracle replays the bounded-query
+    // knn (the ns228 CTE shape) and aggregates the same table.
+    Q(
+      "ns244_vote_calibration",
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl,
+           |    ${oCosine("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id < 60 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, ql, nl, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc),
+           |v AS (SELECT qid, ql, nl, COUNT(*)::BIGINT AS votes
+           |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+           |w AS (SELECT qid, ql, nl, votes,
+           |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS rk FROM v),
+           |p AS (SELECT qid, votes, (nl = ql) AS correct FROM w WHERE rk = 1)
+           |SELECT votes, votes::DOUBLE / 5.0 AS confidence, COUNT(*)::BIGINT AS n,
+           |  SUM(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           |  SUM(CASE WHEN correct THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS accuracy
+           |FROM p GROUP BY votes ORDER BY votes""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      val preds = Similarity.knnClassify(
+        e, e.filter(col("vec_id") < 60), "vec_id", "embedding", "label", k = 5)
+      val joined = preds.join(
+          e.select(col("vec_id").as("qid"), col("label").as("_actual")), Seq("qid"))
+        .withColumn("correct", col("label_pred") === col("_actual"))
+      Eval.voteCalibration(joined, "votes", k = 5, "correct").orderBy("votes")
+    },
+    // NS-E8: retrieval MRR@10 — mean reciprocal rank of the exact cosine
+    // top-10 against same-label relevance, with the EXACT lcm(1..20)
+    // rational rank sum (never an order-dependent float Σ 1/rank) and
+    // ONE final division. Bounded query set (the ns228 convention).
+    Q(
+      "ns245_mrr",
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl,
+           |    ${oCosine("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id < 60 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, ql, nl,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc),
+           |f AS (SELECT qid, MIN(CASE WHEN nl = ql THEN rank END)::BIGINT AS fr
+           |  FROM r WHERE rank <= 10 GROUP BY qid)
+           |SELECT COUNT(*)::BIGINT AS n_queries,
+           |  SUM(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           |  SUM(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS hit_rate,
+           |  SUM(CASE WHEN fr IS NOT NULL THEN 232792560 // fr ELSE 0 END)::DOUBLE
+           |    / (232792560 * COUNT(*))::DOUBLE AS mrr
+           |FROM f""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      val top = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 60), "vec_id", "embedding", 10)
+      val ranked = top
+        .join(e.select(col("vec_id").as("qid"), col("label").as("_ql")), Seq("qid"))
+        .join(e.select(col("vec_id").as("nid"), col("label").as("_nl")), Seq("nid"))
+        .withColumn("relevant", col("_nl") === col("_ql"))
+      Eval.meanReciprocalRank(ranked, "qid", "rank", "relevant")
     }
   )
 

@@ -300,4 +300,40 @@ object Association {
         (col("n_both").cast("double") /
           (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
   }
+
+  /** Skip-gram window co-occurrence counts — the corpus statistic behind
+    * word2vec/GloVe-style embedding training and collocation mining: for
+    * every unordered token pair within `window` positions of each other
+    * inside a document, the total number of co-occurrences across the
+    * corpus. Pairs are canonicalized lexicographically (a ≤ b) so each
+    * occurrence counts once; equal tokens co-occurring (a == b at
+    * different positions) are kept — their count is the self-collocation
+    * signal.
+    *
+    * Scale shape: the position stream explodes once; the left side then
+    * explodes its ≤ `window` forward offsets so the within-document pair
+    * match is a pure EQUI-join on (doc_id, position) — never a band
+    * predicate that degenerates to per-document all-pairs on long
+    * documents. Fan-out is exactly `window` per token (output rows =
+    * tokens × window, linear in corpus size); counts map-side combine on
+    * the (a, b) vocabulary dim. No global sorts, no cross joins.
+    */
+  def cooccurrence(
+      docs: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val pos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p", "t")))
+    val probes = pos
+      .withColumn("p2", explode(sequence(col("p") + 1, col("p") + window)))
+      .select(col("doc_id"), col("t").as("t_left"), col("p2"))
+    probes
+      .join(pos.select(col("doc_id"), col("p").as("p2"), col("t").as("t_right")),
+        Seq("doc_id", "p2"))
+      .select(
+        least(col("t_left"), col("t_right")).as("tok_a"),
+        greatest(col("t_left"), col("t_right")).as("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_cooc"))
+  }
 }

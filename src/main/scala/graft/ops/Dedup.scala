@@ -1323,4 +1323,53 @@ object Dedup {
       .where(col("cos") >= minCos)
       .select("doc_a", "doc_b", "dot", "n2_a", "n2_b", "cos")
   }
+
+  /** Repeated-substring spans at token-window resolution — the
+    * exact-substring dedup view of a corpus ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022, arXiv:2107.06499),
+    * discretized: the corpus is cut into NON-overlapping `k`-token windows,
+    * a window is `repeated` when its text occurs ≥ 2 times anywhere in the
+    * corpus (within- or cross-document), and per document the adjacent
+    * repeated windows merge into maximal spans. Output per document:
+    * how many windows are repeated, how many maximal spans they form, the
+    * longest span (in windows), and the repeated token mass `k × repeated`
+    * — the quantities a scrub-or-keep policy thresholds on.
+    *
+    * Scale shape: explode is windows = tokens/k rows (SMALLER than the
+    * token stream), the occurrence count is one map-side-combined
+    * hash aggregate on the 60-bit window hash, the repeated flag joins
+    * back on that same hash key, and the island merge runs under
+    * PER-DOCUMENT partitioned windows (never a global sort). Fan-out,
+    * shuffle volume, and state are all linear in corpus tokens.
+    */
+  def repeatedTokenSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "window size k must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    val wins = docs
+      .select(col(idCol).as("doc_id"), toks.as("ts"))
+      .withColumn("nw", expr(s"size(ts) div $k"))
+      .where(col("nw") > 0)
+      .select(
+        col("doc_id"),
+        explode(expr(s"transform(sequence(0, nw - 1), " +
+          s"w -> named_struct('w', CAST(w AS BIGINT), 'g', array_join(slice(ts, w * $k + 1, $k), ' ')))")).as("win"))
+      .select(col("doc_id"), col("win.w").as("w"),
+        conv(substring(md5(col("win.g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val counts = wins.groupBy("gh").agg(count(lit(1)).as("occ"))
+    val repeated = wins.join(counts.where(col("occ") >= 2L), Seq("gh")).select("doc_id", "w")
+    // Gaps-and-islands per document: consecutive repeated window indices
+    // share (w - row_number) — both windows are doc-partitioned.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+    val islands = repeated
+      .withColumn("isl", col("w") - row_number().over(byDoc))
+      .groupBy("doc_id", "isl")
+      .agg(count(lit(1)).as("len"))
+    islands
+      .groupBy("doc_id")
+      .agg(
+        sum(col("len")).as("dup_windows"),
+        count(lit(1)).as("n_spans"),
+        max(col("len")).as("longest_span"))
+      .withColumn("dup_tokens", col("dup_windows") * k)
+  }
 }

@@ -150,4 +150,67 @@ object Eval {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc"))
   }
+
+  /** Calibration (reliability) table for a discrete-confidence classifier:
+    * group predictions by their integer confidence numerator (for a k-NN
+    * vote, `votes` out of `k`) and report how often each confidence level
+    * is actually right. A well-calibrated classifier's `accuracy` tracks
+    * `confidence`; the gap per bin is what ECE-style summaries integrate.
+    * The discrete vote domain needs no binning policy — every confidence
+    * level IS a bin (bounded by k+1 rows), which keeps the whole table
+    * exact: counts are longs, `confidence` = votes/k and `accuracy` =
+    * n_correct/n are each ONE IEEE division of exact integers.
+    *
+    * Scale shape: one map-side-combined count over the (votes, correct)
+    * pairs — nothing downstream of the classifier's own cost.
+    */
+  def voteCalibration(df: DataFrame, voteCol: String, k: Int, correctCol: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    df
+      .groupBy(col(voteCol).cast("long").as("votes"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("votes"),
+        (col("votes").cast("double") / k.toDouble).as("confidence"),
+        col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"))
+  }
+
+  /** Mean reciprocal rank of a ranked candidate list against a relevance
+    * flag — the first-relevant-hit retrieval metric (MRR@k). The rank sum
+    * is EXACT for k ≤ 20: each query contributes `lcm(1..20) / first_rank`
+    * (lcm(1..20) = 232792560, integral for every rank ≤ 20), a miss
+    * contributes 0, and the final MRR is ONE division by `lcm·n_queries`.
+    * Never a float Σ(1/rank), whose value depends on accumulation order.
+    * (Ranks beyond 20 would truncate; retrieval MRR is conventionally
+    * MRR@10 — cap candidate lists at 20.)
+    *
+    * `ranked` is any (qid, rank, relevant) frame — [[Similarity]] top-k
+    * output joined to ground truth. Queries present in `ranked` with no
+    * relevant candidate count as misses; `hit_rate` is the companion
+    * fraction with ANY relevant hit in the list.
+    *
+    * Scale shape: one min-aggregate per query, one global aggregate —
+    * all map-side combined.
+    */
+  def meanReciprocalRank(
+      ranked: DataFrame, qidCol: String, rankCol: String, relevantCol: String): DataFrame = {
+    val firstHit = ranked
+      .groupBy(col(qidCol).as("qid"))
+      .agg(
+        min(when(col(relevantCol), col(rankCol).cast("long"))).as("first_rank"))
+    firstHit
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("first_rank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("first_rank").isNotNull,
+          expr("CAST(232792560 AS BIGINT) div first_rank")).otherwise(0L)).as("_rrsum"))
+      .select(
+        col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_queries").cast("double")).as("hit_rate"),
+        (col("_rrsum").cast("double") /
+          (lit(232792560L) * col("n_queries")).cast("double")).as("mrr"))
+  }
 }

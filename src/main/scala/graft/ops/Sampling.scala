@@ -386,4 +386,51 @@ object Sampling {
       .where(col("n_picks") > 0)
       .select(col("_id").as(idCol), col("_w").as(weightCol), col("n_picks"))
   }
+
+  /** Corpus mixture plan: given per-source mixing weights and a total
+    * token budget, how many tokens each source owes the training mix and
+    * how many epochs (full passes, possibly fractional) of that source
+    * realize it — the Pile/Llama-style "data mixing table" computed from
+    * the corpus itself instead of hand-maintained. A source with fewer
+    * tokens than its share repeats (`epochs_ceil` > 1, the up-sampled
+    * case); one with more gets a sub-1 sampling fraction.
+    *
+    * Exact arithmetic: target tokens = `budget·w div Σw` and the epoch
+    * ceiling `(target + n − 1) div n` are integer; `sample_frac` is the
+    * single IEEE division target/n. Scale shape: one map-side-combined
+    * per-source token aggregate (the source dim is catalog-bounded), a
+    * one-row Σw frame broadcast back — nothing here touches row data
+    * twice.
+    *
+    * `weightOf` maps the source column to an integral weight and must be
+    * deterministic (the caller's policy — a literal map, a hash-derived
+    * default, a priority tier). `budget` is the total token budget: a
+    * literal for an absolute compute budget, or an expression over
+    * `total_corpus_tokens` (in scope — the corpus token total) for a
+    * relative one ("train for 2 epochs worth": `col("total_corpus_tokens")
+    * * 2`), which keeps the plan scale-free.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      sourceCol: String,
+      tokCol: String,
+      budget: Column,
+      weightOf: Column => Column): DataFrame = {
+    val bySource = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokCol).cast("long")).as("n_tokens"))
+      .withColumn("weight", weightOf(col("source")).cast("long"))
+    val wSum = bySource.agg(
+      sum("weight").as("_wsum"),
+      sum("n_tokens").as("total_corpus_tokens"))
+    bySource
+      .crossJoin(broadcast(wSum))
+      .withColumn("_budget", budget.cast("long"))
+      .withColumn("target_tokens", expr("(_budget * weight) div _wsum"))
+      .withColumn("epochs_ceil",
+        expr("CASE WHEN n_tokens > 0 THEN (target_tokens + n_tokens - 1) div n_tokens END"))
+      .withColumn("sample_frac",
+        col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+      .select("source", "n_tokens", "weight", "target_tokens", "epochs_ceil", "sample_frac")
+  }
 }

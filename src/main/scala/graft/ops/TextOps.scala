@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1367,5 +1367,42 @@ object TextOps {
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** Gopher-style within-document repetition profile (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): per document, the fraction of n-gram mass
+    * sitting in DUPLICATED n-grams and the share of the single most
+    * frequent n-gram, for n = `na` and `nb` (the paper thresholds
+    * "fraction of characters in duplicate 5-grams" etc.; this is the
+    * token-mass variant, which needs no character re-attribution and
+    * thresholds identically). [[repetitionRatio]] is the coarse
+    * distinct/total summary; these are the quantities Gopher's quality
+    * table actually gates on.
+    *
+    * All counts are exact longs from ONE grouped pass per n; each output
+    * rate is a single IEEE division. Scale shape: explode to the shingle
+    * stream, map-side-combined (doc, gram) counts, per-doc aggregate —
+    * linear, no windows, no joins beyond the final per-doc zip.
+    */
+  def ngramRepetitionProfile(
+      docs: DataFrame, idCol: String, textCol: String, na: Int = 2, nb: Int = 3): DataFrame = {
+    def profile(n: Int, pfx: String): DataFrame =
+      docs
+        .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("g"))
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").as(s"${pfx}_total"),
+          sum(when(col("c") >= 2L, col("c")).otherwise(0L)).as(s"${pfx}_dup"),
+          max("c").as(s"${pfx}_top"))
+        .withColumn(s"${pfx}_dup_frac",
+          col(s"${pfx}_dup").cast("double") / col(s"${pfx}_total").cast("double"))
+        .withColumn(s"${pfx}_top_frac",
+          col(s"${pfx}_top").cast("double") / col(s"${pfx}_total").cast("double"))
+    val ids = docs.select(col(idCol).as("doc_id"))
+    ids
+      .join(profile(na, s"g$na"), Seq("doc_id"), "left")
+      .join(profile(nb, s"g$nb"), Seq("doc_id"), "left")
   }
 }

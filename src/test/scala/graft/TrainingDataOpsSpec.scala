@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Association, Dedup, Eval, Packing, Sampling, TextOps}
+
+/** Round-10 training-data pipeline operators: sequence packing,
+  * repeated-substring spans, mixture planning, repetition profiling,
+  * co-occurrence, calibration, and MRR — hand-computable goldens plus
+  * partition-invariance where the op rides a global order.
+  */
+class TrainingDataOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("packBins conserves tokens, keeps bins contiguous, and ignores partitioning") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+    val L = 256
+    val packed = Packing.packBins(docs, "doc_id", "ntok", L).cache()
+    val rows = packed.collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(total == docs.agg(sum("ntok")).head().getLong(0), "token mass conserved")
+    val maxEnd = rows.map(_.getAs[Long]("bin_end")).max
+    assert(maxEnd == (total - 1) / L, "last bin index = ceil(total/L) - 1")
+    // Every bin in [0, maxEnd] is covered by some document's span (the
+    // stream has no holes).
+    val covered = rows.flatMap(r =>
+      r.getAs[Long]("bin_start") to r.getAs[Long]("bin_end")).toSet
+    assert(covered == (0L to maxEnd).toSet, "bin coverage has holes")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("straddles") ==
+        (r.getAs[Long]("bin_end") > r.getAs[Long]("bin_start")))
+    }
+    // Global order ⇒ result must not depend on input partitioning.
+    val again = Packing.packBins(docs.repartition(13), "doc_id", "ntok", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == again,
+      "packBins depends on partitioning")
+    val summary = Packing.binSummary(packed, L)
+    assert(summary.agg(sum("n_starting")).head().getLong(0) == rows.length,
+      "every document starts in exactly one bin")
+    packed.unpersist()
+  }
+
+  test("repeatedTokenSpans merges adjacent repeated windows into maximal spans") {
+    val d1 = (1 to 16).map(i => s"t$i").mkString(" ") // windows [t1-t4][t5-t8][t9-t12][t13-t16]
+    val d2 = (1 to 8).map(i => s"t$i").mkString(" ") // copy of d1's first 2 windows
+    val d3 = ((1 to 4).map(i => s"t$i") ++ Seq("z1", "z2", "z3", "z4") ++
+      (9 to 12).map(i => s"t$i")).mkString(" ") // w0 and w2 repeat, w1 unique
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.repeatedTokenSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dup_windows"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("longest_span"), r.getAs[Long]("dup_tokens"))).toMap
+    // d1: windows 0,1 (shared with d2), 2 (shared with d3) — 0,1,2 adjacent
+    // ⇒ ONE span of 3; window 3 unique.
+    assert(got(1L) == ((3L, 1L, 3L, 12L)), s"d1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 2L, 8L)), s"d2: ${got(2L)}")
+    // d3: repeated windows 0 and 2 are NOT adjacent ⇒ two spans of 1.
+    assert(got(3L) == ((2L, 2L, 1L, 8L)), s"d3: ${got(3L)}")
+  }
+
+  test("mixturePlan computes exact targets, epoch ceilings, and fractions") {
+    val docs = Seq.tabulate(4)(i => ("a", 25L)) ++ Seq.tabulate(3)(i => ("b", 100L))
+    val df = docs.toDF("source", "ntok")
+    val plan = Sampling.mixturePlan(
+        df, "source", "ntok",
+        budget = lit(400L),
+        weightOf = src => when(src === "a", 3L).otherwise(1L))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("epochs_ceil"), r.getAs[Double]("sample_frac"))).toMap
+    assert(plan("a") == ((100L, 3L, 300L, 3L, 3.0)), s"a: ${plan("a")}")
+    assert(plan("b") == ((300L, 1L, 100L, 1L, 100.0 / 300.0)), s"b: ${plan("b")}")
+    // Relative budget: total_corpus_tokens is in scope for the budget
+    // expression (400 tokens total ⇒ identical plan).
+    val rel = Sampling.mixturePlan(
+        df, "source", "ntok",
+        budget = col("total_corpus_tokens"),
+        weightOf = src => when(src === "a", 3L).otherwise(1L))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("target_tokens"))).toMap
+    assert(rel == Map("a" -> 300L, "b" -> 100L))
+  }
+
+  test("ngramRepetitionProfile matches the hand-counted Gopher measures") {
+    val docs = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val r = TextOps.ngramRepetitionProfile(docs, "doc_id", "text", 2, 3).head()
+    // 2-grams: "x y","y x","x y","y z" → total 4, dup mass 2, top 2.
+    assert(r.getAs[Long]("g2_total") == 4L)
+    assert(r.getAs[Long]("g2_dup") == 2L)
+    assert(r.getAs[Long]("g2_top") == 2L)
+    assert(r.getAs[Double]("g2_dup_frac") == 0.5)
+    assert(r.getAs[Double]("g2_top_frac") == 0.5)
+    // 3-grams: all distinct → dup mass 0.
+    assert(r.getAs[Long]("g3_total") == 3L)
+    assert(r.getAs[Long]("g3_dup") == 0L)
+  }
+
+  test("cooccurrence counts unordered within-window pairs exactly once") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val got = Association.cooccurrence(docs, "doc_id", "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (p0,p1)=(a,b), (p0,p2)=(a,a), (p1,p2)=(b,a)→(a,b)
+    assert(got == Map(("a", "b") -> 2L, ("a", "a") -> 1L), s"got $got")
+    // window=1 drops the distance-2 pair
+    val w1 = Association.cooccurrence(docs, "doc_id", "text", window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 == Map(("a", "b") -> 2L), s"got $w1")
+  }
+
+  test("voteCalibration buckets by vote level with exact accuracy") {
+    val df = Seq((5L, true), (5L, true), (5L, false), (3L, true))
+      .toDF("votes", "correct")
+    val got = Eval.voteCalibration(df, "votes", k = 5, "correct")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getAs[Long]("n"), r.getAs[Long]("n_correct"),
+          r.getAs[Double]("accuracy"))).toMap
+    assert(got(5L) == ((1.0, 3L, 2L, 2.0 / 3.0)), s"got ${got(5L)}")
+    assert(got(3L) == ((0.6, 1L, 1L, 1.0)), s"got ${got(3L)}")
+  }
+
+  test("meanReciprocalRank uses the exact lcm rational, misses count as zero") {
+    val ranked = Seq(
+      // q1: first relevant at rank 2
+      (1L, 1L, false), (1L, 2L, true), (1L, 3L, true),
+      // q2: no relevant hit
+      (2L, 1L, false), (2L, 2L, false),
+      // q3: hit at rank 1
+      (3L, 1L, true)).toDF("qid", "rank", "relevant")
+    val r = Eval.meanReciprocalRank(ranked, "qid", "rank", "relevant").head()
+    assert(r.getAs[Long]("n_queries") == 3L)
+    assert(r.getAs[Long]("n_hits") == 2L)
+    assert(r.getAs[Double]("hit_rate") == 2.0 / 3.0)
+    assert(r.getAs[Double]("mrr") == 0.5, s"mrr ${r.getAs[Double]("mrr")}") // (1/2 + 0 + 1)/3
+  }
+}
