@@ -201,7 +201,14 @@ object Bench {
     // (ns242), window-bounded co-occurrence explode (ns243) — all linear
     // under replication. ns244/ns245 read embeddings (excluded like
     // ns140/ns194).
-    "ns239", "ns240", "ns241", "ns242", "ns243")
+    "ns239", "ns240", "ns241", "ns242", "ns243",
+    // manifest-lifecycle version diff (ns246 — linear rewrite + key join
+    // of the replica, the ns204-ns207 class) and quasi-dim l-diversity
+    // (ns247). ns248 is excluded for its documented moment budget: the
+    // centered doubled-rank products breach N³ < 2⁶³ near N ≈ 2.1M
+    // rows — the op's contract says pre-bucket (re-unit), the screen
+    // honors it (the ns169/ns179 class).
+    "ns246", "ns247")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

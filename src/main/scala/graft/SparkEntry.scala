@@ -9208,6 +9208,88 @@ object SparkEntry {
         .join(e.select(col("vec_id").as("nid"), col("label").as("_nl")), Seq("nid"))
         .withColumn("relevant", col("_nl") === col("_ql"))
       Eval.meanReciprocalRank(ranked, "qid", "rank", "relevant")
+    },
+    // NS-W24: version change feed — ManagedWriter.versionDiff between the
+    // base snapshot and a merge commit (deletes below 5, restatements at
+    // 20+, one insert at a data-derived key): the Delta table_changes /
+    // CDF contract over the manifest time-travel reads. The oracle
+    // derives the same change set from the base table directly.
+    Q(
+      "ns246_version_diff",
+      Some(
+        """SELECT * FROM (
+          |  SELECT n_nationkey, 'delete' AS change_type FROM nation WHERE n_nationkey < 5
+          |  UNION ALL
+          |  SELECT n_nationkey, 'update' FROM nation WHERE n_nationkey >= 20
+          |  UNION ALL
+          |  SELECT (SELECT MAX(n_nationkey) + 1 FROM nation), 'insert'
+          |) ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      val base = T(s, dir, "nation")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-vdiff-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, base.schema, StreamType.Pending)
+      w.write(base); w.finalizeCommit()
+      val v1 = ManagedWriter.versions(s, dest).max
+      val mid = base.agg((max(col("n_nationkey")) + 1L).as("_mid"))
+      val changes = base.where(col("n_nationkey") >= 20)
+        .withColumn("n_name", lit("restated")).withColumn("op", lit("U"))
+        .unionByName(base.where(col("n_nationkey") < 5).withColumn("op", lit("D")))
+        .unionByName(base.limit(1).crossJoin(broadcast(mid))
+          .select(col("_mid").as("n_nationkey"), lit("brandnew").as("n_name"),
+            lit(0L).as("n_regionkey"), lit("U").as("op")))
+      ManagedWriter.merge(s, dest, changes, Seq("n_nationkey"))
+      val v2 = ManagedWriter.versions(s, dest).max
+      ManagedWriter.versionDiff(s, dest, v1, v2, Seq("n_nationkey"))
+        .orderBy("n_nationkey")
+    },
+    // NS-W25: l-diversity audit — per (nation, segment) quasi-identifier
+    // group, the distinct count of the sensitive balance bucket and the
+    // data-derived `weakest` flag (strictly below the best-diversified
+    // group — fires at every SF where diversity varies, unlike a fixed
+    // l on a saturating bucket domain). The LDiversity write-path check
+    // (absolute threshold) is spec-pinned alongside.
+    Q(
+      "ns247_l_diversity",
+      Some(
+        """WITH t AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(ROUND(c_acctbal * 100) AS BIGINT) // 50000 AS sb FROM customer),
+          |g AS (SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n,
+          |    COUNT(DISTINCT sb)::BIGINT AS l_distinct FROM t GROUP BY 1, 2),
+          |b AS (SELECT MAX(l_distinct) AS mx FROM g)
+          |SELECT c_nationkey, c_mktsegment, n, l_distinct, l_distinct < mx AS weakest
+          |FROM g CROSS JOIN b ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+      val cust = T(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 50000").as("sb"))
+      Validate.lDiversityProfile(cust, Seq("c_nationkey", "c_mktsegment"), "sb")
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    // NS-A12: Spearman rank correlation (quantity vs extended price, in
+    // exact cents) — doubled tie-averaged ranks from two runningSum
+    // counting skeletons, centered by the doubled mean rank N+1 (exact:
+    // Σ doubled ranks = N(N+1) even under ties), ρ from exact long
+    // moments with two correctly-rounded sqrts and one division.
+    Q(
+      "ns248_spearman",
+      Some(
+        """WITH d AS (SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+          |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+          |t AS (SELECT (COUNT(*) + 1)::BIGINT AS n1 FROM d),
+          |rx AS (SELECT x AS v, (2 * (SUM(COUNT(*)) OVER (ORDER BY x)) - COUNT(*) + 1)::BIGINT AS r
+          |  FROM d GROUP BY x),
+          |ry AS (SELECT y AS v, (2 * (SUM(COUNT(*)) OVER (ORDER BY y)) - COUNT(*) + 1)::BIGINT AS r
+          |  FROM d GROUP BY y),
+          |c AS (SELECT (rx.r - t.n1) AS cx, (ry.r - t.n1) AS cy
+          |  FROM d JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v CROSS JOIN t),
+          |m AS (SELECT COUNT(*)::BIGINT AS n, SUM(cx * cy)::BIGINT AS sxy,
+          |    SUM(cx * cx)::BIGINT AS sxx, SUM(cy * cy)::BIGINT AS syy FROM c)
+          |SELECT n, sxy, sxx, syy,
+          |  CASE WHEN sxx > 0 AND syy > 0
+          |    THEN sxy::DOUBLE / sqrt(sxx::DOUBLE * syy::DOUBLE) END AS rho
+          |FROM m""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+        .select(cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+      Profile.spearman(li, "x", "y")
     }
   )
 

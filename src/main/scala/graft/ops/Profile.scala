@@ -1305,4 +1305,52 @@ object Profile {
         col("c"), col("r"), col("n"),
         (col("r").cast("double") / col("n").cast("double")).as("pct"))
   }
+
+  /** Spearman rank correlation between two integral columns — the
+    * monotone-dependence measure (Pearson on ranks) with average ranks
+    * under ties, computed EXACTLY: doubled average ranks (integers even
+    * at ties: 2·cumBefore + n_v + 1 over the distinct-value counting
+    * skeleton) are CENTERED by the doubled mean rank N + 1 (Σ doubled
+    * ranks = N(N+1) identically, ties included, so the centered sums are
+    * zero and ρ reduces to Σcx·cy / (√Σcx² · √Σcy²)) — two
+    * correctly-rounded sqrts and ONE division on exact longs; NULL when
+    * either column is constant.
+    *
+    * Scale shape: two distinct-value counting skeletons ride
+    * [[Prefix.runningSum]] (range-partitioned, never a global sort),
+    * rank dims join back on the value (AQE sizes them), one global
+    * moment aggregate. Moment budget: |Σcx·cy| < 2⁶³ holds through
+    * N ≈ 2·10⁶ rows (centered doubled ranks < 2N) — beyond that,
+    * pre-bucket the values (the z-score family's re-unit contract).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks(c: String, out: String): DataFrame = {
+      val cells = df.groupBy(col(c).cast("long").as(s"_v$out")).agg(count(lit(1)).as("nv"))
+      // doubled average rank of value v = 2·cumBefore + n_v + 1 = 2·cum − n_v + 1
+      Prefix.runningSum(cells, s"_v$out", "nv", "cum")
+        .select(col(s"_v$out"), (lit(2L) * col("cum") - col("nv") + 1L).as(out))
+    }
+    val n1 = df.agg((count(lit(1)) + 1L).as("_n1")) // doubled mean rank = N + 1
+    df
+      .select(col(xCol).cast("long").as("_vrx"), col(yCol).cast("long").as("_vry"))
+      .join(ranks(xCol, "rx"), "_vrx")
+      .join(ranks(yCol, "ry"), "_vry")
+      .crossJoin(broadcast(n1))
+      .select((col("rx") - col("_n1")).as("cx"), (col("ry") - col("_n1")).as("cy"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(
+        col("n"), col("sxy"), col("sxx"), col("syy"),
+        // ONE sqrt of the double product (not √sxx·√syy, whose rounding
+        // pushes a perfect correlation to 1 + 1ulp): S/√(S·S) = 1 exactly
+        // whenever S² is representable, and the chain is identical IEEE
+        // ops in both engines either way.
+        when(col("sxx") > 0 && col("syy") > 0,
+          col("sxy").cast("double") /
+            sqrt(col("sxx").cast("double") * col("syy").cast("double")))
+          .as("rho"))
+  }
 }

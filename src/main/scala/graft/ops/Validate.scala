@@ -75,6 +75,19 @@ object Validate {
     def name = s"k_anonymity_${cols.mkString("_")}"
   }
 
+  /** l-diversity over the quasi-identifier columns with respect to a
+    * sensitive column: every quasi-identifier group must contain at least
+    * `l` DISTINCT sensitive values (Machanavajjhala et al. 2007 — the
+    * refinement k-anonymity needs: a group of k rows all sharing one
+    * sensitive value still discloses it). Violations count the ROWS in
+    * under-diverse groups, the KAnonymity convention.
+    */
+  final case class LDiversity(cols: Seq[String], sensitive: String, l: Long) extends Check {
+    require(cols.nonEmpty && l >= 2, "need quasi-identifiers and l >= 2")
+    require(!cols.contains(sensitive), "sensitive column cannot be a quasi-identifier")
+    def name = s"l_diversity_${cols.mkString("_")}_$sensitive"
+  }
+
   private def violationPredicate(c: Check): Column = c match {
     case NotNull(col) => col_(col).isNull
     case InRange(col, lo, hi) =>
@@ -132,11 +145,43 @@ object Validate {
           .where(col("_c") < a.k)
           .agg(coalesce(sum(col("_c")), lit(0L)).as("violations"))
           .select(lit(a.name).as("check"), col("violations"))
+      case d: LDiversity =>
+        frames += df.groupBy(d.cols.map(col): _*)
+          .agg(count(lit(1)).as("_c"), countDistinct(col(d.sensitive)).as("_l"))
+          .where(col("_l") < d.l)
+          .agg(coalesce(sum(col("_c")), lit(0L)).as("violations"))
+          .select(lit(d.name).as("check"), col("violations"))
       case _ => () // row-local, already counted
     }
     frames.result()
       .reduce(_ unionByName _)
       .select(col("check"), col("violations"), (col("violations") === 0L).as("pass"))
+  }
+
+  /** Per-group l-diversity profile — the audit table behind an
+    * [[LDiversity]] release gate: for every quasi-identifier group, its
+    * population, its distinct sensitive-value count, and whether it is
+    * strictly LESS diverse than the best-diversified group (`weakest` —
+    * a data-derived flag, so the interesting branch fires at any scale
+    * where diversity varies; an absolute threshold is the [[LDiversity]]
+    * check's job).
+    *
+    * Scale shape: one grouped count-distinct over the quasi-identifier
+    * dim, a 1-row max broadcast — nothing past the group aggregate
+    * scales with rows.
+    */
+  def lDiversityProfile(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty && !quasiCols.contains(sensitiveCol),
+      "need quasi-identifiers excluding the sensitive column")
+    val groups = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(col(sensitiveCol)).as("l_distinct"))
+    val best = groups.agg(max(col("l_distinct")).as("_best"))
+    groups
+      .crossJoin(broadcast(best))
+      .withColumn("weakest", col("l_distinct") < col("_best"))
+      .drop("_best")
   }
 
   /** Benford first-digit conformance profile over an exact scaled-long

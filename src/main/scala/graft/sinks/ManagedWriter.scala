@@ -1352,6 +1352,47 @@ object ManagedWriter {
     }
   }
 
+  /** Change feed between two committed versions — the Delta
+    * `table_changes` / CDF view computed from the two snapshots: one row
+    * per key whose state differs, with `change_type` ∈ insert / delete /
+    * update. Keys must be unique within each snapshot (the [[merge]]
+    * table contract — this is the diff of a keyed table, not a multiset
+    * diff; for multisets see the b89-style (value, count) spelling).
+    * Update detection compares the non-key columns the two versions
+    * SHARE (schema evolution may add columns; a row differing only in a
+    * version-exclusive column is not an update of shared state), via a
+    * deterministic per-row digest so wide rows never shuffle their
+    * payload twice.
+    *
+    * Scale shape: two manifest reads, each collapsed to (key, digest)
+    * scan-locally, one full-outer sort-merge join on the key — the
+    * minimum possible data movement for a snapshot diff. Time-travel
+    * reads are file-list lookups, not log replays.
+    */
+  def versionDiff(
+      spark: SparkSession,
+      destDir: String,
+      fromVersion: Long,
+      toVersion: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, destDir, fromVersion)
+    val b = readVersion(spark, destDir, toVersion)
+    val shared = a.columns.filterNot(keyCols.contains).filter(b.columns.contains).sorted
+    def digested(df: DataFrame, out: String) = df.select(
+      keyCols.map(col) :+
+        md5(to_json(struct(shared.map(c => col(c).as(c)): _*))).as(out): _*)
+    digested(a, "_ha")
+      .join(digested(b, "_hb"), keyCols, "full_outer")
+      .withColumn(
+        "change_type",
+        when(col("_ha").isNull, "insert")
+          .when(col("_hb").isNull, "delete")
+          .when(col("_ha") =!= col("_hb"), "update"))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
+
   /** Part files physically present in the destination (pre-manifest
     * state; used only to seed the base manifest). RECURSIVE, with
     * destination-relative paths, so adopting a pre-existing PARTITIONED

@@ -822,4 +822,36 @@ class ManagedWriterSpec extends SparkSpec {
     // and the table still reads
     assert(ManagedWriter.read(spark, dest).count() == sup.count() * 3)
   }
+
+  test("versionDiff reports insert/delete/update by key and drops unchanged rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dest = tmp()
+    val v1df = Seq((1L, "keep"), (2L, "gone"), (3L, "old")).toDF("id", "v")
+    val w = new ManagedWriter(spark, dest, v1df.schema, StreamType.Committed)
+    w.write(v1df)
+    val v1 = ManagedWriter.versions(spark, dest).max
+    val changes = Seq(
+      (2L, "gone", "D"), // delete
+      (3L, "new", "U"), // update
+      (4L, "born", "U")) // insert (unmatched upsert)
+      .toDF("id", "v", "op")
+    ManagedWriter.merge(spark, dest, changes, Seq("id"))
+    val v2 = ManagedWriter.versions(spark, dest).max
+    val diff = ManagedWriter.versionDiff(spark, dest, v1, v2, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "delete", 3L -> "update", 4L -> "insert"), s"got $diff")
+    // reversed direction swaps insert/delete and keeps the update
+    val rev = ManagedWriter.versionDiff(spark, dest, v2, v1, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev == Map(2L -> "insert", 3L -> "update", 4L -> "delete"), s"got $rev")
+    // schema evolution: a version-exclusive column alone is not an update
+    val w2 = new ManagedWriter(spark, dest, Seq((0L, "")).toDF("id", "v").schema,
+      StreamType.Committed, allowSchemaEvolution = true)
+    w2.write(Seq((5L, "wide", 1L)).toDF("id", "v", "extra"))
+    val v3 = ManagedWriter.versions(spark, dest).max
+    val d23 = ManagedWriter.versionDiff(spark, dest, v2, v3, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d23 == Map(5L -> "insert"), s"shared-column diff drifted: $d23")
+  }
 }

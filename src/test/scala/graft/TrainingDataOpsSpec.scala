@@ -134,4 +134,36 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("hit_rate") == 2.0 / 3.0)
     assert(r.getAs[Double]("mrr") == 0.5, s"mrr ${r.getAs[Double]("mrr")}") // (1/2 + 0 + 1)/3
   }
+
+  test("LDiversity check counts rows in under-diverse groups; profile flags the weakest") {
+    import graft.ops.Validate
+    // group g1: sensitive {a, b} (diverse); g2: {a, a, a} (3 rows at risk)
+    val df = Seq(
+      ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "a"), ("g2", "a")).toDF("q", "s")
+    val checked = Validate.validate(df, Seq(Validate.LDiversity(Seq("q"), "s", l = 2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(checked.toSeq == Seq(("l_diversity_q_s", 3L, false)), s"got ${checked.toSeq}")
+    val prof = Validate.lDiversityProfile(df, Seq("q"), "s")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("l_distinct"), r.getAs[Boolean]("weakest"))).toMap
+    assert(prof("g1") == ((2L, 2L, false)))
+    assert(prof("g2") == ((3L, 1L, true)))
+  }
+
+  test("spearman is exact under ties and matches the textbook d-squared form") {
+    import graft.ops.Profile
+    // perfect monotone (with a tie) → 1; reversed → −1
+    val mono = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Profile.spearman(mono, "x", "y").head().getAs[Double]("rho") == 1.0)
+    val anti = Seq((1L, 30L), (2L, 20L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(Profile.spearman(anti, "x", "y").head().getAs[Double]("rho") == -1.0)
+    // tie-free: 1 − 6·Σd²/(n(n²−1)) = 1 − 6·6/60 = 0.4
+    val mixed = Seq((1L, 10L), (2L, 40L), (3L, 20L), (4L, 30L)).toDF("x", "y")
+    val r = Profile.spearman(mixed, "x", "y").head()
+    assert(r.getAs[Double]("rho") == 0.4, s"rho ${r.getAs[Double]("rho")}")
+    // constant column → NULL (undefined), never a divide-by-zero
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    assert(Profile.spearman(const, "x", "y").head().isNullAt(4))
+  }
 }
