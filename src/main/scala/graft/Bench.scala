@@ -208,7 +208,10 @@ object Bench {
     // centered doubled-rank products breach N³ < 2⁶³ near N ≈ 2.1M
     // rows — the op's contract says pre-bucket (re-unit), the screen
     // honors it (the ns169/ns179 class).
-    "ns246", "ns247")
+    "ns246", "ns247",
+    // group-dim fairness audit (ns249), constant cell-grid τ-b (ns250),
+    // runningSum gains tiers (ns251) — linear under replication.
+    "ns249", "ns250", "ns251")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

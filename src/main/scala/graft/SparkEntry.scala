@@ -9290,6 +9290,103 @@ object SparkEntry {
       val li = T(s, dir, "lineitem")
         .select(cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
       Profile.spearman(li, "x", "y")
+    },
+    // NS-E9: four-fifths-rule fairness audit (EEOC adverse impact) over a
+    // MANUFACTURED biased classifier (the fixture's outcomes are uniform
+    // by generator design, so the adverse branch cannot fire on raw
+    // columns — the ns214/ns235 discipline): positive iff md5(custkey) %
+    // 100 < 20 + 40·[segment = BUILDING]. Every flag is exact integer
+    // cross-multiplication; the reference group is selected the same way.
+    Q(
+      "ns249_fairness_audit",
+      Some(
+        s"""WITH p AS (SELECT c_mktsegment AS grp,
+           |    (${oHash32("c_custkey::VARCHAR")} % 100 <
+           |      20 + CASE WHEN c_mktsegment = 'BUILDING' THEN 40 ELSE 0 END) AS pos
+           |  FROM customer),
+           |g AS (SELECT grp, COUNT(*)::BIGINT AS n,
+           |    SUM(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pos FROM p GROUP BY 1),
+           |best AS (SELECT a.grp AS bg, a.n AS bn, a.pos AS bpos FROM g a
+           |  WHERE NOT EXISTS (SELECT 1 FROM g h
+           |    WHERE h.pos * a.n > a.pos * h.n
+           |       OR (h.pos * a.n = a.pos * h.n AND h.grp < a.grp)))
+           |SELECT g.grp AS c_mktsegment, g.n, g.pos,
+           |  g.pos::DOUBLE / g.n::DOUBLE AS rate,
+           |  best.bg AS best_group,
+           |  CASE WHEN best.bpos > 0
+           |    THEN (g.pos * best.bn)::DOUBLE / (best.bpos * g.n)::DOUBLE END AS impact_ratio,
+           |  5 * g.pos * best.bn < 4 * best.bpos * g.n AS adverse_impact
+           |FROM g CROSS JOIN best ORDER BY c_mktsegment""".stripMargin)) { (s, dir) =>
+      val cust = T(s, dir, "customer").select(
+        col("c_mktsegment"),
+        (TextOps.hash32(col("c_custkey").cast("string")) % 100 <
+          lit(20) + when(col("c_mktsegment") === "BUILDING", 40).otherwise(0)).as("pos"))
+      Eval.fairnessAudit(cust, "c_mktsegment", "pos").orderBy("c_mktsegment")
+    },
+    // NS-A13: Kendall's τ-b (quantity vs discount, exact cents) — the
+    // concordance correlation over the bounded (50 × 11)-cell value
+    // grid: pair masses from one catalog-bounded cell×cell join, tie
+    // masses from the marginals, one sqrt + one division.
+    Q(
+      "ns250_kendall_tau",
+      Some(
+        """WITH pts AS (SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+          |    CAST(ROUND(l_discount * 100) AS BIGINT) AS y FROM lineitem),
+          |cells AS (SELECT x, y, COUNT(*)::BIGINT AS nc FROM pts GROUP BY 1, 2),
+          |p AS (SELECT
+          |    COALESCE(SUM(CASE WHEN b.y > a.y THEN a.nc * b.nc ELSE 0 END), 0)::BIGINT AS c,
+          |    COALESCE(SUM(CASE WHEN b.y < a.y THEN a.nc * b.nc ELSE 0 END), 0)::BIGINT AS d
+          |  FROM cells a JOIN cells b ON b.x > a.x),
+          |t1 AS (SELECT COALESCE(SUM((t * (t - 1)) // 2), 0)::BIGINT AS n1
+          |  FROM (SELECT COUNT(*)::BIGINT AS t FROM pts GROUP BY x)),
+          |t2 AS (SELECT COALESCE(SUM((t * (t - 1)) // 2), 0)::BIGINT AS n2
+          |  FROM (SELECT COUNT(*)::BIGINT AS t FROM pts GROUP BY y)),
+          |tt AS (SELECT COUNT(*)::BIGINT AS n,
+          |    ((COUNT(*) * (COUNT(*) - 1)) // 2)::BIGINT AS n0 FROM pts)
+          |SELECT n, c, d, n1, n2,
+          |  CASE WHEN n0 > n1 AND n0 > n2
+          |    THEN (c - d)::DOUBLE / sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE)
+          |  END AS tau_b
+          |FROM p CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN tt""".stripMargin)) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+        .select(cents(col("l_quantity")).as("x"), cents(col("l_discount")).as("y"))
+      Profile.kendallTau(li, "x", "y")
+    },
+    // NS-E10: decile gains/lift table over a manufactured score-biased
+    // outcome (P(pos) rises with order value: md5(key) % 1000 <
+    // cents·700 div max-cents — data-derived scaling, both engines
+    // replay it). The ranking rides the runningSum composite-key
+    // skeleton, never a global row_number sort; tiers, rates, lift, and
+    // capture are exact integers + one division each.
+    Q(
+      "ns251_gains_table",
+      Some(
+        s"""WITH o AS (SELECT o_orderkey,
+           |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sc FROM orders),
+           |m AS (SELECT MAX(sc) AS maxc, COUNT(*)::BIGINT AS tn FROM o),
+           |b AS (SELECT sc, ${oHash32("o_orderkey::VARCHAR")} AS h,
+           |    CASE WHEN ${oHash32("o_orderkey::VARCHAR")} % 1000 <
+           |      (sc * 700) // (SELECT maxc FROM m) THEN 1 ELSE 0 END AS p
+           |  FROM o),
+           |k AS (SELECT p, row_number() OVER (ORDER BY
+           |    ((SELECT maxc FROM m) - sc) * 4294967296 + h) AS rk FROM b),
+           |g AS (SELECT ((rk - 1) * 10) // (SELECT tn FROM m) AS bucket,
+           |    COUNT(*)::BIGINT AS n, SUM(p)::BIGINT AS pos FROM k GROUP BY 1),
+           |t AS (SELECT SUM(pos)::BIGINT AS tp, SUM(n)::BIGINT AS tn FROM g)
+           |SELECT bucket, n, pos,
+           |  pos::DOUBLE / n::DOUBLE AS rate,
+           |  CASE WHEN tp > 0 THEN (pos * t.tn)::DOUBLE / (n * tp)::DOUBLE END AS lift,
+           |  CASE WHEN tp > 0
+           |    THEN (SUM(pos) OVER (ORDER BY bucket))::DOUBLE / tp::DOUBLE END AS capture
+           |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("sc"))
+      val mc = ord.agg(max("sc").as("_maxc"))
+      val scored = ord.crossJoin(broadcast(mc))
+        .withColumn("pos",
+          TextOps.hash32(col("o_orderkey").cast("string")) % 1000 <
+            expr("(sc * 700) div _maxc"))
+      Eval.gainsTable(scored, "sc", "o_orderkey", "pos", buckets = 10).orderBy("bucket")
     }
   )
 

@@ -178,6 +178,97 @@ object Eval {
         (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"))
   }
 
+  /** Four-fifths-rule fairness audit (the EEOC adverse-impact standard):
+    * per group, the positive-outcome rate and whether it falls below 4/5
+    * of the BEST group's rate — the screening table a model's predictions
+    * pass before deployment. Every comparison is EXACT integer
+    * cross-multiplication (`5·pos_g·n_best < 4·pos_best·n_g`), never a
+    * float rate compare that a last-ulp could flip; the best group is
+    * selected the same way (no other group strictly better by
+    * cross-multiplication; rate ties break to the smallest group key).
+    * `rate` and `impact_ratio` are single IEEE divisions for human eyes.
+    *
+    * Scale shape: one map-side-combined (group, outcome) count, then
+    * |groups|²-bounded dim arithmetic — nothing past the aggregate
+    * scales with rows.
+    */
+  def fairnessAudit(df: DataFrame, groupCol: String, positiveCol: String): DataFrame = {
+    val g = df
+      .groupBy(col(groupCol).as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(positiveCol), 1L).otherwise(0L)).as("pos"))
+    // best = no other group strictly better (exact fraction compare);
+    // among rate-ties the smallest key wins the reference slot.
+    val beaten = g.alias("a")
+      .join(g.alias("h"),
+        col("h.pos") * col("a.n") > col("a.pos") * col("h.n") ||
+          (col("h.pos") * col("a.n") === col("a.pos") * col("h.n") &&
+            col("h.grp") < col("a.grp")),
+        "left_semi")
+      .select(col("grp"))
+    val best = g.join(beaten, Seq("grp"), "left_anti")
+      .select(col("grp").as("_bg"), col("n").as("_bn"), col("pos").as("_bpos"))
+    g.crossJoin(broadcast(best))
+      .select(
+        col("grp").as(groupCol), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("rate"),
+        col("_bg").as("best_group"),
+        when(col("_bpos") > 0,
+          (col("pos") * col("_bn")).cast("double") /
+            (col("_bpos") * col("n")).cast("double")).as("impact_ratio"),
+        (lit(5L) * col("pos") * col("_bn") < lit(4L) * col("_bpos") * col("n"))
+          .as("adverse_impact"))
+  }
+
+  /** Decile gains/lift table — the model-evaluation standard: rank rows
+    * by score descending, split into `buckets` equal-population tiers,
+    * and report each tier's response rate, lift over the base rate, and
+    * cumulative capture share. The ranking is scale-safe: a composite
+    * order key `(maxScore − score)·2³² + hash32(id)` rides
+    * [[graft.ops.Prefix.runningSum]] (range-partitioned, never a global
+    * row_number sort), and the tier index is the exact integer
+    * `(rank−1)·buckets div n`. Lift is `pos·N / (n_tier·P)` — exact
+    * longs, ONE division; same for rate and capture.
+    *
+    * Contracts: `scoreCol` must fit 31 bits after shifting (cents-scale
+    * money and counts do); rows tying on BOTH score and id-hash share a
+    * rank (and hence a tier) — a 2⁻³² event per same-score pair.
+    */
+  def gainsTable(
+      df: DataFrame, scoreCol: String, idCol: String, positiveCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val base = df.select(
+      col(scoreCol).cast("long").as("_s"),
+      graft.ops.TextOps.hash32(col(idCol).cast("string")).as("_h"),
+      when(col(positiveCol), 1L).otherwise(0L).as("_p"))
+    val mx = base.agg(max("_s").as("_mx"), count(lit(1)).as("_n"), sum("_p").as("_tp"))
+    val keyed = base
+      .crossJoin(broadcast(mx))
+      .withColumn("_k", (col("_mx") - col("_s")) * lit(4294967296L) + col("_h"))
+      .withColumn("_one", lit(1L))
+    val tiered = graft.ops.Prefix.runningSum(keyed, "_k", "_one", "_rk")
+      .withColumn("bucket", expr(s"((_rk - 1) * $buckets) div _n"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"), sum("_p").as("pos"),
+        max("_n").as("_n"), max("_tp").as("_tp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket") // buckets-dim window (≤ `buckets` rows) — bounded
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tiered
+      .withColumn("cum_pos", sum("pos").over(w))
+      .select(
+        col("bucket"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("rate"),
+        when(col("_tp") > 0,
+          (col("pos") * col("_n")).cast("double") /
+            (col("n") * col("_tp")).cast("double")).as("lift"),
+        when(col("_tp") > 0,
+          col("cum_pos").cast("double") / col("_tp").cast("double")).as("capture"))
+  }
+
   /** Mean reciprocal rank of a ranked candidate list against a relevance
     * flag — the first-relevant-hit retrieval metric (MRR@k). The rank sum
     * is EXACT for k ≤ 20: each query contributes `lcm(1..20) / first_rank`

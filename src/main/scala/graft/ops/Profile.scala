@@ -1323,6 +1323,44 @@ object Profile {
     * N ≈ 2·10⁶ rows (centered doubled ranks < 2N) — beyond that,
     * pre-bucket the values (the z-score family's re-unit contract).
     */
+  /** Kendall's τ-b between two BOUNDED-domain integral columns — the
+    * concordance rank correlation with the tie correction, computed
+    * EXACTLY on the (x, y) cell grid: concordant/discordant pair mass
+    * comes from one cell×cell join under `x_b > x_a` (cells are a
+    * value-domain dim, so the join is catalog-bounded — the ns136/ns137
+    * class — and CONSTANT in row count), tie masses from the marginals,
+    * and τ-b = (C − D)/√((n0−n1)(n0−n2)) with one sqrt and one division
+    * on exact longs. The denominator product is formed in DOUBLE (exact
+    * while n0 < 2⁵³ ⇒ n ≲ 10⁸ rows exact, deterministic far beyond).
+    *
+    * Contrast [[spearman]]: τ needs the bounded domain (cells², not
+    * rows²); Spearman handles unbounded domains via the rank skeleton.
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val cells = pts.groupBy("x", "y").agg(count(lit(1)).as("nc"))
+    val pairSums = cells.alias("a")
+      .join(cells.alias("b"), col("b.x") > col("a.x"))
+      .agg(
+        sum(when(col("b.y") > col("a.y"), col("a.nc") * col("b.nc")).otherwise(0L)).as("c"),
+        sum(when(col("b.y") < col("a.y"), col("a.nc") * col("b.nc")).otherwise(0L)).as("d"))
+    def tieMass(c: String) = pts.groupBy(col(c)).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("(t * (t - 1)) div 2")), lit(0L)))
+    val totals = pts.agg(count(lit(1)).as("n"))
+      .select(col("n"), expr("(n * (n - 1)) div 2").as("n0"))
+    pairSums
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tieMass("x").toDF("n1")))
+      .crossJoin(broadcast(tieMass("y").toDF("n2")))
+      .select(
+        col("n"), col("c"), col("d"), col("n1"), col("n2"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          (col("c") - col("d")).cast("double") /
+            sqrt((col("n0") - col("n1")).cast("double") *
+              (col("n0") - col("n2")).cast("double")))
+          .as("tau_b"))
+  }
+
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def ranks(c: String, out: String): DataFrame = {
       val cells = df.groupBy(col(c).cast("long").as(s"_v$out")).agg(count(lit(1)).as("nv"))

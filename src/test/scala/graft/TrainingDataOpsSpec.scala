@@ -166,4 +166,58 @@ class TrainingDataOpsSpec extends SparkSpec {
     val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
     assert(Profile.spearman(const, "x", "y").head().isNullAt(4))
   }
+
+  test("fairnessAudit flags groups under 4/5 of the best rate, exact comparisons") {
+    import graft.ops.Eval
+    val df = (Seq.fill(8)(("g1", true)) ++ Seq.fill(2)(("g1", false)) ++
+      Seq.fill(5)(("g2", true)) ++ Seq.fill(5)(("g2", false)) ++
+      Seq.fill(7)(("g3", true)) ++ Seq.fill(3)(("g3", false))).toDF("g", "pos")
+    val got = Eval.fairnessAudit(df, "g", "pos")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("pos"), r.getString(4), r.getAs[Double]("impact_ratio"),
+          r.getAs[Boolean]("adverse_impact"))).toMap
+    assert(got("g1") == ((8L, "g1", 1.0, false)))
+    assert(got("g2") == ((5L, "g1", 0.625, true)), s"got ${got("g2")}") // 0.5/0.8
+    assert(got("g3") == ((7L, "g1", 0.875, false))) // 0.7/0.8 ≥ 4/5
+    // rate tie for best → smallest group key takes the reference slot
+    val tie = (Seq.fill(4)(("a", true)) ++ Seq.fill(4)(("b", true))).toDF("g", "pos")
+    assert(Eval.fairnessAudit(tie, "g", "pos")
+      .collect().forall(_.getString(4) == "a"))
+  }
+
+  test("kendallTau matches textbook values with and without ties") {
+    import graft.ops.Profile
+    val plain = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val r1 = Profile.kendallTau(plain, "x", "y").head()
+    assert((r1.getAs[Long]("c"), r1.getAs[Long]("d")) == ((2L, 1L)))
+    assert(r1.getAs[Double]("tau_b") == (2.0 - 1.0) / 3.0)
+    // ties on both axes: C=1, D=0, n0=3, n1=1, n2=1 → τ-b = 1/√4 = 0.5
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    val r2 = Profile.kendallTau(tied, "x", "y").head()
+    assert((r2.getAs[Long]("c"), r2.getAs[Long]("d"),
+      r2.getAs[Long]("n1"), r2.getAs[Long]("n2")) == ((1L, 0L, 1L, 1L)))
+    assert(r2.getAs[Double]("tau_b") == 0.5)
+    // all-tied axis → NULL (undefined), never a divide-by-zero
+    val flat = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    assert(Profile.kendallTau(flat, "x", "y").head().isNullAt(5))
+  }
+
+  test("gainsTable splits equal-population tiers with exact lift and capture") {
+    import graft.ops.Eval
+    val df = Seq((1L, 4L, true), (2L, 3L, false), (3L, 2L, true), (4L, 1L, false))
+      .toDF("id", "score", "pos")
+    val got = Eval.gainsTable(df, "score", "id", "pos", buckets = 2)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("pos"), r.getAs[Double]("rate"),
+          r.getAs[Double]("lift"), r.getAs[Double]("capture"))).toMap
+    // top tier: scores {4, 3} → 1 positive of 2; base rate 2/4 → lift 1.0
+    assert(got(0L) == ((2L, 1L, 0.5, 1.0, 0.5)), s"got ${got(0L)}")
+    assert(got(1L) == ((2L, 1L, 0.5, 1.0, 1.0)), s"got ${got(1L)}")
+    // a perfectly ranked outcome doubles top-tier lift
+    val sharp = Seq((1L, 4L, true), (2L, 3L, true), (3L, 2L, false), (4L, 1L, false))
+      .toDF("id", "score", "pos")
+    val top = Eval.gainsTable(sharp, "score", "id", "pos", buckets = 2)
+      .collect().find(_.getAs[Long]("bucket") == 0L).get
+    assert(top.getAs[Double]("lift") == 2.0 && top.getAs[Double]("capture") == 1.0)
+  }
 }
