@@ -211,7 +211,10 @@ object Bench {
     "ns246", "ns247",
     // group-dim fairness audit (ns249), constant cell-grid τ-b (ns250),
     // runningSum gains tiers (ns251) — linear under replication.
-    "ns249", "ns250", "ns251")
+    "ns249", "ns250", "ns251",
+    // ORC round-trip write+agg (ns252 — linear rewrite of the replica)
+    // and plan-metadata lineage (ns253 — constant, never touches rows).
+    "ns252", "ns253")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

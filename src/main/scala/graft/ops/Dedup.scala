@@ -1324,10 +1324,13 @@ object Dedup {
       .select("doc_a", "doc_b", "dot", "n2_a", "n2_b", "cos")
   }
 
-  /** Repeated-substring spans at token-window resolution — the
-    * exact-substring dedup view of a corpus ("Deduplicating Training Data
-    * Makes Language Models Better", Lee et al. 2022, arXiv:2107.06499),
-    * discretized: the corpus is cut into NON-overlapping `k`-token windows,
+  /** Repeated-substring spans at COARSE non-overlapping-window resolution
+    * — the k×-cheaper pre-screen of [[TextOps.repeatedSubstringSpans]]'s
+    * positional (stride-1) cut list: run this first at corpus scale,
+    * escalate flagged documents to the exact spans. Same family
+    * ("Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, arXiv:2107.06499), discretized: the corpus is cut into
+    * NON-overlapping `k`-token windows,
     * a window is `repeated` when its text occurs ≥ 2 times anywhere in the
     * corpus (within- or cross-document), and per document the adjacent
     * repeated windows merge into maximal spans. Output per document:

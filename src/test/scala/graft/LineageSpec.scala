@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Lineage
+
+/** Column-lineage walker: every column-introducing plan shape attributes
+  * to the right physical (table, column) set, and ORC round-trips keep
+  * the pushdown contract.
+  */
+class LineageSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def lineageOf(df: org.apache.spark.sql.DataFrame): Map[String, Set[(String, String)]] =
+    Lineage.columnLineage(df).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        k -> rows.flatMap(r =>
+          Option(r.getString(1)).map(t => (t, r.getString(2)))).toSet
+      }
+
+  test("join + aggregate + CASE attributes every output to its physical columns") {
+    Tables.registerAll(spark, sfDir)
+    val q = spark.sql(
+      """SELECT n.n_name AS nation, SUM(s.s_acctbal) AS bal, COUNT(*) AS n,
+        |  MAX(CASE WHEN s.s_acctbal > 0 THEN n.n_regionkey ELSE s.s_suppkey END) AS mixed
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin)
+    val got = lineageOf(q)
+    assert(got("nation") == Set(("nation", "n_name")))
+    assert(got("bal") == Set(("supplier", "s_acctbal")))
+    assert(got("n") == Set.empty, "count(*) has no physical source")
+    assert(got("mixed") == Set(
+      ("nation", "n_regionkey"), ("supplier", "s_acctbal"), ("supplier", "s_suppkey")))
+  }
+
+  test("window, explode, and union shapes carry lineage through") {
+    Tables.registerAll(spark, sfDir)
+    val w = spark.sql(
+      """SELECT s_name, rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS rk
+        |FROM supplier""".stripMargin)
+    val gw = lineageOf(w)
+    assert(gw("rk") == Set(("supplier", "s_nationkey"), ("supplier", "s_acctbal")), gw("rk"))
+    val e = spark.sql(
+      "SELECT doc_id, tok FROM documents LATERAL VIEW explode(split(text, ' ')) AS tok")
+    val ge = lineageOf(e)
+    assert(ge("tok") == Set(("documents", "text")), ge("tok"))
+    val u = spark.sql(
+      """SELECT s_name AS who FROM supplier
+        |UNION ALL SELECT c_name FROM customer""".stripMargin)
+    val gu = lineageOf(u)
+    assert(gu("who") == Set(("supplier", "s_name"), ("customer", "c_name")), gu("who"))
+  }
+
+  test("nested views attribute to the innermost relation, not the view stack") {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("SELECT s_suppkey AS k, s_acctbal AS v FROM supplier")
+      .createOrReplaceTempView("inner_view")
+    val q = spark.sql("SELECT k, v * 2 AS dbl FROM inner_view")
+    val g = lineageOf(q)
+    assert(g("k") == Set(("supplier", "s_suppkey")), g("k"))
+    assert(g("dbl") == Set(("supplier", "s_acctbal")), g("dbl"))
+  }
+
+  test("ORC round-trip preserves rows and pushes filters into the ORC scan") {
+    val sup = Tables(spark, sfDir, "supplier")
+    val path = java.nio.file.Files.createTempDirectory("graft-orc-spec").toString
+    sup.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path).where(col("s_suppkey") > 10)
+      .select("s_suppkey", "s_acctbal")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(s_suppkey,10)"),
+      s"ORC scan did not receive the pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("s_name"),
+      "ORC scan did not prune unused columns")
+    assert(back.count() == sup.where(col("s_suppkey") > 10).count())
+    // lossless values, not just counts
+    val a = spark.read.orc(path).orderBy("s_suppkey").collect().map(_.toString).toSeq
+    val b = sup.orderBy("s_suppkey").collect().map(_.toString).toSeq
+    assert(a == b, "ORC round-trip changed row content")
+  }
+}
