@@ -214,7 +214,10 @@ object Bench {
     "ns249", "ns250", "ns251",
     // ORC round-trip write+agg (ns252 — linear rewrite of the replica)
     // and plan-metadata lineage (ns253 — constant, never touches rows).
-    "ns252", "ns253")
+    "ns252", "ns253",
+    // position-dim COEC (ns254), bucket-dim shift weights (ns255),
+    // runningSum conformal rank (ns256) — linear under replication.
+    "ns254", "ns255", "ns256")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.engine.Engine
-import graft.ops.{AsofJoin, Association, Dedup, Encode, Eval, Funnel, Graph, Importance, Incremental, Layout, Linkage, Lpm, Merge, Multimodal, Packing, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, Skyline, TextOps, TimeSeries, Validate}
+import graft.ops.{AsofJoin, Association, Dedup, Encode, Eval, Experiment, Funnel, Graph, Importance, Incremental, Layout, Linkage, Lpm, Merge, Multimodal, Packing, PQ, Profile, Quantize, Retrieval, Sampling, Similarity, Sketch, Skyline, TextOps, TimeSeries, Validate}
 import graft.pipeline.Ingest
 import graft.proto.RowCodec
 import org.apache.spark.sql.sources
@@ -9436,6 +9436,125 @@ object SparkEntry {
           |GROUP BY n.n_name""".stripMargin)
       graft.engine.Lineage.columnLineage(q)
         .orderBy("output_col", "source_table", "source_col")
+    },
+    // NS-E11: COEC (clicks over expected clicks — position-bias-corrected
+    // CTR) over a MANUFACTURED impression log (item/position/click from
+    // md5, click probability decaying in position and rising in item
+    // quality — the fixture has no real positions; ns214 discipline).
+    // Per-item expected clicks fold position terms in ascending order —
+    // the fixed-order float convention on BOTH engines.
+    Q(
+      "ns254_coec",
+      Some(
+        s"""WITH v AS (SELECT ${oHash32("event_id::VARCHAR")} AS h1,
+           |    ${oHash32("event_id::VARCHAR || 'p'")} AS h2,
+           |    ${oHash32("event_id::VARCHAR || 'c'")} AS h3
+           |  FROM events WHERE event_type = 'view'),
+           |b AS (SELECT (h1 % 40)::BIGINT AS item, (h2 % 10 + 1)::BIGINT AS pos,
+           |    h3 % 1000 < 900 // (h2 % 10 + 1) + 5 * ((h1 % 40) % 7) AS click FROM v),
+           |p AS (SELECT pos, COUNT(*)::BIGINT AS imps_p,
+           |    SUM(CASE WHEN click THEN 1 ELSE 0 END)::BIGINT AS clicks_p FROM b GROUP BY 1),
+           |ip AS (SELECT item, pos, COUNT(*)::BIGINT AS n_ip,
+           |    SUM(CASE WHEN click THEN 1 ELSE 0 END)::BIGINT AS clk_ip FROM b GROUP BY 1, 2),
+           |t AS (SELECT item, ip.pos, n_ip, clk_ip,
+           |    (n_ip::DOUBLE * clicks_p::DOUBLE) / imps_p::DOUBLE AS term
+           |  FROM ip JOIN p USING (pos)),
+           |g AS (SELECT item, SUM(n_ip)::BIGINT AS imps, SUM(clk_ip)::BIGINT AS clicks,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY pos)),
+           |      (a, x) -> a + x) AS expected
+           |  FROM t GROUP BY item)
+           |SELECT item, imps, clicks, expected,
+           |  CASE WHEN expected > 0 THEN clicks::DOUBLE / expected END AS coec
+           |FROM g ORDER BY item""".stripMargin)) { (s, dir) =>
+      val h = (sfx: String) =>
+        TextOps.hash32(concat(col("event_id").cast("string"), lit(sfx)))
+      val imp = T(s, dir, "events").where(col("event_type") === "view")
+        .select(
+          (TextOps.hash32(col("event_id").cast("string")) % 40).as("item"),
+          (h("p") % 10 + 1).as("pos"),
+          (h("c") % 1000 <
+            expr("900 div (pos)") + lit(5) * (col("item") % 7)).as("click"))
+      Eval.coec(imp, "item", "pos", "click").orderBy("item")
+    },
+    // NS-E12: covariate-shift importance weights + Kish ESS over the
+    // segment bucket dim — a BUILDING-heavy target vs a MACHINERY-free
+    // source (manufactured split: the fixture's distributions are
+    // uniform), so both the reweighting and the `uncovered` branch fire.
+    Q(
+      "ns255_covariate_shift",
+      Some(
+        s"""WITH c AS (SELECT c_mktsegment,
+           |    ${oHash32("c_custkey::VARCHAR")} AS h1,
+           |    ${oHash32("c_custkey::VARCHAR || 't'")} AS h2
+           |  FROM customer),
+           |s AS (SELECT c_mktsegment AS bucket FROM c
+           |  WHERE c_mktsegment <> 'MACHINERY' AND h1 % 10 < 8),
+           |t AS (SELECT c_mktsegment AS bucket FROM c
+           |  WHERE CASE WHEN c_mktsegment = 'BUILDING'
+           |    THEN h2 % 10 < 9 ELSE h2 % 10 < 3 END),
+           |sb AS (SELECT bucket, COUNT(*)::BIGINT AS n_src FROM s GROUP BY 1),
+           |tb AS (SELECT bucket, COUNT(*)::BIGINT AS n_tgt FROM t GROUP BY 1),
+           |j AS (SELECT bucket, COALESCE(n_src, 0)::BIGINT AS n_src,
+           |    COALESCE(n_tgt, 0)::BIGINT AS n_tgt
+           |  FROM sb FULL OUTER JOIN tb USING (bucket)),
+           |tot AS (SELECT SUM(n_src)::BIGINT AS ns, SUM(n_tgt)::BIGINT AS nt,
+           |    SUM(CASE WHEN n_src > 0 THEN n_tgt ELSE 0 END)::BIGINT AS ntc,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((n_tgt * n_tgt)::DOUBLE / n_src::DOUBLE ORDER BY bucket)
+           |        FILTER (n_src > 0)),
+           |      (a, x) -> a + x) AS d
+           |  FROM j)
+           |SELECT bucket, n_src, n_tgt,
+           |  CASE WHEN n_src > 0
+           |    THEN (n_tgt * ns)::DOUBLE / (n_src * nt)::DOUBLE END AS weight,
+           |  n_src = 0 AND n_tgt > 0 AS uncovered,
+           |  CASE WHEN d > 0 THEN (ntc * ntc)::DOUBLE / d END AS ess
+           |FROM j CROSS JOIN tot ORDER BY bucket""".stripMargin)) { (s, dir) =>
+      val cust = T(s, dir, "customer").select(
+        col("c_mktsegment").as("bucket"),
+        TextOps.hash32(col("c_custkey").cast("string")).as("h1"),
+        TextOps.hash32(concat(col("c_custkey").cast("string"), lit("t"))).as("h2"))
+      val src = cust.where(col("bucket") =!= "MACHINERY" && col("h1") % 10 < 8)
+      val tgt = cust.where(
+        when(col("bucket") === "BUILDING", col("h2") % 10 < 9)
+          .otherwise(col("h2") % 10 < 3))
+      Experiment.covariateShiftWeights(src, tgt, "bucket").orderBy("bucket")
+    },
+    // NS-E13: split-conformal calibration — the exact ⌈(n+1)(1−α)⌉-th
+    // order statistic of the calibration scores via the runningSum
+    // counting skeleton (α = 1/10), plus empirical coverage on the
+    // DISJOINT md5 eval split (≈ 90% by the conformal guarantee).
+    Q(
+      "ns256_conformal",
+      Some(
+        s"""WITH o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sc,
+           |    ${oHash32("o_orderkey::VARCHAR")} AS h FROM orders),
+           |cal AS (SELECT sc FROM o WHERE h % 2 = 0),
+           |k AS (SELECT COUNT(*)::BIGINT AS n,
+           |    LEAST(((COUNT(*) + 1) * 9 + 9) // 10, COUNT(*))::BIGINT AS k FROM cal),
+           |cells AS (SELECT sc AS v, COUNT(*)::BIGINT AS nv FROM cal GROUP BY 1),
+           |r AS (SELECT v, (SUM(nv) OVER (ORDER BY v))::BIGINT AS cum FROM cells),
+           |th AS (SELECT k.n AS n_cal, k.k AS target_rank, MIN(v)::BIGINT AS threshold
+           |  FROM r CROSS JOIN k WHERE cum >= k.k GROUP BY 1, 2),
+           |ev AS (SELECT sc FROM o WHERE h % 2 = 1)
+           |SELECT n_cal, target_rank, threshold, COUNT(*)::BIGINT AS n_eval,
+           |  SUM(CASE WHEN sc <= threshold THEN 1 ELSE 0 END)::BIGINT AS covered,
+           |  SUM(CASE WHEN sc <= threshold THEN 1 ELSE 0 END)::DOUBLE
+           |    / COUNT(*)::DOUBLE AS coverage
+           |FROM ev CROSS JOIN th GROUP BY 1, 2, 3""".stripMargin)) { (s, dir) =>
+      val o = T(s, dir, "orders").select(
+        cents(col("o_totalprice")).as("sc"),
+        TextOps.hash32(col("o_orderkey").cast("string")).as("h"))
+      val th = Eval.conformalThreshold(o.where(col("h") % 2 === 0), "sc", 1, 10)
+      o.where(col("h") % 2 === 1)
+        .crossJoin(broadcast(th))
+        .agg(
+          max("n_cal").as("n_cal"), max("target_rank").as("target_rank"),
+          max("threshold").as("threshold"),
+          count(lit(1)).as("n_eval"),
+          sum(when(col("sc") <= col("threshold"), 1L).otherwise(0L)).as("covered"))
+        .withColumn("coverage",
+          col("covered").cast("double") / col("n_eval").cast("double"))
     }
   )
 

@@ -269,6 +269,72 @@ object Eval {
           col("cum_pos").cast("double") / col("_tp").cast("double")).as("capture"))
   }
 
+  /** COEC — clicks over expected clicks, the position-bias-corrected CTR
+    * (the search/ads relevance readout: raw CTR rewards items shown at
+    * position 1; COEC divides by what an AVERAGE item would have earned
+    * in the same slots). Expected clicks per item = Σ_p n_ip · ctr_p over
+    * the BOUNDED position dim; each per-position term is one fixed IEEE
+    * chain `(n_ip·clicks_p)/imps_p`, and the per-item sum folds in
+    * ascending-position order (`aggregate(sort_array(...))` ≡ DuckDB
+    * `list_reduce(list(... ORDER BY pos))` — the ewma fixed-order
+    * convention), so the float accumulation is bit-reproducible.
+    *
+    * Scale shape: one (item, pos) count (map-side combined), the
+    * positions dim broadcast back, a per-item fold over ≤|positions|
+    * terms. Output: (item, imps, clicks, expected, coec).
+    */
+  def coec(df: DataFrame, itemCol: String, posCol: String, clickCol: String): DataFrame = {
+    val posTab = df
+      .groupBy(col(posCol).as("_p"))
+      .agg(count(lit(1)).as("_imps_p"),
+        sum(when(col(clickCol), 1L).otherwise(0L)).as("_clicks_p"))
+    val itemPos = df
+      .groupBy(col(itemCol).as("item"), col(posCol).as("_p"))
+      .agg(count(lit(1)).as("_n_ip"),
+        sum(when(col(clickCol), 1L).otherwise(0L)).as("_clk_ip"))
+    itemPos
+      .join(broadcast(posTab), "_p")
+      .withColumn("_term",
+        col("_n_ip").cast("double") * col("_clicks_p").cast("double") /
+          col("_imps_p").cast("double"))
+      .groupBy("item")
+      .agg(
+        sum("_n_ip").as("imps"),
+        sum("_clk_ip").as("clicks"),
+        aggregate(
+          sort_array(collect_list(struct(col("_p"), col("_term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("_term")).as("expected"))
+      .withColumn("coec",
+        when(col("expected") > 0.0, col("clicks").cast("double") / col("expected")))
+  }
+
+  /** Split-conformal calibration threshold (Vovk; Angelopoulos & Bates
+    * 2023 tutorial): the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * nonconformity score — predictions whose score stays ≤ this
+    * threshold form prediction sets with ≥ 1−α marginal coverage. The
+    * rank is EXACT integer arithmetic (α as the rational num/den;
+    * ceiling by `(x + den − 1) div den`, clamped to n), and the order
+    * statistic resolves through the distinct-value counting skeleton on
+    * [[graft.ops.Prefix.runningSum]] — never a global sort.
+    *
+    * Output: one row (n_cal, target_rank, threshold).
+    */
+  def conformalThreshold(
+      cal: DataFrame, scoreCol: String, alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val cells = cal.groupBy(col(scoreCol).cast("long").as("v")).agg(count(lit(1)).as("nv"))
+    val n = cal.agg(count(lit(1)).as("n"))
+    graft.ops.Prefix.runningSum(cells, "v", "nv", "cum")
+      .crossJoin(broadcast(n))
+      .withColumn("_k",
+        least(expr(s"((n + 1) * ${alphaDen - alphaNum} + $alphaDen - 1) div $alphaDen"),
+          col("n")))
+      .where(col("cum") >= col("_k"))
+      .agg(max(col("n")).as("n_cal"), max(col("_k")).as("target_rank"),
+        min(col("v")).as("threshold"))
+  }
+
   /** Mean reciprocal rank of a ranked candidate list against a relevance
     * flag — the first-relevant-hit retrieval metric (MRR@k). The rank sum
     * is EXACT for k ≤ 20: each query contributes `lcm(1..20) / first_rank`

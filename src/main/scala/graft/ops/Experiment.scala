@@ -221,4 +221,57 @@ object Experiment {
       .withColumn("did",
         (col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")))
   }
+
+  /** Covariate-shift importance weights over a BOUNDED bucket covariate
+    * (the DSIR-style density-ratio reweighting that aligns a source
+    * corpus to a target distribution): per bucket, the normalized ratio
+    * `w_b = (n_tgt_b · N_src) / (n_src_b · N_tgt)` — exact longs, ONE
+    * division — under which the weighted source bucket masses match the
+    * target mix exactly (Σ n_src_b·w_b = N_src identically). `uncovered`
+    * flags target mass the source cannot represent (n_src_b = 0 — no
+    * reweighting fixes that; the shift is unfixable there).
+    *
+    * `ess` (Kish effective sample size of the weighted source) collapses
+    * exactly on the bucket dim: (Σw)²/Σw² = N_tgt_cov² / Σ_b
+    * n_tgt_b²/n_src_b (covered buckets; ≤ N_src by Cauchy–Schwarz). The
+    * denominator is the only float accumulation and rides a fixed
+    * bucket-order fold (the ewma convention), bit-reproducible; it
+    * answers "how much data do the weights effectively keep?".
+    *
+    * Scale shape: two map-side-combined bucket counts, a 1-row totals
+    * broadcast, a fold over the bounded bucket dim.
+    */
+  def covariateShiftWeights(
+      src: DataFrame, tgt: DataFrame, bucketCol: String): DataFrame = {
+    val sb = src.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as("n_src"))
+    val tb = tgt.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as("n_tgt"))
+    val joined = sb.join(tb, Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"))
+    val totals = joined.agg(
+      sum("n_src").as("_ns"), sum("n_tgt").as("_nt"),
+      sum(when(col("n_src") > 0, col("n_tgt")).otherwise(0L)).as("_ntc"),
+      // Σ_b n_tgt_b²/n_src_b over covered buckets, folded in ascending
+      // bucket order — the ESS denominator's only float accumulation.
+      aggregate(
+        sort_array(collect_list(
+          when(col("n_src") > 0,
+            struct(col("bucket"),
+              (col("n_tgt") * col("n_tgt")).cast("double") / col("n_src").cast("double")))
+            .otherwise(null))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("col2")).as("_d"))
+    joined
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"), col("n_src"), col("n_tgt"),
+        when(col("n_src") > 0,
+          (col("n_tgt") * col("_ns")).cast("double") /
+            (col("n_src") * col("_nt")).cast("double")).as("weight"),
+        (col("n_src") === 0L && col("n_tgt") > 0L).as("uncovered"),
+        when(col("_d") > 0.0,
+          (col("_ntc") * col("_ntc")).cast("double") / col("_d")).as("ess"))
+  }
 }

@@ -220,4 +220,52 @@ class TrainingDataOpsSpec extends SparkSpec {
       .collect().find(_.getAs[Long]("bucket") == 0L).get
     assert(top.getAs[Double]("lift") == 2.0 && top.getAs[Double]("capture") == 1.0)
   }
+
+  test("coec folds per-position expectations in fixed order") {
+    import graft.ops.Eval
+    // pos 1: 3 imps, 2 clicks (ctr 2/3); pos 2: 2 imps, 1 click (ctr 1/2)
+    val imp = Seq(
+      ("a", 1L, true), ("a", 1L, false), ("b", 1L, true),
+      ("a", 2L, false), ("b", 2L, true)).toDF("item", "pos", "click")
+    val got = Eval.coec(imp, "item", "pos", "click")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("imps"), r.getAs[Long]("clicks"),
+          r.getAs[Double]("expected"), r.getAs[Double]("coec"))).toMap
+    val expA = 2.0 * 2.0 / 3.0 + 1.0 * 1.0 / 2.0 // same chain as the op
+    assert(got("a") == ((3L, 1L, expA, 1.0 / expA)), s"got ${got("a")}")
+    val expB = 1.0 * 2.0 / 3.0 + 1.0 * 1.0 / 2.0
+    assert(got("b") == ((2L, 2L, expB, 2.0 / expB)), s"got ${got("b")}")
+  }
+
+  test("covariateShiftWeights matches target mix exactly and flags uncovered mass") {
+    import graft.ops.Experiment
+    val src = (Seq.fill(4)("b1") ++ Seq.fill(4)("b2")).toDF("bucket")
+    val tgt = (Seq.fill(2)("b1") ++ Seq.fill(6)("b2") ++ Seq.fill(2)("b3")).toDF("bucket")
+    val got = Experiment.covariateShiftWeights(src, tgt, "bucket")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_src"), r.getAs[Long]("n_tgt"),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("uncovered"), r.getAs[Double]("ess"))).toMap
+    assert(got("b1") == ((4L, 2L, Some(0.4), false, 6.4)), s"got ${got("b1")}")
+    assert(got("b2") == ((4L, 6L, Some(1.2), false, 6.4)))
+    assert(got("b3") == ((0L, 2L, None, true, 6.4)))
+    // invariant: weighted source mass = n_src · covered-target-fraction
+    // (4·0.4 + 4·1.2 = 6.4 = 8 · 8/10) and ESS = (Σw)²/Σw² = 6.4 here
+  }
+
+  test("conformalThreshold selects the exact ceil((n+1)(1-alpha)) order statistic") {
+    import graft.ops.Eval
+    val cal = (1L to 10L).toDF("sc")
+    val r1 = Eval.conformalThreshold(cal, "sc", 1, 10).head()
+    assert((r1.getAs[Long]("n_cal"), r1.getAs[Long]("target_rank"),
+      r1.getAs[Long]("threshold")) == ((10L, 10L, 10L))) // ceil(11·0.9) = 10
+    val r2 = Eval.conformalThreshold(cal, "sc", 1, 2).head()
+    assert((r2.getAs[Long]("target_rank"), r2.getAs[Long]("threshold")) == ((6L, 6L)))
+    val r3 = Eval.conformalThreshold((1L to 19L).toDF("sc"), "sc", 1, 10).head()
+    assert((r3.getAs[Long]("target_rank"), r3.getAs[Long]("threshold")) == ((18L, 18L)))
+    // ties: rank resolves within the tied cell
+    val tied = Seq(1L, 2L, 2L, 2L, 3L).toDF("sc")
+    val r4 = Eval.conformalThreshold(tied, "sc", 1, 2).head()
+    assert(r4.getAs[Long]("threshold") == 2L) // rank ceil(6·0.5)=3 → value 2
+  }
 }
