@@ -217,7 +217,11 @@ object Bench {
     "ns252", "ns253",
     // position-dim COEC (ns254), bucket-dim shift weights (ns255),
     // runningSum conformal rank (ns256) — linear under replication.
-    "ns254", "ns255", "ns256")
+    "ns254", "ns255", "ns256",
+    // result-cache write+replay (ns257), metadata-only files table over
+    // the replica's commit (ns258), inlined SQL function over the b04
+    // aggregate shape (ns259) — linear.
+    "ns257", "ns258", "ns259")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -9555,6 +9555,82 @@ object SparkEntry {
           sum(when(col("sc") <= col("threshold"), 1L).otherwise(0L)).as("covered"))
         .withColumn("coverage",
           col("covered").cast("double") / col("n_eval").cast("double"))
+    },
+    // NS-G2: query result cache — the BigQuery result-cache behavior
+    // (the reference's host system, bigquery.go, serves repeated queries
+    // from cached results): keyed by the CANONICALIZED analyzed plan, so
+    // an alias-renamed respelling of the same query HITS while the first
+    // run misses. The gate requires exactly that miss→hit sequence and
+    // returns the cached replay — which must still hash-match the
+    // oracle's live computation (a stale or lossy cache would diverge).
+    Q(
+      "ns257_result_cache",
+      Some(
+        """SELECT s_nationkey, COUNT(*)::BIGINT AS n,
+          |  CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS bal
+          |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)) {
+      (s, dir) =>
+      val cacheDir = tmpLayoutDir(s, "graft_rc")
+      def q(alias: String) = T(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), fsum(col("s_acctbal")).as(alias))
+        .withColumnRenamed(alias, "bal")
+      val (_, hit1) = graft.engine.ResultCache.cached(q("bal"), cacheDir)
+      // a respelled-but-equivalent plan must HIT (canonicalization)
+      val (r2, hit2) = graft.engine.ResultCache.cached(q("other_name"), cacheDir)
+      require(!hit1 && hit2, s"result cache broke its contract: miss=$hit1 hit=$hit2")
+      r2.orderBy("s_nationkey")
+    },
+    // NS-W26: `files` metadata table — the Iceberg/Delta inspection
+    // surface over the manifest + commit-time footer stats (no data
+    // pages open). The gate collapses the partitioning-dependent file
+    // list to its partitioning-INVARIANT content: total footer rows,
+    // global key bounds from per-file bounds, and the everything-has-
+    // stats flag; the oracle recomputes all of it from the raw table.
+    Q(
+      "ns258_files_table",
+      Some(
+        """SELECT COUNT(*)::BIGINT AS total_rows,
+          |  MIN(o_orderkey)::BIGINT AS min_key, MAX(o_orderkey)::BIGINT AS max_key,
+          |  true AS all_files_have_stats
+          |FROM orders""".stripMargin)) { (s, dir) =>
+      val ord = T(s, dir, "orders")
+      val dest = s"${System.getProperty("java.io.tmpdir")}/graft-ft-" +
+        UUID.randomUUID().toString.take(8)
+      val w = new ManagedWriter(s, dest, ord.schema, StreamType.Pending)
+      w.write(ord); w.finalizeCommit()
+      ManagedWriter.filesTable(s, dest, Some("o_orderkey"))
+        .agg(
+          sum("row_count").as("total_rows"),
+          min(col("lo").cast("long")).as("min_key"),
+          max(col("hi").cast("long")).as("max_key"),
+          (count(lit(1)) === count(col("row_count"))).as("all_files_have_stats"))
+    },
+    // NS-B95: SQL-defined scalar function (Spark 4 `CREATE FUNCTION ...
+    // RETURN expr` — the SQL-surface UDF that stays INSIDE Catalyst:
+    // the body inlines into the plan, so codegen and pushdown see
+    // through it; no JVM class registration). Exact-cents body (the b04
+    // discounted-revenue convention); the oracle inlines the same
+    // expression.
+    Q(
+      "ns259_sql_function",
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+          |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+          |    AS disc_revenue
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cents(p BIGINT, d BIGINT)
+          |RETURNS BIGINT RETURN p * (100 - d)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(graft_disc_cents(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+          |    CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+          |    AS disc_revenue
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
   )
 

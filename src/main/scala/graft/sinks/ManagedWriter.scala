@@ -1393,6 +1393,44 @@ object ManagedWriter {
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
 
+  /** Iceberg-style `files` metadata table: one row per LIVE data file of
+    * the current snapshot — name, on-disk bytes, footer row count, and
+    * (when `statsCol` is given) that column's min/max/null-count bounds —
+    * answered ENTIRELY from the manifest and the commit-time skipping
+    * sidecar: no data pages open, no scan jobs run. Files committed
+    * before stats existed (or adopted externally) report NULL row counts
+    * and bounds rather than forcing a footer re-read — the conservative
+    * posture the skipping reader already takes.
+    *
+    * Bounds surface as STRINGS in the sidecar's encoding (integral /
+    * double / utf8-prefix per the column's physical type) — cast at the
+    * call site; a NULL bound on a nonzero-row file means every value in
+    * the file is NULL.
+    */
+  def filesTable(
+      spark: SparkSession,
+      destDir: String,
+      statsCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = latestManifest(fs, destDir).map(_._2).getOrElse(Seq.empty)
+    val stats = DataSkipping.readStats(fs, destDir)
+    val rows = files.map { f =>
+      val size = fs.getFileStatus(new Path(destDir, f)).getLen
+      val st = stats.getOrElse(f, Map.empty)
+      val rc = st.values.headOption.map(_.rowCount)
+      val cs = statsCol.flatMap(st.get)
+      (f, size, rc.map(java.lang.Long.valueOf).orNull,
+        cs.flatMap(_.lo).map(_.toString).orNull,
+        cs.flatMap(_.hi).map(_.toString).orNull,
+        cs.map(c => java.lang.Long.valueOf(c.nullCount)).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("file", "size_bytes", "row_count", "lo", "hi", "null_count")
+      .select(col("file"), col("size_bytes"), col("row_count").cast("long"),
+        col("lo"), col("hi"), col("null_count").cast("long"))
+  }
+
   /** Part files physically present in the destination (pre-manifest
     * state; used only to seed the base manifest). RECURSIVE, with
     * destination-relative paths, so adopting a pre-existing PARTITIONED

@@ -63,6 +63,41 @@ class LineageSpec extends SparkSpec {
     assert(g("dbl") == Set(("supplier", "s_acctbal")), g("dbl"))
   }
 
+  test("result cache: miss then hit across respelled plans; distinct plans never collide") {
+    import graft.engine.ResultCache
+    val sup = Tables(spark, sfDir, "supplier")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc-spec").toString
+    val q1 = sup.groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+    val (r1, hit1) = ResultCache.cached(q1, dir)
+    assert(!hit1, "first run must miss")
+    // same plan, different alias + fresh expression ids → canonical HIT
+    val q2 = sup.groupBy("s_nationkey").agg(count(lit(1)).as("other"))
+      .withColumnRenamed("other", "n")
+    val (r2, hit2) = ResultCache.cached(q2, dir)
+    assert(hit2, "canonically-equal plan must hit")
+    assert(r1.orderBy("s_nationkey").collect().toSeq ==
+      r2.orderBy("s_nationkey").collect().toSeq, "hit replayed different rows")
+    // a genuinely different plan (new filter) must MISS, not collide
+    val (_, hit3) = ResultCache.cached(q1.where(col("s_nationkey") > 5), dir)
+    assert(!hit3, "different plan collided with the cache")
+  }
+
+  test("filesTable is metadata-only-consistent with the table it describes") {
+    import graft.sinks.{ManagedWriter, StreamType}
+    val sup = Tables(spark, sfDir, "supplier")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ft-spec").toString + "/t"
+    val w = new ManagedWriter(spark, dest, sup.schema, StreamType.Committed)
+    w.write(sup)
+    val ft = ManagedWriter.filesTable(spark, dest, Some("s_suppkey")).collect()
+    assert(ft.nonEmpty)
+    assert(ft.map(_.getAs[Long]("row_count")).sum == sup.count())
+    assert(ft.map(_.getAs[Long]("size_bytes")).forall(_ > 0))
+    assert(ft.map(r => r.getString(3).toLong).min ==
+      sup.agg(min("s_suppkey")).head().getLong(0))
+    assert(ft.map(r => r.getString(4).toLong).max ==
+      sup.agg(max("s_suppkey")).head().getLong(0))
+  }
+
   test("ORC round-trip preserves rows and pushes filters into the ORC scan") {
     val sup = Tables(spark, sfDir, "supplier")
     val path = java.nio.file.Files.createTempDirectory("graft-orc-spec").toString
