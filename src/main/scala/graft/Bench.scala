@@ -220,8 +220,10 @@ object Bench {
     "ns254", "ns255", "ns256",
     // result-cache write+replay (ns257), metadata-only files table over
     // the replica's commit (ns258), inlined SQL function over the b04
-    // aggregate shape (ns259) — linear.
-    "ns257", "ns258", "ns259")
+    // aggregate shape (ns259), XML round-trip (ns260) — linear. ns261 is
+    // excluded: its per-doc tmp-FILE materialization is gate harness
+    // cost (50k file creates at 10×), not the binaryFile reader's shape.
+    "ns257", "ns258", "ns259", "ns260")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -9631,6 +9631,57 @@ object SparkEntry {
           |    CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
           |    AS disc_revenue
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+    // NS-I4: XML ingest — Spark 4's built-in XML source (the fourth text
+    // container after CSV/JSONL/ORC): round-trip documents through an
+    // XML write + rowTag read and aggregate per lang; a lossy round trip
+    // (escaping, whitespace, types) would hash-mismatch the oracle's
+    // parquet-side computation.
+    Q(
+      "ns260_xml_ingest",
+      Some(
+        """SELECT lang, COUNT(*)::BIGINT AS n_docs,
+          |  SUM(length(text))::BIGINT AS sum_len, SUM(n_chars)::BIGINT AS sum_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      val path = tmpLayoutDir(s, "graft_xml")
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.format("xml").option("rowTag", "doc").mode("overwrite").save(path)
+      s.read.format("xml").option("rowTag", "doc").load(path)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+    // NS-I5: binary-blob ingestion (the multimodal landing path): each
+    // document lands as a raw file, comes back through Spark's
+    // binaryFile source, and must decode to EXACTLY the original bytes —
+    // (id from the path, byte length, md5 of content) hash-gated against
+    // the oracle's computation on the text column itself (fixture text
+    // is ASCII, so octet length ≡ char length and the digests agree).
+    Q(
+      "ns261_binary_files",
+      Some(
+        """SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS digest
+          |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val path = tmpLayoutDir(s, "graft_blob")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          rows.forEachRemaining { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, s"${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("digest"))
+        .orderBy("doc_id")
     }
   )
 
