@@ -223,7 +223,10 @@ object Bench {
     // aggregate shape (ns259), XML round-trip (ns260) — linear. ns261 is
     // excluded: its per-doc tmp-FILE materialization is gate harness
     // cost (50k file creates at 10×), not the binaryFile reader's shape.
-    "ns257", "ns258", "ns259", "ns260")
+    "ns257", "ns258", "ns259", "ns260",
+    // constant-B bootstrap explode (ns262) and strata-dim MH pooling
+    // (ns264) — linear; ns263 reads embeddings (excluded like ns140).
+    "ns262", "ns264")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

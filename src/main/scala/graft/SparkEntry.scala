@@ -9682,6 +9682,132 @@ object SparkEntry {
           col("length").as("n_bytes"),
           md5(col("content")).as("digest"))
         .orderBy("doc_id")
+    },
+    // NS-A14: Poisson-bootstrap CI for the mean order value — the
+    // big-data bootstrap (per-row Poisson(1) replicate weights from a
+    // fixed md5→cumulative-table discretization; one streaming pass, no
+    // per-replicate shuffles). Replicate means are exact-long divisions;
+    // CI bounds are order statistics over the 200-replicate dim.
+    Q(
+      "ns262_bootstrap_ci",
+      Some(
+        s"""WITH o AS (SELECT o_orderkey::VARCHAR AS id,
+           |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+           |w AS (SELECT v, b,
+           |    ('0x' || substring(md5(id || '_' || b::VARCHAR), 1, 8))::BIGINT % 1000 AS h
+           |  FROM o CROSS JOIN (SELECT unnest(range(200)) AS b)),
+           |ww AS (SELECT v, b, CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+           |    WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 WHEN h < 996 THEN 4
+           |    WHEN h < 999 THEN 5 ELSE 6 END AS wt FROM w),
+           |r AS (SELECT ws::DOUBLE / wn::DOUBLE AS m FROM (
+           |    SELECT b, SUM(wt * v)::BIGINT AS ws, SUM(wt)::BIGINT AS wn
+           |    FROM ww GROUP BY b) WHERE wn > 0),
+           |k AS (SELECT COUNT(*)::BIGINT AS nb FROM r),
+           |rk AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM r),
+           |lo AS (SELECT MIN(m) AS ci_lo FROM rk CROSS JOIN k
+           |  WHERE rk >= (nb * 5 + 99) // 100),
+           |hi AS (SELECT MIN(m) AS ci_hi FROM rk CROSS JOIN k
+           |  WHERE rk >= (nb * 95 + 99) // 100),
+           |t AS (SELECT COUNT(*)::BIGINT AS n,
+           |    SUM(v)::DOUBLE / COUNT(*) AS mean FROM o)
+           |SELECT n, mean, ci_lo, ci_hi FROM t CROSS JOIN lo CROSS JOIN hi""".stripMargin)) {
+      (s, dir) =>
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+      Experiment.poissonBootstrapCI(o, "o_orderkey", "v", b = 200, loPct = 5, hiPct = 95)
+    },
+    // NS-E14: Murphy decomposition of the Brier score for the knn vote
+    // classifier (the ns244 calibration table's scalar summary):
+    // reliability / resolution / uncertainty, each a fixed-order fold of
+    // per-bin IEEE chains over the ≤6-bin vote dim.
+    Q(
+      "ns263_brier",
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl,
+           |    ${oCosine("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id < 60 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, ql, nl, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc),
+           |vv AS (SELECT qid, ql, nl, COUNT(*)::BIGINT AS votes
+           |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+           |wn AS (SELECT qid, ql, nl, votes,
+           |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS rk FROM vv),
+           |p AS (SELECT qid, votes, (nl = ql) AS correct FROM wn WHERE rk = 1),
+           |bins AS (SELECT votes AS v, COUNT(*)::BIGINT AS nb,
+           |    SUM(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS pb FROM p GROUP BY 1),
+           |tot AS (SELECT SUM(nb)::BIGINT AS n, SUM(pb)::BIGINT AS p FROM bins)
+           |SELECT n,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+           |    (pb::DOUBLE * (v::DOUBLE / 5.0 - 1.0) * (v::DOUBLE / 5.0 - 1.0)
+           |      + (nb - pb)::DOUBLE * (v::DOUBLE / 5.0) * (v::DOUBLE / 5.0)) / n::DOUBLE
+           |    ORDER BY v)), (a, x) -> a + x) AS brier,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+           |    nb::DOUBLE * (v::DOUBLE / 5.0 - pb::DOUBLE / nb::DOUBLE)
+           |      * (v::DOUBLE / 5.0 - pb::DOUBLE / nb::DOUBLE) / n::DOUBLE
+           |    ORDER BY v)), (a, x) -> a + x) AS reliability,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+           |    nb::DOUBLE * (pb::DOUBLE / nb::DOUBLE - p::DOUBLE / n::DOUBLE)
+           |      * (pb::DOUBLE / nb::DOUBLE - p::DOUBLE / n::DOUBLE) / n::DOUBLE
+           |    ORDER BY v)), (a, x) -> a + x) AS resolution,
+           |  (p::DOUBLE / n::DOUBLE) * (1.0 - p::DOUBLE / n::DOUBLE) AS uncertainty
+           |FROM bins CROSS JOIN tot GROUP BY n, p""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      val preds = Similarity.knnClassify(
+        e, e.filter(col("vec_id") < 60), "vec_id", "embedding", "label", k = 5)
+      val joined = preds.join(
+          e.select(col("vec_id").as("qid"), col("label").as("_actual")), Seq("qid"))
+        .withColumn("correct", col("label_pred") === col("_actual"))
+      Eval.brierDecomposition(joined, "votes", 5, "correct")
+    },
+    // NS-A15: Mantel–Haenszel pooled odds ratio across order-priority
+    // strata (the pooled effect the Simpson screen only flags the need
+    // for) over a manufactured stratified treatment (md5 assignment,
+    // outcome odds raised by treatment and by the urgent stratum).
+    Q(
+      "ns264_mantel_haenszel",
+      Some(
+        s"""WITH o AS (SELECT o_orderpriority AS stratum,
+           |    ${oHash32("o_orderkey::VARCHAR")} % 2 = 0 AS treated,
+           |    ${oHash32("o_orderkey::VARCHAR || 'y'")} % 1000 <
+           |      300 + CASE WHEN ${oHash32("o_orderkey::VARCHAR")} % 2 = 0
+           |        THEN 100 ELSE 0 END
+           |      + CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 0 END AS outcome
+           |  FROM orders),
+           |cells AS (SELECT stratum,
+           |    SUM(CASE WHEN treated AND outcome THEN 1 ELSE 0 END)::BIGINT AS a,
+           |    SUM(CASE WHEN treated AND NOT outcome THEN 1 ELSE 0 END)::BIGINT AS b,
+           |    SUM(CASE WHEN NOT treated AND outcome THEN 1 ELSE 0 END)::BIGINT AS c,
+           |    SUM(CASE WHEN NOT treated AND NOT outcome THEN 1 ELSE 0 END)::BIGINT AS d
+           |  FROM o GROUP BY 1),
+           |cc AS (SELECT *, (a + b + c + d)::BIGINT AS n FROM cells)
+           |SELECT COUNT(*)::BIGINT AS n_strata,
+           |  SUM(a)::BIGINT AS sum_a, SUM(b)::BIGINT AS sum_b,
+           |  SUM(c)::BIGINT AS sum_c, SUM(d)::BIGINT AS sum_d,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list((a * d)::DOUBLE / n::DOUBLE ORDER BY stratum)),
+           |    (x, y) -> x + y) AS sum_ad_n,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list((b * c)::DOUBLE / n::DOUBLE ORDER BY stratum)),
+           |    (x, y) -> x + y) AS sum_bc_n,
+           |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((b * c)::DOUBLE / n::DOUBLE ORDER BY stratum)), (x, y) -> x + y) > 0
+           |    AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((a * d)::DOUBLE / n::DOUBLE ORDER BY stratum)), (x, y) -> x + y) > 0
+           |    THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list((a * d)::DOUBLE / n::DOUBLE ORDER BY stratum)), (x, y) -> x + y)
+           |      / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list((b * c)::DOUBLE / n::DOUBLE ORDER BY stratum)), (x, y) -> x + y)
+           |  END AS or_mh
+           |FROM cc""".stripMargin)) { (s, dir) =>
+      val h1 = TextOps.hash32(col("o_orderkey").cast("string"))
+      val h2 = TextOps.hash32(concat(col("o_orderkey").cast("string"), lit("y")))
+      val o = T(s, dir, "orders").select(
+        col("o_orderpriority").as("stratum"),
+        (h1 % 2 === 0).as("treated"),
+        (h2 % 1000 < lit(300) + when(h1 % 2 === 0, 100).otherwise(0) +
+          when(col("o_orderpriority") === "1-URGENT", 50).otherwise(0)).as("outcome"))
+      Experiment.mantelHaenszel(o, "stratum", "treated", "outcome")
     }
   )
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classification-evaluation tables (north-star extension): the metrics a
@@ -267,6 +267,47 @@ object Eval {
             (col("n") * col("_tp")).cast("double")).as("lift"),
         when(col("_tp") > 0,
           col("cum_pos").cast("double") / col("_tp").cast("double")).as("capture"))
+  }
+
+  /** Murphy decomposition of the Brier score over a DISCRETE confidence
+    * domain (the [[voteCalibration]] companion scalar summary):
+    * reliability (calibration gap mass), resolution (how much the bins
+    * separate outcomes), uncertainty (base-rate variance), and the Brier
+    * score itself — each a fixed-order fold over the ≤(k+1)-bin dim of
+    * per-bin fixed IEEE chains on exact longs (confidence = votes/k, one
+    * division per bin). Emitted from independent folds; the textbook
+    * identity brier = rel − res + unc holds up to the folds' last ulps.
+    */
+  def brierDecomposition(
+      df: DataFrame, voteCol: String, k: Int, correctCol: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val bins = df
+      .groupBy(col(voteCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("pb"))
+    val tot = bins.agg(sum("nb").as("_n"), sum("pb").as("_p"))
+    def fold(term: Column, out: String) =
+      aggregate(
+        sort_array(collect_list(struct(col("v"), term))),
+        lit(0.0), (acc, x) => acc + x.getField("col2")).as(out)
+    val conf = col("v").cast("double") / k.toDouble
+    val acc = col("pb").cast("double") / col("nb").cast("double")
+    val ybar = col("_p").cast("double") / col("_n").cast("double")
+    bins
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("_n")).as("n"),
+        fold(
+          (col("pb").cast("double") * (conf - 1.0) * (conf - 1.0) +
+            (col("nb") - col("pb")).cast("double") * conf * conf) / col("_n").cast("double"),
+          "brier"),
+        fold(
+          col("nb").cast("double") * (conf - acc) * (conf - acc) / col("_n").cast("double"),
+          "reliability"),
+        fold(
+          col("nb").cast("double") * (acc - ybar) * (acc - ybar) / col("_n").cast("double"),
+          "resolution"),
+        max(ybar * (lit(1.0) - ybar)).as("uncertainty"))
   }
 
   /** COEC — clicks over expected clicks, the position-bias-corrected CTR

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment analysis (north-star extension): the A/B readout layer an
@@ -241,6 +242,87 @@ object Experiment {
     * Scale shape: two map-side-combined bucket counts, a 1-row totals
     * broadcast, a fold over the bounded bucket dim.
     */
+  /** Poisson-bootstrap confidence interval for a mean — the
+    * large-corpus resampling standard (each row enters replicate `b`
+    * with a Poisson(1) weight instead of true multinomial resampling, so
+    * replicates stream in ONE pass with no per-replicate shuffles; the
+    * classic big-data bootstrap). Weights are DETERMINISTIC: the row's
+    * 32-bit md5 of (id, b) maps through a fixed 1000-cell cumulative
+    * Poisson(1) table (368/736/920/981/996/999 — the documented
+    * discretization), so both engines replay the identical resample.
+    * Each replicate mean is one division of exact longs; the CI bounds
+    * are order statistics over the B-row replicate dim.
+    *
+    * Scale shape: a constant B-fold explode (linear), one (replicate)
+    * aggregate map-side combined, a B-row sort. Weight ≤ 6 keeps the
+    * Σw·x budget at 6× the plain sum's.
+    */
+  def poissonBootstrapCI(
+      df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 200, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(b >= 10 && loPct > 0 && hiPct < 100 && loPct < hiPct, "bad bootstrap params")
+    val weighted = df
+      .select(col(idCol).cast("string").as("_id"), col(valueCol).cast("long").as("_v"))
+      .withColumn("_b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_h",
+        conv(substring(md5(concat(col("_id"), lit("_"), col("_b"))), 1, 8), 16, 10)
+          .cast("long") % 1000)
+      .withColumn("_w",
+        when(col("_h") < 368, 0L).when(col("_h") < 736, 1L).when(col("_h") < 920, 2L)
+          .when(col("_h") < 981, 3L).when(col("_h") < 996, 4L)
+          .when(col("_h") < 999, 5L).otherwise(6L))
+    val reps = weighted
+      .groupBy("_b")
+      .agg(sum(col("_w") * col("_v")).as("_ws"), sum(col("_w")).as("_wn"))
+      .where(col("_wn") > 0)
+      .select((col("_ws").cast("double") / col("_wn").cast("double")).as("_m"))
+    val ranked = reps
+      .withColumn("_rk", row_number().over(Window.orderBy(col("_m")))) // B-row dim
+      .crossJoin(broadcast(reps.agg(count(lit(1)).as("_nb"))))
+    val bound = (p: Int, out: String) => ranked
+      .where(col("_rk") >= expr(s"(_nb * $p + 99) div 100"))
+      .agg(min("_m").as(out))
+    df.agg(
+        count(lit(1)).as("n"),
+        (sum(col(valueCol).cast("long")).cast("double") / count(lit(1))).as("mean"))
+      .crossJoin(broadcast(bound(loPct, "ci_lo")))
+      .crossJoin(broadcast(bound(hiPct, "ci_hi")))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across strata — the stratified
+    * 2×2 standard (the pooled effect [[simpsonScreen]] only flags the
+    * need for): OR_MH = Σ_i a·d/n / Σ_i b·c/n. Per-stratum cells are
+    * exact longs; the two fraction sums fold in fixed stratum order (the
+    * ewma convention) over the bounded strata dim; ONE final division.
+    * NULL when either fold is zero (no discordant mass).
+    */
+  def mantelHaenszel(
+      df: DataFrame, stratumCol: String, treatedCol: String, outcomeCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        sum(when(col(treatedCol) && col(outcomeCol), 1L).otherwise(0L)).as("a"),
+        sum(when(col(treatedCol) && !col(outcomeCol), 1L).otherwise(0L)).as("b"),
+        sum(when(!col(treatedCol) && col(outcomeCol), 1L).otherwise(0L)).as("c"),
+        sum(when(!col(treatedCol) && !col(outcomeCol), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum("a").as("sum_a"), sum("b").as("sum_b"),
+      sum("c").as("sum_c"), sum("d").as("sum_d"),
+      aggregate(
+        sort_array(collect_list(struct(col("stratum"),
+          (col("a") * col("d")).cast("double") / col("n").cast("double")))),
+        lit(0.0), (acc, x) => acc + x.getField("col2")).as("sum_ad_n"),
+      aggregate(
+        sort_array(collect_list(struct(col("stratum"),
+          (col("b") * col("c")).cast("double") / col("n").cast("double")))),
+        lit(0.0), (acc, x) => acc + x.getField("col2")).as("sum_bc_n"))
+      .withColumn("or_mh",
+        when(col("sum_bc_n") > 0.0 && col("sum_ad_n") > 0.0,
+          col("sum_ad_n") / col("sum_bc_n")))
+  }
+
   def covariateShiftWeights(
       src: DataFrame, tgt: DataFrame, bucketCol: String): DataFrame = {
     val sb = src.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as("n_src"))

@@ -268,4 +268,46 @@ class TrainingDataOpsSpec extends SparkSpec {
     val r4 = Eval.conformalThreshold(tied, "sc", 1, 2).head()
     assert(r4.getAs[Long]("threshold") == 2L) // rank ceil(6·0.5)=3 → value 2
   }
+
+  test("poissonBootstrapCI brackets the mean and is reproducible") {
+    import graft.ops.Experiment
+    val df = (1L to 500L).map(i => (i, 100L + (i % 7))).toDF("id", "v")
+    val r = Experiment.poissonBootstrapCI(df, "id", "v", b = 100).head()
+    val mean = r.getAs[Double]("mean")
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] does not bracket $mean")
+    assert(hi - lo < 2.0, s"CI absurdly wide for a near-constant column: [$lo, $hi]")
+    // hash-derived weights ⇒ bit-identical on rerun and under repartition
+    val again = Experiment.poissonBootstrapCI(df.repartition(7), "id", "v", b = 100).head()
+    assert((again.getAs[Double]("ci_lo"), again.getAs[Double]("ci_hi")) == ((lo, hi)))
+  }
+
+  test("brierDecomposition matches hand-computed bins and the Murphy identity") {
+    import graft.ops.Eval
+    // bin v=5 (conf 1.0): 2 rows, 1 correct; bin v=3 (conf 0.6): 2 rows, 2 correct
+    val df = Seq((5L, true), (5L, false), (3L, true), (3L, true)).toDF("votes", "correct")
+    val r = Eval.brierDecomposition(df, "votes", 5, "correct").head()
+    val brier = r.getAs[Double]("brier")
+    // per-row (conf−y)²: (1−1)²+(1−0)²+(.6−1)²+(.6−1)² = 1 + 0.32 over 4
+    assert(math.abs(brier - (1.0 + 2 * 0.4 * 0.4) / 4.0) < 1e-12, s"brier $brier")
+    val id = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    assert(math.abs(brier - id) < 1e-12, s"Murphy identity broke: $brier vs $id")
+  }
+
+  test("mantelHaenszel pools 2x2 strata into the textbook odds ratio") {
+    import graft.ops.Experiment
+    // stratum s1: a=4 b=1 c=1 d=4 (OR 16); s2: a=2 b=2 c=2 d=2 (OR 1)
+    def rows(s: String, t: Boolean, y: Boolean, k: Int) = Seq.fill(k)((s, t, y))
+    val df = (rows("s1", true, true, 4) ++ rows("s1", true, false, 1) ++
+      rows("s1", false, true, 1) ++ rows("s1", false, false, 4) ++
+      rows("s2", true, true, 2) ++ rows("s2", true, false, 2) ++
+      rows("s2", false, true, 2) ++ rows("s2", false, false, 2))
+      .toDF("stratum", "treated", "outcome")
+    val r = Experiment.mantelHaenszel(df, "stratum", "treated", "outcome").head()
+    // Σad/n = 16/10 + 4/8 = 2.1 ; Σbc/n = 1/10 + 4/8 = 0.6 → OR 3.5
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(math.abs(r.getAs[Double]("or_mh") - 3.5) < 1e-12,
+      s"or_mh ${r.getAs[Double]("or_mh")}")
+  }
 }
