@@ -226,7 +226,11 @@ object Bench {
     "ns257", "ns258", "ns259", "ns260",
     // constant-B bootstrap explode (ns262) and strata-dim MH pooling
     // (ns264) — linear; ns263 reads embeddings (excluded like ns140).
-    "ns262", "ns264")
+    "ns262", "ns264",
+    // scan-local script screen (ns265), bounded-vertex temporal BFS
+    // (ns266 — the vertex domain is mod-100, constant), vocab-dim
+    // sampling weights (ns267) — linear.
+    "ns265", "ns266", "ns267")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -9691,10 +9691,10 @@ object SparkEntry {
     Q(
       "ns262_bootstrap_ci",
       Some(
-        s"""WITH o AS (SELECT o_orderkey::VARCHAR AS id,
+        s"""WITH o AS (SELECT ${oHash32("o_orderkey::VARCHAR")} AS base,
            |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
            |w AS (SELECT v, b,
-           |    ('0x' || substring(md5(id || '_' || b::VARCHAR), 1, 8))::BIGINT % 1000 AS h
+           |    (base * (2 * b + 1) + b * 12345 + 67891) % 4294967296 % 1000 AS h
            |  FROM o CROSS JOIN (SELECT unnest(range(200)) AS b)),
            |ww AS (SELECT v, b, CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
            |    WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 WHEN h < 996 THEN 4
@@ -9808,6 +9808,93 @@ object SparkEntry {
         (h2 % 1000 < lit(300) + when(h1 % 2 === 0, 100).otherwise(0) +
           when(col("o_orderpriority") === "1-URGENT", 50).otherwise(0)).as("outcome"))
       Experiment.mantelHaenszel(o, "stratum", "treated", "outcome")
+    },
+    // NS-T34: mixed-script homoglyph screen — the corpus-poisoning audit
+    // (Cyrillic lookalikes inside Latin tokens evade eyeball and ASCII
+    // filters). The fixture is pure ASCII, so every 11th document gets
+    // deterministic Cyrillic-poisoned tokens appended in the GATE (both
+    // engines append the identical literal — the ns214 discipline);
+    // script masses and mixed-token counts are exact integers.
+    Q(
+      "ns265_script_mix",
+      Some(
+        """WITH u AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 11 = 0
+          |      THEN text || ' pаypаl раss' ELSE text END AS text
+          |  FROM documents),
+          |t AS (SELECT doc_id, text,
+          |    regexp_split_to_array(trim(text), '\s+') AS ts FROM u)
+          |SELECT doc_id,
+          |  length(regexp_replace(text, '[^\p{Latin}]', '', 'g'))::BIGINT AS n_latin,
+          |  length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g'))::BIGINT AS n_cyrillic,
+          |  length(regexp_replace(text, '[^\p{Greek}]', '', 'g'))::BIGINT AS n_greek,
+          |  length(list_filter(ts, x ->
+          |    (regexp_matches(x, '\p{Latin}') AND regexp_matches(x, '\p{Cyrillic}'))
+          |    OR (regexp_matches(x, '\p{Latin}') AND regexp_matches(x, '\p{Greek}'))
+          |    OR (regexp_matches(x, '\p{Cyrillic}') AND regexp_matches(x, '\p{Greek}'))
+          |  ))::BIGINT AS n_mixed_tokens,
+          |  length(list_filter(ts, x ->
+          |    (regexp_matches(x, '\p{Latin}') AND regexp_matches(x, '\p{Cyrillic}'))
+          |    OR (regexp_matches(x, '\p{Latin}') AND regexp_matches(x, '\p{Greek}'))
+          |    OR (regexp_matches(x, '\p{Cyrillic}') AND regexp_matches(x, '\p{Greek}'))
+          |  )) > 0 AS suspicious
+          |FROM t ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val poisoned = T(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" pаypаl раss")))
+          .otherwise(col("text")).as("text"))
+      TextOps.scriptMixProfile(poisoned, "doc_id", "text").orderBy("doc_id")
+    },
+    // NS-S19: time-respecting reachability (temporal BFS) over a
+    // deterministic event-derived contact graph — earliest arrivals
+    // along paths whose edge timestamps never decrease; plain BFS
+    // answers this wrongly. Fixed 3 rounds; the oracle unrolls them as
+    // CTE relaxations with the identical min-merge rule.
+    Q(
+      "ns266_temporal_reach", {
+        def round(prev: String, n: Int) =
+          s"""x$n AS (SELECT e.dst AS v, MIN(e.ts)::BIGINT AS arrival, ${n}::BIGINT AS hops
+             |  FROM $prev f JOIN e ON e.src = f.v AND e.ts >= f.arrival GROUP BY 1),
+             |r$n AS (SELECT v, arrival, hops FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY v ORDER BY arrival, hops) AS rk
+             |    FROM (SELECT * FROM $prev UNION ALL SELECT * FROM x$n)) WHERE rk = 1)"""
+            .stripMargin
+        Some(
+          s"""WITH e AS (SELECT (user_id % 100)::BIGINT AS src,
+             |    (${oHash32("event_id::VARCHAR")} % 100)::BIGINT AS dst,
+             |    epoch_us(ts)::BIGINT AS ts FROM events),
+             |r0 AS (SELECT unnest(range(5))::BIGINT AS v, 0::BIGINT AS arrival,
+             |    0::BIGINT AS hops),
+             |${round("r0", 1)},
+             |${round("r1", 2)},
+             |${round("r2", 3)}
+             |SELECT v, arrival, hops FROM r3 ORDER BY v""".stripMargin)
+      }) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val edges = ev.select(
+        (col("user_id") % 100).as("src"),
+        (TextOps.hash32(col("event_id").cast("string")) % 100).as("dst"),
+        unix_micros(col("ts").cast("timestamp")).as("ts"))
+      val seeds = s.range(5).select(col("id").as("v"))
+      Graph.temporalReachability(edges, seeds, seedTs = 0L, maxHops = 3).orderBy("v")
+    },
+    // NS-T35: word2vec negative-sampling weights — the count^(3/4)
+    // unigram damping via the libm-free identity c^0.75 = √(c·√c) (two
+    // correctly-rounded sqrts), shares by a fixed-order fold over the
+    // top-50 vocabulary dim.
+    Q(
+      "ns267_neg_sampling",
+      Some(
+        s"""WITH u AS (SELECT unnest($oToks) AS token FROM documents),
+           |c AS (SELECT token, COUNT(*)::BIGINT AS c FROM u GROUP BY 1
+           |  ORDER BY c DESC, token LIMIT 50),
+           |w AS (SELECT token, c, sqrt(c::DOUBLE * sqrt(c::DOUBLE)) AS w075 FROM c),
+           |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(w075 ORDER BY c, token)), (a, x) -> a + x) AS tw FROM w)
+           |SELECT token, c, w075, w075 / tw AS share
+           |FROM w CROSS JOIN t ORDER BY token""".stripMargin)) { (s, dir) =>
+      TextOps.negativeSamplingWeights(T(s, dir, "documents"), "text", topV = 50)
+        .orderBy("token")
     }
   )
 

@@ -35,7 +35,16 @@ object Tables {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every fixture table as a temp view (for the SQL surface). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every PRESENT fixture table as a temp view (for the SQL
+    * surface). Presence-checked per table: derived benchmark datasets
+    * (ScaleUp) ship only the tables they replicate, and an eager read of
+    * an absent one must not take down queries that never touch it.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    all.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      if (p.getFileSystem(conf).exists(p)) apply(spark, dir, n).createOrReplaceTempView(n)
+    }
+  }
 }

@@ -339,4 +339,52 @@ object Graph {
             (col("degree") * (col("degree") - 1L)).cast("double"))
           .as("clustering"))
   }
+
+  /** Time-respecting reachability (temporal BFS): the earliest arrival
+    * time at which each vertex is reachable from the seed set along
+    * paths whose edge timestamps never DECREASE — the temporal-network
+    * question ("who could the information have reached by when?") that
+    * plain BFS answers wrongly (a path using an edge that fired before
+    * the walker arrived is not a path). Seeds arrive at `seedTs`;
+    * round r relaxes `arrival(dst) = min(arrival(dst), min ts of an
+    * edge from a reached src with ts ≥ arrival(src))`; `maxHops` rounds
+    * bound the walk exactly like [[bfsHops]].
+    *
+    * Determinism: arrivals are exact longs under min — no float, no tie
+    * ambiguity. Scale shape per round: one frontier-edge equi-join on
+    * the source key + one min-aggregate (map-side combined); the
+    * settled set is distributed and each improvement is monotone, so
+    * total relaxation work is O(E·maxHops) worst case with the usual
+    * AQE answer for hub keys.
+    *
+    * Output: (vertex, arrival, hops) — hops = the round that first
+    * settled the vertex's final arrival; unreachable vertices are
+    * absent.
+    */
+  def temporalReachability(
+      edges: DataFrame, seeds: DataFrame, seedTs: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+      col("ts").cast("long").as("ts"))
+    var reached = seeds.select(col("v").cast("long").as("v"))
+      .distinct()
+      .withColumn("arrival", lit(seedTs))
+      .withColumn("hops", lit(0L))
+    for (h <- 1 to maxHops) {
+      val relaxed = reached.alias("f")
+        .join(e.alias("e"), col("e.src") === col("f.v") && col("e.ts") >= col("f.arrival"))
+        .groupBy(col("e.dst").as("v"))
+        .agg(min(col("e.ts")).as("arrival"))
+        .withColumn("hops", lit(h.toLong))
+      reached = reached.unionByName(relaxed)
+        .withColumn("_rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("v")).orderBy(col("arrival"), col("hops"))))
+        .where(col("_rk") === 1)
+        .drop("_rk")
+      reached = Checkpoints.truncate(reached)
+    }
+    reached
+  }
 }

@@ -1405,4 +1405,66 @@ object TextOps {
       .join(profile(na, s"g$na"), Seq("doc_id"), "left")
       .join(profile(nb, s"g$nb"), Seq("doc_id"), "left")
   }
+
+  /** Mixed-script / confusable-character screen — the corpus-poisoning
+    * and homoglyph-spoofing audit (a Cyrillic 'а' inside a Latin word is
+    * invisible to the eye and to ASCII-era filters, and deliberately
+    * planted text is a real training-data attack surface): per document, the
+    * Latin/Cyrillic/Greek character masses and the count of TOKENS that
+    * mix two or more of those scripts — the signature of homoglyph
+    * substitution (an all-Cyrillic Russian word is normal; "pаypаl" with
+    * two Cyrillic а's is not).
+    *
+    * Exact integer counts; script classes are Unicode script properties
+    * (java.util.regex `\p{IsX}` ≡ RE2 `\p{X}` for these three scripts).
+    * Scale shape: scan-local regexp counting + one tokens-explode-free
+    * per-row filter — no shuffle at all.
+    */
+  def scriptMixProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def mass(cls: String) =
+      length(regexp_replace(col(textCol), s"[^\\p{Is$cls}]", ""))
+    val isMixed = (t: Column) => {
+      val lat = t.rlike("\\p{IsLatin}")
+      val cyr = t.rlike("\\p{IsCyrillic}")
+      val grk = t.rlike("\\p{IsGreek}")
+      (lat && cyr) || (lat && grk) || (cyr && grk)
+    }
+    docs.select(
+      col(idCol).as("doc_id"),
+      mass("Latin").cast("long").as("n_latin"),
+      mass("Cyrillic").cast("long").as("n_cyrillic"),
+      mass("Greek").cast("long").as("n_greek"),
+      size(filter(tokens(col(textCol)), isMixed)).cast("long").as("n_mixed_tokens"))
+      .withColumn("suspicious", col("n_mixed_tokens") > 0L)
+  }
+
+  /** word2vec negative-sampling weight table: the top-V vocabulary with
+    * the count^(3/4) unigram damping (Mikolov et al. 2013). The 0.75
+    * power is NOT libm `pow` (banned for its last-ulp variance): it is
+    * the identity c^0.75 = √(c·√c) — two correctly-rounded sqrts and one
+    * exact-integer-times-double multiply, bit-reproducible across
+    * engines. `share` divides by the fixed-order fold of the V damped
+    * weights (the ewma convention).
+    *
+    * Scale shape: one map-side-combined token count to the vocabulary
+    * dim, a V-row TakeOrdered head, V-row arithmetic.
+    */
+  def negativeSamplingWeights(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+    require(topV >= 1, "topV must be >= 1")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(topV)
+      .withColumn("w075", sqrt(col("c").cast("double") * sqrt(col("c").cast("double"))))
+    val total = counts.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("c").as("c"), col("token").as("token"),
+          col("w075").as("w075")))),
+        lit(0.0), (acc, x) => acc + x.getField("w075")).as("_tw"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"), col("c"), col("w075"),
+        (col("w075") / col("_tw")).as("share"))
+  }
 }

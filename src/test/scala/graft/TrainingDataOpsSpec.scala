@@ -310,4 +310,47 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("or_mh") - 3.5) < 1e-12,
       s"or_mh ${r.getAs[Double]("or_mh")}")
   }
+
+  test("scriptMixProfile counts script masses and flags homoglyph tokens") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "plain latin words"),
+      (2L, "pаypаl has two cyrillic a chars"), // а = U+0430
+      (3L, "чисто русский текст")) // pure Cyrillic: NOT mixed
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptMixProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_latin"), r.getAs[Long]("n_cyrillic"),
+          r.getAs[Long]("n_mixed_tokens"), r.getAs[Boolean]("suspicious"))).toMap
+    assert(got(1L)._2 == 0L && !got(1L)._4)
+    assert(got(2L) == ((24L, 2L, 1L, true)), s"got ${got(2L)}")
+    assert(got(3L)._1 == 0L && got(3L)._3 == 0L && !got(3L)._4,
+      "pure-Cyrillic text must not be flagged")
+  }
+
+  test("temporalReachability respects nondecreasing edge times") {
+    import graft.ops.Graph
+    // 1→2 at t=10, 2→3 at t=5 (FIRES BEFORE ARRIVAL — unusable),
+    // 2→4 at t=20 (usable), 5→3 unreachable from the seed
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 5L), (2L, 4L, 20L), (5L, 3L, 99L))
+      .toDF("src", "dst", "ts")
+    val seeds = Seq(Tuple1(1L)).toDF("v")
+    val got = Graph.temporalReachability(edges, seeds, seedTs = 0L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("arrival"), r.getAs[Long]("hops")))
+      .toMap
+    assert(got == Map(1L -> ((0L, 0L)), 2L -> ((10L, 1L)), 4L -> ((20L, 2L))),
+      s"got $got — plain BFS would also have reached 3")
+  }
+
+  test("negativeSamplingWeights damps counts by the sqrt identity and shares sum to ~1") {
+    import graft.ops.TextOps
+    val docs = Seq((1L, "a a a a b b c")).toDF("id", "text")
+    val rows = TextOps.negativeSamplingWeights(docs, "text", topV = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("w075"))).toMap
+    assert(rows("a") == ((4L, math.sqrt(4.0 * math.sqrt(4.0)))))
+    assert(rows("b") == ((2L, math.sqrt(2.0 * math.sqrt(2.0)))))
+    val shares = TextOps.negativeSamplingWeights(docs, "text", 10)
+      .agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-12)
+  }
 }
