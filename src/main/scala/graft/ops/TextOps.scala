@@ -1386,9 +1386,16 @@ object TextOps {
     */
   def ngramRepetitionProfile(
       docs: DataFrame, idCol: String, textCol: String, na: Int = 2, nb: Int = 3): DataFrame = {
+    // the codegen'd one-pass shingle kernel when the session extension is
+    // installed (the repeatedSubstringSpans discipline); the declarative
+    // slice fold otherwise
+    def gramsOf(n: Int): Column =
+      if (docs.sparkSession.catalog.functionExists("graft_shingles"))
+        call_function("graft_shingles", col(textCol), lit(n))
+      else shingles(col(textCol), n)
     def profile(n: Int, pfx: String): DataFrame =
       docs
-        .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("g"))
+        .select(col(idCol).as("doc_id"), explode(gramsOf(n)).as("g"))
         .groupBy("doc_id", "g")
         .agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
