@@ -212,9 +212,8 @@ object Bench {
     // group-dim fairness audit (ns249), constant cell-grid τ-b (ns250),
     // runningSum gains tiers (ns251) — linear under replication.
     "ns249", "ns250", "ns251",
-    // ORC round-trip write+agg (ns252 — linear rewrite of the replica)
-    // and plan-metadata lineage (ns253 — constant, never touches rows).
-    "ns252", "ns253",
+    // plan-metadata lineage (ns253 — constant, never touches rows).
+    "ns253",
     // position-dim COEC (ns254), bucket-dim shift weights (ns255),
     // runningSum conformal rank (ns256) — linear under replication.
     "ns254", "ns255", "ns256",

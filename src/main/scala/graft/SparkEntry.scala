@@ -9388,28 +9388,6 @@ object SparkEntry {
             expr("(sc * 700) div _maxc"))
       Eval.gainsTable(scored, "sc", "o_orderkey", "pos", buckets = 10).orderBy("bucket")
     },
-    // NS-I3: ORC ingest — the third columnar container behind the same
-    // seam (parquet A2, Arrow IPC A3-A5): round-trip lineitem through
-    // Spark's built-in ORC source and aggregate through a
-    // filter+projection that must push into the ORC scan (plan-pinned in
-    // EngineSpec). The oracle computes from the original parquet — a
-    // lossy round trip would hash-mismatch.
-    Q(
-      "ns252_orc_ingest",
-      Some(
-        """SELECT l_returnflag, COUNT(*)::BIGINT AS n,
-          |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-          |    AS sum_price
-          |FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
-          |ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
-      val path = tmpLayoutDir(s, "graft_orc")
-      T(s, dir, "lineitem").write.mode("overwrite").orc(path)
-      s.read.orc(path)
-        .where(col("l_quantity") > 25)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), fsum(col("l_extendedprice")).as("sum_price"))
-        .orderBy("l_returnflag")
-    },
     // NS-G1: column-level lineage from the ANALYZED Catalyst plan — the
     // governance surface: which physical (table, column) pairs feed each
     // output column of a join+aggregate with a multi-source CASE. The

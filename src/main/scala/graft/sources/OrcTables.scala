@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reader natively, so this module is deliberately THIN — its value is the
   * layout contract (hive-partitioned directories → partition pruning) and
   * the gate/spec proving the round trip is lossless and the pushdown
-  * actually reaches the ORC scan (`PushedFilters`, OrcTablesSpec).
+  * actually reaches the ORC scan (`PushedFilters` — plan-pinned in
+  * LineageSpec's ORC round-trip test; hash-gated by ns106).
   *
   * Scale shape: identical to the Parquet path — embarrassingly parallel
   * one-file-per-task writes, partition-directory pruning at plan time,
