@@ -228,8 +228,9 @@ object Bench {
     "ns262", "ns264",
     // scan-local script screen (ns265), bounded-vertex temporal BFS
     // (ns266 — the vertex domain is mod-100, constant), vocab-dim
-    // sampling weights (ns267) — linear.
-    "ns265", "ns266", "ns267")
+    // sampling weights (ns267), single-merge native as-of (ns268 — the
+    // SMJ shape) — linear.
+    "ns265", "ns266", "ns267", "ns268")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -9873,6 +9873,34 @@ object SparkEntry {
            |FROM w CROSS JOIN t ORDER BY token""".stripMargin)) { (s, dir) =>
       TextOps.negativeSamplingWeights(T(s, dir, "documents"), "text", topV = 50)
         .orderBy("token")
+    },
+    // NS-S20: the NATIVE as-of join SparkPlan (custom logical node +
+    // injected planner Strategy + custom physical operator — the
+    // whole-operator extension tier): ns15's backward as-of, now
+    // attaching the matched right row's PAYLOAD in the same single merge
+    // pass (the window form needs a second join for it). Right (key, ts)
+    // pairs dedupe to snapshots first — the documented tie contract.
+    Q(
+      "ns268_asof_native",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, epoch_us(ts)::BIGINT AS t
+          |  FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id AS ru, epoch_us(ts)::BIGINT AS rt,
+          |    MAX(event_id)::BIGINT AS r_event
+          |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.t, r.rt, r.r_event
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.ru AND l.t >= r.rt
+          |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rt"))
+        .agg(max("event_id").as("r_event"))
+      AsofJoin.backwardNative(l, r, Seq("user_id"), "t", "rt")
+        .toDF("event_id", "user_id", "t", "ru", "rt", "r_event")
+        .select("event_id", "user_id", "t", "rt", "r_event")
+        .orderBy("event_id")
     }
   )
 

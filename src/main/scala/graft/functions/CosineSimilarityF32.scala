@@ -92,6 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRewrite)
+    // the whole-operator extension tier: custom logical node → custom
+    // SparkPlan (SURVEY §2 custom-op preference (c))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityF32].getName, "graft_cosine"),

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /** As-of joins — an operator the reference's SQL surface reaches only
   * through DuckDB's native ASOF JOIN (duck.go:195 pass-through; DuckDB
   * supports both `>=` backward and `<=` forward directions). Spark has no
-  * built-in, so this composes existing operators (SURVEY §2 custom-op
-  * preference (a)):
+  * built-in; this module carries BOTH custom-op tiers: the composed forms
+  * below (SURVEY §2 preference (a) — union + running window, one shuffle)
+  * and [[backwardNative]], a full custom logical node + planner Strategy +
+  * SparkPlan (preference (c), [[graft.plans.AsofJoinBackwardPlan]]) whose
+  * single merge pass also attaches the matched right row's payload.
   *
   * union the two inputs tagged by side, sort within each key partition by
   * (time, side), and carry the nearest right-side value across with a
@@ -176,5 +179,53 @@ object AsofJoin {
       .withColumn(asofTsName, pick)
       .filter(col("__side") === 1)
       .select(lCols.toIndexedSeq.map(col) :+ col(asofTsName): _*)
+  }
+
+  /** NATIVE backward as-of join (custom-op preference (c): logical node +
+    * injected Strategy + custom SparkPlan — [[graft.plans
+    * .AsofJoinBackwardPlan]]): every left row joined to the ENTIRE latest
+    * right row with an equal key and `rightTs <= leftTs`, or to nulls —
+    * the payload-attaching contract the composed [[backward]] needs a
+    * second (key, asof_ts) join for. One exchange + sort per side, one
+    * O(1)-state merge pass. Timestamps must be LongType (epoch micros);
+    * right (key, ts) pairs should be unique (dedupe to snapshots first —
+    * ties are otherwise order-ambiguous, the FeatureStore discipline).
+    * Requires the `GraftExtensions` session (the strategy is injected
+    * there); without it the plan has no physical form and planning fails
+    * fast.
+    */
+  def backwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val lp = left.queryExecution.analyzed
+    // Self-joins: the analyzer's DeduplicateRelations does not visit
+    // custom nodes, so a right side sharing expression ids with the left
+    // (both from one source) is re-aliased through a double projection —
+    // every output attribute gets a fresh id, names unchanged.
+    val rp0 = right.queryExecution.analyzed
+    val rp =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else {
+        val cols = right.columns.toIndexedSeq
+        right
+          .select(cols.map(c => right(c).as(s"${c}__graft_dedup")): _*)
+          .select(cols.map(c =>
+            org.apache.spark.sql.functions.col(s"${c}__graft_dedup").as(c)): _*)
+          .queryExecution.analyzed
+      }
+    def attr(p: LogicalPlan, n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"$side side has no column '$n'"))
+    val plan = graft.plans.AsofJoinBackwardPlan(
+      keys.map(attr(lp, _, "left")),
+      keys.map(attr(rp, _, "right")),
+      attr(lp, leftTs, "left"),
+      attr(rp, rightTs, "right"),
+      lp, rp)
+    org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
   }
 }
