@@ -230,7 +230,7 @@ object Bench {
     // (ns266 — the vertex domain is mod-100, constant), vocab-dim
     // sampling weights (ns267), single-merge native as-of (ns268 — the
     // SMJ shape) — linear.
-    "ns265", "ns266", "ns267", "ns268")
+    "ns265", "ns266", "ns267", "ns268", "ns269")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -9901,6 +9901,31 @@ object SparkEntry {
         .toDF("event_id", "user_id", "t", "ru", "rt", "r_event")
         .select("event_id", "user_id", "t", "rt", "r_event")
         .orderBy("event_id")
+    },
+    // NS-S21: the native FORWARD as-of — the same physical operator under
+    // the negation identity (earliest rt ≥ t ≡ latest −rt ≤ −t), verified
+    // against DuckDB's native forward ASOF (`l.t <= r.rt`).
+    Q(
+      "ns269_asof_fwd_native",
+      Some(
+        """WITH l AS (SELECT event_id, user_id, epoch_us(ts)::BIGINT AS t
+          |  FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id AS ru, epoch_us(ts)::BIGINT AS rt,
+          |    MAX(event_id)::BIGINT AS r_event
+          |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.t, r.rt, r.r_event
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.ru AND l.t <= r.rt
+          |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rt"))
+        .agg(max("event_id").as("r_event"))
+      AsofJoin.forwardNative(l, r, Seq("user_id"), "t", "rt")
+        .toDF("event_id", "user_id", "t", "ru", "rt", "r_event")
+        .select("event_id", "user_id", "t", "rt", "r_event")
+        .orderBy("event_id")
     }
   )
 

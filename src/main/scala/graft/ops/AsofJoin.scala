@@ -228,4 +228,22 @@ object AsofJoin {
       lp, rp)
     org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
   }
+
+  /** NATIVE forward as-of join — [[backwardNative]] under the negation
+    * identity: the EARLIEST right ts ≥ left ts is the LATEST −right ts ≤
+    * −left ts, so both directions share ONE physical operator (one merge
+    * pass, whole-row payload, same contracts). The negated order columns
+    * ride as temporaries and never reach the output.
+    */
+  def forwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val l2 = left.withColumn("__graft_negt", -col(leftTs).cast("long"))
+    val r2 = right.withColumn("__graft_negt", -col(rightTs).cast("long"))
+    backwardNative(l2, r2, keys, "__graft_negt", "__graft_negt")
+      .drop("__graft_negt")
+  }
 }

@@ -91,6 +91,12 @@ final case class AsofJoinBackwardExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -99,6 +105,8 @@ final case class AsofJoinBackwardExec(
     val lTsB = leftTs
     val rTsB = rightTs
     val outB = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
@@ -153,6 +161,8 @@ final case class AsofJoinBackwardExec(
             }
             if (lastMatch != null && keyOrd.compare(lastKey, lKey) == 0) matched = lastMatch
           }
+          numOutputRows += 1
+          if (matched != null) numMatched += 1
           result(joined(l, if (matched == null) nullRight else matched))
         }
       }

@@ -61,6 +61,17 @@ class AsofNativeSpec extends SparkSpec {
     assert(out.columns.length == 6, s"both sides' columns present: ${out.columns.toSeq}")
   }
 
+  test("forwardNative is backward under negation: earliest rt >= t, else nulls") {
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 9L, "c")).toDF("k", "t", "tag")
+    val right = Seq((1L, 7L, "r7"), (1L, 12L, "r12"), (2L, 8L, "r8")).toDF("k", "rt", "p")
+    val got = AsofJoin.forwardNative(left, right, Seq("k"), "t", "rt")
+      .collect().map(r => r.getString(2) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.getString(5)))).toMap
+    assert(got("a") == ((Some(12L), Some("r12"))), s"got ${got("a")}")
+    assert(got("b") == ((Some(7L), Some("r7"))))
+    assert(got("c") == ((None, None)), "rt=8 < t=9 must NOT match forward")
+  }
+
   test("plan shape: AsofJoinBackwardExec with one exchange+sort per side; partition-invariant") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L)).toDF("k", "rt")
