@@ -239,6 +239,29 @@ object Bench {
       id.startsWith("b") || scaleUpEligible.contains(id)
     }
 
+  /** Prior-round per-query baseline from the committed bench_last.json
+    * (short query id -> seconds), or empty when absent/unreadable/ran at
+    * a different primary SF. Read BEFORE this run overwrites the file.
+    * Jackson ships with Spark, so no new dependency.
+    */
+  private def priorTimes(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        if (root.path("sf").asText("") != sfDir) Map.empty
+        else {
+          val it = root.path("queries").fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** One ladder step down from the primary SF (10x less data), when that
     * directory exists.
     */
@@ -353,6 +376,42 @@ object Bench {
           flagRatio(best1, best2).map(name -> _)
         }
       }
+    // ROUND-OVER-ROUND regression screen with the same isolated-rerun
+    // confirmation discipline as the superlinear flags: rounds 9 AND 10
+    // each spent judge/builder cycles adjudicating >2x per-query deltas
+    // that a clean rerun reproduced none of (single-JVM contention). Any
+    // query slower than 2x its prior-round committed baseline
+    // (bench_last.json, read before this run overwrites it) reruns
+    // isolated AFTER the suites; only a delta that survives the rerun is
+    // emitted as confirmed — with its isolated time, so the verdict can
+    // cite the contention-free number directly. Provisional flags are
+    // capped at the 20 worst ratios (a contention-smeared round could
+    // flag half the suite; rerunning all of it would double the bench).
+    val prior = priorTimes("/root/repo/bench_last.json", sfDir)
+    def regRatio(now: Double, prev: Double): Option[Double] =
+      if (now > 0.5 && prev > 0.05 && now / prev > 2.0)
+        Some(math.rint(now / prev * 10) / 10)
+      else None
+    val regProvisional: Seq[(String, Double, Double)] = results
+      .flatMap { case (name, t) =>
+        prior.get(name.split("_")(0))
+          .filter(p => regRatio(t, p).isDefined)
+          .map(p => (name, t, p))
+      }
+      .sortBy { case (_, t, p) => -t / p }
+      .take(20)
+    val (regConfirmed, regCleared): (Seq[(String, Double, Double)], Seq[String]) =
+      if (regProvisional.isEmpty) (Seq.empty, Seq.empty)
+      else {
+        val flaggedSel = selected.filter(p => regProvisional.exists(_._1 == p._1))
+        val re = runSuite(spark, sfDir, flaggedSel, 2).toMap
+        val adj = regProvisional.map { case (name, t, p) =>
+          val best = math.min(t, re.get(name).flatten.getOrElse(t))
+          (name, best, p, regRatio(best, p))
+        }
+        (adj.collect { case (n, b, p, Some(_)) => (n, b, p) },
+          adj.collect { case (n, _, _, None) => n.split("_")(0) })
+      }
     // Scale-UP pass: a 10x rung ABOVE the primary SF on ScaleUp's
     // benchmark-only replica data (~6M lineitem rows when primary is
     // sf0.1) — the superlinear screen's 10x step at meaningful size.
@@ -445,6 +504,21 @@ object Bench {
       case Some(ru) =>
         s""","sf_up":"${upDir.get}","sf_up_total":${ms(ru.map(_._2).sum)},"superlinear_up":${flagMap(superlinearUp)}"""
     }
+    // Regression summary: confirmed as {"id":[isolatedNow, prior]} so the
+    // contention-free number and the baseline it breached are both on the
+    // record; cleared ids listed so "was flagged, rerun cleared it" is
+    // machine-readable rather than re-litigated each round.
+    val regPart =
+      if (prior.isEmpty) ""
+      else {
+        val conf = regConfirmed
+          .map { case (n, b, p) =>
+            "\"" + n.split("_")(0) + "\":[" + ms(b) + "," + ms(p) + "]"
+          }
+          .mkString("{", ",", "}")
+        val clr = regCleared.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+        s""","regressions_confirmed":$conf,"regressions_cleared":$clr"""
+      }
     val failed = failedOf(raw1, raw2.getOrElse(Seq.empty), rawUp.getOrElse(Seq.empty))
     val failedPart =
       if (failed.isEmpty) ""
@@ -458,9 +532,9 @@ object Bench {
     // bench_last.json keeps the full per-query maps.
     val stdoutQueries = results.sortBy(-_._2).take(40).sortBy(_._1)
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(stdoutQueries)},"queries_note":"top40 by time; full map in bench_last.json","sf":"$sfDir"$scalePart$upPart$failedPart}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(stdoutQueries)},"queries_note":"top40 by time; full map in bench_last.json","sf":"$sfDir"$scalePart$upPart$regPart$failedPart}"""
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(results)},"sf":"$sfDir"$scalePart$upPart$failedPart}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(results)},"sf":"$sfDir"$scalePart$upPart$regPart$failedPart}"""
     // Belt and braces: the full dual-SF payload at a well-known path (the
     // stdout line stays within the driver's bounded tail capture). The
     // secondary-SF detail is NESTED inside the one top-level object —
