@@ -2614,6 +2614,41 @@ object SparkEntry {
        |$roundCtes""".stripMargin
   }
 
+  // Prefixed, sub-corpus variant of [[oKmeansCtes]]: the same quantize →
+  // seeded-Lloyd replay over `embeddings WHERE $where`, every CTE name
+  // prefixed so two independent index builds (e.g. the two directions of
+  // the routed reciprocal best match) coexist in one WITH clause.
+  // Produces ${pfx}ef / ${pfx}q / ${pfx}c0..c$rounds.
+  private def oKmeansCtesW(pfx: String, where: String, k: Int, rounds: Int): String = {
+    val roundCtes =
+      (1 to rounds).map(n => oLloydRoundP(pfx, s"${pfx}q", s"${pfx}c${n - 1}", n)).mkString("\n")
+    s"""${pfx}ef AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
+       |  FROM embeddings WHERE $where),
+       |${pfx}s AS (SELECT vec_id, list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale, vd FROM ${pfx}ef),
+       |${pfx}q AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(vd, x -> 0::BIGINT)
+       |    ELSE list_transform(vd, x -> round(x / scale)::BIGINT) END AS v FROM ${pfx}s),
+       |${pfx}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       |  FROM ${pfx}q ORDER BY vec_id LIMIT $k),
+       |$roundCtes""".stripMargin
+  }
+
+  // IVF serving replay over an oKmeansCtesW(pfx, ..) index (2 Lloyd
+  // rounds): cell assignment of the ${pfx} corpus, nProbe-cell probe of
+  // the query set (${qQ} quantized / ${qEf} float), and the scored
+  // candidate set ${out}sc = (qid, nid, cos) BEFORE any rank cut — the
+  // oracle twin of Similarity.ivfIntScored.
+  private def oIvfServeCtes(pfx: String, qEf: String, qQ: String, nProbe: Int, out: String): String =
+    s"""${out}cells AS (SELECT vec_id AS nid, cid FROM (
+       |    SELECT q.vec_id, c.cid, $oIntSqDist AS d FROM ${pfx}q q CROSS JOIN ${pfx}c2 c) t
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+       |${out}pr AS (SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.cid, $oIntSqDist AS d FROM $qQ q CROSS JOIN ${pfx}c2 c) t
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, cid) <= $nProbe),
+       |${out}cand AS (SELECT pr.qid, cl.nid FROM ${out}pr pr JOIN ${out}cells cl USING (cid)
+       |  WHERE pr.qid <> cl.nid),
+       |${out}sc AS (SELECT qid, nid, ${oCosine("x.vd", "y.vd")} AS cos
+       |  FROM ${out}cand JOIN $qEf x ON x.vec_id = qid JOIN ${pfx}ef y ON y.vec_id = nid),""".stripMargin
+
   private val layerNS: Seq[Q] = Seq(
     // NS-T1: token counting — whitespace + BPE-ish regex tokens.
     Q(
@@ -9023,7 +9058,9 @@ object SparkEntry {
            |FROM p ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       val docs = T(s, dir, "documents")
         .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
-      Packing.packBins(docs, "doc_id", "ntok", 256).orderBy("doc_id")
+      Packing.packBins(docs, "doc_id", "ntok", 256)
+        .select("doc_id", "n_tokens", "bin_start", "bin_end", "straddles")
+        .orderBy("doc_id")
     },
     // NS-T30: repeated-substring spans (exact-substring dedup at 8-token
     // window resolution, Lee et al. 2022). The fixture corpus has few
@@ -9926,6 +9963,182 @@ object SparkEntry {
         .toDF("event_id", "user_id", "t", "ru", "rt", "r_event")
         .select("event_id", "user_id", "t", "rt", "r_event")
         .orderBy("event_id")
+    },
+    // NS-S22: recall gate for the ROUTED label-disagreement screen — the
+    // kNN family's clearest scale hazard (unrouted it broadcasts the
+    // corpus and computes n² cosines). The routed form is FORCED down the
+    // integer-IVF path (maxBruteForceQueries = 0) and its exact integer
+    // disagreement counts sit next to the brute ground truth per query —
+    // a probe/codebook regression that stays deterministic but destroys
+    // neighbor quality shifts nd_routed and fails the hash (the ns96
+    // convention). Both arms replay fully in DuckDB: the sub-corpus
+    // Lloyd stack (oKmeansCtesW) + serve (oIvfServeCtes) vs the 300×300
+    // brute rank. Labels are vec_id mod 3, so label logic is arithmetic
+    // on both engines.
+    Q(
+      "ns270_routed_disagree_recall",
+      Some(
+        s"""WITH ${oKmeansCtesW("rr", "vec_id < 300", 8, 2)}
+           |${oIvfServeCtes("rr", "rref", "rrq", 2, "x")}
+           |xr AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM xsc),
+           |xd AS (SELECT qid, COUNT(*)::BIGINT AS nn_routed,
+           |    SUM(CASE WHEN nid % 3 <> qid % 3 THEN 1 ELSE 0 END)::BIGINT AS nd_routed
+           |  FROM xr WHERE rank <= 5 GROUP BY qid),
+           |bsc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, ${oCosine("a.vd", "b.vd")} AS cos
+           |  FROM rref a JOIN rref b ON a.vec_id <> b.vec_id),
+           |br AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM bsc),
+           |bd AS (SELECT qid,
+           |    SUM(CASE WHEN nid % 3 <> qid % 3 THEN 1 ELSE 0 END)::BIGINT AS nd_brute
+           |  FROM br WHERE rank <= 5 GROUP BY qid)
+           |SELECT b.qid AS vec_id, b.nd_brute,
+           |  coalesce(x.nn_routed, 0)::BIGINT AS nn_routed,
+           |  coalesce(x.nd_routed, 0)::BIGINT AS nd_routed
+           |FROM bd b LEFT JOIN xd x USING (qid) ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+      val df = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .withColumn("lbl", (col("vec_id") % 3).cast("string"))
+      val forced = Similarity.AnnRoute(maxBruteForceQueries = 0, nCells = 8, nProbe = 2)
+      val routed = Similarity
+        .labelDisagreement(df, "vec_id", "embedding", "lbl", 5, forced)
+        .select(col("id").as("vec_id"), col("n_neighbors").as("nn_routed"),
+          col("n_disagree").as("nd_routed"))
+      val brute = Similarity.labelDisagreement(df, "vec_id", "embedding", "lbl", 5)
+        .select(col("id").as("vec_id"), col("n_disagree").as("nd_brute"))
+      brute.join(routed, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("nd_brute"),
+          coalesce(col("nn_routed"), lit(0L)).as("nn_routed"),
+          coalesce(col("nd_routed"), lit(0L)).as("nd_routed"))
+        .orderBy("vec_id")
+    },
+    // NS-S23: recall gate for the ROUTED k-NN classifier — forced-IVF
+    // prediction next to the brute one per query, with an exact integer
+    // agree flag (the end-metric the routing trades: label fidelity).
+    Q(
+      "ns271_routed_classify_recall",
+      Some(
+        s"""WITH ${oKmeansCtesW("rc", "vec_id < 300", 8, 2)}
+           |${oIvfServeCtes("rc", "rcef", "rcq", 2, "x")}
+           |xr AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM xsc),
+           |xv AS (SELECT qid, CAST(nid % 3 AS VARCHAR) AS lbl, COUNT(*)::BIGINT AS votes
+           |  FROM xr WHERE rank <= 5 GROUP BY 1, 2),
+           |xw AS (SELECT qid, lbl, votes,
+           |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lbl) AS rk FROM xv),
+           |xp AS (SELECT qid, lbl AS pred_routed, votes AS votes_routed FROM xw WHERE rk = 1),
+           |bsc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, ${oCosine("a.vd", "b.vd")} AS cos
+           |  FROM rcef a JOIN rcef b ON a.vec_id <> b.vec_id),
+           |br AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM bsc),
+           |bv AS (SELECT qid, CAST(nid % 3 AS VARCHAR) AS lbl, COUNT(*)::BIGINT AS votes
+           |  FROM br WHERE rank <= 5 GROUP BY 1, 2),
+           |bw AS (SELECT qid, lbl, votes,
+           |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lbl) AS rk FROM bv),
+           |bp AS (SELECT qid, lbl AS pred_brute FROM bw WHERE rk = 1)
+           |SELECT b.qid, b.pred_brute,
+           |  coalesce(x.pred_routed, 'none') AS pred_routed,
+           |  coalesce(x.votes_routed, 0)::BIGINT AS votes_routed,
+           |  (CASE WHEN b.pred_brute = coalesce(x.pred_routed, 'none') THEN 1 ELSE 0 END)::BIGINT AS agree
+           |FROM bp b LEFT JOIN xp x USING (qid) ORDER BY qid""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val corpus = e.withColumn("lbl", (col("vec_id") % 3).cast("string"))
+      val forced = Similarity.AnnRoute(maxBruteForceQueries = 0, nCells = 8, nProbe = 2)
+      val routed = Similarity
+        .knnClassify(corpus, e, "vec_id", "embedding", "lbl", 5, forced)
+        .select(col("qid"), col("label_pred").as("pred_routed"),
+          col("votes").as("votes_routed"))
+      val brute = Similarity.knnClassify(corpus, e, "vec_id", "embedding", "lbl", 5)
+        .select(col("qid"), col("label_pred").as("pred_brute"))
+      brute.join(routed, Seq("qid"), "left_outer")
+        .withColumn("pred_routed", coalesce(col("pred_routed"), lit("none")))
+        .select(col("qid"), col("pred_brute"), col("pred_routed"),
+          coalesce(col("votes_routed"), lit(0L)).as("votes_routed"),
+          when(col("pred_brute") === col("pred_routed"), 1L).otherwise(0L).as("agree"))
+        .orderBy("qid")
+    },
+    // NS-S24: recall gate for ROUTED hard-negative mining — per-query
+    // exact hit counts of the forced-IVF negative set against the brute
+    // ground truth (the ns96 hits shape, with the label-differs filter
+    // applied BEFORE the rank cut on both arms — the ivfIntScored seam).
+    Q(
+      "ns272_routed_negatives_recall",
+      Some(
+        s"""WITH ${oKmeansCtesW("rn", "vec_id < 300", 8, 2)}
+           |${oIvfServeCtes("rn", "rnef", "rnq", 2, "x")}
+           |xr AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM xsc WHERE nid % 3 <> qid % 3),
+           |xn AS (SELECT qid, nid FROM xr WHERE rank <= 5),
+           |bsc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, ${oCosine("a.vd", "b.vd")} AS cos
+           |  FROM rnef a JOIN rnef b ON a.vec_id <> b.vec_id AND a.vec_id % 3 <> b.vec_id % 3),
+           |br AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM bsc),
+           |bn AS (SELECT qid, nid FROM br WHERE rank <= 5)
+           |SELECT b.qid, COUNT(*)::BIGINT AS n_brute, COUNT(x.nid)::BIGINT AS hits
+           |FROM bn b LEFT JOIN xn x ON b.qid = x.qid AND b.nid = x.nid
+           |GROUP BY b.qid ORDER BY b.qid""".stripMargin)) { (s, dir) =>
+      val corpus = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .withColumn("lbl", (col("vec_id") % 3).cast("string"))
+      val forced = Similarity.AnnRoute(maxBruteForceQueries = 0, nCells = 8, nProbe = 2)
+      val routed = Similarity
+        .hardNegatives(corpus, corpus, "vec_id", "embedding", "lbl", 5, forced)
+        .select(col("qid"), col("nid"), lit(1L).as("_hit"))
+      val brute = Similarity.hardNegatives(corpus, corpus, "vec_id", "embedding", "lbl", 5)
+        .select(col("qid"), col("nid"))
+      brute.join(routed.select("qid", "nid", "_hit"), Seq("qid", "nid"), "left_outer")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_brute"), coalesce(sum(col("_hit")), lit(0L)).as("hits"))
+        .orderBy("qid")
+    },
+    // NS-S25: recall gate for the ROUTED reciprocal best match — both
+    // directions forced down the IVF path, each against its OWN corpus
+    // index (two independent Lloyd stacks in the oracle), mutual-top-1
+    // pairs compared to the brute pairs per left id.
+    Q(
+      "ns273_routed_rbm_recall",
+      Some(
+        s"""WITH ${oKmeansCtesW("rb", "vec_id < 300 AND vec_id % 2 = 1", 8, 2)}
+           |${oKmeansCtesW("lb", "vec_id < 300 AND vec_id % 2 = 0", 8, 2)}
+           |${oIvfServeCtes("rb", "lbef", "lbq", 2, "f")}
+           |${oIvfServeCtes("lb", "rbef", "rbq", 2, "g")}
+           |fr AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM fsc)
+           |  WHERE rank = 1),
+           |gr AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM gsc)
+           |  WHERE rank = 1),
+           |rp AS (SELECT f.qid AS left_id, f.nid AS right_id
+           |  FROM fr f JOIN gr g ON f.qid = g.nid AND f.nid = g.qid),
+           |bf AS (SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${oCosine("a.vd", "b.vd")} DESC, b.vec_id) AS rank
+           |    FROM lbef a JOIN rbef b ON true) WHERE rank = 1),
+           |bg AS (SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${oCosine("a.vd", "b.vd")} DESC, b.vec_id) AS rank
+           |    FROM rbef a JOIN lbef b ON true) WHERE rank = 1),
+           |bp AS (SELECT f.qid AS left_id, f.nid AS right_id
+           |  FROM bf f JOIN bg g ON f.qid = g.nid AND f.nid = g.qid)
+           |SELECT b.left_id, b.right_id AS right_brute,
+           |  coalesce(r.right_id, -1)::BIGINT AS right_routed,
+           |  (CASE WHEN b.right_id = r.right_id THEN 1 ELSE 0 END)::BIGINT AS agree
+           |FROM bp b LEFT JOIN rp r USING (left_id) ORDER BY left_id""".stripMargin)) { (s, dir) =>
+      val e = T(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val left = e.filter(col("vec_id") % 2 === 0)
+      val right = e.filter(col("vec_id") % 2 === 1)
+      val forced = Similarity.AnnRoute(maxBruteForceQueries = 0, nCells = 8, nProbe = 2)
+      val routed = Similarity
+        .reciprocalBestMatch(left, right, "vec_id", "embedding", forced)
+        .select(col("left_id"), col("right_id").as("right_routed"))
+      val brute = Similarity.reciprocalBestMatch(left, right, "vec_id", "embedding")
+        .select(col("left_id"), col("right_id").as("right_brute"))
+      brute.join(routed, Seq("left_id"), "left_outer")
+        .select(col("left_id"), col("right_brute"),
+          coalesce(col("right_routed"), lit(-1L)).as("right_routed"),
+          when(col("right_brute") === col("right_routed"), 1L).otherwise(0L).as("agree"))
+        .orderBy("left_id")
     }
   )
 

@@ -46,16 +46,52 @@ object Similarity {
       call_function("graft_cosine", a, b)
     else cosine(a, b)
 
+  /** Routing knobs for the kNN family ([[topKRouted]],
+    * [[labelDisagreement]], [[knnClassify]], [[hardNegatives]],
+    * [[reciprocalBestMatch]]): query sets at or under
+    * `maxBruteForceQueries` take the exact brute-force baseline; larger
+    * ones delegate to the deterministic integer-IVF candidate path
+    * ([[ivfIntTopK]]) — the same guard-then-route discipline
+    * [[Dedup.embeddingNearDupPairs]] applies to the pair problem. The IVF
+    * knobs size the coarse quantizer for the DELEGATED case only; the
+    * brute path never reads them.
+    */
+  final case class AnnRoute(
+      maxBruteForceQueries: Long = 100000,
+      nCells: Int = 64,
+      nProbe: Int = 8,
+      iterations: Int = 2)
+
+  /** True when `df` holds more than `max` rows, probed with a bounded
+    * limit so the check never scans past `max + 1` rows (the
+    * [[Dedup.embeddingNearDupPairs]] probe; limit takes an Int, so a huge
+    * guard saturates — count() <= Int.MaxValue rows satisfies it anyway).
+    */
+  private def exceeds(df: DataFrame, max: Long): Boolean =
+    df.limit(math.min(max, Int.MaxValue - 1L).toInt + 1).count() > max
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide).
     * Output: (query_id, rank, neighbor_id, cos).
+    *
+    * The query side broadcasts and every corpus row scores against every
+    * query — cost is |corpus|·|queries| cosines and the broadcast must fit
+    * in executor memory, so the call REFUSES query sets above
+    * `maxQueryRows` (fail fast beats an executor OOM three hours into a
+    * 100 TB scan). Corpus-scale query sets belong on [[topKRouted]] /
+    * [[ivfIntTopK]], which shuffle id-only candidates instead.
     */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueryRows: Long = 1000000): DataFrame = {
+    require(
+      !exceeds(queries, maxQueryRows),
+      s"bruteForceTopK query side exceeds $maxQueryRows rows: the broadcast " +
+        "nested loop is quadratic — use topKRouted/ivfIntTopK for corpus-scale query sets")
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = c
@@ -69,6 +105,28 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
+  /** Guard-routed cosine top-k — the family's front door. Query sets at
+    * or under `route.maxBruteForceQueries` get the exact brute-force
+    * baseline (full recall); larger ones delegate to [[ivfIntTopK]], the
+    * deterministic bucketed candidates + exact-rerank plan that survives
+    * any query-set size, at the cost of IVF recall (neighbors outside the
+    * probed cells are missed — quality pinned by the ns96-family recall
+    * gates). Same output contract either way: (qid, rank, nid, cos) with
+    * ties total on (cos DESC, nid). The routed path casts ids to long
+    * (the [[ivfIntTopK]] contract).
+    */
+  def topKRouted(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      route: AnnRoute = AnnRoute()): DataFrame =
+    if (exceeds(queries, route.maxBruteForceQueries))
+      ivfIntTopK(corpus, queries, idCol, vecCol,
+        route.nCells, route.nProbe, k, route.iterations)
+    else bruteForceTopK(corpus, queries, idCol, vecCol, k)
+
   /** Reciprocal best-match pairs between two vector sets: (l, r) such
     * that r is l's single nearest right-side neighbor AND l is r's single
     * nearest left-side neighbor — the mutual-top-1 filter behind bitext /
@@ -79,22 +137,25 @@ object Similarity {
     * on (cos DESC, id), so "the" best match is total. The mutual filter
     * is a plain equi-join on the two (query, neighbor) frames.
     *
-    * Scale shape: two top-1 passes (each broadcasts its QUERY side over
-    * one corpus scan — the brute-force baseline), then an id-pair
-    * equi-join bounded by min(|left|, |right|) rows per side. The scale
-    * path swaps each direction for the bucketed IVF/LSH top-1 (same
-    * output contract) and keeps the mutual join unchanged — candidates
-    * move as id pairs either way, never vectors.
+    * Scale shape: two top-1 passes, each GUARD-ROUTED ([[topKRouted]]):
+    * a bounded query side broadcasts over one corpus scan (exact), a
+    * corpus-scale one delegates to the integer-IVF candidate path — then
+    * an id-pair equi-join bounded by min(|left|, |right|) rows per side.
+    * Candidates move as id pairs either way, never vectors. The routed
+    * directions cast ids to long, so the mutual join keys stay aligned
+    * whichever path each direction takes.
     */
   def reciprocalBestMatch(
       left: DataFrame,
       right: DataFrame,
       idCol: String,
-      vecCol: String): DataFrame = {
-    val lr = bruteForceTopK(right, left, idCol, vecCol, 1)
-      .select(col("qid").as("left_id"), col("nid").as("right_id"), col("cos"))
-    val rl = bruteForceTopK(left, right, idCol, vecCol, 1)
-      .select(col("qid").as("r2"), col("nid").as("l2"))
+      vecCol: String,
+      route: AnnRoute = AnnRoute()): DataFrame = {
+    val lr = topKRouted(right, left, idCol, vecCol, 1, route)
+      .select(col("qid").cast("long").as("left_id"),
+        col("nid").cast("long").as("right_id"), col("cos"))
+    val rl = topKRouted(left, right, idCol, vecCol, 1, route)
+      .select(col("qid").cast("long").as("r2"), col("nid").cast("long").as("l2"))
     lr.join(rl, col("left_id") === col("l2") && col("right_id") === col("r2"))
       .select("left_id", "right_id", "cos")
   }
@@ -105,11 +166,14 @@ object Similarity {
     * inside another class's neighborhood and is a mislabel/boundary
     * candidate for review before training.
     *
-    * Built on [[bruteForceTopK]] (ties total on cos DESC, id), so the
+    * Built on [[topKRouted]] (ties total on cos DESC, id), so the
     * neighbor sets — and therefore the exact integer disagreement
     * counts — are deterministic; the rate is one IEEE division. The
-    * scale path swaps the brute top-k for the IVF/LSH ladder with the
-    * same output contract, exactly as [[reciprocalBestMatch]] documents.
+    * query side here IS the corpus, so this op is the family's clearest
+    * scale hazard: unrouted, it would broadcast the corpus and compute
+    * n² cosines. The route guard sends corpus-scale inputs down the
+    * integer-IVF candidate path automatically (neighbor sets then carry
+    * IVF recall — pinned by the routed recall gate).
     *
     * Output: (id, label, n_neighbors, n_disagree, disagreement).
     */
@@ -118,9 +182,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      route: AnnRoute = AnnRoute()): DataFrame = {
     val labels = df.select(col(idCol).as("_lid"), col(labelCol).as("_lbl"))
-    bruteForceTopK(df, df, idCol, vecCol, k)
+    topKRouted(df, df, idCol, vecCol, k, route)
       .join(labels.select(col("_lid").as("qid"), col("_lbl").as("q_label")), "qid")
       .join(labels.select(col("_lid").as("nid"), col("_lbl").as("n_label")), "nid")
       .groupBy(col("qid").as("id"), col("q_label").as("label"))
@@ -440,6 +505,27 @@ object Similarity {
       nProbe: Int,
       k: Int,
       iterations: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    ivfIntScored(corpus, queries, idCol, vecCol, nCells, nProbe, iterations)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
+  /** [[ivfIntTopK]]'s scored candidate set BEFORE the rank cut: every
+    * (qid, nid, cos) whose corpus vector lives in one of the query's
+    * `nProbe` probed cells. The seam the routed family variants rank
+    * over — [[hardNegatives]] must filter candidates by label BEFORE
+    * ranking, so it needs the pre-cut set, not the top-k.
+    */
+  private[ops] def ivfIntScored(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      nProbe: Int,
+      iterations: Int = 2): DataFrame = {
     val qz = Quantize.quantizeInt8(corpus, idCol, vecCol)
     val (assigned, centroids) =
       Clustering.kmeansIntModel(qz, idCol, "qvec", nCells, iterations)
@@ -469,14 +555,10 @@ object Similarity {
       .join(cells, "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     cands
       .join(qvecs, "qid")
       .join(nvecs, "nid")
       .select(col("qid"), col("nid"), cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
   /** LSH-bucketed ANN: exact cosine rerank *within* buckets only.
@@ -526,10 +608,11 @@ object Similarity {
     * label-propagation baseline for weak labeling / dataset bootstrap
     * (assign a new doc the label of what it sits next to).
     *
-    * Scale shape: the neighbor search is the pluggable part — this
-    * baseline broadcasts the query side over one corpus scan; swap in
-    * the IVF/LSH top-k (same (qid, nid) contract) at corpus scale. The
-    * vote adds one |queries|·k-row aggregate.
+    * Scale shape: the neighbor search is the pluggable part, and the
+    * route guard plugs it — a bounded query set broadcasts over one
+    * corpus scan (exact), a corpus-scale one takes the integer-IVF
+    * candidate path (same (qid, nid) contract). The vote adds one
+    * |queries|·k-row aggregate either way.
     *
     * Output: `(qid, label_pred, votes)`.
     */
@@ -539,8 +622,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String,
-      k: Int): DataFrame = {
-    val top = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      k: Int,
+      route: AnnRoute = AnnRoute()): DataFrame = {
+    val top = topKRouted(corpus, queries, idCol, vecCol, k, route)
     val labels = corpus.select(col(idCol).as("nid"), col(labelCol).as("_lbl"))
     val votes = top.join(labels, "nid")
       .groupBy(col("qid"), col("_lbl"))
@@ -560,10 +644,13 @@ object Similarity {
     * Exact cosine, ranks among the negatives only, [[bruteForceTopK]]'s
     * tie discipline.
     *
-    * Scale shape: identical to the top-k baseline (broadcast query side
-    * with its labels riding along, one corpus scan) plus the label
-    * inequality in the score filter — the IVF/LSH candidate path slots
-    * in at corpus scale with the same contract.
+    * Scale shape: a bounded query set broadcasts with its labels riding
+    * along over one corpus scan (exact); a corpus-scale one takes the
+    * integer-IVF candidate path — candidates filter by label BEFORE the
+    * rank cut (via [[ivfIntScored]], the pre-cut seam), so the routed
+    * result is "k most-similar label-differing CANDIDATES", missing only
+    * negatives outside the probed cells (pinned by the routed recall
+    * gate).
     *
     * Output: `(qid, rank, nid, cos)` — the per-query negative set.
     */
@@ -573,17 +660,31 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String,
-      k: Int): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("nid"), col(vecCol).as("nvec"), col(labelCol).as("nlbl"))
-    val q = queries.select(
-      col(idCol).as("qid"), col(vecCol).as("qvec"), col(labelCol).as("qlbl"))
-    val scored = c
-      .crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid") && col("nlbl") =!= col("qlbl"))
-      .select(col("qid"), col("nid"),
-        cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
+      k: Int,
+      route: AnnRoute = AnnRoute()): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val scored =
+      if (exceeds(queries, route.maxBruteForceQueries)) {
+        val nl = corpus.select(
+          col(idCol).cast("long").as("nid"), col(labelCol).as("nlbl"))
+        val ql = queries.select(
+          col(idCol).cast("long").as("qid"), col(labelCol).as("qlbl"))
+        ivfIntScored(corpus, queries, idCol, vecCol,
+            route.nCells, route.nProbe, route.iterations)
+          .join(nl, "nid")
+          .join(ql, "qid")
+          .filter(col("nlbl") =!= col("qlbl"))
+          .select(col("qid"), col("nid"), col("cos"))
+      } else {
+        val c = corpus.select(
+          col(idCol).as("nid"), col(vecCol).as("nvec"), col(labelCol).as("nlbl"))
+        val q = queries.select(
+          col(idCol).as("qid"), col(vecCol).as("qvec"), col(labelCol).as("qlbl"))
+        c.crossJoin(broadcast(q))
+          .filter(col("qid") =!= col("nid") && col("nlbl") =!= col("qlbl"))
+          .select(col("qid"), col("nid"),
+            cosineFast(corpus, col("qvec"), col("nvec")).as("cos"))
+      }
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

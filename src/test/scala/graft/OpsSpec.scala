@@ -320,6 +320,47 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 3L))
   }
 
+  test("bruteForceTopK refuses a query side beyond maxQueryRows") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3, maxQueryRows = 10)
+    }
+    assert(ex.getMessage.contains("topKRouted"))
+  }
+
+  test("topKRouted: small query sets take the exact brute path") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val routed = Similarity.topKRouted(e, q, "vec_id", "embedding", 3).collect()
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3).collect()
+    assert(routed.map(_.toSeq).toSet == brute.map(_.toSeq).toSet)
+  }
+
+  test("topKRouted: oversize query sets delegate to the integer-IVF path") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val route = Similarity.AnnRoute(maxBruteForceQueries = 0, nCells = 8, nProbe = 2)
+    val routed = Similarity.topKRouted(e, q, "vec_id", "embedding", 3, route).collect()
+    val ivf = Similarity
+      .ivfIntTopK(e, q, "vec_id", "embedding", nCells = 8, nProbe = 2, k = 3)
+      .collect()
+    assert(routed.map(_.toSeq).toSet == ivf.map(_.toSeq).toSet)
+    assert(routed.nonEmpty)
+  }
+
+  test("routed hardNegatives ranks only label-differing IVF candidates") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 100)
+      .withColumn("lbl", ($"vec_id" % 3).cast("string"))
+    val route = Similarity.AnnRoute(maxBruteForceQueries = 0, nCells = 4, nProbe = 2)
+    val out = Similarity
+      .hardNegatives(e, e, "vec_id", "embedding", "lbl", 5, route)
+      .collect()
+    assert(out.nonEmpty)
+    // every mined negative's label differs from its query's
+    assert(out.forall(r => r.getAs[Long]("qid") % 3 != r.getAs[Long]("nid") % 3))
+  }
+
   test("rolling fingerprint is order-sensitive where canonical fp is not") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val rows = df.select(
