@@ -31,8 +31,16 @@ object ResultCache {
     */
   def cached(df: DataFrame, cacheDir: String): (DataFrame, Boolean) = {
     val spark = df.sparkSession
+    val plan = df.queryExecution.analyzed.canonicalized
+    // The default TreeNode rendering truncates expression lists at
+    // spark.sql.debug.maxToStringFields (25) — two plans differing only
+    // past the 25th projection/aggregate would share a key and a false
+    // hit would silently serve the other query's result. Render with an
+    // effectively-unbounded field budget and fold in the semantic hash
+    // plus the full output schema so the key always covers the whole plan.
     val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      df.queryExecution.analyzed.canonicalized.toString)
+      plan.semanticHash().toString + "|" + df.schema.catalogString + "|" +
+        plan.treeString(false, false, Int.MaxValue, false, false))
     val path = new Path(cacheDir, s"rc-$key")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(path, "_SUCCESS")

@@ -223,25 +223,6 @@ object Experiment {
         (col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")))
   }
 
-  /** Covariate-shift importance weights over a BOUNDED bucket covariate
-    * (the DSIR-style density-ratio reweighting that aligns a source
-    * corpus to a target distribution): per bucket, the normalized ratio
-    * `w_b = (n_tgt_b · N_src) / (n_src_b · N_tgt)` — exact longs, ONE
-    * division — under which the weighted source bucket masses match the
-    * target mix exactly (Σ n_src_b·w_b = N_src identically). `uncovered`
-    * flags target mass the source cannot represent (n_src_b = 0 — no
-    * reweighting fixes that; the shift is unfixable there).
-    *
-    * `ess` (Kish effective sample size of the weighted source) collapses
-    * exactly on the bucket dim: (Σw)²/Σw² = N_tgt_cov² / Σ_b
-    * n_tgt_b²/n_src_b (covered buckets; ≤ N_src by Cauchy–Schwarz). The
-    * denominator is the only float accumulation and rides a fixed
-    * bucket-order fold (the ewma convention), bit-reproducible; it
-    * answers "how much data do the weights effectively keep?".
-    *
-    * Scale shape: two map-side-combined bucket counts, a 1-row totals
-    * broadcast, a fold over the bounded bucket dim.
-    */
   /** Poisson-bootstrap confidence interval for a mean — the
     * large-corpus resampling standard (each row enters replicate `b`
     * with a Poisson(1) weight instead of true multinomial resampling, so
@@ -334,6 +315,25 @@ object Experiment {
           col("sum_ad_n") / col("sum_bc_n")))
   }
 
+  /** Covariate-shift importance weights over a BOUNDED bucket covariate
+    * (the DSIR-style density-ratio reweighting that aligns a source
+    * corpus to a target distribution): per bucket, the normalized ratio
+    * `w_b = (n_tgt_b · N_src) / (n_src_b · N_tgt)` — exact longs, ONE
+    * division — under which the weighted source bucket masses match the
+    * target mix exactly (Σ n_src_b·w_b = N_src identically). `uncovered`
+    * flags target mass the source cannot represent (n_src_b = 0 — no
+    * reweighting fixes that; the shift is unfixable there).
+    *
+    * `ess` (Kish effective sample size of the weighted source) collapses
+    * exactly on the bucket dim: (Σw)²/Σw² = N_tgt_cov² / Σ_b
+    * n_tgt_b²/n_src_b (covered buckets; ≤ N_src by Cauchy–Schwarz). The
+    * denominator is the only float accumulation and rides a fixed
+    * bucket-order fold (the ewma convention), bit-reproducible; it
+    * answers "how much data do the weights effectively keep?".
+    *
+    * Scale shape: two map-side-combined bucket counts, a 1-row totals
+    * broadcast, a fold over the bounded bucket dim.
+    */
   def covariateShiftWeights(
       src: DataFrame, tgt: DataFrame, bucketCol: String): DataFrame = {
     val sb = src.groupBy(col(bucketCol).as("bucket")).agg(count(lit(1)).as("n_src"))

@@ -42,6 +42,10 @@ object Packing {
       .select(
         col(idCol),
         col(tokCol).cast("long").as("n_tokens"),
+        // The document's absolute first-token position in the packed
+        // stream (exclusive prefix) — what [[binSummary]] needs to credit
+        // a straddler's tokens to the right bins.
+        col("__excl").as("tok_start"),
         // Integer `div`, never a double divide-then-truncate: exact for
         // any stream length a BIGINT can hold.
         expr(s"__excl div $contextLen").as("bin_start"),
@@ -49,25 +53,34 @@ object Packing {
       .withColumn("straddles", col("bin_end") > col("bin_start"))
   }
 
-  /** Per-bin occupancy summary over [[packBins]]: how many documents START
-    * in each context window and how many tokens of the stream it holds
-    * (contextLen everywhere except the ragged last bin) — the fill/waste
-    * report behind choosing L. Token mass per bin is exact: a straddling
-    * document contributes `min(end, (b+1)·L) − max(start, b·L)` tokens to
-    * bin b; summing per start-bin with the spillover credited forward
-    * reproduces it without exploding a doc into its bin range (bounded
-    * fan-out: a document touches at most n_tokens/L + 1 bins, and the
-    * explode is over that bounded range).
+  /** Per-bin occupancy summary over [[packBins]]: `n_docs` documents
+    * TOUCHING each context window, `n_starting` documents whose first
+    * token lands in it, and `n_tokens` — the exact token mass the bin
+    * holds (contextLen everywhere except the ragged last bin) — the
+    * fill/waste report behind choosing L. A straddling document
+    * contributes `min(end, (b+1)·L) − max(start, b·L)` tokens to bin b,
+    * summed over a BOUNDED explode: a document touches at most
+    * n_tokens/L + 1 bins, so the fan-out is the stream length in bins,
+    * never rows × bins.
     */
   def binSummary(packed: DataFrame, contextLen: Int): DataFrame = {
+    val L = lit(contextLen.toLong)
     val spans = packed
       .withColumn("__b", explode(sequence(col("bin_start"), col("bin_end"))))
     spans
       .groupBy(col("__b").as("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("__b") === col("bin_start"), 1L).otherwise(0L)).as("n_starting"))
+        sum(when(col("__b") === col("bin_start"), 1L).otherwise(0L)).as("n_starting"),
+        // exact per-bin token mass: the doc's overlap with bin b is
+        // min(end, (b+1)·L) − max(start, b·L); summing over the bounded
+        // explode reproduces contextLen for every full bin and the ragged
+        // remainder for the last one.
+        sum(
+          least(col("tok_start") + col("n_tokens"), (col("__b") + 1) * L) -
+            greatest(col("tok_start"), col("__b") * L)).as("n_tokens"))
       .withColumn("n_docs", col("n_docs").cast("long"))
       .withColumn("n_starting", col("n_starting").cast("long"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
   }
 }

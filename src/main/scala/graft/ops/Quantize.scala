@@ -61,7 +61,11 @@ object Quantize {
     * the plan (bounded model state); the projection is a scan-local
     * O(outDim·inDim) integer fold per row — zero shuffle.
     *
-    * Output: `(idCol, scale, proj array<long>)`.
+    * Output: `(idCol, scale, proj array<long>)` — one row per input row
+    * with a NON-EMPTY vector. Rows whose `vecCol` is null or empty carry
+    * no projectable mass and are DROPPED (the relational spelling
+    * explodes the vector, so such rows contribute no positions); filter
+    * or impute upstream if every id must survive.
     */
   def signProject(
       df: DataFrame,

@@ -42,6 +42,12 @@ final case class AsofJoinBackwardPlan(
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length, "key arity mismatch")
+  // Fail fast on key-type drift: RowOrdering is built from the LEFT key
+  // types and applied to both sides' projections — an int-vs-long pair
+  // would compare silently wrong instead of erroring.
+  require(
+    leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key type mismatch — cast both sides to identical types upstream")
   require(leftTs.dataType == LongType && rightTs.dataType == LongType,
     "as-of timestamps must be LongType (epoch micros) — cast upstream")
 

@@ -82,6 +82,25 @@ class LineageSpec extends SparkSpec {
     assert(!hit3, "different plan collided with the cache")
   }
 
+  test("result cache: plans differing only past maxToStringFields never collide") {
+    // TreeNode's default rendering truncates expression lists at
+    // spark.sql.debug.maxToStringFields (25): two projections identical in
+    // their first 25 columns but different in the 30th rendered to the
+    // SAME string, so a toString-keyed cache served a false hit (ADVICE
+    // r10). The key must cover the whole plan.
+    import graft.engine.ResultCache
+    val sup = Tables(spark, sfDir, "supplier")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc-wide").toString
+    def wide(last: org.apache.spark.sql.Column) = sup.select(
+      (0 until 29).map(i => (col("s_suppkey") + lit(i)).as(s"c$i")) :+ last.as("c29"): _*)
+    val (r1, hit1) = ResultCache.cached(wide(col("s_suppkey") * 2), dir)
+    assert(!hit1)
+    val (r2, hit2) = ResultCache.cached(wide(col("s_suppkey") * 3), dir)
+    assert(!hit2, "plans differing only past the 25-field render limit collided")
+    assert(r1.agg(sum(col("c29"))).head().getLong(0) !=
+      r2.agg(sum(col("c29"))).head().getLong(0))
+  }
+
   test("filesTable is metadata-only-consistent with the table it describes") {
     import graft.sinks.{ManagedWriter, StreamType}
     val sup = Tables(spark, sfDir, "supplier")

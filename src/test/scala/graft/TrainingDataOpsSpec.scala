@@ -40,6 +40,13 @@ class TrainingDataOpsSpec extends SparkSpec {
     val summary = Packing.binSummary(packed, L)
     assert(summary.agg(sum("n_starting")).head().getLong(0) == rows.length,
       "every document starts in exactly one bin")
+    // exact per-bin token mass: Σ = stream total; every bin but the
+    // ragged last holds exactly L tokens
+    assert(summary.agg(sum("n_tokens")).head().getLong(0) == total,
+      "bin token mass must sum to the stream total")
+    val short = summary.filter(col("n_tokens") =!= L.toLong).collect()
+    assert(short.length <= 1 && short.forall(_.getAs[Long]("bin") == maxEnd),
+      "only the last bin may be ragged")
     packed.unpersist()
   }
 
