@@ -42,6 +42,22 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("JL sign projection keeps the broadcast sign-dim join, no HOF fold — ns227 shape") {
+    // The round-10 driver bench read 9.2 s for ns227 against a 1.6 s
+    // isolated measurement (contention phantom, adjudicated r11). Pin the
+    // plan the rewrite bought so a regression back to the interpreted
+    // transform(aggregate(zip_with(...))) fold — 24 s at sf0.1 — can
+    // never land silently: the sign-dim table must join as a broadcast
+    // and no interpreted higher-order fold may appear in the plan.
+    val q = SparkEntry.queries("ns227_jl_projection")(spark, sfDir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"sign-dim join lost its broadcast:\n$p")
+    assert(!p.toLowerCase.contains("aggregate(lambda"),
+      s"interpreted HOF fold crept back into the projection:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial sums not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-side of the pricing summary") {
     val q = SparkEntry.queries("b04_agg_pricing_summary")(spark, sfDir)
     q.collect() // AQE finalizes the plan on execution; '*(n)' marks codegen stages
