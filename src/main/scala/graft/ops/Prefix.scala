@@ -1,24 +1,51 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed prefix (running) aggregation over a GLOBAL sort order.
   *
   * A `Window.orderBy(t)` with no partition key is a single-task sort in
   * Spark — the whole input lands on one executor thread, which is exactly
   * the shape that dies first at 100 TB. The classic fix is the two-phase
-  * scan: range-partition on the order key, run the window inside each
+  * scan: range-partition on the order key, run the prefix pass inside each
   * partition, and carry cross-partition state through a tiny per-partition
   * summary (one row per range partition) whose own prefix scan is
   * negligible (bounded by the partition count, not the data).
+  *
+  * The LOCAL pass is a run-buffered mapPartitions kernel over the
+  * range-sorted partition, not a `Window.partitionBy(pid)`: Catalyst
+  * cannot know that range partitioning already clusters rows by their own
+  * partition id, so the window spelling paid a SECOND full-data hash
+  * exchange on the pid plus the WindowExec sort (measured in the round-10
+  * plan) — at 100 TB that extra shuffle is the whole bill. The kernel
+  * reads the partition exactly as the range exchange + in-partition sort
+  * left it: zero additional shuffles. This is the documented
+  * per-partition-imperative exception class (a sort-order-dependent scan
+  * no declarative operator expresses without re-exchanging).
   *
   * Equal order-key values always co-locate (RangePartitioner maps equal
   * keys to the same partition), so "strictly earlier partition" ⇒
   * "strictly smaller key" and the per-partition offset is exact. Results
   * are partition-count-invariant: the offsets compensate wherever the
-  * range cuts fall.
+  * range cuts fall. Both branches hang off the SAME range exchange in one
+  * plan, so exchange/stage reuse computes the input once per action plus
+  * the range-sampling pass.
+  *
+  * The partition identity that links a row to its offset is DATA-DERIVED
+  * — the partition's minimum order key — never
+  * `TaskContext.getPartitionId()`. Range partitions hold disjoint key
+  * ranges and equal keys co-locate, so non-empty partitions have distinct
+  * min-keys and ascending min-key IS the partition order. The task
+  * partition id, by contrast, is whatever id space the CONSUMING plan
+  * wraps the kernel in: measured here, AQE re-planned a downstream
+  * non-equi join into a nested-loop scan whose stage re-read each range
+  * bucket once per probe chunk with fresh task ids (3 buckets → 12 task
+  * partitions), so pid-keyed offsets matched garbage and the composed
+  * query silently duplicated and dropped rows. A min-key identity is
+  * invariant under any such re-evaluation or re-wrapping.
   *
   * Used by [[TimeSeries.peakConcurrency]] (running sum of +1/−1 session
   * boundaries) and [[Skyline.skyline2D]] (running min over strictly
@@ -31,17 +58,49 @@ object Prefix {
   /** `df` extended with `outCol` = running SUM of `valueCol` in ascending
     * `orderCol` order, where every row with the SAME `orderCol` value gets
     * the SAME running total (the "after processing all rows at t" value —
-    * peers are included, matching a RANGE-frame running sum). `orderCol`
-    * must be an integral column; `valueCol` a long.
+    * peers are included, matching a RANGE-frame running sum; rows before
+    * the first non-null value carry null, matching window-sum semantics).
+    * `orderCol` must be an integral column; `valueCol` a long.
     */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
-    val ranged = df.repartitionByRange(col(orderCol)).withColumn(PidCol, spark_partition_id())
-    val w = Window.partitionBy(PidCol).orderBy(col(orderCol))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn(outCol, sum(col(valueCol)).over(w))
+    val ranged = rangedSorted(df, orderCol)
+    val schema = ranged.schema
+    val oi = schema.fieldIndex(orderCol)
+    val vi = schema.fieldIndex(valueCol)
+    val outSchema = schema
+      .add(PidCol, LongType, nullable = false)
+      .add(outCol, LongType, nullable = true)
+    val local = ranged.mapPartitions { rows =>
+      runIterator[Long](rows, oi) { (pidKey, buf, state) =>
+        var runSum = 0L
+        var runSeen = false
+        buf.foreach { r =>
+          val v = r.get(vi)
+          if (v != null) { runSum += v.asInstanceOf[Number].longValue(); runSeen = true }
+        }
+        val acc = state match {
+          case Some(prev) => prev + runSum
+          case None => runSum
+        }
+        val nextState = if (runSeen || state.isDefined) Some(acc) else None
+        val total: Any = nextState.map(Long.box).orNull
+        (buf.map(r => Row.fromSeq(r.toSeq :+ pidKey :+ total)), nextState)
+      }
+    }(Encoders.row(outSchema))
     // One row per range partition; the exclusive prefix over it is a
     // window over ≤ #partitions rows — bounded by cluster layout, not data.
-    val offsets = ranged.groupBy(col(PidCol)).agg(sum(col(valueCol)).as("__part_sum"))
+    // The offsets aggregate over the KERNEL OUTPUT, not a parallel
+    // branch of the input: a parallel branch's range exchange canonicalizes
+    // differently (column pruning reaches it), so ReuseExchange cannot
+    // dedupe the two exchanges and each samples its OWN range boundaries
+    // (RangePartitioner seeds by rdd id) — divergent boundaries mean
+    // divergent pids and a silently wrong (or row-dropping) offset join.
+    // Deriving both sides from `local` makes the exchange subtrees
+    // literally identical — the kernel is an object boundary no pruning
+    // crosses — so the shuffle is computed once and the pids are the same
+    // partitions by construction.
+    val offsets = local
+      .groupBy(col(PidCol)).agg(sum(col(valueCol)).as("__part_sum"))
       .withColumn(
         "__offset",
         coalesce(
@@ -58,23 +117,52 @@ object Prefix {
   /** `df` extended with `beforeOut` = running MIN of `valueCol` over all
     * rows with STRICTLY smaller `orderCol` (null when no such row exists)
     * and `peersOut` = MIN of `valueCol` over the rows with EQUAL
-    * `orderCol`. Both ride one range-partitioned sort (the peers frame is
-    * RANGE 0..0 of the same window sort). `orderCol` must be an integral
-    * column so the strict RANGE frame applies; equal order values always
-    * co-locate in one range partition, so the strictly-before offset from
-    * earlier partitions is exact.
+    * `orderCol`. Both come out of ONE run-buffered pass over the
+    * range-sorted partition. `orderCol` and `valueCol` must be integral
+    * (the out columns are LongType); equal order values always co-locate
+    * in one range partition, so the strictly-before offset from earlier
+    * partitions is exact.
     */
   def runningMinBeforeWithPeers(
       df: DataFrame, orderCol: String, valueCol: String,
       beforeOut: String, peersOut: String): DataFrame = {
-    val ranged = df.repartitionByRange(col(orderCol)).withColumn(PidCol, spark_partition_id())
-    val w = Window.partitionBy(PidCol).orderBy(col(orderCol))
-    val local = ranged
-      .withColumn(
-        beforeOut,
-        min(col(valueCol)).over(w.rangeBetween(Window.unboundedPreceding, -1)))
-      .withColumn(peersOut, min(col(valueCol)).over(w.rangeBetween(0, 0)))
-    val offsets = ranged.groupBy(col(PidCol)).agg(min(col(valueCol)).as("__part_min"))
+    val ranged = rangedSorted(df, orderCol)
+    val schema = ranged.schema
+    val oi = schema.fieldIndex(orderCol)
+    val vi = schema.fieldIndex(valueCol)
+    val outSchema = schema
+      .add(PidCol, LongType, nullable = false)
+      .add(beforeOut, LongType, nullable = true)
+      .add(peersOut, LongType, nullable = true)
+    val local = ranged.mapPartitions { rows =>
+      // state = the running min over all strictly-earlier rows (None until
+      // a non-null value is seen)
+      runIterator[Long](rows, oi) { (pidKey, buf, state) =>
+        var runMin = Long.MaxValue
+        var runSeen = false
+        buf.foreach { r =>
+          val v = r.get(vi)
+          if (v != null) {
+            val l = v.asInstanceOf[Number].longValue()
+            if (l < runMin) runMin = l
+            runSeen = true
+          }
+        }
+        val before: Any = state.map(Long.box).orNull
+        val peers: Any = if (runSeen) runMin else null
+        val nextState = (state, runSeen) match {
+          case (Some(m), true) => Some(math.min(m, runMin))
+          case (Some(m), false) => Some(m)
+          case (None, true) => Some(runMin)
+          case (None, false) => None
+        }
+        (buf.map(r => Row.fromSeq(r.toSeq :+ pidKey :+ before :+ peers)), nextState)
+      }
+    }(Encoders.row(outSchema))
+    // same single-exchange discipline as runningSum: aggregate the
+    // kernel output so both join sides share one reused shuffle
+    val offsets = local
+      .groupBy(col(PidCol)).agg(min(col(valueCol)).cast("long").as("__part_min"))
       .withColumn(
         "__offset",
         min(col("__part_min")).over(
@@ -87,4 +175,71 @@ object Prefix {
       .withColumn(beforeOut, least(col(beforeOut), col("__offset")))
       .drop(PidCol, "__offset")
   }
+
+  /** Range-partition on the order key with an EXPLICIT partition count
+    * (the session's shuffle parallelism) and sort within partitions. The
+    * explicit count matters for correctness, not tuning: a bare
+    * repartitionByRange is REPARTITION_BY_COL, which AQE may coalesce
+    * per CONSUMER stage — measured here coalescing the offsets branch's
+    * read to one task while the probe branch kept all partitions. The
+    * min-key identities are derived from whatever partition layout each
+    * kernel pass actually reads, so the two passes must read the SAME
+    * layout for the offset join's key sets to line up; REPARTITION_BY_NUM
+    * pins the partition count on every consumer, keeping the merged/
+    * unmerged read ambiguity out of the plan entirely.
+    */
+  private def rangedSorted(df: DataFrame, orderCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(col(orderCol))
+  }
+
+  /** Streams a sorted partition as RUNS of equal `orderCol` values:
+    * `emit(partKey, run, state)` maps each buffered run plus the carried
+    * state to (output rows, next state). Peer rows therefore share one
+    * computed value — the RANGE-frame semantics — while memory is bounded
+    * by the largest peer group, never the partition. The emitted
+    * collection is materialized per run (the buffer is reused), so `emit`
+    * must not return a lazy view over it — `ArrayBuffer.map` (strict) is
+    * safe.
+    *
+    * `partKey` is the partition's identity: its FIRST (minimum) order-key
+    * value as a boxed Long, identical for every run of the partition.
+    * Order keys must be non-null — the sort puts nulls first, so a null
+    * key would poison the identity; fail fast instead of joining wrong.
+    */
+  private def runIterator[S](rows: Iterator[Row], keyIdx: Int)(
+      emit: (java.lang.Long, scala.collection.mutable.ArrayBuffer[Row], Option[S])
+        => (scala.collection.Seq[Row], Option[S])): Iterator[Row] =
+    new Iterator[Row] {
+      private val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+      private var out: Iterator[Row] = Iterator.empty
+      private var pending: Row = _
+      private var state: Option[S] = None
+      private var partKey: java.lang.Long = _
+      override def hasNext: Boolean = out.hasNext || pending != null || rows.hasNext
+      override def next(): Row = {
+        if (!out.hasNext) advance()
+        out.next()
+      }
+      private def advance(): Unit = {
+        buf.clear()
+        if (pending == null) pending = rows.next()
+        val key = pending.get(keyIdx)
+        if (partKey == null) {
+          require(key != null, "Prefix: order column must be non-null")
+          partKey = Long.box(key.asInstanceOf[Number].longValue())
+        }
+        buf += pending
+        pending = null
+        var open = true
+        while (open && rows.hasNext) {
+          val r = rows.next()
+          if (r.get(keyIdx) == key) buf += r
+          else { pending = r; open = false }
+        }
+        val (emitted, nextState) = emit(partKey, buf, state)
+        state = nextState
+        out = emitted.iterator
+      }
+    }
 }
