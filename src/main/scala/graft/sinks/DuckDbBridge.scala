@@ -147,15 +147,7 @@ object DuckDbBridge {
       driverJar: java.nio.file.Path,
       bundleDir: String,
       queries: Seq[String]): Seq[Seq[Seq[String]]] = {
-    val loader = new java.net.URLClassLoader(
-      Array(driverJar.toUri.toURL), getClass.getClassLoader)
-    // Instantiate the driver directly instead of DriverManager:
-    // DriverManager refuses drivers from a classloader the caller can't
-    // see, which is exactly our setup.
-    val driver = loader.loadClass("org.duckdb.DuckDBDriver")
-      .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
-    val conn = driver.connect("jdbc:duckdb:", new java.util.Properties)
-    require(conn != null, s"driver at $driverJar did not accept jdbc:duckdb:")
+    val conn = connect(driverJar)
     try {
       val st = conn.createStatement()
       try {
@@ -173,5 +165,178 @@ object DuckDbBridge {
         }
       } finally st.close()
     } finally conn.close()
+  }
+
+  /** Open a live in-process DuckDB connection from a runtime-supplied
+    * JDBC driver jar. Instantiates the driver directly instead of
+    * DriverManager: DriverManager refuses drivers from a classloader the
+    * caller can't see, which is exactly our setup.
+    */
+  private def connect(driverJar: java.nio.file.Path): java.sql.Connection = {
+    val loader = new java.net.URLClassLoader(
+      Array(driverJar.toUri.toURL), getClass.getClassLoader)
+    val driver = loader.loadClass("org.duckdb.DuckDBDriver")
+      .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+    val conn = driver.connect("jdbc:duckdb:", new java.util.Properties)
+    require(conn != null, s"driver at $driverJar did not accept jdbc:duckdb:")
+    conn
+  }
+
+  /** Scalar Arrow field → Spark type (inverse of the
+    * [[graft.proto.ArrowInterchange]] scalar mapping) — the live-ingest
+    * path negotiates its table schema from the Arrow stream itself, the
+    * way the reference's ADBC ingest does from the record batch.
+    */
+  private def sparkTypeOfArrow(
+      t: org.apache.arrow.vector.types.pojo.ArrowType): DataType = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    t match {
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
+      case f: ArrowType.FloatingPoint
+          if f.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE =>
+        DoubleType
+      case f: ArrowType.FloatingPoint
+          if f.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE =>
+        FloatType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Bool => BooleanType
+      case _: ArrowType.Binary => BinaryType
+      case ts: ArrowType.Timestamp if ts.getTimezone != null => TimestampType
+      case _: ArrowType.Timestamp => TimestampNTZType
+      case _: ArrowType.Date => DateType
+      case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case other =>
+        throw new IllegalArgumentException(s"live ingest: unsupported Arrow type $other")
+    }
+  }
+
+  /** JDBC result-set column → Spark type, for marshaling live query
+    * results back out as Arrow. DuckDB's TIMESTAMP is zone-less →
+    * TimestampNTZ (TypeMapping §1.3).
+    */
+  private def sparkTypeOfJdbc(md: java.sql.ResultSetMetaData, i: Int): DataType = {
+    import java.sql.Types._
+    md.getColumnType(i) match {
+      case BIGINT => LongType
+      case INTEGER => IntegerType
+      case SMALLINT => ShortType
+      case DOUBLE | FLOAT | REAL => DoubleType
+      case VARCHAR | CHAR | LONGVARCHAR => StringType
+      case BOOLEAN | BIT => BooleanType
+      case DATE => DateType
+      case TIMESTAMP => TimestampNTZType
+      case DECIMAL | NUMERIC => DecimalType(md.getPrecision(i), md.getScale(i))
+      case VARBINARY | BINARY | BLOB => BinaryType
+      case other =>
+        throw new IllegalArgumentException(
+          s"live query: unsupported JDBC type $other for column ${md.getColumnName(i)}")
+    }
+  }
+
+  /** LIVE Arrow-batch ingest — the remaining delta to the reference's
+    * ADBC path (`duck.go:217-252`: ingest is a loop over the stream's
+    * record batches into a bound statement). Takes an Arrow IPC stream
+    * (from [[graft.proto.ArrowInterchange.toIpcStream]]), creates `table`
+    * on a live in-process connection with the schema declared by the
+    * stream itself, and INSERTs batch-at-a-time — one `executeBatch` per
+    * Arrow record batch, preserving the stream's granularity; no file
+    * ever touches disk. Each query's result comes back as an Arrow IPC
+    * stream, so the round trip is Arrow-in/Arrow-out like the
+    * reference's `Query` (duck.go:190-206).
+    *
+    * Driver-side by design (same class as `runLive`): this is the
+    * interactive attach seam, not a data-plane operator — a 100 TB
+    * handoff goes through `export`'s distributed parquet bundle.
+    * Scalars only: the ADBC wire the reference speaks is flat here too.
+    */
+  def ingestArrowLive(
+      driverJar: java.nio.file.Path,
+      ipc: Array[Byte],
+      table: String,
+      queries: Seq[String]): Seq[Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    val allocator = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(ipc), allocator)
+    val conn = connect(driverJar)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val fields = root.getSchema.getFields.asScala.toSeq
+      val sparkTypes = fields.map(f => sparkTypeOfArrow(f.getType))
+      val colsDdl = fields.zip(sparkTypes)
+        .map { case (f, t) => s"${quoteIdent(f.getName)} ${duckType(t)}" }
+        .mkString(", ")
+      val st = conn.createStatement()
+      try st.execute(s"CREATE TABLE ${quoteIdent(table)} ($colsDdl)")
+      finally st.close()
+      val placeholders = fields.map(_ => "?").mkString(", ")
+      val ins = conn.prepareStatement(
+        s"INSERT INTO ${quoteIdent(table)} VALUES ($placeholders)")
+      try {
+        while (reader.loadNextBatch()) {
+          (0 until root.getRowCount).foreach { i =>
+            sparkTypes.zipWithIndex.foreach { case (t, j) =>
+              val v = root.getVector(j).getObject(i)
+              val bound: AnyRef = (v, t) match {
+                case (null, _) => null
+                case (x: org.apache.arrow.vector.util.Text, _) => x.toString
+                case (x: java.lang.Long, TimestampNTZType) =>
+                  // TimeStampMicroVector.getObject is LocalDateTime in
+                  // arrow 18, but guard the raw-micros form too
+                  java.sql.Timestamp.valueOf(
+                    java.time.LocalDateTime.ofEpochSecond(
+                      x / 1000000L, ((x % 1000000L) * 1000L).toInt,
+                      java.time.ZoneOffset.UTC))
+                case (x: java.lang.Long, TimestampType) =>
+                  // TimeStampMicroTZVector.getObject is raw UTC micros
+                  new java.sql.Timestamp(x / 1000L) {
+                    setNanos(((x % 1000000L) * 1000L).toInt)
+                  }
+                case (x: java.time.LocalDateTime, _) => java.sql.Timestamp.valueOf(x)
+                case (x: java.lang.Integer, DateType) =>
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.longValue()))
+                case (x: java.time.LocalDate, DateType) => java.sql.Date.valueOf(x)
+                case (x, _) => x.asInstanceOf[AnyRef]
+              }
+              ins.setObject(j + 1, bound)
+            }
+            ins.addBatch()
+          }
+          ins.executeBatch()
+        }
+      } finally ins.close()
+      queries.map { q =>
+        val qst = conn.createStatement()
+        try {
+          val rs = qst.executeQuery(q)
+          val md = rs.getMetaData
+          val n = md.getColumnCount
+          val outSchema = StructType(
+            (1 to n).map(i =>
+              StructField(md.getColumnName(i), sparkTypeOfJdbc(md, i))))
+          val rows = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+          while (rs.next()) {
+            val vals = (1 to n).map { i =>
+              val v: Any = outSchema(i - 1).dataType match {
+                case TimestampNTZType =>
+                  Option(rs.getTimestamp(i)).map(_.toLocalDateTime).orNull
+                case DateType => rs.getDate(i) // getObject is LocalDate in DuckDB JDBC
+                case _: DecimalType => rs.getBigDecimal(i)
+                case _ => rs.getObject(i)
+              }
+              if (rs.wasNull()) null else v
+            }
+            rows += org.apache.spark.sql.Row.fromSeq(vals)
+          }
+          graft.proto.ArrowInterchange.toIpcStream(rows.iterator, outSchema)
+        } finally qst.close()
+      }
+    } finally {
+      conn.close()
+      reader.close()
+      allocator.close()
+    }
   }
 }

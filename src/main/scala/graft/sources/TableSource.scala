@@ -21,10 +21,97 @@ import org.apache.spark.sql.types.StructType
 final case class ScanOptions(
     selectedFields: Seq[String] = Nil,
     rowRestriction: Option[String] = None,
-    maxStreamCount: Option[Int] = None)
+    maxStreamCount: Option[Int] = None,
+    sessionRetry: RetryPolicy = RetryPolicy.createReadSession,
+    rowsRetry: RetryPolicy = RetryPolicy.readRows)
 
 object ScanOptions {
   val default: ScanOptions = ScanOptions()
+}
+
+/** Connector-channel retry/backoff policy ≈ the reference's gax call
+  * options (bigquery.go:35-62): exponential backoff between attempts,
+  * retry only on a declared set of status codes, optional overall
+  * deadline. Spark's own `spark.task.maxFailures` covers EXECUTION
+  * retries; this is the CHANNEL policy a swapped-in gRPC read-session
+  * source applies around `CreateReadSession`/`ReadRows` calls — carried
+  * on [[ScanOptions]] so the documented swap-in contract is complete.
+  *
+  * Deterministic by construction: `backoffMs(n)` is a pure schedule and
+  * `run` takes an injectable sleeper, so policy behavior is spec-pinned
+  * without wall-clock waits. The deadline bounds TOTAL backoff slept
+  * (the gax `WithTimeout` shape collapsed to the part that is
+  * deterministic without a wall clock).
+  */
+final case class RetryPolicy(
+    timeoutMs: Option[Long],
+    initialBackoffMs: Long,
+    maxBackoffMs: Long,
+    multiplier: Double,
+    retryableCodes: Set[String]) {
+  require(initialBackoffMs > 0, "initialBackoffMs must be positive")
+  require(maxBackoffMs >= initialBackoffMs, "maxBackoffMs < initialBackoffMs")
+  require(multiplier >= 1.0, "multiplier must be >= 1")
+
+  /** Backoff before retry `attempt` (0-based): initial·multiplier^attempt,
+    * capped at the max (gax.Backoff semantics, bigquery.go:43-47).
+    */
+  def backoffMs(attempt: Int): Long =
+    math.min(
+      maxBackoffMs.toDouble,
+      initialBackoffMs * math.pow(multiplier, attempt.toDouble)).toLong
+
+  /** Run `op`, retrying failures whose `codeOf` is in `retryableCodes`
+    * with the `backoffMs` schedule, up to `maxAttempts` total attempts or
+    * until the deadline's worth of backoff has been slept. Non-retryable
+    * codes propagate immediately.
+    */
+  def run[T](
+      op: () => T,
+      codeOf: Throwable => String,
+      maxAttempts: Int = 5,
+      sleep: Long => Unit = Thread.sleep): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 0
+    var slept = 0L
+    while (true) {
+      try return op()
+      catch {
+        case e: Throwable =>
+          val retryable = retryableCodes.contains(codeOf(e))
+          val next = backoffMs(attempt)
+          val overDeadline = timeoutMs.exists(t => slept + next > t)
+          if (!retryable || attempt + 1 >= maxAttempts || overDeadline) throw e
+          sleep(next)
+          slept += next
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object RetryPolicy {
+
+  /** `CreateReadSession` defaults (bigquery.go:37-48): 600 s deadline,
+    * retry DEADLINE_EXCEEDED + UNAVAILABLE, 100 ms → 60 s ×1.30.
+    */
+  val createReadSession: RetryPolicy = RetryPolicy(
+    timeoutMs = Some(600000L),
+    initialBackoffMs = 100L,
+    maxBackoffMs = 60000L,
+    multiplier = 1.30,
+    retryableCodes = Set("DEADLINE_EXCEEDED", "UNAVAILABLE"))
+
+  /** `ReadRows` defaults (bigquery.go:50-60): no overall deadline, retry
+    * UNAVAILABLE only, same backoff curve.
+    */
+  val readRows: RetryPolicy = RetryPolicy(
+    timeoutMs = None,
+    initialBackoffMs = 100L,
+    maxBackoffMs = 60000L,
+    multiplier = 1.30,
+    retryableCodes = Set("UNAVAILABLE"))
 }
 
 /** A pluggable table source (≈ `BigQueryReadClient`, bigquery.go:64-82).

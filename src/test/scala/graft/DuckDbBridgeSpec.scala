@@ -90,4 +90,36 @@ class DuckDbBridgeSpec extends SparkSpec {
     assert(res(0).head(1).toLong == exp.getLong(1), "cents sum diverged")
     assert(res(1).head(0).toLong == exp.getLong(2), "distinct count diverged")
   }
+
+  test("LIVE Arrow ingest: DataFrame → IPC batches → DuckDB table → Arrow out, no files") {
+    val jar = findDuckDbJar()
+    assume(jar.isDefined, "no duckdb_jdbc jar in the offline cache — seam stays file-based")
+    val df = Seq(
+        (1L, "alpha", 1.5, true),
+        (2L, "beta", -0.25, false),
+        (3L, "gamma", 2.0, true),
+        (4L, null: String, 0.5, false))
+      .toDF("id", "name", "score", "flag")
+      .withColumn("day", lit("2026-02-03").cast("date"))
+    // small batchSize forces MULTIPLE record batches through the insert loop
+    val ipc = graft.proto.ArrowInterchange.toIpcStream(
+      df.collect().iterator, df.schema, batchSize = 2)
+    val out = DuckDbBridge.ingestArrowLive(jar.get, ipc, "docs", Seq(
+      "SELECT COUNT(*)::BIGINT AS n, SUM(CAST(ROUND(score * 100) AS BIGINT))::BIGINT AS cents FROM docs",
+      "SELECT id, name, flag, day FROM docs ORDER BY id"))
+    val (names0, rows0) = graft.proto.ArrowInterchange.fromIpcStream(out(0))
+    assert(names0 == Seq("n", "cents"))
+    assert(rows0 == Seq(Seq(4L, 150L + -25L + 200L + 50L)))
+    val (names1, rows1) = graft.proto.ArrowInterchange.fromIpcStream(out(1))
+    assert(names1 == Seq("id", "name", "flag", "day"))
+    assert(rows1.map(r => (r(0), r(1), r(2))) == Seq(
+      (1L, "alpha", true), (2L, "beta", false), (3L, "gamma", true), (4L, null, false)))
+    // date survives the round trip (arrow DateDay both directions;
+    // getObject is epoch-day Int in some arrow versions, LocalDate in others)
+    assert(rows1.forall(r => (r(3) match {
+      case i: Int => java.time.LocalDate.ofEpochDay(i.toLong)
+      case i: java.lang.Integer => java.time.LocalDate.ofEpochDay(i.longValue())
+      case other => other
+    }).toString == "2026-02-03"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import java.util.UUID
 
 import graft.engine.Engine
-import graft.sources.{ParquetTableSource, ScanOptions}
+import graft.sources.{ParquetTableSource, RetryPolicy, ScanOptions}
 
 /** Engine SQL surface + ingest semantics (≈ duck_test.go:54-130 inline
   * goldens and duck.go:217-252 create-vs-append).
@@ -107,5 +107,48 @@ class EngineSpec extends SparkSpec {
     val src = new ParquetTableSource(sfDir)
     val df = src.read(spark, "nation", ScanOptions(maxStreamCount = Some(4)))
     assert(df.rdd.getNumPartitions >= 4)
+  }
+
+  test("RetryPolicy: gax schedule, code gating, attempt cap, deadline (bigquery.go:35-62)") {
+    // the exact gax curve: 100ms ×1.30 capped at 60s
+    val p = RetryPolicy.createReadSession
+    assert(p.backoffMs(0) == 100L && p.backoffMs(1) == 130L && p.backoffMs(2) == 169L)
+    assert(p.backoffMs(40) == 60000L, "cap applies")
+    assert(ScanOptions.default.rowsRetry.retryableCodes == Set("UNAVAILABLE"))
+
+    // retryable code: succeeds on attempt 3 after sleeping the schedule
+    var calls = 0
+    val slept = scala.collection.mutable.Buffer.empty[Long]
+    val got = p.run[Int](
+      () => { calls += 1; if (calls < 3) throw new RuntimeException("UNAVAILABLE") else 42 },
+      codeOf = _.getMessage, sleep = slept.append(_))
+    assert(got == 42 && calls == 3 && slept.toSeq == Seq(100L, 130L))
+
+    // non-retryable code fails immediately
+    calls = 0
+    intercept[RuntimeException] {
+      p.run[Int](() => { calls += 1; throw new RuntimeException("NOT_FOUND") },
+        codeOf = _.getMessage, sleep = _ => ())
+    }
+    assert(calls == 1)
+
+    // attempt cap: maxAttempts total tries, then the last error propagates
+    calls = 0
+    intercept[RuntimeException] {
+      p.run[Int](() => { calls += 1; throw new RuntimeException("UNAVAILABLE") },
+        codeOf = _.getMessage, maxAttempts = 4, sleep = _ => ())
+    }
+    assert(calls == 4)
+
+    // deadline: total backoff is bounded by timeoutMs — 250ms admits
+    // 100+130 of sleep and refuses the 169ms third wait
+    val tight = p.copy(timeoutMs = Some(250L))
+    calls = 0
+    val sleptTight = scala.collection.mutable.Buffer.empty[Long]
+    intercept[RuntimeException] {
+      tight.run[Int](() => { calls += 1; throw new RuntimeException("UNAVAILABLE") },
+        codeOf = _.getMessage, maxAttempts = 99, sleep = sleptTight.append(_))
+    }
+    assert(calls == 3 && sleptTight.toSeq == Seq(100L, 130L))
   }
 }
