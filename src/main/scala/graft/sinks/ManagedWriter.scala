@@ -546,23 +546,35 @@ object ManagedWriter {
   private val DvPosMarker = "@pos"
 
   /** Sidecar-directory row layout — the bitmap-per-file DV shape (Delta
-    * uses roaring; a dense JDK bitset is the zero-dependency analogue),
+    * uses roaring; the JDK bitset + an explicit run list are the
+    * zero-dependency analogues of roaring's array/bitmap/run containers),
     * chosen ADAPTIVELY per file by encoded size:
-    *   - dense files → ONE `(file, card, NULL, bitmap)` row whose bitmap
-    *     is `java.util.BitSet.toByteArray` (bit k of byte k/8 = position
-    *     k deleted). Reads then join the TINY per-file row set and test
-    *     the bit scan-locally — table rows never shuffle for the DV.
-    *   - sparse files (bitmap would out-size the raw positions) → one
-    *     `(file, 1, pos, NULL)` row per position, anti-joined as before.
-    * `card` sums to the live deletion count either way (bitmap rows
-    * carry their cardinality, position rows carry 1), so history() needs
-    * one metadata-cheap SUM, never an expansion.
+    *   - run-structured files (few contiguous deletion spans — the shape
+    *     compaction and range deletes produce) → ONE
+    *     `(file, card, NULL, NULL, runs)` row where `runs` is the sorted
+    *     `[start, len]` span list; reads test span membership
+    *     scan-locally with a bounded `exists` over the tiny array.
+    *   - dense files → ONE `(file, card, NULL, bitmap, NULL)` row whose
+    *     bitmap is `java.util.BitSet.toByteArray` (bit k of byte k/8 =
+    *     position k deleted). Reads then join the TINY per-file row set
+    *     and test the bit scan-locally — table rows never shuffle for
+    *     the DV.
+    *   - sparse files (bitmap and runs would both out-size the raw
+    *     positions) → one `(file, 1, pos, NULL, NULL)` row per position,
+    *     anti-joined as before.
+    * `card` sums to the live deletion count in every shape (bitmap/run
+    * rows carry their cardinality, position rows carry 1), so history()
+    * needs one metadata-cheap SUM, never an expansion.
     */
+  private val DvRunType = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+    org.apache.spark.sql.types.StructField("start", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("len", org.apache.spark.sql.types.LongType))))
   private val DvDirSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("card", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("bitmap", org.apache.spark.sql.types.BinaryType)))
+    org.apache.spark.sql.types.StructField("bitmap", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("runs", DvRunType)))
 
   /** Handle to a version's effective deletion vector: positions inline
     * (small DVs) or in a parquet sidecar directory (large DVs; see
@@ -582,7 +594,7 @@ object ManagedWriter {
       */
     def df(spark: SparkSession): Option[DataFrame] = posDir match {
       case Some(_) =>
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
         val all = dirDf(spark).get
         val posRows = all.where(col("pos").isNotNull)
           .select(col("file").as(MetaFileCol), col("pos").as(MetaPosCol))
@@ -596,7 +608,19 @@ object ManagedWriter {
               def next(): (String, Long) = (f, it.next().toLong)
             }
           }.toDF(MetaFileCol, MetaPosCol)
-        Some(posRows.unionByName(bmRows))
+        // run rows expand lazily per span (an iterator, like the bitmap
+        // branch — a single million-position span never materializes an
+        // in-memory array)
+        val runRows = all.where(col("runs").isNotNull)
+          .select(col("file"),
+            expr("transform(runs, r -> struct(r.start AS _1, r.len AS _2))").as("runs"))
+          .as[(String, Seq[(Long, Long)])]
+          .flatMap { case (f, spans) =>
+            spans.iterator.flatMap { case (s, l) =>
+              Iterator.range(0, l.toInt).map(k => (f, s + k))
+            }
+          }.toDF(MetaFileCol, MetaPosCol)
+        Some(posRows.unionByName(bmRows).unionByName(runRows))
       case None if inline.isEmpty => None
       case None => Some(spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -666,17 +690,41 @@ object ManagedWriter {
               if (p > maxPos) maxPos = p
             }
           }
-          if (maxPos / 8 + 1 <= card * 8) {
-            Iterator.single((f, card, Option.empty[Long], Option(bs.toByteArray)))
+          // runs of consecutive set bits (roaring's run containers): the
+          // natural encoding for compaction/range deletes, where a file's
+          // deletions are a handful of contiguous spans
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = bs.nextSetBit(0)
+          while (i >= 0) {
+            val j = bs.nextClearBit(i)
+            runs += ((i.toLong, (j - i).toLong))
+            i = bs.nextSetBit(j)
+          }
+          val bitmapBytes = maxPos / 8 + 1
+          val runBytes = 16L * runs.length // two longs per span
+          val posBytes = 8L * card
+          if (runBytes < math.min(bitmapBytes, posBytes)) {
+            Iterator.single((f, card, Option.empty[Long], Option.empty[Array[Byte]],
+              Option(runs.toSeq)))
+          } else if (bitmapBytes <= posBytes) {
+            Iterator.single((f, card, Option.empty[Long], Option(bs.toByteArray),
+              Option.empty[Seq[(Long, Long)]]))
           } else {
             val pit = bs.stream().iterator()
-            new Iterator[(String, Long, Option[Long], Option[Array[Byte]])] {
+            new Iterator[(String, Long, Option[Long], Option[Array[Byte]],
+                Option[Seq[(Long, Long)]])] {
               def hasNext: Boolean = pit.hasNext
-              def next() = (f, 1L, Option(pit.next().toLong), Option.empty[Array[Byte]])
+              def next(): (String, Long, Option[Long], Option[Array[Byte]],
+                  Option[Seq[(Long, Long)]]) = (f, 1L, Option(pit.next().toLong),
+                Option.empty[Array[Byte]], Option.empty[Seq[(Long, Long)]])
             }
           }
         }
-        .toDF("file", "card", "pos", "bitmap")
+        .toDF("file", "card", "pos", "bitmap", "runs")
+        // name the span fields: downstream membership tests read r.start/r.len
+        .withColumn("runs",
+          org.apache.spark.sql.functions.expr(
+            "transform(runs, r -> struct(r._1 AS start, r._2 AS len))"))
       val tmp = new Path(md, s".tmp-dvpos-${UUID.randomUUID().toString.take(8)}")
       encoded.write.parquet(tmp.toString)
       if (!fs.rename(tmp, posTarget)) {
@@ -788,13 +836,25 @@ object ManagedWriter {
         // position past the bitmap's last byte reads as not-deleted via
         // the coalesce)
         val bmRows = all.where(col("bitmap").isNotNull).select(col("file"), col("bitmap"))
+        // run-encoded files: same one-tiny-row-per-file join; membership
+        // is a bounded `exists` over the span array (runs encoding only
+        // wins when the span count is small, so the per-row scan is O(few))
+        val runRows = all.where(col("runs").isNotNull)
+          .select(col("file").as("rfile"), col("runs"))
         val afterPos = df.join(posRows, Seq(MetaFileCol, MetaPosCol), "left_anti")
-        afterPos.join(bmRows, afterPos(MetaFileCol) === bmRows("file"), "left_outer")
+        val afterBm = afterPos
+          .join(bmRows, afterPos(MetaFileCol) === bmRows("file"), "left_outer")
           .where(expr(
             s"""NOT coalesce((CAST(conv(hex(substring(bitmap,
                |  CAST($MetaPosCol DIV 8 AS INT) + 1, 1)), 16, 10) AS INT)
                |  & shiftleft(1, CAST($MetaPosCol % 8 AS INT))) > 0, false)""".stripMargin))
           .drop("file", "bitmap")
+        afterBm.join(runRows, afterBm(MetaFileCol) === runRows("rfile"), "left_outer")
+          .where(expr(
+            s"""NOT coalesce(exists(runs,
+               |  r -> $MetaPosCol >= r.start AND $MetaPosCol < r.start + r.len), false)"""
+              .stripMargin))
+          .drop("rfile", "runs")
     }
     if (keepMeta) filtered else filtered.drop(MetaFileCol, MetaPosCol)
   }

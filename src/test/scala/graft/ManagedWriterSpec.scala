@@ -509,9 +509,10 @@ class ManagedWriterSpec extends SparkSpec {
       s"${nDel}-position DV went through the driver sidecar (${sidecar.length} lines)")
     assert(new java.io.File(md, f"dv-v-$vNew%08d.pos").isDirectory,
       "no executor-written position directory")
-    // a dense changeset (contiguous ids) must take the bitmap-per-file
-    // encoding: one row per touched file, cardinalities summing to the
-    // deletion count, zero raw position rows
+    // a dense changeset (contiguous ids round-robined across 4 files, so
+    // per-file positions are dense but NOT run-structured) must take the
+    // bitmap-per-file encoding: one row per touched file, cardinalities
+    // summing to the deletion count, zero raw position rows
     val enc = spark.read.parquet(s"$dest/_graft_manifest/" + f"dv-v-$vNew%08d.pos")
     assert(enc.where(col("bitmap").isNotNull).count() > 0, "no bitmap rows")
     assert(enc.where(col("pos").isNotNull).count() == 0,
@@ -545,7 +546,64 @@ class ManagedWriterSpec extends SparkSpec {
     assert(enc.where(col("pos").isNotNull).count() == n / 200)
     assert(enc.where(col("bitmap").isNotNull).count() == 0,
       "sparse changeset took the bitmap encoding")
+    assert(enc.where(col("runs").isNotNull).count() == 0,
+      "sparse changeset took the run encoding")
     assert(ManagedWriter.read(spark, dest).count() == n - n / 200)
+  }
+
+  test("run-structured deletes take the run-list DV: >=4x smaller than the bitmap, " +
+    "same read-back; alternating deletes still pick the bitmap") {
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val base = spark.range(1, n + 1).select(col("id"), (col("id") * 3).as("v"))
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Pending)
+    w.write(base.coalesce(1)); w.finalizeCommit()
+    // 8 spans of 100k deletions each (the compaction / GDPR-range shape)
+    val changes = spark.range(1, n + 1)
+      .where(expr("id div 100000") % 2 === 1)
+      .select(col("id"), lit(0L).as("v"), lit("D").as("op"))
+    val nDel = changes.count()
+    val vNew = ManagedWriter.mergeDV(spark, dest, changes, Seq("id"))
+    val posDir = new java.io.File(s"$dest/_graft_manifest", f"dv-v-$vNew%08d.pos")
+    val enc = spark.read.parquet(posDir.toString)
+    assert(enc.where(col("runs").isNotNull).count() == 1, "expected ONE run-list row")
+    assert(enc.where(col("bitmap").isNotNull or col("pos").isNotNull).count() == 0)
+    assert(enc.agg(sum("card")).head.getLong(0) == nDel)
+    // the size pin: the run sidecar beats the dense bitmap (maxPos/8+1
+    // bytes) by >=4x on disk, parquet framing included
+    val sidecarBytes = posDir.listFiles().map(_.length()).sum
+    val bitmapBytes = n / 8 + 1
+    assert(sidecarBytes * 4 <= bitmapBytes,
+      s"run sidecar $sidecarBytes B is not >=4x under the $bitmapBytes B bitmap")
+    // identical read-back: deleted spans gone, survivors intact
+    val live = ManagedWriter.read(spark, dest)
+    assert(live.count() == n - nDel)
+    assert(live.where(expr("id div 100000") % 2 === 1).count() == 0)
+    assert(live.agg(sum("v")).head.getLong(0) ==
+      spark.range(1, n + 1).where(expr("id div 100000") % 2 === 0)
+        .agg(sum(col("id") * 3)).head.getLong(0))
+    // a second merge UNIONs through the run expansion (DvRef.df) and the
+    // deletions compose
+    ManagedWriter.mergeDV(spark, dest,
+      spark.range(1, 101).select(col("id"), lit(0L).as("v"), lit("D").as("op")),
+      Seq("id"))
+    assert(ManagedWriter.read(spark, dest).count() == n - nDel - 100L)
+
+    // alternating (dense but runny-free) deletes still pick the bitmap:
+    // runs would cost 16 B/position vs 1 bit
+    val dest2 = tmp()
+    val w2 = new ManagedWriter(spark, dest2, base.schema, StreamType.Pending)
+    w2.write(spark.range(1, 100001).select(col("id"), (col("id") * 3).as("v")).coalesce(1))
+    w2.finalizeCommit()
+    val v2 = ManagedWriter.mergeDV(spark, dest2,
+      spark.range(1, 100001).where(col("id") % 2 === 0)
+        .select(col("id"), lit(0L).as("v"), lit("D").as("op")),
+      Seq("id"))
+    val enc2 = spark.read.parquet(s"$dest2/_graft_manifest/" + f"dv-v-$v2%08d.pos")
+    assert(enc2.where(col("bitmap").isNotNull).count() > 0, "alternating lost the bitmap")
+    assert(enc2.where(col("runs").isNotNull).count() == 0)
+    assert(ManagedWriter.read(spark, dest2).count() == 50000L)
   }
 
   test("manifest log is segmented: bounded deltas between full-snapshot checkpoints, " +
