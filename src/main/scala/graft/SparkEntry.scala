@@ -10139,6 +10139,110 @@ object SparkEntry {
           coalesce(col("right_routed"), lit(-1L)).as("right_routed"),
           when(col("right_brute") === col("right_routed"), 1L).otherwise(0L).as("agree"))
         .orderBy("left_id")
+    },
+    // NS-E2E: the composed corpus pipeline — segment-dedup → clean
+    // (lang gate → quality gate → exact dedup → near-dup drop) →
+    // decontaminate against a held-out benchmark → exact-mixture source
+    // sampling → budget packing, hash-matched AS A WHOLE against one
+    // DuckDB replay. The per-stage gates (ns103, ns22, ns40, ns42, ns41)
+    // prove each operator; this gate catches interface drift BETWEEN
+    // them (column contracts, text re-canonicalization, survivor-set
+    // handoffs) that no per-stage oracle can see.
+    Q(
+      "ns274_corpus_pipeline", {
+        val hits = TextOps.LangMarkers
+          .map { case (l, ws) => s"${oHits("toks", ws)} AS h_$l" }
+          .mkString(",\n  ")
+        val langs = TextOps.LangMarkers.map(_._1)
+        val mx = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN h_$l = mx THEN '$l'").mkString(" ")
+        val stops = TextOps.LangMarkers.flatMap(_._2).distinct.sorted
+        Some(
+          s"""WITH t0 AS (SELECT doc_id, $oToks AS ts FROM documents WHERE doc_id % 50 <> 0),
+             |seg AS (SELECT doc_id,
+             |    unnest([{'idx': i, 'seg': array_to_string(ts[i*8+1 : i*8+8], ' ')}
+             |      for i in range((len(ts)+7)//8)], recursive := true)
+             |  FROM t0),
+             |rk AS (SELECT doc_id, idx, seg,
+             |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+             |  FROM seg),
+             |cd AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text
+             |  FROM rk WHERE rn = 1 GROUP BY 1),
+             |t AS (SELECT doc_id, text, $oToks AS toks FROM cd),
+             |s AS (SELECT doc_id, $hits FROM t),
+             |m AS (SELECT doc_id, *, $mx AS mx FROM s),
+             |lang AS (SELECT doc_id, CASE WHEN mx = 0 THEN 'und' $cases END AS lang_pred FROM m),
+             |f AS (SELECT doc_id, text, toks,
+             |  list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)::DOUBLE AS awl,
+             |  ${oHits("toks", stops)}::DOUBLE / len(toks)::DOUBLE AS stop_ratio,
+             |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |    / length(text)::DOUBLE AS punct_ratio
+             |FROM t),
+             |q AS (SELECT doc_id, toks,
+             |  stop_ratio * 0.4 + least(awl / 10.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.2 AS quality
+             |FROM f),
+             |gated AS (SELECT q.doc_id, q.toks, q.quality,
+             |  md5(array_to_string(list_sort(list_distinct(q.toks)), ' ')) AS fp
+             |  FROM q JOIN lang ON q.doc_id = lang.doc_id
+             |  WHERE lang.lang_pred = 'en' AND q.quality >= 0.40),
+             |keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+             |ded AS (SELECT g.* FROM gated g JOIN keep k ON g.fp = k.fp AND g.doc_id = k.doc_id),
+             |sh AS (SELECT doc_id, list_distinct($oShingles) AS grams
+             |  FROM (SELECT doc_id, toks AS ts FROM ded)),
+             |ex AS (SELECT doc_id, len(grams)::BIGINT AS ng, unnest(grams) AS gram FROM sh),
+             |j AS (SELECT a.doc_id AS da, b.doc_id AS db, a.ng AS na, b.ng AS nb, COUNT(*) AS inter
+             |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+             |drops AS (SELECT DISTINCT db FROM j
+             |  WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5),
+             |surv AS (SELECT doc_id, quality, toks FROM ded
+             |  WHERE doc_id NOT IN (SELECT db FROM drops)),
+             |bt AS (SELECT doc_id, $oToks AS ts FROM documents WHERE doc_id % 50 = 0),
+             |bsh AS (SELECT doc_id, list_distinct($oShingles) AS grams FROM bt),
+             |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM bsh),
+             |cg AS (SELECT doc_id, unnest(grams) AS gram FROM (
+             |    SELECT doc_id, list_distinct($oShingles) AS grams
+             |    FROM (SELECT doc_id, toks AS ts FROM surv))),
+             |ov AS (SELECT cg.doc_id, COUNT(*) AS n_overlap FROM cg JOIN bg USING (gram) GROUP BY 1),
+             |dec AS (SELECT sv.* FROM surv sv LEFT JOIN ov USING (doc_id)
+             |  WHERE coalesce(ov.n_overlap, 0) < 3),
+             |ws AS (SELECT dec.doc_id, dec.quality, dec.toks, doc.source
+             |  FROM dec JOIN documents doc USING (doc_id)),
+             |c AS (SELECT source, count(*) AS n FROM ws GROUP BY 1),
+             |w(source, w) AS (VALUES ('src0', 2), ('src1', 1), ('src2', 1), ('src3', 1)),
+             |kq AS (SELECT min(n // w) AS k FROM c JOIN w USING (source)),
+             |q2 AS (SELECT source, w * k AS quota FROM w, kq),
+             |r AS (SELECT doc_id, source, quality, toks, row_number() OVER (PARTITION BY source
+             |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM ws),
+             |samp AS (SELECT doc_id, source, quality, len(toks)::BIGINT AS n_tok
+             |  FROM r JOIN q2 USING (source) WHERE rn <= quota),
+             |c2 AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM samp)
+             |SELECT doc_id, source, quality, n_tok, ((cum - n_tok) // 256)::BIGINT AS pack_id
+             |FROM c2 ORDER BY doc_id""".stripMargin)
+      }) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val seg = Dedup
+        .segmentDedup(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", segWords = 8)
+        .where(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val surv = graft.ops.CleanCorpus.run(seg, "doc_id", "text")
+        .select("doc_id", "quality")
+        .join(seg, Seq("doc_id"))
+      val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      val clear = TextOps.contaminationTag(surv, bench, "doc_id", "text", n = 3, minOverlap = 3)
+        .where(!col("contaminated"))
+        .select("doc_id")
+      val ws = surv.join(clear, Seq("doc_id"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val samp = Sampling
+        .mixtureSample(ws, groupCol = "source", idCol = "doc_id",
+          weights = Seq("src0" -> 2L, "src1" -> 1L, "src2" -> 1L, "src3" -> 1L))
+        .select(col("doc_id"), col("source"), col("quality"),
+          TextOps.tokenCountWs(col("text")).as("n_tok"))
+      TextOps.budgetPack(samp, keyCol = "source", orderCol = "doc_id",
+          weightCol = "n_tok", budget = 256L)
+        .select("doc_id", "source", "quality", "n_tok", "pack_id")
+        .orderBy("doc_id")
     }
   )
 
