@@ -10221,13 +10221,21 @@ object SparkEntry {
              |FROM c2 ORDER BY doc_id""".stripMargin)
       }) { (s, dir) =>
       val docs = T(s, dir, "documents")
-      val seg = Dedup
-        .segmentDedup(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", segWords = 8)
-        .where(col("n_kept") > 0)
-        .select(col("doc_id"), col("clean_text").as("text"))
-      val surv = graft.ops.CleanCorpus.run(seg, "doc_id", "text")
-        .select("doc_id", "quality")
-        .join(seg, Seq("doc_id"))
+      // the staged intermediates are each consumed by several downstream
+      // subtrees (CleanCorpus alone reads its input four times: two gate
+      // passes, the fp window, the pair self-join) — checkpoint between
+      // stages exactly as a production pipeline persists its cleaned
+      // corpus, so each stage computes once (10.2 s → recomputed-seg cost
+      // removed at sf0.1)
+      val seg = graft.ops.Checkpoints.truncate(
+        Dedup
+          .segmentDedup(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", segWords = 8)
+          .where(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")))
+      val surv = graft.ops.Checkpoints.truncate(
+        graft.ops.CleanCorpus.run(seg, "doc_id", "text")
+          .select("doc_id", "quality")
+          .join(seg, Seq("doc_id")))
       val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
       val clear = TextOps.contaminationTag(surv, bench, "doc_id", "text", n = 3, minOverlap = 3)
         .where(!col("contaminated"))

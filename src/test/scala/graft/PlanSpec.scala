@@ -509,4 +509,38 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unpartitioned windows over unaggregated input:\n${offenders.mkString("\n")}")
   }
+
+  test("Prefix.runningSum: both branches reuse ONE range exchange; pid keys are data-derived") {
+    // The two-phase prefix scan's whole point is that the local kernel and
+    // the offsets branch hang off the SAME range exchange — a second
+    // materialization would re-sample boundaries (divergent partition
+    // identities) and re-pay the full-data shuffle the round-11 fuse
+    // removed. Pin with AQE off so exchange reuse is visible in the plan.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = spark.range(0, 50000)
+        .select((col("id") % 997L).as("t"), lit(1L).as("v"))
+      val out = graft.ops.Prefix.runningSum(df.toDF(), "t", "v", "run")
+      val plan = out.queryExecution.executedPlan.toString
+      // a ReusedExchange line re-prints its referent, so count LINES: a
+      // materialized range exchange is one that is not a reuse reference
+      val lines = plan.linesIterator.toSeq
+      val nRange = lines.count(l =>
+        l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+      val nReused = lines.count(_.contains("ReusedExchange"))
+      assert(nRange == 1, s"expected ONE materialized range exchange, got $nRange:\n$plan")
+      assert(nReused >= 1, s"offsets branch did not reuse the range exchange:\n$plan")
+      // the old full-data second exchange was hashpartitioning on the pid
+      // directly over the kernel output WITHOUT a partial aggregate; the
+      // fused shape only ever exchanges the pid AFTER map-side combine
+      assert(!plan.contains("Window [sum(v"), "running sum fell back to a window over rows")
+      // and the result is exact: peers share totals, global order respected
+      val got = out.groupBy("t").agg(countDistinct("run").as("d"), max("run").as("m"))
+      assert(got.where(col("d") =!= 1L).count() == 0, "peers disagree on the running total")
+      val tail = out.where(col("t") === 996L).select("run").head().getLong(0)
+      assert(out.agg(max("run")).head().getLong(0) == 50000L)
+      assert(tail == 50000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
