@@ -753,6 +753,49 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(a == brute)
   }
 
+  test("Prefix.runningSum: shuffle-parallelism invariant, null order keys refused") {
+    import org.apache.spark.sql.functions.{col, lit, sum => fsum}
+    val rows = (1L to 1000L).map(i => ((i * 13) % 101, i % 7))
+    val df = rows.toDF("t", "v")
+    val expect = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cum = expect.keys.toSeq.sorted
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), t) => (t, acc + expect(t)) }
+      .drop(1).toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Seq("3", "17").foreach { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        val got = graft.ops.Prefix.runningSum(df, "t", "v", "run")
+          .select("t", "run").distinct().as[(Long, Long)].collect().toMap
+        assert(got == cum, s"parallelism $n diverged")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // a null order key poisons the data-derived partition identity —
+    // the kernel must refuse it loudly, not join wrong
+    val withNull = df.withColumn("t",
+      org.apache.spark.sql.functions.when(col("t") === 13L, lit(null)).otherwise(col("t")))
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.ops.Prefix.runningSum(withNull, "t", "v", "run").collect()
+    }
+    assert(ex.getMessage.contains("order column must be non-null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("order column must be non-null")))
+    // runningMinBeforeWithPeers: same invariance on the min kernel
+    val expMin = {
+      val byT = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val ts = byT.keys.toSeq.sorted
+      ts.zipWithIndex.map { case (t, i) =>
+        val before = if (i == 0) None else Some(ts.take(i).map(byT).min)
+        (t, (before, byT(t)))
+      }.toMap
+    }
+    val gotMin = graft.ops.Prefix
+      .runningMinBeforeWithPeers(df.repartition(11), "t", "v", "mb", "mp")
+      .select("t", "mb", "mp").distinct().collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))))
+      .toMap
+    assert(gotMin == expMin)
+  }
+
   // -------------------------------------------- round-9 batch: concurrency
 
   test("peakConcurrency sweeps half-open intervals with day carry-in") {
