@@ -606,6 +606,53 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.read(spark, dest2).count() == 50000L)
   }
 
+  test("one DV version mixes all three containers per file; the composed read filter is exact") {
+    import org.apache.spark.sql.functions._
+    // three files with contiguous id ranges (range partitioning), so the
+    // per-file deletion PATTERN is chosen by id arithmetic: file 1 gets
+    // contiguous spans (runs), file 2 alternating rows (bitmap), file 3
+    // every-250th row (sparse positions)
+    val n = 300000L
+    val base = spark.range(1, n + 1).select(col("id"), (col("id") * 7).as("v"))
+    val dest = tmp()
+    val third = n / 3
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Committed)
+    // three committed batches = three files with EXACT id ranges (range
+    // partitioning samples boundaries, which would bleed one file's
+    // pattern into the next and blur the per-file container choice)
+    w.write(base.where(col("id") <= third).coalesce(1))
+    w.write(base.where(col("id") > third && col("id") <= 2 * third).coalesce(1))
+    w.write(base.where(col("id") > 2 * third).coalesce(1))
+    val delPred =
+      (col("id") <= third && (expr(s"(id - 1) div 10000") % 2) === 1) ||
+      (col("id") > third && col("id") <= 2 * third && col("id") % 2 === 0) ||
+      (col("id") > 2 * third && col("id") % 250 === 0)
+    val changes = spark.range(1, n + 1).where(delPred)
+      .select(col("id"), lit(0L).as("v"), lit("D").as("op"))
+    val nDel = changes.count()
+    val vNew = ManagedWriter.mergeDV(spark, dest, changes, Seq("id"))
+    val enc = spark.read.parquet(s"$dest/_graft_manifest/" + f"dv-v-$vNew%08d.pos")
+    assert(enc.where(col("runs").isNotNull).count() == 1, "span file lost the run container")
+    assert(enc.where(col("bitmap").isNotNull).count() == 1, "alternating file lost the bitmap")
+    assert(enc.where(col("pos").isNotNull).count() == third / 250,
+      "sparse file lost the position rows")
+    assert(enc.agg(sum("card")).head.getLong(0) == nDel)
+    // the read filter composes anti-join + bitmap test + span exists —
+    // survivors must equal the brute predicate complement exactly
+    val live = ManagedWriter.read(spark, dest)
+    assert(live.count() == n - nDel)
+    assert(live.where(delPred).count() == 0, "a deleted row survived")
+    assert(live.agg(sum("v")).head.getLong(0) ==
+      spark.range(1, n + 1).where(!delPred).agg(sum(col("id") * 7)).head.getLong(0))
+    // and the mixed version still expands correctly when a LATER merge
+    // unions it (DvRef.df across all three containers at once)
+    ManagedWriter.mergeDV(spark, dest,
+      spark.range(1, n + 1).where(!delPred).limit(50)
+        .select(col("id"), lit(0L).as("v"), lit("D").as("op")),
+      Seq("id"))
+    assert(ManagedWriter.read(spark, dest).count() == n - nDel - 50L)
+  }
+
   test("manifest log is segmented: bounded deltas between full-snapshot checkpoints, " +
     "vacuum materializes kept versions") {
     import spark.implicits._
