@@ -541,6 +541,13 @@ class PlanSpec extends SparkSpec {
       val tail = out.where(col("t") === 996L).select("run").head().getLong(0)
       assert(out.agg(max("run")).head().getLong(0) == 50000L)
       assert(tail == 50000L)
+      // the min kernel rides the identical discipline
+      val out2 = graft.ops.Prefix.runningMinBeforeWithPeers(
+        df.toDF(), "t", "v", "mb", "mp")
+      val lines2 = out2.queryExecution.executedPlan.toString.linesIterator.toSeq
+      assert(lines2.count(l =>
+        l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange")) == 1)
+      assert(lines2.count(_.contains("ReusedExchange")) >= 1)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 }
