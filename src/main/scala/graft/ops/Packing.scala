@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** One row per non-empty document: (id, n_tokens, bin_start, bin_end,
-    * straddles). `bin_start` = the context window holding the document's
-    * first token under the md5 pack order; empty documents (0 tokens) are
-    * dropped — they occupy no stream positions.
+  /** One row per non-empty document: (id, n_tokens, tok_start, bin_start,
+    * bin_end, straddles). `tok_start` = the document's absolute first-token
+    * position in the packed stream (exclusive prefix — [[binSummary]]'s
+    * input for exact per-bin token mass; added alongside the original five
+    * columns, so positional consumers of the old schema must re-pin);
+    * `bin_start` = the context window holding that first token under the
+    * md5 pack order; empty documents (0 tokens) are dropped — they occupy
+    * no stream positions.
     */
   def packBins(df: DataFrame, idCol: String, tokCol: String, contextLen: Int): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")

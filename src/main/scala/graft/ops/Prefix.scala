@@ -99,19 +99,26 @@ object Prefix {
     // literally identical — the kernel is an object boundary no pruning
     // crosses — so the shuffle is computed once and the pids are the same
     // partitions by construction.
+    val prior = Window.orderBy(PidCol).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local
-      .groupBy(col(PidCol)).agg(sum(col(valueCol)).as("__part_sum"))
-      .withColumn(
-        "__offset",
-        coalesce(
-          sum(col("__part_sum")).over(
-            Window.orderBy(PidCol).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(PidCol), col("__offset"))
+      .groupBy(col(PidCol)).agg(
+        sum(col(valueCol)).as("__part_sum"),
+        count(col(valueCol)).as("__part_cnt"))
+      .withColumn("__offset", coalesce(sum(col("__part_sum")).over(prior), lit(0L)))
+      // whether ANY strictly-earlier partition saw a non-null value: a row
+      // whose partition-local prefix is still null (leading all-null run)
+      // must carry the prior partitions' running total, not null — the
+      // result may not depend on where the range cuts fall.
+      .withColumn("__has_prior", coalesce(sum(col("__part_cnt")).over(prior), lit(0L)) > lit(0L))
+      .select(col(PidCol), col("__offset"), col("__has_prior"))
     local
       .join(broadcast(offsets), PidCol)
-      .withColumn(outCol, col(outCol) + col("__offset"))
-      .drop(PidCol, "__offset")
+      .withColumn(
+        outCol,
+        when(col(outCol).isNotNull, col(outCol) + col("__offset"))
+          .when(col("__has_prior"), col("__offset"))
+          .otherwise(lit(null).cast(LongType)))
+      .drop(PidCol, "__offset", "__has_prior")
   }
 
   /** `df` extended with `beforeOut` = running MIN of `valueCol` over all

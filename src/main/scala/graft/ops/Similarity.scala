@@ -112,8 +112,10 @@ object Similarity {
     * any query-set size, at the cost of IVF recall (neighbors outside the
     * probed cells are missed — quality pinned by the ns96-family recall
     * gates). Same output contract either way: (qid, rank, nid, cos) with
-    * ties total on (cos DESC, nid). The routed path casts ids to long
-    * (the [[ivfIntTopK]] contract).
+    * ties total on (cos DESC, nid) and LONG ids on BOTH branches (the
+    * [[ivfIntTopK]] contract) — the schema must not depend on which side
+    * of the routing threshold the runtime query count lands, so the brute
+    * arm casts too, exactly as [[reciprocalBestMatch]] already does.
     */
   def topKRouted(
       corpus: DataFrame,
@@ -121,11 +123,24 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      route: AnnRoute = AnnRoute()): DataFrame =
+      route: AnnRoute = AnnRoute()): DataFrame = {
+    // Validate up front, not per-branch: a string id would "work" on the
+    // brute arm at small scale and break (or null out under the cast) the
+    // first time routing kicks in — the contract must be size-independent.
+    Seq(corpus, queries).foreach { d =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val t = d.schema(d.schema.fieldIndex(idCol)).dataType
+      val integral = t == ByteType || t == ShortType || t == IntegerType || t == LongType
+      require(integral, s"topKRouted requires an integral id column; '$idCol' is $t")
+    }
     if (exceeds(queries, route.maxBruteForceQueries))
       ivfIntTopK(corpus, queries, idCol, vecCol,
         route.nCells, route.nProbe, k, route.iterations)
-    else bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    else
+      bruteForceTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("qid").cast("long").as("qid"), col("rank"),
+          col("nid").cast("long").as("nid"), col("cos"))
+  }
 
   /** Reciprocal best-match pairs between two vector sets: (l, r) such
     * that r is l's single nearest right-side neighbor AND l is r's single

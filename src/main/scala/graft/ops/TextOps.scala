@@ -1300,8 +1300,20 @@ object TextOps {
     * order break on the token string (total order, deterministic).
     *
     * Scale shape: one exploded count pass collapses to the VOCAB dim
-    * (map-side combined); the ranking window runs over that aggregated
-    * dim — the PlanSpec-sanctioned unpartitioned-window shape.
+    * (map-side combined). `boundedDomain = true` (default) runs the
+    * ranking window over that aggregated dim — the PlanSpec-sanctioned
+    * unpartitioned-window shape, right when the vocab is known-bounded.
+    * `false` (open vocabularies — a 10⁹-type dim would make the
+    * unpartitioned window a single-task sort) collapses FURTHER to
+    * frequency CLASSES — the distinct-count dim, ≤ √(2·total_tokens) by
+    * the partition-number bound, so ~45k rows at 10⁹ tokens — rides
+    * [[Prefix.runningSum]]'s two-phase range-partitioned scan over the
+    * classes (same substrate as quantileNormalize / Kaplan-Meier), and
+    * resolves the within-class crossing arithmetically: every type in a
+    * class has the SAME count, so the j-th type's cumulative mass is
+    * class_start + j·c regardless of the token tie-break order — the
+    * answer is exactly the bounded path's, with no per-type window at
+    * all.
     *
     * Output: one row per target `(target_pct, types_needed, vocab_size,
     * total_tokens)`.
@@ -1309,31 +1321,63 @@ object TextOps {
   def vocabMassCoverage(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
-      targets: Seq[Int]): org.apache.spark.sql.DataFrame = {
+      targets: Seq[Int],
+      boundedDomain: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(targets.nonEmpty && targets.forall(t => t >= 1 && t <= 100),
       "targets must be percentages in [1, 100]")
     val counts = df
       .select(explode(tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c").desc, col("t"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = counts
-      .withColumn("cum", sum("c").over(w))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("t"))))
     val totals = counts.agg(
       sum("c").as("total_tokens"), count(lit(1)).as("vocab_size"))
     val targetDf = df.sparkSession
       .createDataFrame(targets.map(Tuple1(_))).toDF("target_pct")
       .select(col("target_pct").cast("long"))
-    targetDf
-      .crossJoin(broadcast(totals))
-      .join(ranked, col("cum") * 100 >= col("total_tokens") * col("target_pct"))
-      .groupBy("target_pct", "vocab_size", "total_tokens")
-      .agg(min("rk").cast("long").as("types_needed"))
-      .select("target_pct", "types_needed", "vocab_size", "total_tokens")
+    if (boundedDomain) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ranked = counts
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("t"))))
+      targetDf
+        .crossJoin(broadcast(totals))
+        .join(ranked, col("cum") * 100 >= col("total_tokens") * col("target_pct"))
+        .groupBy("target_pct", "vocab_size", "total_tokens")
+        .agg(min("rk").cast("long").as("types_needed"))
+        .select("target_pct", "types_needed", "vocab_size", "total_tokens")
+    } else {
+      // Frequency classes in descending-count order (negated count is the
+      // integral ascending range key). Chained prefix scans give each
+      // class its cumulative token mass and cumulative type count; the
+      // class dim is tiny relative to the vocab, so the second scan's
+      // re-exchange is noise.
+      val classes = counts
+        .groupBy(col("c")).agg(count(lit(1)).as("nt"))
+        .withColumn("mass", col("c") * col("nt"))
+        .withColumn("__negc", -col("c"))
+      val cum = Prefix.runningSum(
+        Prefix.runningSum(classes, "__negc", "mass", "cum_mass"),
+        "__negc", "nt", "cum_types")
+      // The crossing class: first (in c-desc order) whose cumulative mass
+      // reaches the target. Within it, j more types are needed where
+      // (start_mass + j·c)·100 ≥ total·pct — an exact integer ceiling.
+      targetDf
+        .crossJoin(broadcast(totals))
+        .join(
+          cum,
+          col("cum_mass") * 100 >= col("total_tokens") * col("target_pct") &&
+            (col("cum_mass") - col("mass")) * 100 < col("total_tokens") * col("target_pct"))
+        .withColumn(
+          "types_needed",
+          (col("cum_types") - col("nt")) +
+            expr("(total_tokens * target_pct - (cum_mass - mass) * 100 + c * 100 - 1) div (c * 100)"))
+        .select(
+          col("target_pct"), col("types_needed").cast("long").as("types_needed"),
+          col("vocab_size"), col("total_tokens"))
+    }
   }
 
   /** Partial-overlap pairs over the winnowing index: document pairs

@@ -284,15 +284,18 @@ object DuckDbBridge {
                 case (x: org.apache.arrow.vector.util.Text, _) => x.toString
                 case (x: java.lang.Long, TimestampNTZType) =>
                   // TimeStampMicroVector.getObject is LocalDateTime in
-                  // arrow 18, but guard the raw-micros form too
+                  // arrow 18, but guard the raw-micros form too; floor
+                  // division keeps pre-1970 micros' nano component in
+                  // [0, 1e9) instead of negative
                   java.sql.Timestamp.valueOf(
                     java.time.LocalDateTime.ofEpochSecond(
-                      x / 1000000L, ((x % 1000000L) * 1000L).toInt,
+                      Math.floorDiv(x, 1000000L),
+                      (Math.floorMod(x, 1000000L) * 1000L).toInt,
                       java.time.ZoneOffset.UTC))
                 case (x: java.lang.Long, TimestampType) =>
                   // TimeStampMicroTZVector.getObject is raw UTC micros
-                  new java.sql.Timestamp(x / 1000L) {
-                    setNanos(((x % 1000000L) * 1000L).toInt)
+                  new java.sql.Timestamp(Math.floorDiv(x, 1000L)) {
+                    setNanos((Math.floorMod(x, 1000000L) * 1000L).toInt)
                   }
                 case (x: java.time.LocalDateTime, _) => java.sql.Timestamp.valueOf(x)
                 case (x: java.lang.Integer, DateType) =>

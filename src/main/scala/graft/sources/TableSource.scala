@@ -77,7 +77,9 @@ final case class RetryPolicy(
     while (true) {
       try return op()
       catch {
-        case e: Throwable =>
+        // NonFatal only: VirtualMachineError / InterruptedException etc.
+        // must propagate immediately, never be classified and slept on
+        case scala.util.control.NonFatal(e) =>
           val retryable = retryableCodes.contains(codeOf(e))
           val next = backoffMs(attempt)
           val overDeadline = timeoutMs.exists(t => slept + next > t)

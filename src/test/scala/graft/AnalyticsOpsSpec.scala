@@ -796,6 +796,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(gotMin == expMin)
   }
 
+  test("Prefix.runningSum: nullable valueCol carries prior-partition totals across range cuts") {
+    // v is non-null for t 1..30, all-null for t 31..70 — wide enough that
+    // whole range partitions hold ONLY null values — then non-null again.
+    // Rows whose partition-local prefix is null must still carry the prior
+    // partitions' running total (global RANGE-frame sum semantics), so the
+    // answer may not depend on where the range cuts fall.
+    val rows = (1L to 100L).map { t =>
+      (t, if (t <= 30L || t > 70L) Some(t % 5L) else None)
+    }
+    val df = rows.toDF("t", "v")
+    var acc = 0L
+    var seen = false
+    val expect = rows.map { case (t, v) =>
+      v.foreach { x => acc += x; seen = true }
+      t -> (if (seen) Some(acc) else None)
+    }.toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Seq("3", "17", "32").foreach { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        val got = graft.ops.Prefix.runningSum(df, "t", "v", "run")
+          .select("t", "run").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+        assert(got == expect, s"parallelism $n diverged on nullable values")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("vocabMassCoverage: unbounded-domain class path equals the windowed path") {
+    // Tie-heavy vocabulary: many types share a count, so targets regularly
+    // land INSIDE a frequency class — the arithmetic within-class crossing
+    // must agree with the per-type window exactly, at every percentage.
+    val docs = Seq(
+      "a a a a a b b b b c c c d d e e f g h i j k",
+      "a a b b c d e f g h l m n o p",
+      "q r s t u v w x y z a b").toDF("text")
+    val targets = (1 to 100).toSeq
+    def run(bounded: Boolean) = graft.ops.TextOps
+      .vocabMassCoverage(docs, "text", targets, boundedDomain = bounded)
+      .orderBy("target_pct").collect().map(_.toSeq).toSeq
+    assert(run(true) == run(false))
+    // and on the real corpus at the gate's targets
+    val real = Tables(spark, sfDir, "documents")
+    def runReal(bounded: Boolean) = graft.ops.TextOps
+      .vocabMassCoverage(real, "text", Seq(50, 90, 99), boundedDomain = bounded)
+      .orderBy("target_pct").collect().map(_.toSeq).toSeq
+    assert(runReal(true) == runReal(false))
+  }
+
   // -------------------------------------------- round-9 batch: concurrency
 
   test("peakConcurrency sweeps half-open intervals with day carry-in") {

@@ -348,6 +348,34 @@ class OpsSpec extends SparkSpec {
     assert(routed.nonEmpty)
   }
 
+  test("topKRouted: routing-threshold boundary never changes answer or schema") {
+    // Straddle the guard at (n, n-1 ⇒ routed): with nProbe = nCells every
+    // cell is probed, so the IVF candidate set is the whole corpus minus
+    // self and the exact rerank IS brute force — both arms must agree
+    // bit-for-bit, so a future threshold change can never flip answers.
+    val e = Tables(spark, sfDir, "embeddings").filter($"vec_id" < 60)
+    val q = e.filter($"vec_id" < 20)
+    val n = q.count()
+    val bruteSide = Similarity.AnnRoute(maxBruteForceQueries = n, nCells = 4, nProbe = 4)
+    val routedSide = bruteSide.copy(maxBruteForceQueries = n - 1)
+    val brute = Similarity.topKRouted(e, q, "vec_id", "embedding", 3, bruteSide)
+    val routed = Similarity.topKRouted(e, q, "vec_id", "embedding", 3, routedSide)
+    assert(brute.schema.map(f => (f.name, f.dataType)) ==
+      routed.schema.map(f => (f.name, f.dataType)),
+      "output schema depends on which side of the routing threshold ran")
+    val b = brute.collect().map(_.toSeq)
+    assert(b.nonEmpty && b.toSet == routed.collect().map(_.toSeq).toSet)
+  }
+
+  test("topKRouted refuses non-integral id columns up front") {
+    val e = Tables(spark, sfDir, "embeddings").limit(20)
+      .withColumn("sid", $"vec_id".cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.topKRouted(e, e, "sid", "embedding", 3)
+    }
+    assert(ex.getMessage.contains("integral id column"))
+  }
+
   test("routed hardNegatives ranks only label-differing IVF candidates") {
     val e = Tables(spark, sfDir, "embeddings")
       .filter($"vec_id" < 100)

@@ -510,6 +510,26 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned windows over unaggregated input:\n${offenders.mkString("\n")}")
   }
 
+  test("vocabMassCoverage unbounded path: range-partitioned prefix, no per-type window") {
+    // boundedDomain = false must collapse to frequency classes and ride
+    // Prefix.runningSum's range exchange — never the unpartitioned
+    // per-type ranking window (a single-task sort over an open vocab).
+    val docs = spark.range(0, 2000)
+      .selectExpr("concat('tok', id % 137, ' tok', id % 7, ' filler') as text")
+    val out = graft.ops.TextOps.vocabMassCoverage(
+      docs.toDF(), "text", Seq(50, 90, 99), boundedDomain = false)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"unbounded path lost the range-partitioned prefix scan:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"unbounded path still ranks per type with a global window:\n$plan")
+    // sanity: same answers as the windowed path on this input
+    val bounded = graft.ops.TextOps.vocabMassCoverage(
+      docs.toDF(), "text", Seq(50, 90, 99))
+      .orderBy("target_pct").collect().map(_.toSeq).toSeq
+    assert(out.orderBy("target_pct").collect().map(_.toSeq).toSeq == bounded)
+  }
+
   test("Prefix.runningSum: both branches reuse ONE range exchange; pid keys are data-derived") {
     // The two-phase prefix scan's whole point is that the local kernel and
     // the offsets branch hang off the SAME range exchange — a second
