@@ -230,7 +230,13 @@ object Bench {
     // (ns266 — the vertex domain is mod-100, constant), vocab-dim
     // sampling weights (ns267), single-merge native as-of (ns268 — the
     // SMJ shape) — linear.
-    "ns265", "ns266", "ns267", "ns268", "ns269")
+    "ns265", "ns266", "ns267", "ns268", "ns269",
+    // composed corpus pipeline (ns274): documents-driven, every stage
+    // (lang gate, quality gate, exact dedup, chunking) is doc-local or
+    // hash-grouped — linear under per-replica-suffixed texts; composition
+    // is exactly where superlinear surprises hide, so it rides the
+    // screen. ns270-ns273 stay excluded (embeddings are not replicated).
+    "ns274")
 
   private def scaleUpSelected(
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
@@ -238,6 +244,32 @@ object Bench {
       val id = name.split("_")(0)
       id.startsWith("b") || scaleUpEligible.contains(id)
     }
+
+  /** Recursive plan print with each node's POPULATED SQLMetrics inline —
+    * the confirmed-regression forensics artifact. Descends through the
+    * adaptive wrapper (final plan, not the initial one), materialized
+    * query stages, and ordinary children, so every executed operator's
+    * rows/time/spill/bytes counters land in the dump.
+    */
+  private def dumpPlanMetrics(
+      p: org.apache.spark.sql.execution.SparkPlan,
+      sb: StringBuilder,
+      depth: Int): Unit = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val mets = p.metrics.toSeq.sortBy(_._1)
+      .filter(_._2.value > 0)
+      .map { case (k, m) => s"$k=${m.value}" }
+      .mkString(", ")
+    sb.append("  " * depth).append(p.nodeName)
+    if (mets.nonEmpty) sb.append(" [").append(mets).append("]")
+    sb.append('\n')
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    kids.foreach(dumpPlanMetrics(_, sb, depth + 1))
+  }
 
   /** Prior-round per-query baseline from the committed bench_last.json
     * (short query id -> seconds), or empty when absent/unreadable/ran at
@@ -412,6 +444,71 @@ object Bench {
         (adj.collect { case (n, b, p, Some(_)) => (n, b, p) },
           adj.collect { case (n, _, _, None) => n.split("_")(0) })
       }
+    // Plan forensics for confirmed survivors: re-execute each once and
+    // dump the FINAL adaptive plan with its populated SQLMetrics, so a
+    // flip (AQE join strategy, lost codegen, IO blow-up) is attributable
+    // from the artifact alone — no next-round rerun needed to adjudicate.
+    // Unfiltered runs always (re)write the file so a stale dump can never
+    // masquerade as this round's evidence.
+    // SPARK_GRAFT_DUMP=all turns the same forensics on for EVERY selected
+    // query (profiling aid for filtered runs); the artifact then goes to
+    // /tmp so a profiling session can never clobber the committed one.
+    val dumpAll = sys.env.get("SPARK_GRAFT_DUMP").contains("all")
+    if ((filter.isEmpty && prior.nonEmpty) || dumpAll) {
+      def s3(v: Double): String =
+        java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val sb = new StringBuilder
+      sb.append(s"# confirmed round-over-round regressions at $sfDir: final plans + SQLMetrics\n")
+      val toDump: Seq[(String, Double, Double)] =
+        if (dumpAll) results.map { case (n, t) =>
+          (n, t, prior.getOrElse(n.split("_")(0), 0.0))
+        }
+        else regConfirmed
+      if (toDump.isEmpty) sb.append("none\n")
+      toDump.foreach { case (name, best, prev) =>
+        selected.find(_._1 == name).foreach { case (_, fn) =>
+          try {
+            // The noop write builds its OWN QueryExecution (the original
+            // DataFrame's plan never runs), so the executed tree with
+            // populated metrics must be captured from the listener bus.
+            @volatile var captured: Option[org.apache.spark.sql.execution.QueryExecution] = None
+            val latch = new java.util.concurrent.CountDownLatch(1)
+            val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+              override def onSuccess(
+                  f: String,
+                  qe: org.apache.spark.sql.execution.QueryExecution,
+                  d: Long): Unit =
+                if (captured.isEmpty) { captured = Some(qe); latch.countDown() }
+              override def onFailure(
+                  f: String,
+                  qe: org.apache.spark.sql.execution.QueryExecution,
+                  e: Exception): Unit = ()
+            }
+            spark.listenerManager.register(listener)
+            val t =
+              try {
+                val df = fn(spark, sfDir)
+                val t0 = System.nanoTime()
+                df.write.format("noop").mode("overwrite").save()
+                latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+                (System.nanoTime() - t0) / 1e9
+              } finally spark.listenerManager.unregister(listener)
+            sb.append(s"\n==== $name confirmed=${s3(best)}s prior=${s3(prev)}s dump_run=${s3(t)}s\n")
+            captured match {
+              case Some(qe) => dumpPlanMetrics(qe.executedPlan, sb, 0)
+              case None => sb.append("  (listener did not observe the execution)\n")
+            }
+          } catch {
+            case e: Throwable => sb.append(s"\n==== $name dump failed: ${e.getMessage}\n")
+          }
+        }
+      }
+      val dest =
+        if (dumpAll) "/tmp/bench_regressions.txt" else "/root/repo/bench_regressions.txt"
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(dest), sb.toString.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     // Scale-UP pass: a 10x rung ABOVE the primary SF on ScaleUp's
     // benchmark-only replica data (~6M lineitem rows when primary is
     // sf0.1) — the superlinear screen's 10x step at meaningful size.

@@ -310,8 +310,12 @@ object Funnel {
     val eligible = conv.join(tch, Seq("_u"))
       .where(col("_tt") <= col("_ct") &&
         col("_tt") >= col("_ct") - lit(windowSec * 1000000L))
-    val wConv = Window.partitionBy("_cid")
+    // Both window functions share ONE spec (same partition AND order key,
+    // the count on an explicit unbounded frame), so Catalyst plans a
+    // single WindowExec over a single sort — the unordered-spec spelling
+    // planned a second full-data Window+Sort pass for the count alone.
     val wFirst = Window.partitionBy("_cid").orderBy(col("_tt"), col("_tid"))
+    val wConv = wFirst.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val credited = eligible
       .withColumn("_n", count(lit(1)).over(wConv))
       .withColumn("_rk", row_number().over(wFirst))
