@@ -616,8 +616,15 @@ object ManagedWriter {
             expr("transform(runs, r -> struct(r.start AS _1, r.len AS _2))").as("runs"))
           .as[(String, Seq[(Long, Long)])]
           .flatMap { case (f, spans) =>
+            // long-stepped iterator: Iterator.range takes Ints, and a
+            // whole-file span over a 2^31-row file has len = 2^31, which
+            // toInt wraps negative (silently emitting zero positions)
             spans.iterator.flatMap { case (s, l) =>
-              Iterator.range(0, l.toInt).map(k => (f, s + k))
+              new Iterator[(String, Long)] {
+                private var k = 0L
+                def hasNext: Boolean = k < l
+                def next(): (String, Long) = { val p = s + k; k += 1; (f, p) }
+              }
             }
           }.toDF(MetaFileCol, MetaPosCol)
         Some(posRows.unionByName(bmRows).unionByName(runRows))

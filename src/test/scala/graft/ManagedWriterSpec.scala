@@ -653,6 +653,72 @@ class ManagedWriterSpec extends SparkSpec {
     assert(ManagedWriter.read(spark, dest).count() == n - nDel - 50L)
   }
 
+  test("DV container boundaries: exact runBytes==bitmapBytes tie, one giant span, " +
+    "alternating single-position runs; mixed version survives vacuum re-bind and compact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Three committed files with exact contiguous id ranges (position p in
+    // a file = id - firstId), each engineered to sit ON an encoding
+    // boundary rather than comfortably inside a container's home turf:
+    //   A (ids 1..130000): 999 spans of 4 at position stride 128 plus one
+    //     closing span at 127992 — EXACTLY runBytes = 16*1000 = 16000 and
+    //     bitmapBytes = 127995/8+1 = 16000. The tie must pick the bitmap
+    //     (run selection is strict-<), pinning the boundary so a future
+    //     <= can't silently flip encodings.
+    //   B (ids 130001..150000): every row deleted as ONE giant span — the
+    //     degenerate best case for runs (16 bytes total).
+    //   C (ids 150001..180000): alternating single-position runs — the
+    //     degenerate WORST case for runs (16 B/position vs 1 bit).
+    val base = spark.range(1, 180001).select(col("id"), (col("id") * 5).as("v"))
+    val dest = tmp()
+    val w = new ManagedWriter(spark, dest, base.schema, StreamType.Committed)
+    w.write(base.where(col("id") <= 130000).coalesce(1))
+    w.write(base.where(col("id") > 130000 && col("id") <= 150000).coalesce(1))
+    w.write(base.where(col("id") > 150000).coalesce(1))
+    val delA: Seq[Long] =
+      (0 to 998).flatMap(k => (1L to 4L).map(j => 128L * k + j)) ++ (127993L to 127996L)
+    val delB: Seq[Long] = (130001L to 150000L)
+    val delC: Seq[Long] = (150001L to 180000L).filter(id => (id - 150001L) % 2 == 1)
+    val delIds = delA ++ delB ++ delC
+    assert(delIds.size > ManagedWriter.DvInlineMax, "fixture must exceed the inline cap")
+    val changes = delIds.toDF("id")
+      .select(col("id"), lit(0L).as("v"), lit("D").as("op"))
+    val vNew = ManagedWriter.mergeDV(spark, dest, changes, Seq("id"))
+    val enc = spark.read.parquet(s"$dest/_graft_manifest/" + f"dv-v-$vNew%08d.pos")
+    // B: one run row holding ONE span of the whole file
+    val runRows = enc.where(col("runs").isNotNull)
+      .select(col("card"), size(col("runs")).as("ns")).collect()
+    assert(runRows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((20000L, 1)),
+      s"giant span: ${runRows.mkString(",")}")
+    // A tie -> bitmap; C alternating -> bitmap
+    val bmCards = enc.where(col("bitmap").isNotNull).select("card")
+      .as[Long].collect().sorted.toSeq
+    assert(bmCards == Seq(4000L, 15000L), s"bitmap cards: $bmCards")
+    assert(enc.where(col("pos").isNotNull).count() == 0, "no file is positions-sparse here")
+    assert(enc.agg(sum("card")).head.getLong(0) == delIds.size.toLong)
+    // exact read-back across all three containers
+    val live = ManagedWriter.read(spark, dest)
+    assert(live.count() == 180000L - delIds.size)
+    assert(live.where(col("id").isin(delA.take(50) ++ delB.take(50) ++ delC.take(50): _*))
+      .count() == 0)
+    // vacuum re-binds the mixed pos dir to the surviving version
+    ManagedWriter.vacuum(spark, dest, keepVersions = 1)
+    assert(ManagedWriter.read(spark, dest).count() == 180000L - delIds.size)
+    // a later merge UNIONs through all three expansions at once (the
+    // giant span must expand lazily through the long-stepped iterator)
+    ManagedWriter.mergeDV(spark, dest,
+      (5L to 14L).toDF("id").select(col("id"), lit(0L).as("v"), lit("D").as("op")),
+      Seq("id"))
+    assert(ManagedWriter.read(spark, dest).count() == 180000L - delIds.size - 10)
+    // compact materializes the mixed DV: same rows, dv-free snapshot
+    ManagedWriter.compact(spark, dest, targetFileBytes = 1L << 30)
+    val post = ManagedWriter.read(spark, dest)
+    assert(post.count() == 180000L - delIds.size - 10)
+    val allSum = (1L to 180000L).map(_ * 5L).sum
+    val goneSum = delIds.map(_ * 5L).sum + (5L to 14L).map(_ * 5L).sum
+    assert(post.agg(sum("v")).head.getLong(0) == allSum - goneSum)
+  }
+
   test("manifest log is segmented: bounded deltas between full-snapshot checkpoints, " +
     "vacuum materializes kept versions") {
     import spark.implicits._
