@@ -478,7 +478,15 @@ object Bench {
                   f: String,
                   qe: org.apache.spark.sql.execution.QueryExecution,
                   d: Long): Unit =
-                if (captured.isEmpty) { captured = Some(qe); latch.countDown() }
+                // only the writer's own action: a query may run internal
+                // probe/loop actions (limit-count guards, k-means rounds)
+                // whose tiny plans would otherwise win the race — the
+                // noop write's execution is the one rooted at the V2
+                // overwrite command
+                if (captured.isEmpty &&
+                    qe.executedPlan.nodeName.startsWith("OverwriteByExpression")) {
+                  captured = Some(qe); latch.countDown()
+                }
               override def onFailure(
                   f: String,
                   qe: org.apache.spark.sql.execution.QueryExecution,

@@ -92,7 +92,16 @@ object Similarity {
       !exceeds(queries, maxQueryRows),
       s"bruteForceTopK query side exceeds $maxQueryRows rows: the broadcast " +
         "nested loop is quadratic — use topKRouted/ivfIntTopK for corpus-scale query sets")
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val c0 = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    // A small/single-file corpus scans as ONE input split and the
+    // broadcast cross join inherits it — the whole |corpus|×|queries|
+    // score-and-partial-topk pass would run in a single task (measured:
+    // ns166's 4M-pair pass serialized at sf0.1; spreading it is 4×).
+    // Spread the probe side to the session's parallelism when the scan
+    // gives fewer splits; a corpus already wider keeps its layout (no
+    // extra shuffle at scale).
+    val shufflePar = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = if (c0.rdd.getNumPartitions < shufflePar) c0.repartition(shufflePar) else c0
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = c
       .crossJoin(broadcast(q))
