@@ -824,6 +824,56 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("Prefix kernels: randomized nullable inputs match a sequential fold at random parallelism") {
+    // Property-style: 6 seeded random corpora × random shuffle parallelism,
+    // each checked against a driver-side sequential fold — covers duplicate
+    // order keys (peer runs), null values, all-null prefixes and suffixes,
+    // and single-key degenerate inputs beyond the two fixed fixtures.
+    val rnd = new scala.util.Random(20260815L)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      (1 to 6).foreach { trial =>
+        val n = 50 + rnd.nextInt(400)
+        val keySpace = 1 + rnd.nextInt(if (trial == 1) 1 else 60)
+        val nullPct = rnd.nextInt(70)
+        val rows = (1 to n).map { _ =>
+          val t = rnd.nextInt(keySpace).toLong
+          val v = if (rnd.nextInt(100) < nullPct) None else Some(rnd.nextInt(1000).toLong - 500L)
+          (t, v)
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", (1 + rnd.nextInt(33)).toString)
+        // sequential RANGE-frame oracle: per distinct key in order, totals
+        // after all rows at that key; null until the first non-null
+        val byKey = rows.groupBy(_._1)
+        val keys = byKey.keys.toSeq.sorted
+        var acc = 0L; var seen = false
+        val expSum = keys.map { t =>
+          byKey(t).flatMap(_._2).foreach { x => acc += x; seen = true }
+          t -> (if (seen) Some(acc) else None)
+        }.toMap
+        val gotSum = graft.ops.Prefix
+          .runningSum(rows.toDF("t", "v"), "t", "v", "run")
+          .select("t", "run").distinct().collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+        assert(gotSum == expSum, s"runningSum trial $trial diverged (n=$n keys=$keySpace)")
+        // strictly-before min + peer min oracle
+        var runMin: Option[Long] = None
+        val expMin = keys.map { t =>
+          val peers = byKey(t).flatMap(_._2)
+          val out = (t, (runMin, peers.minOption))
+          runMin = (runMin.toSeq ++ peers).minOption
+          out
+        }.toMap
+        val gotMin = graft.ops.Prefix
+          .runningMinBeforeWithPeers(rows.toDF("t", "v"), "t", "v", "mb", "mp")
+          .select("t", "mb", "mp").distinct().collect()
+          .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+        assert(gotMin == expMin, s"runningMin trial $trial diverged (n=$n keys=$keySpace)")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("vocabMassCoverage: unbounded-domain class path equals the windowed path") {
     // Tie-heavy vocabulary: many types share a count, so targets regularly
     // land INSIDE a frequency class — the arithmetic within-class crossing
