@@ -56,7 +56,10 @@ object Dedup {
     */
   def segmentDedup(
       df: DataFrame, idCol: String, textCol: String, segWords: Int): DataFrame = {
-    val occ = TextOps.chunkTokens(df, idCol, textCol, width = segWords, stride = segWords)
+    // chunk explode + per-segment md5 fan out far beyond the input rows:
+    // spread a narrow scan first ([[Par.spread]]) so the segment pass
+    // parallelizes (this op sits at the head of the composed pipeline)
+    val occ = TextOps.chunkTokens(Par.spread(df), idCol, textCol, width = segWords, stride = segWords)
       .select(col(idCol).as("doc_id"), col("chunk_idx").as("idx"),
         col("chunk_text").as("seg"))
     val winners = occ

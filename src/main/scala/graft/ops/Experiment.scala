@@ -246,7 +246,9 @@ object Experiment {
       df: DataFrame, idCol: String, valueCol: String,
       b: Int = 200, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
     require(b >= 10 && loPct > 0 && hiPct < 100 && loPct < hiPct, "bad bootstrap params")
-    val weighted = df
+    // B-fold fan-out per row: spread a narrow scan first or all B
+    // replicates of every row serialize in one task ([[Par.spread]])
+    val weighted = Par.spread(df)
       .select(
         conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
           .as("_base"),

@@ -246,7 +246,9 @@ object Multimodal {
       bytesCol: String,
       sampleRate: Int = 16000): Dataset[WavFeatures] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(bytesCol))
+    // per-row encode+decode is CPU-bound far beyond its input bytes:
+    // spread a narrow scan first or every raster decodes in one task
+    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) =>
         decodeWavPcm16(id, encodeWavPcm16(data, sampleRate, channels = 1))
@@ -331,7 +333,9 @@ object Multimodal {
       bytesCol: String,
       sampleRate: Int = 8000): Dataset[UlawFeatures] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(bytesCol))
+    // per-row encode+decode is CPU-bound far beyond its input bytes:
+    // spread a narrow scan first or every raster decodes in one task
+    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) =>
         val nSamples = data.length / 2
@@ -559,7 +563,9 @@ object Multimodal {
       idCol: String,
       bytesCol: String): Dataset[ImageFeatures] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(bytesCol))
+    // per-row encode+decode is CPU-bound far beyond its input bytes:
+    // spread a narrow scan first or every raster decodes in one task
+    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) => decodeImage(id, data) })
   }
@@ -581,7 +587,9 @@ object Multimodal {
       width: Int): Dataset[ImageFeatures] = {
     require(width > 0, "non-positive raster width")
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(bytesCol))
+    // per-row encode+decode is CPU-bound far beyond its input bytes:
+    // spread a narrow scan first or every raster decodes in one task
+    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) =>
         val n = data.length - data.length % (width * 3)

@@ -100,8 +100,7 @@ object Similarity {
     // Spread the probe side to the session's parallelism when the scan
     // gives fewer splits; a corpus already wider keeps its layout (no
     // extra shuffle at scale).
-    val shufflePar = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val c = if (c0.rdd.getNumPartitions < shufflePar) c0.repartition(shufflePar) else c0
+    val c = Par.spread(c0)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = c
       .crossJoin(broadcast(q))

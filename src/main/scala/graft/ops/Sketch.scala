@@ -70,7 +70,9 @@ object Sketch {
       depth: Int,
       width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
-    occurrences
+    // depth× fan-out plus one md5 per occurrence: spread a narrow scan
+    // first or the whole build serializes in one task ([[Par.spread]])
+    Par.spread(occurrences)
       .select(baseHash(col(tokenCol)).as("_b"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"), bucketOf(col("r"), col("_b"), width).as("bucket"))
       .groupBy("r", "bucket")
