@@ -1209,7 +1209,10 @@ object TextOps {
       k: Int,
       w: Int): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
-    val grams = df
+    // shingle explode + per-gram hashing fans out ~|tokens| rows per doc:
+    // spread a narrow scan first ([[Par.spread]]) or the whole
+    // fingerprint pass serializes in one task
+    val grams = Par.spread(df)
       .select(col(idCol), tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= k)
       .select(
