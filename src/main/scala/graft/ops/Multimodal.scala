@@ -333,9 +333,13 @@ object Multimodal {
       bytesCol: String,
       sampleRate: Int = 8000): Dataset[UlawFeatures] = {
     import spark.implicits._
-    // per-row encode+decode is CPU-bound far beyond its input bytes:
-    // spread a narrow scan first or every raster decodes in one task
-    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
+    // Deliberately NOT Par.spread: the javax.sound conversion goes
+    // through AudioSystem's synchronized SPI registry, and 32 threads
+    // contending on that lock measured 50x the per-row cost of the
+    // single-task pass (ns208 1.18s -> 2.53s when spread; confirmed by
+    // the regression screen's plan+metrics dump: 65.9 thread-seconds of
+    // MapPartitions for 5000 rows).
+    df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) =>
         val nSamples = data.length / 2
