@@ -874,6 +874,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("Par.spread widens narrow frames to the session parallelism and leaves wide ones alone") {
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val narrow = spark.range(0, 100).toDF("id").coalesce(1)
+    assert(graft.ops.Par.spread(narrow).rdd.getNumPartitions == par)
+    val wide = spark.range(0, 100).toDF("id").repartition(par + 5)
+    // already at least as wide: the layout must survive untouched (no
+    // extra exchange at scale)
+    assert(graft.ops.Par.spread(wide).rdd.getNumPartitions == par + 5)
+  }
+
+  test("vocabMassCoverage: a target landing exactly on a class boundary picks the earlier class") {
+    // corpus: 'a' x 6, 'b' x 3, 'c' x 1 -> classes c=6 (cum 6), c=3
+    // (cum 9), c=1 (cum 10); total 10. target 60% = exactly class-1's
+    // cumulative mass -> types_needed 1; target 90% = exactly class-2's
+    // -> 2; target 91% needs the last type -> 3.
+    val docs = Seq("a a a a a a b b b c").toDF("text")
+    Seq(true, false).foreach { bounded =>
+      val got = graft.ops.TextOps
+        .vocabMassCoverage(docs, "text", Seq(60, 90, 91), boundedDomain = bounded)
+        .orderBy("target_pct")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((60L, 1L), (90L, 2L), (91L, 3L)), s"bounded=$bounded: $got")
+    }
+  }
+
   test("vocabMassCoverage: unbounded-domain class path equals the windowed path") {
     // Tie-heavy vocabulary: many types share a count, so targets regularly
     // land INSIDE a frequency class — the arithmetic within-class crossing
