@@ -3599,12 +3599,17 @@ object SparkEntry {
           |  coalesce(list_max(list_transform(smp, x -> abs(x))), 0)::BIGINT AS peak,
           |  coalesce(list_sum(list_transform(smp, x -> x * x)), 0)::BIGINT AS energy
           |FROM s ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // input sorted BEFORE the codec kernel (the ns67 pattern): the
+      // trailing-orderBy spelling re-executes the encode+decode in the
+      // range-sampling pass; sorting the payload rows re-runs only the
+      // scan and the kernel inherits the global order.
       Multimodal.wavFeatures(
           s,
-          T(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm")),
+          T(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+            .orderBy("doc_id"),
           "doc_id", "pcm", sampleRate = 16000)
         .toDF()
-        .orderBy("doc_id")
     },
     // NS-T12: cross-document boilerplate spans — 5-grams shared by >= 3
     // distinct docs (the corpus-internal repeated-substring signal that
@@ -4092,6 +4097,13 @@ object SparkEntry {
           |  list_sum([bs[3*i+2] FOR i IN range(n // 3)])::BIGINT AS sum_g,
           |  list_sum([bs[3*i+3] FOR i IN range(n // 3)])::BIGINT AS sum_b
           |FROM b ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // Sort the CHEAP payload rows BEFORE the decode kernel, never the
+      // decoded features after: a trailing global orderBy's range-
+      // sampling pass re-executes its whole child — i.e. the entire
+      // encode+decode — a second time (measured: scan numOutputRows
+      // doubled, +1.7 s at sf0.1). Sorting the input re-runs only the
+      // scan; mapPartitions preserves the range-sorted order, so the
+      // output is globally doc_id-ordered without a second kernel pass.
       Multimodal.pngFeatures(
           s,
           T(s, dir, "documents")
@@ -4099,10 +4111,10 @@ object SparkEntry {
             .select(
               col("doc_id"),
               encode(expr("substring(text, 1, (length(text) div 48) * 48)"), "UTF-8")
-                .as("rgb")),
+                .as("rgb"))
+            .orderBy("doc_id"),
           "doc_id", "rgb", width = 16)
         .toDF()
-        .orderBy("doc_id")
     },
     // NS-K1: deterministic count-min sketch — md5-derived row hashes make
     // the whole depth×width counter table a pure function of the corpus,
@@ -5831,15 +5843,19 @@ object SparkEntry {
           |  list_sum([CASE WHEN cells[k+1]*32 > tot THEN 1 ELSE 0 END
           |    FOR k IN range(32)])::BIGINT AS n_bits
           |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // input sorted BEFORE the hash kernel (the ns67 pattern): the
+      // trailing-orderBy spelling re-executes the PNG round trip in the
+      // range-sampling pass; sorting the payload rows re-runs only the
+      // scan and the kernel inherits the global order.
       Multimodal.pngAHash(
           s,
           T(s, dir, "documents")
             .where(length(col("text")) >= 384)
             .select(col("doc_id"),
-              encode(expr("substring(text, 1, 384)"), "UTF-8").as("rgb")),
+              encode(expr("substring(text, 1, 384)"), "UTF-8").as("rgb"))
+            .orderBy("doc_id"),
           "doc_id", "rgb", width = 16, height = 8, gridW = 8, gridH = 4)
         .toDF()
-        .orderBy("doc_id")
     },
     // NS-T17: linear-interpolation resampling — ns31's grid with empty
     // buckets interpolated between the surrounding observations instead
@@ -8106,13 +8122,17 @@ object SparkEntry {
           |SELECT doc_id, COUNT(*)::BIGINT AS n_samples,
           |  MAX(abs(d))::BIGINT AS peak, SUM(d * d)::BIGINT AS energy
           |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // input sorted BEFORE the codec kernel (the ns67 pattern): the
+      // trailing-orderBy spelling re-executes the mu-law round trip in
+      // the range-sampling pass; sorting the payload rows re-runs only
+      // the scan and the kernel inherits the global order.
       Multimodal.ulawFeatures(
           s,
           T(s, dir, "documents").where(length(col("text")) >= 2)
-            .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm")),
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+            .orderBy("doc_id"),
           "doc_id", "pcm")
         .toDF()
-        .orderBy("doc_id")
     },
     // NS-K5: KMV (bottom-k) distinct sketch + SET-OPERATION estimates —
     // the sketch family that answers union/intersection/Jaccard between

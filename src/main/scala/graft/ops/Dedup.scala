@@ -58,8 +58,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, segWords: Int): DataFrame = {
     // chunk explode + per-segment md5 fan out far beyond the input rows:
     // spread a narrow scan first ([[Par.spread]]) so the segment pass
-    // parallelizes (this op sits at the head of the composed pipeline)
-    val occ = TextOps.chunkTokens(Par.spread(df), idCol, textCol, width = segWords, stride = segWords)
+    // parallelizes (this op sits at the head of the composed pipeline).
+    // fanout: one md5 per segWords-word segment — a few hundred× scan-
+    // equivalent work per estimated byte (the hash-per-occurrence class,
+    // diluted by the segment width).
+    val occ = TextOps.chunkTokens(Par.spread(df, fanout = 400), idCol, textCol, width = segWords, stride = segWords)
       .select(col(idCol).as("doc_id"), col("chunk_idx").as("idx"),
         col("chunk_text").as("seg"))
     val winners = occ

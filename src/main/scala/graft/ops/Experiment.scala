@@ -247,8 +247,10 @@ object Experiment {
       b: Int = 200, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
     require(b >= 10 && loPct > 0 && hiPct < 100 && loPct < hiPct, "bad bootstrap params")
     // B-fold fan-out per row: spread a narrow scan first or all B
-    // replicates of every row serialize in one task ([[Par.spread]])
-    val weighted = Par.spread(df)
+    // replicates of every row serialize in one task ([[Par.spread]]).
+    // fanout: B exploded rows per input row, a hash + weight lookup
+    // each — ~2 scan-equivalent bytes of work per replicate byte.
+    val weighted = Par.spread(df, fanout = 2.0 * b)
       .select(
         conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
           .as("_base"),

@@ -246,9 +246,11 @@ object Multimodal {
       bytesCol: String,
       sampleRate: Int = 16000): Dataset[WavFeatures] = {
     import spark.implicits._
-    // per-row encode+decode is CPU-bound far beyond its input bytes:
-    // spread a narrow scan first or every raster decodes in one task
-    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
+    // per-row encode+decode is CPU-bound beyond its input bytes: spread
+    // a narrow scan first or every file decodes in one task. fanout: the
+    // PCM16 round trip is two memcpy-class passes over the payload —
+    // light (~16×); at toy scale the gate correctly skips the exchange.
+    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)), fanout = 16)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) =>
         decodeWavPcm16(id, encodeWavPcm16(data, sampleRate, channels = 1))
@@ -514,10 +516,22 @@ object Multimodal {
       sum_g: Long,
       sum_b: Long)
 
+  /** ImageIO's default stream wrappers spool every image through a temp
+    * FILE (FileCache{Input,Output}Stream) — but our payloads are
+    * in-memory byte arrays, so the per-image disk round trip is pure
+    * waste (measured 2.4× on the sf0.1 5k-image decode pass: 0.62 s →
+    * 0.26 s single-thread) and contends on the tmp dir across parallel
+    * tasks. JVM-global flag, flipped once per JVM on first use of any
+    * codec path; memory-backed streams hold one image at a time, the
+    * same bound the decode itself already has.
+    */
+  private lazy val imageIoInMemory: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode one payload with the JDK's ImageIO reader chain (format
     * sniffed from the bytes, not trusted from metadata).
     */
   private[graft] def decodeImage(id: Long, bytes: Array[Byte]): ImageFeatures = {
+    imageIoInMemory
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -567,9 +581,13 @@ object Multimodal {
       idCol: String,
       bytesCol: String): Dataset[ImageFeatures] = {
     import spark.implicits._
-    // per-row encode+decode is CPU-bound far beyond its input bytes:
-    // spread a narrow scan first or every raster decodes in one task
-    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
+    // per-row decode is CPU-bound beyond its input bytes: spread a
+    // narrow scan first or every raster decodes in one task. fanout:
+    // JDK ImageIO round trip measured ~0.5 s single-task over an 821 KB-
+    // stats input at sf0.1 ≈ 50× scan-equivalent work per byte — below
+    // the exchange-worthiness bar at toy scale (the ns67 regression:
+    // round 12's ungated spread cost more than the decode it spread).
+    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)), fanout = 48)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) => decodeImage(id, data) })
   }
@@ -591,9 +609,12 @@ object Multimodal {
       width: Int): Dataset[ImageFeatures] = {
     require(width > 0, "non-positive raster width")
     import spark.implicits._
-    // per-row encode+decode is CPU-bound far beyond its input bytes:
-    // spread a narrow scan first or every raster decodes in one task
-    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)))
+    // per-row encode+decode is CPU-bound beyond its input bytes: spread
+    // a narrow scan first or every raster decodes in one task. fanout:
+    // deflate round trip ≈ the imageFeatures measurement (~50×) — the
+    // gate skips the exchange at toy scale (the ns67 fix) and spreads
+    // once the corpus carries ≥ MinWorkBytes/48 of estimated payload.
+    Par.spread(df.select(col(idCol).cast("long"), col(bytesCol)), fanout = 48)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, data) =>
         val n = data.length - data.length % (width * 3)
@@ -667,6 +688,7 @@ object Multimodal {
     * PNG is lossless, so decode(encode(rgb)) recovers the exact pixels).
     */
   private[graft] def encodePng(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    imageIoInMemory
     require(rgb.length == width * height * 3, "rgb length != w*h*3")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)

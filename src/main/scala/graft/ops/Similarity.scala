@@ -99,8 +99,10 @@ object Similarity {
     // ns166's 4M-pair pass serialized at sf0.1; spreading it is 4×).
     // Spread the probe side to the session's parallelism when the scan
     // gives fewer splits; a corpus already wider keeps its layout (no
-    // extra shuffle at scale).
-    val c = Par.spread(c0)
+    // extra shuffle at scale). fanout: |queries| dot products per corpus
+    // row (guarded ≤ 1M, typically hundreds) — ns166's measured 4M-pair
+    // pass serialized a ~1000× amplification into one task.
+    val c = Par.spread(c0, fanout = 1000)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = c
       .crossJoin(broadcast(q))

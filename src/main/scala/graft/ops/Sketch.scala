@@ -71,8 +71,10 @@ object Sketch {
       width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, "need depth >= 1 and width >= 1")
     // depth× fan-out plus one md5 per occurrence: spread a narrow scan
-    // first or the whole build serializes in one task ([[Par.spread]])
-    Par.spread(occurrences)
+    // first or the whole build serializes in one task ([[Par.spread]]).
+    // fanout: measured 2.5 s single-task over a 198 KB-stats input at
+    // sf0.1 (~12.6 µs per estimated byte ≈ 1250× scan-equivalent work).
+    Par.spread(occurrences, fanout = 1250)
       .select(baseHash(col(tokenCol)).as("_b"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"), bucketOf(col("r"), col("_b"), width).as("bucket"))
       .groupBy("r", "bucket")

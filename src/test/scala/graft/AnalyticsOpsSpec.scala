@@ -874,14 +874,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  test("Par.spread widens narrow frames to the session parallelism and leaves wide ones alone") {
+  test("Par.spread: widens only narrow frames whose declared work clears the cost gate") {
     val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val narrow = spark.range(0, 100).toDF("id").coalesce(1)
-    assert(graft.ops.Par.spread(narrow).rdd.getNumPartitions == par)
-    val wide = spark.range(0, 100).toDF("id").repartition(par + 5)
+    // Range stats: 8 bytes/row -> 100 rows ~ 800 bytes of estimated input.
+    val narrow = spark.range(0, 100, 1, 1).toDF("id")
+    // (a) narrow + heavy declared work (800 B x 1e6 >= MinWorkBytes):
+    // widened to the session parallelism.
+    assert(graft.ops.Par.spread(narrow, fanout = 1e6).rdd.getNumPartitions == par)
+    // (b) narrow + light work (800 B x 100 << MinWorkBytes): the exchange
+    // costs more than the single-task latency it would save — untouched,
+    // the SAME frame back (the ns67 regression fix).
+    assert(graft.ops.Par.spread(narrow, fanout = 100) eq narrow)
+    // (c) a coalesce still narrows — the gate must see through it and
+    // widen when the work warrants it.
+    val coalesced = spark.range(0, 100).toDF("id").coalesce(1)
+    assert(graft.ops.Par.spread(coalesced, fanout = 1e6).rdd.getNumPartitions == par)
+  }
+
+  test("Par.spread: frames that arrive wide are returned untouched without probing the physical plan") {
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // already at least as wide: the layout must survive untouched (no
-    // extra exchange at scale)
-    assert(graft.ops.Par.spread(wide).rdd.getNumPartitions == par + 5)
+    // extra exchange at scale) — reference identity, not just width, so
+    // the skip provably adds nothing to the plan.
+    val wide = spark.range(0, 100).toDF("id").repartition(par + 5)
+    assert(graft.ops.Par.spread(wide, fanout = 1e6) eq wide)
+    assert(wide.rdd.getNumPartitions == par + 5)
+    // post-shuffle frames (aggregate/join/sort/window anywhere upstream)
+    // arrive at shuffle width on their own; probing .rdd on them under
+    // AQE would silently materialize every upstream stage (the round-12
+    // ADVICE finding) — the gate returns the same frame by reference
+    // before any physical planning.
+    val agg = spark.range(0, 100, 1, 1).toDF("id")
+      .groupBy(org.apache.spark.sql.functions.col("id") % 7).count()
+    assert(graft.ops.Par.spread(agg, fanout = 1e9) eq agg)
+    val sorted = spark.range(0, 100, 1, 1).toDF("id").orderBy("id")
+    assert(graft.ops.Par.spread(sorted, fanout = 1e9) eq sorted)
   }
 
   test("vocabMassCoverage: a target landing exactly on a class boundary picks the earlier class") {
