@@ -277,11 +277,27 @@ object Bench {
     * Jackson ships with Spark, so no new dependency.
     */
   private def priorTimes(path: String, sfDir: String): Map[String, Double] =
+    priorTimesAt(path, sfDir, identity)
+
+  /** Prior-round per-query baseline for the SECONDARY (sf2) leg, read
+    * from the committed file's nested `sf2_detail` object — the sf0.01
+    * totals crept +8.8% in round 12 with no per-query adjudication path
+    * (the round-12 brief, item 5), so the small-SF leg now gets the same
+    * confirm-before-emit screen as the primary.
+    */
+  private def priorTimesSf2(path: String, sf2Dir: String): Map[String, Double] =
+    priorTimesAt(path, sf2Dir, _.path("sf2_detail"))
+
+  private def priorTimesAt(
+      path: String,
+      sfDir: String,
+      node: com.fasterxml.jackson.databind.JsonNode => com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Double] =
     try {
       val f = new java.io.File(path)
       if (!f.isFile) Map.empty
       else {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val root = node(new com.fasterxml.jackson.databind.ObjectMapper().readTree(f))
         if (root.path("sf").asText("") != sfDir) Map.empty
         else {
           val it = root.path("queries").fields()
@@ -424,26 +440,41 @@ object Bench {
       if (now > 0.5 && prev > 0.05 && now / prev > 2.0)
         Some(math.rint(now / prev * 10) / 10)
       else None
-    val regProvisional: Seq[(String, Double, Double)] = results
-      .flatMap { case (name, t) =>
-        prior.get(name.split("_")(0))
-          .filter(p => regRatio(t, p).isDefined)
-          .map(p => (name, t, p))
-      }
-      .sortBy { case (_, t, p) => -t / p }
-      .take(20)
-    val (regConfirmed, regCleared): (Seq[(String, Double, Double)], Seq[String]) =
-      if (regProvisional.isEmpty) (Seq.empty, Seq.empty)
+    def screenRegressions(
+        priorX: Map[String, Double],
+        resultsX: Seq[(String, Double)],
+        dirX: String): (Seq[(String, Double, Double)], Seq[String]) = {
+      val prov: Seq[(String, Double, Double)] = resultsX
+        .flatMap { case (name, t) =>
+          priorX.get(name.split("_")(0))
+            .filter(p => regRatio(t, p).isDefined)
+            .map(p => (name, t, p))
+        }
+        .sortBy { case (_, t, p) => -t / p }
+        .take(20)
+      if (prov.isEmpty) (Seq.empty, Seq.empty)
       else {
-        val flaggedSel = selected.filter(p => regProvisional.exists(_._1 == p._1))
-        val re = runSuite(spark, sfDir, flaggedSel, 2).toMap
-        val adj = regProvisional.map { case (name, t, p) =>
+        val flaggedSel = selected.filter(p => prov.exists(_._1 == p._1))
+        val re = runSuite(spark, dirX, flaggedSel, 2).toMap
+        val adj = prov.map { case (name, t, p) =>
           val best = math.min(t, re.get(name).flatten.getOrElse(t))
           (name, best, p, regRatio(best, p))
         }
         (adj.collect { case (n, b, p, Some(_)) => (n, b, p) },
           adj.collect { case (n, _, _, None) => n.split("_")(0) })
       }
+    }
+    val (regConfirmed, regCleared): (Seq[(String, Double, Double)], Seq[String]) =
+      screenRegressions(prior, results, sfDir)
+    // Same screen for the SECONDARY leg (fixed overheads dominate there,
+    // so the 0.5 s now-floor suppresses most noise; what survives it and
+    // the isolated rerun is a real small-SF flip worth adjudicating).
+    val prior2 = sf2Dir.map(d => priorTimesSf2("/root/repo/bench_last.json", d))
+      .getOrElse(Map.empty)
+    val (regConfirmed2, regCleared2): (Seq[(String, Double, Double)], Seq[String]) =
+      results2.filter(_ => prior2.nonEmpty)
+        .map(r2 => screenRegressions(prior2, r2, sf2Dir.get))
+        .getOrElse((Seq.empty, Seq.empty))
     // Plan forensics for confirmed survivors: re-execute each once and
     // dump the FINAL adaptive plan with its populated SQLMetrics, so a
     // flip (AQE join strategy, lost codegen, IO blow-up) is attributable
@@ -454,18 +485,26 @@ object Bench {
     // query (profiling aid for filtered runs); the artifact then goes to
     // /tmp so a profiling session can never clobber the committed one.
     val dumpAll = sys.env.get("SPARK_GRAFT_DUMP").contains("all")
-    if ((filter.isEmpty && prior.nonEmpty) || dumpAll) {
+    if (filter.isEmpty || dumpAll) {
       def s3(v: Double): String =
         java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val sb = new StringBuilder
       sb.append(s"# confirmed round-over-round regressions at $sfDir: final plans + SQLMetrics\n")
-      val toDump: Seq[(String, Double, Double)] =
+      // entries carry the SF dir the flip happened at, so sf2 survivors
+      // re-execute (and dump) against the leg that flagged them
+      val toDump: Seq[(String, Double, Double, String)] =
         if (dumpAll) results.map { case (n, t) =>
-          (n, t, prior.getOrElse(n.split("_")(0), 0.0))
+          (n, t, prior.getOrElse(n.split("_")(0), 0.0), sfDir)
         }
-        else regConfirmed
+        else regConfirmed.map { case (n, b, p) => (n, b, p, sfDir) } ++
+          regConfirmed2.map { case (n, b, p) => (n, b, p, sf2Dir.get) }
+      // An unfiltered run with NO prior baseline (first run, or SF
+      // change) still rewrites the file with an explicit marker — a
+      // stale committed dump must never masquerade as this round's
+      // evidence (round-12 ADVICE).
+      if (prior.isEmpty && !dumpAll) sb.append("(no prior baseline this run)\n")
       if (toDump.isEmpty) sb.append("none\n")
-      toDump.foreach { case (name, best, prev) =>
+      toDump.foreach { case (name, best, prev, dumpDir) =>
         selected.find(_._1 == name).foreach { case (_, fn) =>
           try {
             // The noop write builds its OWN QueryExecution (the original
@@ -495,13 +534,13 @@ object Bench {
             spark.listenerManager.register(listener)
             val t =
               try {
-                val df = fn(spark, sfDir)
+                val df = fn(spark, dumpDir)
                 val t0 = System.nanoTime()
                 df.write.format("noop").mode("overwrite").save()
                 latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
                 (System.nanoTime() - t0) / 1e9
               } finally spark.listenerManager.unregister(listener)
-            sb.append(s"\n==== $name confirmed=${s3(best)}s prior=${s3(prev)}s dump_run=${s3(t)}s\n")
+            sb.append(s"\n==== $name sf=$dumpDir confirmed=${s3(best)}s prior=${s3(prev)}s dump_run=${s3(t)}s\n")
             captured match {
               case Some(qe) => dumpPlanMetrics(qe.executedPlan, sb, 0)
               case None => sb.append("  (listener did not observe the execution)\n")
@@ -613,17 +652,21 @@ object Bench {
     // contention-free number and the baseline it breached are both on the
     // record; cleared ids listed so "was flagged, rerun cleared it" is
     // machine-readable rather than re-litigated each round.
+    def regJson(confirmed: Seq[(String, Double, Double)], cleared: Seq[String], suffix: String) = {
+      val conf = confirmed
+        .map { case (n, b, p) =>
+          "\"" + n.split("_")(0) + "\":[" + ms(b) + "," + ms(p) + "]"
+        }
+        .mkString("{", ",", "}")
+      val clr = cleared.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      s""","regressions_confirmed$suffix":$conf,"regressions_cleared$suffix":$clr"""
+    }
     val regPart =
-      if (prior.isEmpty) ""
-      else {
-        val conf = regConfirmed
-          .map { case (n, b, p) =>
-            "\"" + n.split("_")(0) + "\":[" + ms(b) + "," + ms(p) + "]"
-          }
-          .mkString("{", ",", "}")
-        val clr = regCleared.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-        s""","regressions_confirmed":$conf,"regressions_cleared":$clr"""
-      }
+      (if (prior.isEmpty) "" else regJson(regConfirmed, regCleared, "")) +
+        // present whenever the sf2 leg ran against a prior baseline —
+        // empty or adjudicated, never silently absent (round-12 brief #5)
+        (if (prior2.isEmpty || results2.isEmpty) ""
+         else regJson(regConfirmed2, regCleared2, "_sf2"))
     val failed = failedOf(raw1, raw2.getOrElse(Seq.empty), rawUp.getOrElse(Seq.empty))
     val failedPart =
       if (failed.isEmpty) ""

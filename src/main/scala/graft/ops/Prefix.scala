@@ -183,6 +183,128 @@ object Prefix {
       .drop(PidCol, "__offset")
   }
 
+  /** `df` extended with `outCol` = the global `row_number()` over the
+    * total order (`valueCol` asc-or-desc, `idCol` asc) — distributed.
+    *
+    * The naive spelling, `row_number().over(Window.orderBy(v, id))`, is
+    * a single-task sort over the whole input. The tempting half-fix —
+    * rank within `Window.partitionBy(v)` plus a prefix count of rows
+    * with smaller `v` — re-introduces a HOT partition whenever one value
+    * dominates (a frequency metric where half the entities have f = 1).
+    * This kernel instead range-partitions on the COMPOSITE key: the
+    * RangePartitioner splits big peer groups across partitions evenly
+    * (the id tiebreak makes every key unique), each partition indexes
+    * its rows locally in one streamed pass, and a per-partition count
+    * summary (≤ #partitions rows — bounded by cluster layout, not data)
+    * supplies the exclusive offsets. Same single-exchange discipline as
+    * [[runningSum]]: the offsets branch aggregates the KERNEL OUTPUT so
+    * both join sides share one reused shuffle.
+    *
+    * Partition identity is data-derived — the partition's FIRST
+    * composite key in sort order, unique because non-empty range
+    * partitions hold disjoint key ranges — never the task partition id
+    * (see the class doc for why pids lie under AQE re-wrapping).
+    *
+    * The exchange width is ADAPTIVE: `ceil(plan-stats bytes /`
+    * [[TargetPartitionBytesKey]]`)`, clamped to the session shuffle
+    * parallelism — a 100 TB entity dim fans out to the cluster, while a
+    * catalog-sized dim collapses to ONE range partition, where the
+    * local index IS the global rank, the RangePartitioner never samples
+    * (no bounds needed for one partition), and the offsets pass
+    * disappears. Measured: the fixed-width spelling cost the sf0.1 RFM
+    * gate 2.6 s of 32-task page-allocation churn to rank 1,500 rows —
+    * the same class of toy-scale exchange tax the round-12 Par.spread
+    * regression taught. Stats only, never an action (the Par.spread
+    * rule); width 1 costs what the single-task window it replaces cost,
+    * so the swap is free at small scale and distributed at large.
+    *
+    * Contract: `valueCol` and `idCol` are non-null integral columns and
+    * `(valueCol, idCol)` is unique per row (idCol a key). `desc = true`
+    * ranks largest value first; ties always break by ascending id.
+    */
+  def rowNumber(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      outCol: String,
+      desc: Boolean = false): DataFrame = {
+    val conf = df.sparkSession.conf
+    val sessionN = conf.get("spark.sql.shuffle.partitions").toInt
+    val target = conf.get(TargetPartitionBytesKey, (64L << 20).toString).toLong
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((statsBytes + target - 1) / target)
+      .min(BigInt(sessionN)).max(BigInt(1)).toInt
+    val vCol = if (desc) col(valueCol).desc else col(valueCol).asc
+    val ranged = df
+      .repartitionByRange(n, vCol, col(idCol).asc)
+      .sortWithinPartitions(vCol, col(idCol).asc)
+    val schema = ranged.schema
+    val vi = schema.fieldIndex(valueCol)
+    val ii = schema.fieldIndex(idCol)
+    if (n == 1) {
+      // Single range partition: the streamed local index is already the
+      // global rank — no partition identity, no offsets, no join.
+      val outSchema1 = schema.add(outCol, LongType, nullable = false)
+      return ranged.mapPartitions { rows =>
+        var idx = 0L
+        rows.map { r =>
+          if (idx == 0L) require(r.get(vi) != null && r.get(ii) != null,
+            "Prefix.rowNumber: value and id columns must be non-null")
+          idx += 1L
+          Row.fromSeq(r.toSeq :+ idx)
+        }
+      }(Encoders.row(outSchema1))
+    }
+    val outSchema = schema
+      .add(PidVCol, LongType, nullable = false)
+      .add(PidICol, LongType, nullable = false)
+      .add(IdxCol, LongType, nullable = false)
+    val local = ranged.mapPartitions { rows =>
+      var idx = 0L
+      var pv = 0L
+      var pi = 0L
+      rows.map { r =>
+        if (idx == 0L) {
+          val v = r.get(vi)
+          val id = r.get(ii)
+          require(v != null && id != null,
+            "Prefix.rowNumber: value and id columns must be non-null")
+          pv = v.asInstanceOf[Number].longValue()
+          pi = id.asInstanceOf[Number].longValue()
+        }
+        idx += 1L
+        Row.fromSeq(r.toSeq :+ pv :+ pi :+ idx)
+      }
+    }(Encoders.row(outSchema))
+    // Partition order = ascending first-key in the SAME direction the
+    // range exchange used; the exclusive prefix over the per-partition
+    // counts is a window over ≤ #partitions rows.
+    val pidOrd =
+      if (desc) Seq(col(PidVCol).desc, col(PidICol).asc)
+      else Seq(col(PidVCol).asc, col(PidICol).asc)
+    val prior = Window.orderBy(pidOrd: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col(PidVCol), col(PidICol))
+      .agg(count(lit(1)).as("__part_n"))
+      .withColumn("__offset", coalesce(sum(col("__part_n")).over(prior), lit(0L)))
+      .select(col(PidVCol), col(PidICol), col("__offset"))
+    local
+      .join(broadcast(offsets), Seq(PidVCol, PidICol))
+      .withColumn(outCol, (col("__offset") + col(IdxCol)).cast(LongType))
+      .drop(PidVCol, PidICol, IdxCol, "__offset")
+  }
+
+  private val PidVCol = "__graft_pid_v"
+  private val PidICol = "__graft_pid_i"
+  private val IdxCol = "__graft_idx"
+
+  /** Session conf key: target bytes per range partition for
+    * [[rowNumber]]'s adaptive exchange width (default 64 MB — a
+    * comfortable single-task sort). Lower it in tests to force the
+    * multi-partition kernel on small fixtures.
+    */
+  val TargetPartitionBytesKey = "spark.graft.prefix.targetPartitionBytes"
+
   /** Range-partition on the order key with an EXPLICIT partition count
     * (the session's shuffle parallelism) and sort within partitions. The
     * explicit count matters for correctness, not tuning: a bare

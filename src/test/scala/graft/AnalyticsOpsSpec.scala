@@ -874,6 +874,90 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("Prefix.rowNumber: matches the global-window row_number at random parallelism") {
+    // Property-style: seeded random corpora with HEAVY value ties (the
+    // shape that makes a partition-by-value rank skew) × random shuffle
+    // parallelism × both directions, each checked against a driver-side
+    // sort — the semantics an unpartitioned row_number window defines.
+    val rnd = new scala.util.Random(20260816L)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      (1 to 8).foreach { trial =>
+        val n = 50 + rnd.nextInt(400)
+        // trial 1: ONE value for every row — the degenerate all-ties case
+        val valSpace = if (trial == 1) 1 else 1 + rnd.nextInt(12)
+        val rows = rnd.shuffle((1 to n).map(i =>
+          (i.toLong * 3L, rnd.nextInt(valSpace).toLong - 5L)).toVector)
+        val desc = trial % 2 == 0
+        spark.conf.set("spark.sql.shuffle.partitions", (1 + rnd.nextInt(33)).toString)
+        // width is stats-adaptive: tiny fixtures collapse to the
+        // 1-partition fast path, so HALF the trials force the general
+        // multi-partition kernel by shrinking the per-partition target.
+        if (trial % 2 == 1)
+          spark.conf.set(graft.ops.Prefix.TargetPartitionBytesKey, "64")
+        else
+          spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
+        val exp = rows
+          .sortBy { case (id, v) => (if (desc) -v else v, id) }
+          .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+        val got = graft.ops.Prefix
+          .rowNumber(rows.toDF("id", "v"), "v", "id", "rk", desc)
+          .select("id", "rk").as[(Long, Long)].collect().toMap
+        assert(got == exp, s"rowNumber trial $trial diverged (n=$n vals=$valSpace desc=$desc)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
+    }
+  }
+
+  test("rankMovers / rfmSegments: distributed ranks match the global-window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{abs => fabs, col, lit, ntile, row_number, sum => fsum, max => fmax, count => fcount, unix_micros, expr}
+    val rnd = new scala.util.Random(42L)
+    // rankMovers: two periods over a shared key space, vs the inline
+    // unpartitioned-window oracle it replaced.
+    val prevP = (1 to 400).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(1000).toLong)).toDF("k", "v")
+    val curP = (1 to 400).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(1000).toLong)).toDF("k", "v")
+    def rankedOracle(df: org.apache.spark.sql.DataFrame, v: String, r: String) =
+      df.groupBy("k").agg(fsum(col("v")).as(v))
+        .withColumn(r, row_number().over(Window.orderBy(col(v).desc, col("k"))).cast("long"))
+    val oracle = rankedOracle(prevP, "val_prev", "rank_prev")
+      .join(rankedOracle(curP, "val_cur", "rank_cur"), Seq("k"))
+      .withColumn("delta", col("rank_prev") - col("rank_cur"))
+      .withColumn("mover_rank",
+        row_number().over(Window.orderBy(fabs(col("delta")).desc, col("k"))).cast("long"))
+      .where(col("mover_rank") <= 15)
+      .orderBy("mover_rank").collect().map(_.toSeq).toSeq
+    val got = graft.ops.Profile.rankMovers(prevP, curP, "k", "v", topK = 15)
+      .orderBy("mover_rank").collect().map(_.toSeq).toSeq
+    assert(got == oracle)
+    // rfmSegments: random event stream vs the inline global-ntile oracle.
+    val ev = (1 to 600).map { i =>
+      (rnd.nextInt(90).toLong,
+        java.sql.Timestamp.valueOf(s"2026-0${1 + rnd.nextInt(8)}-1${rnd.nextInt(9)} 0${rnd.nextInt(9)}:00:00"),
+        rnd.nextInt(5000).toLong)
+    }.toDF("user_id", "ts", "v")
+    val per = ev.groupBy("user_id").agg(
+      fmax(unix_micros(col("ts"))).as("_last"),
+      fcount(lit(1)).as("f"),
+      fsum(col("v")).as("m"))
+    def nt(order: org.apache.spark.sql.Column*) =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    val rfmOracle = per
+      .withColumn("_frontier", fmax(col("_last")).over(Window.partitionBy()))
+      .withColumn("recency_s", expr("(_frontier - _last) div 1000000"))
+      .select(col("user_id"), col("recency_s"), col("f"), col("m"),
+        (lit(6L) - nt(col("recency_s"), col("user_id"))).as("r_score"),
+        nt(col("f"), col("user_id")).as("f_score"),
+        nt(col("m"), col("user_id")).as("m_score"))
+      .withColumn("segment", col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val rfmGot = graft.ops.Profile.rfmSegments(ev, "user_id", "ts", "v")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(rfmGot == rfmOracle)
+  }
+
   test("Par.spread: widens only narrow frames whose declared work clears the cost gate") {
     val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Range stats: 8 bytes/row -> 100 rows ~ 800 bytes of estimated input.

@@ -122,4 +122,31 @@ class DuckDbBridgeSpec extends SparkSpec {
       case other => other
     }).toString == "2026-02-03"))
   }
+
+  test("LIVE Arrow ingest: pre-1970 timestamps keep their sub-second component") {
+    // The round-12 ADVICE closure (the floorDiv/floorMod split in the
+    // bind loop): negative epoch micros truncate toward zero under `/`
+    // and `%`, which shifts a pre-1970 instant forward a second and
+    // hands setNanos a negative value. 1969-12-31 23:59:59.123456 UTC is
+    // -876544 µs — the exact shape that broke.
+    val jar = findDuckDbJar()
+    assume(jar.isDefined, "no duckdb_jdbc jar in the offline cache — seam stays file-based")
+    val df = Seq(
+        (1L, "1969-12-31 23:59:59.123456"),
+        (2L, "1910-02-03 04:05:06.000789"),
+        (3L, "2026-01-02 03:04:05.678901"))
+      .toDF("id", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+      .select("id", "ts")
+    val ipc = graft.proto.ArrowInterchange.toIpcStream(
+      df.collect().iterator, df.schema, batchSize = 2)
+    val out = DuckDbBridge.ingestArrowLive(jar.get, ipc, "olden", Seq(
+      "SELECT id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS s FROM olden ORDER BY id"))
+    val (names, rows) = graft.proto.ArrowInterchange.fromIpcStream(out(0))
+    assert(names == Seq("id", "s"))
+    assert(rows.map(r => (r(0), r(1))) == Seq(
+      (1L, "1969-12-31 23:59:59.123456"),
+      (2L, "1910-02-03 04:05:06.000789"),
+      (3L, "2026-01-02 03:04:05.678901")))
+  }
 }

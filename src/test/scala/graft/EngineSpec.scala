@@ -151,4 +151,28 @@ class EngineSpec extends SparkSpec {
     }
     assert(calls == 3 && sleptTight.toSeq == Seq(100L, 130L))
   }
+
+  test("RetryPolicy: fatal errors propagate immediately — never classified or slept on") {
+    // The round-12 ADVICE closure (TableSource.scala:82): the retry loop
+    // catches NonFatal ONLY. An InterruptedException (cancellation) or a
+    // VirtualMachineError must escape on the FIRST throw even when the
+    // classifier would call it retryable — classifying-and-sleeping on a
+    // cancellation turns task kills into 60 s hangs.
+    val p = RetryPolicy.createReadSession
+    var calls = 0
+    var sleptAny = false
+    intercept[InterruptedException] {
+      p.run[Int](
+        () => { calls += 1; throw new InterruptedException("UNAVAILABLE") },
+        codeOf = _.getMessage, maxAttempts = 99, sleep = _ => sleptAny = true)
+    }
+    assert(calls == 1 && !sleptAny, "InterruptedException was retried or slept on")
+    calls = 0
+    intercept[OutOfMemoryError] {
+      p.run[Int](
+        () => { calls += 1; throw new OutOfMemoryError("UNAVAILABLE") },
+        codeOf = _.getMessage, maxAttempts = 99, sleep = _ => sleptAny = true)
+    }
+    assert(calls == 1 && !sleptAny, "fatal VM error was retried or slept on")
+  }
 }

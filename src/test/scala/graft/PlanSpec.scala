@@ -510,6 +510,57 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned windows over unaggregated input:\n${offenders.mkString("\n")}")
   }
 
+  test("rankMovers / rfmSegments: no unpartitioned WindowExec over the full entity dim") {
+    // Round-12 verdict items 2–3: the per-entity metric dims these two
+    // rank are |entities| rows — billions at 100 TB — so a
+    // Window.orderBy with no partition key there is a single-task sort
+    // over the whole customer base. The rewrite routes every full-dim
+    // rank through Prefix.rowNumber's range-partitioned two-phase scan;
+    // the ONLY unpartitioned windows allowed in these plans are (a) the
+    // Prefix offsets pass — ordering exclusively by __graft_pid summary
+    // columns, ≤ #shuffle-partitions rows by construction — and (b) a
+    // post-limit rank over ≤ k already-selected rows.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    def offenders(root0: SparkPlan): Seq[String] = {
+      val root = root0 match { case a: AdaptiveSparkPlanExec => a.initialPlan; case x => x }
+      def postLimit(p: SparkPlan): Boolean = p match {
+        case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+        case leaf if leaf.children.isEmpty => false
+        case other => other.children.forall(postLimit)
+      }
+      root.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !w.orderSpec.forall(_.child.references.forall(_.name.startsWith("__graft_pid"))) &&
+            !postLimit(w.child) =>
+          w.simpleStringWithNodeId()
+      }
+    }
+    Seq("ns196_rank_movers", "ns185_rfm").foreach { name =>
+      val ep = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val bad = offenders(ep)
+      assert(bad.isEmpty, s"$name ranks the full dim on one task:\n${bad.mkString("\n")}")
+    }
+    // And the SCALE shape: when the dim's stats exceed the per-partition
+    // target (as any real entity base does), the rank must plan as a
+    // multi-partition range exchange — never a single-task sort. Force
+    // the route by shrinking the target; fixture-sized stats otherwise
+    // take the width-1 fast path, whose plan is exactly the bounded
+    // single-partition sort the stats say is affordable.
+    spark.conf.set(graft.ops.Prefix.TargetPartitionBytesKey, "64")
+    try {
+      Seq("ns196_rank_movers", "ns185_rfm").foreach { name =>
+        val ep = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        val bad = offenders(ep)
+        assert(bad.isEmpty, s"$name (forced wide) ranks the full dim on one task:\n${bad.mkString("\n")}")
+        assert(ep.toString.contains("Exchange rangepartitioning"),
+          s"$name (forced wide) lost the range-partitioned rank:\n$ep")
+      }
+    } finally spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
+  }
+
   test("vocabMassCoverage unbounded path: range-partitioned prefix, no per-type window") {
     // boundedDomain = false must collapse to frequency classes and ride
     // Prefix.runningSum's range exchange — never the unpartitioned
