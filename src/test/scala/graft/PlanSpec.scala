@@ -561,6 +561,95 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
   }
 
+  test("unpartitioned windows across ALL gates are the adjudicated bounded set") {
+    // Round-12 brief item 4: every `WindowExec: No Partition Defined`
+    // warning the bench tail emits must be traceable to a bounded input.
+    // This sweep classifies every unpartitioned WindowExec in every
+    // gate's pre-AQE physical plan by its boundedness EVIDENCE and pins
+    // the result:
+    //   limit — a GlobalLimit/LocalLimit/TakeOrdered below the window:
+    //           ≤ k rows by construction, harmless.
+    //   pid   — orders exclusively by __graft_pid columns: the Prefix
+    //           per-partition summary, ≤ #shuffle-partitions rows.
+    //   agg   — an aggregate below collapses to a bounded dim; each such
+    //           GATE must appear in the reviewed allowlist below with its
+    //           boundedness argument, so a new unbounded-dim window can
+    //           never ride in unnoticed on the aggregate exemption.
+    //   raw   — reaches a scan unaggregated: always a failure.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    def boundedBy(p: SparkPlan, pred: SparkPlan => Boolean): Boolean = p match {
+      case n if pred(n) => true
+      case _: LocalTableScanExec => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(c => boundedBy(c, pred))
+    }
+    val isLimit: SparkPlan => Boolean = {
+      case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    val isAgg: SparkPlan => Boolean = {
+      case _: BaseAggregateExec => true
+      case _ => false
+    }
+    def classify(name: String, root0: SparkPlan): Seq[(String, String)] = {
+      val root = root0 match { case a: AdaptiveSparkPlanExec => a.initialPlan; case x => x }
+      root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.map { w =>
+        val cls =
+          if (w.orderSpec.nonEmpty &&
+              w.orderSpec.forall(_.child.references.forall(_.name.startsWith("__graft_pid"))))
+            "pid"
+          else if (boundedBy(w.child, isLimit)) "limit"
+          else if (boundedBy(w.child, isAgg)) "agg"
+          else "raw"
+        (name, cls)
+      }
+    }
+    val found: Seq[(String, String)] = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val planned =
+          try Some(fn(spark, sfDir).queryExecution.executedPlan)
+          catch { case _: Throwable => None } // streaming/side-effect gates
+        planned.toSeq.flatMap(ep => classify(name, ep))
+    }
+    val raw = found.collect { case (n, "raw") => n }.distinct
+    assert(raw.isEmpty, s"unpartitioned windows over unaggregated scans: ${raw.mkString(", ")}")
+    val aggGates = found.collect { case (n, "agg") => n }.distinct.sorted
+    // The reviewed set. Every entry's window runs over a dim an
+    // aggregate has collapsed to DOMAIN-bounded cardinality — never
+    // |rows| or |entities|:
+    //   ns137_contingency, ns175_cramers_v — (row_key × col_key) cells:
+    //     categorical domains (the operator's documented contract).
+    //   ns141_burn_rate — hourly buckets: calendar-bounded.
+    //   ns146_key_skew — distinct per-key multiplicities: bounded by the
+    //     max key count, collapses millions of keys to a handful of
+    //     distinct c values (the counting-skeleton quantile dim).
+    //   ns154_proportional_split — |strata| seat table.
+    //   ns174_tvd_drift, ns72_histogram_drift — value-domain histogram
+    //     bins (cents div 500 / fixed-width buckets).
+    //   ns176_benford — the 9-digit dim.
+    //   ns188_drift_timeline — per-day cells: calendar-bounded.
+    //   ns189_quantile_normalize, ns202_survival_km, ns238_vocab_coverage
+    //     — boundedDomain=true branches (cents / bucketed durations /
+    //     frequency classes); the unbounded branches route through
+    //     Prefix and are pinned by their own specs.
+    //   ns251_gains_table — the 10-row decile dim (capture cum-sum).
+    val allowlist: Set[String] = Set(
+      "ns137_contingency", "ns141_burn_rate", "ns146_key_skew",
+      "ns154_proportional_split", "ns174_tvd_drift", "ns175_cramers_v",
+      "ns176_benford", "ns188_drift_timeline", "ns189_quantile_normalize",
+      "ns202_survival_km", "ns238_vocab_coverage", "ns251_gains_table",
+      "ns72_histogram_drift")
+    assert(aggGates.toSet == allowlist,
+      s"agg-bounded unpartitioned-window gates drifted from the reviewed set.\n" +
+        s"now: ${aggGates.mkString(", ")}\n" +
+        s"reviewed: ${allowlist.toSeq.sorted.mkString(", ")}")
+  }
+
   test("vocabMassCoverage unbounded path: range-partitioned prefix, no per-type window") {
     // boundedDomain = false must collapse to frequency classes and ride
     // Prefix.runningSum's range exchange — never the unpartitioned
