@@ -20,6 +20,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Known-benign warning noise (every unpartitioned window is pinned
+    // by PlanSpec's adjudicated-bounded-set sweep) — keep the driver's
+    // bounded output capture for signal. See Bench.main.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Same optional isolation filter as Bench: SPARK_GRAFT_FILTER=ns27,b54
     // dumps (and lists oracle SQL for) only the named id prefixes.

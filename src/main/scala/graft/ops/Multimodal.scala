@@ -335,46 +335,75 @@ object Multimodal {
       bytesCol: String,
       sampleRate: Int = 8000): Dataset[UlawFeatures] = {
     import spark.implicits._
-    // Deliberately NOT Par.spread: the javax.sound conversion goes
-    // through AudioSystem's synchronized SPI registry, and 32 threads
-    // contending on that lock measured 50x the per-row cost of the
-    // single-task pass (ns208 1.18s -> 2.53s when spread; confirmed by
-    // the regression screen's plan+metrics dump: 65.9 thread-seconds of
-    // MapPartitions for 5000 rows).
+    // The javax.sound entry points (`AudioSystem.getAudioInputStream`,
+    // both overloads) resolve their SPI providers through the JDK's
+    // GLOBALLY SYNCHRONIZED registry on EVERY call — 32 threads
+    // contending on that lock measured 50x the per-row cost (ns208
+    // 1.18s -> 2.53s when Par.spread; 65.9 thread-seconds of
+    // MapPartitions for 5000 rows), and the round-13 10x screen
+    // confirmed the dual: at 10x data AQE keeps more post-scan
+    // partitions, so the lock convoy turned 10x rows into a 16x
+    // wall-clock flag. Fix the lock, not the parallelism: resolve the
+    // WAV reader and the ULAW->PCM converter ONCE PER PARTITION via the
+    // public ServiceLoader SPI (the same providers the registry would
+    // pick — the 256-byte OpsSpec table pins decode equality) and call
+    // the providers directly per row. AudioSystem remains the fallback
+    // when a JDK ships no matching provider.
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, data) =>
-        val nSamples = data.length / 2
-        val enc = new Array[Byte](nSamples)
-        var i = 0
-        while (i < nSamples) {
-          val s = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort).toInt
-          enc(i) = ulawEncode(s).toByte
-          i += 1
+      .mapPartitions { it =>
+        import javax.sound.sampled.spi.{AudioFileReader, FormatConversionProvider}
+        import scala.jdk.CollectionConverters._
+        val readers =
+          java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+        val converters =
+          java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toList
+        it.map { case (id, data) =>
+          val nSamples = data.length / 2
+          val enc = new Array[Byte](nSamples)
+          var i = 0
+          while (i < nSamples) {
+            val s = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort).toInt
+            enc(i) = ulawEncode(s).toByte
+            i += 1
+          }
+          val wav = encodeWavUlaw(enc, sampleRate, channels = 1)
+          val ais = readers.iterator
+            .flatMap { r =>
+              try Iterator.single(
+                r.getAudioInputStream(new java.io.ByteArrayInputStream(wav)))
+              catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                  Iterator.empty
+              }
+            }
+            .nextOption()
+            .getOrElse(javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wav)))
+          val pcmFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            ais.getFormat.getSampleRate, 16, 1, 2, ais.getFormat.getSampleRate,
+            false)
+          val dec = converters
+            .find(_.isConversionSupported(pcmFmt, ais.getFormat))
+            .map(_.getAudioInputStream(pcmFmt, ais))
+            .getOrElse(javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais))
+          val buf =
+            try dec.readAllBytes()
+            finally { dec.close(); ais.close() }
+          var peak = 0L
+          var energy = 0L
+          var j = 0
+          while (j + 1 < buf.length) {
+            val s = (((buf(j + 1) << 8) | (buf(j) & 0xff)).toShort).toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            energy += s * s
+            j += 2
+          }
+          UlawFeatures(id, (buf.length / 2).toLong, peak, energy)
         }
-        val wav = encodeWavUlaw(enc, sampleRate, channels = 1)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(wav))
-        val pcmFmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          ais.getFormat.getSampleRate, 16, 1, 2, ais.getFormat.getSampleRate,
-          false)
-        val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
-        val buf =
-          try dec.readAllBytes()
-          finally { dec.close(); ais.close() }
-        var peak = 0L
-        var energy = 0L
-        var j = 0
-        while (j + 1 < buf.length) {
-          val s = (((buf(j + 1) << 8) | (buf(j) & 0xff)).toShort).toLong
-          val a = math.abs(s)
-          if (a > peak) peak = a
-          energy += s * s
-          j += 2
-        }
-        UlawFeatures(id, (buf.length / 2).toLong, peak, energy)
-      })
+      }
   }
 
   /** Per-frame PCM16 energy row. */
