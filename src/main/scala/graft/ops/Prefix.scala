@@ -248,7 +248,7 @@ object Prefix {
       return ranged.mapPartitions { rows =>
         var idx = 0L
         rows.map { r =>
-          if (idx == 0L) require(r.get(vi) != null && r.get(ii) != null,
+          require(r.get(vi) != null && r.get(ii) != null,
             "Prefix.rowNumber: value and id columns must be non-null")
           idx += 1L
           Row.fromSeq(r.toSeq :+ idx)
@@ -264,11 +264,13 @@ object Prefix {
       var pv = 0L
       var pi = 0L
       rows.map { r =>
+        val v = r.get(vi)
+        val id = r.get(ii)
+        // every row, not just the partition head: under desc ordering a
+        // null value sorts LAST and would otherwise rank silently
+        require(v != null && id != null,
+          "Prefix.rowNumber: value and id columns must be non-null")
         if (idx == 0L) {
-          val v = r.get(vi)
-          val id = r.get(ii)
-          require(v != null && id != null,
-            "Prefix.rowNumber: value and id columns must be non-null")
           pv = v.asInstanceOf[Number].longValue()
           pi = id.asInstanceOf[Number].longValue()
         }

@@ -909,6 +909,19 @@ class AnalyticsOpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
     }
+    // null keys are refused on EVERY row, not just the partition head —
+    // under desc ordering a null value sorts LAST and would otherwise
+    // rank silently against the non-null contract.
+    val withNull = (1L to 50L).map(i => (i, if (i == 37L) None else Some(i % 5)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("long").as("v"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.ops.Prefix.rowNumber(withNull, "v", "id", "rk", desc = true).collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("must be non-null")) ||
+        mentions(t.getCause))
+    assert(mentions(ex), s"null value did not fail fast: ${ex.getMessage}")
   }
 
   test("rankMovers / rfmSegments: distributed ranks match the global-window spelling") {
