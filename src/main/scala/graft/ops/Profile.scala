@@ -209,8 +209,13 @@ object Profile {
     * are bit-reproducible cross-engine.
     *
     * Scale shape: the quantile pass's (group, distinct value) compressed
-    * table + two windows over it; the clamp itself is a broadcast join of
-    * the ≤|groups|-row envelope followed by a scan-local projection.
+    * table + two windows over it; the clamp joins the ≤|groups|-row
+    * envelope back on the group key. Deliberately NOT hinted
+    * `broadcast()`: |groups| is data cardinality (user-level grouping is
+    * legitimate), and a forced broadcast of a billion-group envelope
+    * collects it to the driver — AQE broadcasts the envelope unhinted
+    * whenever it is actually small, and the equi-join distributes
+    * cleanly when it is not.
     *
     * Output: the input columns plus `<valueCol>_w` (clamped), `q_lo`,
     * `q_hi` (the group envelope, repeated per row).
@@ -224,7 +229,7 @@ object Profile {
     require(loQ >= 0.0 && hiQ <= 1.0 && loQ < hiQ, s"bad envelope [$loQ, $hiQ]")
     val env = groupedQuantilesCont(
       df, groupCol, valueCol, Seq(loQ -> "q_lo", hiQ -> "q_hi"))
-    df.join(broadcast(env), Seq(groupCol))
+    df.join(env, Seq(groupCol))
       .withColumn(
         s"${valueCol}_w",
         // Explicit null guard: Spark's least/greatest SKIP nulls, which
