@@ -98,9 +98,19 @@ object Funnel {
         case Some(gap) => col("t") > col("prev") && col("t") <= col("prev") + gap
         case None => col("t") > col("prev")
       }
+      // toDF, not select: the checkpointed LogicalRDD preserves the
+      // exprIds it inherited from `e`, and the join's left side mints
+      // the same user_id exprId via its projection alias. The analyzer
+      // only re-instances DUPLICATED LEAVES when deduplicating join
+      // references, so that collision is unresolvable ("Conflicting
+      // attributes: user_id", an AQE-off INTERNAL_ERROR — AQE-on
+      // analysis happened to tolerate it). toDF re-aliases every column
+      // with fresh exprIds, making the join self-contained.
       cur = Checkpoints.truncate(
         e.where(col("ty") === stages(k))
-          .join(cur.select(col("user_id"), col("tk").as("prev")), "user_id")
+          .join(
+            cur.select(col("user_id"), col("tk")).toDF("user_id", "prev"),
+            "user_id")
           .where(inWindow)
           .groupBy("user_id")
           .agg(min(col("t")).as("tk")))

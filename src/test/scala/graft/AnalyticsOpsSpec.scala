@@ -84,6 +84,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("funnel stage joins analyze with AQE disabled (checkpoint exprId collision)") {
+    // The stage loop joins a checkpointed LogicalRDD (which preserves
+    // the exprIds it inherited from the event projection) back against
+    // that same projection. The analyzer only re-instances DUPLICATED
+    // LEAVES when deduplicating join references, so without the fresh
+    // re-alias the join died with "Conflicting attributes: user_id"
+    // (INTERNAL_ERROR) whenever spark.sql.adaptive.enabled=false — a
+    // legal cluster config the round-13 AQE-off sweep exercised.
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      (1L, ts(10), "signup"), (1L, ts(20), "view"), (1L, ts(30), "click"),
+      (2L, ts(10), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val got = Funnel.reach(ev, "user_id", "ts", "event_type", Seq("signup", "view", "click"))
+        .select("stage", "users").as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+      val within = Funnel.reachWithin(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view"), maxGapSec = 5L)
+        .select("stage", "users").as[(Long, Long)].collect().toMap
+      assert(within == Map(1L -> 2L, 2L -> 0L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("retentionCohorts builds the exact weekly matrix, one row per user-week") {
     val week = 7L * 86400L
     def ts(w: Long, off: Long = 0L) =
