@@ -995,6 +995,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     val rfmGot = graft.ops.Profile.rfmSegments(ev, "user_id", "ts", "v")
       .orderBy("user_id").collect().map(_.toSeq).toSeq
     assert(rfmGot == rfmOracle)
+    // closed-form ntile boundaries: every entity count around the bucket
+    // split (n < 5 gives one-row buckets; n = 5q and n = 5q + r exercise
+    // both branches of the extra-row convention) must match Spark's own
+    // ntile. One fold per n keeps it a single spark-job sweep per size.
+    (1 to 12).foreach { n =>
+      def tsOf(s: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s.toLong))
+      val evN = (1 to n).flatMap { u =>
+        (0 until u).map(j => (u.toLong, tsOf(20 + u * 7 + j), (u * 13 + j).toLong))
+      }.toDF("user_id", "ts", "v")
+      val perN = evN.groupBy("user_id").agg(
+        fmax(unix_micros(col("ts"))).as("_last"),
+        fcount(lit(1)).as("f"),
+        fsum(col("v")).as("m"))
+      val oracleN = perN
+        .withColumn("_frontier", fmax(col("_last")).over(Window.partitionBy()))
+        .withColumn("recency_s", expr("(_frontier - _last) div 1000000"))
+        .select(col("user_id"),
+          (lit(6L) - nt(col("recency_s"), col("user_id"))).as("r_score"),
+          nt(col("f"), col("user_id")).as("f_score"),
+          nt(col("m"), col("user_id")).as("m_score"))
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val gotN = graft.ops.Profile.rfmSegments(evN, "user_id", "ts", "v")
+        .select("user_id", "r_score", "f_score", "m_score")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(gotN == oracleN, s"ntile boundary diverged at n=$n")
+    }
+    // rankMovers: topK larger than the joined entity set returns the
+    // whole set, ranked — the limit must not drop or pad rows.
+    val tiny1 = Seq((1L, 10L), (2L, 30L), (3L, 20L)).toDF("k", "v")
+    val tiny2 = Seq((1L, 25L), (2L, 5L), (3L, 20L)).toDF("k", "v")
+    val movers = graft.ops.Profile.rankMovers(tiny1, tiny2, "k", "v", topK = 50)
+      .select("k", "mover_rank").as[(Long, Long)].collect().toMap
+    assert(movers.size == 3 && movers.values.toSet == Set(1L, 2L, 3L))
   }
 
   test("Par.spread: widens only narrow frames whose declared work clears the cost gate") {
