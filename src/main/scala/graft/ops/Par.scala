@@ -1,8 +1,17 @@
 package graft.ops
 
+import scala.annotation.tailrec
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.PlanExpression
-import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{CoalesceExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{
+  ENSURE_REQUIREMENTS, REBALANCE_PARTITIONS_BY_COL, REBALANCE_PARTITIONS_BY_NONE,
+  REPARTITION_BY_COL, ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{
+  BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 
 /** Parallelism guard for fan-out-heavy kernels.
   *
@@ -14,13 +23,23 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * many the session has (measured: ns68's 1M-row sketch build spent 2.5 s
   * in one task at sf0.1 on 32 cores).
   *
-  * [[spread]] widens such a frame to the session's shuffle parallelism —
-  * but ONLY when the exchange it adds is worth buying. Round 12 shipped
-  * an ungated spread and the driver bench confirmed the cost side: the
-  * sf0.1 PNG-decode gate (ns67) regressed 0.825 → 1.852 s because the
-  * added exchange (blob-column shuffle write + a re-executed exchange
-  * subtree under the downstream sort) exceeded the half-second of decode
-  * it parallelized. The gate below prices that trade explicitly.
+  * [[spread]] widens such a frame toward the session's shuffle
+  * parallelism — but ONLY when the exchange it adds is worth buying.
+  * Round 12 shipped an ungated spread and the driver bench confirmed the
+  * cost side: the sf0.1 PNG-decode gate (ns67) regressed 0.825 → 1.852 s
+  * because the added exchange exceeded the half-second of decode it
+  * parallelized. Round 13 gated it on NODE PRESENCE ("plan contains a
+  * Join/Aggregate ⇒ arrives at shuffle width") and the driver bench
+  * confirmed THAT cost side too: a BroadcastHashJoin/
+  * BroadcastNestedLoopJoin keeps the STREAMED side's narrow layout (the
+  * build side shuffles, the probe side never does), so six compute-heavy
+  * kernels above broadcast joins serialized on the scan's 1–2 splits
+  * (ns229 silhouette 1.4 → 3.7 s: the whole query was one
+  * WholeStageCodegen pipeline over a 2-batch scan feeding a BNLJ against
+  * a 1-row broadcast). The gate below therefore reasons about the
+  * PHYSICAL LAYOUT PATH — the chain of operators that determines the
+  * frame's partitioning — never about which nodes exist somewhere in the
+  * plan.
   */
 object Par {
 
@@ -30,54 +49,152 @@ object Par {
     * ~0.2–1 s wall-clock, so the single-task latency it removes must be
     * at least that — about 64 MB of scan-equivalent work at the ~60–100
     * MB/s effective throughput the fan-out kernels sustain per core.
+    * Doubles as the per-task work target when sizing the widened
+    * exchange: `width = ceil(work / MinWorkBytes)` gives every task
+    * about one exchange-worthy quantum.
     */
   val MinWorkBytes: Long = 64L << 20
 
-  /** `df`, repartitioned to `spark.sql.shuffle.partitions` when (a) it is
-    * a narrow scan-rooted pipeline, (b) its estimated downstream work
-    * clears [[MinWorkBytes]], and (c) its physical layout is narrower
-    * than the session parallelism; unchanged otherwise.
+  /** Where the frame's physical layout comes from: the layout-determining
+    * SPINE of the plan — root → unary child → the STREAMED side of a
+    * broadcast join — terminating at either a shuffle exchange (the frame
+    * arrives at exchange width) or a leaf scan (the frame inherits the
+    * scan's split count). Anything else (union, sort-merge join,
+    * cartesian) is Unknown and left alone.
+    */
+  private sealed trait Layout
+  private final case class FromExchange(width: Int, coalescible: Boolean) extends Layout
+  private final case class FromLeaf(leaf: SparkPlan) extends Layout
+  private final case class FromCoalesce(width: Int) extends Layout
+  private case object Unknown extends Layout
+
+  @tailrec
+  private def layoutOf(p: SparkPlan): Layout = p match {
+    case e: ShuffleExchangeExec =>
+      // AQE's byte-based coalescing applies only to exchanges it is
+      // allowed to merge; a user repartition(n) (REPARTITION_BY_NUM)
+      // keeps its width.
+      val coalescible = e.shuffleOrigin match {
+        case ENSURE_REQUIREMENTS | REPARTITION_BY_COL |
+            REBALANCE_PARTITIONS_BY_NONE | REBALANCE_PARTITIONS_BY_COL => true
+        case _ => false
+      }
+      FromExchange(e.outputPartitioning.numPartitions, coalescible)
+    case r: ReusedExchangeExec => layoutOf(r.child)
+    case c: CoalesceExec => FromCoalesce(c.numPartitions)
+    case j: BroadcastHashJoinExec =>
+      layoutOf(j.buildSide match {
+        case BuildLeft => j.right
+        case BuildRight => j.left
+      })
+    case j: BroadcastNestedLoopJoinExec =>
+      layoutOf(j.buildSide match {
+        case BuildLeft => j.right
+        case BuildRight => j.left
+      })
+    case leaf if leaf.children.isEmpty => FromLeaf(leaf)
+    case u if u.children.length == 1 => layoutOf(u.children.head)
+    case _ => Unknown
+  }
+
+  /** `df`, repartitioned toward the session's shuffle parallelism when
+    * its physical layout would hand the declared downstream work to
+    * fewer tasks than the work justifies; unchanged otherwise.
     *
     * `fanout` is the caller's declared work amplification — estimated
     * CPU work per Catalyst-estimated input byte, in scan-equivalent
     * bytes (1.0 = the kernel costs about what scanning the bytes costs).
     * Call sites document the measurement their value comes from. The
     * work estimate is `optimizedPlan.stats.sizeInBytes * fanout`: plan
-    * statistics, never an action — the gate must not execute anything.
+    * statistics and PHYSICAL PLANNING only, never an action — the gate
+    * must not execute anything (the round-12 ADVICE finding: probing
+    * `.rdd` under AQE materializes every upstream stage).
     *
-    * Decision order, each step chosen for what it must NOT cost:
+    * Decision order:
     *
-    *  1. A plan that already contains a shuffle-inducing node (join,
-    *     aggregate, sort, window, dedup, repartition, global limit, or a
-    *     subquery) arrives at shuffle width on its own — and probing
-    *     `.rdd` on such a plan under AQE MATERIALIZES every upstream
-    *     stage just to read a partition count, then throws the result
-    *     away (the round-12 ADVICE finding: silent double execution).
-    *     Skip without touching the physical plan.
-    *  2. Below [[MinWorkBytes]] of estimated work, single-task latency
-    *     is cheaper than the exchange — skip (the ns67 fix).
-    *  3. Only then probe the physical width. The plan is exchange-free
-    *     by step 1, so `toRdd.getNumPartitions` is pure split planning —
-    *     no job, no AQE stage materialization. At production scale the
-    *     scan arrives wide and this resolves to a no-op here.
+    *  1. Below [[MinWorkBytes]] of estimated work, single-task latency
+    *     is cheaper than any exchange — skip (the ns67 fix, round 13).
+    *  2. Otherwise size the width the WORK wants: one [[MinWorkBytes]]
+    *     quantum per task, clamped to the session parallelism.
+    *  3. Walk the layout spine of the prepared physical plan (pre-AQE:
+    *     exchanges are explicit, nothing has run):
+    *     - Arrives from a COALESCIBLE exchange: the exchange has session
+    *       width on paper, but AQE's byte-based coalescing will merge it
+    *       down to ~`bytes / advisoryPartitionSizeInBytes` partitions —
+    *       a rule that cannot see per-byte kernel cost (ns225's 2 s
+    *       Holt–Winters fold ran on numCoalescedPartitions=2 over
+    *       2.2 MB; the measured 100×-scale dual is ns208's pre-fix
+    *       10×-rows → 16×-wall flag). When the work-sized width exceeds
+    *       that byte-sized estimate, add an explicit `repartition(n)` —
+    *       REPARTITION_BY_NUM, which AQE never coalesces — paying one
+    *       small exchange (the frame is post-aggregate small by the same
+    *       estimate) to keep the kernel wide.
+    *     - Arrives from a NON-coalescible exchange at ≥ the wanted
+    *       width: already wide — untouched.
+    *     - Scan-rooted (leaf, or an explicit coalesce): probe the leaf's
+    *       split count — pure split planning on a leaf node, no job —
+    *       and widen when it is below the wanted width (a broadcast
+    *       join on the spine streams THROUGH to the scan: the round-13
+    *       regression class).
+    *     - Unknown spine (union, shuffled join): untouched.
+    *
+    * At production scale every branch resolves to a no-op: scans arrive
+    * wide, and exchange bytes large enough to defeat AQE coalescing make
+    * the byte-sized width ≥ the work-sized width.
+    *
+    * Ordering caveat: the added exchange is round-robin — callers that
+    * need a carefully arranged sort order downstream of `spread` must
+    * sort after it, not before.
     */
   def spread(df: DataFrame, fanout: Double): DataFrame = {
     require(fanout > 0, "fanout must be positive")
     val qe = df.queryExecution
-    val arrivesWide = qe.optimizedPlan.exists {
-      // coalesce (Repartition with shuffle=false) NARROWS — keep gating;
-      // any shuffle-bearing ancestor of it still matches on its own node.
-      case r: Repartition => r.shuffle
-      case _: Join | _: Aggregate | _: Sort | _: Window | _: Distinct |
-          _: Deduplicate | _: RepartitionByExpression | _: GlobalLimit => true
-      case p =>
-        p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))
+    val conf = df.sparkSession.conf
+    val sessionN = conf.get("spark.sql.shuffle.partitions").toInt
+    val statsBytes = qe.optimizedPlan.stats.sizeInBytes
+    val workBytes = statsBytes.toDouble * fanout
+    if (workBytes < MinWorkBytes) return df
+    val want = math.min(sessionN.toDouble, math.ceil(workBytes / MinWorkBytes)).toInt
+    if (want < 2) return df
+    val phys = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
     }
-    if (arrivesWide) df
-    else if (qe.optimizedPlan.stats.sizeInBytes.toDouble * fanout < MinWorkBytes) df
-    else {
-      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      if (qe.toRdd.getNumPartitions < n) df.repartition(n) else df
+    layoutOf(phys) match {
+      case FromExchange(width, coalescible) =>
+        val effective =
+          if (!coalescible || !aqeCoalesceOn(conf)) width
+          else math.min(width.toLong, byteSizedWidth(conf, statsBytes)).toInt
+        if (want > effective) df.repartition(want) else df
+      case FromCoalesce(width) =>
+        if (width < want) df.repartition(want) else df
+      case FromLeaf(leaf) =>
+        // A leaf's execute() is split planning only — no shuffle below
+        // it exists to materialize, no job runs. Probe failures (e.g. a
+        // scan carrying an unprepared runtime subquery) skip safely.
+        val cur =
+          try leaf.execute().getNumPartitions
+          catch { case NonFatal(_) => Int.MaxValue }
+        if (cur < want) df.repartition(want) else df
+      case Unknown => df
     }
+  }
+
+  private def aqeCoalesceOn(conf: org.apache.spark.sql.RuntimeConfig): Boolean =
+    conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+
+  /** AQE's byte-based estimate of how many partitions a coalescible
+    * exchange read collapses to: `ceil(bytes / advisoryPartitionSize)`,
+    * at least 1. Uses the same plan-stats bytes as the work estimate, so
+    * a stats overestimate fails CONSERVATIVE (assumes AQE keeps more
+    * width than it will, skips the repartition).
+    */
+  private def byteSizedWidth(
+      conf: org.apache.spark.sql.RuntimeConfig, statsBytes: BigInt): Long = {
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    ((statsBytes + advisory - 1) / advisory).max(BigInt(1))
+      .min(BigInt(Int.MaxValue)).toLong
   }
 }

@@ -1035,8 +1035,14 @@ class AnalyticsOpsSpec extends SparkSpec {
     // Range stats: 8 bytes/row -> 100 rows ~ 800 bytes of estimated input.
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
     // (a) narrow + heavy declared work (800 B x 1e6 >= MinWorkBytes):
-    // widened to the session parallelism.
-    assert(graft.ops.Par.spread(narrow, fanout = 1e6).rdd.getNumPartitions == par)
+    // widened to the WORK-SIZED width — one MinWorkBytes quantum per
+    // task, clamped to the session parallelism (not blindly full width:
+    // a 2-quantum job on 32 tasks pays 32 tasks of exchange overhead
+    // for 2 tasks of work).
+    val workWidth =
+      math.min(par, math.ceil(800.0 * 1e6 / graft.ops.Par.MinWorkBytes).toInt)
+    assert(workWidth >= 2)
+    assert(graft.ops.Par.spread(narrow, fanout = 1e6).rdd.getNumPartitions == workWidth)
     // (b) narrow + light work (800 B x 100 << MinWorkBytes): the exchange
     // costs more than the single-task latency it would save — untouched,
     // the SAME frame back (the ns67 regression fix).
@@ -1044,27 +1050,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     // (c) a coalesce still narrows — the gate must see through it and
     // widen when the work warrants it.
     val coalesced = spark.range(0, 100).toDF("id").coalesce(1)
-    assert(graft.ops.Par.spread(coalesced, fanout = 1e6).rdd.getNumPartitions == par)
+    assert(graft.ops.Par.spread(coalesced, fanout = 1e6).rdd.getNumPartitions == workWidth)
   }
 
-  test("Par.spread: frames that arrive wide are returned untouched without probing the physical plan") {
+  test("Par.spread: broadcast joins stream through — the narrow probe side is widened") {
+    // The round-13 regression class (ns229/ns234): a BroadcastHashJoin/
+    // BroadcastNestedLoopJoin keeps the STREAMED side's narrow layout,
+    // so "plan contains a Join => arrives wide" was false. The layout
+    // spine must walk through the join to the streamed scan.
+    val probe = spark.range(0, 100, 1, 1).toDF("id")
+    val dim = org.apache.spark.sql.functions.broadcast(
+      spark.range(0, 5).toDF("k"))
+    val joined = probe.join(dim, probe("id") % 5 === dim("k"))
+    val out = graft.ops.Par.spread(joined, fanout = 1e7)
+    assert(out.rdd.getNumPartitions > 1,
+      "broadcast-joined narrow frame was not widened")
+    // and the same frame with trivial work stays untouched
+    assert(graft.ops.Par.spread(joined, fanout = 1.0) eq joined)
+  }
+
+  test("Par.spread: work-heavy post-aggregate frames out-vote AQE's byte-based coalescing") {
     val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // already at least as wide: the layout must survive untouched (no
-    // extra exchange at scale) — reference identity, not just width, so
-    // the skip provably adds nothing to the plan.
+    // already at least as wide via a USER repartition (REPARTITION_BY_NUM
+    // — AQE never coalesces it): untouched by reference, no extra
+    // exchange at scale.
     val wide = spark.range(0, 100).toDF("id").repartition(par + 5)
     assert(graft.ops.Par.spread(wide, fanout = 1e6) eq wide)
     assert(wide.rdd.getNumPartitions == par + 5)
-    // post-shuffle frames (aggregate/join/sort/window anywhere upstream)
-    // arrive at shuffle width on their own; probing .rdd on them under
-    // AQE would silently materialize every upstream stage (the round-12
-    // ADVICE finding) — the gate returns the same frame by reference
-    // before any physical planning.
+    // A post-aggregate frame arrives from a COALESCIBLE exchange: on
+    // paper it has session width, but AQE's byte-based coalescing will
+    // collapse these few bytes to ONE task — blind to per-byte kernel
+    // cost (ns225: a 2 s Holt-Winters fold on numCoalescedPartitions=2).
+    // Declared work that clears the gate must keep the kernel wide via
+    // an explicit REPARTITION_BY_NUM exchange.
     val agg = spark.range(0, 100, 1, 1).toDF("id")
       .groupBy(org.apache.spark.sql.functions.col("id") % 7).count()
-    assert(graft.ops.Par.spread(agg, fanout = 1e9) eq agg)
-    val sorted = spark.range(0, 100, 1, 1).toDF("id").orderBy("id")
-    assert(graft.ops.Par.spread(sorted, fanout = 1e9) eq sorted)
+    val spreadAgg = graft.ops.Par.spread(agg, fanout = 1e9)
+    assert(spreadAgg.rdd.getNumPartitions > 1,
+      "work-heavy post-agg frame left to AQE byte-based coalescing")
+    // ...while a cheap post-agg frame is left alone (byte-based
+    // coalescing is RIGHT when the downstream work is scan-like).
+    assert(graft.ops.Par.spread(agg, fanout = 1.0) eq agg)
   }
 
   test("vocabMassCoverage: a target landing exactly on a class boundary picks the earlier class") {
