@@ -106,10 +106,23 @@ object Clustering {
       iterations: Int): (DataFrame, DataFrame) = {
     require(k > 0, "k must be positive")
     require(iterations >= 0, "negative iterations")
+    // The per-iteration argmin fold and the n×d update explode are
+    // compute-heavy per input byte (the HOF assignment path is
+    // interpreted — no codegen); a narrow quantized-vector scan would
+    // serialize every Lloyd round on the scan's 1–2 splits (the ns229
+    // round-13 regression class: the broadcast centroid join streams
+    // the narrow side through). Spread BEFORE the checkpoint so the
+    // materialized blocks — which every iteration re-reads — carry the
+    // widened layout. fanout: ~k·d long ops + array indexing per ~4·d
+    // input bytes through interpreted eval, measured ~200× scan-
+    // equivalent at k=8, d=64 (ns229's 5.2 s single-pipeline dump over
+    // an 800 KB-stats scan).
     val vecs = Checkpoints.truncate(
-      df.select(
-        col(idCol).cast("long").as("id"),
-        transform(col(vecCol), x => x.cast("long")).as("v")))
+      Par.spread(
+        df.select(
+          col(idCol).cast("long").as("id"),
+          transform(col(vecCol), x => x.cast("long")).as("v")),
+        fanout = 200))
     // Deterministic seed: the k lowest ids, centroid ids 0..k-1 in id order.
     val w = Window.orderBy(col("id"))
     var centroids = Checkpoints.truncate(
@@ -222,12 +235,16 @@ object Clustering {
       k: Int,
       iterations: Int): DataFrame = {
     require(k >= 2, "silhouette needs k >= 2")
-    val centroids = kmeansIntCentroids(df, idCol, vecCol, k, iterations)
+    // Reuse fit's checkpointed (and Par.spread-widened) vector blocks
+    // for the scoring fold instead of re-projecting df: the fold is the
+    // same interpreted per-row argmin class as the assignment, so it
+    // needs the same layout — and the checkpoint spares a second scan.
+    // vecs stays pinned (the returned plan reads the truncated lineage —
+    // the kmeansInt rule).
+    val (vecs, centroids) = fit(df, idCol, vecCol, k, iterations)
     val packed = centroids.agg(
       array_sort(collect_list(struct(col("cid"), col("c")))).as("cs"))
-    df.select(
-        col(idCol).cast("long").as("id"),
-        transform(col(vecCol), x => x.cast("long")).as("v"))
+    vecs
       .crossJoin(broadcast(packed)) // exactly one row — justified hint
       .withColumn(
         "best",

@@ -55,6 +55,18 @@ object Par {
     */
   val MinWorkBytes: Long = 64L << 20
 
+  /** Per-task work quantum when SIZING the widened exchange. Distinct
+    * from the gate: whether to pay the exchange at all is a bytes-moved
+    * question ([[MinWorkBytes]] of work vs ~0.2–1 s of exchange), but
+    * once it IS paid, the marginal cost of more partitions is per-task
+    * overhead (~10 ms each), not bytes — so tasks are sized at ~1/8 of
+    * the gate quantum (~0.1 s of kernel work each). Measured: sizing
+    * ns68's CMS build at full 64 MB quanta gave 4 tasks carrying 14
+    * task-seconds of explode+hash — 1.5 s wall on a 32-core session;
+    * the same exchange at 32 tasks runs it in ~0.45 s.
+    */
+  val TaskWorkBytes: Long = MinWorkBytes / 8
+
   /** Where the frame's physical layout comes from: the layout-determining
     * SPINE of the plan — root → unary child → the STREAMED side of a
     * broadcast join — terminating at either a shuffle exchange (the frame
@@ -154,7 +166,7 @@ object Par {
     val statsBytes = qe.optimizedPlan.stats.sizeInBytes
     val workBytes = statsBytes.toDouble * fanout
     if (workBytes < MinWorkBytes) return df
-    val want = math.min(sessionN.toDouble, math.ceil(workBytes / MinWorkBytes)).toInt
+    val want = math.min(sessionN.toDouble, math.ceil(workBytes / TaskWorkBytes)).toInt
     if (want < 2) return df
     val phys = qe.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
@@ -162,10 +174,16 @@ object Par {
     }
     layoutOf(phys) match {
       case FromExchange(width, coalescible) =>
-        val effective =
-          if (!coalescible || !aqeCoalesceOn(conf)) width
-          else math.min(width.toLong, byteSizedWidth(conf, statsBytes)).toInt
-        if (want > effective) df.repartition(want) else df
+        // A non-coalescible exchange (user repartition — including an
+        // upstream spread's own REPARTITION_BY_NUM) was sized
+        // deliberately and AQE will not shrink it: trust it, never
+        // stack a second exchange on top. Only a COALESCIBLE exchange
+        // needs out-voting, and only when AQE coalescing is on.
+        if (!coalescible || !aqeCoalesceOn(conf)) df
+        else {
+          val effective = math.min(width.toLong, byteSizedWidth(conf, statsBytes)).toInt
+          if (want > effective) df.repartition(want) else df
+        }
       case FromCoalesce(width) =>
         if (width < want) df.repartition(want) else df
       case FromLeaf(leaf) =>

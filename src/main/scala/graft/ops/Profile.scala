@@ -373,7 +373,13 @@ object Profile {
       b: DataFrame,
       groupCol: String,
       vecCol: String): DataFrame = {
-    def centroids(df: DataFrame): DataFrame = df
+    // The n×d cell explode + partial aggregate runs on the snapshot
+    // scan's own layout — under the broadcast group join of the r13
+    // dump that was 1–2 splits for the whole kernel (ns234: two
+    // Generate→HashAggregate pipelines at 2.3 s and 5.4 s over one
+    // parquet batch each). fanout: d cells + a long-sum probe per ~4·d
+    // input bytes ≈ 100× scan-equivalent work (d = 64 measured).
+    def centroids(df: DataFrame): DataFrame = Par.spread(df, fanout = 100)
       .select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("pos", "_v")))
       .groupBy("g", "pos")
       .agg(sum(col("_v").cast("long")).as("sv"), count(lit(1)).as("cnt"))
@@ -1212,8 +1218,17 @@ object Profile {
       per
         .crossJoin(broadcast(glob))
         .withColumn("recency_s", expr("(_frontier - _last) div 1000000")))
+    // ONE width for all three passes, from the checkpointed base's exact
+    // LogicalRDD stats: pass 2-3 stats over pass 1's output are size-only
+    // JOIN products (offsets join), which overshoot to full session
+    // parallelism on a small dim — the round-13 ADVICE creep (ns185
+    // 0.213 -> 0.321 s). The dim is the same |entities| rows in every
+    // pass, so the base width IS the right width for all three.
+    val w = Prefix.rangeWidth(base)
     val ranked = Seq(("recency_s", "__rk_r"), ("f", "__rk_f"), ("m", "__rk_m"))
-      .foldLeft(base) { case (d, (v, r)) => Prefix.rowNumber(d, v, idCol, r) }
+      .foldLeft(base) { case (d, (v, r)) =>
+        Prefix.rowNumber(d, v, idCol, r, desc = false, width = w)
+      }
     // ntile(k) of rank r over n rows: the first (n mod k) buckets hold
     // q+1 rows (q = n div k), the rest q. CASE is lazily evaluated, so
     // the q = 0 division (only reachable when r > __cut = n) never runs.

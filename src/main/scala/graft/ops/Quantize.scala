@@ -26,7 +26,13 @@ object Quantize {
     * array<tinyint>). Output: (idCol, scale, qvec).
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol).as("_v"))
+    // The per-row transform chain (abs-max scan + d divide/round/casts)
+    // is interpreted HOF eval — measured ~0.3 ms/row at d = 64 (~100×
+    // the bytes' scan cost), which serialized the whole quantize stage
+    // on the embedding scan's single split under the r13 dumps (ns234's
+    // 656 ms WSC(1)). Spread the scan when the corpus is heavy enough;
+    // downstream consumers (kmeans, drift, ANN) inherit the layout.
+    Par.spread(df.select(col(idCol), col(vecCol).as("_v")), fanout = 100)
       .withColumn(
         "scale",
         array_max(transform(col("_v"), x => abs(x.cast("double")))) / lit(127.0))

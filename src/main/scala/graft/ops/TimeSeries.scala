@@ -556,8 +556,13 @@ object TimeSeries {
       val lNext = x.getField("v") * 0.5 + (l + b) * 0.5
       struct(lNext.as("l"), ((lNext - l) * 0.5 + b * 0.5).as("b"))
     }
-    df.groupBy(col(keyCol))
-      .agg(series.as("_s"))
+    // The per-key smoothing fold is an interpreted HOF chain — far
+    // heavier per byte than the collect_list agg below it, which is all
+    // AQE's byte-based coalescing can see (the ns225 class: the sibling
+    // Holt-Winters fold ran on numCoalescedPartitions=2). Spread between
+    // the agg and the fold; fanout ≈ 64× (one l/b struct rebuild per
+    // ~24-byte series element through interpreted eval).
+    Par.spread(df.groupBy(col(keyCol)).agg(series.as("_s")), fanout = 64)
       .select(
         col(keyCol),
         size(col("_s")).cast("long").as("n_events"),
@@ -620,9 +625,13 @@ object TimeSeries {
         slice(s, (j + 2).cast("int"), (lit(m) - j - 1).cast("int")))
       struct(lNext.as("l"), bNext.as("b"), sArr.as("s"), (idx + 1).as("n"))
     }
-    df.groupBy(col(keyCol))
-      .agg(series.as("_s"))
-      .where(size(col("_s")) >= m)
+    // Same post-agg widening as holtLinear, weighted for the heavier
+    // step: each element rebuilds the m-slot season array (slice +
+    // concat through interpreted eval) on top of the l/b chain —
+    // ~m·24 B of array traffic per 24-byte element ≈ 64·(m/2)×.
+    Par.spread(
+        df.groupBy(col(keyCol)).agg(series.as("_s")).where(size(col("_s")) >= m),
+        fanout = 32.0 * m)
       .select(
         col(keyCol),
         size(col("_s")).cast("long").as("n_events"),

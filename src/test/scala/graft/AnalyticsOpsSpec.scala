@@ -1035,12 +1035,12 @@ class AnalyticsOpsSpec extends SparkSpec {
     // Range stats: 8 bytes/row -> 100 rows ~ 800 bytes of estimated input.
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
     // (a) narrow + heavy declared work (800 B x 1e6 >= MinWorkBytes):
-    // widened to the WORK-SIZED width — one MinWorkBytes quantum per
+    // widened to the WORK-SIZED width — one TaskWorkBytes quantum per
     // task, clamped to the session parallelism (not blindly full width:
-    // a 2-quantum job on 32 tasks pays 32 tasks of exchange overhead
-    // for 2 tasks of work).
+    // a barely-over-the-gate job must not pay 32 tasks of exchange
+    // overhead for 2 tasks of work).
     val workWidth =
-      math.min(par, math.ceil(800.0 * 1e6 / graft.ops.Par.MinWorkBytes).toInt)
+      math.min(par, math.ceil(800.0 * 1e6 / graft.ops.Par.TaskWorkBytes).toInt)
     assert(workWidth >= 2)
     assert(graft.ops.Par.spread(narrow, fanout = 1e6).rdd.getNumPartitions == workWidth)
     // (b) narrow + light work (800 B x 100 << MinWorkBytes): the exchange
@@ -2258,15 +2258,26 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("rankMovers: climbs are positive, debuts excluded, top-k by |delta|") {
-    // prev: a=100, b=90, c=80 → ranks 1,2,3; cur: c=100, a=90 (b gone, d debuts)
-    val prev = Seq(("a", 100L), ("b", 90L), ("c", 80L)).toDF("k", "v")
-    val cur = Seq(("c", 100L), ("a", 90L), ("d", 50L)).toDF("k", "v")
+    // Integral keys 1=a, 2=b, 3=c, 4=d — the documented Prefix rank
+    // contract, now ENFORCED at the API boundary (a string key only ever
+    // worked through the single-partition fast path; the multi-partition
+    // identity would ClassCastException on it mid-task).
+    // prev: 1->100, 2->90, 3->80 → ranks 1,2,3; cur: 3->100, 1->90
+    // (2 gone, 4 debuts)
+    val prev = Seq((1L, 100L), (2L, 90L), (3L, 80L)).toDF("k", "v")
+    val cur = Seq((3L, 100L), (1L, 90L), (4L, 50L)).toDF("k", "v")
     val got = graft.ops.Profile.rankMovers(prev, cur, "k", "v", topK = 10)
       .select("k", "rank_prev", "rank_cur", "delta")
-      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    assert(got("c")._4 == 2L, got.toString)  // 3 → 1: climbed 2
-    assert(got("a")._4 == -1L)               // 1 → 2: fell 1
-    assert(!got.contains("b") && !got.contains("d"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(3L)._4 == 2L, got.toString)  // 3 → 1: climbed 2
+    assert(got(1L)._4 == -1L)               // 1 → 2: fell 1
+    assert(!got.contains(2L) && !got.contains(4L))
+    // and the contract violation fails FAST at plan time, not mid-task
+    val bad = Seq(("a", 100L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profile.rankMovers(bad, bad, "k", "v", topK = 10)
+    }
+    assert(e.getMessage.contains("must be integral"))
   }
 
   test("pointInTimeJoin never leaks post-label values; equal-ts dedupes to min") {
