@@ -51,7 +51,11 @@ import org.apache.spark.sql.types.LongType
   * boundaries) and [[Skyline.skyline2D]] (running min over strictly
   * smaller x).
   */
-object Prefix {
+// Serializable: the kernel closures are built by local helper defs
+// (runTotals/runMins), and a lifted local def eta-expanded into a
+// mapPartitions lambda captures the enclosing module instance — the
+// module is stateless, so shipping it is free.
+object Prefix extends Serializable {
 
   private val PidCol = "__graft_pid"
 
@@ -63,14 +67,13 @@ object Prefix {
     * `orderCol` must be an integral column; `valueCol` a long.
     */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
-    val ranged = rangedSorted(df, orderCol)
+    requireIntegral(df, "runningSum", orderCol, valueCol)
+    val n = rangeWidth(df)
+    val ranged = rangedSorted(df, orderCol, n)
     val schema = ranged.schema
     val oi = schema.fieldIndex(orderCol)
     val vi = schema.fieldIndex(valueCol)
-    val outSchema = schema
-      .add(PidCol, LongType, nullable = false)
-      .add(outCol, LongType, nullable = true)
-    val local = ranged.mapPartitions { rows =>
+    def runTotals(rows: Iterator[Row], withPid: Boolean): Iterator[Row] =
       runIterator[Long](rows, oi) { (pidKey, buf, state) =>
         var runSum = 0L
         var runSeen = false
@@ -84,9 +87,25 @@ object Prefix {
         }
         val nextState = if (runSeen || state.isDefined) Some(acc) else None
         val total: Any = nextState.map(Long.box).orNull
-        (buf.map(r => Row.fromSeq(r.toSeq :+ pidKey :+ total)), nextState)
+        val out =
+          if (withPid) buf.map(r => Row.fromSeq(r.toSeq :+ pidKey :+ total))
+          else buf.map(r => Row.fromSeq(r.toSeq :+ total))
+        (out, nextState)
       }
-    }(Encoders.row(outSchema))
+    if (n == 1) {
+      // Single range partition (the toy-scale / bounded-dim case): the
+      // local pass IS the global prefix — no partition identity, no
+      // offsets branch, no join, and only ONE sort+kernel execution
+      // (the two-consumer spelling below re-runs the sort + kernel for
+      // the offsets aggregate; ns218's dump showed those duplicate
+      // 32-task sorts reserving multi-GB page sets to scan 15k rows).
+      val outSchema1 = schema.add(outCol, LongType, nullable = true)
+      return ranged.mapPartitions(runTotals(_, withPid = false))(Encoders.row(outSchema1))
+    }
+    val outSchema = schema
+      .add(PidCol, LongType, nullable = false)
+      .add(outCol, LongType, nullable = true)
+    val local = ranged.mapPartitions(runTotals(_, withPid = true))(Encoders.row(outSchema))
     // One row per range partition; the exclusive prefix over it is a
     // window over ≤ #partitions rows — bounded by cluster layout, not data.
     // The offsets aggregate over the KERNEL OUTPUT, not a parallel
@@ -133,15 +152,13 @@ object Prefix {
   def runningMinBeforeWithPeers(
       df: DataFrame, orderCol: String, valueCol: String,
       beforeOut: String, peersOut: String): DataFrame = {
-    val ranged = rangedSorted(df, orderCol)
+    requireIntegral(df, "runningMinBeforeWithPeers", orderCol, valueCol)
+    val n = rangeWidth(df)
+    val ranged = rangedSorted(df, orderCol, n)
     val schema = ranged.schema
     val oi = schema.fieldIndex(orderCol)
     val vi = schema.fieldIndex(valueCol)
-    val outSchema = schema
-      .add(PidCol, LongType, nullable = false)
-      .add(beforeOut, LongType, nullable = true)
-      .add(peersOut, LongType, nullable = true)
-    val local = ranged.mapPartitions { rows =>
+    def runMins(rows: Iterator[Row], withPid: Boolean): Iterator[Row] =
       // state = the running min over all strictly-earlier rows (None until
       // a non-null value is seen)
       runIterator[Long](rows, oi) { (pidKey, buf, state) =>
@@ -163,9 +180,24 @@ object Prefix {
           case (None, true) => Some(runMin)
           case (None, false) => None
         }
-        (buf.map(r => Row.fromSeq(r.toSeq :+ pidKey :+ before :+ peers)), nextState)
+        val out =
+          if (withPid) buf.map(r => Row.fromSeq(r.toSeq :+ pidKey :+ before :+ peers))
+          else buf.map(r => Row.fromSeq(r.toSeq :+ before :+ peers))
+        (out, nextState)
       }
-    }(Encoders.row(outSchema))
+    if (n == 1) {
+      // Single range partition: the local pass is already global — same
+      // single-execution fast path as runningSum.
+      val outSchema1 = schema
+        .add(beforeOut, LongType, nullable = true)
+        .add(peersOut, LongType, nullable = true)
+      return ranged.mapPartitions(runMins(_, withPid = false))(Encoders.row(outSchema1))
+    }
+    val outSchema = schema
+      .add(PidCol, LongType, nullable = false)
+      .add(beforeOut, LongType, nullable = true)
+      .add(peersOut, LongType, nullable = true)
+    val local = ranged.mapPartitions(runMins(_, withPid = true))(Encoders.row(outSchema))
     // same single-exchange discipline as runningSum: aggregate the
     // kernel output so both join sides share one reused shuffle
     val offsets = local
@@ -227,13 +259,36 @@ object Prefix {
       valueCol: String,
       idCol: String,
       outCol: String,
-      desc: Boolean = false): DataFrame = {
-    val conf = df.sparkSession.conf
-    val sessionN = conf.get("spark.sql.shuffle.partitions").toInt
-    val target = conf.get(TargetPartitionBytesKey, (64L << 20).toString).toLong
-    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = ((statsBytes + target - 1) / target)
-      .min(BigInt(sessionN)).max(BigInt(1)).toInt
+      desc: Boolean = false): DataFrame =
+    rowNumberAt(df, valueCol, idCol, outCol, desc, rangeWidth(df))
+
+  /** [[rowNumber]] with an EXPLICIT exchange width, for chained passes:
+    * plan stats over a previous pass's output are size-only JOIN
+    * estimates (the product of child sizes), so a second pass reading
+    * pass one would overshoot to full session parallelism even on a
+    * small dim (measured: the rfm triple crept 0.213 → 0.321 s at sf0.1
+    * from exactly that). Compute the width ONCE from the (checkpointed)
+    * base's exact stats and thread it through every pass.
+    */
+  def rowNumber(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      outCol: String,
+      desc: Boolean,
+      width: Int): DataFrame = {
+    require(width >= 1, "width must be >= 1")
+    rowNumberAt(df, valueCol, idCol, outCol, desc, width)
+  }
+
+  private def rowNumberAt(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      outCol: String,
+      desc: Boolean,
+      n: Int): DataFrame = {
+    requireIntegral(df, "rowNumber", valueCol, idCol)
     val vCol = if (desc) col(valueCol).desc else col(valueCol).asc
     val ranged = df
       .repartitionByRange(n, vCol, col(idCol).asc)
@@ -319,10 +374,46 @@ object Prefix {
     * pins the partition count on every consumer, keeping the merged/
     * unmerged read ambiguity out of the plan entirely.
     */
-  private def rangedSorted(df: DataFrame, orderCol: String): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+  private def rangedSorted(df: DataFrame, orderCol: String, n: Int): DataFrame =
     df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(col(orderCol))
+
+  /** Adaptive range-exchange width shared by every prefix kernel:
+    * `ceil(plan-stats bytes / [[TargetPartitionBytesKey]])`, clamped to
+    * the session's shuffle parallelism — a 100 TB input fans out to the
+    * cluster while a catalog-sized dim collapses to ONE range partition
+    * (no sampling pass, no offsets branch — see the n == 1 fast paths).
+    * Stats only, never an action. The fixed-width spelling measured
+    * multi-GB sort-page reservations across 32 tasks to scan 10–15k
+    * rows (ns218, round 13) — the same toy-scale exchange tax the
+    * round-12 Par.spread regression taught.
+    */
+  private[ops] def rangeWidth(df: DataFrame): Int = {
+    val conf = df.sparkSession.conf
+    val sessionN = conf.get("spark.sql.shuffle.partitions").toInt
+    val target = conf.get(TargetPartitionBytesKey, (64L << 20).toString).toLong
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((statsBytes + target - 1) / target)
+      .min(BigInt(sessionN)).max(BigInt(1)).toInt
   }
+
+  /** The order/value/id columns every kernel here longValue()s into its
+    * partition identities and offsets MUST be integral — a Double/Float/
+    * Decimal is also a `Number`, so it would silently truncate: truncated
+    * identities can tie across partitions, mis-order the offsets window
+    * against range order, and fan out rows through the offsets join.
+    * Enforce at the API boundary (the Similarity.topKRouted precedent),
+    * not in the task where it dies late and partition-dependently.
+    */
+  private def requireIntegral(df: DataFrame, op: String, cols: String*): Unit =
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(
+        dt == org.apache.spark.sql.types.ByteType ||
+          dt == org.apache.spark.sql.types.ShortType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == LongType,
+        s"Prefix.$op: column '$c' must be integral (Byte/Short/Int/Long), got $dt")
+    }
 
   /** Streams a sorted partition as RUNS of equal `orderCol` values:
     * `emit(partKey, run, state)` maps each buffered run plus the carried

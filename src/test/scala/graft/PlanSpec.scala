@@ -609,13 +609,25 @@ class PlanSpec extends SparkSpec {
         (name, cls)
       }
     }
+    val skipped = scala.collection.mutable.ListBuffer[String]()
     val found: Seq[(String, String)] = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val planned =
           try Some(fn(spark, sfDir).queryExecution.executedPlan)
-          catch { case _: Throwable => None } // streaming/side-effect gates
+          catch { case _: Throwable => skipped += name; None }
         planned.toSeq.flatMap(ep => classify(name, ep))
     }
+    // The skip set is PINNED: with a bare catch-and-drop, a gate whose
+    // plan construction STARTS throwing — including one carrying a raw
+    // unpartitioned window — would silently escape the sweep, and
+    // genuine planner errors would be masked (round-13 ADVICE).
+    // Measured: every gate, streaming included, plans eagerly today —
+    // the reviewed set is EMPTY, so any future skip must be argued here.
+    val expectedSkips: Set[String] = Set.empty
+    assert(skipped.toSet == expectedSkips,
+      s"plan-sweep skip set drifted from the reviewed list.\n" +
+        s"now skipped: ${skipped.sorted.mkString(", ")}\n" +
+        s"reviewed:    ${expectedSkips.toSeq.sorted.mkString(", ")}")
     val raw = found.collect { case (n, "raw") => n }.distinct
     assert(raw.isEmpty, s"unpartitioned windows over unaggregated scans: ${raw.mkString(", ")}")
     val aggGates = found.collect { case (n, "agg") => n }.distinct.sorted
@@ -656,18 +668,24 @@ class PlanSpec extends SparkSpec {
     // per-type ranking window (a single-task sort over an open vocab).
     val docs = spark.range(0, 2000)
       .selectExpr("concat('tok', id % 137, ' tok', id % 7, ' filler') as text")
-    val out = graft.ops.TextOps.vocabMassCoverage(
-      docs.toDF(), "text", Seq(50, 90, 99), boundedDomain = false)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("Exchange rangepartitioning"),
-      s"unbounded path lost the range-partitioned prefix scan:\n$plan")
-    assert(!plan.contains("row_number"),
-      s"unbounded path still ranks per type with a global window:\n$plan")
-    // sanity: same answers as the windowed path on this input
-    val bounded = graft.ops.TextOps.vocabMassCoverage(
-      docs.toDF(), "text", Seq(50, 90, 99))
-      .orderBy("target_pct").collect().map(_.toSeq).toSeq
-    assert(out.orderBy("target_pct").collect().map(_.toSeq).toSeq == bounded)
+    // Force the multi-partition route: the prefix kernels are width-
+    // adaptive, and this fixture's stats take the single-partition fast
+    // path (whose plan legitimately has no multi-way range exchange).
+    spark.conf.set(graft.ops.Prefix.TargetPartitionBytesKey, "64")
+    try {
+      val out = graft.ops.TextOps.vocabMassCoverage(
+        docs.toDF(), "text", Seq(50, 90, 99), boundedDomain = false)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange rangepartitioning"),
+        s"unbounded path lost the range-partitioned prefix scan:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"unbounded path still ranks per type with a global window:\n$plan")
+      // sanity: same answers as the windowed path on this input
+      val bounded = graft.ops.TextOps.vocabMassCoverage(
+        docs.toDF(), "text", Seq(50, 90, 99))
+        .orderBy("target_pct").collect().map(_.toSeq).toSeq
+      assert(out.orderBy("target_pct").collect().map(_.toSeq).toSeq == bounded)
+    } finally spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
   }
 
   test("Prefix.runningSum: both branches reuse ONE range exchange; pid keys are data-derived") {
@@ -679,6 +697,10 @@ class PlanSpec extends SparkSpec {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // Force the MULTI-partition route: the prefix kernels are width-
+      // adaptive now (fixture-sized stats take the single-partition
+      // fast path, which has no offsets branch to reuse anything).
+      spark.conf.set(graft.ops.Prefix.TargetPartitionBytesKey, "64")
       val df = spark.range(0, 50000)
         .select((col("id") % 997L).as("t"), lit(1L).as("v"))
       val out = graft.ops.Prefix.runningSum(df.toDF(), "t", "v", "run")
@@ -708,6 +730,64 @@ class PlanSpec extends SparkSpec {
       assert(lines2.count(l =>
         l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange")) == 1)
       assert(lines2.count(_.contains("ReusedExchange")) >= 1)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
+    }
+  }
+
+  test("Prefix.runningSum: fixture-sized stats take the single-partition fast path (one kernel pass)") {
+    // The fixed-width spelling paid TWO sort+kernel executions (offsets
+    // branch) and 32-task sort-page reservations to scan 10-15k rows
+    // (ns218, round 13). Width-adaptive: small stats -> ONE range
+    // partition, ONE MapPartitions pass, no offsets join, no window.
+    val df = spark.range(0, 10000)
+      .select((col("id") % 997L).as("t"), lit(1L).as("v"))
+    val out = graft.ops.Prefix.runningSum(df.toDF(), "t", "v", "run")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("MapPartitions")) == 1,
+      s"fast path still runs the offsets branch's second kernel pass:\n$plan")
+    assert(!plan.contains("Window "), s"fast path still plans the offsets window:\n$plan")
+    // and it is still exact
+    assert(out.agg(max("run")).head().getLong(0) == 10000L)
+  }
+
+  test("fan-out kernels keep their width at sf0.1 — the round-13 regression class, pinned by plan") {
+    // The six r13 regressions shared one signature: a compute-heavy
+    // kernel inheriting a 1-2 task layout (broadcast-join streamed
+    // side, or AQE byte-based coalescing of a post-agg exchange). The
+    // fix is Par.spread's explicit REPARTITION_BY_NUM exchange — AQE
+    // never coalesces it — sized by declared work. Pin its presence in
+    // each fixed gate's sf0.1 plan (planning only at gate-construction;
+    // sf0.001/sf0.01 stay spread-free by the MinWorkBytes gate).
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01).isDirectory)
+    Seq(
+      "ns234_centroid_drift", // interpreted quantize projection over 1-split scan
+      "ns225_holt_winters", // post-agg HOF fold vs byte-based coalescing
+      "ns68_cms_counts" // explode+hash kernel over a narrow scan
+    ).foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf01).queryExecution.executedPlan.toString
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$name lost its spread exchange at sf0.1:\n$p")
+    }
+    // ns229's spread sits BELOW Clustering's checkpoint (so every Lloyd
+    // round AND the scoring fold inherit it): the exchange is inside the
+    // materialized RDD, not the plan string — pin the checkpointed fold
+    // input's ACTUAL partition count instead (metadata read, no job).
+    val q229 = SparkEntry.queries("ns229_silhouette")(spark, sf01)
+    val rddWidths = q229.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
+    }
+    assert(rddWidths.exists(_ > 1),
+      s"ns229's checkpointed fold input is single-split at sf0.1 (widths: $rddWidths)")
+    // ns218's fix is the OPPOSITE shape: the PPS prefix pass must NOT
+    // fan 10k rows across 32 range partitions (two kernel passes, GB
+    // page reservations) — the adaptive width collapses it to one range
+    // partition and a single kernel pass.
+    val p218 = SparkEntry.queries("ns218_systematic_pps")(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(p218.linesIterator.count(_.contains("MapPartitions")) == 1,
+      s"ns218 still pays the offsets branch's second kernel pass at sf0.1:\n$p218")
   }
 }
