@@ -515,9 +515,36 @@ object Bench {
       // evidence (round-12 ADVICE).
       if (prior.isEmpty && !dumpAll) sb.append("(no prior baseline this run)\n")
       if (toDump.isEmpty) sb.append("none\n")
+      // Prior round's committed dump, parsed BEFORE this run overwrites
+      // the file: emitting last round's plan beside this round's makes a
+      // flip diffable from the artifact alone (no next-round archaeology).
+      val priorDumps: Map[String, String] =
+        try {
+          val p = java.nio.file.Paths.get("/root/repo/bench_regressions.txt")
+          if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+          else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .split("(?m)^==== ").toSeq.drop(1)
+            .map { sec => sec.takeWhile(c => c != ' ' && c != '\n') -> sec }
+            .toMap
+        } catch { case _: Throwable => Map.empty }
+      if (toDump.nonEmpty) {
+        // Quiesce before measuring: the suite just released thousands of
+        // RDD/broadcast/shuffle blocks and the ASYNC ContextCleaner + GC
+        // churn through them for seconds — round 13's dump reruns
+        // measured 2-3x their confirmed times from exactly that
+        // (ns234 dump_run 7.4 s vs confirmed 2.3 s), making the metrics
+        // non-comparable across rounds. Drain, then warm each rerun.
+        System.gc()
+        try Thread.sleep(3000) catch { case _: InterruptedException => () }
+      }
       toDump.foreach { case (name, best, prev, dumpDir) =>
         selected.find(_._1 == name).foreach { case (_, fn) =>
           try {
+            // Unmeasured warm pass first: the dump run should show the
+            // plan's steady-state cost (comparable to the min-of-repeats
+            // `confirmed` number), not first-run planning/codegen.
+            try fn(spark, dumpDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
             // The noop write builds its OWN QueryExecution (the original
             // DataFrame's plan never runs), so the executed tree with
             // populated metrics must be captured from the listener bus.
@@ -555,6 +582,10 @@ object Bench {
             captured match {
               case Some(qe) => dumpPlanMetrics(qe.executedPlan, sb, 0)
               case None => sb.append("  (listener did not observe the execution)\n")
+            }
+            priorDumps.get(name).foreach { sec =>
+              sb.append(s"\n==== PRIOR-ROUND $sec")
+              if (!sec.endsWith("\n")) sb.append("\n")
             }
           } catch {
             case e: Throwable => sb.append(s"\n==== $name dump failed: ${e.getMessage}\n")

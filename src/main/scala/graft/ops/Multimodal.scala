@@ -354,10 +354,20 @@ object Multimodal {
       .mapPartitions { it =>
         import javax.sound.sampled.spi.{AudioFileReader, FormatConversionProvider}
         import scala.jdk.CollectionConverters._
-        val readers =
-          java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
-        val converters =
-          java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toList
+        // JDK providers FIRST: ServiceLoader order follows the executor
+        // classpath, so a third-party audio SPI (mp3spi, tritonus) could
+        // otherwise win the first-match find and decode G.711 with
+        // different arithmetic than the OpsSpec-pinned JDK table —
+        // silently changing features vs the oracle on clusters that ship
+        // extra codecs. The pinned decode-equality table stays
+        // authoritative regardless of classpath.
+        def jdkFirst[T](providers: List[T]): List[T] =
+          providers.sortBy(p =>
+            if (p.getClass.getName.startsWith("com.sun.media.sound.")) 0 else 1)
+        val readers = jdkFirst(
+          java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList)
+        val converters = jdkFirst(
+          java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toList)
         it.map { case (id, data) =>
           val nSamples = data.length / 2
           val enc = new Array[Byte](nSamples)
