@@ -106,23 +106,19 @@ object Clustering {
       iterations: Int): (DataFrame, DataFrame) = {
     require(k > 0, "k must be positive")
     require(iterations >= 0, "negative iterations")
-    // The per-iteration argmin fold and the n×d update explode are
-    // compute-heavy per input byte (the HOF assignment path is
-    // interpreted — no codegen); a narrow quantized-vector scan would
-    // serialize every Lloyd round on the scan's 1–2 splits (the ns229
-    // round-13 regression class: the broadcast centroid join streams
-    // the narrow side through). Spread BEFORE the checkpoint so the
-    // materialized blocks — which every iteration re-reads — carry the
-    // widened layout. fanout: ~k·d long ops + array indexing per ~4·d
-    // input bytes through interpreted eval, measured ~200× scan-
-    // equivalent at k=8, d=64 (ns229's 5.2 s single-pipeline dump over
-    // an 800 KB-stats scan).
+    // Deliberately NOT Par.spread here: the assignment argmin is the
+    // codegen'd graft_kmeans_assign kernel wherever the session
+    // extension is installed (cheap per byte), and the checkpointed
+    // layout feeds EVERY downstream consumer — the IVF/PQ ladder runs
+    // dozens of tiny stages over these blocks, and baking a widened
+    // layout into the checkpoint charged each of them the extra task
+    // fan-out (measured: ns95 ivfpq 3.9 → 5.1 s isolated at sf0.1 from
+    // exactly this). The one genuinely interpreted heavy consumer — the
+    // silhouette scoring fold — widens its OWN read of the checkpoint.
     val vecs = Checkpoints.truncate(
-      Par.spread(
-        df.select(
-          col(idCol).cast("long").as("id"),
-          transform(col(vecCol), x => x.cast("long")).as("v")),
-        fanout = 200))
+      df.select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("long")).as("v")))
     // Deterministic seed: the k lowest ids, centroid ids 0..k-1 in id order.
     val w = Window.orderBy(col("id"))
     var centroids = Checkpoints.truncate(
@@ -235,16 +231,23 @@ object Clustering {
       k: Int,
       iterations: Int): DataFrame = {
     require(k >= 2, "silhouette needs k >= 2")
-    // Reuse fit's checkpointed (and Par.spread-widened) vector blocks
-    // for the scoring fold instead of re-projecting df: the fold is the
-    // same interpreted per-row argmin class as the assignment, so it
-    // needs the same layout — and the checkpoint spares a second scan.
-    // vecs stays pinned (the returned plan reads the truncated lineage —
-    // the kmeansInt rule).
+    // Reuse fit's checkpointed vector blocks for the scoring fold
+    // instead of re-projecting df (spares a second scan); vecs stays
+    // pinned (the returned plan reads the truncated lineage — the
+    // kmeansInt rule). The two-min scoring fold is an interpreted HOF
+    // chain (k nested sqDist folds per row — no codegen kernel), which
+    // serialized the whole gate on the checkpoint's 1–2 blocks in the
+    // r13 dumps (ns229: one 5.2 s pipeline over a 2-batch scan feeding
+    // a BNLJ against the 1-row centroid broadcast). Widen THIS read
+    // only — the checkpoint itself stays narrow for the cheap codegen
+    // consumers (the ns95 lesson). fanout: ~k·(3d ops + array alloc)
+    // per ~8·d input bytes through interpreted eval ≈ 500× scan-
+    // equivalent at k = 8, d = 64 (measured ~1.2 s single-task over
+    // ~550 KB of checkpointed blocks at sf0.1).
     val (vecs, centroids) = fit(df, idCol, vecCol, k, iterations)
     val packed = centroids.agg(
       array_sort(collect_list(struct(col("cid"), col("c")))).as("cs"))
-    vecs
+    Par.spread(vecs, fanout = 500)
       .crossJoin(broadcast(packed)) // exactly one row — justified hint
       .withColumn(
         "best",

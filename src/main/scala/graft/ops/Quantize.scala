@@ -26,13 +26,15 @@ object Quantize {
     * array<tinyint>). Output: (idCol, scale, qvec).
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    // The per-row transform chain (abs-max scan + d divide/round/casts)
-    // is interpreted HOF eval — measured ~0.3 ms/row at d = 64 (~100×
-    // the bytes' scan cost), which serialized the whole quantize stage
-    // on the embedding scan's single split under the r13 dumps (ns234's
-    // 656 ms WSC(1)). Spread the scan when the corpus is heavy enough;
-    // downstream consumers (kmeans, drift, ANN) inherit the layout.
-    Par.spread(df.select(col(idCol), col(vecCol).as("_v")), fanout = 100)
+    // Deliberately NOT Par.spread here: quantize output is re-read by
+    // several consumers in the ANN ladder (kmeans fit, the residual
+    // join, query-side probes), and a widening exchange at this seam is
+    // paid once per re-execution while breaking scan-stage fusion —
+    // measured a net LOSS (ns95 ivfpq 3.3 → 4.5 s isolated at sf0.1)
+    // against a ~0.3 s win on the one gate whose quantize stage was the
+    // bottleneck. Consumers that hold the widening decision (e.g.
+    // Clustering.fit before its checkpoint) spread their OWN frame.
+    df.select(col(idCol), col(vecCol).as("_v"))
       .withColumn(
         "scale",
         array_max(transform(col("_v"), x => abs(x.cast("double")))) / lit(127.0))

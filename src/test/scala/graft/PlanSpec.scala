@@ -763,7 +763,7 @@ class PlanSpec extends SparkSpec {
     val sf01 = "/root/testdata/sf0.1"
     assume(new java.io.File(sf01).isDirectory)
     Seq(
-      "ns234_centroid_drift", // interpreted quantize projection over 1-split scan
+      "ns229_silhouette", // interpreted scoring fold over the narrow checkpoint
       "ns225_holt_winters", // post-agg HOF fold vs byte-based coalescing
       "ns68_cms_counts" // explode+hash kernel over a narrow scan
     ).foreach { name =>
@@ -771,16 +771,17 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("REPARTITION_BY_NUM"),
         s"$name lost its spread exchange at sf0.1:\n$p")
     }
-    // ns229's spread sits BELOW Clustering's checkpoint (so every Lloyd
-    // round AND the scoring fold inherit it): the exchange is inside the
-    // materialized RDD, not the plan string — pin the checkpointed fold
-    // input's ACTUAL partition count instead (metadata read, no job).
-    val q229 = SparkEntry.queries("ns229_silhouette")(spark, sf01)
-    val rddWidths = q229.queryExecution.optimizedPlan.collect {
+    // And the COUNTER-pin (the ns95 lesson): the kmeans CHECKPOINT must
+    // stay narrow at sf0.1 — widening it charged the IVF/PQ ladder's
+    // dozens of tiny stages the extra task fan-out (ivfpq 3.9 → 5.1 s).
+    // Only the silhouette fold's own READ widens, per the pin above.
+    val q59 = SparkEntry.queries("ns59_kmeans_int")(spark, sf01)
+    val w59 = q59.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
     }
-    assert(rddWidths.exists(_ > 1),
-      s"ns229's checkpointed fold input is single-split at sf0.1 (widths: $rddWidths)")
+    assert(w59.nonEmpty && w59.forall(_ <= 4),
+      s"ns59's kmeans checkpoint layout widened at sf0.1 (widths: $w59) — " +
+        "this re-charges every IVF/PQ consumer stage")
     // ns218's fix is the OPPOSITE shape: the PPS prefix pass must NOT
     // fan 10k rows across 32 range partitions (two kernel passes, GB
     // page reservations) — the adaptive width collapses it to one range
