@@ -59,13 +59,97 @@ object PQ {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(ksub >= 1 && ksub <= 256, s"ksub=$ksub out of (0, 256]")
     val dsub = dims / m
-    (0 until m).map { j =>
-      val sub = quantized.select(
-        col(idCol),
-        slice(col(vecCol), j * dsub + 1, dsub).as("_sub"))
-      Clustering.kmeansIntCentroids(sub, idCol, "_sub", ksub, iterations)
-        .select(lit(j.toLong).as("sub"), col("cid"), col("c"))
-    }.reduce(_.unionByName(_))
+    // ONE fused Lloyd over (sub, cid) keys instead of m sequential
+    // per-subspace k-means loops. Bit-identical by construction: every
+    // subspace's row set shares the SAME id column, so the per-subspace
+    // seeds (the ksub lowest ids — Clustering's deterministic rule) are
+    // the same ids in every subspace and come from ONE TakeOrdered; the
+    // per-row argmin folds over only that row's own subspace centroids
+    // (same exact-long arithmetic, same lowest-cid ties); the update is
+    // an exact integer mean per (sub, cluster, pos) — disjoint groups,
+    // same sums. What changes is the JOB count: m·(iterations+1)
+    // checkpointed Lloyd stages collapse to (iterations+1) — at the
+    // production m = 8–16 that is the difference between ~50 driver
+    // round-trips and ~3 (each all-subspace round shuffles m× the rows
+    // of one subspace round, but ≤ m·ksub·dsub = ksub·dims combine
+    // cells per partition — the same map-side bound as before).
+    val subs = Checkpoints.truncate(
+      quantized.select(
+        col(idCol).cast("long").as("id"),
+        posexplode(array((0 until m).map { j =>
+          slice(transform(col(vecCol), _.cast("long")), j * dsub + 1, dsub)
+        }: _*)).as(Seq("sub", "v")))
+        .select(col("id"), col("sub").cast("long").as("sub"), col("v")))
+    // Seeds: the ksub lowest ids, each contributing its m sub-vectors —
+    // cid 0..ksub-1 in id order within every subspace.
+    val w = Window.partitionBy(col("sub")).orderBy(col("id"))
+    var books = Checkpoints.truncate(
+      subs
+        .join(broadcast(
+          quantized.select(col(idCol).cast("long").as("id")).orderBy("id").limit(ksub)),
+          "id")
+        .select(col("sub"), (row_number().over(w) - 1).cast("long").as("cid"),
+          col("v").as("c")))
+    val useKernel =
+      quantized.sparkSession.catalog.functionExists("graft_kmeans_assign")
+    var iter = 0
+    while (iter < iterations) {
+      // Scan-local assignment: all m·ksub centroids collapse to ONE
+      // broadcast row. The hot path stays the codegen'd
+      // graft_kmeans_assign kernel (Clustering's assignment discipline:
+      // cid = row index because cids are 0..ksub-1 by construction) —
+      // the per-sub flattened codebook is an O(1) element_at on the
+      // broadcast row, so fusing subspaces does not trade codegen away.
+      val assigned =
+        if (useKernel) {
+          val perSub = books
+            .agg(array_sort(collect_list(struct(col("sub"), col("cid"), col("c"))))
+              .as("_all"))
+            .select(transform(
+              sequence(lit(0L), lit((m - 1).toLong)),
+              j => flatten(transform(
+                filter(col("_all"), b => b.getField("sub") === j),
+                b => b.getField("c")))).as("_css"))
+          subs
+            .crossJoin(broadcast(perSub)) // exactly one row — justified hint
+            .select(col("sub"), col("v"),
+              element_at(
+                call_function("graft_kmeans_assign", col("v"),
+                  element_at(col("_css"), col("sub").cast("int") + 1)),
+                1).as("cluster"))
+        } else {
+          val packed = packedBooks(books)
+          subs
+            .crossJoin(broadcast(packed)) // exactly one row — justified hint
+            .select(col("sub"), col("v"),
+              argminCode(col("v"),
+                filter(col("_books"), b => b.getField("sub") === col("sub")))
+                .as("cluster"))
+        }
+      val dims2 = assigned
+        .select(col("sub"), col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy("sub", "cluster", "pos")
+        .agg(sum("val").as("sv"), count(lit(1)).as("cnt"))
+        .select(col("sub"), col("cluster"), col("pos"), expr("sv div cnt").as("m"))
+      val rebuilt = dims2
+        .groupBy("sub", "cluster")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("c"))
+        .select(col("sub"), col("cluster").as("cid"), col("c"))
+      // Empty clusters keep their previous centroid (Clustering's rule).
+      val next = Checkpoints.truncate(
+        books
+          .select(col("sub"), col("cid"), col("c").as("oc"))
+          .join(rebuilt, Seq("sub", "cid"), "left")
+          .select(col("sub"), col("cid"), coalesce(col("c"), col("oc")).as("c")))
+      Checkpoints.unpersist(books)
+      books = next
+      iter += 1
+    }
+    Checkpoints.unpersist(subs)
+    books
   }
 
   /** Encode every vector to its m codes: (idCol, codes array<long>).
