@@ -447,10 +447,18 @@ object Bench {
     // capped at the 20 worst ratios (a contention-smeared round could
     // flag half the suite; rerunning all of it would double the bench).
     val prior = priorTimes("/root/repo/bench_last.json", sfDir)
-    def regRatio(now: Double, prev: Double): Option[Double] =
-      if (now > 0.5 && prev > 0.05 && now / prev > 2.0)
+    // 1.5x bar for >=1 s queries: the 2x bar twice let real drift ride
+    // below it unadjudicated (the b86 up-screen straddler; round 14's six
+    // 1.5-1.7x drifts on the PQ/routing code). The isolated-rerun confirm
+    // step already bounds the false-positive cost of the extra flags.
+    // Sub-second queries keep 2x — fixed overheads dominate there and a
+    // 1.5x bar would flag pure noise every round.
+    def regRatio(now: Double, prev: Double): Option[Double] = {
+      val bar = if (now >= 1.0) 1.5 else 2.0
+      if (now > 0.5 && prev > 0.05 && now / prev > bar)
         Some(math.rint(now / prev * 10) / 10)
       else None
+    }
     def screenRegressions(
         priorX: Map[String, Double],
         resultsX: Seq[(String, Double)],
@@ -515,12 +523,18 @@ object Bench {
       // evidence (round-12 ADVICE).
       if (prior.isEmpty && !dumpAll) sb.append("(no prior baseline this run)\n")
       if (toDump.isEmpty) sb.append("none\n")
+      // Destination decided up front so the prior-round parse below reads
+      // the SAME file this run will overwrite: a dumpAll profiling run
+      // writes (and therefore diffs against) /tmp, never attaching the
+      // committed repo dump's sections to a scratch artifact.
+      val dest =
+        if (dumpAll) "/tmp/bench_regressions.txt" else "/root/repo/bench_regressions.txt"
       // Prior round's committed dump, parsed BEFORE this run overwrites
       // the file: emitting last round's plan beside this round's makes a
       // flip diffable from the artifact alone (no next-round archaeology).
       val priorDumps: Map[String, String] =
         try {
-          val p = java.nio.file.Paths.get("/root/repo/bench_regressions.txt")
+          val p = java.nio.file.Paths.get(dest)
           if (!java.nio.file.Files.isRegularFile(p)) Map.empty
           else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
             .split("(?m)^==== ").toSeq.drop(1)
@@ -543,8 +557,15 @@ object Bench {
             // Unmeasured warm pass first: the dump run should show the
             // plan's steady-state cost (comparable to the min-of-repeats
             // `confirmed` number), not first-run planning/codegen.
+            // NonFatal ONLY: an OOM/interrupt must propagate, not leave a
+            // degraded JVM silently producing "steady-state" numbers. A
+            // swallowed warm failure is noted so cross-round comparisons
+            // know this rerun was cold.
+            var warmFailed: Option[String] = None
             try fn(spark, dumpDir).write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => () }
+            catch { case scala.util.control.NonFatal(e) =>
+              warmFailed = Some(e.getClass.getSimpleName)
+            }
             // The noop write builds its OWN QueryExecution (the original
             // DataFrame's plan never runs), so the executed tree with
             // populated metrics must be captured from the listener bus.
@@ -578,7 +599,9 @@ object Bench {
                 latch.await(10, java.util.concurrent.TimeUnit.SECONDS)
                 (System.nanoTime() - t0) / 1e9
               } finally spark.listenerManager.unregister(listener)
-            sb.append(s"\n==== $name sf=$dumpDir confirmed=${s3(best)}s prior=${s3(prev)}s dump_run=${s3(t)}s\n")
+            val coldNote =
+              warmFailed.map(c => s" warm_pass_failed=$c(cold-rerun)").getOrElse("")
+            sb.append(s"\n==== $name sf=$dumpDir confirmed=${s3(best)}s prior=${s3(prev)}s dump_run=${s3(t)}s$coldNote\n")
             captured match {
               case Some(qe) => dumpPlanMetrics(qe.executedPlan, sb, 0)
               case None => sb.append("  (listener did not observe the execution)\n")
@@ -592,8 +615,6 @@ object Bench {
           }
         }
       }
-      val dest =
-        if (dumpAll) "/tmp/bench_regressions.txt" else "/root/repo/bench_regressions.txt"
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(dest), sb.toString.getBytes("UTF-8"))
       catch { case _: Throwable => () }

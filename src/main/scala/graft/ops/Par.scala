@@ -5,7 +5,7 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.execution.{CoalesceExec, SparkPlan}
+import org.apache.spark.sql.execution.{CoalesceExec, ExecSubqueryExpression, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.{
   ENSURE_REQUIREMENTS, REBALANCE_PARTITIONS_BY_COL, REBALANCE_PARTITIONS_BY_NONE,
@@ -75,7 +75,8 @@ object Par {
     * cartesian) is Unknown and left alone.
     */
   private sealed trait Layout
-  private final case class FromExchange(width: Int, coalescible: Boolean) extends Layout
+  private final case class FromExchange(e: ShuffleExchangeExec, coalescible: Boolean)
+      extends Layout
   private final case class FromLeaf(leaf: SparkPlan) extends Layout
   private final case class FromCoalesce(width: Int) extends Layout
   private case object Unknown extends Layout
@@ -91,7 +92,7 @@ object Par {
             REBALANCE_PARTITIONS_BY_NONE | REBALANCE_PARTITIONS_BY_COL => true
         case _ => false
       }
-      FromExchange(e.outputPartitioning.numPartitions, coalescible)
+      FromExchange(e, coalescible)
     case r: ReusedExchangeExec => layoutOf(r.child)
     case c: CoalesceExec => FromCoalesce(c.numPartitions)
     case j: BroadcastHashJoinExec =>
@@ -173,7 +174,7 @@ object Par {
       case p => p
     }
     layoutOf(phys) match {
-      case FromExchange(width, coalescible) =>
+      case FromExchange(e, coalescible) =>
         // A non-coalescible exchange (user repartition — including an
         // upstream spread's own REPARTITION_BY_NUM) was sized
         // deliberately and AQE will not shrink it: trust it, never
@@ -181,19 +182,43 @@ object Par {
         // needs out-voting, and only when AQE coalescing is on.
         if (!coalescible || !aqeCoalesceOn(conf)) df
         else {
-          val effective = math.min(width.toLong, byteSizedWidth(conf, statsBytes)).toInt
+          // AQE coalesces by the EXCHANGE's shuffle bytes, not the
+          // plan's final output bytes — a root aggregate can shrink
+          // output far below what crosses the wire, so a root-stats
+          // estimate undershoots the width AQE actually keeps and
+          // stacks a redundant exchange on an already-wide read.
+          // Estimate from the exchange child's own logical stats;
+          // absent a logical link, fall back to the root stats (the
+          // smaller number — fails toward repartitioning, the
+          // pre-round-15 behavior).
+          val exBytes = e.child.logicalLink
+            .map(_.stats.sizeInBytes).getOrElse(statsBytes)
+          val effective = math.min(
+            e.outputPartitioning.numPartitions.toLong,
+            byteSizedWidth(conf, exBytes)).toInt
           if (want > effective) df.repartition(want) else df
         }
       case FromCoalesce(width) =>
         if (width < want) df.repartition(want) else df
       case FromLeaf(leaf) =>
-        // A leaf's execute() is split planning only — no shuffle below
-        // it exists to materialize, no job runs. Probe failures (e.g. a
-        // scan carrying an unprepared runtime subquery) skip safely.
-        val cur =
-          try leaf.execute().getNumPartitions
-          catch { case NonFatal(_) => Int.MaxValue }
-        if (cur < want) df.repartition(want) else df
+        // Probe ONLY provably inert leaves. A bare scan's execute() is
+        // split planning — no job. But executeQuery PREPARES AND WAITS
+        // ON runtime subqueries first: a scan carrying dynamic
+        // partition pruning (DynamicPruningExpression/InSubqueryExec)
+        // would run a real broadcast+subquery job at gate time — the
+        // round-12 silent-double-execution class, and a SUCCESSFUL
+        // subquery run never throws, so the NonFatal fallback cannot
+        // see it. Such scans are left alone (at the scales DPP fires
+        // on, the pruned scan arrives wide anyway).
+        val inert = leaf.subqueries.isEmpty &&
+          !leaf.expressions.exists(_.exists(_.isInstanceOf[ExecSubqueryExpression]))
+        if (!inert) df
+        else {
+          val cur =
+            try leaf.execute().getNumPartitions
+            catch { case NonFatal(_) => Int.MaxValue }
+          if (cur < want) df.repartition(want) else df
+        }
       case Unknown => df
     }
   }

@@ -398,21 +398,35 @@ object Prefix extends Serializable {
 
   /** The order/value/id columns every kernel here longValue()s into its
     * partition identities and offsets MUST be integral — a Double/Float/
-    * Decimal is also a `Number`, so it would silently truncate: truncated
-    * identities can tie across partitions, mis-order the offsets window
-    * against range order, and fan out rows through the offsets join.
-    * Enforce at the API boundary (the Similarity.topKRouted precedent),
-    * not in the task where it dies late and partition-dependently.
+    * wide Decimal is also a `Number`, so it would silently truncate:
+    * truncated identities can tie across partitions, mis-order the
+    * offsets window against range order, and fan out rows through the
+    * offsets join. Enforce at the API boundary (the Similarity.topKRouted
+    * precedent), not in the task where it dies late and
+    * partition-dependently.
+    *
+    * Decimal(p ≤ 18, scale 0) IS accepted: its values are integral BY
+    * SCHEMA and fit a Long exactly, so `longValue()` is lossless — the
+    * type a SQL layer hands back for COUNT/SUM-of-int columns. The
+    * Double/Float rejection is INTENTIONAL even for whole-number data:
+    * "whole" there is the caller's claim, not the schema's guarantee —
+    * callers with known-integral doubles cast explicitly.
     */
   private def requireIntegral(df: DataFrame, op: String, cols: String*): Unit =
     cols.foreach { c =>
       val dt = df.schema(c).dataType
+      val ok = dt match {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType | LongType => true
+        case d: org.apache.spark.sql.types.DecimalType =>
+          d.scale == 0 && d.precision <= 18
+        case _ => false
+      }
       require(
-        dt == org.apache.spark.sql.types.ByteType ||
-          dt == org.apache.spark.sql.types.ShortType ||
-          dt == org.apache.spark.sql.types.IntegerType ||
-          dt == LongType,
-        s"Prefix.$op: column '$c' must be integral (Byte/Short/Int/Long), got $dt")
+        ok,
+        s"Prefix.$op: column '$c' must be integral " +
+          s"(Byte/Short/Int/Long, or Decimal(<=18, 0)), got $dt")
     }
 
   /** Streams a sorted partition as RUNS of equal `orderCol` values:

@@ -953,6 +953,17 @@ object TextOps {
       k: Int,
       maxChars: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0, "non-positive k")
+    // The k merge rules fold into k CHAINED StringReplace expressions —
+    // analysis + codegen cost is linear in k and the merge semantics are
+    // inherently sequential (rule i rewrites rule i+1's input), so there
+    // is no kernel to fuse them into. Bound the chain so a caller cannot
+    // build a 10k-deep expression tree that stalls the analyzer/codegen
+    // long before any data moves (at k > ~500 the plan-construction cost
+    // dwarfs the scan at any SF).
+    require(
+      k <= 256,
+      s"bpeEncode: k = $k merge rules would build a $k-deep chained-replace " +
+        "expression (analysis/codegen cost is linear in depth); k <= 256")
     require(maxChars > 0, "non-positive maxChars")
     val base = df.select(
       col(idCol),

@@ -850,6 +850,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("Prefix integral contract: Decimal(<=18,0) accepted losslessly, Double/wide Decimal refused") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 200L).map(i => ((i * 7) % 53, i % 11))
+    val df = rows.toDF("t", "v")
+    val asLong = graft.ops.Prefix.runningSum(df, "t", "v", "run")
+      .select("t", "run").distinct().as[(Long, Long)].collect().toMap
+    // Scale-0 decimals are integral BY SCHEMA and fit a Long: same result.
+    val dec = df.select(
+      col("t").cast("decimal(12,0)").as("t"), col("v").cast("decimal(18,0)").as("v"))
+    val asDec = graft.ops.Prefix.runningSum(dec, "t", "v", "run")
+      .select(col("t").cast("long"), col("run").cast("long"))
+      .distinct().as[(Long, Long)].collect().toMap
+    assert(asDec == asLong, "Decimal(_,0) diverged from the Long spelling")
+    // Floating types stay refused even when every value is whole — the
+    // schema cannot guarantee it — as do decimals wider than a Long or
+    // with fractional scale. Plan-time, not mid-task.
+    Seq("double", "float", "decimal(20,0)", "decimal(10,2)").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Prefix.runningSum(df.select(
+          col("t").cast(bad).as("t"), col("v")), "t", "v", "run")
+      }
+      assert(e.getMessage.contains("must be integral"), s"$bad not refused")
+    }
+  }
+
   test("Prefix kernels: randomized nullable inputs match a sequential fold at random parallelism") {
     // Property-style: 6 seeded random corpora × random shuffle parallelism,
     // each checked against a driver-side sequential fold — covers duplicate
@@ -1067,6 +1092,59 @@ class AnalyticsOpsSpec extends SparkSpec {
       "broadcast-joined narrow frame was not widened")
     // and the same frame with trivial work stays untouched
     assert(graft.ops.Par.spread(joined, fanout = 1.0) eq joined)
+  }
+
+  test("Par.spread: a DPP-carrying scan is never probed — the gate stays action-free") {
+    // A leaf's execute() PREPARES AND WAITS ON its runtime subqueries
+    // before split planning: on a scan carrying dynamic partition
+    // pruning, the width probe would run a real broadcast+subquery job
+    // at gate time — and a SUCCESSFUL subquery run never throws, so the
+    // NonFatal fallback can't see it (the round-12 silent-double-
+    // execution class). A leaf that is not provably inert must be left
+    // alone without executing ANYTHING.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toFile
+    spark.range(0, 2000)
+      .select($"id", ($"id" % 10).as("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir.getAbsolutePath)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      // Non-adaptive plan: DPP plans InSubqueryExec directly into the
+      // scan's partition filters — the exact shape the probe must refuse.
+      // useStats=false: tiny fixtures have no stats-estimated benefit.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val fact = spark.read.parquet(dir.getAbsolutePath)
+      val dim = org.apache.spark.sql.functions.broadcast(
+        spark.range(0, 10).toDF("p").filter($"p" < 3))
+      val joined = fact.join(dim, "p")
+      val leaves = joined.queryExecution.executedPlan.collectLeaves()
+      assert(
+        leaves.exists(l => l.subqueries.nonEmpty || l.expressions.exists(
+          _.exists(_.isInstanceOf[org.apache.spark.sql.execution.ExecSubqueryExpression]))),
+        "fixture did not put a DPP subquery on the scan — this pin would be vacuous")
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val out =
+        try {
+          val o = graft.ops.Par.spread(joined, fanout = 1e9)
+          Thread.sleep(800) // listener delivery is async; submission is not
+          o
+        } finally spark.sparkContext.removeSparkListener(listener)
+      assert(jobs == 0, s"spread ran $jobs job(s) probing a DPP-carrying scan")
+      assert(out eq joined, "a non-inert leaf must be left alone, not widened")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
   }
 
   test("Par.spread: work-heavy post-aggregate frames out-vote AQE's byte-based coalescing") {

@@ -1224,6 +1224,14 @@ class OpsSpec extends SparkSpec {
     val plan = TextOps.bpeEncode(docs, "doc_id", "text", 2, 120)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+
+    // The k merge rules chain k StringReplace expressions — analysis and
+    // codegen cost is linear in the chain depth, so an unbounded k is a
+    // plan-construction DoS, not a data problem. Refused at the boundary.
+    val deep = intercept[IllegalArgumentException] {
+      TextOps.bpeEncode(docs, "doc_id", "text", k = 257, maxChars = 120)
+    }
+    assert(deep.getMessage.contains("k <= 256"), deep.getMessage)
   }
 
   test("Incremental.applyChanges: appear / vanish / exact pre-image cancellation") {
