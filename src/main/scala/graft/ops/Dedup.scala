@@ -961,7 +961,7 @@ object Dedup {
   }
 
   /** IVF-candidate twin of [[lshNearDupPairs]]: near-dup pairs whose two
-    * vectors share an IVF cell (seeded-KMeans coarse quantizer), exact
+    * vectors share an IVF cell (integer-Lloyd coarse quantizer), exact
     * cosine rerank inside. Complements the LSH form when an IVF index
     * already exists for serving ([[Similarity.ivfIndexFor]]) — candidate
     * generation is then free. Approximate recall (pairs straddling a cell

@@ -300,16 +300,17 @@ object Similarity {
     }
   }
 
-  /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
-    * every corpus vector to a cell; a query searches only the `nProbe`
-    * cells whose centroids are nearest, with exact cosine rerank inside.
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * corpus vector to a cell; a query searches only the `nProbe` cells
+    * whose centroids are nearest, with exact cosine rerank inside.
     *
     * Scale shape: centroids (nCells × dims doubles) broadcast; cell
     * assignment is a per-row map; the candidate join co-partitions on the
     * cell id, so the shuffle is O(rows·nProbe/nCells) — the classic
-    * IVF-flat layout. Deterministic for a fixed seed, but the cells are
-    * data-dependent (KMeans), so results are approximate — verified by a
-    * recall test, not a SQL oracle.
+    * IVF-flat layout. Deterministic (the quantizer is the fixed-point
+    * integer Lloyd — see [[ivfFit]]), but the cells are data-dependent
+    * (KMeans), so results are approximate — verified by a recall test,
+    * not a SQL oracle.
     * Output: (qid, rank, nid, cos).
     */
   def ivfTopK(
@@ -341,13 +342,22 @@ object Similarity {
     * refit MLlib KMeans on every query call: 10.3 s of quantizer training
     * paid per lookup, and 10 distributed jobs even on a tiny corpus).
     *
-    * The coarse quantizer is trained DRIVER-SIDE on a bounded,
-    * deterministic sample (lowest `maxTrainRows` ids via top-K — at any
-    * corpus scale the quantizer never needs more; this is standard IVF
-    * practice) with a seeded local Lloyd loop, then only the cell
-    * ASSIGNMENT runs distributed — one narrow pass. With `persist=true`
-    * the assigned corpus is materialized and kept for repeated
-    * [[ivfQuery]] calls.
+    * The coarse quantizer trains on a bounded, deterministic sample
+    * (lowest `maxTrainRows` ids via top-K — at any corpus scale the
+    * quantizer never needs more; standard IVF practice) but the Lloyd
+    * loop itself is DISTRIBUTED: the sample is fixed-point-quantized at
+    * the largest power-of-two scale whose exact long arithmetic cannot
+    * overflow, then [[Clustering.kmeansIntCentroids]] — the
+    * bit-reproducible integer Lloyd (lowest-id seed, exact long
+    * distances, sum-div-count updates, order-independent integer sums) —
+    * produces the centroids, which dequantize back to doubles. Only the
+    * k·dims centroid rows ever reach the driver (the pre-round-15 shape
+    * collected the whole sample: ~800 MB of driver heap at d=1024).
+    * `seed` is retained for source compatibility; the quantized Lloyd is
+    * deterministic by construction and takes no randomness.
+    *
+    * With `persist=true` the assigned corpus is materialized and kept
+    * for repeated [[ivfQuery]] calls.
     */
   def ivfFit(
       corpus: DataFrame,
@@ -362,12 +372,34 @@ object Similarity {
     val feat = corpus
       .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-    val train = feat
+    val train = feat.toDF("vid", "vec")
       .orderBy("vid") // TakeOrderedAndProject: deterministic bounded sample
       .limit(maxTrainRows)
-      .collect()
-      .map(_._2.map(_.toDouble))
-    val centroids = kmeansLocal(train, nCells, iters = 10, seed = seed)
+    // Largest power-of-two scale s with dims·(2·maxAbs·s)² ≤ 2⁶² — the
+    // integer Lloyd's squared-L2 folds stay exact in a long (the
+    // centroid sums are then far below overflow too: ≤ maxTrainRows ·
+    // maxAbs · s). Capped at 2²⁴ (a float's full mantissa — finer adds
+    // nothing). max/size are exact aggregates, getExponent is exact bit
+    // arithmetic: the scale is a deterministic function of the sample.
+    val mrow = train.agg(
+      max(aggregate(
+        col("vec"), lit(0d), (a, x) => greatest(a, abs(x.cast("double"))))).as("m"),
+      max(size(col("vec"))).as("d")).head()
+    require(!mrow.isNullAt(1), "empty IVF training sample")
+    val dims = math.max(mrow.getInt(1), 1)
+    val maxAbs = math.max(
+      if (mrow.isNullAt(0)) 0d else mrow.getDouble(0), java.lang.Double.MIN_NORMAL)
+    val sBound = math.sqrt(math.pow(2d, 62) / dims) / (2d * maxAbs)
+    val s = math.pow(2d, math.min(24, java.lang.Math.getExponent(sBound)).toDouble)
+    val scaled = train.select(
+      col("vid"),
+      transform(col("vec"), x => round(x.cast("double") * s).cast("long")).as("v"))
+    val centDf = Clustering.kmeansIntCentroids(scaled, "vid", "v", nCells, iterations = 10)
+    // Bounded model state: nCells × dims longs — the same collect class
+    // as the PQ codebooks. Row order pinned by cid.
+    val centroids: Array[Array[Double]] = centDf.orderBy("cid").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("c").map(_.toDouble / s).toArray)
+    Checkpoints.unpersist(centDf)
     // Plain-array function val: the map closure must capture ONLY this
     // (a nested def would drag the whole method frame — session, sample —
     // into the task closure and fail serialization).
@@ -380,59 +412,6 @@ object Similarity {
       corpusCells.count() // materialize: queries must not re-run assignment
     }
     IvfIndex(centroids, corpusCells, persisted = persist)
-  }
-
-  /** Seeded Lloyd iterations over a driver-side sample: deterministic for
-    * a fixed (data order, k, seed) — distinct random starting points, L2
-    * assignment with ties to the lower cell index, empty cells keep their
-    * previous centroid.
-    */
-  private[ops] def kmeansLocal(
-      data: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
-    require(data.nonEmpty, "empty IVF training sample")
-    val dims = data(0).length
-    val rnd = new java.util.Random(seed)
-    val kk = math.min(k, data.length)
-    val startIdx = scala.collection.mutable.LinkedHashSet.empty[Int]
-    while (startIdx.size < kk) startIdx += rnd.nextInt(data.length)
-    var centroids = startIdx.toArray.map(i => data(i).clone())
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(kk)(new Array[Double](dims))
-      val counts = new Array[Long](kk)
-      var p = 0
-      while (p < data.length) {
-        val v = data(p)
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < kk) {
-          var d2 = 0.0
-          var j = 0
-          val cv = centroids(c)
-          while (j < dims) { val d = cv(j) - v(j); d2 += d * d; j += 1 }
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        val s = sums(best)
-        var j = 0
-        while (j < dims) { s(j) += v(j); j += 1 }
-        counts(best) += 1
-        p += 1
-      }
-      centroids = Array.tabulate(kk) { c =>
-        if (counts(c) == 0) centroids(c)
-        else {
-          val s = sums(c)
-          val m = new Array[Double](dims)
-          var j = 0
-          while (j < dims) { m(j) = s(j) / counts(c); j += 1 }
-          m
-        }
-      }
-      it += 1
-    }
-    centroids
   }
 
   /** Query path: nProbe-cell fanout of the query set, co-partitioned join
@@ -508,12 +487,14 @@ object Similarity {
     * centroid updates, ties to the lowest cell id), probe the `nProbe`
     * nearest cells by exact integer L2, then rerank candidates with exact
     * cosine on the ORIGINAL float vectors. Every step is a pure function of
-    * the input, so the full top-k result is SQL-oracle-checkable
-    * (hash-matched in `ns20_ivf_knn`) — unlike the float-Lloyd
-    * [[ivfFit]]/[[ivfQuery]] path, whose data-dependent cells are verified
-    * by recall instead. Quantizing the coarse quantizer is standard IVF
-    * practice (per-vector max-normalization preserves direction, the
-    * geometry cosine cares about).
+    * the input AND cheap to replay in SQL, so the full top-k result is
+    * oracle-checkable (hash-matched in `ns20_ivf_knn`) — unlike the
+    * [[ivfFit]]/[[ivfQuery]] serving path, which is equally deterministic
+    * (same integer Lloyd since round 15) but trains on a bounded sample
+    * at a data-derived fixed-point scale, so its cells are verified by
+    * recall instead of a SQL replay. Quantizing the coarse quantizer is
+    * standard IVF practice (per-vector max-normalization preserves
+    * direction, the geometry cosine cares about).
     *
     * Scale shape: identical to [[ivfQuery]] — centroids are k·d longs
     * (ONE broadcast row per probe join), cell assignment is scan-local,
