@@ -653,6 +653,35 @@ class OpsSpec extends SparkSpec {
       "external query did not find its identical corpus twin at rank 1")
   }
 
+  test("ivfFit: fixed-point scale adapts to extreme vector magnitudes (no long overflow)") {
+    // Two well-separated jittered clusters at |x| ~ 1e6, d = 4: the
+    // data-derived power-of-two scale must land low enough that the
+    // integer Lloyd's exact squared-L2 stays inside a long (a fixed 2^24
+    // scale would wrap: (2·1e6·2^24)² ≫ 2⁶³ — wrapped distances scramble
+    // the argmin and the centroids come back garbage).
+    def mk(sign: Double) = (i: Int) =>
+      (i.toLong, Array.tabulate(4)(_ => (sign * 1e6 + i * 10).toFloat))
+    val big = ((0 until 4).map(mk(1.0)) ++ (4 until 8).map(mk(-1.0))).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfFit(big, "vec_id", "embedding", nCells = 2, persist = false)
+    assert(idx.centroids.flatten.forall(c => c.isFinite && math.abs(c) < 1.1e6),
+      s"overflowed centroids: ${idx.centroids.map(_.mkString(",")).mkString(" | ")}")
+    val cells = idx.corpusCells.select("cell", "nid").as[(Int, Long)].collect()
+    val groups = cells.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(groups == Set((0L to 3L).toSet, (4L to 7L).toSet),
+      s"clusters not separated at |x| ~ 1e6: ${cells.toSeq}")
+    // Tiny magnitudes: the scale clamps at 2^24 (a float's full mantissa)
+    // and the 1e-4-per-id jitter still resolves to distinct codes.
+    def mkSmall(sign: Double) = (i: Int) =>
+      (i.toLong, Array.tabulate(4)(_ => (sign * 1e-3 + i * 1e-4).toFloat))
+    val small =
+      ((0 until 4).map(mkSmall(1.0)) ++ (4 until 8).map(mkSmall(-1.0))).toDF("vec_id", "embedding")
+    val idx2 = Similarity.ivfFit(small, "vec_id", "embedding", nCells = 2, persist = false)
+    val cells2 = idx2.corpusCells.select("cell", "nid").as[(Int, Long)].collect()
+    val groups2 = cells2.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(groups2 == Set((0L to 3L).toSet, (4L to 7L).toSet),
+      s"clusters not separated at |x| ~ 1e-3: ${cells2.toSeq}")
+  }
+
   test("ivf fit-once index reproduces the one-shot path and is reused") {
     val e = Tables(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 10)
