@@ -1171,6 +1171,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(graft.ops.Par.spread(agg, fanout = 1.0) eq agg)
   }
 
+  test("Par.spread: the AQE out-vote reads EXCHANGE bytes, not the root's shrunken output") {
+    // AQE coalesces by the exchange's shuffle bytes; a narrow projection
+    // above a wide aggregate shrinks the ROOT stats ~20x below what
+    // crosses the wire. The pre-r15 root-stats estimate concluded "AQE
+    // will collapse this to 1 partition" and stacked a redundant
+    // REPARTITION_BY_NUM on a read AQE keeps wide; the exchange-child
+    // estimate must leave it alone.
+    val prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      // 20 collect_list columns ride the exchange (the projection above
+      // CONSUMES them, so pruning cannot push the narrowing below it):
+      // the exchange's logical stats estimate ~70 MB while the root
+      // projection estimates ~7 MB. A 1 MB advisory then puts the
+      // exchange at >= session width (AQE keeps it wide) and the root
+      // under it (the old estimate said "AQE collapses this to 7").
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      val bigs = (1 to 20).map(i => collect_list(col("id")).as(s"big$i"))
+      val wideAgg = spark.range(0, 400000, 1, 8).toDF("id")
+        .groupBy((col("id") % 50000).as("k"))
+        .agg(bigs.head, (bigs.tail :+ count(lit(1)).as("n")): _*)
+      val sz = (1 to 20).map(i => size(col(s"big$i"))).reduce(_ + _)
+      val narrow = wideAgg.select(col("k"), col("n"), sz.as("sz"))
+      assert(graft.ops.Par.spread(narrow, fanout = 1e9) eq narrow,
+        "spread stacked a redundant exchange on a read AQE keeps wide")
+    } finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+  }
+
   test("vocabMassCoverage: a target landing exactly on a class boundary picks the earlier class") {
     // corpus: 'a' x 6, 'b' x 3, 'c' x 1 -> classes c=6 (cum 6), c=3
     // (cum 9), c=1 (cum 10); total 10. target 60% = exactly class-1's
