@@ -611,7 +611,12 @@ object Bench {
               if (!sec.endsWith("\n")) sb.append("\n")
             }
           } catch {
-            case e: Throwable => sb.append(s"\n==== $name dump failed: ${e.getMessage}\n")
+            // NonFatal only — a fatal error (OOM, interrupt) from either
+            // the warm or measured dump pass must stop the bench, not be
+            // folded into a note while the suite continues on a degraded
+            // JVM producing non-comparable numbers.
+            case scala.util.control.NonFatal(e) =>
+              sb.append(s"\n==== $name dump failed: ${e.getMessage}\n")
           }
         }
       }

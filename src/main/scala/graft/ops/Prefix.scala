@@ -119,9 +119,14 @@ object Prefix extends Serializable {
     // crosses — so the shuffle is computed once and the pids are the same
     // partitions by construction.
     val prior = Window.orderBy(PidCol).rowsBetween(Window.unboundedPreceding, -1)
+    // Cast before summing: valueCol may be Decimal(<=18,0) (accepted by
+    // requireIntegral), and an uncast decimal sum would make __offset
+    // DecimalType — the final when() would then coerce the Long kernel
+    // output to Decimal, so outCol's type would depend on the partition
+    // count (Long when n==1, Decimal when n>1).
     val offsets = local
       .groupBy(col(PidCol)).agg(
-        sum(col(valueCol)).as("__part_sum"),
+        sum(col(valueCol).cast("long")).as("__part_sum"),
         count(col(valueCol)).as("__part_cnt"))
       .withColumn("__offset", coalesce(sum(col("__part_sum")).over(prior), lit(0L)))
       // whether ANY strictly-earlier partition saw a non-null value: a row

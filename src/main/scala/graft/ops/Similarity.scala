@@ -369,6 +369,12 @@ object Similarity {
       maxTrainRows: Int = 100000): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    if (seed != 42L)
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(
+          s"ivfFit: seed=$seed has no effect — the integer Lloyd quantizer is " +
+            "deterministic and takes no randomness; all seeds produce the same index.")
     val feat = corpus
       .select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]

@@ -863,6 +863,21 @@ class AnalyticsOpsSpec extends SparkSpec {
       .select(col("t").cast("long"), col("run").cast("long"))
       .distinct().as[(Long, Long)].collect().toMap
     assert(asDec == asLong, "Decimal(_,0) diverged from the Long spelling")
+    // Multi-partition decimal leg: force rangeWidth > 1 so the OFFSETS
+    // branch runs on the decimal column. The offsets aggregate must cast
+    // to long before summing — an uncast decimal sum would make __offset
+    // DecimalType and the final when() would coerce outCol to Decimal,
+    // so the output SCHEMA would depend on the partition count.
+    try {
+      spark.conf.set(graft.ops.Prefix.TargetPartitionBytesKey, "64")
+      val multi = graft.ops.Prefix.runningSum(dec, "t", "v", "run")
+      assert(multi.schema("run").dataType == org.apache.spark.sql.types.LongType,
+        s"multi-partition decimal runningSum emitted ${multi.schema("run").dataType}, " +
+          "not LongType — output schema depends on input size")
+      val gotMulti = multi.select(col("t").cast("long"), col("run"))
+        .distinct().as[(Long, Long)].collect().toMap
+      assert(gotMulti == asLong, "multi-partition decimal offsets branch diverged")
+    } finally spark.conf.unset(graft.ops.Prefix.TargetPartitionBytesKey)
     // Floating types stay refused even when every value is whole — the
     // schema cannot guarantee it — as do decimals wider than a Long or
     // with fractional scale. Plan-time, not mid-task.
@@ -1132,7 +1147,11 @@ class AnalyticsOpsSpec extends SparkSpec {
       val out =
         try {
           val o = graft.ops.Par.spread(joined, fanout = 1e9)
-          Thread.sleep(800) // listener delivery is async; submission is not
+          // Listener delivery is async; a fixed sleep can under-wait on a
+          // loaded host and pass even when spread ran a job. Drain the bus
+          // so every submitted job-start event has been delivered.
+          org.apache.spark.GraftListenerBridge
+            .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
           o
         } finally spark.sparkContext.removeSparkListener(listener)
       assert(jobs == 0, s"spread ran $jobs job(s) probing a DPP-carrying scan")
