@@ -288,6 +288,15 @@ object Bench {
   private def priorTimesSf2(path: String, sf2Dir: String): Map[String, Double] =
     priorTimesAt(path, sf2Dir, _.path("sf2_detail"))
 
+  /** Prior-round per-query baseline for the scale-UP leg, from the
+    * committed file's nested `sf_up_detail` object. The up-leg previously
+    * reported only a total plus superlinear flags, so a small total drift
+    * (r14→r15: +2.0%) was unattributable per query — and at the 100×
+    * posture the up-leg is the bench that matters most.
+    */
+  private def priorTimesUp(path: String, upDir: String): Map[String, Double] =
+    priorTimesAt(path, upDir, _.path("sf_up_detail"))
+
   private def priorTimesAt(
       path: String,
       sfDir: String,
@@ -686,6 +695,24 @@ object Bench {
           }
         }
     }
+    // ROUND-OVER-ROUND per-query screen for the up leg, against the
+    // committed sf_up_detail baseline (read before this run overwrites
+    // the file, same as the down legs): identical 1.5x/2x bars and
+    // isolated-rerun-confirm discipline via screenRegressions, with the
+    // rerun executed at the up rung. Survivors carry their isolated time
+    // in regressions_confirmed_up; the per-query up maps in
+    // bench_last.json make any sub-threshold total drift attributable.
+    // (Plan forensics for an up survivor: SPARK_GRAFT_DUMP=all with
+    // SPARK_GRAFT_SF_DIR pointed at the up dir and a FILTER — the main
+    // dump block runs before the up leg, so survivors here are
+    // screen-adjudicated, not auto-dumped.)
+    val priorUp = upDir
+      .map(d => priorTimesUp("/root/repo/bench_last.json", d))
+      .getOrElse(Map.empty[String, Double])
+    val (regConfirmedUp, regClearedUp): (Seq[(String, Double, Double)], Seq[String]) =
+      resultsUp.filter(_ => priorUp.nonEmpty)
+        .map(ru => screenRegressions(priorUp, ru, upDir.get))
+        .getOrElse((Seq.empty, Seq.empty))
     // The driver captures only a bounded tail of stdout (2000 chars in
     // BENCH_r0{1,2}.json) and the full-name/full-precision line (~4 KB)
     // overflowed it -> "parsed": null both rounds. Keep the line short:
@@ -734,7 +761,11 @@ object Bench {
         // present whenever the sf2 leg ran against a prior baseline —
         // empty or adjudicated, never silently absent (round-12 brief #5)
         (if (prior2.isEmpty || results2.isEmpty) ""
-         else regJson(regConfirmed2, regCleared2, "_sf2"))
+         else regJson(regConfirmed2, regCleared2, "_sf2")) +
+        // and for the up leg — emitted whenever the up rung ran against a
+        // prior sf_up_detail baseline, empty or adjudicated (r15 brief #1)
+        (if (priorUp.isEmpty || resultsUp.isEmpty) ""
+         else regJson(regConfirmedUp, regClearedUp, "_up"))
     val failed = failedOf(raw1, raw2.getOrElse(Seq.empty), rawUp.getOrElse(Seq.empty))
     val failedPart =
       if (failed.isEmpty) ""
