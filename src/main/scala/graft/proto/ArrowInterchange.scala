@@ -136,18 +136,7 @@ object ArrowInterchange {
     val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
     try {
       writer.start()
-      rows.grouped(batchSize).foreach { batch =>
-        root.allocateNew()
-        batch.zipWithIndex.foreach { case (row, i) =>
-          schema.fields.zipWithIndex.foreach { case (f, j) =>
-            val vec = root.getVector(j)
-            val v = row.get(j)
-            if (v == null) vec.setNull(i) else setValue(vec, i, f.dataType, v)
-          }
-        }
-        root.setRowCount(batch.size)
-        writer.writeBatch()
-      }
+      writeBatches(rows, schema, root, writer, batchSize)
       writer.end()
       out.toByteArray
     } finally {
@@ -157,11 +146,69 @@ object ArrowInterchange {
     }
   }
 
+  /** Shared batch-encode loop: fill `root` with up to `batchSize` rows at
+    * a time and write each batch immediately, so the only resident Arrow
+    * state is one batch regardless of result size. Returns rows written.
+    */
+  private def writeBatches(
+      rows: Iterator[Row],
+      schema: StructType,
+      root: VectorSchemaRoot,
+      writer: ArrowStreamWriter,
+      batchSize: Int): Long = {
+    var written = 0L
+    rows.grouped(batchSize).foreach { batch =>
+      root.allocateNew()
+      batch.zipWithIndex.foreach { case (row, i) =>
+        schema.fields.zipWithIndex.foreach { case (f, j) =>
+          val vec = root.getVector(j)
+          val v = row.get(j)
+          if (v == null) vec.setNull(i) else setValue(vec, i, f.dataType, v)
+        }
+      }
+      root.setRowCount(batch.size)
+      writer.writeBatch()
+      written += batch.size
+    }
+    written
+  }
+
   /** Driver-side query → Arrow IPC (≈ Query + consumer loop,
-    * duck_test.go:93-97). Tests / small results only.
+    * duck_test.go:93-97). Tests / small results only — materializes the
+    * whole result; use [[queryArrowStream]] for large results.
     */
   def queryArrow(df: DataFrame): Array[Byte] =
     toIpcStream(df.collect().iterator, df.schema)
+
+  /** STREAMING driver-side query → Arrow IPC: the shape of the
+    * reference's `Query`, which hands back an ITERATING RecordReader the
+    * caller drains batch by batch (duck.go:190-206) rather than a
+    * materialized result. Rows are pulled through `toLocalIterator` —
+    * Spark fetches one partition at a time, running one job per
+    * partition — and encoded straight into `out` per `batchSize` group,
+    * so driver memory is O(one partition + one Arrow batch) at any
+    * result size (the [[queryArrow]] twin collects everything first).
+    * Returns the number of rows written. The caller owns `out`.
+    */
+  def queryArrowStream(
+      df: DataFrame,
+      out: java.io.OutputStream,
+      batchSize: Int = 4096): Long = {
+    val schema = df.schema
+    val allocator = new RootAllocator()
+    val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
+    val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+    try {
+      writer.start()
+      val n = writeBatches(df.toLocalIterator().asScala, schema, root, writer, batchSize)
+      writer.end()
+      n
+    } finally {
+      writer.close()
+      root.close()
+      allocator.close()
+    }
+  }
 
   /** Distributed encode: one IPC stream per partition (binary column). */
   def encodePartitions(df: DataFrame, batchSize: Int = 4096): DataFrame = {

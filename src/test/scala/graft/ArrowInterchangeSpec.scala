@@ -31,6 +31,49 @@ class ArrowInterchangeSpec extends SparkSpec {
     assert(rows.length == df.count())
   }
 
+  test("queryArrowStream: batch-at-a-time encode with one fetch job per partition") {
+    val df = spark.range(0, 100)
+      .selectExpr("id", "CAST(id AS STRING) AS s")
+      .repartition(4)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try {
+        val n0 = ArrowInterchange.queryArrowStream(df, out, batchSize = 5)
+        org.apache.spark.GraftListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
+        n0
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // toLocalIterator fetches ONE partition per job — the O(one partition
+    // + one batch) driver-memory contract. A collect-based encode (the
+    // queryArrow twin) is a single job; seeing >= 4 result-fetch jobs
+    // proves the full result was never resident at once.
+    assert(jobs >= 4, s"expected >= 4 partition-fetch jobs, saw $jobs")
+    assert(n == 100L)
+    val bytes = out.toByteArray
+    val (names, rows) = ArrowInterchange.fromIpcStream(bytes)
+    assert(names == Seq("id", "s"))
+    assert(rows.length == 100)
+    // Same row multiset as the collecting twin (partition order may differ)
+    val viaCollect =
+      ArrowInterchange.fromIpcStream(ArrowInterchange.queryArrow(df))._2
+    assert(rows.toSet == viaCollect.toSet)
+    // And the stream really is batched: 100 rows at batchSize=5 must have
+    // been written as many record batches, not one materialized batch.
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    var batches = 0
+    try { while (rdr.loadNextBatch()) batches += 1 }
+    finally { rdr.close(); alloc.close() }
+    assert(batches >= 20, s"expected >= 20 record batches, saw $batches")
+  }
+
   test("distributed encodePartitions yields one stream per partition covering all rows") {
     val df = Tables(spark, sfDir, "supplier").repartition(3)
     val streams = ArrowInterchange.encodePartitions(df).collect().map(_.getAs[Array[Byte]](0))
