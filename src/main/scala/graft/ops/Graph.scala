@@ -158,9 +158,14 @@ object Graph {
       .select(col("s"), col("v"), col("w"))
     val closed = wedges.join(
       or.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"), "left_semi")
-    val corners = closed.select(col("s").as("node"))
-      .unionAll(closed.select(col("v").as("node")))
-      .unionAll(closed.select(col("w").as("node")))
+    // One corner row per triangle vertex via a codegen'd Generate — NOT a
+    // 3-way union of closed.select(...): a union references `closed`
+    // three times and Spark re-executes the wedge-expansion pipeline per
+    // branch (ReuseExchange dedupes shuffles, but there is no exchange
+    // above `closed`, so the r16 ns173 dump showed the 2M-row BHJ probe
+    // chain running 3x — once per orientation branch, serially).
+    val corners = closed
+      .select(explode(array(col("s"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     nodes.select(col("node").cast("long").as("node"))
       .join(corners, Seq("node"), "left")
