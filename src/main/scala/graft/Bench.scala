@@ -503,6 +503,85 @@ object Bench {
       results2.filter(_ => prior2.nonEmpty)
         .map(r2 => screenRegressions(prior2, r2, sf2Dir.get))
         .getOrElse((Seq.empty, Seq.empty))
+    // Scale-UP pass: a 10x rung ABOVE the primary SF on ScaleUp's
+    // benchmark-only replica data (~6M lineitem rows when primary is
+    // sf0.1) — the superlinear screen's 10x step at meaningful size.
+    // Runs only when the primary is the fixture ladder's top (sf0.1),
+    // single repeat (a screen, not a baseline — the 15x flag threshold
+    // has contention headroom), curated subset (scaleUpEligible).
+    // SPARK_GRAFT_SF_UP=none disables; any other value overrides the
+    // scratch directory.
+    val upDir: Option[String] = sys.env.get("SPARK_GRAFT_SF_UP") match {
+      case Some("none") => None
+      case o =>
+        val auto = sfDir.stripSuffix("/").endsWith("sf0.1")
+        if (o.isEmpty && (!auto || filter.nonEmpty)) None
+        else {
+          val dst = o.getOrElse("/tmp/graft_sf1")
+          try {
+            if (ScaleUp.ensure(spark, sfDir, dst)) {
+              // same warmup the primary SF gets: pre-create the bucketed
+              // tables so b41's up-number times the join, not the
+              // amortized one-time bucketing setup (without this, b41's
+              // raw up-ratio reads ~90x and only the isolated rerun
+              // clears it)
+              try SparkEntry.bucketedJoin(spark, dst).queryExecution.executedPlan
+              catch { case _: Throwable => () }
+              Some(dst)
+            } else None
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] scale-up generation failed: ${e.getMessage}")
+              None
+          }
+        }
+    }
+    val upSel = scaleUpSelected(selected)
+    val rawUp = upDir.map(d => runSuite(spark, d, upSel, 1))
+    val resultsUp = rawUp.map(_.collect { case (n, Some(t)) => n -> t })
+    val failedUp = rawUp.getOrElse(Seq.empty).collect { case (n, None) => n }
+    // Up-flags: higher floor (2 s at 10x the primary) and the same
+    // isolated-rerun confirmation discipline as the down-screen.
+    def flagUp(tu: Double, t1: Double): Option[Double] =
+      if (tu > 2.0 && tu / math.max(t1, 0.05) > 15.0)
+        Some(math.rint(tu / math.max(t1, 0.05) * 10) / 10)
+      else None
+    val superlinearUp: Seq[(String, Double)] = resultsUp match {
+      case None => Seq.empty
+      case Some(ru) =>
+        val m1 = results.toMap
+        val prov = ru.flatMap { case (n, tu) =>
+          m1.get(n).filter(t1 => flagUp(tu, t1).isDefined).map((n, tu, _))
+        }
+        if (prov.isEmpty) Seq.empty
+        else {
+          val flaggedSel = upSel.filter(p => prov.exists(_._1 == p._1))
+          val reU = runSuite(spark, upDir.get, flaggedSel, 1).toMap
+          val re1 = runSuite(spark, sfDir, flaggedSel, 1).toMap
+          prov.flatMap { case (n, tu, t1) =>
+            val bu = math.min(tu, reU.get(n).flatten.getOrElse(tu))
+            val b1 = math.min(t1, re1.get(n).flatten.getOrElse(t1))
+            flagUp(bu, b1).map(n -> _)
+          }
+        }
+    }
+    // ROUND-OVER-ROUND per-query screen for the up leg, against the
+    // committed sf_up_detail baseline (read before this run overwrites
+    // the file, same as the down legs): identical 1.5x/2x bars and
+    // isolated-rerun-confirm discipline via screenRegressions, with the
+    // rerun executed at the up rung. Survivors carry their isolated time
+    // in regressions_confirmed_up; the per-query up maps in
+    // bench_last.json make any sub-threshold total drift attributable.
+    // The up leg runs BEFORE the forensics block below so confirmed up
+    // survivors auto-dump their final plan at the up rung, same as the
+    // down legs.
+    val priorUp = upDir
+      .map(d => priorTimesUp("/root/repo/bench_last.json", d))
+      .getOrElse(Map.empty[String, Double])
+    val (regConfirmedUp, regClearedUp): (Seq[(String, Double, Double)], Seq[String]) =
+      resultsUp.filter(_ => priorUp.nonEmpty)
+        .map(ru => screenRegressions(priorUp, ru, upDir.get))
+        .getOrElse((Seq.empty, Seq.empty))
     // Plan forensics for confirmed survivors: re-execute each once and
     // dump the FINAL adaptive plan with its populated SQLMetrics, so a
     // flip (AQE join strategy, lost codegen, IO blow-up) is attributable
@@ -525,7 +604,8 @@ object Bench {
           (n, t, prior.getOrElse(n.split("_")(0), 0.0), sfDir)
         }
         else regConfirmed.map { case (n, b, p) => (n, b, p, sfDir) } ++
-          regConfirmed2.map { case (n, b, p) => (n, b, p, sf2Dir.get) }
+          regConfirmed2.map { case (n, b, p) => (n, b, p, sf2Dir.get) } ++
+          regConfirmedUp.map { case (n, b, p) => (n, b, p, upDir.get) }
       // An unfiltered run with NO prior baseline (first run, or SF
       // change) still rewrites the file with an explicit marker — a
       // stale committed dump must never masquerade as this round's
@@ -633,86 +713,6 @@ object Bench {
         java.nio.file.Paths.get(dest), sb.toString.getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
-    // Scale-UP pass: a 10x rung ABOVE the primary SF on ScaleUp's
-    // benchmark-only replica data (~6M lineitem rows when primary is
-    // sf0.1) — the superlinear screen's 10x step at meaningful size.
-    // Runs only when the primary is the fixture ladder's top (sf0.1),
-    // single repeat (a screen, not a baseline — the 15x flag threshold
-    // has contention headroom), curated subset (scaleUpEligible).
-    // SPARK_GRAFT_SF_UP=none disables; any other value overrides the
-    // scratch directory.
-    val upDir: Option[String] = sys.env.get("SPARK_GRAFT_SF_UP") match {
-      case Some("none") => None
-      case o =>
-        val auto = sfDir.stripSuffix("/").endsWith("sf0.1")
-        if (o.isEmpty && (!auto || filter.nonEmpty)) None
-        else {
-          val dst = o.getOrElse("/tmp/graft_sf1")
-          try {
-            if (ScaleUp.ensure(spark, sfDir, dst)) {
-              // same warmup the primary SF gets: pre-create the bucketed
-              // tables so b41's up-number times the join, not the
-              // amortized one-time bucketing setup (without this, b41's
-              // raw up-ratio reads ~90x and only the isolated rerun
-              // clears it)
-              try SparkEntry.bucketedJoin(spark, dst).queryExecution.executedPlan
-              catch { case _: Throwable => () }
-              Some(dst)
-            } else None
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] scale-up generation failed: ${e.getMessage}")
-              None
-          }
-        }
-    }
-    val upSel = scaleUpSelected(selected)
-    val rawUp = upDir.map(d => runSuite(spark, d, upSel, 1))
-    val resultsUp = rawUp.map(_.collect { case (n, Some(t)) => n -> t })
-    val failedUp = rawUp.getOrElse(Seq.empty).collect { case (n, None) => n }
-    // Up-flags: higher floor (2 s at 10x the primary) and the same
-    // isolated-rerun confirmation discipline as the down-screen.
-    def flagUp(tu: Double, t1: Double): Option[Double] =
-      if (tu > 2.0 && tu / math.max(t1, 0.05) > 15.0)
-        Some(math.rint(tu / math.max(t1, 0.05) * 10) / 10)
-      else None
-    val superlinearUp: Seq[(String, Double)] = resultsUp match {
-      case None => Seq.empty
-      case Some(ru) =>
-        val m1 = results.toMap
-        val prov = ru.flatMap { case (n, tu) =>
-          m1.get(n).filter(t1 => flagUp(tu, t1).isDefined).map((n, tu, _))
-        }
-        if (prov.isEmpty) Seq.empty
-        else {
-          val flaggedSel = upSel.filter(p => prov.exists(_._1 == p._1))
-          val reU = runSuite(spark, upDir.get, flaggedSel, 1).toMap
-          val re1 = runSuite(spark, sfDir, flaggedSel, 1).toMap
-          prov.flatMap { case (n, tu, t1) =>
-            val bu = math.min(tu, reU.get(n).flatten.getOrElse(tu))
-            val b1 = math.min(t1, re1.get(n).flatten.getOrElse(t1))
-            flagUp(bu, b1).map(n -> _)
-          }
-        }
-    }
-    // ROUND-OVER-ROUND per-query screen for the up leg, against the
-    // committed sf_up_detail baseline (read before this run overwrites
-    // the file, same as the down legs): identical 1.5x/2x bars and
-    // isolated-rerun-confirm discipline via screenRegressions, with the
-    // rerun executed at the up rung. Survivors carry their isolated time
-    // in regressions_confirmed_up; the per-query up maps in
-    // bench_last.json make any sub-threshold total drift attributable.
-    // (Plan forensics for an up survivor: SPARK_GRAFT_DUMP=all with
-    // SPARK_GRAFT_SF_DIR pointed at the up dir and a FILTER — the main
-    // dump block runs before the up leg, so survivors here are
-    // screen-adjudicated, not auto-dumped.)
-    val priorUp = upDir
-      .map(d => priorTimesUp("/root/repo/bench_last.json", d))
-      .getOrElse(Map.empty[String, Double])
-    val (regConfirmedUp, regClearedUp): (Seq[(String, Double, Double)], Seq[String]) =
-      resultsUp.filter(_ => priorUp.nonEmpty)
-        .map(ru => screenRegressions(priorUp, ru, upDir.get))
-        .getOrElse((Seq.empty, Seq.empty))
     // The driver captures only a bounded tail of stdout (2000 chars in
     // BENCH_r0{1,2}.json) and the full-name/full-precision line (~4 KB)
     // overflowed it -> "parsed": null both rounds. Keep the line short:
