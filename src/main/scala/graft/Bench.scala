@@ -428,16 +428,19 @@ object Bench {
     }
     // A flag must survive an ISOLATED rerun before it is emitted: three
     // rounds of judge time went to adjudicating phantom "superlinear"
-    // flags that a clean rerun reproduced none of. Each flagged query runs
-    // once more at both SFs after the suites (a different contention
-    // window); the per-SF MIN across suite + rerun is the contention-free
-    // estimate, and only a ratio that still clears the threshold ships.
+    // flags that a clean rerun reproduced none of. Each flagged query
+    // reruns min-of-2 at both SFs after the suites (a different
+    // contention window — 2 repeats matches the round-over-round screen:
+    // the r16 ns208 confirm showed a single loaded-window repeat cannot
+    // self-clear a same-window artifact); the per-SF MIN across suite +
+    // rerun is the contention-free estimate, and only a ratio that still
+    // clears the threshold ships.
     val superlinear: Seq[(String, Double)] =
       if (provisional.isEmpty) Seq.empty
       else {
         val flaggedSel = selected.filter(p => provisional.exists(_._1 == p._1))
-        val re1 = runSuite(spark, sfDir, flaggedSel, 1).toMap
-        val re2 = runSuite(spark, sf2Dir.get, flaggedSel, 1).toMap
+        val re1 = runSuite(spark, sfDir, flaggedSel, 2).toMap
+        val re2 = runSuite(spark, sf2Dir.get, flaggedSel, 2).toMap
         provisional.flatMap { case (name, t1, t2) =>
           val best1 = math.min(t1, re1.get(name).flatten.getOrElse(t1))
           val best2 = math.min(t2, re2.get(name).flatten.getOrElse(t2))
@@ -556,8 +559,12 @@ object Bench {
         if (prov.isEmpty) Seq.empty
         else {
           val flaggedSel = upSel.filter(p => prov.exists(_._1 == p._1))
-          val reU = runSuite(spark, upDir.get, flaggedSel, 1).toMap
-          val re1 = runSuite(spark, sfDir, flaggedSel, 1).toMap
+          // min-of-2 confirm, same rationale as the sf2 superlinear
+          // screen above (the r16 ns208 case: true same-window-isolated
+          // ratio 10.5x, flagged-and-confirmed 16.9x off one loaded
+          // suite-tail repeat against a suite-warm denominator).
+          val reU = runSuite(spark, upDir.get, flaggedSel, 2).toMap
+          val re1 = runSuite(spark, sfDir, flaggedSel, 2).toMap
           prov.flatMap { case (n, tu, t1) =>
             val bu = math.min(tu, reU.get(n).flatten.getOrElse(tu))
             val b1 = math.min(t1, re1.get(n).flatten.getOrElse(t1))

@@ -662,6 +662,81 @@ class PlanSpec extends SparkSpec {
         s"reviewed: ${allowlist.toSeq.sorted.mkString(", ")}")
   }
 
+  test("SortAggregates across ALL gates are the adjudicated bounded set") {
+    // Sibling of the unpartitioned-window sweep above: SortAggregate is
+    // how Spark plans an aggregation whose buffer is not hash-mutable —
+    // usually a struct-keyed election (min/max(struct(..)), max_by with
+    // a struct tie-break) or a binary-buffer aggregate (bitmap family).
+    // That class is FINE (r16 measured the ns103 packed-long
+    // HashAggregate respelling 1.10-1.14x SLOWER at both bench rungs —
+    // SURVEY §8), but an aggregation buffer silently BECOMING
+    // non-hash-mutable is exactly the plan regression that hides until
+    // someone reads a dump. This sweep classifies every SortAggregate in
+    // every gate's pre-AQE plan and pins the gate set, so any new
+    // sort-based aggregation must be argued here.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, MaxBy, Min, MinBy}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.types.StructType
+    def classes(root0: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val root = root0 match { case a: AdaptiveSparkPlanExec => a.initialPlan; case x => x }
+      // One non-hash-mutable buffer makes the WHOLE aggregation
+      // sort-based, so sibling Count/Sum/etc. ride in the same node —
+      // classify per NODE by the function that explains the sort.
+      root.collect { case s: SortAggregateExec => s }.map { node =>
+        val fns = node.aggregateExpressions.map(_.aggregateFunction)
+        // The functions that EXPLAIN the sort: ones whose buffer holds a
+        // type HashAggregate's UnsafeRow cannot mutate in place.
+        val culprits = fns.filter(_.aggBufferAttributes.exists(a =>
+          !org.apache.spark.sql.catalyst.expressions.UnsafeRow.isMutable(a.dataType)))
+        val election = culprits.exists {
+          case m: Min => m.child.dataType.isInstanceOf[StructType]
+          case m: Max => m.child.dataType.isInstanceOf[StructType]
+          case m: MinBy => m.orderingExpr.dataType.isInstanceOf[StructType]
+          case m: MaxBy => m.orderingExpr.dataType.isInstanceOf[StructType]
+          case _ => false
+        }
+        if (election) "election"
+        else if (culprits.exists(_.getClass.getSimpleName.startsWith("Bitmap"))) "bitmap"
+        else if (culprits.nonEmpty && culprits.forall(_.aggBufferAttributes.forall(a =>
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow.isMutable(a.dataType) ||
+            a.dataType == org.apache.spark.sql.types.StringType ||
+            a.dataType == org.apache.spark.sql.types.BinaryType)))
+          "varlen" // min/max/first over string/binary: var-length buffer
+        else s"other:${fns.map(_.getClass.getSimpleName).distinct.sorted.mkString("+")}"
+      }
+    }
+    val skipped = scala.collection.mutable.ListBuffer[String]()
+    val found: Seq[(String, String)] = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val planned =
+          try Some(fn(spark, sfDir).queryExecution.executedPlan)
+          catch { case _: Throwable => skipped += name; None }
+        planned.toSeq.flatMap(ep => classes(ep).map(name -> _))
+    }
+    assert(skipped.isEmpty,
+      s"plan-sweep skip set must stay empty (see the window sweep's pin): ${skipped.mkString(", ")}")
+    val other = found.collect { case (n, c) if c.startsWith("other") => s"$n($c)" }.distinct
+    assert(other.isEmpty,
+      s"SortAggregate outside the reviewed buffer classes: ${other.mkString(", ")}")
+    // The reviewed set (PlanScan recon, r16). Elections: ns117 nearest
+    // neighbour min(struct(d2,nn)); ns130 first-touch min(struct(channel,
+    // id)); ns103 segment winner min(struct(doc_id, idx)); ns171 LPM
+    // max(struct(len, prefix)); ns184 mode max(struct(cnt, val)); ns43
+    // top-value max(struct(c, k)); ns31/ns124/ns177/ns146 max_by/min
+    // struct tie-breaks in the time-series/skew kernels. Varlen: ns43's
+    // column-profile min/max/first over STRING columns (var-length
+    // buffer — unavoidable for a generic profiler, groups are the
+    // column list). Bitmap: b86's two bitmap_construct_agg passes (4 KB
+    // fixed buffers, bucket-bounded groups).
+    val gates = found.map(_._1.split("_")(0)).distinct.sorted
+    val reviewed = Seq("b86", "ns103", "ns117", "ns124", "ns130", "ns146",
+      "ns171", "ns177", "ns184", "ns31", "ns43")
+    assert(gates == reviewed,
+      s"SortAggregate gate set drifted from the reviewed list.\n" +
+        s"now: ${gates.mkString(", ")}\nreviewed: ${reviewed.mkString(", ")}")
+  }
+
   test("vocabMassCoverage unbounded path: range-partitioned prefix, no per-type window") {
     // boundedDomain = false must collapse to frequency classes and ride
     // Prefix.runningSum's range exchange — never the unpartitioned
