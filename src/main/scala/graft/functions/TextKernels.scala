@@ -401,6 +401,47 @@ object TextKernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** [[ScriptMixF]] kernel body: one code-point pass computing
+    * [n_latin, n_cyrillic, n_greek, n_mixed_tokens] — the declarative
+    * twin in [[graft.ops.TextOps.scriptMixProfile]] pays THREE
+    * `regexp_replace` passes (each allocating a rewritten copy of the
+    * row) plus a whitespace split with three `rlike` regex probes per
+    * token. Exact replication of the twin's semantics:
+    *   - masses count CODE POINTS whose Unicode script property is
+    *     Latin/Cyrillic/Greek — `Character.UnicodeScript.of` is the same
+    *     JDK script table `java.util.regex` resolves `\p{IsX}` against
+    *     (spectrum-pinned in FunctionsSpec);
+    *   - token boundaries are Java-regex `\s` (ASCII [ \t\n\x0B\f\r] —
+    *     NOT Unicode whitespace), matching `split(trim(c), "\\s+")`;
+    *     the split's empty edge tokens carry no script flags and cannot
+    *     be mixed, so boundary handling needs no special casing;
+    *   - a token is mixed when it contains characters of two or more of
+    *     the three audited scripts.
+    */
+  def scriptMix(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var nLat = 0L; var nCyr = 0L; var nGrk = 0L; var mixed = 0L
+    var tLat = false; var tCyr = false; var tGrk = false
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+          cp == '\f' || cp == '\r') {
+        if ((tLat && tCyr) || (tLat && tGrk) || (tCyr && tGrk)) mixed += 1L
+        tLat = false; tCyr = false; tGrk = false
+      } else {
+        val sc = Character.UnicodeScript.of(cp)
+        if (sc eq Character.UnicodeScript.LATIN) { nLat += 1L; tLat = true }
+        else if (sc eq Character.UnicodeScript.CYRILLIC) { nCyr += 1L; tCyr = true }
+        else if (sc eq Character.UnicodeScript.GREEK) { nGrk += 1L; tGrk = true }
+      }
+      i += Character.charCount(cp)
+    }
+    if ((tLat && tCyr) || (tLat && tGrk) || (tCyr && tGrk)) mixed += 1L
+    new GenericArrayData(Array[Long](nLat, nCyr, nGrk, mixed))
+  }
 }
 
 /** Codegen'd char-bigram LM scoring:
@@ -643,5 +684,25 @@ case class TextQualityF(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qualityArray($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TextQualityF =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass mixed-script profile: `graft_script_mix(text)` →
+  * array<long> [n_latin, n_cyrillic, n_greek, n_mixed_tokens]. Replaces
+  * three per-row `regexp_replace` allocations + a token split with three
+  * `rlike` probes per token (the ns265 homoglyph screen's whole cost).
+  */
+case class ScriptMixF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_script_mix expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_script_mix"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.scriptMix(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.scriptMix($c)")
+  override protected def withNewChildInternal(newChild: Expression): ScriptMixF =
     copy(child = newChild)
 }

@@ -1488,6 +1488,29 @@ object TextOps {
     * per-row filter — no shuffle at all.
     */
   def scriptMixProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Codegen'd one-pass kernel when GraftExtensions is installed
+    // (graft.functions.TextKernels.scriptMix): the declarative twin below
+    // pays three regexp_replace passes — each allocating a rewritten copy
+    // of every row — plus a whitespace split with three rlike regex
+    // probes per token; the kernel computes all four counts in one
+    // code-point scan (equivalence spectrum-pinned in FunctionsSpec).
+    if (docs.sparkSession.catalog.functionExists("graft_script_mix")) {
+      val m = call_function("graft_script_mix", col(textCol))
+      docs.select(
+        col(idCol).as("doc_id"),
+        element_at(m, 1).as("n_latin"),
+        element_at(m, 2).as("n_cyrillic"),
+        element_at(m, 3).as("n_greek"),
+        element_at(m, 4).as("n_mixed_tokens"))
+        .withColumn("suspicious", col("n_mixed_tokens") > 0L)
+    } else scriptMixProfileDeclarative(docs, idCol, textCol)
+  }
+
+  /** Declarative twin of [[scriptMixProfile]] (the fallback without
+    * GraftExtensions, and the equivalence oracle for the kernel).
+    */
+  private[graft] def scriptMixProfileDeclarative(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def mass(cls: String) =
       length(regexp_replace(col(textCol), s"[^\\p{Is$cls}]", ""))
     val isMixed = (t: Column) => {

@@ -257,4 +257,77 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(0).length == dec.length - 2) // two marks composed away
     assert(r.getString(1) == "plain ascii")
   }
+
+  test("graft_script_mix: full-BMP spectrum equals the regex script classes") {
+    // The kernel classifies via Character.UnicodeScript.of; the
+    // declarative twin via java.util.regex \p{IsLatin|IsCyrillic|IsGreek}.
+    // Pin their agreement over EVERY BMP code point (surrogates excluded —
+    // unpaired surrogates cannot ride in valid UTF-8) plus supplementary
+    // samples from each audited script's astral blocks and some non-script
+    // astral noise.
+    import spark.implicits._
+    val astral = Seq(
+      0x10780, // Latin Extended-F (modifier letters)
+      0x1E030, // Cyrillic Extended-D
+      0x1D242, // Greek musical notation combining mark
+      0x10400, // Deseret (none of the three)
+      0x1F600) // emoji (Common)
+    val cps = ((0 until 0xD800) ++ (0xE000 to 0xFFFF) ++ astral).map(cp =>
+      (cp, new String(Character.toChars(cp))))
+    val df = cps.toDF("cp", "s").repartition(8)
+    val kernel = call_function("graft_script_mix", col("s"))
+    val bad = df.select(
+      col("cp"),
+      element_at(kernel, 1).as("k_lat"),
+      element_at(kernel, 2).as("k_cyr"),
+      element_at(kernel, 3).as("k_grk"),
+      length(regexp_replace(col("s"), "[^\\p{IsLatin}]", "")).cast("long").as("r_lat"),
+      length(regexp_replace(col("s"), "[^\\p{IsCyrillic}]", "")).cast("long").as("r_cyr"),
+      length(regexp_replace(col("s"), "[^\\p{IsGreek}]", "")).cast("long").as("r_grk"))
+      .filter(col("k_lat") =!= col("r_lat") || col("k_cyr") =!= col("r_cyr") ||
+        col("k_grk") =!= col("r_grk"))
+    assert(bad.isEmpty, bad.limit(20).collect().mkString("\n"))
+  }
+
+  test("graft_script_mix profile equals the declarative twin on crafted + fixture rows") {
+    import spark.implicits._
+    val crafted = Seq(
+      1L -> "pure ascii latin words",
+      2L -> "pаypаl раss homoglyph poison", // Cyrillic а/р inside Latin tokens
+      3L -> "чисто русский текст без примесей", // all-Cyrillic: NOT mixed
+      4L -> "καθαρό ελληνικό κείμενο", // all-Greek: NOT mixed
+      5L -> "δkappa-latin and русskий mixes", // Greek+Latin, Cyrillic+Latin
+      6L -> "tabs\tand\nnewlinesseparate\ftokens\rtoo",
+      7L -> "  leading spaces and trailing  ",
+      8L -> "", // empty
+      9L -> "αβγ-кир one token all three δк", // Greek+Cyrillic tokens
+      10L -> "astral 𐐀 deseret and 😀 emoji",
+      11L -> "12345 .,;: no letters at all",
+      12L -> "x") // single char
+      .toDF("doc_id", "text")
+    val fixture = Tables(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    Seq(crafted, fixture).foreach { docs =>
+      val fast = graft.ops.TextOps.scriptMixProfile(docs, "doc_id", "text")
+      val slow = graft.ops.TextOps.scriptMixProfileDeclarative(docs, "doc_id", "text")
+      assert(fast.schema == slow.schema, s"${fast.schema} vs ${slow.schema}")
+      val diff = fast.as("f").join(slow.as("s"), "doc_id")
+        .filter(col("f.n_latin") =!= col("s.n_latin") ||
+          col("f.n_cyrillic") =!= col("s.n_cyrillic") ||
+          col("f.n_greek") =!= col("s.n_greek") ||
+          col("f.n_mixed_tokens") =!= col("s.n_mixed_tokens") ||
+          col("f.suspicious") =!= col("s.suspicious"))
+      assert(diff.isEmpty, diff.limit(10).collect().mkString("\n"))
+    }
+    // The kernel path must actually be the one in use (extensions on).
+    // Checked on the parquet-backed frame only: the crafted literal rows
+    // constant-fold at plan time into a LocalTableScan — itself proof the
+    // kernel evaluated (interpreted path) during folding.
+    assert(graft.ops.TextOps.scriptMixProfile(fixture, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("graft_script_mix"))
+    // non-vacuity: the poisoned rows fire the mixed branch
+    val got = graft.ops.TextOps.scriptMixProfile(crafted, "doc_id", "text")
+      .filter(col("suspicious")).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 5L, 9L), got.mkString(","))
+  }
 }
