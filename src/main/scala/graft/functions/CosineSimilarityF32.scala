@@ -164,6 +164,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmeansAssignI64].getName, "graft_kmeans_assign"),
       (children: Seq[Expression]) => KmeansAssignI64(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_marker_hits"),
+      new ExpressionInfo(classOf[MarkerHitsAllF].getName, "graft_marker_hits"),
+      (children: Seq[Expression]) => MarkerHitsAllF(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_script_mix"),
       new ExpressionInfo(classOf[ScriptMixF].getName, "graft_script_mix"),
       (children: Seq[Expression]) => ScriptMixF(children(0))))

@@ -166,6 +166,27 @@ object TextKernels {
     argmaxLang(hits)
   }
 
+  /** [[MarkerHitsAllF]] kernel body: the per-language marker hit counts
+    * in [[graft.ops.TextOps.LangMarkers]] order — one tokenize pass and
+    * one hash probe per (token, language), where the declarative
+    * `markerHits` twin pays an INTERPRETED `filter(toks, array_contains)`
+    * lambda per language per row (the known HOF pitfall).
+    */
+  def markerHitsAll(s: UTF8String): ArrayData = {
+    val toks = tokenize(s.toString)
+    val hits = new Array[Long](Langs.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < MarkerSets.length) {
+        if (MarkerSets(l).contains(toks(i))) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(hits)
+  }
+
   /** One-pass char-trigram language ID == TextOps.langIdNgramTable over
     * DefaultTrigramProfiles. Trigrams are CODE-POINT windows (Spark
     * `substr` and DuckDB `substring` both index by code point, unlike
@@ -704,5 +725,25 @@ case class ScriptMixF(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.scriptMix($c)")
   override protected def withNewChildInternal(newChild: Expression): ScriptMixF =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-language marker-hit counts: `graft_marker_hits(text)` →
+  * array<long> in [[graft.ops.TextOps.LangMarkers]] order. One tokenize
+  * pass replaces the per-language interpreted `filter`+`array_contains`
+  * lambdas in the ns235 language-mixing profile.
+  */
+case class MarkerHitsAllF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_marker_hits expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_marker_hits"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.markerHitsAll(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.markerHitsAll($c)")
+  override protected def withNewChildInternal(newChild: Expression): MarkerHitsAllF =
     copy(child = newChild)
 }

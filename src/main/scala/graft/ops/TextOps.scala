@@ -1266,8 +1266,43 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // One codegen'd tokenize pass for ALL languages when GraftExtensions
+    // is installed (graft.functions.TextKernels.markerHitsAll); the
+    // declarative per-language markerHits filters are interpreted HOF
+    // lambdas — |LangMarkers| of them per row. Downstream arithmetic is
+    // identical either way: the per-language hit columns feed the same
+    // total/greatest/tie-break expressions (equivalence pinned in
+    // FunctionsSpec; subexpression elimination evaluates the kernel once
+    // per row across all its element_at uses).
+    val hits: Seq[(String, Column)] =
+      if (df.sparkSession.catalog.functionExists("graft_marker_hits")) {
+        val m = call_function("graft_marker_hits", col(textCol))
+        LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+          l -> element_at(m, i + 1)
+        }
+      } else {
+        val toks = tokens(col(textCol))
+        LangMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
+      }
+    langMixFromHits(df, idCol, hits)
+  }
+
+  /** Declarative twin of [[languageMixProfile]] (the fallback without
+    * GraftExtensions, and the equivalence oracle for the kernel).
+    */
+  private[graft] def languageMixProfileDeclarative(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col(textCol))
-    val hits = LangMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
+    langMixFromHits(df, idCol,
+      LangMarkers.map { case (l, ws) => l -> markerHits(toks, ws) })
+  }
+
+  private def langMixFromHits(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      hits: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
     val total = hits.map(_._2).reduce(_ + _)
     val mx = greatest(hits.map(_._2): _*)
     val top = hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>

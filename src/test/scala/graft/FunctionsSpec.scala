@@ -330,4 +330,33 @@ class FunctionsSpec extends SparkSpec {
       .filter(col("suspicious")).select("doc_id").as[Long].collect().sorted
     assert(got.toSeq == Seq(2L, 5L, 9L), got.mkString(","))
   }
+
+  test("graft_marker_hits language-mix profile equals the declarative twin") {
+    import spark.implicits._
+    val crafted = Seq(
+      1L -> "the cat and the hat is that", // pure en
+      2L -> "der hund und die katze ist nicht da the end", // de + en marks
+      3L -> "el que la y los der die une dans 的 是", // three-way tie shapes
+      4L -> "no marker words here whatsoever",
+      5L -> "", // empty
+      6L -> "  la   le  les ", // fr/es overlap (la in both) + ragged spaces
+      7L -> "und") // single marker token
+      .toDF("doc_id", "text")
+    val fixture = Tables(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    Seq(crafted, fixture).foreach { docs =>
+      val fast = graft.ops.TextOps.languageMixProfile(docs, "doc_id", "text")
+      val slow = graft.ops.TextOps.languageMixProfileDeclarative(docs, "doc_id", "text")
+      assert(fast.schema == slow.schema, s"${fast.schema} vs ${slow.schema}")
+      val diff = fast.as("f").join(slow.as("s"), "doc_id")
+        .filter(col("f.n_marked") =!= col("s.n_marked") ||
+          col("f.top_hits") =!= col("s.top_hits") ||
+          col("f.top_lang") =!= col("s.top_lang") ||
+          col("f.mix_ratio") =!= col("s.mix_ratio") ||
+          col("f.mix_ratio").isNull =!= col("s.mix_ratio").isNull)
+      assert(diff.isEmpty, diff.limit(10).collect().mkString("\n"))
+    }
+    assert(graft.ops.TextOps.languageMixProfile(fixture, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("graft_marker_hits"))
+  }
 }
