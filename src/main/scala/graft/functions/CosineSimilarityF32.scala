@@ -164,6 +164,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmeansAssignI64].getName, "graft_kmeans_assign"),
       (children: Seq[Expression]) => KmeansAssignI64(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cooc_pairs"),
+      new ExpressionInfo(classOf[CoocPairsF].getName, "graft_cooc_pairs"),
+      (children: Seq[Expression]) => CoocPairsF(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_marker_hits"),
       new ExpressionInfo(classOf[MarkerHitsAllF].getName, "graft_marker_hits"),
       (children: Seq[Expression]) => MarkerHitsAllF(children(0))))

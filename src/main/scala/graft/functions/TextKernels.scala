@@ -423,6 +423,40 @@ object TextKernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** [[CoocPairsF]] kernel body: unordered within-window token pairs as
+    * (tok_a, tok_b) structs, tok_a ≤ tok_b in UTF-8 BINARY order —
+    * `UTF8String.compareTo`, the same order Spark `least`/`greatest` and
+    * the DuckDB oracle's memcmp use (Java `String.compareTo` is UTF-16
+    * code-unit order and DISAGREES for supplementary-plane tokens). One
+    * scan-local pass replaces the posexplode + offset-explode +
+    * (doc, position) self-join shuffle in the declarative twin
+    * ([[graft.ops.Association.cooccurrence]]): only the pair-count
+    * aggregation's map-side-combined shuffle remains.
+    */
+  def coocPairs(s: UTF8String, window: Int): ArrayData = {
+    val toks = tokenize(s.toString)
+    val n = toks.length
+    val us = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { us(i) = UTF8String.fromString(toks(i)); i += 1 }
+    val out = new java.util.ArrayList[Any](n * window)
+    i = 0
+    while (i < n) {
+      var k = 1
+      while (k <= window && i + k < n) {
+        val a = us(i)
+        val b = us(i + k)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        if (a.compareTo(b) <= 0) { row.update(0, a); row.update(1, b) }
+        else { row.update(0, b); row.update(1, a) }
+        out.add(row)
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** [[ScriptMixF]] kernel body: one code-point pass computing
     * [n_latin, n_cyrillic, n_greek, n_mixed_tokens] — the declarative
     * twin in [[graft.ops.TextOps.scriptMixProfile]] pays THREE
@@ -746,4 +780,36 @@ case class MarkerHitsAllF(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.markerHitsAll($c)")
   override protected def withNewChildInternal(newChild: Expression): MarkerHitsAllF =
     copy(child = newChild)
+}
+
+/** Codegen'd scan-local skip-gram pair generation:
+  * `graft_cooc_pairs(text, window)` (window a foldable int) →
+  * array<struct<tok_a:string, tok_b:string>> of unordered within-window
+  * token pairs, tok_a ≤ tok_b in UTF-8 binary order. Replaces the
+  * posexplode + offset-explode + (doc, position) self-join shuffle of
+  * the ns243 co-occurrence shape.
+  */
+case class CoocPairsF(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+      right.dataType == org.apache.spark.sql.types.IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_cooc_pairs expects (string, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok_a", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tok_b", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cooc_pairs"
+  override protected def nullSafeEval(text: Any, w: Any): Any =
+    TextKernels.coocPairs(text.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, w) => s"graft.functions.TextKernels.coocPairs($t, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CoocPairsF =
+    copy(left = newLeft, right = newRight)
 }

@@ -321,6 +321,29 @@ object Association {
   def cooccurrence(
       docs: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
+    // Scan-local pair generation when GraftExtensions is installed
+    // (graft.functions.TextKernels.coocPairs): each row's pairs come
+    // straight out of its own token array, so the posexplode +
+    // offset-explode + (doc, position) self-join — and its shuffle of
+    // O(rows × window) position rows — disappears entirely; the only
+    // exchange left is the pair-count aggregation's map-side-combined
+    // shuffle. Equivalence pinned in FunctionsSpec (incl. the UTF-8
+    // binary tok_a/tok_b ordering the declarative least/greatest uses).
+    if (docs.sparkSession.catalog.functionExists("graft_cooc_pairs"))
+      docs
+        .select(explode(
+          call_function("graft_cooc_pairs", col(textCol), lit(window))).as("pr"))
+        .select(col("pr.tok_a").as("tok_a"), col("pr.tok_b").as("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(count(lit(1)).as("n_cooc"))
+    else cooccurrenceDeclarative(docs, idCol, textCol, window)
+  }
+
+  /** Declarative twin of [[cooccurrence]] (the fallback without
+    * GraftExtensions, and the equivalence oracle for the kernel).
+    */
+  private[graft] def cooccurrenceDeclarative(
+      docs: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
     val pos = docs
       .select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("p", "t")))

@@ -359,4 +359,42 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.ops.TextOps.languageMixProfile(fixture, "doc_id", "text")
       .queryExecution.executedPlan.toString.contains("graft_marker_hits"))
   }
+
+  test("graft_cooc_pairs co-occurrence equals the positional-join twin") {
+    import spark.implicits._
+    val crafted = Seq(
+      1L -> "a b c d e", // plain window-3 pairs
+      2L -> "x x x", // repeated token: (x,x) multiplicities
+      3L -> "b a", // ordering: pair must come out (a,b)
+      4L -> "one", // single token: no pairs
+      5L -> "", // empty
+      6L -> "t\tu\nv w", // non-space separators
+      // UTF-8 binary vs UTF-16 ordering: U+10000 (4-byte UTF-8) sorts
+      // ABOVE U+FFFD (3-byte) in binary order but BELOW it in Java
+      // String order — the pair must be (�, 𐀀).
+      7L -> "𐀀 �",
+      8L -> "  padded   runs  of   spaces  ")
+      .toDF("doc_id", "text")
+    val fixture = Tables(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    Seq(crafted, fixture).foreach { docs =>
+      val fast = graft.ops.Association.cooccurrence(docs, "doc_id", "text", 3)
+      val slow = graft.ops.Association.cooccurrenceDeclarative(docs, "doc_id", "text", 3)
+      assert(fast.schema == slow.schema, s"${fast.schema} vs ${slow.schema}")
+      val diff = fast.as("f").join(slow.as("s"), Seq("tok_a", "tok_b"), "full")
+        .filter(col("f.n_cooc").isNull || col("s.n_cooc").isNull ||
+          col("f.n_cooc") =!= col("s.n_cooc"))
+      assert(diff.isEmpty, diff.limit(10).collect().mkString("\n"))
+    }
+    // the supplementary-plane pair ordered by UTF-8 binary, not UTF-16
+    val astral = graft.ops.Association.cooccurrence(
+      Seq(7L -> "𐀀 �").toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("tok_a", "tok_b").as[(String, String)].collect()
+    assert(astral.toSeq == Seq(("�", "𐀀")), astral.mkString)
+    // the kernel path is the one in use, and the position self-join is gone
+    val plan = graft.ops.Association.cooccurrence(fixture, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cooc_pairs"), plan)
+    assert(!plan.contains("Join"), s"kernel path still joins:\n$plan")
+  }
 }
