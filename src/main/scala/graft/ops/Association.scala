@@ -29,12 +29,36 @@ object Association {
   def frequentPairs(
       baskets: DataFrame, basketCol: String, itemCol: String, minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
-    val b = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-    val frequent = b.groupBy("i").agg(count(lit(1)).as("s"))
+    frequentPairsFrom(distinctBasketItems(baskets, basketCol, itemCol), minSupport)
+  }
+
+  /** The one basket exchange every Apriori consumer shares (the
+    * [[frequentTriples]] discipline, r16 applied to the pair level): the
+    * (b, i) distinct runs as an aggregate UNDER an explicit basket
+    * partitioning, so HashPartitioning(b) satisfies the (b, i) clustering
+    * (subset rule) and every downstream self-join on b reuses the same
+    * exchange instead of paying a distinct exchange plus per-side join
+    * exchanges and SortMergeJoin sorts.
+    */
+  private def distinctBasketItems(
+      baskets: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .repartition(col("b"))
+      .groupBy("b", "i").agg(lit(1).as("_one")).select("b", "i")
+
+  /** Pair generation over an already-basket-partitioned distinct (b, i)
+    * frame: broadcast semi-join Apriori prune (the frequent-item set is
+    * bounded by its own answer), SHUFFLE_HASH self-join (both sides are
+    * the same exchange; sorting them for SMJ was pure overhead), map-side
+    * combined pair count.
+    */
+  private def frequentPairsFrom(b0: DataFrame, minSupport: Long): DataFrame = {
+    val freqItems = b0.groupBy("i").agg(count(lit(1)).as("s"))
       .where(col("s") >= minSupport).select("i")
-    val kept = b.join(frequent, "i").select("b", "i")
-    kept.alias("a")
-      .join(kept.alias("c"), col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+    val kept = b0.join(broadcast(freqItems), Seq("i"), "left_semi")
+    kept.alias("a").hint("SHUFFLE_HASH")
+      .join(kept.alias("c").hint("SHUFFLE_HASH"),
+        col("a.b") === col("c.b") && col("a.i") < col("c.i"))
       .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
@@ -175,10 +199,14 @@ object Association {
       basketCol: String,
       itemCol: String,
       minSupport: Long): DataFrame = {
-    val b = baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    // ONE distinct (b, i) frame (one basket exchange) serves the basket
+    // count, the item supports, and the pair generation — the old
+    // spelling re-derived it three times, each with its own distinct
+    // exchange (r16).
+    val b = distinctBasketItems(baskets, basketCol, itemCol)
     val nBaskets = b.select("b").distinct().agg(count(lit(1)).as("n"))
     val itemSupport = b.groupBy("i").agg(count(lit(1)).as("s"))
-    val pairs = frequentPairs(baskets, basketCol, itemCol, minSupport)
+    val pairs = frequentPairsFrom(b, minSupport)
     val both = pairs
       .select(col("item_a").as("ante"), col("item_b").as("cons"), col("support"))
       .unionAll(pairs
