@@ -235,6 +235,50 @@ object TextKernels {
     }
   }
 
+  /** One-pass per-document n-gram repetition profile: `[total, dup, top]`
+    * gram counts over the row's OWN token array — the same numbers the
+    * declarative explode([[shingles]]) → groupBy(doc, gram) →
+    * groupBy(doc) aggregation pair produces per document, computed
+    * scan-locally (the per-doc profile depends on nothing outside the
+    * row, so neither agg exchange nor the join back to the id spine is
+    * needed). Gram construction is the [[shingles]] loop verbatim (same
+    * tokenize, same single-space join). EMPTY array ⇔ the doc has fewer
+    * than `n` tokens — the declarative twin's left-join miss; callers
+    * read fields with `get()` so the empty case yields the same NULLs.
+    */
+  def ngramRepProfile(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s.toString)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val m = toks.length - n + 1
+      val counts = new java.util.HashMap[String, Array[Long]](m * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        val g = sb.toString
+        val slot = counts.get(g)
+        if (slot == null) counts.put(g, Array(1L)) else slot(0) += 1L
+        i += 1
+      }
+      var dup = 0L
+      var top = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        if (c >= 2L) dup += c
+        if (c > top) top = c
+      }
+      new GenericArrayData(Array(m.toLong, dup, top))
+    }
+  }
+
   /** One-pass 32-bit SimHash == Dedup.simhashPerDoc (explode → 33-counter
     * agg) == TextOps.simhash32 (interpreted HOF): per-bit majority vote of
     * the md5-based token hashes. Scan-local — the sketch pays NO shuffle.
@@ -580,6 +624,31 @@ case class ShinglesF(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.shingles($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShinglesF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd one-pass n-gram repetition profile:
+  * `graft_ngram_rep(text, n)` (n a foldable int literal) →
+  * `[total, dup, top]` long array (empty when the doc has < n tokens).
+  * See [[TextKernels.ngramRepProfile]].
+  */
+case class NgramRepProfileF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+      right.dataType == org.apache.spark.sql.types.IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_ngram_rep expects (string, int literal), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_rep"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.ngramRepProfile(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.ngramRepProfile($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramRepProfileF =
     copy(left = newLeft, right = newRight)
 }
 

@@ -1481,9 +1481,41 @@ object TextOps {
     */
   def ngramRepetitionProfile(
       docs: DataFrame, idCol: String, textCol: String, na: Int = 2, nb: Int = 3): DataFrame = {
-    // the codegen'd one-pass shingle kernel when the session extension is
-    // installed (the repeatedSubstringSpans discipline); the declarative
-    // slice fold otherwise
+    // The per-doc profile depends on nothing outside the row, so with the
+    // session extension installed the whole operator is ONE scan-local
+    // projection: graft_ngram_rep(text, n) returns [total, dup, top] from
+    // the row's own gram counts (empty array ⇔ the doc has < n tokens,
+    // read back as NULLs by get() — the declarative twin's left-join
+    // miss). The declarative explode → groupBy(doc, g) → groupBy(doc) →
+    // join-back spelling below (r16: was 2 agg exchanges + a join per n)
+    // stays as the no-extensions fallback and the equivalence oracle.
+    if (docs.sparkSession.catalog.functionExists("graft_ngram_rep")) {
+      def fields(arr: Column, pfx: String): Seq[Column] = {
+        val total = get(arr, lit(0))
+        val dup = get(arr, lit(1))
+        val top = get(arr, lit(2))
+        Seq(
+          total.as(s"${pfx}_total"), dup.as(s"${pfx}_dup"), top.as(s"${pfx}_top"),
+          (dup.cast("double") / total.cast("double")).as(s"${pfx}_dup_frac"),
+          (top.cast("double") / total.cast("double")).as(s"${pfx}_top_frac"))
+      }
+      return docs
+        .select(
+          col(idCol).as("doc_id"),
+          call_function("graft_ngram_rep", col(textCol), lit(na)).as("_pa"),
+          call_function("graft_ngram_rep", col(textCol), lit(nb)).as("_pb"))
+        .select(col("doc_id") +:
+          (fields(col("_pa"), s"g$na") ++ fields(col("_pb"), s"g$nb")): _*)
+    }
+    ngramRepetitionProfileDeclarative(docs, idCol, textCol, na, nb)
+  }
+
+  /** The declarative explode → two-level aggregation → join-back twin of
+    * [[ngramRepetitionProfile]] — the no-extensions fallback and the
+    * kernel's equivalence oracle (FunctionsSpec).
+    */
+  private[graft] def ngramRepetitionProfileDeclarative(
+      docs: DataFrame, idCol: String, textCol: String, na: Int = 2, nb: Int = 3): DataFrame = {
     def gramsOf(n: Int): Column =
       if (docs.sparkSession.catalog.functionExists("graft_shingles"))
         call_function("graft_shingles", col(textCol), lit(n))

@@ -331,6 +331,45 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 5L, 9L), got.mkString(","))
   }
 
+  test("graft_ngram_rep repetition profile equals the declarative twin") {
+    import spark.implicits._
+    val crafted = Seq(
+      1L -> "a b a b a", // repeated bigrams AND trigrams
+      2L -> "x y z", // all grams unique
+      3L -> "w w w w w w", // one gram repeated throughout
+      4L -> "solo", // 1 token: no bigrams, no trigrams
+      5L -> "two tokens", // bigram only, no trigram
+      6L -> "", // empty text
+      7L -> "  ragged   spacing  makes empty   tokens  ragged   spacing",
+      8L -> "astral 𐐀 𐐀 astral 𐐀 𐐀 astral") // supplementary-plane tokens
+      .toDF("doc_id", "text")
+    val fixture = Tables(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    Seq(crafted, fixture).foreach { docs =>
+      val fast = graft.ops.TextOps.ngramRepetitionProfile(docs, "doc_id", "text")
+      val slow = graft.ops.TextOps.ngramRepetitionProfileDeclarative(docs, "doc_id", "text")
+      assert(fast.columns.toSeq == slow.columns.toSeq)
+      val cmp = fast.columns.filter(_ != "doc_id").map(c =>
+        col(s"f.$c") =!= col(s"s.$c") || col(s"f.$c").isNull =!= col(s"s.$c").isNull)
+        .reduce(_ || _)
+      val diff = fast.as("f").join(slow.as("s"), "doc_id").filter(cmp)
+      assert(diff.isEmpty, diff.limit(10).collect().mkString("\n"))
+      assert(fast.count() == slow.count())
+    }
+    // the kernel path must actually be the one in use (extensions on)
+    assert(graft.ops.TextOps.ngramRepetitionProfile(fixture, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("graft_ngram_rep"))
+    // non-vacuity: repeated and gram-less docs exercise both branches
+    val got = graft.ops.TextOps.ngramRepetitionProfile(crafted, "doc_id", "text")
+      .select("doc_id", "g2_total", "g2_dup", "g2_top", "g3_total")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) == ((Some(4L), Some(4L), Some(2L), Some(3L)))) // "a b"x2 "b a"x2; "a b a"x2
+    assert(got(3L) == ((Some(5L), Some(5L), Some(5L), Some(4L)))) // "w w"x5
+    assert(got(4L) == ((None, None, None, None)))
+    assert(got(5L) == ((Some(1L), Some(0L), Some(1L), None)))
+  }
+
   test("graft_marker_hits language-mix profile equals the declarative twin") {
     import spark.implicits._
     val crafted = Seq(
