@@ -168,6 +168,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CoocPairsF].getName, "graft_cooc_pairs"),
       (children: Seq[Expression]) => CoocPairsF(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_markup_counts"),
+      new ExpressionInfo(classOf[MarkupCountsF].getName, "graft_markup_counts"),
+      (children: Seq[Expression]) => MarkupCountsF(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_ngram_rep"),
       new ExpressionInfo(classOf[NgramRepProfileF].getName, "graft_ngram_rep"),
       (children: Seq[Expression]) => NgramRepProfileF(children(0), children(1))))

@@ -235,6 +235,32 @@ object TextKernels {
     }
   }
 
+  private val UrlP = Pattern.compile("https?://[^\\s]+")
+  private val EmailP = Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val TagP = Pattern.compile("<[^<>]+>")
+
+  /** Markup/boilerplate match counts `[n_urls, n_emails, n_tags]` — the
+    * same three java.util.regex patterns TextOps.markupDensity's
+    * declarative twin runs through `size(regexp_extract_all(...))`, but
+    * counted with a bare `Matcher.find()` loop: no matched-substring
+    * extraction, no per-pattern ArrayData materialization, and ONE
+    * UTF8String→String conversion for all three patterns (the
+    * declarative spelling converts and extracts per pattern, and each
+    * count expression appears twice in the projection). Counts are
+    * identical by construction: `regexp_extract_all` is itself a
+    * find()-loop over the same compiled pattern.
+    */
+  def markupCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    def cnt(p: Pattern): Long = {
+      val m = p.matcher(str)
+      var c = 0L
+      while (m.find()) c += 1L
+      c
+    }
+    new GenericArrayData(Array(cnt(UrlP), cnt(EmailP), cnt(TagP)))
+  }
+
   /** One-pass per-document n-gram repetition profile: `[total, dup, top]`
     * gram counts over the row's OWN token array — the same numbers the
     * declarative explode([[shingles]]) → groupBy(doc, gram) →
@@ -625,6 +651,24 @@ case class ShinglesF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShinglesF =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd one-pass markup match counting: `graft_markup_counts(text)`
+  * → `[n_urls, n_emails, n_tags]`. See [[TextKernels.markupCounts]].
+  */
+case class MarkupCountsF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_markup_counts expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_markup_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.markupCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.markupCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): MarkupCountsF =
+    copy(child = newChild)
 }
 
 /** Codegen'd one-pass n-gram repetition profile:

@@ -1328,6 +1328,42 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // Codegen'd one-pass count kernel when GraftExtensions is installed
+    // (r16): the declarative twin runs size(regexp_extract_all(...)) per
+    // pattern — materializing every matched substring into an array just
+    // to take its size, converting the row per pattern — and each count
+    // expression appears twice in the projection. graft_markup_counts
+    // counts all three patterns with bare Matcher.find() loops over ONE
+    // String conversion (identical counts: regexp_extract_all is itself
+    // a find() loop). Twin kept as fallback + equivalence oracle.
+    if (df.sparkSession.catalog.functionExists("graft_markup_counts")) {
+      val len = length(col(textCol)).cast("long")
+      return df
+        .select(col(idCol),
+          call_function("graft_markup_counts", col(textCol)).as("_mk"),
+          len.as("n_chars"))
+        .select(
+          col(idCol),
+          element_at(col("_mk"), 1).as("n_urls"),
+          element_at(col("_mk"), 2).as("n_emails"),
+          element_at(col("_mk"), 3).as("n_tags"),
+          col("n_chars"),
+          when(col("n_chars") > 0,
+            (element_at(col("_mk"), 1) + element_at(col("_mk"), 2) +
+              element_at(col("_mk"), 3)).cast("double") * 1000.0 /
+              col("n_chars").cast("double"))
+            .as("markup_per_kchar"))
+    }
+    markupDensityDeclarative(df, idCol, textCol)
+  }
+
+  /** Declarative regexp_extract_all twin of [[markupDensity]] — the
+    * no-extensions fallback and the kernel's equivalence oracle.
+    */
+  private[graft] def markupDensityDeclarative(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
     def cnt(pattern: String): Column =
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
     val urls = cnt("https?://[^\\s]+")

@@ -331,6 +331,42 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 5L, 9L), got.mkString(","))
   }
 
+  test("graft_markup_counts markup density equals the declarative twin") {
+    import spark.implicits._
+    val crafted = Seq(
+      1L -> "plain prose with no markup at all",
+      2L -> "see http://a.b/x and https://c.d/y?z=1 twice",
+      3L -> "mail a.b@example.com and x_y%z+w@sub.domain.org now",
+      4L -> "<b>bold</b><i>it</i> <not<nested>> <>",
+      5L -> "", // empty: counts 0, n_chars 0, density NULL
+      6L -> "http:// not-a-url https://x ok@x email@no-tld",
+      7L -> "<unclosed tag never ends and a@b.cc inside",
+      8L -> "mixed <a href=\"http://e.f/g\">link a@b.co</a> all three")
+      .toDF("doc_id", "text")
+    val fixture = Tables(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    Seq(crafted, fixture).foreach { docs =>
+      val fast = graft.ops.TextOps.markupDensity(docs, "doc_id", "text")
+      val slow = graft.ops.TextOps.markupDensityDeclarative(docs, "doc_id", "text")
+      assert(fast.columns.toSeq == slow.columns.toSeq)
+      val cmp = fast.columns.filter(_ != "doc_id").map(c =>
+        col(s"f.$c") =!= col(s"s.$c") || col(s"f.$c").isNull =!= col(s"s.$c").isNull)
+        .reduce(_ || _)
+      val diff = fast.as("f").join(slow.as("s"), "doc_id").filter(cmp)
+      assert(diff.isEmpty, diff.limit(10).collect().mkString("\n"))
+    }
+    assert(graft.ops.TextOps.markupDensity(fixture, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("graft_markup_counts"))
+    // non-vacuity: all three pattern classes fire
+    val got = graft.ops.TextOps.markupDensity(crafted, "doc_id", "text")
+      .select("doc_id", "n_urls", "n_emails", "n_tags")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((0L, 2L, 0L)))
+    assert(got(4L) == ((0L, 0L, 5L)), got(4L).toString)
+    assert(got(8L) == ((1L, 1L, 2L)), got(8L).toString)
+  }
+
   test("graft_ngram_rep repetition profile equals the declarative twin") {
     import spark.implicits._
     val crafted = Seq(
