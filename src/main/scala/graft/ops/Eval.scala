@@ -244,10 +244,18 @@ object Eval {
       graft.ops.TextOps.hash32(col(idCol).cast("string")).as("_h"),
       when(col(positiveCol), 1L).otherwise(0L).as("_p"))
     val mx = base.agg(max("_s").as("_mx"), count(lit(1)).as("_n"), sum("_p").as("_tp"))
-    val keyed = base
-      .crossJoin(broadcast(mx))
-      .withColumn("_k", (col("_mx") - col("_s")) * lit(4294967296L) + col("_h"))
-      .withColumn("_one", lit(1L))
+    // Truncate before the prefix kernel (r16): runningSum executes its
+    // input subtree twice (range-partitioner sampling + the real pass),
+    // and this subtree re-scans the source and re-runs one md5 per row
+    // (hash32) each time. One localCheckpoint of the five needed columns
+    // makes both passes read the materialized rows instead — and gives
+    // rangeWidth exact LogicalRDD stats instead of crossJoin guesses.
+    val keyed = graft.ops.Checkpoints.truncate(
+      base
+        .crossJoin(broadcast(mx))
+        .select(
+          ((col("_mx") - col("_s")) * lit(4294967296L) + col("_h")).as("_k"),
+          col("_p"), lit(1L).as("_one"), col("_n"), col("_tp")))
     val tiered = graft.ops.Prefix.runningSum(keyed, "_k", "_one", "_rk")
       .withColumn("bucket", expr(s"((_rk - 1) * $buckets) div _n"))
       .groupBy("bucket")
