@@ -319,6 +319,51 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Deterministic xorshift64 spin — fixed CPU-bound work with a data
+    * dependence per iteration, so the JIT can neither vectorize it away
+    * nor dead-code it (the result feeds an accumulator the caller keeps).
+    */
+  private def spin(iters: Long, seed: Long): Long = {
+    var x = seed | 1L
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
+  @volatile private var calibSink: Long = 0L
+
+  /** Host-contention calibration probe (r16 brief #1): time the SAME fixed
+    * spin single-threaded and at `threads` concurrent threads. On a quiet
+    * host with >= `threads` free cores the two wall times match (each
+    * thread owns a core); on an oversubscribed host the n-thread leg
+    * stretches by roughly the oversubscription factor. Emitted in the JSON
+    * line (`calib` field) before AND after the suites, so a
+    * contention-poisoned window — which cost rounds 5-7, 15 AND 16 their
+    * quantitative perf signal — is machine-detectable from the bench
+    * artifact alone: nt/1t >> 1 on either probe means the window's numbers
+    * cannot support round-over-round claims. ~1.5 s total, outside every
+    * timed region.
+    */
+  private def calibrate(threads: Int): (Double, Double) = {
+    calibSink ^= spin(2000000L, 42L) // JIT warm
+    val iters = 300000000L
+    val t0 = System.nanoTime()
+    calibSink ^= spin(iters, 42L)
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val pool = (1 to threads).map { k =>
+      new Thread(() => { acc.addAndGet(spin(iters, 42L + k)) })
+    }
+    val t2 = System.nanoTime()
+    pool.foreach(_.start()); pool.foreach(_.join())
+    val tn = (System.nanoTime() - t2) / 1e9
+    calibSink ^= acc.get()
+    (t1, tn)
+  }
+
   /** One ladder step down from the primary SF (10x less data), when that
     * directory exists.
     */
@@ -397,6 +442,10 @@ object Bench {
     // host was doing.
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
+    // Contention probe AROUND the suites (r16 brief #1): nominal is
+    // nt ~= 1t; a stretched nt leg marks the window as poisoned.
+    val calibThreads = cpus.toIntOption.getOrElse(4)
+    val (calibPre1, calibPreN) = calibrate(calibThreads)
     val raw1 = runSuite(spark, sfDir, selected, repeats)
     val results = raw1.collect { case (n, Some(t)) => n -> t }
     // Secondary (smaller) SF pass for the scaling check.
@@ -773,6 +822,11 @@ object Bench {
         // prior sf_up_detail baseline, empty or adjudicated (r15 brief #1)
         (if (priorUp.isEmpty || resultsUp.isEmpty) ""
          else regJson(regConfirmedUp, regClearedUp, "_up"))
+    // Post-suite contention probe: a window can go bad mid-run (the r16
+    // pattern was sustained load through the whole 32-core leg); pre+post
+    // brackets the suites so "clean at the start, loaded at the end" is
+    // visible too.
+    val (calibPost1, calibPostN) = calibrate(calibThreads)
     val failed = failedOf(raw1, raw2.getOrElse(Seq.empty), rawUp.getOrElse(Seq.empty))
     val failedPart =
       if (failed.isEmpty) ""
@@ -785,10 +839,13 @@ object Bench {
     // summary fields and flags — ~1 KB at any suite size — while
     // bench_last.json keeps the full per-query maps.
     val stdoutQueries = results.sortBy(-_._2).take(40).sortBy(_._1)
+    // ~110 bytes: well inside the driver's bounded stdout-tail capture.
+    val calibPart =
+      s""","calib":{"nt":$calibThreads,"pre_1t":${ms(calibPre1)},"pre_nt":${ms(calibPreN)},"post_1t":${ms(calibPost1)},"post_nt":${ms(calibPostN)}}"""
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(stdoutQueries)},"queries_note":"top40 by time; full map in bench_last.json","sf":"$sfDir"$scalePart$upPart$regPart$failedPart}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(stdoutQueries)},"queries_note":"top40 by time; full map in bench_last.json","sf":"$sfDir"$scalePart$upPart$regPart$failedPart$calibPart}"""
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(results)},"sf":"$sfDir"$scalePart$upPart$regPart$failedPart}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size},"queries":${qmap(results)},"sf":"$sfDir"$scalePart$upPart$regPart$failedPart$calibPart}"""
     // Belt and braces: the full dual-SF payload at a well-known path (the
     // stdout line stays within the driver's bounded tail capture). The
     // secondary-SF detail is NESTED inside the one top-level object —
