@@ -680,9 +680,17 @@ case class NgramRepProfileF(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType &&
-      right.dataType == org.apache.spark.sql.types.IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+      right.dataType == org.apache.spark.sql.types.IntegerType && right.foldable) {
+      // n is foldable, so its value is available at analysis: reject
+      // n < 1 here as an analysis error instead of silently producing a
+      // nonsense profile of empty grams (r16 ADVICE). A null literal n
+      // stays legal — nullSafeEval yields NULL for it, like any binary
+      // expression.
+      val n = right.eval()
+      if (n == null || n.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_ngram_rep expects n >= 1, got $n")
+    } else TypeCheckResult.TypeCheckFailure(
       "graft_ngram_rep expects (string, int literal), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

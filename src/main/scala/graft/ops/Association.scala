@@ -39,23 +39,84 @@ object Association {
     * (subset rule) and every downstream self-join on b reuses the same
     * exchange instead of paying a distinct exchange plus per-side join
     * exchanges and SortMergeJoin sorts.
+    *
+    * TRUNCATED (r17, the Eval.gainsTable pattern): the r16 spelling
+    * relied on AQE stage reuse to dedupe consumers, and the ns131
+    * SQLMetrics dump (`tools/forensics/ns131_r17_metrics_dump.txt`)
+    * showed it only half-fires — the self-join sides share one exchange
+    * (ReusedExchange), but the frequent-item support branch re-scans and
+    * re-exchanges the full frame because the optimizer pushes the
+    * semi-join prune below the exchange on the join side, making the two
+    * subtrees canonicalize differently. The localCheckpoint pins the
+    * distinct frame once, so the scan + distinct exchange + aggregate run
+    * exactly once per execution, and downstream stats are EXACT
+    * LogicalRDD sizes (which the broadcast gate below relies on).
+    * Storage is O(distinct (b,i)) — the CC-round class.
+    *
+    * The r16 repartition(b)-before-distinct trick (subset rule let the
+    * self-join ride the distinct's exchange) is MOOT after the cut: a
+    * checkpointed plan surfaces as UnknownPartitioning under AQE
+    * (measured — the after-plan re-exchanged both join sides), so the
+    * distinct runs under its natural (b, i) hash exchange here and the
+    * join's basket partitioning is re-established ONCE, post-prune, in
+    * [[frequentPairsFrom]] — both self-join sides share that single
+    * exchange by AQE stage reuse (the dump-proven mechanism).
     */
   private def distinctBasketItems(
       baskets: DataFrame, basketCol: String, itemCol: String): DataFrame =
-    baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .repartition(col("b"))
-      .groupBy("b", "i").agg(lit(1).as("_one")).select("b", "i")
+    Checkpoints.truncate(
+      baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+        .groupBy("b", "i").agg(lit(1).as("_one")).select("b", "i"))
+
+  /** Answer-bounded broadcast gate (r16 ADVICE): every item in the
+    * frequent set owns >= minSupport rows of the distinct frame, so
+    * rows(freqItems) <= rows(b0)/minSupport and its bytes are bounded by
+    * bytes(b0)/minSupport (a frequent-set row is one item column — no
+    * wider than a (b, i) row). Only hint the broadcast when that bound
+    * clears the driver-safety threshold below; otherwise hand the
+    * planner the plain semi-join and let AQE pick the strategy from
+    * runtime sizes (low minSupport on a big item dimension is exactly
+    * where the old unconditional hint risked a driver OOM).
+    *
+    * The bar is DRIVER safety (guide §3.1: hundreds of MB broadcast are
+    * fine, multiple GB are not), not the planner's 10 MB
+    * autoBroadcastJoinThreshold: the bound is a worst-case pigeonhole
+    * over the full (b, i) row width, typically 10-50x above the true
+    * frequent-set bytes, and gating it at 10 MB measurably flipped the
+    * 10x bench rung to a shuffle semi-join that cost every Apriori gate
+    * 15-20% (r17 A/B) while "protecting" against a 5 MB broadcast.
+    * Conf-overridable for clusters whose drivers are tighter.
+    */
+  private def gatedBroadcast(b0: DataFrame, freqFrame: DataFrame, minSupport: Long): DataFrame = {
+    val thresh =
+      try b0.sparkSession.conf.get(BroadcastBoundKey, (256L << 20).toString).toLong
+      catch { case _: Throwable => 256L << 20 }
+    val bound =
+      try b0.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(minSupport)
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (thresh > 0 && bound <= BigInt(thresh)) broadcast(freqFrame) else freqFrame
+  }
+
+  /** Upper bound (bytes) on a pigeonhole-bounded Apriori broadcast before
+    * [[gatedBroadcast]] abandons the hint. Default 256 MB.
+    */
+  val BroadcastBoundKey = "spark.graft.assoc.broadcastBound"
 
   /** Pair generation over an already-basket-partitioned distinct (b, i)
     * frame: broadcast semi-join Apriori prune (the frequent-item set is
-    * bounded by its own answer), SHUFFLE_HASH self-join (both sides are
-    * the same exchange; sorting them for SMJ was pure overhead), map-side
-    * combined pair count.
+    * bounded by its own answer and the broadcast hint is gated on that
+    * bound), SHUFFLE_HASH self-join (both sides are the same checkpointed
+    * frame; sorting them for SMJ was pure overhead), map-side combined
+    * pair count.
     */
   private def frequentPairsFrom(b0: DataFrame, minSupport: Long): DataFrame = {
     val freqItems = b0.groupBy("i").agg(count(lit(1)).as("s"))
       .where(col("s") >= minSupport).select("i")
-    val kept = b0.join(broadcast(freqItems), Seq("i"), "left_semi")
+    // One basket exchange for the self-join, established AFTER the prune
+    // (shuffles only surviving rows); both sides are this same subtree,
+    // so AQE stage reuse computes it once (ReusedExchange — dump-proven).
+    val kept = b0.join(gatedBroadcast(b0, freqItems, minSupport), Seq("i"), "left_semi")
+      .repartition(col("b"))
     kept.alias("a").hint("SHUFFLE_HASH")
       .join(kept.alias("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.i") < col("c.i"))
@@ -90,12 +151,14 @@ object Association {
   def frequentTriples(
       baskets: DataFrame, basketCol: String, itemCol: String, minSupport: Long): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
-    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-    val b0 = bi.repartition(col("b"))
-      .groupBy("b", "i").agg(lit(1).as("_one")).select("b", "i")
+    // Shares [[distinctBasketItems]]' truncate-once discipline and the
+    // pigeonhole broadcast gate (r17 — see the pair level for both
+    // rationales).
+    val b0 = distinctBasketItems(baskets, basketCol, itemCol)
     val freqItems = b0.groupBy("i").agg(count(lit(1)).as("s"))
       .where(col("s") >= minSupport).select("i")
-    val kept = b0.join(broadcast(freqItems), Seq("i"), "left_semi")
+    val kept = b0.join(gatedBroadcast(b0, freqItems, minSupport), Seq("i"), "left_semi")
+      .repartition(col("b"))
     val pairs = kept.alias("a").hint("SHUFFLE_HASH")
       .join(kept.alias("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.i") < col("c.i"))

@@ -1110,8 +1110,10 @@ object Dedup {
       // |V|-row self-join is NOT free on the dominant workload — near-dup
       // cluster graphs are cliques and 2-3-hop chains that converge in
       // ≤2 rounds (measured: ns27 paid +20% for an always-on hop) — so
-      // the first two rounds run plain propagation and only graphs that
-      // are still moving escalate (ns142's 20-hop grid: 6.3 s → 3.2 s).
+      // the first THREE rounds (iter 0, 1, 2) run plain propagation and
+      // only graphs still moving at round 3 escalate (ns142's 20-hop
+      // grid: 6.3 s → 3.2 s). Graphs that converge by iter ≤ 2 — the
+      // clique-dominated dedup gates — never pay for the hop join.
       val doubled = labels
         .select(col("v"), col("lbl"), col("lbl").as("prev"))
         .union(prop)

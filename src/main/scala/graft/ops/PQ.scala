@@ -164,6 +164,60 @@ object PQ {
       dims: Int,
       m: Int): DataFrame = {
     val dsub = dims / m
+    // Corpus-scale argmin: ride the codegen'd graft_kmeans_assign kernel
+    // (pqFit's assignment discipline — r17, guide §4/§2.3): the
+    // interpreted argminCode HOF fold ran m·ksub·dsub interpreted ops
+    // per corpus row inside an otherwise-codegen projection. Equivalence:
+    // the flattened per-subspace codebook row lists centroids in cid
+    // order (array_sort by (sub, cid)), so the kernel's argmin INDEX is
+    // the code, and its strict-< first-wins tie rule is argminCode's
+    // lowest-cid rule. The declarative argminCode spelling below stays as
+    // the no-extensions fallback and the equivalence oracle.
+    if (quantized.sparkSession.catalog.functionExists("graft_kmeans_assign")) {
+      val perSub = codebooks
+        .agg(array_sort(collect_list(struct(col("sub"), col("cid"), col("c"))))
+          .as("_all"))
+        .select(transform(
+          sequence(lit(0L), lit((m - 1).toLong)),
+          j => flatten(transform(
+            filter(col("_all"), b => b.getField("sub") === j),
+            b => b.getField("c")))).as("_css"))
+      // ONE long-cast pass over the vector (the cast transform is an
+      // interpreted HOF; the old spelling re-ran it once per subspace),
+      // and none at all when the column is already array<bigint> (the
+      // ivfPqTopK residual path).
+      val alreadyLong = quantized.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      }
+      val vl = if (alreadyLong) col(vecCol) else transform(col(vecCol), _.cast("long"))
+      val codes = (0 until m).map { j =>
+        element_at(
+          call_function("graft_kmeans_assign",
+            slice(col("_vl"), j * dsub + 1, dsub),
+            element_at(col("_css"), j + 1)),
+          1)
+      }
+      return quantized
+        .crossJoin(broadcast(perSub)) // exactly one row — justified hint
+        .withColumn("_vl", vl)
+        .select(col(idCol), array(codes: _*).as("codes"))
+    }
+    pqEncodeDeclarative(quantized, idCol, vecCol, codebooks, dims, m)
+  }
+
+  /** The interpreted argminCode twin of [[pqEncode]] — the no-extensions
+    * fallback and the kernel arm's equivalence oracle (OpsSpec).
+    */
+  private[graft] def pqEncodeDeclarative(
+      quantized: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dims: Int,
+      m: Int): DataFrame = {
+    val dsub = dims / m
     val packed = packedBooks(codebooks)
     val codes = (0 until m).map { j =>
       argminCode(

@@ -1551,9 +1551,14 @@ object TextOps {
     * kernel's equivalence oracle (FunctionsSpec).
     */
   private[graft] def ngramRepetitionProfileDeclarative(
-      docs: DataFrame, idCol: String, textCol: String, na: Int = 2, nb: Int = 3): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, na: Int = 2, nb: Int = 3,
+      useExtensions: Boolean = true): DataFrame = {
+    // `useExtensions = false` forces the no-extension shingles(Column)
+    // slice-fold branch, so the path a production session WITHOUT
+    // GraftExtensions would run stays test-pinned (the suite always
+    // installs extensions, which otherwise shadows it — r16 ADVICE).
     def gramsOf(n: Int): Column =
-      if (docs.sparkSession.catalog.functionExists("graft_shingles"))
+      if (useExtensions && docs.sparkSession.catalog.functionExists("graft_shingles"))
         call_function("graft_shingles", col(textCol), lit(n))
       else shingles(col(textCol), n)
     def profile(n: Int, pfx: String): DataFrame =

@@ -406,6 +406,49 @@ class FunctionsSpec extends SparkSpec {
     assert(got(5L) == ((Some(1L), Some(0L), Some(1L), None)))
   }
 
+  test("repetition-profile declarative twin: no-extension shingles fallback matches") {
+    // The suite always installs GraftExtensions, so without forcing the
+    // non-catalog branch the slice-fold shingles(Column) path a session
+    // WITHOUT extensions would run is never exercised (r16 ADVICE).
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b a b a", 2L -> "x y z", 3L -> "w w w w w w",
+      4L -> "solo", 5L -> "two tokens", 6L -> "",
+      7L -> "  ragged   spacing  makes empty   tokens  ragged   spacing",
+      8L -> "astral 𐐀 𐐀 astral 𐐀 𐐀 astral").toDF("doc_id", "text")
+    val ext = graft.ops.TextOps.ngramRepetitionProfileDeclarative(
+      docs, "doc_id", "text")
+    val noExt = graft.ops.TextOps.ngramRepetitionProfileDeclarative(
+      docs, "doc_id", "text", useExtensions = false)
+    // the forced branch must not plan the catalog kernel
+    assert(!noExt.queryExecution.analyzed.toString.contains("graft_shingles"))
+    assert(ext.queryExecution.analyzed.toString.contains("graft_shingles"))
+    assert(ext.columns.toSeq == noExt.columns.toSeq)
+    val cmp = ext.columns.filter(_ != "doc_id").map(c =>
+      col(s"f.$c") =!= col(s"s.$c") || col(s"f.$c").isNull =!= col(s"s.$c").isNull)
+      .reduce(_ || _)
+    val diff = ext.as("f").join(noExt.as("s"), "doc_id").filter(cmp)
+    assert(diff.isEmpty, diff.limit(10).collect().mkString("\n"))
+    assert(ext.count() == noExt.count())
+  }
+
+  test("graft_ngram_rep rejects non-positive n at analysis") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b c").toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ngram_rep_guard_docs")
+    Seq(0, -2).foreach { n =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          s"SELECT graft_ngram_rep(text, $n) FROM ngram_rep_guard_docs").collect()
+      }
+      assert(e.getMessage.contains("n >= 1"), e.getMessage)
+    }
+    // n = 1 stays legal: every token is its own gram
+    val r = spark.sql(
+      "SELECT graft_ngram_rep(text, 1) AS p FROM ngram_rep_guard_docs").head()
+    assert(r.getSeq[Long](0) == Seq(3L, 0L, 1L))
+  }
+
   test("graft_marker_hits language-mix profile equals the declarative twin") {
     import spark.implicits._
     val crafted = Seq(

@@ -92,6 +92,21 @@ class OpsSpec extends SparkSpec {
     val again = PQ.pqEncode(qz.repartition(7), "vec_id", "qvec", books, dims, m)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(codes == again, "encode depends on partitioning")
+    // The kernel path must actually be the one in use (extensions on),
+    // and it must agree code-for-code with the interpreted argminCode
+    // twin (same flattened cid order, same strict-< lowest-cid ties).
+    assert(PQ.pqEncode(qz, "vec_id", "qvec", books, dims, m)
+      .queryExecution.executedPlan.toString.contains("graft_kmeans_assign"))
+    val slow = PQ.pqEncodeDeclarative(qz, "vec_id", "qvec", books, dims, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes == slow, "kernel encode drifted from the declarative twin")
+    // array<bigint> input (the ivfPqTopK residual shape) skips the cast
+    // transform and must encode identically
+    val qzL = qz.select(col("vec_id"),
+      transform(col("qvec"), _.cast("long")).as("qvec"))
+    val viaLong = PQ.pqEncode(qzL, "vec_id", "qvec", books, dims, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes == viaLong, "long-array input encode drifted")
   }
 
   test("pq adc distance is the exact sum of per-subspace code distances") {
